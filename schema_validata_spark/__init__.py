@@ -1,0 +1,33 @@
+"""schema_validata_spark — a PySpark-native schema + constraint
+validation engine with the capabilities of ``ahamptonTIA/schema_validata``
+(behavioral reference only; architecture is Spark-first: declarative
+DataFrame plans, Catalyst optimization, vectorized Arrow UDF islands).
+
+Public API:
+    profile(df)                      -> observed schema dict (reference shape)
+    validate(spark, df, rules, ...)  -> ValidationResult (verdicts, violations, report)
+    Rules / FieldRule                -> rule-table model
+    gen_transcripts / gen_conversations / transcript_rules -> fixtures
+"""
+
+from .config import (ALLOWED_CASTING, DATA_DICT_SCHEMA, NA_PATTERNS,
+                     NA_VALUES, SCHEMA_ERROR_TEMPLATES)
+from .rules import FieldRule, Rules
+from .operators.profile import profile, profile_stats_df
+from .operators.verdicts import validate_schema, verdicts_for
+from .operators.violations import (value_errors_df, violation_plan_for,
+                                   get_best_uid_column)
+from .operators.uniqueness import composite_duplicates, duplicate_stats
+from .operators.integrity import (referential_violation_count,
+                                  referential_violations)
+from .validate import ValidationResult, validate
+
+__all__ = [
+    "ALLOWED_CASTING", "DATA_DICT_SCHEMA", "NA_PATTERNS", "NA_VALUES",
+    "SCHEMA_ERROR_TEMPLATES", "FieldRule", "Rules",
+    "profile", "profile_stats_df", "validate_schema", "verdicts_for",
+    "value_errors_df", "violation_plan_for", "get_best_uid_column",
+    "composite_duplicates", "duplicate_stats",
+    "referential_violation_count", "referential_violations",
+    "ValidationResult", "validate",
+]

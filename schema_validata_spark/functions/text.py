@@ -1,0 +1,105 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines: token counting, quality scoring, language ID, fingerprinting.
+
+All of these are pure Column expressions (JVM-side, whole-stage
+codegen) — no Python in the row path. They complement the validation
+engine: the same single-pass aggregate/profile machinery consumes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword marker sets for the n-gram language-ID
+# heuristic. Deliberately small: the point is deterministic, cheap,
+# JVM-side scoring, not SOTA accuracy.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "que"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "por"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "as", "with", "was", "at", "by", "be", "this",
+]
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: word pieces + digits + punctuation
+    counted separately (a common regex approximation of tokenizer
+    output; ~chars/4 for English)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), 0)
+    return F.size(pieces)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic [0,1] quality score from length / punctuation density /
+    stopword ratio — the standard cheap pre-filter for web-scale corpora
+    (C4-style heuristics expressed as one Column)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count(c).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))) \
+        .cast("double")
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n_stop = F.size(F.array_intersect(words, F.array(
+        *[F.lit(w) for w in STOPWORDS_EN]))).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(
+        n_punct / F.greatest(n_chars, F.lit(1.0)) * F.lit(5.0), F.lit(1.0))
+    stop_score = F.least(
+        n_stop / F.greatest(n_tokens, F.lit(1.0)) * F.lit(10.0), F.lit(1.0))
+    score = (len_score + punct_score + stop_score) / F.lit(3.0)
+    return F.when(c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0.0)) \
+            .otherwise(F.round(score, 6))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language ID over {en,de,fr,es}; 'und' (undetermined)
+    when no marker hits. One pass, array intersections only."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    scores = [
+        (lang, F.size(F.array_intersect(
+            words, F.array(*[F.lit(w) for w in markers]))))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties deterministically
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit rolling-hash document fingerprint over normalized text
+    (case-folded, whitespace-collapsed) — stable content identity for
+    exact dedup at scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> — input to MinHash / Jaccard.
+    Built with transform() over a token array: JVM-side, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])))

@@ -1,0 +1,85 @@
+"""Logical type inference as aggregate expressions.
+
+The reference's 7-way classifier (reference src/schema_validata.py:
+1150-1212, infer_data_types) walks a pandas Series in Python. Here the
+per-column evidence is gathered inside the SAME single wide aggregate
+pass as the profiling stats (operators/profile.py): ``try_cast`` success
+counts, boolean-vocabulary counts and timestamp-parse counts — all
+JVM-side — and the 7-way decision is a tiny driver-side function over
+those counts.
+
+For declared-schema inputs (Parquet/Iceberg) the physical type already
+answers the question (spark_type_to_logical); the probe path exists for
+string-typed columns (CSV-style ingest) where inference still matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql import types as T
+
+BOOL_WORDS = ["true", "false"]  # reference treats bool dtype; string "true"/"false"
+
+
+def type_probe_aggs(col_name: str, canonical: Column) -> list[Column]:
+    """Aggregate expressions probing the logical type of one column.
+
+    ``canonical`` is the NA-canonicalized column (string-typed input).
+    Emits counts named ``<col>__<probe>``.
+    """
+    s = F.trim(canonical.cast("string"))
+    n = F.count(canonical).alias(f"{col_name}__nonnull")
+    as_long = F.count((s).try_cast("bigint")).alias(f"{col_name}__int_ok")
+    as_double = F.count((s).try_cast("double")).alias(f"{col_name}__float_ok")
+    as_bool = F.count(F.when(F.lower(s).isin(BOOL_WORDS), 1)) \
+        .alias(f"{col_name}__bool_ok")
+    # ISO-ish datetime parse (Spark's default try_to_timestamp handles
+    # 'yyyy-MM-dd[ HH:mm:ss]'); a date-only probe widens coverage. The
+    # reference tries 11 strptime formats (src/schema_validata.py:93-115);
+    # extended formats can be added as additional coalesced probes.
+    as_ts = F.count(
+        F.coalesce(F.try_to_timestamp(s),
+                   F.try_to_timestamp(s, F.lit("MM/dd/yyyy")),
+                   F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+    ).alias(f"{col_name}__ts_ok")
+    # leading zeros force String (reference src/schema_validata.py:957-971)
+    lead0 = F.max(F.when(s.rlike(r"^0\d"), 1).otherwise(0)) \
+        .alias(f"{col_name}__lead0")
+    return [n, as_long, as_double, as_bool, as_ts, lead0]
+
+
+def decide_logical_type(probes: dict[str, int]) -> str:
+    """7-way decision from probe counts — mirrors the reference's
+    precedence (src/schema_validata.py:1150-1212): nulls-only →
+    Null-Unknown; all boolean words → Boolean; leading zeros → String;
+    all-int → Integer; all-float → Float; all-datetime → Datetime;
+    else String."""
+    n = probes["nonnull"]
+    if n == 0:
+        return "Null-Unknown"
+    if probes["bool_ok"] == n:
+        return "Boolean"
+    if probes.get("lead0", 0):
+        return "String"
+    if probes["int_ok"] == n:
+        return "Integer"
+    if probes["float_ok"] == n:
+        return "Float"
+    if probes["ts_ok"] == n:
+        return "Datetime"
+    return "String"
+
+
+def spark_type_to_logical(dt: T.DataType) -> str:
+    """Declared Spark type → logical type (Iceberg/Parquet fast path)."""
+    if isinstance(dt, T.BooleanType):
+        return "Boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "Integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "Float"
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        return "Datetime"
+    if isinstance(dt, T.StringType):
+        return "String"
+    return "Other"

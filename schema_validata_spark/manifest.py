@@ -1,0 +1,80 @@
+"""Resume manifest: per-partition lineage + metrics checkpointing.
+
+No reference counterpart (the reference is whole-file, single-shot); the
+north_rule requires interrupted runs to resume without recomputation.
+The manifest is a small append-only Parquet table (Iceberg-compatible
+layout) keyed by ``(run_id, partition_key)``:
+
+    run_id        deterministic run identity (data hash + rules hash)
+    partition_key partition value as string (e.g. '2023-11-14')
+    status        'done'
+    metrics       JSON blob of per-partition stats/violation counts
+    rows          rows validated in the partition
+    wall_s        seconds spent on the partition
+    snapshot_id   input snapshot identity when available
+
+On startup, planned partitions are anti-joined (driver-side set
+difference — partition lists are small metadata) against completed
+manifest rows; only the remainder is computed. Idempotent: re-running a
+finished run is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession, types as T
+
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("partition_key", T.StringType(), False),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("metrics", T.StringType(), True),
+    T.StructField("rows", T.LongType(), True),
+    T.StructField("wall_s", T.DoubleType(), True),
+    T.StructField("snapshot_id", T.StringType(), True),
+])
+
+
+class Manifest:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs)
+
+    def completed(self, run_id: str) -> set[str]:
+        if not self._exists():
+            return set()
+        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        rows = (df.where((df.run_id == run_id) & (df.status == "done"))
+                  .select("partition_key").distinct().collect())
+        return {r["partition_key"] for r in rows}
+
+    def mark_done(self, run_id: str, partition_key: str,
+                  metrics: dict[str, Any] | None = None,
+                  rows: int | None = None, wall_s: float | None = None,
+                  snapshot_id: str | None = None) -> None:
+        rec = [(run_id, str(partition_key), "done",
+                json.dumps(metrics or {}, sort_keys=True, default=str),
+                rows, wall_s, snapshot_id)]
+        (self.spark.createDataFrame(rec, MANIFEST_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(self.path))
+
+    def metrics(self, run_id: str) -> dict[str, dict]:
+        if not self._exists():
+            return {}
+        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        out = {}
+        for r in df.where(df.run_id == run_id).collect():
+            out[r["partition_key"]] = json.loads(r["metrics"] or "{}")
+        return out
+
+
+def timed() -> float:
+    return time.monotonic()

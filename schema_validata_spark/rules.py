@@ -1,0 +1,158 @@
+"""Rule-table model: the authoritative schema ("data dictionary").
+
+The reference stores rules as an XLSX sheet parsed into a nested dict
+``{field: {attr: value}}`` (reference src/schema_validata.py:780-858,
+data_dict_to_json). Here the rule table is a first-class small object:
+a list of :class:`FieldRule` convertible to/from plain dicts, JSON and a
+Spark DataFrame (broadcastable). Rules are tiny metadata — they live on
+the driver and drive Column-expression codegen; they are never joined
+against the fact table row-by-row.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+from dataclasses import dataclass, field, fields as dc_fields
+from typing import Any, Iterable
+
+from .config import DATA_DICT_PRIMARY_KEY, LOGICAL_TYPES
+
+_RULE_ATTRS = [
+    "required", "data_type", "allow_null", "length", "range_min",
+    "range_max", "regex_pattern", "unique_value", "allowed_value_list",
+]
+
+
+@dataclass
+class FieldRule:
+    """One row of the data dictionary (reference DATA_DICT_SCHEMA,
+    src/schema_validata.py:51-62)."""
+
+    field_name: str
+    required: bool | None = None
+    data_type: str | None = None          # one of LOGICAL_TYPES
+    allow_null: bool | None = None
+    length: int | None = None
+    range_min: float | None = None
+    range_max: float | None = None
+    regex_pattern: str | None = None
+    unique_value: bool | None = None
+    allowed_value_list: list | None = None
+
+    def __post_init__(self):
+        if self.data_type is not None and self.data_type not in LOGICAL_TYPES:
+            raise ValueError(
+                f"data_type {self.data_type!r} not in {LOGICAL_TYPES}"
+            )
+
+    def attrs(self) -> dict[str, Any]:
+        """Non-null rule attributes as a dict (excludes field_name), matching
+        the reference's per-field rules dict shape."""
+        out = {}
+        for name in _RULE_ATTRS:
+            v = getattr(self, name)
+            if v is not None:
+                out[name] = v
+        return out
+
+
+@dataclass
+class Rules:
+    """A named rule table (one reference 'data dictionary sheet')."""
+
+    name: str
+    fields: list[FieldRule] = field(default_factory=list)
+    # Engine-level composite uniqueness keys (north_rule addition — e.g.
+    # (conv_id, turn_idx)); no reference counterpart.
+    composite_unique: list[tuple[str, ...]] = field(default_factory=list)
+    # Referential-integrity constraints: (fk_column, dim_table, dim_column).
+    foreign_keys: list[tuple[str, str, str]] = field(default_factory=list)
+
+    def __iter__(self) -> Iterable[FieldRule]:
+        return iter(self.fields)
+
+    def __getitem__(self, field_name: str) -> FieldRule:
+        for f in self.fields:
+            if f.field_name == field_name:
+                return f
+        raise KeyError(field_name)
+
+    def field_names(self) -> list[str]:
+        return [f.field_name for f in self.fields]
+
+    # -- conversions ---------------------------------------------------------
+
+    def to_nested_dict(self) -> dict[str, dict[str, Any]]:
+        """``{field: {attr: value}}`` — shape of the reference's parsed data
+        dictionary (src/schema_validata.py:835-842)."""
+        return {f.field_name: f.attrs() for f in self.fields}
+
+    @classmethod
+    def from_nested_dict(cls, name: str, d: dict[str, dict[str, Any]]) -> "Rules":
+        out = []
+        for fname, attrs in d.items():
+            attrs = dict(attrs)
+            avl = attrs.get("allowed_value_list")
+            if isinstance(avl, str):
+                # Revive string-encoded python list literals, as the reference
+                # does via ast.literal_eval (src/schema_validata.py:388-434).
+                attrs["allowed_value_list"] = ast.literal_eval(avl)
+            known = {f.name for f in dc_fields(FieldRule)} - {"field_name"}
+            out.append(FieldRule(field_name=fname,
+                                 **{k: v for k, v in attrs.items() if k in known}))
+        return cls(name=name, fields=out)
+
+    @classmethod
+    def from_json(cls, name: str, text: str) -> "Rules":
+        return cls.from_nested_dict(name, json.loads(text))
+
+    def to_spark_df(self, spark):
+        """Rules as a small Spark DataFrame (broadcast-sized by construction:
+        one row per column of the validated table)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("field_name", T.StringType(), False),
+            T.StructField("required", T.BooleanType(), True),
+            T.StructField("data_type", T.StringType(), True),
+            T.StructField("allow_null", T.BooleanType(), True),
+            T.StructField("length", T.IntegerType(), True),
+            T.StructField("range_min", T.DoubleType(), True),
+            T.StructField("range_max", T.DoubleType(), True),
+            T.StructField("regex_pattern", T.StringType(), True),
+            T.StructField("unique_value", T.BooleanType(), True),
+            T.StructField("allowed_value_list", T.ArrayType(T.StringType()), True),
+        ])
+        rows = []
+        for f in self.fields:
+            avl = f.allowed_value_list
+            rows.append((
+                f.field_name, f.required, f.data_type, f.allow_null,
+                f.length,
+                float(f.range_min) if f.range_min is not None else None,
+                float(f.range_max) if f.range_max is not None else None,
+                f.regex_pattern, f.unique_value,
+                [str(v) for v in avl] if avl is not None else None,
+            ))
+        return spark.createDataFrame(rows, schema)
+
+    @classmethod
+    def from_spark_df(cls, name: str, df) -> "Rules":
+        """Parse a rules table already loaded as a (tiny) DataFrame — the
+        Spark analog of the reference's XLSX-sheet parsing
+        (src/schema_validata.py:816-842): rows without the primary key are
+        dropped; list cells are revived."""
+        out = []
+        for row in df.collect():
+            d = row.asDict()
+            fname = d.pop(DATA_DICT_PRIMARY_KEY, None)
+            if fname is None:  # reference drops rows w/o field_name (:831)
+                continue
+            avl = d.get("allowed_value_list")
+            if isinstance(avl, str):
+                d["allowed_value_list"] = ast.literal_eval(avl)
+            known = {f.name for f in dc_fields(FieldRule)} - {"field_name"}
+            out.append(FieldRule(field_name=fname,
+                                 **{k: v for k, v in d.items() if k in known}))
+        return cls(name=name, fields=out)

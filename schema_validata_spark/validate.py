@@ -1,0 +1,319 @@
+"""End-to-end validation orchestrator — the Spark-native equivalent of
+the reference's ``validate_dataset`` (src/schema_validata.py:2607-2712).
+
+Where the reference reads the file four times and loops rows in Python,
+this entry runs a fixed small number of distributed jobs regardless of
+table width or row count:
+
+  1. profile         — 1 wide agg + 1 melt shuffle + 1 conditional
+                       collect (operators/profile.py)
+  2. verdicts        — driver-side dict comparison over collected stats
+                       (operators/verdicts.py)
+  3. uniqueness      — salted two-phase aggregate per composite key
+                       (operators/uniqueness.py)
+  4. referential     — left_anti join per foreign key
+                       (operators/integrity.py)
+  5. violations      — ONE combined column-pruned scan for all flagged
+                       per-row checks (+ one agg+join per duplicate
+                       check) (operators/violations.py)
+
+The result dict mirrors the reference's structure:
+``{uid: {run_metadata, dataset_metadata, data_dict_metadata,
+results: {dataset: {schema_violations, value_errors}}}}`` with
+``value_errors`` in the same columnar ``DataFrame.to_json()`` shape
+(:2595-2602). ``uid = {dataset_md5}_{dict_md5}`` (:2678-2687) maps to
+hashes of the input identity and rules content — deterministic, no
+wall-clock in the identity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import DEFAULT_IGNORE_ERRORS
+from .manifest import Manifest, timed
+from .operators.integrity import referential_violations
+from .operators.profile import profile
+from .operators.uniqueness import duplicate_stats
+from .operators.verdicts import verdicts_for
+from .operators.violations import (get_best_uid_column, value_errors_df,
+                                   violation_plan_for)
+from .rules import Rules
+
+
+def _rules_md5(rules: Rules) -> str:
+    blob = json.dumps(rules.to_nested_dict(), sort_keys=True, default=str)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _dataset_md5(df: DataFrame, dataset_name: str) -> str:
+    """Deterministic input identity: schema + name (an Iceberg snapshot id
+    slots in here when the source exposes one)."""
+    blob = dataset_name + "|" + df.schema.simpleString()
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+@dataclass
+class ValidationResult:
+    uid: str
+    dataset_name: str
+    observed_schema: dict[str, dict[str, Any]]
+    schema_violations: dict[str, Any]
+    violations: DataFrame | None            # row-level violations (lazy)
+    composite_uniqueness: dict[str, dict]   # {key_repr: {duplicate_keys, duplicate_rows}}
+    referential: dict[str, int]             # {fk_repr: violation_count}
+    partition_verdicts: DataFrame | None = None
+    run_metadata: dict[str, Any] = field(default_factory=dict)
+
+    def passed(self) -> bool:
+        return (not self.schema_violations
+                and all(v["duplicate_rows"] == 0
+                        for v in self.composite_uniqueness.values())
+                and all(c == 0 for c in self.referential.values()))
+
+    def report(self, max_value_errors: int | None = 100_000) -> dict:
+        """Reference-shaped nested result dict
+        (src/schema_validata.py:2678-2700). Row-level errors are
+        materialized through the same columnar ``to_json`` round-trip as
+        the reference (:2595-2602), capped for driver safety."""
+        value_errors: dict[str, dict] = {}
+        if self.violations is not None:
+            rows = (self.violations.limit(max_value_errors).collect()
+                    if max_value_errors else self.violations.collect())
+            cols: dict[str, dict[str, Any]] = {}
+            for i, r in enumerate(rows):
+                for k, v in r.asDict().items():
+                    cols.setdefault(k, {})[str(i)] = v
+            value_errors = cols
+        results = {
+            self.dataset_name: {
+                "schema_violations": self.schema_violations,
+                "value_errors": value_errors,
+            }
+        }
+        # engine-level additions (north_rule): composite uniqueness + RI
+        results[self.dataset_name]["composite_uniqueness"] = self.composite_uniqueness
+        results[self.dataset_name]["referential_integrity"] = self.referential
+        return {self.uid: {
+            "run_metadata": self.run_metadata,
+            "dataset_metadata": {"dataset_name": self.dataset_name},
+            "data_dict_metadata": {"rules_md5": self.uid.split("_")[1]},
+            "results": results,
+        }}
+
+
+def validate(spark: SparkSession, df: DataFrame, rules: Rules,
+             dataset_name: str = "dataset",
+             dims: dict[str, DataFrame] | None = None,
+             list_errors: bool = True,
+             ignore_errors: list[str] | None = None,
+             key_cols: list[str] | None = None,
+             partition_col: str | None = None,
+             manifest_path: str | None = None) -> ValidationResult:
+    """Validate ``df`` against ``rules``; see module docstring for the
+    job plan. ``dims`` supplies dimension tables for rules.foreign_keys.
+    ``key_cols`` are the stable row-address columns carried on violation
+    rows (defaults to the first composite_unique key or the uid column).
+    """
+    ignore_errors = DEFAULT_IGNORE_ERRORS if ignore_errors is None \
+        else ignore_errors
+    uid = f"{_dataset_md5(df, dataset_name)}_{_rules_md5(rules)}"
+
+    observed = profile(df)
+    schema_violations = verdicts_for(rules, observed, dataset_name)
+
+    composite: dict[str, dict] = {}
+    for key in rules.composite_unique:
+        if all(k in df.columns for k in key):
+            composite["+".join(key)] = duplicate_stats(df, list(key))
+
+    referential: dict[str, int] = {}
+    for fk_col, dim_name, dim_col in rules.foreign_keys:
+        dim = (dims or {}).get(dim_name)
+        if dim is not None and fk_col in df.columns:
+            referential[f"{fk_col}->{dim_name}.{dim_col}"] = \
+                referential_violations(df, [fk_col], dim, [dim_col],
+                                       broadcast_dim=True).count()
+
+    violations = None
+    if list_errors:
+        preferred = next((f.field_name for f in rules if f.unique_value), None)
+        if key_cols is None:
+            key_cols = list(rules.composite_unique[0]) \
+                if rules.composite_unique else []
+        lookup = get_best_uid_column(df, preferred_column=preferred) \
+            if (preferred or not key_cols) else None
+        if not key_cols:
+            key_cols = [lookup] if lookup else [df.columns[0]]
+            lookup = None
+        specs = violation_plan_for(rules, schema_violations, df.columns,
+                                   ignore_errors)
+        violations = value_errors_df(df, specs, key_cols, lookup_col=lookup)
+
+    result = ValidationResult(
+        uid=uid, dataset_name=dataset_name, observed_schema=observed,
+        schema_violations=schema_violations, violations=violations,
+        composite_uniqueness=composite, referential=referential,
+        run_metadata={"schema_mapping": [
+            {"dataset": dataset_name, "data_dict": rules.name}]},
+    )
+    if partition_col:
+        result.partition_verdicts = partition_verdicts(
+            df, rules, partition_col, dims=dims)
+    _ = manifest_path  # partitioned/resumable runs: validate_partitioned
+    return result
+
+
+def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
+                       dims: dict[str, DataFrame] | None = None) -> DataFrame:
+    """Per-partition pass/fail verdicts: ONE ``groupBy(partition)``
+    aggregate counts every per-row check violation for every rule column
+    simultaneously; composite-key duplicates add one salted aggregate;
+    RI adds one anti-join + re-count. Output:
+    ``(partition_key, column_name, check, violation_count, status)``.
+    """
+    from .operators.violations import CheckSpec, _check_condition
+
+    specs: list[CheckSpec] = []
+    for fr in rules:
+        if fr.field_name not in df.columns:
+            continue
+        c = fr.field_name
+        if fr.allow_null is False:
+            specs.append(CheckSpec(c, "allow_null"))
+        if fr.length is not None:
+            specs.append(CheckSpec(c, "length", fr.length))
+        if fr.range_min is not None:
+            specs.append(CheckSpec(c, "range_min", fr.range_min))
+        if fr.range_max is not None:
+            specs.append(CheckSpec(c, "range_max", fr.range_max))
+        if fr.allowed_value_list:
+            specs.append(CheckSpec(c, "allowed_value_list", fr.allowed_value_list))
+        if fr.regex_pattern:
+            specs.append(CheckSpec(c, "regex_pattern", fr.regex_pattern))
+
+    aggs, names = [], []
+    for i, sp in enumerate(specs):
+        cond, _ = _check_condition(df, sp)
+        alias = f"v{i}"
+        aggs.append(F.count(F.when(cond, 1)).alias(alias))
+        names.append((alias, sp.column, sp.check))
+    per_part = df.groupBy(F.col(partition_col).cast("string")
+                          .alias("partition_key")).agg(*aggs)
+
+    stack_expr = ", ".join(
+        f"'{col}', '{chk}', cast(`{alias}` as bigint)"
+        for alias, col, chk in names)
+    long = per_part.selectExpr(
+        "partition_key",
+        f"stack({len(names)}, {stack_expr}) as (column_name, check, violation_count)")
+
+    frames = [long]
+    spark = df.sparkSession
+    for key in rules.composite_unique:
+        if not all(k in df.columns for k in key):
+            continue
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(32))
+        dup = (df.select(partition_col, *key, salt.alias("__s"))
+                 .groupBy(partition_col, *key, "__s")
+                 .agg(F.count(F.lit(1)).alias("__c"))
+                 .groupBy(partition_col, *key)
+                 .agg(F.sum("__c").alias("cnt"))
+                 .where(F.col("cnt") > 1)
+                 .groupBy(F.col(partition_col).cast("string")
+                          .alias("partition_key"))
+                 .agg(F.sum("cnt").alias("violation_count"))
+                 .select("partition_key",
+                         F.lit("+".join(key)).alias("column_name"),
+                         F.lit("unique_value").alias("check"),
+                         F.col("violation_count").cast("bigint")))
+        frames.append(dup)
+    for fk_col, dim_name, dim_col in rules.foreign_keys:
+        dim = (dims or {}).get(dim_name)
+        if dim is None or fk_col not in df.columns:
+            continue
+        ri = (referential_violations(df.select(partition_col, fk_col),
+                                     [fk_col], dim, [dim_col],
+                                     broadcast_dim=True)
+              .groupBy(F.col(partition_col).cast("string")
+                       .alias("partition_key"))
+              .agg(F.count(F.lit(1)).alias("violation_count"))
+              .select("partition_key",
+                      F.lit(fk_col).alias("column_name"),
+                      F.lit("referential").alias("check"),
+                      F.col("violation_count").cast("bigint")))
+        frames.append(ri)
+
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    _ = spark
+    return out.withColumn(
+        "status", F.when(F.col("violation_count") > 0, F.lit("fail"))
+                   .otherwise(F.lit("pass")))
+
+
+def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
+                         partition_col: str, manifest_path: str,
+                         run_id: str | None = None,
+                         dims: dict[str, DataFrame] | None = None,
+                         batch_size: int = 64) -> DataFrame:
+    """Resumable partition-granular validation (north_rule): partitions
+    already marked 'done' in the manifest are skipped; each processed
+    batch commits per-partition metrics. Returns the combined
+    partition-verdicts DataFrame for THIS run's newly processed
+    partitions plus previously completed ones re-read from the manifest
+    metrics.
+
+    Partition pruning: each batch filters ``partition_col isin(batch)``,
+    which prunes at the Parquet/Iceberg scan level.
+    """
+    run_id = run_id or f"{_dataset_md5(df, 'partitioned')}_{_rules_md5(rules)}"
+    manifest = Manifest(spark, manifest_path)
+    done = manifest.completed(run_id)
+
+    parts = [str(r[0]) for r in
+             df.select(F.col(partition_col).cast("string")).distinct().collect()]
+    todo = sorted(p for p in parts if p not in done)
+
+    all_rows: list[tuple] = []
+    for i in range(0, len(todo), batch_size):
+        batch = todo[i:i + batch_size]
+        t0 = timed()
+        sub = df.where(F.col(partition_col).cast("string").isin(batch))
+        pv = partition_verdicts(sub, rules, partition_col, dims=dims)
+        rows = pv.collect()
+        wall = timed() - t0
+        by_part: dict[str, list] = {p: [] for p in batch}
+        for r in rows:
+            by_part.setdefault(r["partition_key"], []).append(
+                (r["column_name"], r["check"], r["violation_count"], r["status"]))
+        for p in batch:
+            metrics = {"checks": by_part.get(p, [])}
+            manifest.mark_done(run_id, p, metrics=metrics,
+                               wall_s=wall / max(1, len(batch)))
+        all_rows.extend(
+            (r["partition_key"], r["column_name"], r["check"],
+             r["violation_count"], r["status"]) for r in rows)
+
+    # previously completed partitions: reconstruct verdict rows from metrics
+    for p, m in manifest.metrics(run_id).items():
+        if p in todo:
+            continue
+        for col, chk, cnt, status in m.get("checks", []):
+            all_rows.append((p, col, chk, int(cnt), status))
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("partition_key", T.StringType()),
+        T.StructField("column_name", T.StringType()),
+        T.StructField("check", T.StringType()),
+        T.StructField("violation_count", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ])
+    return spark.createDataFrame(all_rows, schema)

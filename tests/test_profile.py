@@ -1,0 +1,118 @@
+"""Profiling parity: the wide-agg profile reproduces the reference's
+build_data_dictionary semantics (src/schema_validata.py:1344-1473),
+including its quirks, on hand-built micro-frames."""
+
+import pytest
+from pyspark.sql import types as T
+
+from schema_validata_spark.operators.profile import profile
+
+
+def make_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_all_null_column(spark):
+    df = make_df(spark, [(None,), (None,), (None,)], "a: string")
+    p = profile(df)["a"]
+    assert p["data_type"] == "Null-Unknown"
+    assert p["null_count"] == 3
+    assert p["duplicate_count"] == 0
+    assert p["required"] == "False"
+    assert p["allow_null"] == "True"
+    assert p["length"] is None and p["range_min"] is None
+
+
+def test_duplicate_count_keep_false_semantics(spark):
+    # group of 3 counts 3, group of 2 counts 2, single counts 0 → 5
+    df = make_df(spark, [("x",), ("x",), ("x",), ("y",), ("y",), ("z",)],
+                 "a: string")
+    p = profile(df)["a"]
+    assert p["duplicate_count"] == 5
+    assert p["unique_value"] == "False"
+
+
+def test_unique_column(spark):
+    df = make_df(spark, [("a",), ("b",), ("c",)], "v: string")
+    p = profile(df)["v"]
+    assert p["duplicate_count"] == 0
+    assert p["unique_value"] == "True"
+
+
+def test_na_pattern_nulls_counted(spark):
+    # 'N/A', ' - ', '', whitespace are null-like (reference NA vocabulary)
+    df = make_df(spark, [("ok",), ("N/A",), (" - ",), ("",), ("   ",)],
+                 "a: string")
+    p = profile(df)["a"]
+    assert p["null_count"] == 4
+    assert p["allow_null"] == "True"
+
+
+def test_string_numeric_inference(spark):
+    df = make_df(spark, [("1",), ("2",), ("30",)], "a: string")
+    p = profile(df)["a"]
+    assert p["data_type"] == "Integer"
+    assert p["range_min"] == 1 and p["range_max"] == 30
+    assert isinstance(p["range_min"], int)  # int-downcast quirk
+    assert p["length"] == 2
+    assert p["allowed_value_list"] == [1, 2, 30]  # numeric sort
+
+
+def test_leading_zero_forces_string(spark):
+    df = make_df(spark, [("01",), ("02",), ("10",)], "a: string")
+    p = profile(df)["a"]
+    assert p["data_type"] == "String"
+    assert p["allowed_value_list"] == ["01", "02", "10"]
+
+
+def test_float_column(spark):
+    df = make_df(spark, [(1.5,), (2.25,), (None,)], "a: double")
+    p = profile(df)["a"]
+    assert p["data_type"] == "Float"
+    assert p["null_count"] == 1
+    assert p["range_min"] == 1.5 and p["range_max"] == 2.25
+
+
+def test_whole_number_floats_measure_int_lengths(spark):
+    # reference casts all-whole numeric series to int before length
+    df = make_df(spark, [(10.0,), (500.0,)], "a: double")
+    p = profile(df)["a"]
+    assert p["length"] == 3
+    assert p["range_min"] == 10 and p["range_max"] == 500
+    assert p["allowed_value_list"] == [10, 500]
+
+
+def test_datetime_string_inference(spark):
+    df = make_df(spark, [("2023-01-01",), ("2023-06-15",)], "a: string")
+    p = profile(df)["a"]
+    assert p["data_type"] == "Datetime"
+
+
+def test_boolean_string_inference(spark):
+    df = make_df(spark, [("true",), ("False",), ("TRUE",)], "a: string")
+    p = profile(df)["a"]
+    assert p["data_type"] == "Boolean"
+
+
+def test_allowed_list_capped_at_100(spark):
+    rows = [(f"v{i:03d}",) for i in range(150)]
+    df = make_df(spark, rows, "a: string")
+    p = profile(df)["a"]
+    assert p["allowed_value_list"] is None
+
+
+def test_typed_timestamp_column(spark):
+    import datetime
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    df = make_df(spark, [(datetime.datetime(2023, 1, 1),),
+                         (datetime.datetime(2024, 1, 1),)], schema)
+    p = profile(df)["ts"]
+    assert p["data_type"] == "Datetime"
+
+
+@pytest.mark.parametrize("col,expected", [
+    ("mixed", "String"),
+])
+def test_mixed_column_is_string(spark, col, expected):
+    df = make_df(spark, [("1",), ("x",), ("2.5",)], f"{col}: string")
+    assert profile(df)[col]["data_type"] == expected
