@@ -1,0 +1,8 @@
+"""Plan-construction helpers: the driver-side logic that turns rules +
+verdicts into distributed check plans lives with its operators; this
+package re-exports the planning surface for discoverability."""
+
+from ..operators.violations import CheckSpec, violation_plan_for
+from ..validate import partition_verdicts
+
+__all__ = ["CheckSpec", "violation_plan_for", "partition_verdicts"]

@@ -1,0 +1,4 @@
+from .readers import read_table, read_csv_validated
+from .tableio import TableIO
+
+__all__ = ["read_table", "read_csv_validated", "TableIO"]

@@ -1,0 +1,62 @@
+"""TableIO seam: Iceberg when the runtime has it, partitioned Parquet
+otherwise — engine logic is format-agnostic (SURVEY §7).
+
+Iceberg adds snapshot ids (run identity) and metadata tables; the
+Parquet fallback preserves the partition semantics (directory
+partitioning by the same column), so every operator behaves identically.
+The sandbox has no Iceberg runtime jar, so the fallback is the tested
+path; on a real cluster ``format='iceberg'`` activates transparently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, use_iceberg: bool | None = None):
+        self.spark = spark
+        self.use_iceberg = (iceberg_available(spark)
+                            if use_iceberg is None else use_iceberg)
+
+    def read(self, identifier: str) -> DataFrame:
+        """identifier: catalog table name (iceberg) or path (parquet)."""
+        if self.use_iceberg and not identifier.startswith("/"):
+            return self.spark.read.table(identifier)
+        return self.spark.read.parquet(identifier)
+
+    def write(self, df: DataFrame, identifier: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+        if self.use_iceberg and not identifier.startswith("/"):
+            w = df.writeTo(identifier)
+            if mode == "append":
+                w.append()
+            else:
+                w.createOrReplace()
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(identifier)
+
+    def snapshot_id(self, identifier: str) -> str | None:
+        """Iceberg snapshot id for run identity; None on parquet."""
+        if not self.use_iceberg:
+            return None
+        try:
+            row = self.spark.sql(
+                f"SELECT snapshot_id FROM {identifier}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1").collect()
+            return str(row[0][0]) if row else None
+        except Exception:
+            return None

