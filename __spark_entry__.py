@@ -1,38 +1,707 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship: full validation run (profile → verdicts →
+                        violations) over the sf0.001 ``events`` table.
+``queries()``         — one entry per implemented operator from SURVEY.md §2
+                        plus the training-data ops (dedup / similarity /
+                        text-analysis / drift).
+``oracle_sql()``      — DuckDB-runnable ANSI SQL equivalent for every
+                        SQL-expressible query (same column names/aliases).
+
+Approximate / hash-based operators (MinHash LSH, SimHash, hyperplane ANN)
+intentionally have NO oracle entry — the driver records a rows-only check
+for them; their exact counterparts (``ngram_jaccard``, ``similarity_topk``)
+ARE oracle-checked.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from schema_validata_spark.functions.text import (LANG_MARKERS, STOPWORDS_EN,
+                                                  bpe_ish_token_count,
+                                                  fingerprint, lang_id,
+                                                  quality_score, token_count)
+from schema_validata_spark.operators.dedup import (dedup_exact,
+                                                   minhash_near_duplicates,
+                                                   ngram_jaccard_pairs,
+                                                   simhash_near_duplicates)
+from schema_validata_spark.operators.drift import (drift_scores,
+                                                   drift_scores_pandas,
+                                                   numeric_histogram,
+                                                   text_length_histogram)
+from schema_validata_spark.operators.integrity import referential_violations
+from schema_validata_spark.operators.profile import profile_stats_df
+from schema_validata_spark.operators.similarity import (brute_force_topk,
+                                                        lsh_ann_topk)
+from schema_validata_spark.operators.uniqueness import composite_duplicates
+from schema_validata_spark.operators.violations import (CheckSpec,
+                                                        value_errors_df)
+from schema_validata_spark.rules import FieldRule, Rules
+from schema_validata_spark.validate import partition_verdicts, validate
+
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship validation run
+# ---------------------------------------------------------------------------
+
+def _events_rules() -> Rules:
+    return Rules(
+        name="EVENTS_SCHEMA",
+        fields=[
+            FieldRule("event_id", required=True, data_type="Integer",
+                      allow_null=False, unique_value=True),
+            FieldRule("ts", required=True, data_type="Datetime",
+                      allow_null=False),
+            FieldRule("user_id", required=True, data_type="Integer",
+                      allow_null=False, range_min=0.0),
+            FieldRule("event_type", required=True, data_type="String",
+                      allow_null=False, length=16,
+                      regex_pattern=r"^[a-z]+$",
+                      allowed_value_list=["click", "view", "purchase",
+                                          "signup"]),
+            FieldRule("value", required=True, data_type="Float",
+                      allow_null=False, range_min=0.0, range_max=400.0),
+            FieldRule("props", required=False, data_type="String",
+                      allow_null=True),
+        ],
+        composite_unique=[("user_id", "event_type")],
+        foreign_keys=[("user_id", "customer", "c_custkey")],
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full validation of the sf0.001 events table: one wide profiling
+    aggregate, driver-side verdicts, then ONE combined column-pruned scan
+    emitting every flagged row-level violation."""
+    events = _t(spark, DEFAULT_SF, "events")
+    customer = _t(spark, DEFAULT_SF, "customer")
+    result = validate(spark, events, _events_rules(),
+                      dataset_name="events",
+                      dims={"customer": customer},
+                      key_cols=["event_id"])
+    return result.violations
+
+
+# ---------------------------------------------------------------------------
+# queries — the oracle-checked operator surface
+# ---------------------------------------------------------------------------
+
+_DOC_LEN_MAX = 400           # documents.text length rule used below
+_EVENT_ALLOWED = ["click", "view", "purchase", "signup"]  # 'error' violates
+_PRIO_ALLOWED = ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]
+# re.match anchoring: start-anchored only (reference quirk, SURVEY §2.5)
+_LANG_RE = "^(?:en|de|fr|es)"   # 'zh' violates
+_QTY_MAX = 45.0
+
+
+def q_profile_stats(spark, sf_dir):
+    """SURVEY §2.3 build_data_dictionary → one wide agg + one melt shuffle
+    (operators/profile.py)."""
+    return profile_stats_df(spark, _t(spark, sf_dir, "customer"))
+
+
+def q_null_counts(spark, sf_dir):
+    """SURVEY §2.3 null_count stat: single wide aggregate, one row/column."""
+    df = _t(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        (F.count(F.lit(1)) - F.count(F.col(c))).alias(c) for c in df.columns]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', cast(`{c}` as bigint)" for c in df.columns)
+    return row.selectExpr(
+        f"stack({len(df.columns)}, {stack}) as (column_name, null_count)")
+
+
+def q_composite_duplicates(spark, sf_dir):
+    """North-rule salted two-phase composite-key duplicate detection
+    (operators/uniqueness.py)."""
+    df = _t(spark, sf_dir, "events")
+    dups = composite_duplicates(df, ["user_id", "event_type"])
+    return (dups.select("user_id", "event_type",
+                        F.col("dup_count").cast("bigint").alias("dup_count"))
+                .distinct())
+
+
+def q_duplicate_totals(spark, sf_dir):
+    """Aggregate duplicate stats (duplicate_keys / duplicate_rows,
+    pandas keep=False semantics) for (user_id, event_type)."""
+    df = _t(spark, sf_dir, "events")
+    dup_keys = (df.groupBy("user_id", "event_type")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .where(F.col("cnt") > 1))
+    return dup_keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("duplicate_keys"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint")
+         .alias("duplicate_rows"))
+
+
+def q_value_errors_range(spark, sf_dir):
+    """SURVEY §2.5 value_errors_out_of_range as a Column-expression filter."""
+    df = _t(spark, sf_dir, "lineitem")
+    specs = [CheckSpec("l_quantity", "range_max", _QTY_MAX)]
+    return value_errors_df(df, specs, ["l_orderkey", "l_linenumber"])
+
+
+def q_value_errors_allowed(spark, sf_dir):
+    """SURVEY §2.5 value_errors_unallowed (anti-isin)."""
+    df = _t(spark, sf_dir, "orders")
+    specs = [CheckSpec("o_orderpriority", "allowed_value_list", _PRIO_ALLOWED)]
+    return value_errors_df(df, specs, ["o_orderkey"])
+
+
+def q_value_errors_regex(spark, sf_dir):
+    """SURVEY §2.5 value_errors_regex_mismatches (re.match anchoring)."""
+    df = _t(spark, sf_dir, "documents")
+    specs = [CheckSpec("lang", "regex_pattern", "en|de|fr|es")]
+    return value_errors_df(df, specs, ["doc_id"])
+
+
+def q_value_errors_length(spark, sf_dir):
+    """SURVEY §2.5 value_errors_length. error_value carries the oversized
+    text; length check on the string rendering."""
+    df = _t(spark, sf_dir, "documents")
+    specs = [CheckSpec("text", "length", _DOC_LEN_MAX)]
+    ve = value_errors_df(df, specs, ["doc_id"])
+    # project the (long) text off the output; keep its measured length
+    return ve.select("doc_id", "error_type", "column_name",
+                     F.length("error_value").cast("bigint")
+                      .alias("error_length"))
+
+
+def q_value_errors_nulls(spark, sf_dir):
+    """SURVEY §2.5 value_errors_nulls with the extended NA vocabulary."""
+    df = _t(spark, sf_dir, "events")
+    specs = [CheckSpec("props", "allow_null")]
+    ve = value_errors_df(df, specs, ["event_id"])
+    return ve.select("event_id", "error_type", "column_name")
+
+
+def q_referential_integrity(spark, sf_dir):
+    """North-rule referential anti-join (operators/integrity.py). The dim
+    is filtered to seed violations deterministically (every 97th customer
+    'deleted')."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").where("c_custkey % 97 != 0")
+    viol = referential_violations(ev, ["user_id"], cust, ["c_custkey"],
+                                  broadcast_dim=True)
+    return (viol.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_events"))
+            )
+
+
+def q_partition_verdicts(spark, sf_dir):
+    """North-rule per-partition pass/fail verdicts: ONE groupBy(partition)
+    aggregate covering all checks (validate.partition_verdicts)."""
+    df = _t(spark, sf_dir, "lineitem")
+    rules = Rules(name="LINEITEM_SCHEMA", fields=[
+        FieldRule("l_quantity", data_type="Float", range_max=_QTY_MAX),
+        FieldRule("l_discount", data_type="Float", range_max=0.05),
+        FieldRule("l_tax", data_type="Float", range_min=0.02),
+    ])
+    return partition_verdicts(df, rules, "l_returnflag")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by 64-bit content fingerprint — keep min-id per group
+    (operators/dedup.py). One shuffle on 8-byte hashes."""
+    df = _t(spark, sf_dir, "documents")
+    return dedup_exact(df, "text", "doc_id").select("doc_id")
+
+
+def q_fingerprint_distinct(spark, sf_dir):
+    """Document fingerprinting (rolling-hash content identity): corpus
+    cardinality by fingerprint."""
+    df = _t(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(fingerprint("text")).cast("bigint")
+         .alias("n_distinct_fingerprints"))
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace token counting (functions/text.py) — JVM-side split."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id",
+                     token_count("text").cast("bigint").alias("n_tokens"))
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish regex token estimate (functions/text.py)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id",
+                     bpe_ish_token_count("text").cast("bigint")
+                      .alias("n_bpe_tokens"))
+
+
+def q_lang_id_counts(spark, sf_dir):
+    """Marker-word language ID (functions/text.py), aggregated."""
+    df = _t(spark, sf_dir, "documents")
+    return (df.select(lang_id("text").alias("lang_pred"))
+              .groupBy("lang_pred")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+def q_quality_scores(spark, sf_dir):
+    """C4-style heuristic quality scoring (functions/text.py)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", quality_score("text").alias("q"))
+
+
+def q_text_length_histogram(spark, sf_dir):
+    """Drift building block: per-partition text-length histogram
+    (operators/drift.py, width_bucket aggregate)."""
+    df = _t(spark, sf_dir, "documents")
+    h = text_length_histogram(df, "text", "lang", hi=2000, n_buckets=20)
+    return h.select("partition_key", "column_name", "bucket",
+                    F.col("count").cast("bigint").alias("count"))
+
+
+def q_drift_scores(spark, sf_dir):
+    """Chi-square + PSI drift per (event_type) partition vs the global
+    baseline histogram (operators/drift.py) — join + vectorized math."""
+    df = _t(spark, sf_dir, "events")
+    obs = numeric_histogram(df, "value", "event_type", 0.0, 500.0, 20)
+    base = obs.groupBy("column_name", "bucket").agg(
+        F.sum("count").alias("count")).withColumn(
+        "partition_key", F.lit("__all__"))
+    sc = drift_scores(obs, base, by_partition=True)
+    return sc.select("partition_key", "column_name",
+                     F.round("chi2", 4).alias("chi2"),
+                     F.round("psi", 6).alias("psi"),
+                     F.col("n_obs").cast("bigint").alias("n_obs"),
+                     F.col("n_base").cast("bigint").alias("n_base"))
+
+
+def q_drift_scores_arrow(spark, sf_dir):
+    """Same drift stats through the grouped applyInPandas (Arrow) island —
+    the pandas-UDF extension point named by the north_star."""
+    df = _t(spark, sf_dir, "events")
+    obs = numeric_histogram(df, "value", "event_type", 0.0, 500.0, 20)
+    base = obs.groupBy("column_name", "bucket").agg(
+        F.sum("count").alias("count")).withColumn(
+        "partition_key", F.lit("__all__"))
+    sc = drift_scores_pandas(obs, base)
+    return sc.select("partition_key", "column_name",
+                     F.round("chi2", 4).alias("chi2"),
+                     F.round("psi", 6).alias("psi"),
+                     F.col("n_obs").cast("bigint").alias("n_obs"),
+                     F.col("n_base").cast("bigint").alias("n_base"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline,
+    operators/similarity.py): broadcast query set × one corpus scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs within language groups
+    (operators/dedup.py) — the verification oracle for LSH candidates."""
+    df = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.12,
+                               shingle_k=3, group_col="lang")
+
+
+# --- approximate operators: rows-only checks (no oracle by design) ---------
+
+def q_minhash_near_duplicates(spark, sf_dir):
+    """MinHash+LSH near-dup candidates verified by exact Jaccard."""
+    df = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(df, "text", "doc_id", threshold=0.12,
+                                   num_hashes=32, bands=16, shingle_k=3)
+
+
+def q_simhash_near_duplicates(spark, sf_dir):
+    """SimHash chunked-signature near-dup pairs."""
+    df = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=7,
+                                   shingle_k=2)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 10")
+    return lsh_ann_topk(emb, queries, k=5, n_planes=8, n_tables=4).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
+def q_validate_events(spark, sf_dir):
+    """End-to-end orchestrator (validate.py): flagged row-level violations
+    for the events rule table, aggregated per (column, error_type)."""
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    result = validate(spark, events, _events_rules(), dataset_name="events",
+                      dims={"customer": customer}, key_cols=["event_id"])
+    return (result.violations
+            .groupBy("column_name", "error_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "profile_stats": q_profile_stats,
+        "null_counts": q_null_counts,
+        "composite_duplicates": q_composite_duplicates,
+        "duplicate_totals": q_duplicate_totals,
+        "value_errors_range": q_value_errors_range,
+        "value_errors_allowed": q_value_errors_allowed,
+        "value_errors_regex": q_value_errors_regex,
+        "value_errors_length": q_value_errors_length,
+        "value_errors_nulls": q_value_errors_nulls,
+        "referential_integrity": q_referential_integrity,
+        "partition_verdicts": q_partition_verdicts,
+        "validate_events": q_validate_events,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_scores": q_quality_scores,
+        "text_length_histogram": q_text_length_histogram,
+        "drift_scores": q_drift_scores,
+        "drift_scores_arrow": q_drift_scores_arrow,
+        "similarity_topk": q_similarity_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_near_duplicates": q_minhash_near_duplicates,
+        "simhash_near_duplicates": q_simhash_near_duplicates,
+        "lsh_ann_topk": q_lsh_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# ---------------------------------------------------------------------------
+
+def _profile_stats_sql() -> str:
+    cols = [("c_custkey", "Integer"), ("c_name", "String"),
+            ("c_nationkey", "Integer"), ("c_acctbal", "Float"),
+            ("c_mktsegment", "String")]
+    parts = []
+    for c, dtype in cols:
+        if dtype == "Integer":
+            maxlen = f"max(length(cast(cast({c} as bigint) as varchar)))"
+            rmin = f"round(min(cast({c} as double)), 4)"
+            rmax = f"round(max(cast({c} as double)), 4)"
+        elif dtype == "Float":
+            maxlen = f"max(length(cast({c} as varchar)))"
+            rmin = f"round(min(cast({c} as double)), 4)"
+            rmax = f"round(max(cast({c} as double)), 4)"
+        else:
+            maxlen = f"max(length(cast({c} as varchar)))"
+            rmin = "cast(NULL as double)"
+            rmax = "cast(NULL as double)"
+        parts.append(f"""
+        SELECT '{c}' AS column_name, '{dtype}' AS data_type,
+               (count(*) - count({c}))::bigint AS null_count,
+               (SELECT coalesce(sum(n), 0)::bigint FROM
+                 (SELECT count(*) AS n FROM customer WHERE {c} IS NOT NULL
+                  GROUP BY {c} HAVING count(*) > 1) g) AS duplicate_count,
+               {maxlen}::int AS max_length,
+               {rmin} AS range_min, {rmax} AS range_max,
+               CASE WHEN (SELECT coalesce(sum(n), 0) FROM
+                 (SELECT count(*) AS n FROM customer WHERE {c} IS NOT NULL
+                  GROUP BY {c} HAVING count(*) > 1) g2) = 0
+                 THEN 'True' ELSE 'False' END AS unique_value
+        FROM customer""")
+    return " UNION ALL ".join(parts)
+
+
+def _null_counts_sql() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, "
+        f"(count(*) - count({c}))::bigint AS null_count FROM events"
+        for c in cols)
+
+
+_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _lang_score(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_intersect({_TOKENS}, [{arr}]))"
+
+
+def _lang_case() -> str:
+    langs = list(LANG_MARKERS)  # en, de, fr, es — earlier wins ties
+    scores = {lg: _lang_score(lg) for lg in langs}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lg]} = __best AND __best > 0 THEN '{lg}'"
+        for lg in langs)
+    return f"""SELECT doc_id, (CASE {whens} ELSE 'und' END) AS lang_pred
+               FROM (SELECT doc_id, text, {best} AS __best FROM documents)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    sql: dict[str, str] = {}
+
+    sql["profile_stats"] = _profile_stats_sql()
+    sql["null_counts"] = _null_counts_sql()
+
+    sql["composite_duplicates"] = """
+        SELECT user_id, event_type, count(*)::bigint AS dup_count
+        FROM events GROUP BY user_id, event_type HAVING count(*) > 1"""
+
+    sql["duplicate_totals"] = """
+        SELECT count(*)::bigint AS duplicate_keys,
+               coalesce(sum(cnt), 0)::bigint AS duplicate_rows
+        FROM (SELECT count(*) AS cnt FROM events
+              GROUP BY user_id, event_type HAVING count(*) > 1) d"""
+
+    sql["value_errors_range"] = f"""
+        SELECT l_orderkey, l_linenumber,
+               'Exceeds Maximum Allowed Value ({_QTY_MAX})' AS error_type,
+               'l_quantity' AS column_name,
+               CASE WHEN l_quantity = floor(l_quantity)
+                    THEN cast(cast(l_quantity as bigint) as varchar)
+                    ELSE cast(l_quantity as varchar) END AS error_value,
+               cast(NULL as varchar) AS lookup_column,
+               cast(NULL as varchar) AS lookup_value
+        FROM lineitem WHERE l_quantity > {_QTY_MAX}"""
+
+    allowed = ", ".join(f"'{v}'" for v in _PRIO_ALLOWED)
+    sql["value_errors_allowed"] = f"""
+        SELECT o_orderkey, 'Unallowed Value' AS error_type,
+               'o_orderpriority' AS column_name,
+               o_orderpriority AS error_value,
+               cast(NULL as varchar) AS lookup_column,
+               cast(NULL as varchar) AS lookup_value
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND trim(o_orderpriority) NOT IN ({allowed})"""
+
+    sql["value_errors_regex"] = f"""
+        SELECT doc_id, 'Invalid Value Formatting' AS error_type,
+               'lang' AS column_name, lang AS error_value,
+               cast(NULL as varchar) AS lookup_column,
+               cast(NULL as varchar) AS lookup_value
+        FROM documents
+        WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '{_LANG_RE}')"""
+
+    sql["value_errors_length"] = f"""
+        SELECT doc_id,
+               'Value Exceeds Max Length ({_DOC_LEN_MAX})' AS error_type,
+               'text' AS column_name,
+               length(text)::bigint AS error_length
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > {_DOC_LEN_MAX}"""
+
+    sql["value_errors_nulls"] = """
+        SELECT event_id, 'Null Value' AS error_type,
+               'props' AS column_name
+        FROM events
+        WHERE props IS NULL OR trim(props) = ''
+           OR trim(props) IN ('#N/A', '#N/A N/A', '#NA', '-1.#IND',
+                              '-1.#QNAN', '-NaN', '-nan', '1.#IND',
+                              '1.#QNAN', '<NA>', 'N/A', 'NA', 'NULL', 'NaN',
+                              'n/a', 'nan', 'null', 'Null', 'None')
+           OR regexp_matches(props,
+                '(?i)^\\s*NOT\\s{0,1}(?:\\s|_|-|/|\\\\|/){1}\\s{0,1}AVAILABLE\\s*$')
+           OR regexp_matches(props,
+                '(?i)^\\s*N\\s{0,1}(?:\\s|_|-|/|\\\\|/){1}\\s{0,1}A\\s*$')
+           OR regexp_matches(props, '(?i)^\\s*(?:\\s|_|-|/|\\\\|/){1}\\s*$')
+           OR regexp_matches(props, '^\\s+$')"""
+
+    sql["referential_integrity"] = """
+        SELECT user_id, count(*)::bigint AS n_orphan_events
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_custkey % 97 != 0)
+        GROUP BY user_id"""
+
+    sql["partition_verdicts"] = f"""
+        WITH checks AS (
+          SELECT l_returnflag AS partition_key,
+                 count(*) FILTER (WHERE l_quantity > {_QTY_MAX})
+                   AS c_qty,
+                 count(*) FILTER (WHERE l_discount > 0.05) AS c_disc,
+                 count(*) FILTER (WHERE l_tax < 0.02) AS c_tax
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT partition_key, 'l_quantity' AS column_name,
+               'range_max' AS "check", c_qty::bigint AS violation_count,
+               CASE WHEN c_qty > 0 THEN 'fail' ELSE 'pass' END AS status
+        FROM checks
+        UNION ALL
+        SELECT partition_key, 'l_discount', 'range_max', c_disc::bigint,
+               CASE WHEN c_disc > 0 THEN 'fail' ELSE 'pass' END
+        FROM checks
+        UNION ALL
+        SELECT partition_key, 'l_tax', 'range_min', c_tax::bigint,
+               CASE WHEN c_tax > 0 THEN 'fail' ELSE 'pass' END
+        FROM checks"""
+
+    sql["validate_events"] = """
+        SELECT 'event_type' AS column_name, 'Unallowed Value' AS error_type,
+               count(*)::bigint AS n_violations
+        FROM events
+        WHERE event_type IS NOT NULL
+          AND trim(event_type) NOT IN ('click', 'view', 'purchase', 'signup')
+        HAVING count(*) > 0
+        UNION ALL
+        SELECT 'value', 'Exceeds Maximum Allowed Value (400)',
+               count(*)::bigint
+        FROM events WHERE value > 400.0
+        HAVING count(*) > 0"""
+
+    sql["dedup_exact"] = f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER
+                 (PARTITION BY {_NORM_TEXT} ORDER BY doc_id) AS rn
+          FROM documents) t
+        WHERE rn = 1"""
+
+    sql["fingerprint_distinct"] = f"""
+        SELECT count(*)::bigint AS n_docs,
+               count(DISTINCT {_NORM_TEXT})::bigint
+                 AS n_distinct_fingerprints
+        FROM documents"""
+
+    sql["token_counts"] = f"""
+        SELECT doc_id,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END)::bigint AS n_tokens
+        FROM documents"""
+
+    sql["bpe_token_counts"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]'))::bigint
+                 AS n_bpe_tokens
+        FROM documents"""
+
+    sql["lang_id_counts"] = (
+        f"SELECT lang_pred, count(*)::bigint AS n_docs FROM ({_lang_case()}) "
+        f"GROUP BY lang_pred")
+
+    sql["quality_scores"] = f"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 cast(length(text) as double) AS n_chars,
+                 cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END as double) AS n_tokens,
+                 cast(length(text) - length(regexp_replace(text,
+                      '[^\\w\\s]', '', 'g')) as double) AS n_punct,
+                 cast(len(list_intersect(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      [{stop}])) as double) AS n_stop
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0.0
+               ELSE round((least(n_chars / 500.0, 1.0)
+                 + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0))
+                 + least(n_stop / greatest(n_tokens, 1.0) * 10.0, 1.0))
+                 / 3.0, 6) END AS q
+        FROM m"""
+
+    # width_bucket(x, lo, hi, n): 0 below lo, n+1 at/above hi, else
+    # floor((x-lo)/((hi-lo)/n)) + 1 — mirrored manually for DuckDB
+    sql["text_length_histogram"] = """
+        SELECT lang AS partition_key, 'text_length' AS column_name,
+               cast(cast(CASE WHEN length(text) < 0 THEN 0
+                         WHEN length(text) >= 2000 THEN 21
+                         ELSE floor(length(text) / 100.0) + 1
+                    END as int) as varchar) AS bucket,
+               count(*)::bigint AS count
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY lang, bucket"""
+
+    # Mirrors drift_scores' join semantics exactly: per-partition buckets
+    # joined to the global baseline bucket counts (buckets a partition
+    # never observed contribute no term, and n_base sums only the buckets
+    # present in that partition — same as the Spark full-outer join, where
+    # every baseline bucket matches at least one partition row).
+    _drift_sql = """
+        WITH obs AS (
+          SELECT event_type AS partition_key,
+                 CASE WHEN value < 0 THEN 0
+                      WHEN value >= 500 THEN 21
+                      ELSE floor(value / 25.0) + 1 END AS bucket,
+                 count(*) AS o
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        base AS (SELECT bucket, sum(o) AS b FROM obs GROUP BY bucket),
+        j AS (SELECT o.partition_key, o.bucket, o.o, b.b
+              FROM obs o JOIN base b USING (bucket)),
+        tot AS (SELECT partition_key, sum(o) AS t_o, sum(b) AS t_b
+                FROM j GROUP BY partition_key),
+        terms AS (
+          SELECT j.partition_key,
+                 j.o / greatest(t.t_o, 1) AS po,
+                 j.b / greatest(t.t_b, 1) AS pb,
+                 (j.b / greatest(t.t_b, 1)) * t.t_o AS e,
+                 j.o, t.t_o, t.t_b
+          FROM j JOIN tot t USING (partition_key))
+        SELECT partition_key, 'value' AS column_name,
+               round(sum(CASE WHEN e > 0 THEN (o - e) * (o - e) / e
+                              ELSE 0 END), 4) AS chi2,
+               round(sum((po - pb) * ln((po + 1e-6) / (pb + 1e-6))), 6)
+                 AS psi,
+               max(t_o)::bigint AS n_obs, max(t_b)::bigint AS n_base
+        FROM terms GROUP BY partition_key"""
+    sql["drift_scores"] = _drift_sql
+    sql["drift_scores_arrow"] = _drift_sql
+
+    sql["similarity_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          cast(embedding as double[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.qv, cast(c.embedding as double[]))
+                 / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(cast(c.embedding as double[]),
+                                                  cast(c.embedding as double[]))),
+                            1e-12), 6) AS cos6
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id != q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos6, row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY cos6 DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos6, 4) AS cos
+        FROM ranked WHERE rn <= 5"""
+
+    sql["ngram_jaccard"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct(list_transform(
+                      range(1, len(w) - 1),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+                 END AS s
+          FROM toks),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 cast(len(list_intersect(a.s, b.s)) as double) AS i,
+                 cast(len(list_distinct(list_concat(a.s, b.s))) as double)
+                   AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(i / greatest(u, 1.0), 6) AS jaccard
+        FROM pairs WHERE round(i / greatest(u, 1.0), 6) >= 0.12"""
+
+    return sql
