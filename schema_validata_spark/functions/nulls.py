@@ -13,25 +13,47 @@ canonical NULLs.
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import NA_PATTERNS, NA_VALUES
+
+
+@lru_cache(maxsize=64)
+def _combined_na_regex(na_values: tuple, na_patterns: tuple) -> str:
+    """ONE alternation regex equivalent to
+    ``trim(s)=='' ∨ trim(s) IN na_values ∨ any(rlike(p))``.
+
+    A single regex pass per value matters: the null classifier is inlined
+    into many aggregate/filter expressions, and a tree of isin(21 values)
+    + 4 rlikes evaluated per reference blew generated methods past the
+    JIT limit (interpreted fallback, ~30× slower). Sentinels are matched
+    with surrounding whitespace permitted — exactly trim() + isin
+    semantics. The user patterns keep their own (?i)/anchors; Java scopes
+    inline flags to the enclosing group."""
+    sentinels = "|".join(re.escape(v) for v in na_values if v and v.strip())
+    parts = [r"^\s*$"]
+    if sentinels:
+        parts.append(rf"^\s*(?:{sentinels})\s*$")
+    parts.extend(f"(?:{p})" for p in na_patterns)
+    return "|".join(parts)
 
 
 def is_na_expr(col: Column | str,
                na_values: list[str] | None = None,
                na_patterns: list[str] | None = None) -> Column:
     """Boolean Column: value is null-like per the reference's two-tier
-    vocabulary (sentinels ∨ patterns ∨ empty-after-trim ∨ real NULL)."""
+    vocabulary (sentinels ∨ patterns ∨ empty-after-trim ∨ real NULL) —
+    compiled to ``isNull ∨ rlike(one combined regex)``."""
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")
     na_values = NA_VALUES if na_values is None else na_values
     na_patterns = NA_PATTERNS if na_patterns is None else na_patterns
-    expr = c.isNull() | (F.trim(s) == "") | F.trim(s).isin(
-        [v for v in na_values if v is not None])
-    for p in na_patterns:
-        expr = expr | s.rlike(p)
-    return expr
+    pattern = _combined_na_regex(tuple(v for v in na_values if v is not None),
+                                 tuple(na_patterns))
+    return c.isNull() | s.rlike(pattern)
 
 
 def canonicalize_na(df: DataFrame,

@@ -5,24 +5,29 @@ The reference loops columns in pandas, calling ``duplicated()``,
 ``nunique()``, ``to_numeric()`` per column (O(cols) passes, single
 node). Here:
 
-* **Pass A** — ONE wide ``df.agg(...)`` computing, for every column at
-  once: non-null count, max display length, numeric min/max, whole-number
-  flag, approx distinct (HLL), boolean min/max, null-likeness and (for
-  string-typed columns) the type-inference probe counts. Partial+final
-  hash aggregate, no shuffle of row data, whole-stage codegen.
-* **Pass B** — ONE melt ("stack") shuffle giving exact per-column
-  ``duplicate_count`` (pandas ``duplicated(keep=False).sum()`` semantics:
-  every member of every duplicate group counts) and exact distinct
-  counts. Group key is ``(column, prefix32, xxhash64)`` so long text
-  values don't travel through the shuffle; map-side partial aggregation
-  collapses hot values, so a skewed value (e.g. one role in 10^11 rows)
-  reaches the reducer as one partial row per map task — no salting
-  needed for pure counting.
+* **Melt pass** — ONE scan: every cell becomes ``(column, na_flag,
+  value_string)`` via an ``explode`` generator, per-cell features
+  (length, numeric cast, type probes) are computed ONCE per cell behind
+  the generator barrier, then a two-stage aggregate produces every stat
+  for every column: stage 1 groups by ``(column, prefix32, xxhash64)``
+  — long text never travels, map-side partial aggregation collapses hot
+  values so a skewed value (one role in 10^11 rows) reaches the reducer
+  as one partial row per map task — and stage 2 re-aggregates the
+  per-value rows per column (exact distinct count, exact pandas
+  ``duplicated(keep=False)`` duplicate-member count, min/max/length/
+  type-probe tallies).
+
+  This replaced a 3-scan design (wide agg + null agg + melt): a single
+  ``df.agg`` with ~10 heavy expressions × N columns generated code past
+  the JVM JIT method limit, and execution fell back to the interpreter
+  (~30× slower, non-deterministically). The melt keeps generated
+  methods small and constant-size regardless of column count.
+
 * **Pass C** — allowed-value capture (``sort_array(collect_set)``), run
   ONLY for columns whose exact distinct count ≤ ``max_unique_vals`` —
   low-cardinality by construction, so the collect is tiny.
 
-At 10^12 rows this is 3 jobs total, independent of column count.
+At 10^12 rows this is 2 jobs total, independent of column count.
 """
 
 from __future__ import annotations
@@ -34,62 +39,216 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import MAX_UNIQUE_VALS
 from ..functions.nulls import canonicalize_na, is_na_expr
-from ..functions.typing import (decide_logical_type, spark_type_to_logical,
-                                type_probe_aggs)
+from ..functions.typing import (decide_logical_type, safe_bigint,
+                                safe_double, spark_type_to_logical)
 
 _PROBES = ["nonnull", "int_ok", "float_ok", "bool_ok", "ts_ok", "lead0"]
 
+# cheap gate before try_to_timestamp: attempting a timestamp parse on
+# arbitrary strings costs a JVM exception per failure; only date-shaped
+# values are worth probing (the probe formats all start `d{1,4}sep d`)
+_DATEISH = r"^\s*\d{1,4}[-/]\d{1,2}[-/]\d{1,4}([ T]|$)"
 
-def _pass_a(df: DataFrame, infer_types: bool) -> dict[str, Any]:
-    aggs = [F.count(F.lit(1)).alias("__total")]
+
+def _canonical_values(df: DataFrame, na_values=None, na_patterns=None):
+    """(field, canonical-string-value Column) per column: NA-like strings
+    → NULL, everything rendered as string."""
+    out = []
     for f in df.schema.fields:
-        c, name = F.col(f.name), f.name
-        is_str = f.dataType.simpleString() == "string"
-        s = c.cast("string")
-        d = (F.trim(s)).try_cast("double")
-        aggs += [
-            F.count(c).alias(f"{name}__nonnull"),
-            F.max(F.length(s)).alias(f"{name}__maxlen_raw"),
-            # display length when the column is all whole numbers (the
-            # reference casts such series to int before measuring length,
-            # src/schema_validata.py:1445-1449,1462-1470)
-            F.max(F.length((d).try_cast("bigint").cast("string")))
-             .alias(f"{name}__maxlen_int"),
-            F.min(d).alias(f"{name}__num_min"),
-            F.max(d).alias(f"{name}__num_max"),
-            F.min(F.when(d.isNotNull(), (d == F.floor(d)).cast("int")))
-             .alias(f"{name}__allint"),
-            F.approx_count_distinct(c).alias(f"{name}__approx_distinct"),
-            F.max((F.lower(F.trim(s))).try_cast("boolean").cast("int"))
-             .alias(f"{name}__bool_max"),
-            F.min((F.lower(F.trim(s))).try_cast("boolean").cast("int"))
-             .alias(f"{name}__bool_min"),
-        ]
-        if is_str and infer_types:
-            aggs += type_probe_aggs(name, c)
-    return df.agg(*aggs).collect()[0].asDict()
+        c = F.col(f.name)
+        if f.dataType.simpleString() == "string":
+            vv = F.when(is_na_expr(c, na_values, na_patterns),
+                        F.lit(None).cast("string")).otherwise(c)
+        else:
+            vv = c.cast("string")
+        out.append((f, vv))
+    return out
 
 
-def _pass_b(df: DataFrame) -> dict[str, dict[str, int]]:
-    """Exact distinct + duplicate-member counts for all columns in one
-    shuffle via melt. Returns {col: {distinct, dup_members}}."""
-    cols = df.columns
-    n = len(cols)
-    stack_args = ", ".join(
-        f"'{c}', struct(substring(cast(`{c}` as string), 1, 32) as p, "
-        f"xxhash64(cast(`{c}` as string)) as h)" for c in cols)
-    melted = df.selectExpr(
-        f"stack({n}, {stack_args}) as (cname, vkey)").where(
-        "vkey.h is not null and vkey.p is not null")
-    per_value = melted.groupBy("cname", "vkey").agg(F.count(F.lit(1)).alias("cnt"))
-    per_col = per_value.groupBy("cname").agg(
-        F.count(F.lit(1)).alias("distinct"),
-        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0))
-         .alias("dup_members"),
+def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
+                ) -> tuple[dict[str, Any], dict[str, dict[str, int]],
+                           dict[str, int], int]:
+    """One-scan stats for all columns. Returns ``(a, b, nulls_row,
+    total)`` where ``a`` holds per-column scalar stats keyed
+    ``{col}__{stat}``, ``b`` holds exact distinct/duplicate counts and
+    ``nulls_row`` the raw null-likeness flags."""
+    from ..plans.parallelism import ensure_min_parallelism
+    df = ensure_min_parallelism(df)
+
+    zero = F.lit(0)
+    nullint = F.lit(None).cast("int")
+
+    def _feat(f) -> F.Column:
+        """Per-cell feature struct, type-specialized: only STRING columns
+        pay the regex/parse battery (the logical-type probes are read for
+        string columns only); typed columns use native arithmetic —
+        no regex, no cast exceptions, minimal bytecode in the hot loop."""
+        c = F.col(f.name)
+        kind = f.dataType.simpleString()
+        if kind == "string":
+            na = is_na_expr(c, na_values, na_patterns)
+            d = safe_double(c)
+            lt = F.lower(F.trim(c))
+            bool_word = lt.isin("true", "false")
+            feats = [
+                F.length(c).alias("len_raw"),
+                F.length(F.when(F.abs(d) < 9.2e18, d.try_cast("bigint"))
+                          .cast("string")).alias("len_int"),
+                d.alias("d"),
+                F.when(d.isNotNull(), (d == F.floor(d)).cast("int"))
+                 .alias("allint"),
+                F.when(bool_word, (lt == "true").cast("int")).alias("b"),
+                safe_bigint(c).isNotNull().cast("int").alias("int_ok"),
+                d.isNotNull().cast("int").alias("float_ok"),
+                bool_word.cast("int").alias("bool_ok"),
+                # two-tier gate: cheap substring/contains screen, then the
+                # date-shape regex, only then real timestamp parses (a
+                # failed parse costs a JVM exception — never pay it for
+                # prose/JSON)
+                F.when(F.substring(F.trim(c), 1, 1).between("0", "9")
+                       & (c.contains("-") | c.contains("/"))
+                       & c.rlike(_DATEISH),
+                       F.coalesce(
+                           F.try_to_timestamp(F.trim(c)),
+                           F.try_to_timestamp(F.trim(c),
+                                              F.lit("MM/dd/yyyy")),
+                           F.try_to_timestamp(
+                               F.trim(c),
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))))
+                 .isNotNull().cast("int").alias("ts_ok"),
+                ((F.substring(c, 1, 1) == "0")
+                 & F.substring(c, 2, 1).between("0", "9")).cast("int")
+                 .alias("lead0"),
+            ]
+        else:
+            na = c.isNull()
+            s = c.cast("string")
+            if kind in ("tinyint", "smallint", "int", "bigint", "float",
+                        "double") or kind.startswith("decimal"):
+                d = c.cast("double")
+                allint = (d == F.floor(d)).cast("int")
+                feats = [
+                    F.length(s).alias("len_raw"),
+                    F.length(F.when(F.abs(d) < 9.2e18, d.try_cast("bigint"))
+                              .cast("string")).alias("len_int"),
+                    d.alias("d"), allint.alias("allint"),
+                    nullint.alias("b"), allint.alias("int_ok"),
+                    F.lit(1).alias("float_ok"), zero.alias("bool_ok"),
+                    zero.alias("ts_ok"), zero.alias("lead0"),
+                ]
+            elif kind == "boolean":
+                feats = [
+                    F.length(s).alias("len_raw"), nullint.alias("len_int"),
+                    F.lit(None).cast("double").alias("d"),
+                    nullint.alias("allint"),
+                    c.cast("int").alias("b"), zero.alias("int_ok"),
+                    zero.alias("float_ok"), F.lit(1).alias("bool_ok"),
+                    zero.alias("ts_ok"), zero.alias("lead0"),
+                ]
+            else:  # timestamp / date / other
+                is_ts = kind in ("timestamp", "timestamp_ntz", "date")
+                feats = [
+                    F.length(s).alias("len_raw"), nullint.alias("len_int"),
+                    F.lit(None).cast("double").alias("d"),
+                    nullint.alias("allint"), nullint.alias("b"),
+                    zero.alias("int_ok"), zero.alias("float_ok"),
+                    zero.alias("bool_ok"),
+                    (F.lit(1) if is_ts else zero).alias("ts_ok"),
+                    zero.alias("lead0"),
+                ]
+        return F.struct(F.lit(f.name).alias("cname"), na.alias("na"), *feats)
+
+    m = df.select(
+        F.explode(F.array(*[_feat(f) for f in df.schema.fields])).alias("m")
+    ).select("m.*")
+    # mask features of NA-like cells (string sentinels carry no stats) and
+    # derive the nonnull flag — cheap per-cell ops on generated attributes
+    na_col = F.col("na")
+    cell = m.select(
+        "cname", "na",
+        *[F.when(~na_col, F.col(k)).alias(k)
+          for k in ("len_raw", "len_int", "d", "allint", "b",
+                    "int_ok", "float_ok", "bool_ok", "ts_ok", "lead0")],
+        (~na_col).cast("int").alias("nn"),
     )
-    return {r["cname"]: {"distinct": r["distinct"],
+
+    # Feature aggregate: grouped by column name ONLY — the partial hash
+    # aggregate collapses to n_cols rows per task before any exchange.
+    nn = F.col("nn") == 1
+    per_col = cell.groupBy("cname").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.coalesce(F.sum("nn"), F.lit(0)).alias("nonnull"),
+        F.coalesce(F.max(F.when(~nn | F.col("na"), 1)), F.lit(0))
+         .alias("na_like"),
+        F.max("len_raw").alias("maxlen_raw"),
+        F.max("len_int").alias("maxlen_int"),
+        F.min("d").alias("num_min"),
+        F.max("d").alias("num_max"),
+        F.min("allint").alias("allint"),
+        F.min("b").alias("bool_min"),
+        F.max("b").alias("bool_max"),
+        F.coalesce(F.sum("int_ok"), F.lit(0)).alias("int_ok"),
+        F.coalesce(F.sum("float_ok"), F.lit(0)).alias("float_ok"),
+        F.coalesce(F.sum("bool_ok"), F.lit(0)).alias("bool_ok"),
+        F.coalesce(F.sum("ts_ok"), F.lit(0)).alias("ts_ok"),
+        F.coalesce(F.max("lead0"), F.lit(0)).alias("lead0"),
+    )
+
+    # Value aggregate: exact distinct + duplicate-member counts. Group
+    # key (cname, prefix32, hash64) — long values never shuffle; a hot
+    # value collapses map-side to one partial row per task.
+    vkeys = df.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(f.name).alias("cname"),
+            F.substring(vv, 1, 32).alias("p"),
+            # xxhash64(NULL) yields the seed, not NULL — gate explicitly
+            F.when(vv.isNotNull(), F.xxhash64(vv)).alias("h"))
+        for f, vv in _canonical_values(df, na_values, na_patterns)
+    ])).alias("k")).select("k.*").where(F.col("h").isNotNull())
+    dup = (vkeys.groupBy("cname", "p", "h")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("cname")
+                .agg(F.count(F.lit(1)).alias("distinct"),
+                     F.coalesce(F.sum(F.when(F.col("cnt") > 1,
+                                             F.col("cnt"))), F.lit(0))
+                      .alias("dup_members")))
+
+    a: dict[str, Any] = {}
+    b: dict[str, dict[str, int]] = {}
+    nulls_row: dict[str, int] = {}
+    total = 0
+    for r in per_col.collect():
+        name = r["cname"]
+        total = max(total, r["total"])
+        a[f"{name}__nonnull"] = r["nonnull"]
+        a[f"{name}__maxlen_raw"] = r["maxlen_raw"]
+        a[f"{name}__maxlen_int"] = r["maxlen_int"]
+        a[f"{name}__num_min"] = r["num_min"]
+        a[f"{name}__num_max"] = r["num_max"]
+        a[f"{name}__allint"] = r["allint"]
+        a[f"{name}__bool_min"] = r["bool_min"]
+        a[f"{name}__bool_max"] = r["bool_max"]
+        a[f"{name}__int_ok"] = r["int_ok"]
+        a[f"{name}__float_ok"] = r["float_ok"]
+        a[f"{name}__bool_ok"] = r["bool_ok"]
+        a[f"{name}__ts_ok"] = r["ts_ok"]
+        a[f"{name}__lead0"] = r["lead0"]
+        nulls_row[name] = r["na_like"]
+    for r in dup.collect():
+        b[r["cname"]] = {"distinct": r["distinct"],
                          "dup_members": r["dup_members"]}
-            for r in per_col.collect()}
+    # columns absent from the result (empty table) → all-zero stats
+    for f in df.schema.fields:
+        a.setdefault(f"{f.name}__nonnull", 0)
+        for k in ("maxlen_raw", "maxlen_int", "num_min", "num_max",
+                  "allint", "bool_min", "bool_max"):
+            a.setdefault(f"{f.name}__{k}", None)
+        for k in ("int_ok", "float_ok", "bool_ok", "ts_ok", "lead0"):
+            a.setdefault(f"{f.name}__{k}", 0)
+        b.setdefault(f.name, {"distinct": 0, "dup_members": 0})
+        nulls_row.setdefault(f.name, 0)
+    a["__total"] = total
+    return a, b, nulls_row, total
 
 
 def _pass_c(df: DataFrame, cols: list[str]) -> dict[str, list[str]]:
@@ -130,25 +289,12 @@ def profile(df: DataFrame,
     * length measured on int-cast strings when the column is all whole
       numbers.
     """
-    raw = df
     canon = canonicalize_na(df, na_values=na_values, na_patterns=na_patterns)
-
-    # allow_null (observed) is measured on the RAW column with the extended
-    # null vocabulary (reference series_hasNull on the unconverted column).
-    null_like_aggs = [
-        F.max(is_na_expr(F.col(f.name), na_values, na_patterns).cast("int"))
-         .alias(f.name)
-        if f.dataType.simpleString() == "string"
-        else F.max(F.col(f.name).isNull().cast("int")).alias(f.name)
-        for f in raw.schema.fields
-    ]
-
     infer = infer_types if infer_types is not None else True
-    a = _pass_a(canon, infer)
-    nulls_row = raw.agg(*null_like_aggs).collect()[0].asDict()
-    b = _pass_b(canon)
-
-    total = a["__total"]
+    # allow_null (observed) is measured on the RAW column with the extended
+    # null vocabulary (reference series_hasNull on the unconverted column);
+    # the melt carries that flag alongside the canonicalized value.
+    a, b, nulls_row, total = _melt_stats(df, na_values, na_patterns)
     out: dict[str, dict[str, Any]] = {}
     cand_allowed: list[str] = []
 

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..config import (DEFAULT_IGNORE_ERRORS, ERROR_TYPE_LABELS, NA_VALUES,
                       length_error_type, range_error_type)
 from ..functions.nulls import is_na_expr
+from ..functions.typing import safe_double
 from ..rules import Rules
 
 VIOLATION_FIELDS = ["error_type", "column_name", "error_value"]
@@ -107,7 +108,7 @@ def _check_condition(df: DataFrame, spec: CheckSpec) -> tuple[Column, str]:
                     ok = False
                     break
             if ok:
-                d = (s).try_cast("double")
+                d = safe_double(s)
                 return d.isNotNull() & ~d.isin(fvals), \
                     ERROR_TYPE_LABELS["allowed_value_list"]
         return c.isNotNull() & ~F.trim(s).isin(vals), \
@@ -116,10 +117,10 @@ def _check_condition(df: DataFrame, spec: CheckSpec) -> tuple[Column, str]:
         cond = F.length(_display_str(df, spec.column)) > int(spec.param)
         return c.isNotNull() & cond, length_error_type(spec.param)
     if spec.check == "range_min":
-        d = (F.trim(s)).try_cast("double")
+        d = safe_double(s)
         return d < float(spec.param), range_error_type("min", spec.param)
     if spec.check == "range_max":
-        d = (F.trim(s)).try_cast("double")
+        d = safe_double(s)
         return d > float(spec.param), range_error_type("max", spec.param)
     if spec.check == "regex_pattern":
         # Python re.match anchors at the start only → rlike with '^(?:…)'
