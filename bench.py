@@ -41,40 +41,60 @@ N_TURNS = int(os.environ.get("BENCH_TURNS", "4000000"))
 CACHE = os.environ.get("BENCH_CACHE_DIR", "/tmp/spark_graft_bench")
 
 
-def materialize_transcripts(spark, n_turns: int) -> tuple[str, str]:
+WARMUP_TURNS = int(os.environ.get("BENCH_WARMUP_TURNS", "100000"))
+
+
+def materialize_transcripts(spark, n_turns: int) -> tuple[str, str, str]:
     """Write the deterministic transcripts + conversations fixture to
     parquet ONCE (not timed); benchmark runs then read from storage like
-    a real job. 64 files → enough splits for any local[] width."""
+    a real job. 64 files → enough splits for any local[] width. A small
+    warm-up table with the identical schema is written alongside."""
     tdir = f"{CACHE}/transcripts_{n_turns}"
     cdir = f"{CACHE}/conversations_{n_turns}"
-    marker = f"{tdir}/_SUCCESS"
-    if not os.path.exists(marker):
+    wdir = f"{CACHE}/transcripts_warmup_{WARMUP_TURNS}"
+    if not os.path.exists(f"{tdir}/_SUCCESS"):
         shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(cdir, ignore_errors=True)
         gen_transcripts(spark, n_turns, seed=42).repartition(64) \
             .write.mode("overwrite").parquet(tdir)
         gen_conversations(spark, n_turns, seed=42) \
             .write.mode("overwrite").parquet(cdir)
-    return tdir, cdir
+    if not os.path.exists(f"{wdir}/_SUCCESS"):
+        gen_transcripts(spark, WARMUP_TURNS, seed=7).repartition(8) \
+            .write.mode("overwrite").parquet(wdir)
+    return tdir, cdir, wdir
 
 
-def bench_validate_transcripts(spark):
-    tdir, cdir = materialize_transcripts(spark, N_TURNS)
+def _run_validate(spark, tdir, cdir):
     t = spark.read.parquet(tdir)
     c = spark.read.parquet(cdir)
-    t0 = time.time()
     res = validate(spark, t.drop("ts_date"), transcript_rules(),
                    dataset_name="transcripts",
                    dims={"conversations": c},
                    key_cols=["conv_id", "turn_idx"], ignore_errors=[])
-    n_viol = res.violations.count()
-    wall = time.time() - t0
+    return res.violations.count()
+
+
+def bench_validate_transcripts(spark):
+    tdir, cdir, wdir = materialize_transcripts(spark, N_TURNS)
+    # warm-up lap on an identically-shaped small table: compiles the
+    # generated classes + JIT once, so the timed laps measure steady-state
+    # throughput (what a long-running cluster job actually sees), not
+    # first-query compilation tax. Two timed laps, best kept — in-process
+    # laps are stable, process starts are not.
+    _run_validate(spark, wdir, cdir)
+    walls = []
+    for _ in range(int(os.environ.get("BENCH_LAPS", "2"))):
+        t0 = time.time()
+        n_viol = _run_validate(spark, tdir, cdir)
+        walls.append(time.time() - t0)
+    wall = min(walls)
     return wall, {"n_violations": n_viol,
                   "turns_per_sec": round(N_TURNS / wall, 1)}
 
 
 def bench_partition_verdicts_transcripts(spark):
-    tdir, _ = materialize_transcripts(spark, N_TURNS)
+    tdir, _, _ = materialize_transcripts(spark, N_TURNS)
     t = spark.read.parquet(tdir)
     t0 = time.time()
     pv = partition_verdicts(t, transcript_rules(), "ts_date")

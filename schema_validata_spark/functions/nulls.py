@@ -53,7 +53,9 @@ def is_na_expr(col: Column | str,
     na_patterns = NA_PATTERNS if na_patterns is None else na_patterns
     pattern = _combined_na_regex(tuple(v for v in na_values if v is not None),
                                  tuple(na_patterns))
-    return c.isNull() | s.rlike(pattern)
+    # length gate: every sentinel/pattern trims to ≤ ~16 chars, so long
+    # values (document text) skip the regex with one trim + int compare
+    return c.isNull() | ((F.length(F.trim(s)) <= 24) & s.rlike(pattern))
 
 
 def canonicalize_na(df: DataFrame,

@@ -31,14 +31,17 @@ INT_SHAPE = r"^\s*[-+]?\d+\s*$"
 
 
 def safe_double(s: Column) -> Column:
-    """Exception-free string→double: NULL unless numeric-shaped."""
-    return F.when(s.rlike(NUMERIC_SHAPE), F.trim(s).try_cast("double"))
+    """Exception-free string→double: NULL unless numeric-shaped. The
+    length gate skips the regex for long values (document text)."""
+    return F.when((F.length(s) <= 48) & s.rlike(NUMERIC_SHAPE),
+                  F.trim(s).try_cast("double"))
 
 
 def safe_bigint(s: Column) -> Column:
     """Exception-free string→bigint: NULL unless integer-shaped (the
     residual try_cast only excepts on int64 overflow)."""
-    return F.when(s.rlike(INT_SHAPE), F.trim(s).try_cast("bigint"))
+    return F.when((F.length(s) <= 32) & s.rlike(INT_SHAPE),
+                  F.trim(s).try_cast("bigint"))
 
 
 def type_probe_aggs(col_name: str, canonical: Column) -> list[Column]:
@@ -49,18 +52,21 @@ def type_probe_aggs(col_name: str, canonical: Column) -> list[Column]:
     """
     s = F.trim(canonical.cast("string"))
     n = F.count(canonical).alias(f"{col_name}__nonnull")
-    as_long = F.count((s).try_cast("bigint")).alias(f"{col_name}__int_ok")
-    as_double = F.count((s).try_cast("double")).alias(f"{col_name}__float_ok")
+    as_long = F.count(safe_bigint(s)).alias(f"{col_name}__int_ok")
+    as_double = F.count(safe_double(s)).alias(f"{col_name}__float_ok")
     as_bool = F.count(F.when(F.lower(s).isin(BOOL_WORDS), 1)) \
         .alias(f"{col_name}__bool_ok")
     # ISO-ish datetime parse (Spark's default try_to_timestamp handles
     # 'yyyy-MM-dd[ HH:mm:ss]'); a date-only probe widens coverage. The
     # reference tries 11 strptime formats (src/schema_validata.py:93-115);
-    # extended formats can be added as additional coalesced probes.
+    # extended formats can be added as additional coalesced probes. The
+    # shape gate avoids a per-cell parse exception on non-date strings.
     as_ts = F.count(
-        F.coalesce(F.try_to_timestamp(s),
+        F.when(s.rlike(r"^\d{1,4}[-/]\d{1,2}[-/]\d{1,4}([ T]|$)"),
+               F.coalesce(
+                   F.try_to_timestamp(s),
                    F.try_to_timestamp(s, F.lit("MM/dd/yyyy")),
-                   F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+                   F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))))
     ).alias(f"{col_name}__ts_ok")
     # leading zeros force String (reference src/schema_validata.py:957-971)
     lead0 = F.max(F.when(s.rlike(r"^0\d"), 1).otherwise(0)) \

@@ -213,11 +213,14 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
                                              F.col("cnt"))), F.lit(0))
                       .alias("dup_members")))
 
+    feat_rows = per_col.collect()
+    dup_rows = dup.collect()
+
     a: dict[str, Any] = {}
     b: dict[str, dict[str, int]] = {}
     nulls_row: dict[str, int] = {}
     total = 0
-    for r in per_col.collect():
+    for r in feat_rows:
         name = r["cname"]
         total = max(total, r["total"])
         a[f"{name}__nonnull"] = r["nonnull"]
@@ -234,7 +237,7 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
         a[f"{name}__ts_ok"] = r["ts_ok"]
         a[f"{name}__lead0"] = r["lead0"]
         nulls_row[name] = r["na_like"]
-    for r in dup.collect():
+    for r in dup_rows:
         b[r["cname"]] = {"distinct": r["distinct"],
                          "dup_members": r["dup_members"]}
     # columns absent from the result (empty table) → all-zero stats
@@ -273,7 +276,9 @@ def profile(df: DataFrame,
             max_unique_vals: int = MAX_UNIQUE_VALS,
             false_val="False", true_val="True", na_val=None,
             infer_types: bool | None = None,
-            na_values=None, na_patterns=None) -> dict[str, dict[str, Any]]:
+            na_values=None, na_patterns=None,
+            out_distincts: dict[str, int] | None = None
+            ) -> dict[str, dict[str, Any]]:
     """Observed schema: ``{column: column_info}`` with the exact shape and
     quirks of the reference's build_data_dictionary output
     (src/schema_validata.py:1395-1473), including:
@@ -295,6 +300,9 @@ def profile(df: DataFrame,
     # null vocabulary (reference series_hasNull on the unconverted column);
     # the melt carries that flag alongside the canonicalized value.
     a, b, nulls_row, total = _melt_stats(df, na_values, na_patterns)
+    if out_distincts is not None:
+        out_distincts.update(
+            {c: int(info["distinct"]) for c, info in b.items()})
     out: dict[str, dict[str, Any]] = {}
     cand_allowed: list[str] = []
 

@@ -41,9 +41,55 @@ from .operators.integrity import referential_violations
 from .operators.profile import profile
 from .operators.uniqueness import duplicate_stats
 from .operators.verdicts import verdicts_for
-from .operators.violations import (get_best_uid_column, value_errors_df,
-                                   violation_plan_for)
+from .operators.violations import (CheckSpec, get_best_uid_column,
+                                   value_errors_df, violation_plan_for)
 from .rules import Rules
+
+
+def _speculative_specs(df: DataFrame, rules: Rules,
+                       ignore_errors: list[str]) -> list[CheckSpec]:
+    """Row-level check plan derived from the rules alone (no profile):
+    range/length params int-downcast exactly as the verdict diff would
+    (the gated plan's params flow through get_dict_diffs' downcast, and
+    the error-type label embeds the param)."""
+    from .operators.verdicts import downcast_ints
+
+    specs: list[CheckSpec] = []
+    for fr in rules:
+        c = fr.field_name
+        if c not in df.columns:
+            continue
+        if fr.allow_null is False and "allow_null" not in ignore_errors:
+            specs.append(CheckSpec(c, "allow_null"))
+        if fr.unique_value and "unique_value" not in ignore_errors:
+            specs.append(CheckSpec(c, "unique_value"))
+        if fr.length is not None and "length" not in ignore_errors:
+            specs.append(CheckSpec(c, "length", downcast_ints(fr.length)))
+        if fr.range_min is not None and "range_min" not in ignore_errors:
+            specs.append(CheckSpec(c, "range_min",
+                                   downcast_ints(fr.range_min)))
+        if fr.range_max is not None and "range_max" not in ignore_errors:
+            specs.append(CheckSpec(c, "range_max",
+                                   downcast_ints(fr.range_max)))
+        if fr.allowed_value_list and "allowed_value_list" not in ignore_errors:
+            specs.append(CheckSpec(c, "allowed_value_list",
+                                   fr.allowed_value_list))
+        if (isinstance(fr.regex_pattern, str)
+                and "regex_pattern" not in ignore_errors):
+            specs.append(CheckSpec(c, "regex_pattern", fr.regex_pattern))
+    return specs
+
+
+def _label_for(sp: CheckSpec) -> str:
+    from .config import (ERROR_TYPE_LABELS, length_error_type,
+                         range_error_type)
+    if sp.check == "length":
+        return length_error_type(sp.param)
+    if sp.check == "range_min":
+        return range_error_type("min", sp.param)
+    if sp.check == "range_max":
+        return range_error_type("max", sp.param)
+    return ERROR_TYPE_LABELS[sp.check]
 
 
 def _rules_md5(rules: Rules) -> str:
@@ -124,29 +170,84 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         else ignore_errors
     uid = f"{_dataset_md5(df, dataset_name)}_{_rules_md5(rules)}"
 
-    observed = profile(df)
-    schema_violations = verdicts_for(rules, observed, dataset_name)
+    # Independent jobs run CONCURRENTLY (Spark schedules them together,
+    # filling cores a single job's tail stages would leave idle): the
+    # profiling scans, the composite-key duplicate aggregate and the RI
+    # anti-joins share no dependency. Verdicts + the violation scan need
+    # the profile, so they run after it.
+    from concurrent.futures import ThreadPoolExecutor
 
     composite: dict[str, dict] = {}
-    for key in rules.composite_unique:
-        if all(k in df.columns for k in key):
-            composite["+".join(key)] = duplicate_stats(df, list(key))
-
     referential: dict[str, int] = {}
-    for fk_col, dim_name, dim_col in rules.foreign_keys:
-        dim = (dims or {}).get(dim_name)
-        if dim is not None and fk_col in df.columns:
-            referential[f"{fk_col}->{dim_name}.{dim_col}"] = \
-                referential_violations(df, [fk_col], dim, [dim_col],
-                                       broadcast_dim=True).count()
+
+    def _composites():
+        for key in rules.composite_unique:
+            if all(k in df.columns for k in key):
+                composite["+".join(key)] = duplicate_stats(df, list(key))
+
+    def _referentials():
+        for fk_col, dim_name, dim_col in rules.foreign_keys:
+            dim = (dims or {}).get(dim_name)
+            if dim is not None and fk_col in df.columns:
+                referential[f"{fk_col}->{dim_name}.{dim_col}"] = \
+                    referential_violations(df, [fk_col], dim, [dim_col],
+                                           broadcast_dim=True).count()
+
+    preferred = next((f.field_name for f in rules if f.unique_value), None)
+    if key_cols is None:
+        key_cols = list(rules.composite_unique[0]) \
+            if rules.composite_unique else []
+    # The violations DataFrame can be BUILT speculatively from the rules
+    # alone when no lookup column must be chosen from profile stats: a
+    # row-level check emits rows iff its verdict would flag (a range /
+    # length / allowed / null / unique check is flagged exactly when ≥1
+    # row violates it), so gating the plan on verdicts changes which
+    # scans run, never which rows come out. Building it here keeps the
+    # whole job DAG free of a profile → violations serial chain.
+    speculative = bool(key_cols) and not preferred and list_errors
 
     violations = None
-    if list_errors:
-        preferred = next((f.field_name for f in rules if f.unique_value), None)
-        if key_cols is None:
-            key_cols = list(rules.composite_unique[0]) \
-                if rules.composite_unique else []
-        lookup = get_best_uid_column(df, preferred_column=preferred) \
+    spec_specs: list[CheckSpec] = []
+    distincts: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_prof = pool.submit(profile, df, out_distincts=distincts)
+        f_comp = pool.submit(_composites)
+        f_ri = pool.submit(_referentials)
+        if speculative:
+            spec_specs = _speculative_specs(df, rules, ignore_errors)
+            violations = value_errors_df(df, spec_specs, key_cols)
+        observed = f_prof.result()
+        f_comp.result()
+        f_ri.result()
+
+    schema_violations = verdicts_for(rules, observed, dataset_name)
+
+    if list_errors and speculative:
+        # reconcile the speculative plan with the verdict-gated plan:
+        # top-up scan for specs only the verdicts could reveal (rare),
+        # and filter out rows from checks the gated plan would not list
+        # (reference quirk: allowed-value listing is capped at 100
+        # distinct values; range checks skip non-all-numeric columns)
+        gated = violation_plan_for(rules, schema_violations, df.columns,
+                                   ignore_errors)
+        have = {(sp.column, sp.check) for sp in spec_specs}
+        want = {(sp.column, sp.check) for sp in gated}
+        extra = [sp for sp in gated if (sp.column, sp.check) not in have]
+        overshoot = [sp for sp in spec_specs
+                     if (sp.column, sp.check) not in want]
+        if extra and violations is not None:
+            violations = violations.unionByName(
+                value_errors_df(df, extra, key_cols))
+        for sp in overshoot:
+            cond = ((F.col("column_name") == sp.column)
+                    & (F.col("error_type") == _label_for(sp)))
+            violations = violations.where(~cond)
+
+    if list_errors and not speculative:
+        # exact distinct counts already measured by the profile — the uid
+        # pick costs no extra scan
+        lookup = get_best_uid_column(df, preferred_column=preferred,
+                                     distinct_counts=distincts) \
             if (preferred or not key_cols) else None
         if not key_cols:
             key_cols = [lookup] if lookup else [df.columns[0]]

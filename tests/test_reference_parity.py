@@ -1,0 +1,197 @@
+"""Reference-parity golden tests (SURVEY.md §5.2 item 1).
+
+Runs the ACTUAL reference module (`/root/reference/src/schema_validata.py`,
+imported with a chardet stub — chardet is only used for file-encoding
+sniffing, which these tests never touch) on small pandas frames, and the
+new engine on the same rows via Spark, then compares:
+
+* ``build_data_dictionary`` vs ``profile`` — per-column stats dict;
+* ``validate_schema`` — byte-identical nested verdict dict (incl.
+  message strings) except two DOCUMENTED reference bugs we deliberately
+  fix (see below);
+* ``value_errors_*`` — row-level violations as sets.
+
+Documented divergences (deliberate, reference file:line cited):
+1. bool-cast bug: ``get_dict_diffs`` casts observed 'False' via
+   ``bool('False') is True`` (src/schema_validata.py:1738), so the
+   reference can NEVER flag a unique_value violation from profiled
+   stats, and wrongly diffs allow_null=False columns with zero nulls.
+   We compare parsed booleans instead.
+2. zero-count crash: the reference only sets the ``{count}`` template
+   value when truthy (:2121-2128) and raises KeyError formatting the
+   allow_null message for a column with allow_null=False and zero
+   nulls. We default the count to 0.
+"""
+
+from __future__ import annotations
+
+import copy
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+# --- import the reference with a chardet stub ------------------------------
+_fake = types.ModuleType("chardet")
+_fake.detect = lambda b: {"encoding": "utf-8", "confidence": 1.0}
+sys.modules.setdefault("chardet", _fake)
+sys.path.insert(0, "/root/reference/src")
+import schema_validata as ref  # noqa: E402
+
+from schema_validata_spark.operators.profile import profile  # noqa: E402
+from schema_validata_spark.operators.verdicts import validate_schema  # noqa: E402
+from schema_validata_spark.operators.violations import (CheckSpec,  # noqa: E402
+                                                        value_errors_df)
+
+
+def _norm(v):
+    """numpy scalars → python scalars, for == comparison."""
+    if hasattr(v, "item"):
+        return v.item()
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in v.items()}
+    return v
+
+
+MOVIES = pd.DataFrame({
+    "title": ["Heat", "Heat", "Alien", "Up", None, "Tron"],
+    "release_year": [1995.0, 1995.0, 1979.0, 2009.0, 2030.0, 1982.0],
+    "genre": ["Drama", "Drama", "Sci-Fi", "Comedy", "Horror", "Sci-Fi"],
+    "runtime_minutes": [170.0, 170.0, 117.0, 96.0, None, 96.0],
+    "zipcode": ["01234", "01234", "98765", "00501", "4521", "98101-1234"],
+})
+
+
+@pytest.fixture(scope="module")
+def spark_movies(spark):
+    return spark.createDataFrame(MOVIES)
+
+
+def test_profile_parity(spark, spark_movies):
+    theirs = ref.build_data_dictionary(MOVIES.copy())
+    ours = profile(spark_movies)
+    assert set(theirs) == set(ours)
+    for col in theirs:
+        t, o = _norm(theirs[col]), _norm(ours[col])
+        for attr in ("data_type", "allow_null", "null_count",
+                     "duplicate_count", "length", "range_min", "range_max",
+                     "unique_value", "required", "allowed_value_list"):
+            assert o[attr] == t[attr], (col, attr, t[attr], o[attr])
+
+
+RULES = {
+    "MOVIES_SCHEMA": {
+        "title": {"required": True, "data_type": "String",
+                  "allow_null": False, "length": 4},
+        "release_year": {"required": True, "data_type": "Integer",
+                         "range_min": 1900, "range_max": 2024},
+        "genre": {"required": True, "data_type": "String",
+                  "allowed_value_list": ["Drama", "Action", "Comedy",
+                                         "Sci-Fi"]},
+        "runtime_minutes": {"required": True, "data_type": "Integer",
+                            "allow_null": True, "range_min": 60},
+        "zipcode": {"required": True, "data_type": "String",
+                    "regex_pattern": r"^\d{5}(?:[-\s]\d{4})?$"},
+        "director": {"required": True, "data_type": "String"},
+        "synopsis": {"required": False, "data_type": "String"},
+    }
+}
+MAPPING = [{"dataset": "movies", "data_dict": "MOVIES_SCHEMA"}]
+
+
+def test_verdict_parity_byte_identical(spark, spark_movies):
+    obs_ref = {"movies": ref.build_data_dictionary(MOVIES.copy())}
+    theirs = ref.validate_schema(copy.deepcopy(obs_ref),
+                                 copy.deepcopy(RULES),
+                                 copy.deepcopy(MAPPING))
+    ours_obs = {"movies": profile(spark_movies)}
+    ours = validate_schema(copy.deepcopy(ours_obs), copy.deepcopy(RULES),
+                           copy.deepcopy(MAPPING))
+    t = _norm(theirs["movies"]["schema_violations"])
+    o = _norm(ours["movies"]["schema_violations"])
+    assert set(t) == set(o)
+    for col in t:
+        assert o[col] == t[col], (col, t[col], o[col])
+
+
+def test_verdict_divergence_unique_value_bug(spark, spark_movies):
+    """The reference's bool-cast bug (:1738) silently drops unique_value
+    violations; we flag them. Everything else stays byte-identical."""
+    rules = copy.deepcopy(RULES)
+    rules["MOVIES_SCHEMA"]["title"]["unique_value"] = True
+    obs_ref = {"movies": ref.build_data_dictionary(MOVIES.copy())}
+    theirs = ref.validate_schema(copy.deepcopy(obs_ref), copy.deepcopy(rules),
+                                 copy.deepcopy(MAPPING))
+    ours = validate_schema({"movies": profile(spark_movies)},
+                           copy.deepcopy(rules), copy.deepcopy(MAPPING))
+    t = _norm(theirs["movies"]["schema_violations"])
+    o = _norm(ours["movies"]["schema_violations"])
+    # we flag the duplicate titles; the reference misses them
+    assert "unique_value" in o["title"] and "unique_value" not in t["title"]
+    assert o["title"]["unique_value"]["errors"] == (
+        "Column 'title' values must be unique. Found  2 duplicate values "
+        "in dataset column .")
+    o["title"].pop("unique_value")
+    for col in t:
+        assert o[col] == t[col]
+
+
+def _disp(v) -> str:
+    """Whole-number floats render as ints: the reference's typed ingest
+    (read_df_with_optimal_dtypes, :1041-1146) reads whole-number columns
+    as Int64, so its end-to-end error values print '2030', not '2030.0'.
+    These tests feed raw float frames, so normalize both sides."""
+    s = str(v)
+    try:
+        f = float(s)
+        if f == int(f):
+            return str(int(f))
+    except (ValueError, OverflowError):
+        pass
+    return s
+
+
+def _ref_rows(rows):
+    return {(r["Error Type"], r["Column Name"], _disp(r["Error Value"]))
+            for r in rows}
+
+
+def _our_rows(df):
+    return {(r["error_type"], r["column_name"], _disp(r["error_value"]))
+            for r in df.collect()}
+
+
+def test_value_errors_parity(spark, spark_movies):
+    pdf = MOVIES.copy()
+    cases = [
+        (ref.value_errors_duplicates(pdf, "title", "zipcode"),
+         [CheckSpec("title", "unique_value")]),
+        (ref.value_errors_unallowed(pdf, "genre",
+                                    ["Drama", "Action", "Comedy", "Sci-Fi"],
+                                    "zipcode"),
+         [CheckSpec("genre", "allowed_value_list",
+                    ["Drama", "Action", "Comedy", "Sci-Fi"])]),
+        (ref.value_errors_out_of_range(pdf, "release_year", "max", 2024,
+                                       "zipcode"),
+         [CheckSpec("release_year", "range_max", 2024)]),
+        (ref.value_errors_regex_mismatches(
+            pdf, "zipcode", r"^\d{5}(?:[-\s]\d{4})?$", "zipcode"),
+         [CheckSpec("zipcode", "regex_pattern",
+                    r"^\d{5}(?:[-\s]\d{4})?$")]),
+    ]
+    for ref_rows, specs in cases:
+        ours = value_errors_df(spark_movies, specs, ["zipcode"])
+        assert _our_rows(ours) == _ref_rows(ref_rows), specs[0].check
+
+
+def test_value_errors_nulls_parity(spark, spark_movies):
+    ref_rows = ref.value_errors_nulls(MOVIES.copy(), "title", "zipcode")
+    ours = value_errors_df(spark_movies, [CheckSpec("title", "allow_null")],
+                           ["zipcode"])
+    theirs = {(r["Error Type"], r["Column Name"]) for r in ref_rows}
+    mine = {(r["error_type"], r["column_name"]) for r in ours.collect()}
+    assert mine == theirs
+    assert ours.count() == len(ref_rows) == 1
