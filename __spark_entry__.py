@@ -296,6 +296,27 @@ def q_drift_scores_arrow(spark, sf_dir):
                      F.col("n_base").cast("bigint").alias("n_base"))
 
 
+def q_length_percentiles(spark, sf_dir):
+    """North-star 'length percentiles' stat: exact interpolated
+    percentile here (oracle-checkable); percentile_approx is the
+    t-digest scale path (operators/profile.py:length_percentiles)."""
+    from schema_validata_spark.operators.profile import length_percentiles
+    df = _t(spark, sf_dir, "documents")
+    lp = length_percentiles(df, "text", group_col="lang", exact=True)
+    return lp.select("lang", F.round("p_5", 4).alias("p_5"),
+                     F.round("p_9", 4).alias("p_9"),
+                     F.round("p_99", 4).alias("p_99"))
+
+
+def q_embedding_near_duplicates(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline,
+    operators/dedup.py); LSH buckets are the scale path."""
+    from schema_validata_spark.operators.dedup import embedding_near_duplicates
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
 def q_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline,
     operators/similarity.py): broadcast query set × one corpus scan."""
@@ -369,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "lang_id_counts": q_lang_id_counts,
         "quality_scores": q_quality_scores,
+        "length_percentiles": q_length_percentiles,
+        "embedding_near_duplicates": q_embedding_near_duplicates,
         "text_length_histogram": q_text_length_histogram,
         "drift_scores": q_drift_scores,
         "drift_scores_arrow": q_drift_scores_arrow,
@@ -658,6 +681,26 @@ def oracle_sql() -> dict[str, str]:
         FROM terms GROUP BY partition_key"""
     sql["drift_scores"] = _drift_sql
     sql["drift_scores_arrow"] = _drift_sql
+
+    sql["length_percentiles"] = """
+        SELECT lang,
+               round(quantile_cont(length(text), 0.5), 4) AS p_5,
+               round(quantile_cont(length(text), 0.9), 4) AS p_9,
+               round(quantile_cont(length(text), 0.99), 4) AS p_99
+        FROM documents GROUP BY lang"""
+
+    sql["embedding_near_duplicates"] = """
+        WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v
+                   FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v)
+                 / greatest(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6)
+                   AS cos6
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cos6, 4) AS cos
+        FROM p WHERE cos6 >= 0.45"""
 
     sql["similarity_topk"] = """
         WITH q AS (SELECT vec_id AS query_id,

@@ -142,6 +142,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
              .where(F.col("jaccard") >= threshold))
 
 
+def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs baseline
+    (id_a < id_b, cos rounded to 6, ≥ threshold). This is the
+    correctness oracle; at corpus scale route candidates through
+    ``similarity.lsh_ann_topk`` buckets instead of the cross join.
+    Output (id_a, id_b, cos)."""
+    from .similarity import cosine_expr
+    e = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+                      .alias("cos"))
+             .where(F.col("cos") >= threshold))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             shingle_k: int = 2, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document as (id, simhash: bigint). Per-bit

@@ -391,6 +391,26 @@ def profile(df: DataFrame,
     return out
 
 
+def length_percentiles(df: DataFrame, text_col: str,
+                       percentiles=(0.5, 0.9, 0.99),
+                       group_col: str | None = None,
+                       exact: bool = False) -> DataFrame:
+    """Text-length percentile stats (north_star: 'length percentiles' in
+    the wide stats family). Default is ``percentile_approx`` (mergeable
+    t-digest-style sketch — the only sane choice at 10^12 rows); pass
+    ``exact=True`` for the exact interpolated percentile (oracle
+    checking, small data). Output: [group?,] p_<q> columns (doubles)."""
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = [
+        F.expr(f"{fn}(length({text_col}), {q})")
+         .alias(f"p_{str(q).replace('0.', '')}")
+        for q in percentiles
+    ]
+    if group_col:
+        return df.groupBy(group_col).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def profile_stats_df(spark, df: DataFrame, round_to: int = 4) -> DataFrame:
     """Long-format profiling stats as a (tiny) DataFrame — one row per
     column — for report sinks and the oracle-checked query surface."""

@@ -24,6 +24,13 @@ _RULE_ATTRS = [
 ]
 
 
+def _num(v):
+    try:
+        return float(v) if v is not None and not isinstance(v, str) else None
+    except (TypeError, ValueError):
+        return None
+
+
 @dataclass
 class FieldRule:
     """One row of the data dictionary (reference DATA_DICT_SCHEMA,
@@ -106,6 +113,35 @@ class Rules:
     @classmethod
     def from_json(cls, name: str, text: str) -> "Rules":
         return cls.from_nested_dict(name, json.loads(text))
+
+    @classmethod
+    def from_profile(cls, name: str,
+                     observed: dict[str, dict[str, Any]]) -> "Rules":
+        """Data-dictionary bootstrap from a profiled table — the analog
+        of the reference's dataset_schema_to_xlsx/json starter-dictionary
+        flow (src/schema_validata.py:1477-1542, 1632-1685): each observed
+        stat becomes the authoritative rule for future runs."""
+        fields = []
+        for col, info in observed.items():
+            def _b(v):
+                if isinstance(v, str):
+                    return v == "True"
+                return v if isinstance(v, bool) else None
+            length = info.get("length")
+            fields.append(FieldRule(
+                field_name=col,
+                required=_b(info.get("required")),
+                data_type=info.get("data_type")
+                if info.get("data_type") in LOGICAL_TYPES else None,
+                allow_null=_b(info.get("allow_null")),
+                length=int(length) if isinstance(length, (int, float)) else None,
+                range_min=_num(info.get("range_min")),
+                range_max=_num(info.get("range_max")),
+                unique_value=_b(info.get("unique_value")),
+                allowed_value_list=info.get("allowed_value_list")
+                if isinstance(info.get("allowed_value_list"), list) else None,
+            ))
+        return cls(name=name, fields=fields)
 
     def to_spark_df(self, spark):
         """Rules as a small Spark DataFrame (broadcast-sized by construction:

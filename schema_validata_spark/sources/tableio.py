@@ -49,6 +49,23 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(identifier)
 
+    def metadata(self, identifier: str) -> dict:
+        """Table metadata — the reference's get_spreadsheet_metadata
+        analog (src/schema_validata.py:223-277): row/column counts,
+        schema hash (run identity component) and, when Iceberg is
+        active, the snapshot id. One count job; no data collected."""
+        import hashlib
+        df = self.read(identifier)
+        schema_str = df.schema.simpleString()
+        return {
+            "identifier": identifier,
+            "row_count": df.count(),
+            "column_count": len(df.columns),
+            "schema": schema_str,
+            "schema_md5": hashlib.md5(schema_str.encode()).hexdigest(),
+            "snapshot_id": self.snapshot_id(identifier),
+        }
+
     def snapshot_id(self, identifier: str) -> str | None:
         """Iceberg snapshot id for run identity; None on parquet."""
         if not self.use_iceberg:

@@ -1,3 +1,5 @@
-from .validate_stream import stream_validate, stream_partition_verdicts
+from .validate_stream import (stream_monotonic_ts_violations,
+                              stream_partition_verdicts, stream_validate)
 
-__all__ = ["stream_validate", "stream_partition_verdicts"]
+__all__ = ["stream_validate", "stream_partition_verdicts",
+           "stream_monotonic_ts_violations"]

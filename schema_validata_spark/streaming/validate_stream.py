@@ -70,6 +70,58 @@ def stream_validate(stream_df: DataFrame, rules: Rules,
                     "v.error_type", "v.column_name", "v.error_value"))
 
 
+MONO_OUT_SCHEMA = ("conv_id string, turn_idx int, ts timestamp, "
+                   "error_type string")
+MONO_STATE_SCHEMA = "last_ts double"
+
+
+def stream_monotonic_ts_violations(stream_df: DataFrame,
+                                   conv_col: str = "conv_id",
+                                   idx_col: str = "turn_idx",
+                                   ts_col: str = "ts") -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-conversation timestamp monotonicity across micro-batches.
+
+    State per conversation = the running max event time (one double).
+    Each micro-batch sorts its group's rows by turn order and flags rows
+    whose timestamp precedes the running max — including regressions
+    relative to turns seen in EARLIER batches, which a stateless scan
+    cannot catch. Group math is vectorized numpy over Arrow batches; no
+    per-row Python.
+
+    No reference counterpart (batch-only engine); this is the
+    'applyInPandasWithState for custom stateful operators' extension
+    point the build brief names.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(idx_col, kind="mergesort")
+        ts = rows[ts_col].to_numpy(dtype="datetime64[us]").astype("int64") \
+            / 1e6
+        seed = -np.inf if last is None else float(last)
+        prev_max = np.maximum.accumulate(
+            np.concatenate(([seed], ts)))[:-1]
+        bad = ts < prev_max
+        state.update((float(max(seed, ts.max())) if len(ts) else seed,))
+        if bad.any():
+            flagged = rows[bad]
+            yield pd.DataFrame({
+                "conv_id": flagged[conv_col].astype(str),
+                "turn_idx": flagged[idx_col].astype("int32"),
+                "ts": flagged[ts_col],
+                "error_type": "Non-Monotonic Timestamp",
+            })
+
+    return (stream_df.groupBy(conv_col)
+            .applyInPandasWithState(fn, MONO_OUT_SCHEMA, MONO_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def stream_partition_verdicts(stream_df: DataFrame, rules: Rules,
                               ts_col: str = "ts",
                               window: str = "1 hour",
