@@ -13,21 +13,36 @@ Public API:
 from .config import (ALLOWED_CASTING, DATA_DICT_SCHEMA, NA_PATTERNS,
                      NA_VALUES, SCHEMA_ERROR_TEMPLATES)
 from .rules import FieldRule, Rules
-from .operators.profile import profile, profile_stats_df
+from .operators.profile import (length_percentiles, profile,
+                                profile_stats_df)
 from .operators.verdicts import validate_schema, verdicts_for
 from .operators.violations import (value_errors_df, violation_plan_for,
                                    get_best_uid_column)
 from .operators.uniqueness import composite_duplicates, duplicate_stats
 from .operators.integrity import (referential_violation_count,
                                   referential_violations)
-from .validate import ValidationResult, validate
+from .operators.drift import build_histograms, drift_scores
+from .operators.dedup import (dedup_exact, embedding_near_duplicates,
+                              exact_duplicates, minhash_near_duplicates,
+                              ngram_jaccard_pairs, simhash_near_duplicates)
+from .operators.similarity import brute_force_topk, lsh_ann_topk
+from .report import errors_overview, write_report
+from .validate import (ValidationResult, partition_verdicts, validate,
+                       validate_partitioned)
 
 __all__ = [
     "ALLOWED_CASTING", "DATA_DICT_SCHEMA", "NA_PATTERNS", "NA_VALUES",
     "SCHEMA_ERROR_TEMPLATES", "FieldRule", "Rules",
-    "profile", "profile_stats_df", "validate_schema", "verdicts_for",
+    "profile", "profile_stats_df", "length_percentiles",
+    "validate_schema", "verdicts_for",
     "value_errors_df", "violation_plan_for", "get_best_uid_column",
     "composite_duplicates", "duplicate_stats",
     "referential_violation_count", "referential_violations",
-    "ValidationResult", "validate",
+    "build_histograms", "drift_scores",
+    "dedup_exact", "exact_duplicates", "embedding_near_duplicates",
+    "minhash_near_duplicates", "ngram_jaccard_pairs",
+    "simhash_near_duplicates", "brute_force_topk", "lsh_ann_topk",
+    "errors_overview", "write_report",
+    "ValidationResult", "validate", "partition_verdicts",
+    "validate_partitioned",
 ]

@@ -47,22 +47,25 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
               .drop("__fp", "__rn"))
 
 
-def _minhash_sig(shingle_arr, num_hashes: int):
-    """num_hashes minhash values as an array<bigint> Column — pure
-    expression: min over xxhash64(shingle, seed_i)."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingle_arr, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
-
-
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
-    """(id, sig: array<bigint>) — MinHash signatures, one projection."""
-    return df.select(
-        F.col(id_col),
-        _minhash_sig(shingles(text_col, shingle_k), num_hashes).alias("sig"))
+    """(id, sig: array<bigint>) — MinHash signatures via explode +
+    one hash-aggregate: each distinct shingle row contributes
+    ``num_hashes`` seeded hashes, ``min`` per seed per document.
+
+    (A nested ``array_min(transform(...))`` per seed builds a
+    num_hashes-deep expression tree per row — codegen-hostile and
+    JIT-unfriendly; the exploded form is H simple min-aggregates with
+    map-side partial aggregation, and scales to long documents.)"""
+    sh = df.select(F.col(id_col),
+                   F.explode(F.array_distinct(shingles(text_col, shingle_k)))
+                    .alias("s"))
+    aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    g = sh.groupBy(id_col).agg(*aggs)
+    return g.select(F.col(id_col),
+                    F.array(*[F.col(f"h{i}")
+                              for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
@@ -165,23 +168,25 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
 def simhash(df: DataFrame, text_col: str, id_col: str,
             shingle_k: int = 2, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document as (id, simhash: bigint). Per-bit
-    weighted majority over shingle hashes, expressed with
-    transform/aggregate — no UDF."""
-    sh = shingles(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # bit b of the signature = 1 iff sum over shingles of ±1 for bit b > 0
-    bit_cols = []
-    for b in range(bits):
-        votes = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(1 << b if b < 63 else -(2 ** 63))) != 0,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bit_cols.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
-    sig = bit_cols[0].cast("bigint")
+    weighted majority over shingle hashes — explode + one aggregate of
+    ``bits`` simple sums (the nested per-bit fold over an array column
+    built a 64-lambda expression tree; this form codegens small and
+    scales to long documents)."""
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles(text_col, shingle_k)).alias("s")) \
+           .select(F.col(id_col), F.xxhash64("s").alias("h"))
+    masks = [(1 << b) if b < 63 else -(2 ** 63) for b in range(bits)]
+    aggs = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(masks[b])) != 0,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    g = sh.groupBy(id_col).agg(*aggs)
+    sig = F.when(F.col("v0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
     for b in range(1, bits):
-        sig = sig + (bit_cols[b].cast("bigint") * F.lit(2 ** b if b < 63 else -(2 ** 63)))
-    return df.select(F.col(id_col), sig.alias("simhash"))
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + bit.cast("bigint") * F.lit(masks[b])
+    return g.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,

@@ -167,7 +167,9 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
 
     needed = sorted({c for sp in specs for c in (sp.column,)}
                     | set(key_cols) | ({lookup_col} if lookup_col else set()))
-    base = df.select(*[c for c in df.columns if c in needed])
+    from ..plans.parallelism import ensure_min_parallelism
+    base = ensure_min_parallelism(
+        df.select(*[c for c in df.columns if c in needed]))
 
     out_frames = []
     if row_specs:
