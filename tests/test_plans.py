@@ -1,0 +1,55 @@
+"""Physical-plan guards: the optimizations the engine's scale story
+depends on must be visible in the plan, not assumed."""
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from schema_validata_spark.datagen import gen_transcripts
+from schema_validata_spark.operators.violations import (CheckSpec,
+                                                        value_errors_df)
+from schema_validata_spark.operators.integrity import referential_violations
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_violations_scan_prunes_columns(spark, tmp_path):
+    src = str(tmp_path / "t")
+    gen_transcripts(spark, 2000, seed=42).write.parquet(src)
+    t = spark.read.parquet(src)
+    ve = value_errors_df(
+        t, [CheckSpec("role", "allowed_value_list", ["user", "tool"])],
+        ["conv_id", "turn_idx"])
+    plan = _plan(ve)
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the checked column + keys are read; text/ts/tool pruned
+    assert "role" in read and "conv_id" in read
+    assert "text" not in read and "tool" not in read
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    src = str(tmp_path / "t2")
+    gen_transcripts(spark, 2000, seed=42).write.parquet(src)
+    t = spark.read.parquet(src)
+    q = t.where(F.col("role") == "tool").select("conv_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "EqualTo(role,tool)" in plan.replace(
+        " ", "").replace("'", "") or "role" in plan
+
+
+def test_ri_join_broadcasts_small_dim(spark, tmp_path):
+    src = str(tmp_path / "t3")
+    gen_transcripts(spark, 2000, seed=42).write.parquet(src)
+    t = spark.read.parquet(src)
+    dim = spark.createDataFrame([("conv-%08d" % i,) for i in range(50)],
+                                "conv_id: string")
+    v = referential_violations(t, ["conv_id"], dim, ["conv_id"],
+                               broadcast_dim=True)
+    plan = _plan(v)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
