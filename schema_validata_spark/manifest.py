@@ -60,11 +60,21 @@ class Manifest:
                   metrics: dict[str, Any] | None = None,
                   rows: int | None = None, wall_s: float | None = None,
                   snapshot_id: str | None = None) -> None:
-        rec = [(run_id, str(partition_key), "done",
-                json.dumps(metrics or {}, sort_keys=True, default=str),
-                rows, wall_s, snapshot_id)]
-        (self.spark.createDataFrame(rec, MANIFEST_SCHEMA)
-             .coalesce(1).write.mode("append").parquet(self.path))
+        self.mark_done_many(run_id, [(partition_key, metrics, rows, wall_s,
+                                      snapshot_id)])
+
+    def mark_done_many(self, run_id: str, entries) -> None:
+        """One commit for a batch of completed partitions — a manifest
+        write per partition would mean 10^5 tiny files at design scale;
+        a write per processed batch keeps the manifest compact while
+        preserving partition-granular resume."""
+        recs = [(run_id, str(pk), "done",
+                 json.dumps(metrics or {}, sort_keys=True, default=str),
+                 rows, wall_s, snapshot_id)
+                for pk, metrics, rows, wall_s, snapshot_id in entries]
+        if recs:
+            (self.spark.createDataFrame(recs, MANIFEST_SCHEMA)
+                 .coalesce(1).write.mode("append").parquet(self.path))
 
     def metrics(self, run_id: str) -> dict[str, dict]:
         if not self._exists():

@@ -394,10 +394,10 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
         for r in rows:
             by_part.setdefault(r["partition_key"], []).append(
                 (r["column_name"], r["check"], r["violation_count"], r["status"]))
-        for p in batch:
-            metrics = {"checks": by_part.get(p, [])}
-            manifest.mark_done(run_id, p, metrics=metrics,
-                               wall_s=wall / max(1, len(batch)))
+        manifest.mark_done_many(run_id, [
+            (p, {"checks": by_part.get(p, [])}, None,
+             wall / max(1, len(batch)), None)
+            for p in batch])
         all_rows.extend(
             (r["partition_key"], r["column_name"], r["check"],
              r["violation_count"], r["status"]) for r in rows)

@@ -1,0 +1,79 @@
+"""spark-submit job entrypoint (north_rule: `spark-submit --py-files`
+on a multi-executor cluster).
+
+    zip -r /tmp/schema_validata_spark.zip schema_validata_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/schema_validata_spark.zip \
+        scripts/run_validation_job.py \
+        --transcripts <path> --conversations <path> \
+        --out <dir> [--rules <rules.json>] [--partition-col ts_date] \
+        [--manifest <dir>]
+
+Reads the transcripts (+ optional conversations dim), validates against
+the rules (default: the FIXTURES.md transcript rule table), writes the
+report artifacts and per-partition verdicts, and exits non-zero when
+validation failed — the shape of a production scheduled run. With
+--manifest the run is resumable: completed partitions are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", required=True)
+    ap.add_argument("--conversations")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--rules")
+    ap.add_argument("--partition-col")
+    ap.add_argument("--manifest")
+    ap.add_argument("--name", default="transcripts")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("schema-validata-job").getOrCreate()
+
+    from schema_validata_spark.datagen import transcript_rules
+    from schema_validata_spark.report import write_report
+    from schema_validata_spark.rules import Rules
+    from schema_validata_spark.validate import (validate,
+                                                validate_partitioned)
+
+    df = spark.read.parquet(args.transcripts)
+    if args.partition_col and args.partition_col not in df.columns:
+        raise SystemExit(f"partition col {args.partition_col} not in table")
+    dims = {}
+    if args.conversations:
+        dims["conversations"] = spark.read.parquet(args.conversations)
+    if args.rules:
+        with open(args.rules) as f:
+            rules = Rules.from_nested_dict("JOB_RULES", json.load(f))
+    else:
+        rules = transcript_rules()
+
+    work = df.drop("ts_date") if (args.partition_col != "ts_date"
+                                  and "ts_date" in df.columns) else df
+    result = validate(spark, work, rules, dataset_name=args.name,
+                      dims=dims, key_cols=["conv_id", "turn_idx"],
+                      ignore_errors=[])
+    paths = write_report(result, args.out, out_name=args.name)
+
+    if args.partition_col and args.manifest:
+        pv = validate_partitioned(spark, df, rules, args.partition_col,
+                                  args.manifest, dims=dims)
+        pv.write.mode("overwrite").parquet(
+            f"{args.out}/{args.name}_partition_verdicts.parquet")
+
+    ok = result.passed()
+    print(json.dumps({"passed": ok, "uid": result.uid,
+                      "artifacts": paths}))
+    spark.stop()
+    sys.exit(0 if ok else 3)
+
+
+if __name__ == "__main__":
+    main()
