@@ -22,6 +22,23 @@ from ..config import NA_PATTERNS, NA_VALUES
 
 
 @lru_cache(maxsize=64)
+def _na_gate_length(na_values: tuple, na_patterns: tuple) -> int | None:
+    """Trimmed-length cutoff above which a value cannot be NA-like, or
+    None when no safe cutoff exists.
+
+    The DEFAULT patterns all match only short separator/sentinel tokens
+    after trim (the whitespace-run patterns trim to length 0), so a
+    cutoff of max(24, longest trimmed sentinel) is exact. With
+    caller-supplied *patterns* the match reach is unknowable — a custom
+    pattern may match arbitrarily long strings — so the gate is disabled
+    rather than silently never classifying long values as NA."""
+    if na_patterns != tuple(NA_PATTERNS):
+        return None
+    longest = max((len(v.strip()) for v in na_values if v), default=0)
+    return max(24, longest)
+
+
+@lru_cache(maxsize=64)
 def _combined_na_regex(na_values: tuple, na_patterns: tuple) -> str:
     """ONE alternation regex equivalent to
     ``trim(s)=='' ∨ trim(s) IN na_values ∨ any(rlike(p))``.
@@ -51,11 +68,16 @@ def is_na_expr(col: Column | str,
     s = c.cast("string")
     na_values = NA_VALUES if na_values is None else na_values
     na_patterns = NA_PATTERNS if na_patterns is None else na_patterns
-    pattern = _combined_na_regex(tuple(v for v in na_values if v is not None),
-                                 tuple(na_patterns))
-    # length gate: every sentinel/pattern trims to ≤ ~16 chars, so long
-    # values (document text) skip the regex with one trim + int compare
-    return c.isNull() | ((F.length(F.trim(s)) <= 24) & s.rlike(pattern))
+    vals_t = tuple(v for v in na_values if v is not None)
+    pats_t = tuple(na_patterns)
+    pattern = _combined_na_regex(vals_t, pats_t)
+    # length gate: long values (document text) skip the regex with one
+    # trim + int compare. The cutoff derives from the supplied vocabulary
+    # and is dropped entirely for custom patterns (unknown match reach).
+    gate = _na_gate_length(vals_t, pats_t)
+    if gate is None:
+        return c.isNull() | s.rlike(pattern)
+    return c.isNull() | ((F.length(F.trim(s)) <= gate) & s.rlike(pattern))
 
 
 def canonicalize_na(df: DataFrame,

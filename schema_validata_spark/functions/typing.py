@@ -28,20 +28,31 @@ BOOL_WORDS = ["true", "false"]  # reference treats bool dtype; string "true"/"fa
 # the parse all-but-infallible.
 NUMERIC_SHAPE = r"^\s*[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?\s*$"
 INT_SHAPE = r"^\s*[-+]?\d+\s*$"
+# pandas to_numeric (the reference's coercion, src/schema_validata.py:
+# 1299-1340) accepts 'inf'/'Infinity' spellings — matched here explicitly
+# (no cast needed; 'NaN'/'nan' are NA-canonicalized upstream so they never
+# reach numeric coercion, matching the reference's null vocabulary).
+_INF_SHAPE = r"(?i)^[-+]?inf(?:inity)?$"
 
 
 def safe_double(s: Column) -> Column:
-    """Exception-free string→double: NULL unless numeric-shaped. The
-    length gate skips the regex for long values (document text)."""
-    return F.when((F.length(s) <= 48) & s.rlike(NUMERIC_SHAPE),
-                  F.trim(s).try_cast("double"))
+    """Exception-free string→double: NULL unless numeric-shaped. Length
+    gates apply to the TRIMMED value (padded numerics still parse); the
+    gate skips the regex for long values (document text)."""
+    t = F.trim(s)
+    return (F.when((F.length(t) <= 48) & t.rlike(NUMERIC_SHAPE),
+                   t.try_cast("double"))
+             .when((F.length(t) <= 9) & t.rlike(_INF_SHAPE),
+                   F.when(t.startswith("-"), F.lit(float("-inf")))
+                    .otherwise(F.lit(float("inf")))))
 
 
 def safe_bigint(s: Column) -> Column:
     """Exception-free string→bigint: NULL unless integer-shaped (the
     residual try_cast only excepts on int64 overflow)."""
-    return F.when((F.length(s) <= 32) & s.rlike(INT_SHAPE),
-                  F.trim(s).try_cast("bigint"))
+    t = F.trim(s)
+    return F.when((F.length(t) <= 32) & t.rlike(INT_SHAPE),
+                  t.try_cast("bigint"))
 
 
 def type_probe_aggs(col_name: str, canonical: Column) -> list[Column]:

@@ -36,6 +36,9 @@ MANIFEST_SCHEMA = T.StructType([
     T.StructField("rows", T.LongType(), True),
     T.StructField("wall_s", T.DoubleType(), True),
     T.StructField("snapshot_id", T.StringType(), True),
+    # commit wall-clock: a partition recomputed after its data changed
+    # appends a NEWER row; readers take the latest row per partition
+    T.StructField("committed_at", T.DoubleType(), True),
 ])
 
 
@@ -48,13 +51,34 @@ class Manifest:
         return os.path.exists(self.path) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs)
 
+    def _latest_done(self, run_id: str):
+        """Latest 'done' row per partition (recomputed partitions append
+        newer rows; old rows are superseded, never trusted again)."""
+        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        from pyspark.sql import Window, functions as F
+        w = Window.partitionBy("partition_key").orderBy(
+            F.desc_nulls_last("committed_at"))
+        return (df.where((df.run_id == run_id) & (df.status == "done"))
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where("__rn = 1"))
+
     def completed(self, run_id: str) -> set[str]:
         if not self._exists():
             return set()
-        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
-        rows = (df.where((df.run_id == run_id) & (df.status == "done"))
-                  .select("partition_key").distinct().collect())
+        rows = self._latest_done(run_id).select("partition_key").collect()
         return {r["partition_key"] for r in rows}
+
+    def done_identities(self, run_id: str) -> dict[str, str | None]:
+        """{partition_key: snapshot_id} for done partitions — the input
+        identity (content fingerprint or table snapshot) recorded at
+        completion time. A rerun skips a partition only when its CURRENT
+        identity equals the recorded one, so a data change after the
+        original run forces recomputation (no stale-verdict reuse)."""
+        if not self._exists():
+            return {}
+        rows = (self._latest_done(run_id)
+                .select("partition_key", "snapshot_id").collect())
+        return {r["partition_key"]: r["snapshot_id"] for r in rows}
 
     def mark_done(self, run_id: str, partition_key: str,
                   metrics: dict[str, Any] | None = None,
@@ -68,9 +92,10 @@ class Manifest:
         write per partition would mean 10^5 tiny files at design scale;
         a write per processed batch keeps the manifest compact while
         preserving partition-granular resume."""
+        now = time.time()
         recs = [(run_id, str(pk), "done",
                  json.dumps(metrics or {}, sort_keys=True, default=str),
-                 rows, wall_s, snapshot_id)
+                 rows, wall_s, snapshot_id, now)
                 for pk, metrics, rows, wall_s, snapshot_id in entries]
         if recs:
             (self.spark.createDataFrame(recs, MANIFEST_SCHEMA)
@@ -79,9 +104,8 @@ class Manifest:
     def metrics(self, run_id: str) -> dict[str, dict]:
         if not self._exists():
             return {}
-        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
         out = {}
-        for r in df.where(df.run_id == run_id).collect():
+        for r in self._latest_done(run_id).collect():
             out[r["partition_key"]] = json.loads(r["metrics"] or "{}")
         return out
 

@@ -56,8 +56,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     (A nested ``array_min(transform(...))`` per seed builds a
     num_hashes-deep expression tree per row — codegen-hostile and
     JIT-unfriendly; the exploded form is H simple min-aggregates with
-    map-side partial aggregation, and scales to long documents.)"""
-    sh = df.select(F.col(id_col),
+    map-side partial aggregation, and scales to long documents.)
+
+    CONTRACT: documents with NULL text carry no shingles and are
+    EXCLUDED from signature output (and hence from near-dup candidacy) —
+    the explicit filter below makes the row-drop deliberate rather than
+    an explode side effect."""
+    sh = df.where(F.col(text_col).isNotNull()) \
+           .select(F.col(id_col),
                    F.explode(F.array_distinct(shingles(text_col, shingle_k)))
                     .alias("s"))
     aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
@@ -171,8 +177,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     weighted majority over shingle hashes — explode + one aggregate of
     ``bits`` simple sums (the nested per-bit fold over an array column
     built a 64-lambda expression tree; this form codegens small and
-    scales to long documents)."""
-    sh = df.select(F.col(id_col),
+    scales to long documents).
+
+    CONTRACT: NULL-text documents are excluded from signature output
+    (explicit filter, same contract as minhash_signatures)."""
+    sh = df.where(F.col(text_col).isNotNull()) \
+           .select(F.col(id_col),
                    F.explode(shingles(text_col, shingle_k)).alias("s")) \
            .select(F.col(id_col), F.xxhash64("s").alias("h"))
     masks = [(1 << b) if b < 63 else -(2 ** 63) for b in range(bits)]

@@ -116,8 +116,11 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
                                F.trim(c),
                                F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))))
                  .isNotNull().cast("int").alias("ts_ok"),
-                ((F.substring(c, 1, 1) == "0")
-                 & F.substring(c, 2, 1).between("0", "9")).cast("int")
+                # lead0 probes the TRIMMED value — ' 07' still forces
+                # String inference, matching type_probe_aggs (rlike '^0\d'
+                # on trim) and the reference's stringified check
+                ((F.substring(F.trim(c), 1, 1) == "0")
+                 & F.substring(F.trim(c), 2, 1).between("0", "9")).cast("int")
                  .alias("lead0"),
             ]
         else:

@@ -83,12 +83,6 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame,
     on candidates only. Bucket join replaces the cross join — the
     shuffle keys are (table, code) ints. Output like brute_force_topk."""
     def with_codes(df, idname):
-        codes = F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     lsh_bucket_code(
-                         F.col("v"),  # planes offset per table
-                         n_planes).alias("code"))
-            for t in range(n_tables)])
         # per-table plane offset: shift the plane index space by t*n_planes
         codes = F.array(*[
             F.struct(F.lit(t).alias("t"),

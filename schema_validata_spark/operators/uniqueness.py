@@ -52,7 +52,13 @@ def composite_duplicates(df: DataFrame, key_cols: list[str],
                          n_salts: int = 32) -> DataFrame:
     """All rows belonging to duplicated composite keys (keep=False), as a
     DataFrame ``[*key_cols, dup_count]`` joined back to the duplicate key
-    set. The duplicate key set is usually tiny → broadcast join back."""
+    set.
+
+    The join-back carries NO broadcast hint: a hint is honored regardless
+    of size, and a key where duplication is pervasive (worst case n/2
+    distinct duplicated keys) would broadcast an unbounded set. Unhinted,
+    AQE measures the aggregate's real output size at runtime and picks a
+    broadcast join exactly when the duplicate key set is small."""
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     dup_keys = (df.select(*key_cols, salt.alias("__salt"))
                   .groupBy(*key_cols, "__salt")
@@ -60,4 +66,4 @@ def composite_duplicates(df: DataFrame, key_cols: list[str],
                   .groupBy(*key_cols)
                   .agg(F.sum("__c").alias("dup_count"))
                   .where(F.col("dup_count") > 1))
-    return df.join(F.broadcast(dup_keys), key_cols, "inner")
+    return df.join(dup_keys, key_cols, "inner")

@@ -89,16 +89,25 @@ def violation_plan_for(rules: Rules, schema_violations: dict,
     return specs
 
 
-def _check_condition(df: DataFrame, spec: CheckSpec) -> tuple[Column, str]:
-    """(predicate Column, error_type label) for a per-row check."""
+def _check_condition(df: DataFrame, spec: CheckSpec,
+                     parity_nulls: bool = False) -> tuple[Column, str]:
+    """(predicate Column, error_type label) for a per-row check.
+
+    Predicates are TYPE-SPECIALIZED: a numeric physical column compares
+    natively (``c.cast('double') > lit(v)`` — pure arithmetic inside
+    whole-stage codegen); only string-typed input pays the shape-gated
+    string→double battery. ``parity_nulls`` reproduces the reference's
+    ``astype(str)`` quirk for length checks (src/schema_validata.py:2328):
+    NULLs render as the 3-char string 'nan' and are length-checked."""
     c = F.col(spec.column)
     s = c.cast("string")
+    numeric = _is_numericish(df, spec.column)
     if spec.check == "allow_null":
         return is_na_expr(c) if _is_string(df, spec.column) else c.isNull(), \
             ERROR_TYPE_LABELS["allow_null"]
     if spec.check == "allowed_value_list":
         vals = [str(v) for v in spec.param]
-        if _is_numericish(df, spec.column):
+        if numeric:
             fvals = []
             ok = True
             for v in spec.param:
@@ -108,20 +117,31 @@ def _check_condition(df: DataFrame, spec: CheckSpec) -> tuple[Column, str]:
                     ok = False
                     break
             if ok:
-                d = safe_double(s)
+                d = c.cast("double")
                 return d.isNotNull() & ~d.isin(fvals), \
                     ERROR_TYPE_LABELS["allowed_value_list"]
         return c.isNotNull() & ~F.trim(s).isin(vals), \
             ERROR_TYPE_LABELS["allowed_value_list"]
     if spec.check == "length":
+        if parity_nulls:
+            # raw ``astype(str)`` rendering: floats keep their '.0'
+            # (the reference length-checks the unconverted frame), NaN
+            # renders as the 3-char 'nan' (src/schema_validata.py:2328)
+            disp = F.coalesce(s, F.lit("nan"))
+            return F.length(disp) > int(spec.param), \
+                length_error_type(spec.param)
         cond = F.length(_display_str(df, spec.column)) > int(spec.param)
         return c.isNotNull() & cond, length_error_type(spec.param)
+    # Spark orders NaN above every value (so NaN > max would flag);
+    # pandas comparisons with NaN are False — mask NaN for parity.
     if spec.check == "range_min":
-        d = safe_double(s)
-        return d < float(spec.param), range_error_type("min", spec.param)
+        d = c.cast("double") if numeric else safe_double(s)
+        return ~F.isnan(d) & (d < float(spec.param)), \
+            range_error_type("min", spec.param)
     if spec.check == "range_max":
-        d = safe_double(s)
-        return d > float(spec.param), range_error_type("max", spec.param)
+        d = c.cast("double") if numeric else safe_double(s)
+        return ~F.isnan(d) & (d > float(spec.param)), \
+            range_error_type("max", spec.param)
     if spec.check == "regex_pattern":
         # Python re.match anchors at the start only → rlike with '^(?:…)'
         return c.isNotNull() & ~s.rlike(f"^(?:{spec.param})"), \
@@ -152,13 +172,18 @@ def _display_str(df: DataFrame, col: str) -> Column:
 
 def value_errors_df(df: DataFrame, specs: list[CheckSpec],
                     key_cols: list[str],
-                    lookup_col: str | None = None) -> DataFrame | None:
+                    lookup_col: str | None = None,
+                    parity_nulls: bool = False) -> DataFrame | None:
     """All violation rows for ``specs`` with schema
     ``[*key_cols, error_type, column_name, error_value, lookup_column,
     lookup_value]``. Returns None when specs is empty.
 
     One column-pruned scan covers every per-row check; each duplicate
     check adds one aggregate + join job over just (key_cols, column).
+    ``parity_nulls=True`` reproduces the reference's ``astype(str)``
+    null-as-'nan' rendering in length checks (src/schema_validata.py:
+    2328): NULL values length-check as the 3-char string 'nan' and list
+    'nan' as the error value.
     """
     if not specs:
         return None
@@ -175,11 +200,15 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
     if row_specs:
         structs = []
         for sp in row_specs:
-            cond, label = _check_condition(base, sp)
+            cond, label = _check_condition(base, sp, parity_nulls)
+            val = _display_str(base, sp.column)
+            if parity_nulls and sp.check == "length":
+                val = F.coalesce(F.col(sp.column).cast("string"),
+                                 F.lit("nan"))
             structs.append(F.when(cond, F.struct(
                 F.lit(label).alias("error_type"),
                 F.lit(sp.column).alias("column_name"),
-                _display_str(base, sp.column).alias("error_value"),
+                val.alias("error_value"),
             )))
         arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
         hits = (base
@@ -204,9 +233,12 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
                     .agg(F.count(F.lit(1)).alias("__cnt"))
                     .where(F.col("__cnt") > 1)
                     .select(sp.column))
-        # duplicate key sets are usually tiny → broadcast; Catalyst/AQE
-        # falls back to shuffle join automatically if stats say otherwise
-        hits = base.join(F.broadcast(dup_keys), sp.column, "inner")
+        # NO broadcast hint: a hint is honored regardless of size, and a
+        # pervasively-duplicated column (worst case n/2 distinct keys)
+        # would broadcast an unbounded key set. Unhinted, AQE measures the
+        # aggregate's actual output at runtime and picks broadcast exactly
+        # when the duplicate key set really is small (the common case).
+        hits = base.join(dup_keys, sp.column, "inner")
         out_frames.append(hits.select(
             *key_cols,
             F.lit(ERROR_TYPE_LABELS["unique_value"]).alias("error_type"),

@@ -16,14 +16,29 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
-    """Repartition ``df`` to ``defaultParallelism`` iff its current scan
-    has fewer than ``min_factor * defaultParallelism`` partitions."""
+    """Repartition ``df`` to ``defaultParallelism`` iff its scan would
+    otherwise use fewer tasks than ``min_factor * defaultParallelism``.
+
+    For file-backed sources the decision uses ``inputFiles()`` — pure
+    metadata, no ``.rdd`` materialization (converting to RDD forces an
+    extra analysis/conversion per call on the hot orchestration path).
+    Small single-row-group files plan one task per file, so the file
+    count IS the effective parallelism there; at real scale (files ≥
+    cores) this returns immediately. Non-file sources (in-memory frames,
+    post-shuffle) fall back to the exact partition count."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    floor = max(1, int(target * min_factor))
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — planning-only failure: leave as-is
+        files = []
+    if files:
+        return df.repartition(target) if len(files) < floor else df
     try:
         nparts = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — planning-only failure: leave as-is
         return df
-    if nparts < max(1, int(target * min_factor)):
+    if nparts < floor:
         return df.repartition(target)
     return df

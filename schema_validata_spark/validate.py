@@ -97,11 +97,43 @@ def _rules_md5(rules: Rules) -> str:
     return hashlib.md5(blob.encode()).hexdigest()
 
 
-def _dataset_md5(df: DataFrame, dataset_name: str) -> str:
-    """Deterministic input identity: schema + name (an Iceberg snapshot id
-    slots in here when the source exposes one)."""
-    blob = dataset_name + "|" + df.schema.simpleString()
+def _dataset_md5(df: DataFrame, dataset_name: str,
+                 content_token: str | None = None) -> str:
+    """Deterministic input identity: name + schema + a content token.
+
+    The reference's uid is a content md5 of the input file
+    (src/schema_validata.py:190-219, get_md5_hash; uid at :2681) — a
+    schema-only hash would let two different datasets (or the same table
+    after a data change) share an identity. ``content_token`` carries the
+    content-sensitive part: an Iceberg snapshot id when the source
+    exposes one, else a fingerprint derived from the data (see
+    ``partition_fingerprints`` / the observed-stats hash in ``validate``).
+    """
+    blob = dataset_name + "|" + df.schema.simpleString() \
+        + "|" + (content_token or "")
     return hashlib.md5(blob.encode()).hexdigest()
+
+
+# Bounded per-row hash summaries: xxhash64 over the full row struct,
+# combined per partition as (count, bit_xor, bounded sum). XOR alone
+# cancels identical row pairs; the count and the pmod-bounded sum (< 2^20
+# per row, so < 2^63 even at 10^12 rows/partition — no ANSI overflow)
+# break that symmetry. Order-independent by construction.
+def partition_fingerprints(df: DataFrame, partition_col: str
+                           ) -> dict[str, str]:
+    """{partition_key: content fingerprint} in ONE aggregate scan.
+    The scan reads every column (it hashes full rows); at scale prefer
+    passing an Iceberg ``snapshot_id`` to ``validate_partitioned`` —
+    metadata-only — and fall back to this when the snapshot moved."""
+    h = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+    rows = (df.select(F.col(partition_col).cast("string").alias("__p"),
+                      h.alias("__h"))
+              .groupBy("__p")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.expr("bit_xor(__h)").alias("hx"),
+                   F.sum(F.pmod(F.col("__h"), F.lit(1 << 20))).alias("hs"))
+              .collect())
+    return {r["__p"]: f"fp:{r['n']}:{r['hx']}:{r['hs']}" for r in rows}
 
 
 @dataclass
@@ -160,15 +192,19 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
              ignore_errors: list[str] | None = None,
              key_cols: list[str] | None = None,
              partition_col: str | None = None,
-             manifest_path: str | None = None) -> ValidationResult:
+             manifest_path: str | None = None,
+             snapshot_id: str | None = None) -> ValidationResult:
     """Validate ``df`` against ``rules``; see module docstring for the
     job plan. ``dims`` supplies dimension tables for rules.foreign_keys.
     ``key_cols`` are the stable row-address columns carried on violation
     rows (defaults to the first composite_unique key or the uid column).
+    ``snapshot_id`` (Iceberg) feeds the run uid's content token; without
+    one the uid derives from a hash of the observed profile stats — any
+    data change that moves any stat changes the uid (reference analog:
+    content-md5 uid, src/schema_validata.py:2681).
     """
     ignore_errors = DEFAULT_IGNORE_ERRORS if ignore_errors is None \
         else ignore_errors
-    uid = f"{_dataset_md5(df, dataset_name)}_{_rules_md5(rules)}"
 
     # Independent jobs run CONCURRENTLY (Spark schedules them together,
     # filling cores a single job's tail stages would leave idle): the
@@ -219,6 +255,13 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         observed = f_prof.result()
         f_comp.result()
         f_ri.result()
+
+    # content token: Iceberg snapshot when given, else a hash of the
+    # observed stats (already collected — no extra job)
+    content_token = snapshot_id or hashlib.md5(
+        json.dumps(observed, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    uid = f"{_dataset_md5(df, dataset_name, content_token)}_{_rules_md5(rules)}"
 
     schema_violations = verdicts_for(rules, observed, dataset_name)
 
@@ -363,24 +406,63 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                          partition_col: str, manifest_path: str,
                          run_id: str | None = None,
                          dims: dict[str, DataFrame] | None = None,
-                         batch_size: int = 64) -> DataFrame:
+                         batch_size: int = 64,
+                         snapshot_id: str | None = None,
+                         verify_content: bool = True) -> DataFrame:
     """Resumable partition-granular validation (north_rule): partitions
-    already marked 'done' in the manifest are skipped; each processed
-    batch commits per-partition metrics. Returns the combined
+    whose manifest row is 'done' AND whose recorded input identity still
+    matches the current input are skipped; each processed batch commits
+    per-partition metrics + identity. Returns the combined
     partition-verdicts DataFrame for THIS run's newly processed
     partitions plus previously completed ones re-read from the manifest
     metrics.
+
+    Input identity (stale-resume guard — reference analog: content-md5
+    uid, src/schema_validata.py:190-219, :2681):
+
+    * ``snapshot_id`` given (Iceberg): metadata-only — a partition is
+      current iff it completed under the SAME table snapshot. The
+      snapshot moved → fall back to content fingerprints (below) so only
+      actually-changed partitions recompute.
+    * otherwise, ``verify_content=True`` (default): one aggregate scan
+      computes a per-partition content fingerprint (xxhash64 row-struct
+      summaries); a done partition with a different fingerprint — the
+      data changed since it was validated — is recomputed, never reused.
+    * ``verify_content=False``: trust the manifest (round-1 behavior;
+      for immutable inputs where the extra scan is unwanted).
 
     Partition pruning: each batch filters ``partition_col isin(batch)``,
     which prunes at the Parquet/Iceberg scan level.
     """
     run_id = run_id or f"{_dataset_md5(df, 'partitioned')}_{_rules_md5(rules)}"
     manifest = Manifest(spark, manifest_path)
-    done = manifest.completed(run_id)
+    done_ids = manifest.done_identities(run_id)
 
-    parts = [str(r[0]) for r in
-             df.select(F.col(partition_col).cast("string")).distinct().collect()]
-    todo = sorted(p for p in parts if p not in done)
+    snap_token = f"snap:{snapshot_id}" if snapshot_id is not None else None
+    if snap_token is not None and (not done_ids or
+                                   all(v == snap_token
+                                       for v in done_ids.values())):
+        # same snapshot (or fresh run): partition list only, no data read
+        parts = [str(r[0]) for r in
+                 df.select(F.col(partition_col).cast("string"))
+                   .distinct().collect()]
+        current = {p: snap_token for p in parts}
+    elif verify_content or snap_token is not None:
+        current = partition_fingerprints(df, partition_col)
+        if snap_token is not None:
+            # re-record under the new snapshot; skip iff content unchanged
+            # (manifest may hold either snap: or fp: identities)
+            fp_done = {p: v for p, v in done_ids.items()
+                       if v and v.startswith("fp:")}
+            done_ids = fp_done
+    else:
+        parts = [str(r[0]) for r in
+                 df.select(F.col(partition_col).cast("string"))
+                   .distinct().collect()]
+        current = {p: done_ids.get(p) for p in parts}  # always "matches"
+    parts = list(current)
+    todo = sorted(p for p in parts
+                  if p not in done_ids or done_ids[p] != current[p])
 
     all_rows: list[tuple] = []
     for i in range(0, len(todo), batch_size):
@@ -396,15 +478,17 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                 (r["column_name"], r["check"], r["violation_count"], r["status"]))
         manifest.mark_done_many(run_id, [
             (p, {"checks": by_part.get(p, [])}, None,
-             wall / max(1, len(batch)), None)
+             wall / max(1, len(batch)), current.get(p))
             for p in batch])
         all_rows.extend(
             (r["partition_key"], r["column_name"], r["check"],
              r["violation_count"], r["status"]) for r in rows)
 
-    # previously completed partitions: reconstruct verdict rows from metrics
+    # previously completed, still-current partitions: reconstruct verdict
+    # rows from manifest metrics
+    todo_set = set(todo)
     for p, m in manifest.metrics(run_id).items():
-        if p in todo:
+        if p in todo_set or p not in current:
             continue
         for col, chk, cnt, status in m.get("checks", []):
             all_rows.append((p, col, chk, int(cnt), status))

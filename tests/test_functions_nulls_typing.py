@@ -1,0 +1,89 @@
+"""Unit tests for functions/nulls.py and functions/typing.py edge cases
+flagged in round-1 advice: custom NA vocabularies longer than the default
+length gate, and inf/padded-numeric acceptance in safe_double."""
+
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.nulls import (_na_gate_length,
+                                                   canonicalize_na,
+                                                   is_na_expr)
+from schema_validata_spark.functions.typing import safe_bigint, safe_double
+
+
+def _vals(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "s: string")
+
+
+def test_long_custom_sentinel_classified_na(spark):
+    """A caller-supplied sentinel longer than the default 24-char gate
+    must still classify as NA (the gate derives from the vocabulary)."""
+    sentinel = "THIS VALUE IS INTENTIONALLY MISSING FROM THE EXPORT"  # 51 ch
+    df = _vals(spark, [sentinel, "  " + sentinel + " ", "keep-me", None])
+    na = df.select(is_na_expr(F.col("s"), na_values=[sentinel, "", "N/A"])
+                   .alias("na")).collect()
+    assert [r["na"] for r in na] == [True, True, False, True]
+
+
+def test_custom_pattern_disables_length_gate(spark):
+    """Custom na_patterns have unknowable match reach — the length gate
+    must be dropped so a long match is not silently kept."""
+    pat = r"(?i)^redacted[-: ].*$"
+    long_hit = "REDACTED: " + "x" * 100
+    df = _vals(spark, [long_hit, "fine"])
+    na = df.select(
+        is_na_expr(F.col("s"), na_patterns=[pat]).alias("na")).collect()
+    assert [r["na"] for r in na] == [True, False]
+    assert _na_gate_length(("",), (pat,)) is None
+
+
+def test_default_gate_still_skips_long_text(spark):
+    """Default vocabulary keeps the cheap gate: long document text short-
+    circuits before the regex (observable only as: not classified NA)."""
+    from schema_validata_spark.config import NA_PATTERNS
+    assert _na_gate_length(("", "N/A", "NULL"), tuple(NA_PATTERNS)) == 24
+    df = _vals(spark, ["word " * 50, "N/A", "   "])
+    out = canonicalize_na(df).collect()
+    assert out[0]["s"] is not None
+    assert out[1]["s"] is None and out[2]["s"] is None
+
+
+def test_safe_double_accepts_inf_and_padding(spark):
+    df = _vals(spark, ["inf", "Infinity", "-INF", "+inf",
+                       " " * 60 + "12.5" + " " * 60, "nan-like", "12x"])
+    got = [r["d"] for r in
+           df.select(safe_double(F.col("s")).alias("d")).collect()]
+    assert got[0] == float("inf") and got[1] == float("inf")
+    assert got[2] == float("-inf") and got[3] == float("inf")
+    assert got[4] == 12.5
+    assert got[5] is None and got[6] is None
+
+
+def test_safe_bigint_trims_padding(spark):
+    df = _vals(spark, ["  42  ", " " * 40 + "7", "9.5", "abc"])
+    got = [r["i"] for r in
+           df.select(safe_bigint(F.col("s")).alias("i")).collect()]
+    assert got == [42, 7, None, None]
+
+
+def test_padded_leading_zero_forces_string(spark):
+    """' 07' (padded) must force String inference exactly like '07' —
+    the lead0 probe runs on the trimmed value (round-1 advice)."""
+    from schema_validata_spark.operators.profile import profile
+    df = _vals(spark, [" 07", "12", "9"])
+    assert profile(df)["s"]["data_type"] == "String"
+    df2 = _vals(spark, ["7", "12", "9"])
+    assert profile(df2)["s"]["data_type"] == "Integer"
+
+
+def test_minhash_excludes_null_text_by_contract(spark):
+    from schema_validata_spark.operators.dedup import (minhash_signatures,
+                                                       simhash)
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, None),
+         (3, "the quick brown fox jumps over the dog")],
+        "doc_id: int, text: string")
+    sigs = minhash_signatures(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 3]
+    sh = simhash(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in sh.collect()) == [1, 3]

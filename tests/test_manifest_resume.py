@@ -44,6 +44,57 @@ def test_resume_skips_done_and_matches_full_run(spark, tmp_path):
     t.unpersist()
 
 
+def test_changed_partition_recomputed_unchanged_skipped(spark, tmp_path):
+    """Stale-resume guard: after one partition's DATA changes, a rerun
+    with the same run_id recomputes exactly that partition (fresh
+    verdicts) while unchanged partitions still skip (VERDICT r1 #1)."""
+    from pyspark.sql import functions as F
+    src = str(tmp_path / "src")
+    gen_transcripts(spark, 6_000, seed=3).write.mode("overwrite").parquet(src)
+    t = spark.read.parquet(src)
+    rules = transcript_rules()
+    mpath = str(tmp_path / "m_stale")
+
+    first = validate_partitioned(spark, t, rules, "ts_date", mpath,
+                                 run_id="r")
+    first_rows = _key(first.collect())
+    parts = sorted({r["partition_key"] for r in first.collect()})
+    victim = parts[0]
+
+    m = Manifest(spark, mpath)
+    ids_before = m.done_identities("r")
+
+    # mutate ONE partition: blank out `role` there (adds null violations)
+    mutated = t.withColumn(
+        "role", F.when(t.ts_date.cast("string") == victim,
+                       F.lit(None).cast("string")).otherwise(t.role))
+    mdir = str(tmp_path / "src2")
+    mutated.write.mode("overwrite").parquet(mdir)
+    t2 = spark.read.parquet(mdir)
+
+    second = validate_partitioned(spark, t2, rules, "ts_date", mpath,
+                                  run_id="r")
+    ids_after = m.done_identities("r")
+    # only the victim's identity moved; others were skipped (identity
+    # rows unchanged — a recompute would have rewritten them)
+    assert ids_after[victim] != ids_before[victim]
+    for p in parts[1:]:
+        assert ids_after[p] == ids_before[p]
+    # and the victim's verdicts are FRESH, not the stale manifest copy
+    snd = {(r["partition_key"], r["column_name"], r["check"]):
+           r["violation_count"] for r in second.collect()}
+    n_victim_rows = t2.where(
+        t2.ts_date.cast("string") == victim).count()
+    assert snd[(victim, "role", "allow_null")] == n_victim_rows
+    fst = dict(((p, c, k), v) for p, c, k, v in first_rows)
+    assert fst[(victim, "role", "allow_null")] < n_victim_rows
+
+    # third run, nothing changed: everything skips, output identical
+    third = validate_partitioned(spark, t2, rules, "ts_date", mpath,
+                                 run_id="r")
+    assert _key(third.collect()) == _key(second.collect())
+
+
 def test_rerun_is_idempotent(spark, tmp_path):
     t = gen_transcripts(spark, 4_000, seed=1)
     rules = transcript_rules()

@@ -39,8 +39,36 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path):
     t = spark.read.parquet(src)
     q = t.where(F.col("role") == "tool").select("conv_id")
     plan = _plan(q)
-    assert "PushedFilters" in plan and "EqualTo(role,tool)" in plan.replace(
-        " ", "").replace("'", "") or "role" in plan
+    assert "PushedFilters" in plan
+    assert "EqualTo(role,tool)" in plan.replace(" ", "").replace("'", "")
+
+
+def test_dup_joinback_not_forced_broadcast(spark):
+    """Pervasively-duplicated keys (every key duplicated) must not be
+    force-broadcast: the plan may pick broadcast via AQE runtime stats,
+    but no explicit hint may appear in the logical plan (a hint is
+    honored regardless of size → unbounded broadcast at scale)."""
+    from schema_validata_spark.operators.uniqueness import composite_duplicates
+    df = spark.range(10_000).select(
+        (F.col("id") % 5000).alias("k"),
+        (F.col("id") % 7).alias("v"))
+    dups = composite_duplicates(df, ["k"])
+    logical = dups._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "broadcast" not in logical.lower()
+    # correctness unchanged: every row belongs to a duplicated key
+    assert dups.count() == 10_000
+
+
+def test_violations_dup_join_not_forced_broadcast(spark):
+    from schema_validata_spark.operators.violations import (CheckSpec,
+                                                            value_errors_df)
+    df = spark.range(2_000).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        F.col("id").alias("rid"))
+    ve = value_errors_df(df, [CheckSpec("k", "unique_value")], ["rid"])
+    logical = ve._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    assert ve.count() == 2_000
 
 
 def test_ri_join_broadcasts_small_dim(spark, tmp_path):

@@ -187,6 +187,27 @@ def test_value_errors_parity(spark, spark_movies):
         assert _our_rows(ours) == _ref_rows(ref_rows), specs[0].check
 
 
+def test_value_errors_length_parity_nulls(spark, spark_movies):
+    """parity_nulls=True reproduces the reference's ``astype(str)`` quirk
+    (src/schema_validata.py:2328-2331): a float NaN renders as the 3-char
+    string 'nan' and is length-checked like any value."""
+    pdf = MOVIES.copy()
+    ref_rows = ref.value_errors_length(pdf, "runtime_minutes", 2, "zipcode")
+    # the reference flags every row: '170.0'… and the NaN-as-'nan' row
+    assert len(ref_rows) == len(pdf)
+    ours = value_errors_df(
+        spark_movies, [CheckSpec("runtime_minutes", "length", 2)],
+        ["zipcode"], parity_nulls=True)
+    assert ours.count() == len(ref_rows)
+    assert _our_rows(ours) == _ref_rows(ref_rows)
+    # sane mode (default) excludes nulls AND renders whole-number floats
+    # as ints (typed-ingest display): only 170, 170, 117 exceed len 2
+    sane = value_errors_df(
+        spark_movies, [CheckSpec("runtime_minutes", "length", 2)],
+        ["zipcode"])
+    assert sane.count() == 3
+
+
 def test_value_errors_nulls_parity(spark, spark_movies):
     ref_rows = ref.value_errors_nulls(MOVIES.copy(), "title", "zipcode")
     ours = value_errors_df(spark_movies, [CheckSpec("title", "allow_null")],
