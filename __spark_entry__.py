@@ -358,6 +358,28 @@ def q_lsh_ann_topk(spark, sf_dir):
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
+def q_datetime_inference(spark, sf_dir):
+    """SURVEY §2.2 infer_datetime_column / COMMON_DATETIMES coverage
+    (functions/datetimes.py): orders dates rendered into 5 distinct
+    string formats (keyed by o_orderkey) and recovered by the
+    shape-gated multi-format parser — per-format parse counts + range."""
+    from schema_validata_spark.functions.datetimes import parse_datetime_multi
+    df = _t(spark, sf_dir, "orders")
+    fid = F.pmod(F.col("o_orderkey"), F.lit(5))
+    rendered = (
+        F.when(fid == 0, F.date_format("o_orderdate", "MM/dd/yyyy"))
+         .when(fid == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+         .when(fid == 2, F.date_format("o_orderdate", "MMM-dd-yyyy"))
+         .when(fid == 3, F.date_format("o_orderdate", "MMMM dd, yyyy"))
+         .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy")))
+    parsed = parse_datetime_multi(rendered)
+    return (df.select(fid.cast("bigint").alias("fmt_id"), parsed.alias("p"))
+              .groupBy("fmt_id")
+              .agg(F.count("p").cast("bigint").alias("n_parsed"),
+                   F.date_format(F.min("p"), "yyyy-MM-dd").alias("min_d"),
+                   F.date_format(F.max("p"), "yyyy-MM-dd").alias("max_d")))
+
+
 def q_validate_events(spark, sf_dir):
     """End-to-end orchestrator (validate.py): flagged row-level violations
     for the events rule table, aggregated per (column, error_type)."""
@@ -384,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity": q_referential_integrity,
         "partition_verdicts": q_partition_verdicts,
         "validate_events": q_validate_events,
+        "datetime_inference": q_datetime_inference,
         "dedup_exact": q_dedup_exact,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts": q_token_counts,
@@ -581,6 +604,30 @@ def oracle_sql() -> dict[str, str]:
                count(*)::bigint
         FROM events WHERE value > 400.0
         HAVING count(*) > 0"""
+
+    sql["datetime_inference"] = """
+        WITH r AS (
+          SELECT o_orderkey % 5 AS fmt_id,
+                 CASE o_orderkey % 5
+                   WHEN 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+                   WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                   WHEN 2 THEN strftime(o_orderdate, '%b-%d-%Y')
+                   WHEN 3 THEN strftime(o_orderdate, '%B %d, %Y')
+                   ELSE strftime(o_orderdate, '%d-%m-%Y') END AS s
+          FROM orders),
+        p AS (
+          SELECT fmt_id,
+                 CASE fmt_id
+                   WHEN 0 THEN try_strptime(s, '%m/%d/%Y')
+                   WHEN 1 THEN try_strptime(s, '%Y-%m-%d')
+                   WHEN 2 THEN try_strptime(s, '%b-%d-%Y')
+                   WHEN 3 THEN try_strptime(s, '%B %d, %Y')
+                   ELSE try_strptime(s, '%d-%m-%Y') END AS d
+          FROM r)
+        SELECT fmt_id::bigint AS fmt_id, count(d)::bigint AS n_parsed,
+               strftime(min(d), '%Y-%m-%d') AS min_d,
+               strftime(max(d), '%Y-%m-%d') AS max_d
+        FROM p GROUP BY fmt_id"""
 
     sql["dedup_exact"] = f"""
         SELECT doc_id FROM (

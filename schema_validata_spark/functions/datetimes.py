@@ -1,0 +1,215 @@
+"""Datetime format coverage: the reference's ``COMMON_DATETIMES`` /
+``COMMON_TIMESTAMPS`` probe sets as shape-gated Spark expressions.
+
+Reference semantics (src/schema_validata.py):
+
+* ``Config.COMMON_DATETIMES`` (:93-115) — 11 strptime formats tried in
+  order by ``infer_datetime_column`` (:508-579), which refuses
+  integer-like columns (:544-551) and time-only columns (:552-558,
+  via ``column_is_timestamp`` :464-504 over ``COMMON_TIMESTAMPS``
+  :81-90), then falls back to per-value ``dateutil.parser.parse``
+  (:570-576).
+
+Spark re-expression:
+
+* every format carries a SHAPE GATE regex — under ANSI mode a failed
+  parse is a JVM exception (~10-30µs); gated, a typical cell attempts
+  ~1 parse and prose/JSON attempts none;
+* month-name formats go through ``initcap`` first (Python strptime is
+  case-insensitive for month names; Java's DateTimeFormatter is not);
+* the dateutil fallback is the ONE semantically-required Python UDF in
+  the engine (SURVEY §2.7): a vectorized Arrow-batched pandas UDF, never
+  per-row Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (spark format, shape-gate regex, needs_initcap) in the REFERENCE's try
+# order (src/schema_validata.py:93-115). Single-letter field patterns
+# (M/d/H) accept 1-2 digits, matching strptime's permissiveness.
+COMMON_DATETIMES_SPARK: list[tuple[str, str, bool]] = [
+    ("M/d/yyyy",          r"^\d{1,2}/\d{1,2}/\d{4}$", False),   # %m/%d/%Y
+    ("d/M/yyyy",          r"^\d{1,2}/\d{1,2}/\d{4}$", False),   # %d/%m/%Y
+    ("MMM-d-yyyy",        r"^[A-Za-z]{3}-\d{1,2}-\d{4}$", True),  # %b-%d-%Y
+    ("MMMM d, yyyy",      r"^[A-Za-z]{3,9} \d{1,2}, \d{4}$", True),  # %B %d, %Y
+    ("yyyy-M-d",          r"^\d{4}-\d{1,2}-\d{1,2}$", False),   # %Y-%m-%d
+    ("d-M-yyyy",          r"^\d{1,2}-\d{1,2}-\d{4}$", False),   # %d-%m-%Y
+    ("M/d/yyyy H:mm:ss",
+     r"^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}:\d{2}$", False),    # %m/%d/%Y %H:%M:%S
+    ("yyyy-M-d H:mm:ss",
+     r"^\d{4}-\d{1,2}-\d{1,2} \d{1,2}:\d{2}:\d{2}$", False),    # %Y-%m-%d %H:%M:%S
+    ("d-M-yyyy H:mm:ss",
+     r"^\d{1,2}-\d{1,2}-\d{4} \d{1,2}:\d{2}:\d{2}$", False),    # %d-%m-%Y %H:%M:%S
+    ("yyyy-M",            r"^\d{4}-\d{1,2}$", False),            # %Y-%m
+    ("yyyy-M-d'T'H:mm:ss'Z'",
+     r"^\d{4}-\d{1,2}-\d{1,2}T\d{1,2}:\d{2}:\d{2}Z$", False),   # …%SZ
+    ("yyyy-M-d'T'H:mm:ssxx",
+     r"^\d{4}-\d{1,2}-\d{1,2}T\d{1,2}:\d{2}:\d{2}[-+]\d{4}$",
+     False),                                                     # …%S%z
+]
+
+# Time-only formats (reference COMMON_TIMESTAMPS :81-90). A column whose
+# values are ALL time-only is refused as Datetime (it stays String) —
+# these exist for that refusal test and for the standalone
+# column_is_timestamp op.
+COMMON_TIMESTAMPS_SPARK: list[tuple[str, str]] = [
+    ("h:mm:ss a",  r"^\d{1,2}:\d{2}:\d{2} [AaPp][Mm]$"),  # %I:%M:%S %p
+    ("h:mm:ssa",   r"^\d{1,2}:\d{2}:\d{2}[AaPp][Mm]$"),   # %I:%M:%S%p
+    ("h:mm a",     r"^\d{1,2}:\d{2} [AaPp][Mm]$"),        # %I:%M %p
+    ("h:mma",      r"^\d{1,2}:\d{2}[AaPp][Mm]$"),         # %I:%M%p
+    ("H:mm:ss",    r"^\d{1,2}:\d{2}:\d{2}$"),             # %H:%M:%S
+    ("H:mm:ss a",  r"^\d{1,2}:\d{2}:\d{2} [AaPp][Mm]$"),  # %H:%M:%S %p
+]
+
+# cheap first-tier screen: no string longer than this is a common
+# datetime; keeps the per-format gates off document text entirely
+_MAX_DT_LEN = 35
+
+
+def _dateish_screen(t: Column) -> Column:
+    """Tier-1 screen (cheap ops only): worth running format gates on?"""
+    first = F.substring(t, 1, 1)
+    return (F.length(t) <= _MAX_DT_LEN) & (
+        (first.between("0", "9") & (t.contains("-") | t.contains("/")))
+        | t.rlike(r"^[A-Za-z]{3,9}[- ]\d")
+        | t.rlike(r"^\d{1,2}[- ][A-Za-z]{3}")
+    )
+
+
+def parse_datetime_multi(col: Column | str) -> Column:
+    """Per-cell multi-format parse: first matching format in reference
+    order wins; NULL when nothing matches. Shape-gated throughout —
+    non-date strings never attempt a parse."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c.cast("string"))
+    probes = []
+    for fmt, gate, needs_initcap in COMMON_DATETIMES_SPARK:
+        v = F.initcap(t) if needs_initcap else t
+        probes.append(F.when(t.rlike(gate), F.try_to_timestamp(v, F.lit(fmt))))
+    # default ISO parser last: catches 'yyyy-MM-dd HH:mm:ss.SSS' etc.
+    probes.append(F.when(
+        t.rlike(r"^\d{4}-\d{1,2}-\d{1,2}([ T]|$)"), F.try_to_timestamp(t)))
+    return F.when(_dateish_screen(t), F.coalesce(*probes))
+
+
+def datetime_probe_expr(col: Column | str) -> Column:
+    """1/0: the value parses under some COMMON_DATETIMES format — the
+    ``ts_ok`` probe feeding the 7-way logical-type decision. Time-only
+    values do NOT count (the reference refuses time-only columns as
+    Datetime, :552-558 — every gate here requires a date part)."""
+    return parse_datetime_multi(col).isNotNull().cast("int")
+
+
+def time_only_probe_expr(col: Column | str) -> Column:
+    """1/0: the value parses under some time-only COMMON_TIMESTAMPS
+    format (reference column_is_timestamp, :464-504)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c.cast("string"))
+    probes = [F.when(t.rlike(gate),
+                     F.try_to_timestamp(F.upper(t), F.lit(fmt)))
+              for fmt, gate in COMMON_TIMESTAMPS_SPARK]
+    return F.when(F.length(t) <= 12, F.coalesce(*probes)) \
+            .isNotNull().cast("int")
+
+
+def column_is_timestamp(df: DataFrame, column_name: str) -> bool:
+    """True iff every non-null value is time-only (reference
+    column_is_timestamp :464-504 generalized over all COMMON_TIMESTAMPS
+    formats). One aggregate job."""
+    c = F.col(column_name)
+    row = df.agg(
+        F.count(c).alias("n"),
+        F.coalesce(F.sum(time_only_probe_expr(c)), F.lit(0)).alias("ok"),
+    ).collect()[0]
+    return row["n"] > 0 and row["ok"] == row["n"]
+
+
+def infer_datetime_format(df: DataFrame, column_name: str) -> str | None:
+    """COLUMN-level format election with the reference's semantics
+    (infer_datetime_column :508-579): refuse integer-like and time-only
+    columns, then return the FIRST format under which every non-null
+    value parses; ``'dateutil'`` when only the per-value fallback covers
+    the column; None when the column is not datetime-convertible.
+
+    ONE aggregate computes every per-format success count (the counts
+    are independent aggregations over the same scan — column-count-free),
+    plus the integer-like and time-only tallies; the dateutil UDF job
+    runs only when all formats failed (rare)."""
+    from .typing import safe_bigint
+    c = F.col(column_name)
+    t = F.trim(c.cast("string"))
+    aggs = [
+        F.count(c).alias("n"),
+        F.count(safe_bigint(t)).alias("int_like"),
+        F.coalesce(F.sum(time_only_probe_expr(c)), F.lit(0)).alias("timeonly"),
+    ]
+    for i, (fmt, gate, needs_initcap) in enumerate(COMMON_DATETIMES_SPARK):
+        v = F.initcap(t) if needs_initcap else t
+        ok = F.when(t.rlike(gate), F.try_to_timestamp(v, F.lit(fmt)))
+        aggs.append(F.count(ok).alias(f"f{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    if n == 0 or row["int_like"] == n or row["timeonly"] == n:
+        return None
+    for i, (fmt, _, _) in enumerate(COMMON_DATETIMES_SPARK):
+        if row[f"f{i}"] == n:
+            return fmt
+    # dateutil fallback: all non-null values must parse
+    ok = df.agg(F.count(dateutil_parse(c)).alias("ok")).collect()[0]["ok"]
+    return "dateutil" if ok == n else None
+
+
+def _dateutil_series(s: pd.Series) -> pd.Series:
+    from dateutil import parser as duparser
+
+    def one(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        try:
+            dt = duparser.parse(str(v))
+        except (ValueError, OverflowError, TypeError):
+            return None
+        if dt.tzinfo is not None:
+            import datetime as _dt
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return dt
+
+    return s.map(one)
+
+
+_DATEUTIL_UDF = None
+
+
+def dateutil_parse(col: Column | str) -> Column:
+    """Vectorized dateutil fallback (reference :570-576) — the one
+    semantically-required Python UDF (SURVEY §2.7). Arrow-batched
+    Series→Series; tz-aware results are normalized to naive UTC."""
+    global _DATEUTIL_UDF
+    if _DATEUTIL_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+        _DATEUTIL_UDF = pandas_udf(_dateutil_series, "timestamp")
+    c = F.col(col) if isinstance(col, str) else col
+    return _DATEUTIL_UDF(c.cast("string"))
+
+
+def convert_datetime_column(df: DataFrame, column_name: str) -> DataFrame | None:
+    """The full ``infer_datetime_column`` op (reference :508-579): elect
+    a format, convert the column to timestamp with ONE parse per cell
+    (no waste — the election already knows the format), or return None
+    when the column should stay as-is."""
+    fmt = infer_datetime_format(df, column_name)
+    if fmt is None:
+        return None
+    c = F.col(column_name)
+    t = F.trim(c.cast("string"))
+    if fmt == "dateutil":
+        parsed = dateutil_parse(c)
+    else:
+        needs_initcap = any(f == fmt and ic
+                            for f, _, ic in COMMON_DATETIMES_SPARK)
+        parsed = F.try_to_timestamp(F.initcap(t) if needs_initcap else t,
+                                    F.lit(fmt))
+    return df.withColumn(column_name, parsed)

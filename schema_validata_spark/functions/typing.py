@@ -67,18 +67,12 @@ def type_probe_aggs(col_name: str, canonical: Column) -> list[Column]:
     as_double = F.count(safe_double(s)).alias(f"{col_name}__float_ok")
     as_bool = F.count(F.when(F.lower(s).isin(BOOL_WORDS), 1)) \
         .alias(f"{col_name}__bool_ok")
-    # ISO-ish datetime parse (Spark's default try_to_timestamp handles
-    # 'yyyy-MM-dd[ HH:mm:ss]'); a date-only probe widens coverage. The
-    # reference tries 11 strptime formats (src/schema_validata.py:93-115);
-    # extended formats can be added as additional coalesced probes. The
-    # shape gate avoids a per-cell parse exception on non-date strings.
-    as_ts = F.count(
-        F.when(s.rlike(r"^\d{1,4}[-/]\d{1,2}[-/]\d{1,4}([ T]|$)"),
-               F.coalesce(
-                   F.try_to_timestamp(s),
-                   F.try_to_timestamp(s, F.lit("MM/dd/yyyy")),
-                   F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))))
-    ).alias(f"{col_name}__ts_ok")
+    # full COMMON_DATETIMES probe battery (reference src/schema_validata
+    # .py:93-115), shape-gated per format (functions/datetimes.py) —
+    # non-date strings never attempt a parse
+    from .datetimes import datetime_probe_expr
+    as_ts = F.coalesce(F.sum(datetime_probe_expr(s)), F.lit(0)) \
+        .alias(f"{col_name}__ts_ok")
     # leading zeros force String (reference src/schema_validata.py:957-971)
     lead0 = F.max(F.when(s.rlike(r"^0\d"), 1).otherwise(0)) \
         .alias(f"{col_name}__lead0")
@@ -96,12 +90,15 @@ def decide_logical_type(probes: dict[str, int]) -> str:
         return "Null-Unknown"
     if probes["bool_ok"] == n:
         return "Boolean"
-    if probes.get("lead0", 0):
-        return "String"
-    if probes["int_ok"] == n:
-        return "Integer"
-    if probes["float_ok"] == n:
-        return "Float"
+    # leading zeros veto the NUMERIC interpretations only ('07' stays
+    # String, reference :957-971/1113-1114) — a date like '01/02/2024'
+    # still reaches the datetime probe (reference classifier re-probes
+    # strings as numeric THEN datetime, :1194-1206)
+    if not probes.get("lead0", 0):
+        if probes["int_ok"] == n:
+            return "Integer"
+        if probes["float_ok"] == n:
+            return "Float"
     if probes["ts_ok"] == n:
         return "Datetime"
     return "String"

@@ -38,16 +38,12 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import MAX_UNIQUE_VALS
+from ..functions.datetimes import datetime_probe_expr
 from ..functions.nulls import canonicalize_na, is_na_expr
 from ..functions.typing import (decide_logical_type, safe_bigint,
                                 safe_double, spark_type_to_logical)
 
 _PROBES = ["nonnull", "int_ok", "float_ok", "bool_ok", "ts_ok", "lead0"]
-
-# cheap gate before try_to_timestamp: attempting a timestamp parse on
-# arbitrary strings costs a JVM exception per failure; only date-shaped
-# values are worth probing (the probe formats all start `d{1,4}sep d`)
-_DATEISH = r"^\s*\d{1,4}[-/]\d{1,2}[-/]\d{1,4}([ T]|$)"
 
 
 def _canonical_values(df: DataFrame, na_values=None, na_patterns=None):
@@ -65,15 +61,32 @@ def _canonical_values(df: DataFrame, na_values=None, na_patterns=None):
     return out
 
 
-def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
+def _melt_stats(df: DataFrame, na_values=None, na_patterns=None,
+                exact_unique_cols: list[str] | None = None,
+                max_unique_vals: int = MAX_UNIQUE_VALS
                 ) -> tuple[dict[str, Any], dict[str, dict[str, int]],
                            dict[str, int], int]:
     """One-scan stats for all columns. Returns ``(a, b, nulls_row,
     total)`` where ``a`` holds per-column scalar stats keyed
-    ``{col}__{stat}``, ``b`` holds exact distinct/duplicate counts and
-    ``nulls_row`` the raw null-likeness flags."""
+    ``{col}__{stat}``, ``b`` holds distinct/duplicate counts and
+    ``nulls_row`` the raw null-likeness flags.
+
+    ``exact_unique_cols`` gates the EXACT value aggregate (the only part
+    of profiling whose shuffle grows with distinct-value count — a
+    mostly-unique string column ships ~1 row per value): ``None`` means
+    exact everywhere (oracle/parity mode); a list means exact only for
+    those columns plus any column whose HLL estimate (computed in the
+    feature aggregate, SURVEY §2.3 'distinct-via-HLL') is within 2× of
+    the allowed-list cap — low-cardinality by construction, so their
+    exact pass collapses map-side and costs ~nothing. Other columns get
+    ``distinct`` = HLL estimate and ``dup_members`` = None (unmeasured).
+    """
     from ..plans.parallelism import ensure_min_parallelism
     df = ensure_min_parallelism(df)
+
+    # HLL machinery (per-cell hash + sketch) only exists in screened
+    # mode; exact mode keeps the lean round-1 melt.
+    want_hll = exact_unique_cols is not None
 
     zero = F.lit(0)
     nullint = F.lit(None).cast("int")
@@ -101,21 +114,10 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
                 safe_bigint(c).isNotNull().cast("int").alias("int_ok"),
                 d.isNotNull().cast("int").alias("float_ok"),
                 bool_word.cast("int").alias("bool_ok"),
-                # two-tier gate: cheap substring/contains screen, then the
-                # date-shape regex, only then real timestamp parses (a
-                # failed parse costs a JVM exception — never pay it for
-                # prose/JSON)
-                F.when(F.substring(F.trim(c), 1, 1).between("0", "9")
-                       & (c.contains("-") | c.contains("/"))
-                       & c.rlike(_DATEISH),
-                       F.coalesce(
-                           F.try_to_timestamp(F.trim(c)),
-                           F.try_to_timestamp(F.trim(c),
-                                              F.lit("MM/dd/yyyy")),
-                           F.try_to_timestamp(
-                               F.trim(c),
-                               F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))))
-                 .isNotNull().cast("int").alias("ts_ok"),
+                # full COMMON_DATETIMES probe battery (reference
+                # :93-115), two-tier shape-gated so prose/JSON never
+                # attempts a parse (functions/datetimes.py)
+                datetime_probe_expr(c).alias("ts_ok"),
                 # lead0 probes the TRIMMED value — ' 07' still forces
                 # String inference, matching type_probe_aggs (rlike '^0\d'
                 # on trim) and the reference's stringified check
@@ -159,7 +161,12 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
                     (F.lit(1) if is_ts else zero).alias("ts_ok"),
                     zero.alias("lead0"),
                 ]
-        return F.struct(F.lit(f.name).alias("cname"), na.alias("na"), *feats)
+        # value hash for the HLL distinct estimate (sketches merge
+        # map-side; the exact value-agg below is gated on this estimate)
+        if want_hll:
+            feats.append(F.when(~na, F.xxhash64(c)).alias("h"))
+        return F.struct(F.lit(f.name).alias("cname"), na.alias("na"),
+                        *feats)
 
     m = df.select(
         F.explode(F.array(*[_feat(f) for f in df.schema.fields])).alias("m")
@@ -168,7 +175,7 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
     # derive the nonnull flag — cheap per-cell ops on generated attributes
     na_col = F.col("na")
     cell = m.select(
-        "cname", "na",
+        "cname", "na", *(["h"] if want_hll else []),
         *[F.when(~na_col, F.col(k)).alias(k)
           for k in ("len_raw", "len_int", "d", "allint", "b",
                     "int_ok", "float_ok", "bool_ok", "ts_ok", "lead0")],
@@ -195,29 +202,47 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
         F.coalesce(F.sum("bool_ok"), F.lit(0)).alias("bool_ok"),
         F.coalesce(F.sum("ts_ok"), F.lit(0)).alias("ts_ok"),
         F.coalesce(F.max("lead0"), F.lit(0)).alias("lead0"),
+        *([F.approx_count_distinct("h").alias("approx_distinct")]
+          if want_hll else []),
     )
+
+    feat_rows = per_col.collect()
+
+    # Which columns get the EXACT value aggregate (see docstring): all of
+    # them in oracle/parity mode, else requested ∪ HLL-screened.
+    if want_hll:
+        approx_d = {r["cname"]: int(r["approx_distinct"] or 0)
+                    for r in feat_rows}
+        exact_set = set(exact_unique_cols) | {
+            c for c, est in approx_d.items() if est <= 2 * max_unique_vals}
+    else:
+        approx_d = {}
+        exact_set = {f.name for f in df.schema.fields}
 
     # Value aggregate: exact distinct + duplicate-member counts. Group
     # key (cname, prefix32, hash64) — long values never shuffle; a hot
     # value collapses map-side to one partial row per task.
-    vkeys = df.select(F.explode(F.array(*[
-        F.struct(
-            F.lit(f.name).alias("cname"),
-            F.substring(vv, 1, 32).alias("p"),
-            # xxhash64(NULL) yields the seed, not NULL — gate explicitly
-            F.when(vv.isNotNull(), F.xxhash64(vv)).alias("h"))
-        for f, vv in _canonical_values(df, na_values, na_patterns)
-    ])).alias("k")).select("k.*").where(F.col("h").isNotNull())
-    dup = (vkeys.groupBy("cname", "p", "h")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .groupBy("cname")
-                .agg(F.count(F.lit(1)).alias("distinct"),
-                     F.coalesce(F.sum(F.when(F.col("cnt") > 1,
-                                             F.col("cnt"))), F.lit(0))
-                      .alias("dup_members")))
-
-    feat_rows = per_col.collect()
-    dup_rows = dup.collect()
+    pairs = [(f, vv)
+             for f, vv in _canonical_values(df, na_values, na_patterns)
+             if f.name in exact_set]
+    dup_rows = []
+    if pairs:
+        vkeys = df.select(F.explode(F.array(*[
+            F.struct(
+                F.lit(f.name).alias("cname"),
+                F.substring(vv, 1, 32).alias("p"),
+                # xxhash64(NULL) yields the seed, not NULL — gate explicitly
+                F.when(vv.isNotNull(), F.xxhash64(vv)).alias("h"))
+            for f, vv in pairs
+        ])).alias("k")).select("k.*").where(F.col("h").isNotNull())
+        dup = (vkeys.groupBy("cname", "p", "h")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .groupBy("cname")
+                    .agg(F.count(F.lit(1)).alias("distinct"),
+                         F.coalesce(F.sum(F.when(F.col("cnt") > 1,
+                                                 F.col("cnt"))), F.lit(0))
+                          .alias("dup_members")))
+        dup_rows = dup.collect()
 
     a: dict[str, Any] = {}
     b: dict[str, dict[str, int]] = {}
@@ -243,6 +268,10 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None
     for r in dup_rows:
         b[r["cname"]] = {"distinct": r["distinct"],
                          "dup_members": r["dup_members"]}
+    # HLL-only columns: distinct is the estimate, dup count unmeasured
+    for name, est in approx_d.items():
+        if name not in exact_set and name not in b:
+            b[name] = {"distinct": est, "dup_members": None}
     # columns absent from the result (empty table) → all-zero stats
     for f in df.schema.fields:
         a.setdefault(f"{f.name}__nonnull", 0)
@@ -280,7 +309,8 @@ def profile(df: DataFrame,
             false_val="False", true_val="True", na_val=None,
             infer_types: bool | None = None,
             na_values=None, na_patterns=None,
-            out_distincts: dict[str, int] | None = None
+            out_distincts: dict[str, int] | None = None,
+            exact_unique_cols: list[str] | None = None
             ) -> dict[str, dict[str, Any]]:
     """Observed schema: ``{column: column_info}`` with the exact shape and
     quirks of the reference's build_data_dictionary output
@@ -296,13 +326,26 @@ def profile(df: DataFrame,
       numerically, others lexicographically;
     * length measured on int-cast strings when the column is all whole
       numbers.
+
+    ``exact_unique_cols`` (scale lever, SURVEY §2.3 'distinct-via-HLL'):
+    ``None`` (default) computes exact distinct/duplicate counts for every
+    column — the reference-parity/oracle mode. A list restricts the
+    exact value aggregate to those columns (the ones a unique_value rule
+    actually needs) plus HLL-screened low-cardinality columns; all other
+    columns report ``duplicate_count``/``unique_value`` = ``na_val``
+    (unmeasured) and an HLL-estimated distinct count — at 10^12 rows
+    this keeps a mostly-unique text column from shuffling one row per
+    distinct value for a stat nothing consumes.
     """
     canon = canonicalize_na(df, na_values=na_values, na_patterns=na_patterns)
     infer = infer_types if infer_types is not None else True
     # allow_null (observed) is measured on the RAW column with the extended
     # null vocabulary (reference series_hasNull on the unconverted column);
     # the melt carries that flag alongside the canonicalized value.
-    a, b, nulls_row, total = _melt_stats(df, na_values, na_patterns)
+    a, b, nulls_row, total = _melt_stats(
+        df, na_values, na_patterns,
+        exact_unique_cols=exact_unique_cols,
+        max_unique_vals=max_unique_vals)
     if out_distincts is not None:
         out_distincts.update(
             {c: int(info["distinct"]) for c, info in b.items()})
@@ -363,11 +406,15 @@ def profile(df: DataFrame,
             "field_name": name, "data_type": dtype,
             "allow_null": true_val if nulls_row[name] else false_val,
             "null_count": int(total - nonnull),
-            "duplicate_count": int(dups),
+            # dups None = HLL-screened out (not measured): no rule needs
+            # the exact count, and the verdict diff treats na_val as
+            # bool False so a unique_value=False rule still matches
+            "duplicate_count": na_val if dups is None else int(dups),
             "length": int(length) if length is not None else na_val,
             "range_min": rmin, "range_max": rmax,
             "regex_pattern": na_val,
-            "unique_value": true_val if dups == 0 else false_val,
+            "unique_value": (na_val if dups is None else
+                             true_val if dups == 0 else false_val),
             "allowed_value_list": na_val,
             "required": true_val,
         }

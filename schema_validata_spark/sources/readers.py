@@ -65,9 +65,12 @@ def read_csv_validated(spark: SparkSession, path: str,
         if target == "string":
             casts.append(F.col(c))
         elif target == "timestamp":
-            casts.append(F.coalesce(
-                F.try_to_timestamp(F.col(c)),
-                F.try_to_timestamp(F.col(c), F.lit("MM/dd/yyyy"))).alias(c))
+            # full multi-format parse (reference COMMON_DATETIMES + ISO);
+            # a format election (functions/datetimes.py:
+            # infer_datetime_format) is available when one-parse-per-cell
+            # matters more than the extra election job
+            from ..functions.datetimes import parse_datetime_multi
+            casts.append(parse_datetime_multi(F.col(c)).alias(c))
         elif target == "boolean":
             casts.append(F.lower(F.trim(F.col(c))).try_cast("boolean").alias(c))
         else:

@@ -245,8 +245,15 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
     violations = None
     spec_specs: list[CheckSpec] = []
     distincts: dict[str, int] = {}
+    # Exact distinct/duplicate stats only where a unique_value rule needs
+    # them (plus HLL-screened low-cardinality columns, handled inside
+    # profile): a mostly-unique text column must not shuffle one row per
+    # distinct value for a stat no verdict consumes (VERDICT r1 #3).
+    exact_cols = [fr.field_name for fr in rules
+                  if fr.unique_value and fr.field_name in df.columns]
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_prof = pool.submit(profile, df, out_distincts=distincts)
+        f_prof = pool.submit(profile, df, out_distincts=distincts,
+                             exact_unique_cols=exact_cols)
         f_comp = pool.submit(_composites)
         f_ri = pool.submit(_referentials)
         if speculative:

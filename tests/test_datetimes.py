@@ -1,0 +1,127 @@
+"""Datetime format coverage (VERDICT r1 #4 / missing #1, #5): the
+reference's COMMON_DATETIMES probe set, time-only refusal, and the
+dateutil pandas-UDF fallback — parity-tested against the actual
+reference module."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pandas as pd
+import pytest
+
+_fake = types.ModuleType("chardet")
+_fake.detect = lambda b: {"encoding": "utf-8", "confidence": 1.0}
+sys.modules.setdefault("chardet", _fake)
+sys.path.insert(0, "/root/reference/src")
+import schema_validata as ref  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from schema_validata_spark.functions.datetimes import (  # noqa: E402
+    column_is_timestamp, convert_datetime_column, dateutil_parse,
+    infer_datetime_format, parse_datetime_multi)
+from schema_validata_spark.operators.profile import profile  # noqa: E402
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "d: string")
+
+
+FORMAT_CASES = [
+    # (values, expected all-parse) — one case per COMMON_DATETIMES family
+    (["11/14/2023", "01/02/2024"], "M/d/yyyy"),
+    (["Nov-14-2023", "Jan-02-2024"], "MMM-d-yyyy"),
+    (["November 14, 2023", "January 2, 2024"], "MMMM d, yyyy"),
+    (["2023-11-14", "2024-01-02"], "yyyy-M-d"),
+    (["14-11-2023", "02-01-2024"], "d-M-yyyy"),
+    (["11/14/2023 10:30:00", "01/02/2024 23:59:59"], "M/d/yyyy H:mm:ss"),
+    (["2023-11-14 10:30:00", "2024-01-02 00:00:01"], "yyyy-M-d H:mm:ss"),
+    (["2023-11", "2024-01"], "yyyy-M"),
+    (["2023-11-14T10:30:00Z", "2024-01-02T01:02:03Z"],
+     "yyyy-M-d'T'H:mm:ss'Z'"),
+]
+
+
+@pytest.mark.parametrize("values,fmt", FORMAT_CASES)
+def test_format_election_matches_reference(spark, values, fmt):
+    got = infer_datetime_format(_df(spark, values), "d")
+    assert got == fmt
+    # reference agrees these columns are datetime-convertible
+    out = ref.infer_datetime_column(pd.DataFrame({"d": values}), "d")
+    assert pd.api.types.is_datetime64_any_dtype(out)
+    # and per-cell values match the reference's parse
+    ours = [r["p"] for r in _df(spark, values)
+            .select(parse_datetime_multi("d").alias("p")).collect()]
+    theirs = list(pd.to_datetime(out).dt.to_pydatetime())
+    assert ours == theirs
+
+
+def test_refuses_integer_like_column(spark):
+    """Reference :544-551: integer-like columns are not datetimes."""
+    vals = ["20231114", "20240102"]
+    assert infer_datetime_format(_df(spark, vals), "d") is None
+    out = ref.infer_datetime_column(pd.DataFrame({"d": vals}), "d")
+    assert not pd.api.types.is_datetime64_any_dtype(out)
+
+
+def test_refuses_time_only_column(spark):
+    """Reference :552-558 INTENDS to refuse time-only columns via
+    column_is_timestamp (:464-504), but its guard is dead code:
+    ``all(column_is_timestamp(df, col, fmt) for fmt in
+    COMMON_TIMESTAMPS)`` demands EVERY format parse every value, so
+    time-only columns fall through to dateutil and convert with TODAY'S
+    date — a wall-clock-dependent result. We implement the intended
+    any-format refusal (documented divergence; deterministic)."""
+    vals = ["10:30:00", "23:59:59"]
+    df = _df(spark, vals)
+    assert column_is_timestamp(df, "d") is True
+    assert infer_datetime_format(df, "d") is None
+    # the single-format reference op agrees on the primitive…
+    assert bool(ref.column_is_timestamp(
+        pd.DataFrame({"d": vals}), "d", "%H:%M:%S"))
+    # …but its composed guard leaks the column to dateutil (the bug)
+    out = ref.infer_datetime_column(pd.DataFrame({"d": vals}), "d")
+    assert pd.api.types.is_datetime64_any_dtype(out)
+    # 12-hour AM/PM variants count as time-only too
+    assert column_is_timestamp(_df(spark, ["10:30 AM", "1:05 pm"]), "d")
+
+
+def test_dateutil_fallback(spark):
+    """A format outside COMMON_DATETIMES ('14 Nov 2023') goes through
+    the vectorized dateutil UDF, matching the reference's fallback."""
+    vals = ["14 Nov 2023", "2 Jan 2024"]
+    assert infer_datetime_format(_df(spark, vals), "d") == "dateutil"
+    got = [r["p"] for r in _df(spark, vals)
+           .select(dateutil_parse("d").alias("p")).collect()]
+    assert [str(g) for g in got] == ["2023-11-14 00:00:00",
+                                    "2024-01-02 00:00:00"]
+    conv = convert_datetime_column(_df(spark, vals), "d")
+    assert conv.schema["d"].dataType.simpleString() == "timestamp"
+    assert conv.where("d IS NULL").count() == 0
+
+
+def test_profile_detects_extended_formats(spark):
+    """Round-1 gap: '14-Nov-2023'-style columns silently profiled as
+    String; now they type as Datetime."""
+    for vals in (["Nov-14-2023", "Jan-02-2024"],
+                 ["November 14, 2023", "January 2, 2024"],
+                 ["11/14/2023", "01/02/2024"]):
+        assert profile(_df(spark, vals))["d"]["data_type"] == "Datetime", vals
+    # time-only stays String (refusal parity)
+    assert profile(_df(spark, ["10:30:00", "23:59:59"]))["d"]["data_type"] \
+        == "String"
+    # prose with numbers stays String
+    assert profile(_df(spark, ["born 11/14/2023 in town", "x"])
+                   )["d"]["data_type"] == "String"
+
+
+def test_mixed_formats_stay_string_per_format_election(spark):
+    """Column-level election (reference semantics): a column mixing two
+    formats has no single all-parse format; dateutil rescues it iff every
+    value parses — '31/12/2023' does (day-first) so election says
+    dateutil, matching the reference's fallback behavior."""
+    vals = ["11/14/2023", "2023-11-14"]
+    fmt = infer_datetime_format(_df(spark, vals), "d")
+    assert fmt == "dateutil"

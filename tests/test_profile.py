@@ -116,3 +116,53 @@ def test_typed_timestamp_column(spark):
 def test_mixed_column_is_string(spark, col, expected):
     df = make_df(spark, [("1",), ("x",), ("2.5",)], f"{col}: string")
     assert profile(df)[col]["data_type"] == expected
+
+
+def test_hll_screened_profile(spark):
+    """exact_unique_cols gates the exact value aggregate (VERDICT r1 #3):
+    ruled columns stay exact, low-cardinality columns pass the HLL screen
+    and stay exact (allowed-list capture intact), high-cardinality
+    unruled columns report unmeasured dup stats + HLL distinct."""
+    from pyspark.sql import functions as F
+    df = spark.range(2_000).select(
+        F.col("id").alias("uid"),
+        F.concat(F.lit("txt-"), F.col("id")).alias("text"),
+        (F.col("id") % 4).cast("string").alias("cat"))
+    # duplicate one uid value
+    df = df.union(df.limit(1))
+
+    p_exact = {}
+    prof = profile(df, exact_unique_cols=["uid"], out_distincts=p_exact)
+    assert prof["uid"]["duplicate_count"] == 2          # exact (ruled)
+    assert prof["uid"]["unique_value"] == "False"
+    assert prof["cat"]["allowed_value_list"] == [0, 1, 2, 3]  # screened
+    assert prof["text"]["duplicate_count"] is None       # unmeasured
+    assert prof["text"]["unique_value"] is None
+    est = p_exact["text"]
+    assert 0.8 * 2001 <= est <= 1.2 * 2001               # HLL estimate
+
+    # default mode unchanged: exact everywhere
+    full = profile(df)
+    assert full["text"]["duplicate_count"] == 2
+    assert full["text"]["unique_value"] == "False"
+
+
+def test_screened_profile_verdicts_match_exact(spark):
+    """Verdicts from a screened profile equal verdicts from a full exact
+    profile when unique rules cover the exact set."""
+    from schema_validata_spark.operators.verdicts import verdicts_for
+    from schema_validata_spark.rules import FieldRule, Rules
+    from pyspark.sql import functions as F
+    df = spark.range(500).select(
+        F.col("id").alias("uid"),
+        F.concat(F.lit("t"), F.col("id") % 400).alias("text"))
+    rules = Rules(name="S", fields=[
+        FieldRule("uid", required=True, data_type="Integer",
+                  unique_value=True, allow_null=False),
+        FieldRule("text", required=True, data_type="String",
+                  unique_value=False, length=2),
+    ])
+    v_exact = verdicts_for(rules, profile(df), "d")
+    v_scr = verdicts_for(rules, profile(df, exact_unique_cols=["uid"]), "d")
+    assert v_exact == v_scr
+    assert "length" in v_scr["text"]
