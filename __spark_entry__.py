@@ -344,10 +344,27 @@ def q_minhash_near_duplicates(spark, sf_dir):
 
 
 def q_simhash_near_duplicates(spark, sf_dir):
-    """SimHash chunked-signature near-dup pairs."""
+    """SimHash chunked-signature near-dup pairs. max_hamming=3 → 4
+    chunks of 16 bits (65,536 bucket values per chunk) — the
+    scale-honest default (operators/dedup.py scale contract); wider
+    Hamming radii lean on the bucket-size cap."""
     df = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=7,
+    return simhash_near_duplicates(df, "text", "doc_id", max_hamming=3,
                                    shingle_k=2)
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Corpus-wide embedding near-dup SCALE path: hyperplane-bucketed
+    candidates + exact cosine verify (operators/dedup.py:
+    embedding_near_duplicates_lsh). Approximate recall → rows-only
+    check; its exact superset `embedding_near_duplicates` IS oracle-
+    checked and the recall bound is pytest-asserted."""
+    from schema_validata_spark.operators.dedup import \
+        embedding_near_duplicates_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates_lsh(emb, threshold=0.45,
+                                          n_planes=4, n_tables=16)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -422,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
 

@@ -12,7 +12,8 @@ Public API:
 
 from .config import (ALLOWED_CASTING, DATA_DICT_SCHEMA, NA_PATTERNS,
                      NA_VALUES, SCHEMA_ERROR_TEMPLATES)
-from .rules import FieldRule, Rules
+from .report import schema_validation_to_xlsx, write_dataframes_to_xlsx
+from .rules import FieldRule, Rules, data_dict_xlsx_to_json
 from .operators.profile import (length_percentiles, profile,
                                 profile_stats_df)
 from .operators.verdicts import validate_schema, verdicts_for
@@ -23,6 +24,7 @@ from .operators.integrity import (referential_violation_count,
                                   referential_violations)
 from .operators.drift import build_histograms, drift_scores
 from .operators.dedup import (dedup_exact, embedding_near_duplicates,
+                              embedding_near_duplicates_lsh,
                               exact_duplicates, minhash_near_duplicates,
                               ngram_jaccard_pairs, simhash_near_duplicates)
 from .operators.similarity import brute_force_topk, lsh_ann_topk
@@ -33,6 +35,8 @@ from .validate import (ValidationResult, partition_verdicts, validate,
 __all__ = [
     "ALLOWED_CASTING", "DATA_DICT_SCHEMA", "NA_PATTERNS", "NA_VALUES",
     "SCHEMA_ERROR_TEMPLATES", "FieldRule", "Rules",
+    "data_dict_xlsx_to_json", "schema_validation_to_xlsx",
+    "write_dataframes_to_xlsx",
     "profile", "profile_stats_df", "length_percentiles",
     "validate_schema", "verdicts_for",
     "value_errors_df", "violation_plan_for", "get_best_uid_column",
@@ -40,6 +44,7 @@ __all__ = [
     "referential_violation_count", "referential_violations",
     "build_histograms", "drift_scores",
     "dedup_exact", "exact_duplicates", "embedding_near_duplicates",
+    "embedding_near_duplicates_lsh",
     "minhash_near_duplicates", "ngram_jaccard_pairs",
     "simhash_near_duplicates", "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",

@@ -8,10 +8,14 @@ distributed engine.
   schema_validation_to_xlsx (:2758-2789) as a tiny DataFrame-able list:
   one row per (dataset, column, error type) with the formatted message.
 * ``write_report`` — JSON + overview CSV + the (possibly huge)
-  violations as parquet. XLSX (the reference's sink, :2715-2816, with
-  its 1,048,575-row sheet chunking) is gated behind an openpyxl
-  import-try: a 10^12-row engine reports to tables, and renders xlsx
-  only for small human-facing extracts when the library exists.
+  violations as parquet + the full XLSX report.
+* ``schema_validation_to_xlsx`` / ``write_dataframes_to_xlsx`` — the
+  reference's xlsx report sink (:2715-2816) including the Metadata
+  sheet, per-dataset value-error sheets and the 1,048,575-row sheet
+  chunking (:1574-1620), over the stdlib OOXML writer
+  (sources/xlsx.py — openpyxl is absent in this environment). A
+  10^12-row engine reports to tables; xlsx is the small human-facing
+  extract (value errors are driver-capped upstream).
 """
 
 from __future__ import annotations
@@ -72,14 +76,111 @@ def write_report(result: ValidationResult, out_dir: str,
         result.violations.write.mode("overwrite").parquet(vpath)
         paths["violations_parquet"] = vpath
 
-    try:  # optional xlsx extract (small data only)
-        import openpyxl  # noqa: F401
-        import pandas as pd
-        xpath = os.path.join(out_dir, f"{out_name}_({result.uid}).xlsx")
-        with pd.ExcelWriter(xpath) as xw:
-            pd.DataFrame(rows).to_excel(xw, sheet_name="Errors Overview",
-                                        index=False)
-        paths["xlsx"] = xpath
-    except ImportError:
-        pass
+    paths["xlsx"] = schema_validation_to_xlsx(report, out_dir, out_name)
     return paths
+
+
+MAX_ROWS_EXCEL = 1_048_575   # reference src/schema_validata.py:1574
+MAX_COLS_EXCEL = 16_383      # reference src/schema_validata.py:1575
+
+
+def write_dataframes_to_xlsx(dataframes: dict[str, list[dict]],
+                             out_dir: str, out_name: str,
+                             sheet_order: list[str] | None = None) -> str:
+    """The reference's write_dataframes_to_xlsx (src/schema_validata.py:
+    1546-1627) over the stdlib writer (sources/xlsx.py — openpyxl is
+    absent here): sheets exceeding Excel's 1,048,575-row limit are split
+    into numbered chunks ``{count}_{sheet}`` exactly like the reference
+    (:1598-1612). ``dataframes`` maps sheet name → list of row dicts
+    (uniform keys define the header)."""
+    if not out_name.endswith(".xlsx"):
+        out_name = f"{out_name}.xlsx"
+    os.makedirs(out_dir, exist_ok=True)
+    output_path = os.path.join(out_dir, out_name)
+    order = sheet_order or list(dataframes)
+
+    def _grid(recs: list[dict]) -> list[list]:
+        if not recs:
+            return []
+        hdr: list[str] = []
+        for r in recs:
+            for k in r:
+                if k not in hdr:
+                    hdr.append(k)
+        return [hdr] + [[r.get(k) for k in hdr] for r in recs]
+
+    sheets: dict[str, list[list]] = {}
+    final_order: list[str] = []
+    for sheet_name in order:
+        recs = dataframes[sheet_name]
+        if len(recs) > MAX_ROWS_EXCEL:
+            count = 1
+            for i in range(0, len(recs), MAX_ROWS_EXCEL):
+                nm = f"{count}_{sheet_name}"
+                sheets[nm] = _grid(recs[i:i + MAX_ROWS_EXCEL])
+                final_order.append(nm)
+                count += 1
+        else:
+            sheets[sheet_name] = _grid(recs)
+            final_order.append(sheet_name)
+
+    from .sources.xlsx import write_xlsx
+    return write_xlsx(output_path, sheets, final_order)
+
+
+def schema_validation_to_xlsx(validation_results: dict[str, Any],
+                              out_dir: str,
+                              out_name: str | None = None) -> str:
+    """The reference's report renderer (src/schema_validata.py:2715-2816):
+    ``Metadata`` sheet (:2742-2753), ``Errors Overview`` with columns
+    Dataset/Column/Status/Required/Error Type/Error and title-cased
+    status (:2758-2789), one value-errors sheet per dataset sorted by
+    its row ordinal ascending (:2792-2806), file named
+    ``{out_name}_({uid}).xlsx`` (:2808-2811)."""
+    uid = list(validation_results)[0]
+    run = validation_results[uid]
+
+    metadata = [{"Item": k, "Attribute": k2, "Value": v2}
+                for k in ("run_metadata", "dataset_metadata",
+                          "data_dict_metadata")
+                for k2, v2 in (run.get(k) or {}).items()]
+    rpt_sheets: dict[str, list[dict]] = {"Metadata": metadata}
+    sheet_order = ["Metadata"]
+
+    error_ov = []
+    for ds, res in run.get("results", {}).items():
+        for col, info in (res.get("schema_violations") or {}).items():
+            if info.get("status") != "fail":
+                continue
+            for attr, err in info.items():
+                if attr in ("status", "required"):
+                    continue
+                error_ov.append({
+                    "Dataset": str(ds), "Column": str(col),
+                    "Status": str(info.get("status")).title(),
+                    "Required": str(info.get("required")).title(),
+                    "Error Type": str(attr),
+                    "Error": str(err.get("errors"))
+                    if isinstance(err, dict) else str(err),
+                })
+    rpt_sheets["Errors Overview"] = error_ov
+    sheet_order.append("Errors Overview")
+
+    for ds, res in run.get("results", {}).items():
+        ve = res.get("value_errors")
+        if not ve:
+            continue
+        # columnar {col: {row_idx: val}} → records (the reference's
+        # to_json round-trip shape, :2595-2602)
+        cols = list(ve)
+        idxs = sorted(ve[cols[0]], key=lambda s: int(s))
+        recs = [{c: ve[c].get(i) for c in cols} for i in idxs]
+        sort_key = next((c for c in ("Sheet Row", "sheet_row") if c in cols),
+                        None)
+        if sort_key:
+            recs.sort(key=lambda r: (r[sort_key] is None, r[sort_key]))
+        rpt_sheets[str(ds)] = recs
+        sheet_order.append(str(ds))
+
+    name = f"{uid}.xlsx" if not out_name else f"{out_name}_({uid}).xlsx"
+    return write_dataframes_to_xlsx(rpt_sheets, out_dir, name, sheet_order)

@@ -16,12 +16,98 @@ import json
 from dataclasses import dataclass, field, fields as dc_fields
 from typing import Any, Iterable
 
-from .config import DATA_DICT_PRIMARY_KEY, LOGICAL_TYPES
+from .config import DATA_DICT_PRIMARY_KEY, DATA_DICT_SCHEMA, LOGICAL_TYPES
 
 _RULE_ATTRS = [
     "required", "data_type", "allow_null", "length", "range_min",
     "range_max", "regex_pattern", "unique_value", "allowed_value_list",
 ]
+
+
+def eval_nested_string_literals(data):
+    """Revive string-encoded Python literals anywhere in a nested dict —
+    the reference's eval_nested_string_literals (src/schema_validata.py:
+    388-434) faithfully: surrounding quote characters are stripped
+    (:421-424 — template cells carry ``"['a','b']"``), then EVERY scalar
+    gets one ``ast.literal_eval`` attempt (:426-430) — so ``'True'`` →
+    True and ``'7'`` → 7, exactly as the reference's rules dicts end up
+    typed. Recurses into dicts only, like the reference (:418-419)."""
+    if isinstance(data, str):
+        data = json.loads(data)
+    for key, value in data.items():
+        if isinstance(value, dict):
+            eval_nested_string_literals(value)
+        else:
+            try:
+                value = value.strip("\"'")
+            except AttributeError:
+                pass
+            try:
+                evaluated = ast.literal_eval(value)
+            except (SyntaxError, ValueError):
+                evaluated = value
+            if value != evaluated:  # replace only when evaluation changed
+                data[key] = evaluated
+    return data
+
+
+def _cell_na(v):
+    """Driver-side scalar NA classifier for rule cells (reference
+    check_na_value, :1216-1263, applied during dictionary parsing)."""
+    import re as _re
+
+    from .config import NA_PATTERNS, NA_VALUES
+    if v is None:
+        return None
+    if isinstance(v, str):
+        s = v.strip()
+        if s in NA_VALUES or not s:
+            return None
+        for p in NA_PATTERNS:
+            if _re.search(p, v):
+                return None
+    return v
+
+
+def data_dict_xlsx_to_json(path: str) -> dict[str, dict[str, dict]]:
+    """The reference's ``data_dict_to_json`` (src/schema_validata.py:
+    780-858) over the stdlib xlsx reader: keep only sheets whose columns
+    cover DATA_DICT_SCHEMA (:827-829), drop rows without field_name
+    (:831-834), key by field_name with the name echoed back into each
+    record (:835-839), revive string-encoded list literals (:842).
+    Driver-side metadata parsing — never the distributed path."""
+    from .sources.xlsx import read_xlsx_records
+
+    data_dict: dict[str, dict[str, dict]] = {}
+    for sheet, rows in read_xlsx_records(path).items():
+        if not rows:
+            continue
+        if not set(DATA_DICT_SCHEMA).issubset(set(rows[0].keys())):
+            continue
+        sheet_schema: dict[str, dict] = {}
+        for r in rows:
+            # rm_newlines=True, replace_char='' — the reference strips
+            # newlines from every cell at read time (:438-460, :816-820)
+            rec = {k: _cell_na(v.replace("\n", "").replace("\r", "")
+                               if isinstance(v, str) else v)
+                   for k, v in r.items()}
+            fname = rec.get(DATA_DICT_PRIMARY_KEY)
+            if fname is None:
+                continue
+            rec[DATA_DICT_PRIMARY_KEY] = str(fname)
+            sheet_schema[str(fname)] = rec
+        if sheet_schema:
+            data_dict[sheet] = sheet_schema
+    return eval_nested_string_literals(data_dict)
+
+
+def _parse_bool(v):
+    if isinstance(v, str):
+        s = v.strip().lower()
+        if s in ("true", "false"):
+            return s == "true"
+        return None
+    return v if isinstance(v, bool) else None
 
 
 def _num(v):
@@ -105,10 +191,31 @@ class Rules:
                 # Revive string-encoded python list literals, as the reference
                 # does via ast.literal_eval (src/schema_validata.py:388-434).
                 attrs["allowed_value_list"] = ast.literal_eval(avl)
+            # XLSX dictionaries carry booleans as 'True'/'False' strings
+            # (reference keeps them as object dtype, :51-62) — parse them
+            for battr in ("required", "allow_null", "unique_value"):
+                if isinstance(attrs.get(battr), str):
+                    attrs[battr] = _parse_bool(attrs[battr])
+            # length/range may arrive as floats from spreadsheet cells
+            if isinstance(attrs.get("length"), float):
+                attrs["length"] = int(attrs["length"])
             known = {f.name for f in dc_fields(FieldRule)} - {"field_name"}
             out.append(FieldRule(field_name=fname,
                                  **{k: v for k, v in attrs.items() if k in known}))
         return cls(name=name, fields=out)
+
+    @classmethod
+    def from_xlsx(cls, path: str,
+                  sheet: str | None = None) -> "dict[str, Rules] | Rules":
+        """Load rule tables from an XLSX data dictionary (the reference
+        user's authoring format — data_dictionary_template.xlsx). One
+        Rules per qualifying sheet; pass ``sheet`` to get exactly one."""
+        dd = data_dict_xlsx_to_json(path)
+        all_rules = {s: cls.from_nested_dict(s, flds)
+                     for s, flds in dd.items()}
+        if sheet is not None:
+            return all_rules[sheet]
+        return all_rules
 
     @classmethod
     def from_json(cls, name: str, text: str) -> "Rules":

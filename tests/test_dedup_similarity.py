@@ -116,3 +116,52 @@ def test_ivf_route_buckets(vecs):
     assert by_id[1] == by_id[2] == 1   # x-dominant
     assert by_id[3] == by_id[4] == 2   # y-dominant
     assert by_id[5] == 3
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """Scale-path recall vs the exact all-pairs baseline (VERDICT r1 #7):
+    hyperplane-bucketed candidates + exact verify must recover most true
+    pairs, with identical cos values on the pairs it finds."""
+    from schema_validata_spark.operators.dedup import (
+        embedding_near_duplicates, embedding_near_duplicates_lsh)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             embedding_near_duplicates(emb, threshold=0.45).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           embedding_near_duplicates_lsh(
+               emb, threshold=0.45, n_planes=4, n_tables=16).collect()}
+    assert set(lsh) <= set(exact)          # no false positives (exact verify)
+    recall = len(lsh) / max(1, len(exact))
+    assert recall >= 0.7, (recall, len(exact))
+    for k, v in lsh.items():
+        assert exact[k] == v               # identical cosines
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """10k identical docs must not explode candidate counts: the bucket
+    cap drops the degenerate bucket (exact dedup owns identical docs)."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.dedup import (
+        minhash_lsh_candidates, simhash_near_duplicates)
+    base = spark.range(10_000).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document "
+              "again and again for this skew test").alias("text"))
+    distinct_tail = spark.range(10_000, 10_020).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id"),
+                 F.lit(" with its own words entirely")).alias("text"))
+    df = base.union(distinct_tail)
+    mh = minhash_lsh_candidates(df, "text", "doc_id", max_bucket=100)
+    assert mh.count() < 1_000              # not ~5×10^7
+    sh = simhash_near_duplicates(df, "text", "doc_id", max_hamming=3,
+                                 max_bucket=100)
+    assert sh.count() < 1_000
+    # with the cap disabled the degenerate bucket would emit O(k²) pairs —
+    # guard the contract on a smaller clone set to keep the test fast
+    small = spark.range(200).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("same text for everyone in this tiny corpus").alias("text"))
+    uncapped = minhash_lsh_candidates(small, "text", "doc_id",
+                                      max_bucket=None)
+    assert uncapped.count() == 200 * 199 // 2
