@@ -397,6 +397,27 @@ def q_datetime_inference(spark, sf_dir):
                    F.date_format(F.max("p"), "yyyy-MM-dd").alias("max_d")))
 
 
+def q_na_discovery(spark, sf_dir):
+    """SURVEY §2.1 read_df_with_optimal_dtypes NA-vocabulary discovery
+    (functions/nulls.py:discover_na_values): NA-like raw values beyond
+    the literal sentinel list, per column. Values seeded
+    deterministically from customer keys."""
+    from schema_validata_spark.functions.nulls import discover_na_values
+    df = _t(spark, sf_dir, "customer")
+    mod = F.pmod(F.col("c_custkey"), F.lit(7))
+    status = (F.when(mod == 0, F.lit("N/A"))
+               .when(mod == 1, F.lit(" - "))
+               .when(mod == 2, F.lit("not available"))
+               .when(mod == 3, F.lit("  "))
+               .otherwise(F.col("c_mktsegment")))
+    vocab = discover_na_values(df.select(status.alias("status")))
+    rows = [("status", v) for v in vocab.get("status", [])]
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("column_name", T.StringType()),
+                           T.StructField("na_value", T.StringType())])
+    return spark.createDataFrame(rows, schema)
+
+
 def q_validate_events(spark, sf_dir):
     """End-to-end orchestrator (validate.py): flagged row-level violations
     for the events rule table, aggregated per (column, error_type)."""
@@ -424,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_verdicts": q_partition_verdicts,
         "validate_events": q_validate_events,
         "datetime_inference": q_datetime_inference,
+        "na_discovery": q_na_discovery,
         "dedup_exact": q_dedup_exact,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts": q_token_counts,
@@ -646,6 +668,30 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(d), '%Y-%m-%d') AS min_d,
                strftime(max(d), '%Y-%m-%d') AS max_d
         FROM p GROUP BY fmt_id"""
+
+    sql["na_discovery"] = """
+        WITH s AS (
+          SELECT CASE c_custkey % 7
+                   WHEN 0 THEN 'N/A'
+                   WHEN 1 THEN ' - '
+                   WHEN 2 THEN 'not available'
+                   WHEN 3 THEN '  '
+                   ELSE c_mktsegment END AS v
+          FROM customer)
+        SELECT DISTINCT 'status' AS column_name, v AS na_value
+        FROM s
+        WHERE v IS NOT NULL
+          AND v NOT IN ('', ' ', '#N/A', '#N/A N/A', '#NA', '-1.#IND',
+                        '-1.#QNAN', '-NaN', '-nan', '1.#IND', '1.#QNAN',
+                        '<NA>', 'N/A', 'NA', 'NULL', 'NaN', 'n/a', 'nan',
+                        'null', 'Null', 'None')
+          AND (trim(v) = ''
+               OR regexp_matches(v,
+                 '(?i)^\\s*NOT\\s{0,1}(?:\\s|_|-|/|\\\\|/){1}\\s{0,1}AVAILABLE\\s*$')
+               OR regexp_matches(v,
+                 '(?i)^\\s*N\\s{0,1}(?:\\s|_|-|/|\\\\|/){1}\\s{0,1}A\\s*$')
+               OR regexp_matches(v, '(?i)^\\s*(?:\\s|_|-|/|\\\\|/){1}\\s*$')
+               OR regexp_matches(v, '^\\s+$'))"""
 
     sql["dedup_exact"] = f"""
         SELECT doc_id FROM (

@@ -80,6 +80,43 @@ def is_na_expr(col: Column | str,
     return c.isNull() | ((F.length(F.trim(s)) <= gate) & s.rlike(pattern))
 
 
+def discover_na_values(df: DataFrame,
+                       na_values: list[str] | None = None,
+                       na_patterns: list[str] | None = None
+                       ) -> dict[str, list[str]]:
+    """Per-column NA vocabulary discovered FROM THE DATA — the
+    reference's read_df_with_optimal_dtypes discovery pass
+    (src/schema_validata.py:1086-1104): distinct raw values that
+    classify as NA-like under the pattern tier (beyond the literal
+    sentinels) per column, e.g. ``{'status': [' - ', 'NOT_AVAILABLE']}``.
+
+    The engine's canonicalization expression already nullifies these
+    inline (no re-read needed — the reference re-reads the file with the
+    extended list); this op exists to SURFACE the discovered vocabulary
+    for reports and dictionary bootstrapping. ONE melt scan; the result
+    is tiny by construction (NA-like tokens are short and few)."""
+    na_values = NA_VALUES if na_values is None else na_values
+    string_cols = [f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "string"]
+    if not string_cols:
+        return {}
+    m = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("cname"), F.col(c).alias("v"))
+        for c in string_cols])).alias("m")).select("m.*")
+    # exclusion is EXACT membership in the literal sentinel list (the
+    # reference extends read_as_na with every NA-classified unique value,
+    # :1089-1096 — already-listed sentinels add nothing); pattern-tier
+    # hits like ' - ' or '  ' are the discovery's whole point
+    hits = m.where(
+        F.col("v").isNotNull()
+        & is_na_expr(F.col("v"), na_values, na_patterns)
+        & ~F.col("v").isin([v for v in na_values if v is not None]))
+    rows = (hits.groupBy("cname")
+                .agg(F.sort_array(F.collect_set("v")).alias("vals"))
+                .collect())
+    return {r["cname"]: list(r["vals"]) for r in rows}
+
+
 def canonicalize_na(df: DataFrame,
                     columns: list[str] | None = None,
                     na_values: list[str] | None = None,

@@ -143,8 +143,11 @@ def _check_condition(df: DataFrame, spec: CheckSpec,
         return ~F.isnan(d) & (d > float(spec.param)), \
             range_error_type("max", spec.param)
     if spec.check == "regex_pattern":
-        # Python re.match anchors at the start only → rlike with '^(?:…)'
-        return c.isNotNull() & ~s.rlike(f"^(?:{spec.param})"), \
+        # Python re.match anchors at the start only → rlike('^(?:…)');
+        # patterns using Python-only constructs route through the
+        # pandas-UDF parity fallback (functions/regex_parity.py)
+        from ..functions.regex_parity import re_match_expr
+        return c.isNotNull() & ~re_match_expr(s, spec.param), \
             ERROR_TYPE_LABELS["regex_pattern"]
     raise ValueError(f"not a per-row check: {spec.check}")
 

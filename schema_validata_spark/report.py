@@ -128,6 +128,29 @@ def write_dataframes_to_xlsx(dataframes: dict[str, list[dict]],
     return write_xlsx(output_path, sheets, final_order)
 
 
+def dataset_schema_to_xlsx(observed: dict[str, dict[str, Any]],
+                           out_dir: str, out_name: str,
+                           sheet_name: str = "SCHEMA") -> str:
+    """Data-dictionary starter workbook from a profiled table — the
+    reference's dataset_schema_to_xlsx (src/schema_validata.py:
+    1632-1685): one row per column in the DATA_DICT_SCHEMA layout, ready
+    for a human to author into an authoritative dictionary and load back
+    via Rules.from_xlsx. ``observed`` is profile()'s output."""
+    from .config import DATA_DICT_SCHEMA
+    cols = list(DATA_DICT_SCHEMA)
+    recs = []
+    for name, info in observed.items():
+        rec = {}
+        for c in cols:
+            v = info.get(c) if c != "field_name" else name
+            if isinstance(v, list):
+                v = str(v)   # list cells round-trip via literal revival
+            rec[c] = v
+        recs.append(rec)
+    return write_dataframes_to_xlsx({sheet_name: recs}, out_dir, out_name,
+                                    [sheet_name])
+
+
 def schema_validation_to_xlsx(validation_results: dict[str, Any],
                               out_dir: str,
                               out_name: str | None = None) -> str:

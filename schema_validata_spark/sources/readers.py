@@ -6,11 +6,15 @@ do three full re-reads to infer types. Here ingest is ONE scan:
 all-string read → NA canonicalization expression → per-column
 ``try_cast`` to the profiled/declared type. Newline stripping
 (:438-460) and header trimming (:694-696) are expressions / renames.
-XLSX ingestion is out of scope for a distributed engine (use Parquet /
-Iceberg / CSV); the rules loader accepts JSON/dict/DataFrame instead.
+XLSX datasets load through the stdlib OOXML reader (sources/xlsx.py) —
+a workbook is driver-small by Excel's own 1,048,575-row limit, so the
+rows parallelize from the driver; Parquet/Iceberg/CSV are the scale
+formats.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -33,6 +37,49 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_xlsx_validated(spark: SparkSession, path: str,
+                        sheet_name: str | None = None,
+                        rm_newlines: bool = True, replace_char: str = "",
+                        infer: bool = True
+                        ) -> "DataFrame | dict[str, DataFrame]":
+    """XLSX dataset ingest (reference read_csv_or_excel_to_df /
+    xlsx_tabs_to_pd_dataframes, src/schema_validata.py:706-776,
+    :862-953): every sheet → one DataFrame keyed by sheet name (pass
+    ``sheet_name`` for exactly one), values read all-string then pushed
+    through the SAME cleanup + inference pipeline as CSV ingest
+    (``_clean_and_infer``) — header trim, newline strip, NA
+    canonicalization, probe-agg typed casts."""
+    from .xlsx import read_xlsx
+
+    out: dict[str, DataFrame] = {}
+    for name, rows in read_xlsx(path).items():
+        if sheet_name is not None and name != sheet_name:
+            continue
+        if not rows:
+            continue
+        hdr = [str(h).strip() if h is not None else f"_c{i}"
+               for i, h in enumerate(rows[0])]
+        data = [tuple(None if v is None else str(v)
+                      for v in (r + [None] * (len(hdr) - len(r)))[:len(hdr)])
+                for r in rows[1:]]
+        df = spark.createDataFrame(data, ", ".join(
+            f"`{h}` string" for h in hdr))
+        out[name] = _clean_and_infer(df, rm_newlines, replace_char, infer)
+    if sheet_name is not None:
+        return out[sheet_name]
+    return out
+
+
+def read_spreadsheet(spark: SparkSession, path: str,
+                     sheet_name: str | None = None, **kw):
+    """Dispatch CSV vs XLSX by extension (reference
+    read_csv_or_excel_to_df :862-953)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".xlsx", ".xlsm"):
+        return read_xlsx_validated(spark, path, sheet_name=sheet_name, **kw)
+    return read_csv_validated(spark, path, **kw)
+
+
 def read_csv_validated(spark: SparkSession, path: str,
                        rm_newlines: bool = True, replace_char: str = "",
                        infer: bool = True,
@@ -43,6 +90,11 @@ def read_csv_validated(spark: SparkSession, path: str,
     the reference's three re-reads)."""
     df = (spark.read.option("header", "true").option("encoding", encoding)
           .csv(path))
+    return _clean_and_infer(df, rm_newlines, replace_char, infer)
+
+
+def _clean_and_infer(df: DataFrame, rm_newlines: bool, replace_char: str,
+                     infer: bool) -> DataFrame:
     df = df.toDF(*[c.strip() for c in df.columns])
     if rm_newlines:
         df = df.select([

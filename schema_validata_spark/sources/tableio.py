@@ -13,6 +13,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def get_byte_units(size_bytes: int) -> str:
+    """Human-readable size, byte-identical format to the reference's
+    get_byte_units (src/schema_validata.py:164-186): '1.5 : KB'."""
+    import math
+    if size_bytes == 0:
+        return "0 : B"
+    size_name = ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
+    i = int(math.floor(math.log(size_bytes, 1000)))
+    p = math.pow(1000, i)
+    s = round(size_bytes / p, 2)
+    return f"{s} : {size_name[i]}"
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(

@@ -87,3 +87,55 @@ def test_minhash_excludes_null_text_by_contract(spark):
     assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 3]
     sh = simhash(df, "text", "doc_id")
     assert sorted(r["doc_id"] for r in sh.collect()) == [1, 3]
+
+
+def test_discover_na_values(spark):
+    """Per-column NA vocabulary from data (reference :1086-1104):
+    pattern-tier hits surface; literal sentinels don't re-surface."""
+    from schema_validata_spark.functions.nulls import discover_na_values
+    df = spark.createDataFrame(
+        [("ok", "N/A"), (" - ", "fine"), ("not available", "  "),
+         (None, "x"), ("Not_Available", "-")],
+        "a: string, b: string")
+    vocab = discover_na_values(df)
+    assert vocab["a"] == sorted([" - ", "not available", "Not_Available"])
+    assert vocab["b"] == sorted(["  ", "-"])
+
+
+def test_regex_parity_fallback_python_named_group(spark):
+    """(?P<name>…) is a Java PatternSyntaxException — the check must
+    route through the pandas-UDF re.match fallback and produce the
+    reference's exact violation set."""
+    import sys, types
+    _fake = types.ModuleType("chardet")
+    _fake.detect = lambda b: {"encoding": "utf-8", "confidence": 1.0}
+    sys.modules.setdefault("chardet", _fake)
+    sys.path.insert(0, "/root/reference/src")
+    import schema_validata as ref
+    import pandas as pd
+    from schema_validata_spark.functions.regex_parity import \
+        python_regex_required
+    from schema_validata_spark.operators.violations import (CheckSpec,
+                                                            value_errors_df)
+    pat = r"(?P<area>\d{3})-(?P=area)?\d{4}"
+    assert python_regex_required(pat)
+    assert not python_regex_required(r"^\d{5}(?:[-\s]\d{4})?$")
+    pdf = pd.DataFrame({"phone": ["555-0000", "x555-1234", "12-3456", None],
+                        "k": [1, 2, 3, 4]})
+    theirs = {(r["Error Type"], r["Column Name"], str(r["Error Value"]))
+              for r in ref.value_errors_regex_mismatches(
+                  pdf, "phone", pat, "k")}
+    df = spark.createDataFrame(pdf)
+    ours_df = value_errors_df(df, [CheckSpec("phone", "regex_pattern", pat)],
+                              ["k"])
+    ours = {(r["error_type"], r["column_name"], str(r["error_value"]))
+            for r in ours_df.collect()}
+    assert ours == theirs
+    assert len(ours) == 2  # 'x555-…' and '12-3456' mismatch; null skipped
+
+
+def test_get_byte_units():
+    from schema_validata_spark.sources.tableio import get_byte_units
+    assert get_byte_units(0) == "0 : B"
+    assert get_byte_units(1500) == "1.5 : KB"
+    assert get_byte_units(2_000_000_000) == "2.0 : GB"

@@ -133,3 +133,39 @@ def test_schema_validation_to_xlsx_shape(spark, tmp_path):
     ve = back["transcripts"]
     assert {"error_type", "column_name"} <= set(ve[0].keys())
     assert 0 < len(ve) <= 50
+
+
+def test_read_xlsx_validated_and_dispatch(spark, tmp_path):
+    """XLSX dataset ingest: all-string sheet rows through the same
+    cleanup + inference pipeline as CSV (typed columns out)."""
+    from schema_validata_spark.sources.readers import read_spreadsheet
+    p = str(tmp_path / "ds.xlsx")
+    write_xlsx(p, {"DATA": [
+        [" id ", "amount", "note"],
+        ["1", "10.5", "ok"],
+        ["2", "N/A", "line\nbreak"],
+        ["3", "7", None],
+    ]})
+    df = read_spreadsheet(spark, p, sheet_name="DATA")
+    assert df.columns == ["id", "amount", "note"]     # header trimmed
+    d = dict(df.dtypes)
+    assert d["id"] == "bigint" and d["amount"] == "double"
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["amount"] is None                   # NA canonicalized
+    assert rows[2]["note"] == "linebreak"              # newline stripped
+
+
+def test_dataset_schema_to_xlsx_roundtrip(spark, tmp_path):
+    """Profile → starter dictionary xlsx → Rules round-trip (reference
+    :1632-1685 bootstrap flow)."""
+    from schema_validata_spark.operators.profile import profile
+    from schema_validata_spark.report import dataset_schema_to_xlsx
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k: bigint, cat: string")
+    obs = profile(df)
+    p = dataset_schema_to_xlsx(obs, str(tmp_path), "starter",
+                               sheet_name="T_SCHEMA")
+    rules = Rules.from_xlsx(p, sheet="T_SCHEMA")
+    assert rules["k"].data_type == "Integer"
+    assert rules["k"].unique_value is True
+    assert rules["cat"].allowed_value_list == ["a", "b"]
