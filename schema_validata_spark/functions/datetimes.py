@@ -79,6 +79,18 @@ def _dateish_screen(t: Column) -> Column:
     )
 
 
+def dateish_shape_expr(col: Column | str) -> Column:
+    """1/0: the value merely LOOKS like a common date (tier-1 screen
+    only — no parse). Cheap enough to run per cell inside wide melt
+    projections; columns where every non-null value passes are CANDIDATE
+    datetime columns, confirmed by one tiny aggregate running the real
+    format battery (operators/profile.py) — keeping the 13-probe parse
+    chain out of the hot projection's generated code entirely."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c.cast("string"))
+    return _dateish_screen(t).cast("int")
+
+
 def parse_datetime_multi(col: Column | str) -> Column:
     """Per-cell multi-format parse: first matching format in reference
     order wins; NULL when nothing matches. Shape-gated throughout —

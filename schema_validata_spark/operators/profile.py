@@ -38,7 +38,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import MAX_UNIQUE_VALS
-from ..functions.datetimes import datetime_probe_expr
+from ..functions.datetimes import dateish_shape_expr, datetime_probe_expr
 from ..functions.nulls import canonicalize_na, is_na_expr
 from ..functions.typing import (decide_logical_type, safe_bigint,
                                 safe_double, spark_type_to_logical)
@@ -114,10 +114,13 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None,
                 safe_bigint(c).isNotNull().cast("int").alias("int_ok"),
                 d.isNotNull().cast("int").alias("float_ok"),
                 bool_word.cast("int").alias("bool_ok"),
-                # full COMMON_DATETIMES probe battery (reference
-                # :93-115), two-tier shape-gated so prose/JSON never
-                # attempts a parse (functions/datetimes.py)
-                datetime_probe_expr(c).alias("ts_ok"),
+                # cheap date-SHAPE screen only — the real COMMON_DATETIMES
+                # parse battery (reference :93-115) runs in a tiny
+                # confirmation aggregate over candidate columns
+                # (profile(), below), keeping 13 try_to_timestamp probes
+                # per string column OUT of this projection's generated
+                # code (cold-start codegen/JIT was the round-1 bench gap)
+                dateish_shape_expr(c).alias("ts_ok"),
                 # lead0 probes the TRIMMED value — ' 07' still forces
                 # String inference, matching type_probe_aggs (rlike '^0\d'
                 # on trim) and the reference's stringified check
@@ -346,6 +349,29 @@ def profile(df: DataFrame,
         df, na_values, na_patterns,
         exact_unique_cols=exact_unique_cols,
         max_unique_vals=max_unique_vals)
+
+    # Datetime CONFIRMATION pass: the melt's ts_ok is a shape screen
+    # (every non-null value looks date-like); candidate columns get the
+    # real COMMON_DATETIMES parse battery here — one tiny aggregate over
+    # only those columns, so '99/99/9999' demotes to String while the
+    # hot melt projection stays free of 13 parse probes per column.
+    if infer:
+        cand = []
+        for f in df.schema.fields:
+            if f.dataType.simpleString() != "string":
+                continue
+            nn = a[f"{f.name}__nonnull"]
+            if (nn and a.get(f"{f.name}__ts_ok") == nn
+                    and a.get(f"{f.name}__int_ok") != nn
+                    and a.get(f"{f.name}__float_ok") != nn
+                    and a.get(f"{f.name}__bool_ok") != nn):
+                cand.append(f.name)
+        if cand:
+            row = df.agg(*[
+                F.coalesce(F.sum(datetime_probe_expr(F.col(c))), F.lit(0))
+                 .alias(c) for c in cand]).collect()[0]
+            for c in cand:
+                a[f"{c}__ts_ok"] = int(row[c])
     if out_distincts is not None:
         out_distincts.update(
             {c: int(info["distinct"]) for c, info in b.items()})
