@@ -367,6 +367,16 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def q_ivf_route(spark, sf_dir):
+    """IVF-style deterministic coarse routing (operators/similarity.py:
+    ivf_route): bucket = argmax |component|; per-bucket vector counts."""
+    from schema_validata_spark.operators.similarity import ivf_route
+    emb = _t(spark, sf_dir, "embeddings")
+    return (ivf_route(emb)
+            .groupBy("ivf_bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors")))
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed approximate top-k."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -462,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "ivf_route": q_ivf_route,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
 
@@ -833,6 +844,16 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT query_id, neighbor_id, round(cos6, 4) AS cos
         FROM ranked WHERE rn <= 5"""
+
+    sql["ivf_route"] = """
+        WITH a AS (
+          SELECT vec_id,
+                 list_transform(cast(embedding as double[]),
+                                x -> abs(x)) AS av
+          FROM embeddings)
+        SELECT list_position(av, list_max(av))::int AS ivf_bucket,
+               count(*)::bigint AS n_vectors
+        FROM a GROUP BY 1"""
 
     sql["ngram_jaccard"] = f"""
         WITH toks AS (

@@ -68,14 +68,27 @@ COMMON_TIMESTAMPS_SPARK: list[tuple[str, str]] = [
 # datetime; keeps the per-format gates off document text entirely
 _MAX_DT_LEN = 35
 
+# month-name PREFIXES anchor the word-date screen: a generic
+# letters-separator-digit shape would false-positive identifier columns
+# ('conv-00000042' is letters-dash-digit), sending millions of ids into
+# the confirmation parse battery. The prefix test is a 3-char substring
+# + 12-way isin — NO regex: two case-insensitive rlike alternations here
+# cost ~20s alone on an 8M-row × 6-column melt (measured); the isin
+# screen is ~free. False positives ('january sales dipped…' prose) are
+# demoted by the confirmation parse aggregate, which only runs when
+# EVERY non-null value in the column passes this screen.
+_MONTHS3 = ["jan", "feb", "mar", "apr", "may", "jun",
+            "jul", "aug", "sep", "oct", "nov", "dec"]
+
 
 def _dateish_screen(t: Column) -> Column:
-    """Tier-1 screen (cheap ops only): worth running format gates on?"""
+    """Tier-1 screen (cheap ops only): worth running format gates on?
+    Digit-first dates need a -/ separator ('14-Nov-2023' included via
+    '-'); word-first dates need a month-name prefix."""
     first = F.substring(t, 1, 1)
     return (F.length(t) <= _MAX_DT_LEN) & (
         (first.between("0", "9") & (t.contains("-") | t.contains("/")))
-        | t.rlike(r"^[A-Za-z]{3,9}[- ]\d")
-        | t.rlike(r"^\d{1,2}[- ][A-Za-z]{3}")
+        | F.lower(F.substring(t, 1, 3)).isin(_MONTHS3)
     )
 
 
@@ -87,8 +100,11 @@ def dateish_shape_expr(col: Column | str) -> Column:
     format battery (operators/profile.py) — keeping the 13-probe parse
     chain out of the hot projection's generated code entirely."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c.cast("string"))
-    return _dateish_screen(t).cast("int")
+    s = c.cast("string")
+    # octet_length is O(1) (byte count, no scan) — document text short-
+    # circuits here before paying the O(n) trim/length/regex tier
+    t = F.trim(s)
+    return ((F.octet_length(s) <= 150) & _dateish_screen(t)).cast("int")
 
 
 def parse_datetime_multi(col: Column | str) -> Column:

@@ -63,7 +63,13 @@ def is_na_expr(col: Column | str,
                na_patterns: list[str] | None = None) -> Column:
     """Boolean Column: value is null-like per the reference's two-tier
     vocabulary (sentinels ∨ patterns ∨ empty-after-trim ∨ real NULL) —
-    compiled to ``isNull ∨ rlike(one combined regex)``."""
+    compiled to ``isNull ∨ rlike(one combined regex)``.
+
+    Documented bound: with the default vocabulary, a value whose total
+    byte length exceeds ~4×(gate+64) is never NA-classified — i.e. a
+    sentinel drowned in >~270 bytes of whitespace padding. The O(1)
+    byte gate is what keeps the classifier off document text entirely;
+    custom na_patterns disable all gating (unknown match reach)."""
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")
     na_values = NA_VALUES if na_values is None else na_values
@@ -77,7 +83,12 @@ def is_na_expr(col: Column | str,
     gate = _na_gate_length(vals_t, pats_t)
     if gate is None:
         return c.isNull() | s.rlike(pattern)
-    return c.isNull() | ((F.length(F.trim(s)) <= gate) & s.rlike(pattern))
+    # octet_length is O(1) (byte count) — document text short-circuits
+    # before the O(n) trim; ×4 covers multibyte sentinels, and the gate
+    # itself allows arbitrary whitespace padding (trim first)
+    return c.isNull() | ((F.octet_length(s) <= (gate + 64) * 4)
+                         & (F.length(F.trim(s)) <= gate)
+                         & s.rlike(pattern))
 
 
 def discover_na_values(df: DataFrame,

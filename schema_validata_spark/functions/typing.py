@@ -36,13 +36,15 @@ _INF_SHAPE = r"(?i)^[-+]?inf(?:inity)?$"
 
 
 def safe_double(s: Column) -> Column:
-    """Exception-free string→double: NULL unless numeric-shaped. Length
-    gates apply to the TRIMMED value (padded numerics still parse); the
-    gate skips the regex for long values (document text)."""
+    """Exception-free string→double: NULL unless numeric-shaped. The
+    O(1) octet_length pre-gate short-circuits long values (document
+    text) before any O(n) trim/length/regex; the trimmed-length gate
+    then admits padded numerics up to ~100 bytes of padding."""
+    gate = F.octet_length(s) <= 150
     t = F.trim(s)
-    return (F.when((F.length(t) <= 48) & t.rlike(NUMERIC_SHAPE),
+    return (F.when(gate & (F.length(t) <= 48) & t.rlike(NUMERIC_SHAPE),
                    t.try_cast("double"))
-             .when((F.length(t) <= 9) & t.rlike(_INF_SHAPE),
+             .when(gate & (F.length(t) <= 9) & t.rlike(_INF_SHAPE),
                    F.when(t.startswith("-"), F.lit(float("-inf")))
                     .otherwise(F.lit(float("inf")))))
 
@@ -51,7 +53,8 @@ def safe_bigint(s: Column) -> Column:
     """Exception-free string→bigint: NULL unless integer-shaped (the
     residual try_cast only excepts on int64 overflow)."""
     t = F.trim(s)
-    return F.when((F.length(t) <= 32) & t.rlike(INT_SHAPE),
+    return F.when((F.octet_length(s) <= 150)
+                  & (F.length(t) <= 32) & t.rlike(INT_SHAPE),
                   t.try_cast("bigint"))
 
 

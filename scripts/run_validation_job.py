@@ -28,9 +28,18 @@ def main(argv=None):
     ap.add_argument("--transcripts", required=True)
     ap.add_argument("--conversations")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--rules")
+    ap.add_argument("--rules", help="rules as nested-dict JSON")
+    ap.add_argument("--rules-xlsx",
+                    help="rules as an XLSX data dictionary (the reference "
+                         "authoring format); use SHEET:path to pick a sheet")
     ap.add_argument("--partition-col")
     ap.add_argument("--manifest")
+    ap.add_argument("--snapshot-id",
+                    help="input snapshot identity (e.g. Iceberg snapshot); "
+                         "metadata-only resume skip when unchanged")
+    ap.add_argument("--no-verify-content", action="store_true",
+                    help="trust the manifest without per-partition content "
+                         "fingerprints (immutable inputs)")
     ap.add_argument("--name", default="transcripts")
     args = ap.parse_args(argv)
 
@@ -49,7 +58,12 @@ def main(argv=None):
     dims = {}
     if args.conversations:
         dims["conversations"] = spark.read.parquet(args.conversations)
-    if args.rules:
+    if args.rules_xlsx:
+        sheet, _, path = args.rules_xlsx.rpartition(":")
+        rules = Rules.from_xlsx(path, sheet=sheet or None)
+        if isinstance(rules, dict):  # no sheet given: take the first
+            rules = next(iter(rules.values()))
+    elif args.rules:
         with open(args.rules) as f:
             rules = Rules.from_nested_dict("JOB_RULES", json.load(f))
     else:
@@ -64,7 +78,9 @@ def main(argv=None):
 
     if args.partition_col and args.manifest:
         pv = validate_partitioned(spark, df, rules, args.partition_col,
-                                  args.manifest, dims=dims)
+                                  args.manifest, dims=dims,
+                                  snapshot_id=args.snapshot_id,
+                                  verify_content=not args.no_verify_content)
         pv.write.mode("overwrite").parquet(
             f"{args.out}/{args.name}_partition_verdicts.parquet")
 

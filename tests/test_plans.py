@@ -81,3 +81,18 @@ def test_ri_join_broadcasts_small_dim(spark, tmp_path):
                                broadcast_dim=True)
     plan = _plan(v)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_partition_batch_filter_pushdown(spark, tmp_path):
+    """validate_partitioned's per-batch `isin` filter must reach the
+    parquet scan as a pushed filter (partition pruning at the source)."""
+    src = str(tmp_path / "t4")
+    gen_transcripts(spark, 2000, seed=42).write.partitionBy("ts_date") \
+        .parquet(src)
+    t = spark.read.parquet(src)
+    part = t.select(t.ts_date.cast("string")).distinct().collect()[0][0]
+    sub = t.where(t.ts_date.cast("string").isin([part]))
+    plan = _plan(sub.select("conv_id"))
+    # directory-partitioned column → PartitionFilters prune whole dirs
+    assert "PartitionFilters" in plan
+    assert plan.count("PartitionFilters: []") == 0
