@@ -25,9 +25,12 @@ from schema_validata_spark.functions.text import (LANG_MARKERS, STOPWORDS_EN,
                                                   fingerprint, lang_id,
                                                   quality_score, token_count)
 from schema_validata_spark.operators.dedup import (dedup_exact,
+                                                   dedup_keep_canonical,
                                                    minhash_near_duplicates,
+                                                   near_dup_clusters,
                                                    ngram_jaccard_pairs,
                                                    simhash_near_duplicates)
+from schema_validata_spark.operators.selection import top_k_per_group
 from schema_validata_spark.operators.drift import (drift_scores,
                                                    drift_scores_pandas,
                                                    numeric_histogram,
@@ -334,6 +337,37 @@ def q_ngram_jaccard(spark, sf_dir):
                                shingle_k=3, group_col="lang")
 
 
+def _ngram_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text",
+                               "doc_id", threshold=0.12, shingle_k=3,
+                               group_col="lang")
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over exact n-gram-Jaccard near-dup pairs
+    (operators/dedup.py:near_dup_clusters — min-label propagation with
+    pointer jumping; oracle is a DuckDB recursive CTE)."""
+    return near_dup_clusters(_ngram_pairs(spark, sf_dir), "id_a", "id_b")
+
+
+def q_dedup_near(spark, sf_dir):
+    """Cluster-aware near-dup removal: keep the min-id canonical per
+    component, pass through unclustered docs (dedup_keep_canonical)."""
+    df = _t(spark, sf_dir, "documents")
+    kept = dedup_keep_canonical(df, _ngram_pairs(spark, sf_dir), "doc_id")
+    return kept.select("doc_id")
+
+
+def q_quality_topk_per_lang(spark, sf_dir):
+    """Per-group top-k quality filtering (operators/selection.py):
+    top-3 docs per lang by C4-style quality score, doc_id tiebreak.
+    Plan uses WindowGroupLimit (map-side partial top-k) — plan-guard
+    tested."""
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id", "lang", quality_score("text").alias("q")))
+    return top_k_per_group(df, ["lang"], "q", 3, tiebreak_cols=["doc_id"])
+
+
 # --- approximate operators: rows-only checks (no oracle by design) ---------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -469,6 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_scores_arrow": q_drift_scores_arrow,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedup_near": q_dedup_near,
+        "quality_topk_per_lang": q_quality_topk_per_lang,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -878,5 +915,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b,
                round(i / greatest(u, 1.0), 6) AS jaccard
         FROM pairs WHERE round(i / greatest(u, 1.0), 6) >= 0.12"""
+
+    # connected components over the same exact ngram-Jaccard pairs,
+    # via a recursive transitive-closure CTE: min reachable id ==
+    # min id in component == the Spark operator's cluster_id.
+    _cc_ctes = """
+        toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct(list_transform(
+                      range(1, len(w) - 1),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+                 END AS s
+          FROM toks),
+        prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 cast(len(list_intersect(a.s, b.s)) as double) AS i,
+                 cast(len(list_distinct(list_concat(a.s, b.s))) as double)
+                   AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        p AS (
+          SELECT id_a, id_b FROM prs
+          WHERE round(i / greatest(u, 1.0), 6) >= 0.12),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+        reach(src, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+        cl AS (
+          SELECT src AS id, min(lbl) AS cluster_id FROM reach
+          GROUP BY src)"""
+
+    sql["near_dup_clusters"] = (
+        f"WITH RECURSIVE {_cc_ctes} SELECT id, cluster_id FROM cl")
+
+    sql["dedup_near"] = f"""
+        WITH RECURSIVE {_cc_ctes}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)"""
+
+    sql["quality_topk_per_lang"] = f"""
+        WITH m AS (
+          SELECT doc_id, lang, text,
+                 cast(length(text) as double) AS n_chars,
+                 cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END as double) AS n_tokens,
+                 cast(length(text) - length(regexp_replace(text,
+                      '[^\\w\\s]', '', 'g')) as double) AS n_punct,
+                 cast(len(list_intersect(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      [{stop}])) as double) AS n_stop
+          FROM documents),
+        qs AS (
+          SELECT doc_id, lang,
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0.0
+                 ELSE round((least(n_chars / 500.0, 1.0)
+                   + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0,
+                                  1.0))
+                   + least(n_stop / greatest(n_tokens, 1.0) * 10.0, 1.0))
+                   / 3.0, 6) END AS q
+          FROM m)
+        SELECT doc_id, lang, q, rank FROM (
+          SELECT doc_id, lang, q,
+                 cast(row_number() OVER (
+                   PARTITION BY lang ORDER BY q DESC, doc_id) as int)
+                   AS rank
+          FROM qs) r
+        WHERE rank <= 3"""
 
     return sql

@@ -23,10 +23,13 @@ from .operators.uniqueness import composite_duplicates, duplicate_stats
 from .operators.integrity import (referential_violation_count,
                                   referential_violations)
 from .operators.drift import build_histograms, drift_scores
-from .operators.dedup import (dedup_exact, embedding_near_duplicates,
+from .operators.dedup import (dedup_exact, dedup_keep_canonical,
+                              embedding_near_duplicates,
                               embedding_near_duplicates_lsh,
                               exact_duplicates, minhash_near_duplicates,
-                              ngram_jaccard_pairs, simhash_near_duplicates)
+                              near_dup_clusters, ngram_jaccard_pairs,
+                              simhash_near_duplicates)
+from .operators.selection import top_k_per_group
 from .operators.similarity import brute_force_topk, lsh_ann_topk
 from .report import errors_overview, write_report
 from .validate import (ValidationResult, partition_verdicts, validate,
@@ -43,10 +46,11 @@ __all__ = [
     "composite_duplicates", "duplicate_stats",
     "referential_violation_count", "referential_violations",
     "build_histograms", "drift_scores",
-    "dedup_exact", "exact_duplicates", "embedding_near_duplicates",
-    "embedding_near_duplicates_lsh",
-    "minhash_near_duplicates", "ngram_jaccard_pairs",
-    "simhash_near_duplicates", "brute_force_topk", "lsh_ann_topk",
+    "dedup_exact", "dedup_keep_canonical", "exact_duplicates",
+    "embedding_near_duplicates", "embedding_near_duplicates_lsh",
+    "minhash_near_duplicates", "near_dup_clusters", "ngram_jaccard_pairs",
+    "simhash_near_duplicates", "top_k_per_group",
+    "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",
     "ValidationResult", "validate", "partition_verdicts",
     "validate_partitioned",

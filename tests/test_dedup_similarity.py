@@ -165,3 +165,62 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     uncapped = minhash_lsh_candidates(small, "text", "doc_id",
                                       max_bucket=None)
     assert uncapped.count() == 200 * 199 // 2
+
+
+# --- cluster resolution (connected components) -----------------------------
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_near_dup_clusters_path_and_star(spark):
+    from schema_validata_spark.operators.dedup import near_dup_clusters
+    # component A: path 1-2-3-4-5 (transitive chain); component B: star
+    # 10-{11,12,13}; component C: single pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (10, 12), (10, 13), (20, 21)]
+    got = {(r["id"], r["cluster_id"])
+           for r in near_dup_clusters(_pairs(spark, edges)).collect()}
+    want = {(i, 1) for i in (1, 2, 3, 4, 5)} \
+        | {(i, 10) for i in (10, 11, 12, 13)} \
+        | {(i, 20) for i in (20, 21)}
+    assert got == want
+
+
+def test_near_dup_clusters_long_path_converges(spark):
+    """Pointer jumping must collapse a 40-node path well inside
+    max_iter (plain propagation alone would need 40 rounds)."""
+    from schema_validata_spark.operators.dedup import near_dup_clusters
+    edges = [(i, i + 1) for i in range(40)]
+    out = near_dup_clusters(_pairs(spark, edges), max_iter=12).collect()
+    assert len(out) == 41
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_near_dup_clusters_empty(spark):
+    from schema_validata_spark.operators.dedup import near_dup_clusters
+    out = near_dup_clusters(_pairs(spark, []))
+    assert out.count() == 0
+    assert out.columns == ["id", "cluster_id"]
+
+
+def test_dedup_keep_canonical(spark):
+    from schema_validata_spark.operators.dedup import dedup_keep_canonical
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string")
+    # clusters {1,2,3} and {5,6}; 4 and 7 unclustered
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 4, 5, 7]
+
+
+def test_top_k_per_group_with_ties(spark):
+    from schema_validata_spark.operators.selection import top_k_per_group
+    rows = [("en", 1, 0.9), ("en", 2, 0.9), ("en", 3, 0.5), ("en", 4, 0.1),
+            ("de", 5, 0.3), ("de", 6, 0.7)]
+    df = spark.createDataFrame(rows, "lang string, id long, s double")
+    out = top_k_per_group(df, ["lang"], "s", 2, tiebreak_cols=["id"])
+    got = {(r["lang"], r["id"], r["rank"]) for r in out.collect()}
+    # tie at 0.9 broken by ascending id — deterministic
+    assert got == {("en", 1, 1), ("en", 2, 2), ("de", 6, 1), ("de", 5, 2)}

@@ -96,3 +96,16 @@ def test_partition_batch_filter_pushdown(spark, tmp_path):
     # directory-partitioned column → PartitionFilters prune whole dirs
     assert "PartitionFilters" in plan
     assert plan.count("PartitionFilters: []") == 0
+
+
+def test_top_k_per_group_map_side_group_limit(spark):
+    """top_k_per_group must plan a WindowGroupLimit (Spark 3.5+
+    InferWindowGroupLimit): each map task keeps only its local top-k
+    per group BEFORE the shuffle — without it the whole table moves."""
+    from schema_validata_spark.operators.selection import top_k_per_group
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("doc"),
+        F.rand(42).alias("s"))
+    plan = top_k_per_group(df, ["g"], "s", 5, tiebreak_cols=["doc"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
