@@ -31,6 +31,9 @@ from schema_validata_spark.operators.dedup import (dedup_exact,
                                                    ngram_jaccard_pairs,
                                                    simhash_near_duplicates)
 from schema_validata_spark.operators.selection import top_k_per_group
+from schema_validata_spark.functions.sampling import (_hex_threshold,
+                                                      deterministic_sample,
+                                                      group_split)
 from schema_validata_spark.operators.drift import (drift_scores,
                                                    drift_scores_pandas,
                                                    numeric_histogram,
@@ -368,6 +371,25 @@ def q_quality_topk_per_lang(spark, sf_dir):
     return top_k_per_group(df, ["lang"], "q", 3, tiebreak_cols=["doc_id"])
 
 
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible hash-based sampling (functions/sampling.py): the
+    keep decision depends only on md5(doc_id), never on partitioning,
+    ordering, or seed state — identical in any engine (the oracle runs
+    the same predicate in DuckDB). Pure Column expr, map-only — the
+    filter runs inside the scan stage, no shuffle."""
+    df = _t(spark, sf_dir, "documents")
+    return deterministic_sample(df, "doc_id", 0.3).select("doc_id")
+
+
+def q_transcript_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: every event of a user lands
+    in the same split (group_split hashes user_id — no shuffle, no
+    join). Returns per-split row counts."""
+    df = _t(spark, sf_dir, "events")
+    return (group_split(df, "user_id")
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n_rows")))
+
+
 # --- approximate operators: rows-only checks (no oracle by design) ---------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -506,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_near": q_dedup_near,
         "quality_topk_per_lang": q_quality_topk_per_lang,
+        "deterministic_sample": q_deterministic_sample,
+        "transcript_split": q_transcript_split,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -990,5 +1014,24 @@ def oracle_sql() -> dict[str, str]:
                    AS rank
           FROM qs) r
         WHERE rank <= 3"""
+
+    # md5-hex hash sampling: both engines hash the key's UTF-8 bytes,
+    # so the SAME threshold strings drive both predicates.
+    c30 = _hex_threshold(0.3)
+    sql["deterministic_sample"] = f"""
+        SELECT doc_id FROM documents
+        WHERE substr(md5(cast(doc_id as varchar)), 1, 8) < '{c30}'"""
+
+    c80, c90 = _hex_threshold(0.8), _hex_threshold(0.9)
+    sql["transcript_split"] = f"""
+        SELECT split, count(*)::bigint AS n_rows FROM (
+          SELECT CASE
+            WHEN substr(md5(cast(user_id as varchar)), 1, 8) < '{c80}'
+              THEN 'train'
+            WHEN substr(md5(cast(user_id as varchar)), 1, 8) < '{c90}'
+              THEN 'val'
+            ELSE 'test' END AS split
+          FROM events) s
+        GROUP BY split"""
 
     return sql

@@ -30,6 +30,8 @@ from .operators.dedup import (dedup_exact, dedup_keep_canonical,
                               near_dup_clusters, ngram_jaccard_pairs,
                               simhash_near_duplicates)
 from .operators.selection import top_k_per_group
+from .functions.sampling import (deterministic_sample, group_split,
+                                 sample_expr, split_expr)
 from .operators.similarity import brute_force_topk, lsh_ann_topk
 from .report import errors_overview, write_report
 from .validate import (ValidationResult, partition_verdicts, validate,
@@ -50,6 +52,7 @@ __all__ = [
     "embedding_near_duplicates", "embedding_near_duplicates_lsh",
     "minhash_near_duplicates", "near_dup_clusters", "ngram_jaccard_pairs",
     "simhash_near_duplicates", "top_k_per_group",
+    "deterministic_sample", "group_split", "sample_expr", "split_expr",
     "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",
     "ValidationResult", "validate", "partition_verdicts",

@@ -1,0 +1,99 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need REPRODUCIBLE sampling: re-running the job
+on the same corpus (or on a re-partitioned copy) must select the same
+rows, and splits must be leakage-safe — all turns of a conversation
+land in the same split. Spark's ``df.sample`` is seed-stable only for
+an identical partitioning, so these ops hash a KEY instead:
+
+    keep(row)  ⇔  hex(md5(key)) < threshold(fraction)
+
+md5 of the key's UTF-8 bytes is identical in every engine (the oracle
+runs the same predicate in DuckDB), the decision depends only on the
+row's own key — no partitioning, ordering, or seed state — and the
+comparison is a fixed-width lowercase-hex string compare, so the
+fraction is exact to 1/16^8 granularity.
+
+SCALE NOTES: pure Column expressions — no shuffle, no UDF, no state;
+the predicate evaluates inside the scan stage (an expression filter is
+not a Parquet-pushable predicate, but it is map-only and whole-stage
+codegen'd) and costs one md5 per row.
+Different ``salt`` values give statistically independent re-samples of
+the same corpus (the salt is hashed with the key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_WIDTH = 8          # 32 bits of the digest: fraction granularity 2^-32
+
+
+def stable_hash_hex(key: Column | str, salt: str = "") -> Column:
+    """First 8 lowercase-hex chars of md5(key || salt) — a uniform
+    [0, 16^8) draw derived only from the row's key."""
+    c = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(c.cast("string"), F.lit(salt))
+    return F.substring(F.md5(keyed.cast("binary")), 1, _HEX_WIDTH)
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction ∈ [0,1] → zero-padded hex cut so that
+    P[hash < cut] == fraction (to 2^-32)."""
+    n = int(round(fraction * (16 ** _HEX_WIDTH)))
+    n = max(0, min(n, 16 ** _HEX_WIDTH))
+    return format(n, f"0{_HEX_WIDTH}x") if n < 16 ** _HEX_WIDTH else None
+
+
+def sample_expr(key: Column | str, fraction: float,
+                salt: str = "") -> Column:
+    """Boolean Column: row is in the deterministic ``fraction``-sample."""
+    cut = _hex_threshold(fraction)
+    if cut is None:                       # fraction == 1.0 → keep all
+        return F.lit(True)
+    return stable_hash_hex(key, salt) < F.lit(cut)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
+                         salt: str = "") -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows keyed by ``key_col``.
+    Same key ⇒ same decision on every run, engine, and partitioning;
+    duplicate keys are kept or dropped together (useful: sampling by
+    conv_id keeps whole conversations)."""
+    return df.where(sample_expr(key_col, fraction, salt))
+
+
+def split_expr(key: Column | str, fractions: dict[str, float],
+               salt: str = "") -> Column:
+    """String Column assigning each key to one named split.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the LAST split, so the conventional
+    ``{"train": .8, "val": .1, "test": .1}`` is exact). Assignment is
+    by consecutive hex intervals of the same key hash, so splits are
+    disjoint and exhaustive by construction."""
+    names = list(fractions)
+    h = stable_hash_hex(key, salt)
+    cum = 0.0
+    cuts = []
+    for name, frac in list(fractions.items())[:-1]:
+        cum += frac
+        cuts.append((name, _hex_threshold(cum)))
+    # fold from the last interval inward so the OUTERMOST when tests the
+    # smallest cumulative cut: h < cut1 → name1, elif h < cut2 → name2, …
+    expr = F.lit(names[-1])
+    for name, cut in reversed(cuts):
+        if cut is not None:
+            expr = F.when(h < F.lit(cut), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def group_split(df: DataFrame, group_col: str,
+                fractions: dict[str, float] | None = None,
+                salt: str = "", split_col: str = "split") -> DataFrame:
+    """Leakage-safe dataset split: every row of a group (e.g. all turns
+    of a conversation) receives the same split label, assigned by the
+    group key's hash — no shuffle, no join, no collected group list."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn(split_col,
+                         split_expr(group_col, fractions, salt))

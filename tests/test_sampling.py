@@ -1,0 +1,83 @@
+"""Deterministic sampling / splitting (functions/sampling.py):
+partitioning-independence, fraction accuracy, leakage safety."""
+
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.sampling import (deterministic_sample,
+                                                      group_split,
+                                                      sample_expr,
+                                                      split_expr)
+
+
+def _keys(spark, n=10_000):
+    return spark.range(n).select(F.col("id").alias("k"))
+
+
+def test_sample_is_partitioning_independent(spark):
+    df = _keys(spark)
+    a = {r["k"] for r in deterministic_sample(df, "k", 0.25).collect()}
+    b = {r["k"] for r in
+         deterministic_sample(df.repartition(17), "k", 0.25).collect()}
+    assert a == b            # df.sample() would fail this
+    assert a == {r["k"] for r in
+                 deterministic_sample(df, "k", 0.25).collect()}
+
+
+def test_sample_fraction_accuracy_and_nesting(spark):
+    df = _keys(spark)
+    n10 = deterministic_sample(df, "k", 0.10).count()
+    n50 = deterministic_sample(df, "k", 0.50).count()
+    assert abs(n10 / 10_000 - 0.10) < 0.02
+    assert abs(n50 / 10_000 - 0.50) < 0.02
+    # thresholds nest: the 10% sample is a subset of the 50% sample
+    s10 = {r["k"] for r in deterministic_sample(df, "k", 0.10).collect()}
+    s50 = {r["k"] for r in deterministic_sample(df, "k", 0.50).collect()}
+    assert s10 <= s50
+
+
+def test_sample_salt_gives_independent_draws(spark):
+    df = _keys(spark)
+    a = {r["k"] for r in deterministic_sample(df, "k", 0.5, "s1").collect()}
+    b = {r["k"] for r in deterministic_sample(df, "k", 0.5, "s2").collect()}
+    overlap = len(a & b) / 10_000
+    assert 0.15 < overlap < 0.35        # ≈ 0.25 if independent
+
+
+def test_sample_edge_fractions(spark):
+    df = _keys(spark, 100)
+    assert deterministic_sample(df, "k", 1.0).count() == 100
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+
+
+def test_group_split_no_leakage(spark):
+    # 200 groups × 5 rows; every row of a group must share its split
+    df = spark.range(1000).select(
+        (F.col("id") % 200).alias("g"), F.col("id").alias("row_id"))
+    out = group_split(df, "g")
+    per_group = (out.groupBy("g")
+                    .agg(F.countDistinct("split").alias("nsplits"))
+                    .agg(F.max("nsplits")).collect()[0][0])
+    assert per_group == 1
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert abs(counts["train"] / 1000 - 0.8) < 0.1
+
+
+def test_split_fractions_exhaustive_and_disjoint(spark):
+    df = _keys(spark)
+    out = df.select("k", split_expr("k", {"a": 0.5, "b": 0.5}).alias("s"))
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 10_000
+    assert abs(counts["a"] / 10_000 - 0.5) < 0.02
+
+
+def test_sample_expr_is_map_only(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    _keys(spark, 1000).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = df.where(sample_expr("k", 0.3)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan       # no shuffle: filter in the scan stage
