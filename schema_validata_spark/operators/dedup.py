@@ -185,8 +185,9 @@ def embedding_near_duplicates_lsh(df: DataFrame, vec_col: str = "embedding",
                                   max_bucket: int | None = 10_000
                                   ) -> DataFrame:
     """Corpus-wide embedding near-dup pairs — the SCALE path (VERDICT r1
-    #7): random-hyperplane bucket codes (reuses similarity._table_code —
-    deterministic, no stored model) generate candidates as a
+    #7): random-hyperplane bucket codes (similarity.bucketize — one
+    numpy matmul per Arrow batch, deterministic fixed-seed planes, no
+    stored model) generate candidates as a
     (table, code) self-bucket-join; exact cosine verifies candidates
     only. Shuffle keys are (table, code) ints; vectors move once into
     their buckets, never all-pairs.
@@ -197,15 +198,10 @@ def embedding_near_duplicates_lsh(df: DataFrame, vec_col: str = "embedding",
     cos ≥ 0.9; lower thresholds want fewer planes / more tables. Output
     (id_a, id_b, cos) — a subset of ``embedding_near_duplicates`` with
     identical cos values (verification is exact)."""
-    from .similarity import _table_code, cosine_expr
+    from .similarity import bucketize, cosine_expr
     e = df.select(F.col(id_col),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    codes = F.array(*[
-        F.struct(F.lit(t).alias("t"),
-                 _table_code(F.col("v"), t, n_planes).alias("code"))
-        for t in range(n_tables)])
-    buckets = e.select(F.col(id_col), F.col("v"),
-                       F.explode(codes).alias("tc"))
+    buckets = bucketize(e, id_col, n_tables, n_planes)
     buckets = _cap_buckets(buckets, "tc", max_bucket)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (a.join(b, (F.col("a.tc") == F.col("b.tc"))
