@@ -1,5 +1,6 @@
-from .validate_stream import (stream_monotonic_ts_violations,
+from .validate_stream import (stream_dedup,
+                              stream_monotonic_ts_violations,
                               stream_partition_verdicts, stream_validate)
 
 __all__ = ["stream_validate", "stream_partition_verdicts",
-           "stream_monotonic_ts_violations"]
+           "stream_monotonic_ts_violations", "stream_dedup"]

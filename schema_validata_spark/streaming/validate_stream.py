@@ -13,10 +13,10 @@ expressions to ``readStream`` sources two ways:
   watermark for late data: tumbling event-time windows stand in for the
   batch engine's partition keys.
 
-Duplicate detection in a stream needs state; a watermarked
-``dropDuplicates`` handles exact within-watermark duplicates and is
-provided via ``flag`` option. (Cross-history uniqueness remains a batch
-concern — unbounded state otherwise.)
+Duplicate detection in a stream needs state; ``stream_dedup`` uses
+``dropDuplicatesWithinWatermark`` so per-key state is EVICTED once the
+watermark passes — bounded state by construction. (Cross-history
+uniqueness remains a batch concern — unbounded state otherwise.)
 """
 
 from __future__ import annotations
@@ -145,3 +145,31 @@ def stream_partition_verdicts(stream_df: DataFrame, rules: Rules,
         f"stack({len(names)}, {stack_expr}) as (column_name, check, violation_count)"
     ).withColumn("status",
                  F.when(F.col("violation_count") > 0, "fail").otherwise("pass"))
+
+
+def stream_dedup(stream_df: DataFrame, key_cols: list[str] | None = None,
+                 text_col: str | None = None, ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication with BOUNDED state.
+
+    Two uses: (a) at-least-once sources (Kafka, file redelivery)
+    re-emitting the same (conv_id, turn_idx) row — pass ``key_cols``;
+    (b) near-realtime content dedup — pass ``text_col`` and rows
+    dedupe on the 64-bit content ``fingerprint`` (the same normalized
+    hash as batch ``dedup_exact``, so batch/stream decisions agree).
+
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) evicts a key's
+    state once the watermark moves past the first sighting — unlike
+    plain ``dropDuplicates`` on a stream, whose state grows without
+    bound. The horizon is the contract: a duplicate arriving later
+    than ``watermark`` after its first copy is NOT suppressed; full-
+    history dedup stays a batch concern (``dedup_exact``)."""
+    from ..functions.text import fingerprint
+    df = stream_df.withWatermark(ts_col, watermark)
+    if (key_cols is None) == (text_col is None):
+        raise ValueError("pass exactly one of key_cols / text_col")
+    if text_col is not None:
+        df = df.withColumn("__fp", fingerprint(text_col))
+        out = df.dropDuplicatesWithinWatermark(["__fp"])
+        return out.drop("__fp")
+    return df.dropDuplicatesWithinWatermark(key_cols)

@@ -85,3 +85,53 @@ def test_stream_windowed_verdicts(spark, tmp_path):
     rows = spark.sql("SELECT * FROM verdicts_mem").collect()
     assert len(rows) > 0
     assert any(r["status"] == "fail" for r in rows)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered keys inside the watermark horizon are suppressed;
+    content mode dedupes normalized-identical text across conv_ids."""
+    import datetime as dt
+    from schema_validata_spark.streaming.validate_stream import stream_dedup
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "hello world", base),
+        ("c1", 0, "hello world", base),                       # redelivery
+        ("c1", 1, "second turn", base + dt.timedelta(minutes=1)),
+        ("c2", 0, "HELLO   world", base + dt.timedelta(minutes=2)),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, ts timestamp"
+    ).parquet(src)
+
+    by_key = stream_dedup(stream, key_cols=["conv_id", "turn_idx"])
+    q = (by_key.writeStream.format("memory").queryName("dedup_key_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT conv_id, turn_idx FROM dedup_key_mem").collect()
+    assert sorted((r[0], r[1]) for r in got) == [
+        ("c1", 0), ("c1", 1), ("c2", 0)]
+
+    by_content = stream_dedup(stream, text_col="text")
+    q2 = (by_content.writeStream.format("memory")
+          .queryName("dedup_content_mem")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    texts = [r[0] for r in
+             spark.sql("SELECT text FROM dedup_content_mem").collect()]
+    # 'hello world' and 'HELLO   world' share a normalized fingerprint
+    assert len(texts) == 2
+    assert "second turn" in texts
+
+
+def test_stream_dedup_arg_validation(spark):
+    import pytest as _pytest
+    from schema_validata_spark.streaming.validate_stream import stream_dedup
+    df = spark.range(1).select(
+        F.col("id").cast("string").alias("conv_id"),
+        F.current_timestamp().alias("ts"))
+    with _pytest.raises(ValueError):
+        stream_dedup(df)
