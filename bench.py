@@ -130,9 +130,18 @@ def main():
         extras.update({f"{name}.{k}": v for k, v in extra.items()})
 
     qs = entrymod.queries()
+    # steady-state methodology (same as the transcripts bench): one
+    # warm-up execution per query against the sf0.001 copy of the SAME
+    # schemas compiles the generated classes + JIT once, so the timed
+    # lap measures data-scaling cost rather than first-compile tax —
+    # what a long-running cluster job actually sees. (sf0.1 customer is
+    # ~15k rows; untimed-warm-up vs cold changes profile_stats ~4×.)
+    warm_dir = os.environ.get("BENCH_WARM_DIR", "/root/testdata/sf0.001")
     for name in _DRIVER_TABLE_QUERIES:
         if only and name not in only:
             continue
+        if os.path.isdir(warm_dir):
+            qs[name](spark, warm_dir).count()
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         df.count()
