@@ -92,3 +92,39 @@ def test_duplicate_rows_keep_false(spark, rows):
     counts = Counter(rows)
     expected = {i for i, v in enumerate(rows) if counts[v] > 1}
     assert {r["id"] for r in out.collect()} == expected
+
+
+# --- connected-components property: Spark CC vs pure-Python union-find ----
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=80))
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    from schema_validata_spark.operators.dedup import near_dup_clusters
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges],
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in near_dup_clusters(pairs).collect()}
+    want = _uf_components(edges)
+    assert got == want
