@@ -34,6 +34,9 @@ from schema_validata_spark.operators.selection import top_k_per_group
 from schema_validata_spark.functions.sampling import (_hex_threshold,
                                                       deterministic_sample,
                                                       group_split)
+from schema_validata_spark.functions.text import PII_PATTERNS, pii_summary
+from schema_validata_spark.operators.decontam import (contamination_pairs,
+                                                      decontaminate)
 from schema_validata_spark.operators.drift import (drift_scores,
                                                    drift_scores_pandas,
                                                    numeric_histogram,
@@ -371,6 +374,35 @@ def q_quality_topk_per_lang(spark, sf_dir):
     return top_k_per_group(df, ["lang"], "q", 3, tiebreak_cols=["doc_id"])
 
 
+def _eval_subset(spark, sf_dir):
+    # deterministic stand-in benchmark: every 50th document
+    return _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+
+
+def q_contamination_pairs(spark, sf_dir):
+    """Eval-set decontamination audit (operators/decontam.py): training
+    docs sharing ≥1 distinct 5-gram with the eval subset. Hash-join on
+    xxhash64(shingle); the oracle joins on the shingle strings
+    directly (collision-free at this scale by construction)."""
+    train = _t(spark, sf_dir, "documents")
+    return contamination_pairs(train, _eval_subset(spark, sf_dir),
+                               shingle_k=5)
+
+
+def q_decontaminated(spark, sf_dir):
+    """Corpus minus contaminated docs (anti-join on the flagged set)."""
+    train = _t(spark, sf_dir, "documents")
+    return decontaminate(train, _eval_subset(spark, sf_dir),
+                         shingle_k=5).select("doc_id")
+
+
+def q_pii_summary(spark, sf_dir):
+    """Corpus PII audit (functions/text.py:pii_summary): per pattern
+    type, total regex occurrences + documents affected, one aggregate,
+    map-only scan."""
+    return pii_summary(_t(spark, sf_dir, "documents"), "text")
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Reproducible hash-based sampling (functions/sampling.py): the
     keep decision depends only on md5(doc_id), never on partitioning,
@@ -530,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk_per_lang": q_quality_topk_per_lang,
         "deterministic_sample": q_deterministic_sample,
         "transcript_split": q_transcript_split,
+        "contamination_pairs": q_contamination_pairs,
+        "decontaminated": q_decontaminated,
+        "pii_summary": q_pii_summary,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1033,5 +1068,45 @@ def oracle_sql() -> dict[str, str]:
             ELSE 'test' END AS split
           FROM events) s
         GROUP BY split"""
+
+    # 5-gram contamination: oracle joins on shingle STRINGS (Spark
+    # joins on xxhash64 of the same strings — collision-free here).
+    _sh5_ctes = """
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE text IS NOT NULL),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct(list_transform(
+                      range(1, len(w) - 3),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ',
+                                  w[i+3], ' ', w[i+4])))
+                 END AS s
+          FROM toks),
+        ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 = 0),
+        cp AS (
+          SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                 len(list_intersect(t.s, e.s))::bigint AS n_shared
+          FROM sh t JOIN ev e ON len(list_intersect(t.s, e.s)) >= 1)"""
+
+    sql["contamination_pairs"] = \
+        f"WITH {_sh5_ctes} SELECT train_id, eval_id, n_shared FROM cp"
+
+    sql["decontaminated"] = f"""
+        WITH {_sh5_ctes}
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT DISTINCT train_id FROM cp)"""
+
+    pii_parts = []
+    for name, pat in PII_PATTERNS.items():
+        pii_parts.append(f"""
+        SELECT '{name}' AS pii_type,
+               coalesce(sum(len(regexp_extract_all(text, '{pat}'))), 0)::bigint
+                 AS total_matches,
+               count(CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+                          THEN 1 END)::bigint AS docs_affected
+        FROM documents""")
+    sql["pii_summary"] = " UNION ALL ".join(pii_parts)
 
     return sql

@@ -32,6 +32,8 @@ from .operators.dedup import (dedup_exact, dedup_keep_canonical,
 from .operators.selection import top_k_per_group
 from .functions.sampling import (deterministic_sample, group_split,
                                  sample_expr, split_expr)
+from .functions.text import pii_scan, pii_summary
+from .operators.decontam import contamination_pairs, decontaminate
 from .operators.similarity import brute_force_topk, lsh_ann_topk
 from .report import errors_overview, write_report
 from .validate import (ValidationResult, partition_verdicts, validate,
@@ -53,6 +55,7 @@ __all__ = [
     "minhash_near_duplicates", "near_dup_clusters", "ngram_jaccard_pairs",
     "simhash_near_duplicates", "top_k_per_group",
     "deterministic_sample", "group_split", "sample_expr", "split_expr",
+    "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
     "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",
     "ValidationResult", "validate", "partition_verdicts",

@@ -103,3 +103,48 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])))
+
+
+# --- PII pattern scan ------------------------------------------------------
+# Patterns stick to the Java/RE2 common dialect (no lookaround, no
+# backrefs) so the SAME strings run under Spark rlike/regexp_count AND
+# the DuckDB oracle. Heuristic by design: a compliance pre-filter that
+# surfaces density for audit, not a guarantee.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone_us": r"\(\d{3}\)\s?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """{pii_type: occurrences-in-text Column} — one regexp_count per
+    pattern, all JVM-side in the same projection (one text scan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.coalesce(
+                F.regexp_count(c, F.lit(pat)), F.lit(0)).alias(name)
+            for name, pat in PII_PATTERNS.items()}
+
+
+def pii_scan(df, text_col: str, id_col: str):
+    """Per-document PII occurrence counts (wide: one int column per
+    type). Map-only — evaluates inside the scan stage."""
+    return df.select(F.col(id_col), *pii_counts(text_col).values())
+
+
+def pii_summary(df, text_col: str):
+    """Corpus-level audit: per PII type, total occurrences and number
+    of documents affected — ONE aggregate over the per-doc counts."""
+    counts = pii_counts(text_col)
+    aggs = []
+    for name in counts:
+        aggs.append(F.sum(name).cast("bigint").alias(f"{name}_total"))
+        aggs.append(F.count(F.when(F.col(name) > 0, 1))
+                     .cast("bigint").alias(f"{name}_docs"))
+    wide = df.select(*counts.values()).agg(*aggs)
+    names = list(counts)
+    stack = ", ".join(
+        f"'{n}', `{n}_total`, `{n}_docs`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) as (pii_type, total_matches, docs_affected)")

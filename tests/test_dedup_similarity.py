@@ -224,3 +224,28 @@ def test_top_k_per_group_with_ties(spark):
     got = {(r["lang"], r["id"], r["rank"]) for r in out.collect()}
     # tie at 0.9 broken by ascending id — deterministic
     assert got == {("en", 1, 1), ("en", 2, 2), ("de", 6, 1), ("de", 5, 2)}
+
+
+# --- decontamination -------------------------------------------------------
+
+def test_contamination_and_decontaminate(spark):
+    from schema_validata_spark.operators.decontam import (
+        contamination_pairs, decontaminate)
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated text about spark shuffles and joins"),
+        (3, "short"),
+        (4, None),
+    ], "doc_id long, text string")
+    eval_set = spark.createDataFrame([
+        (100, "we saw the quick brown fox jumps over the lazy dog"),
+        (101, "short"),
+    ], "doc_id long, text string")
+    pairs = {(r["train_id"], r["eval_id"]): r["n_shared"] for r in
+             contamination_pairs(train, eval_set, shingle_k=5).collect()}
+    assert (1, 100) in pairs and pairs[(1, 100)] >= 1   # 5-gram overlap
+    assert (3, 101) in pairs                             # whole-short-doc match
+    assert not any(t == 2 for t, _ in pairs)
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(train, eval_set, shingle_k=5).collect())
+    assert kept == [2, 4]    # null-text doc has no shingles → never flagged

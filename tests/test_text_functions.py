@@ -52,3 +52,25 @@ def test_shingles(spark):
     got = _one(spark, "a b c d", shingles("t", 3))
     assert got == ["a b c", "b c d"]
     assert _one(spark, "a b", shingles("t", 3)) == ["a b"]
+
+
+# --- PII scan --------------------------------------------------------------
+
+def test_pii_scan_counts(spark):
+    from schema_validata_spark.functions.text import pii_scan, pii_summary
+    rows = [
+        (1, "contact me at jane.doe+work@example.co.uk or (555) 123-4567"),
+        (2, "ssn 123-45-6789 twice: 987-65-4321; server at 10.0.0.1"),
+        (3, "clean text with no identifiers at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scan(df, "text", "doc_id").collect()}
+    assert got[1]["email"] == 1 and got[1]["phone_us"] == 1
+    assert got[2]["ssn"] == 2 and got[2]["ipv4"] == 1
+    assert got[3]["email"] == got[3]["ssn"] == 0
+    assert got[4]["email"] == 0          # NULL text → zero counts
+    summary = {r["pii_type"]: (r["total_matches"], r["docs_affected"])
+               for r in pii_summary(df, "text").collect()}
+    assert summary["ssn"] == (2, 1)
+    assert summary["email"] == (1, 1)
