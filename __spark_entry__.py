@@ -37,6 +37,9 @@ from schema_validata_spark.functions.sampling import (_hex_threshold,
 from schema_validata_spark.functions.text import PII_PATTERNS, pii_summary
 from schema_validata_spark.operators.decontam import (contamination_pairs,
                                                       decontaminate)
+from schema_validata_spark.operators.sequence import (consecutive_repeats,
+                                                      session_stats)
+from schema_validata_spark.operators.similarity import embedding_norm_stats
 from schema_validata_spark.operators.drift import (drift_scores,
                                                    drift_scores_pandas,
                                                    numeric_histogram,
@@ -403,6 +406,32 @@ def q_pii_summary(spark, sf_dir):
     return pii_summary(_t(spark, sf_dir, "documents"), "text")
 
 
+def q_consecutive_repeats(spark, sf_dir):
+    """Sequence check (operators/sequence.py): events where the same
+    user fires the same event_type twice in a row (total order
+    ts, event_id — lag is deterministic under shuffle retries)."""
+    df = _t(spark, sf_dir, "events")
+    out = consecutive_repeats(df, "user_id", ["ts", "event_id"],
+                              "event_type")
+    return out.select("event_id", "user_id", "event_type", "prev_value")
+
+
+def q_session_stats(spark, sf_dir):
+    """Sessionization (30-min gap running-sum window) aggregated to a
+    histogram: how many users have N sessions. Counts are tie-robust
+    (boundary COUNT per user is order-independent)."""
+    df = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    s = session_stats(df, "user_id", "ts", gap_minutes=30.0)
+    return (s.groupBy("n_sessions")
+             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    """Embedding corpus QA (operators/similarity.py): one aggregate —
+    norm min/max/mean, null/zero-vector counts."""
+    return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Reproducible hash-based sampling (functions/sampling.py): the
     keep decision depends only on md5(doc_id), never on partitioning,
@@ -565,6 +594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "decontaminated": q_decontaminated,
         "pii_summary": q_pii_summary,
+        "consecutive_repeats": q_consecutive_repeats,
+        "session_stats": q_session_stats,
+        "embedding_norm_stats": q_embedding_norm_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1108,5 +1140,45 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END)::bigint AS docs_affected
         FROM documents""")
     sql["pii_summary"] = " UNION ALL ".join(pii_parts)
+
+    sql["consecutive_repeats"] = """
+        SELECT event_id, user_id, event_type, prev_value FROM (
+          SELECT event_id, user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_value
+          FROM events) t
+        WHERE event_type = prev_value"""
+
+    sql["session_stats"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+          FROM events WHERE user_id IS NOT NULL),
+        b AS (
+          SELECT user_id,
+                 CASE WHEN pts IS NULL
+                        OR epoch(ts) - epoch(pts) > 1800.0
+                      THEN 1 ELSE 0 END AS boundary
+          FROM g),
+        s AS (
+          SELECT user_id, sum(boundary)::int AS n_sessions
+          FROM b GROUP BY user_id)
+        SELECT n_sessions, count(*)::bigint AS n_users
+        FROM s GROUP BY n_sessions"""
+
+    sql["embedding_norm_stats"] = """
+        WITH n AS (
+          SELECT sqrt(list_sum(list_transform(
+                   embedding, x -> cast(x as double) * cast(x as double))))
+                 AS nm
+          FROM embeddings)
+        SELECT count(*)::bigint AS n_vectors,
+               count(CASE WHEN nm IS NULL THEN 1 END)::bigint AS n_null,
+               count(CASE WHEN nm = 0.0 THEN 1 END)::bigint AS n_zero,
+               round(min(nm), 4) AS min_norm,
+               round(max(nm), 4) AS max_norm,
+               round(avg(nm), 4) AS avg_norm
+        FROM n"""
 
     return sql

@@ -1,0 +1,66 @@
+"""Sequence / ordering checks over partitioned event streams — the
+window-function layer of transcript validation: a conversation is an
+ordered sequence of turns, and several real defects are only visible
+relative to the PREVIOUS row (same speaker twice, duplicated event,
+session boundaries).
+
+SCALE NOTES: each op is ONE window over (partition key, total order) —
+one shuffle on the partition key, then a streaming pass per partition
+(lag / running sum need no buffering beyond one row). Skewed partitions
+(the mega-conversation fixture) ride on AQE; no driver-side state. The
+caller supplies a TOTAL order (e.g. ts + unique id tiebreak) — a
+partial order would make lag nondeterministic under shuffle retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def consecutive_repeats(df: DataFrame, part_col: str,
+                        order_cols: list[str],
+                        value_col: str) -> DataFrame:
+    """Rows whose ``value_col`` equals the immediately preceding row's
+    value within ``part_col`` (ordered by ``order_cols``) — e.g. the
+    same role speaking twice in a row, or a double-fired event.
+    Output: the matching rows plus ``prev_value``. NULL values never
+    match (SQL equality semantics)."""
+    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(value_col).over(w)
+    return (df.withColumn("prev_value", prev)
+              .where(F.col(value_col) == F.col("prev_value")))
+
+
+def sessionize(df: DataFrame, part_col: str, ts_col: str,
+               gap_minutes: float = 30.0,
+               session_col: str = "session_idx") -> DataFrame:
+    """Assign a per-partition session index: a new session starts when
+    the gap to the previous event exceeds ``gap_minutes`` (first event
+    of a partition is session 1). Classic running-sum-of-boundaries
+    window — no iteration, no state.
+
+    Tied timestamps: which of the tied rows carries a boundary is
+    order-dependent, but the NUMBER of boundaries per partition is not,
+    so ``session_stats`` (counts) is deterministic even with ties."""
+    w = Window.partitionBy(part_col).orderBy(F.col(ts_col))
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # NTZ timestamps refuse a direct double cast; the ltz hop is a
+    # no-op for ltz input and gap DIFFERENCES are timezone-invariant
+    def _epoch(c):
+        return c.cast("timestamp_ltz").cast("double")
+    gap_s = _epoch(F.col(ts_col)) - _epoch(prev_ts)
+    boundary = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60.0), 1) \
+                .otherwise(0)
+    return df.withColumn(session_col,
+                         F.sum(boundary).over(
+                             w.rowsBetween(Window.unboundedPreceding, 0))
+                          .cast("int"))
+
+
+def session_stats(df: DataFrame, part_col: str, ts_col: str,
+                  gap_minutes: float = 30.0) -> DataFrame:
+    """(part, n_sessions, n_events) — sessionize + one aggregate."""
+    s = sessionize(df, part_col, ts_col, gap_minutes)
+    return (s.groupBy(part_col)
+             .agg(F.max("session_idx").alias("n_sessions"),
+                  F.count(F.lit(1)).alias("n_events")))

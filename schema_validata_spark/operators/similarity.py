@@ -160,3 +160,22 @@ def ivf_route(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     absv = F.transform(v, lambda x: F.abs(x))
     bucket = F.array_position(absv, F.array_max(absv)).cast("int")
     return df.withColumn("ivf_bucket", bucket)
+
+
+def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding"
+                         ) -> DataFrame:
+    """Corpus-QA for an embedding column in ONE aggregate: vector
+    count, nulls, zero vectors, and the L2-norm min/max/mean (rounded
+    to 4 — stable under cross-partition float summation order).
+    Unnormalized or degenerate embeddings (zeros from a failed encode)
+    are the most common silent corruption in vector pipelines."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    e = df.select(norm.alias("n"))
+    return e.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count(F.when(F.col("n").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("n") == 0.0, 1)).alias("n_zero"),
+        F.round(F.min("n"), 4).alias("min_norm"),
+        F.round(F.max("n"), 4).alias("max_norm"),
+        F.round(F.avg("n"), 4).alias("avg_norm"))

@@ -1,0 +1,51 @@
+"""Sequence/window operators (operators/sequence.py)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.sequence import (consecutive_repeats,
+                                                      session_stats,
+                                                      sessionize)
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        # user A: burst, 40-min gap, burst → 2 sessions; repeat in 2nd
+        (1, "a", "click", base),
+        (2, "a", "view", base + dt.timedelta(minutes=5)),
+        (3, "a", "click", base + dt.timedelta(minutes=50)),
+        (4, "a", "click", base + dt.timedelta(minutes=51)),
+        # user B: single event
+        (5, "b", "view", base),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp")
+
+
+def test_consecutive_repeats(spark):
+    df = _events(spark)
+    got = consecutive_repeats(df, "user_id", ["ts", "event_id"],
+                              "event_type").collect()
+    assert [(r["event_id"], r["prev_value"]) for r in got] == [(4, "click")]
+
+
+def test_sessionize_and_stats(spark):
+    df = _events(spark)
+    s = {r["event_id"]: r["session_idx"]
+         for r in sessionize(df, "user_id", "ts", 30.0).collect()}
+    assert s[1] == s[2] == 1 and s[3] == s[4] == 2 and s[5] == 1
+    stats = {r["user_id"]: (r["n_sessions"], r["n_events"])
+             for r in session_stats(df, "user_id", "ts", 30.0).collect()}
+    assert stats["a"] == (2, 4) and stats["b"] == (1, 1)
+
+
+def test_embedding_norm_stats(spark):
+    from schema_validata_spark.operators.similarity import embedding_norm_stats
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>")
+    r = embedding_norm_stats(df).collect()[0]
+    assert (r["n_vectors"], r["n_null"], r["n_zero"]) == (3, 1, 1)
+    assert r["max_norm"] == 5.0 and r["min_norm"] == 0.0
