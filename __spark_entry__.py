@@ -34,7 +34,8 @@ from schema_validata_spark.operators.selection import top_k_per_group
 from schema_validata_spark.functions.sampling import (_hex_threshold,
                                                       deterministic_sample,
                                                       group_split)
-from schema_validata_spark.functions.text import PII_PATTERNS, pii_summary
+from schema_validata_spark.functions.text import (PII_PATTERNS, pii_summary,
+                                                  repetition_stats)
 from schema_validata_spark.operators.decontam import (contamination_pairs,
                                                       decontaminate)
 from schema_validata_spark.operators.sequence import (consecutive_repeats,
@@ -432,6 +433,14 @@ def q_embedding_norm_stats(spark, sf_dir):
     return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Boilerplate detection (functions/text.py:repetition_stats):
+    top-token fraction via two-stage agg + duplicate-trigram fraction
+    via array arithmetic."""
+    return repetition_stats(_t(spark, sf_dir, "documents"),
+                            "text", "doc_id")
+
+
 def q_deterministic_sample(spark, sf_dir):
     """Reproducible hash-based sampling (functions/sampling.py): the
     keep decision depends only on md5(doc_id), never on partitioning,
@@ -594,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "decontaminated": q_decontaminated,
         "pii_summary": q_pii_summary,
+        "repetition_stats": q_repetition_stats,
         "consecutive_repeats": q_consecutive_repeats,
         "session_stats": q_session_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1140,6 +1150,37 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 END)::bigint AS docs_affected
         FROM documents""")
     sql["pii_summary"] = " UNION ALL ".join(pii_parts)
+
+    sql["repetition_stats"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        tc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u
+          GROUP BY doc_id, tok),
+        mode AS (
+          SELECT doc_id,
+                 max(c) * 1.0 / sum(c) AS top_token_frac
+          FROM tc GROUP BY doc_id),
+        tri AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_transform(
+                      range(1, len(w) - 1),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+                 END AS s
+          FROM toks),
+        trif AS (
+          SELECT doc_id,
+                 1.0 - len(list_distinct(s)) * 1.0
+                       / greatest(len(s), 1) AS dup_trigram_frac
+          FROM tri)
+        SELECT m.doc_id, round(m.top_token_frac, 6) AS top_token_frac,
+               round(t.dup_trigram_frac, 6) AS dup_trigram_frac
+        FROM mode m JOIN trif t ON m.doc_id = t.doc_id"""
 
     sql["consecutive_repeats"] = """
         SELECT event_id, user_id, event_type, prev_value FROM (

@@ -32,7 +32,7 @@ from .operators.dedup import (dedup_exact, dedup_keep_canonical,
 from .operators.selection import top_k_per_group
 from .functions.sampling import (deterministic_sample, group_split,
                                  sample_expr, split_expr)
-from .functions.text import pii_scan, pii_summary
+from .functions.text import pii_scan, pii_summary, repetition_stats
 from .operators.decontam import contamination_pairs, decontaminate
 from .operators.sequence import (consecutive_repeats, session_stats,
                                  sessionize)
@@ -59,7 +59,7 @@ __all__ = [
     "simhash_near_duplicates", "top_k_per_group",
     "deterministic_sample", "group_split", "sample_expr", "split_expr",
     "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
-    "consecutive_repeats", "sessionize", "session_stats",
+    "consecutive_repeats", "sessionize", "session_stats", "repetition_stats",
     "embedding_norm_stats",
     "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",

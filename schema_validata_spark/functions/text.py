@@ -148,3 +148,51 @@ def pii_summary(df, text_col: str):
         f"'{n}', `{n}_total`, `{n}_docs`" for n in names)
     return wide.selectExpr(
         f"stack({len(names)}, {stack}) as (pii_type, total_matches, docs_affected)")
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Boilerplate/repetition detection per document:
+
+    * ``top_token_frac`` — fraction of tokens that are the single most
+      frequent token (a page of 'buy buy buy …' scores → 1.0);
+    * ``dup_trigram_frac`` — fraction of word 3-grams that are repeats
+      of an earlier 3-gram in the same doc (template/boilerplate text
+      repeats long spans; C4 uses the same family of heuristics).
+
+    Empty / NULL texts are excluded (no tokens → no signal). SCALE:
+    the token mode is explode + TWO-stage aggregate — (doc, token)
+    partial counts collapse map-side exactly like the profile melt, so
+    a doc repeating one token 10^6 times contributes one row per
+    partition, not 10^6 shuffle rows. The trigram fraction is pure
+    array arithmetic in the same scan (no shuffle)."""
+    base = (df.where(F.col(text_col).isNotNull()
+                     & (F.length(F.trim(text_col)) > 0))
+              .select(F.col(id_col),
+                      F.split(F.lower(F.trim(text_col)), r"\s+")
+                       .alias("__toks")))
+    tok_counts = (base.select(id_col, F.explode("__toks").alias("tok"))
+                      .groupBy(id_col, "tok")
+                      .agg(F.count(F.lit(1)).alias("c")))
+    mode_frac = (tok_counts.groupBy(id_col)
+                 .agg((F.max("c") / F.sum("c")).alias("top_token_frac")))
+    tri = base.select(
+        F.col(id_col),
+        (F.lit(1.0) - F.size(F.array_distinct(shingles_from_tokens("__toks", 3)))
+         / F.greatest(F.size(shingles_from_tokens("__toks", 3)), F.lit(1)))
+        .alias("dup_trigram_frac"))
+    return (mode_frac.join(tri, id_col)
+            .select(id_col,
+                    F.round("top_token_frac", 6).alias("top_token_frac"),
+                    F.round("dup_trigram_frac", 6).alias("dup_trigram_frac")))
+
+
+def shingles_from_tokens(toks_col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-TOKENIZED array column (same
+    semantics as ``shingles``, without re-splitting the text)."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                   for j in range(k)])))

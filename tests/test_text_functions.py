@@ -74,3 +74,22 @@ def test_pii_scan_counts(spark):
                for r in pii_summary(df, "text").collect()}
     assert summary["ssn"] == (2, 1)
     assert summary["email"] == (1, 1)
+
+
+def test_repetition_stats(spark):
+    from schema_validata_spark.functions.text import repetition_stats
+    rows = [
+        (1, "buy buy buy buy"),                      # one token repeated
+        (2, "all words here are fully distinct"),
+        (3, "spam ham spam ham spam ham spam ham"),  # repeated trigrams
+        (4, ""), (5, None),                          # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_stats(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["dup_trigram_frac"] == 0.5  # 'buy buy buy' ×2 → 1 distinct of 2
+    assert abs(got[2]["top_token_frac"] - 1 / 6) < 1e-6
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["dup_trigram_frac"] > 0.5
