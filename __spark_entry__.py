@@ -39,6 +39,7 @@ from schema_validata_spark.functions.text import (PII_PATTERNS, pii_summary,
 from schema_validata_spark.operators.decontam import (contamination_pairs,
                                                       decontaminate)
 from schema_validata_spark.operators.sequence import (consecutive_repeats,
+                                                      order_regressions,
                                                       session_stats)
 from schema_validata_spark.operators.similarity import embedding_norm_stats
 from schema_validata_spark.operators.drift import (drift_scores,
@@ -427,6 +428,15 @@ def q_session_stats(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+def q_order_regressions(spark, sf_dir):
+    """Batch timestamp-monotonicity check (the north-star per-turn
+    ordering invariant, batch twin of the stateful streaming op):
+    events whose ts precedes the running max along event_id order."""
+    df = _t(spark, sf_dir, "events")
+    out = order_regressions(df, "user_id", ["event_id"], "ts")
+    return out.select("event_id", "user_id", "ts", "prev_max_ts")
+
+
 def q_embedding_norm_stats(spark, sf_dir):
     """Embedding corpus QA (operators/similarity.py): one aggregate —
     norm min/max/mean, null/zero-vector counts."""
@@ -606,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "consecutive_repeats": q_consecutive_repeats,
         "session_stats": q_session_stats,
+        "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
@@ -1207,6 +1218,16 @@ def oracle_sql() -> dict[str, str]:
           FROM b GROUP BY user_id)
         SELECT n_sessions, count(*)::bigint AS n_users
         FROM s GROUP BY n_sessions"""
+
+    sql["order_regressions"] = """
+        SELECT event_id, user_id, ts, prev_max_ts FROM (
+          SELECT event_id, user_id, ts,
+                 max(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_ts
+          FROM events) t
+        WHERE ts < prev_max_ts"""
 
     sql["embedding_norm_stats"] = """
         WITH n AS (

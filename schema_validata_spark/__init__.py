@@ -34,8 +34,8 @@ from .functions.sampling import (deterministic_sample, group_split,
                                  sample_expr, split_expr)
 from .functions.text import pii_scan, pii_summary, repetition_stats
 from .operators.decontam import contamination_pairs, decontaminate
-from .operators.sequence import (consecutive_repeats, session_stats,
-                                 sessionize)
+from .operators.sequence import (consecutive_repeats, order_regressions,
+                                 session_stats, sessionize)
 from .operators.similarity import embedding_norm_stats
 from .operators.similarity import brute_force_topk, lsh_ann_topk
 from .report import errors_overview, write_report
@@ -59,7 +59,8 @@ __all__ = [
     "simhash_near_duplicates", "top_k_per_group",
     "deterministic_sample", "group_split", "sample_expr", "split_expr",
     "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
-    "consecutive_repeats", "sessionize", "session_stats", "repetition_stats",
+    "consecutive_repeats", "order_regressions", "sessionize",
+    "session_stats", "repetition_stats",
     "embedding_norm_stats",
     "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",

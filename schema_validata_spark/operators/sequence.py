@@ -64,3 +64,20 @@ def session_stats(df: DataFrame, part_col: str, ts_col: str,
     return (s.groupBy(part_col)
              .agg(F.max("session_idx").alias("n_sessions"),
                   F.count(F.lit(1)).alias("n_events")))
+
+
+def order_regressions(df: DataFrame, part_col: str,
+                      order_cols: list[str], ts_col: str) -> DataFrame:
+    """Rows whose event time moves BACKWARD relative to the running
+    maximum along the partition's logical order (e.g. a transcript
+    turn timestamped before an earlier turn) — the batch twin of
+    ``streaming.stream_monotonic_ts_violations``, as one running-max
+    window: max(ts) over rows-unbounded-preceding up to the PREVIOUS
+    row, then ``ts < running_max`` flags the regression. Catches
+    regressions against ANY earlier row, not just the adjacent one."""
+    w = (Window.partitionBy(part_col)
+               .orderBy(*[F.col(c) for c in order_cols])
+               .rowsBetween(Window.unboundedPreceding, -1))
+    running_max = F.max(F.col(ts_col)).over(w)
+    return (df.withColumn("prev_max_ts", running_max)
+              .where(F.col(ts_col) < F.col("prev_max_ts")))

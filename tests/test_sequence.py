@@ -49,3 +49,19 @@ def test_embedding_norm_stats(spark):
     r = embedding_norm_stats(df).collect()[0]
     assert (r["n_vectors"], r["n_null"], r["n_zero"]) == (3, 1, 1)
     assert r["max_norm"] == 5.0 and r["min_norm"] == 0.0
+
+
+def test_order_regressions(spark):
+    import datetime as dt
+    from schema_validata_spark.operators.sequence import order_regressions
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [  # logical order = turn_idx; turn 3 regresses past turn 1
+        ("c", 1, base + 5 * m), ("c", 2, base + 6 * m), ("c", 3, base + 2 * m),
+        ("c", 4, base + 7 * m),                  # above the running max — ok
+        ("d", 1, base), ("d", 2, base),  # equal ts is NOT a regression
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = [(r["conv_id"], r["turn_idx"]) for r in
+           order_regressions(df, "conv_id", ["turn_idx"], "ts").collect()]
+    assert got == [("c", 3)]
