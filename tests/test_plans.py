@@ -109,3 +109,20 @@ def test_top_k_per_group_map_side_group_limit(spark):
     plan = top_k_per_group(df, ["g"], "s", 5, tiebreak_cols=["doc"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_contamination_scan_prunes_columns(spark, tmp_path):
+    """The decontamination shingle scan must read ONLY (doc_id, text) —
+    a corpus table carries many more columns and reading them at 100 TB
+    is the difference between a text-column scan and a full-table scan."""
+    from schema_validata_spark.operators.decontam import contamination_pairs
+    p = str(tmp_path / "docs.parquet")
+    spark.range(50).selectExpr(
+        "id as doc_id", "concat('text body number ', id) as text",
+        "'en' as lang", "id * 2 as other_payload").write.parquet(p)
+    docs = spark.read.parquet(p)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    plan = contamination_pairs(docs, ev, shingle_k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "doc_id" in plan and "text" in plan
+    assert "other_payload" not in plan and "lang" not in plan
