@@ -166,3 +166,32 @@ def test_screened_profile_verdicts_match_exact(spark):
     v_scr = verdicts_for(rules, profile(df, exact_unique_cols=["uid"]), "d")
     assert v_exact == v_scr
     assert "length" in v_scr["text"]
+
+
+def test_wide_and_melt_paths_identical(spark, sf_dir):
+    """The narrow-table wide-aggregate fast path must be output-
+    identical to the melt across types, NA sentinels, and screen
+    modes — downstream cannot tell which ran."""
+    import json
+    import sys as _sys
+    P = _sys.modules["schema_validata_spark.operators.profile"]
+    rows = [("1", "2.5", "true", "n/a", "2023-01-01", None, 7, 2.0, True),
+            ("02", "x", "false", "", "14-Nov-2023", "txt", None, None, False),
+            (None, "3", None, "-", None, "y", 9, 3.5, None)]
+    mixed = spark.createDataFrame(
+        rows, "s_int string, s_num string, s_bool string, s_na string, "
+              "s_date string, s_txt string, i bigint, d double, b boolean")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    saved = P.WIDE_PROFILE_MAX_COLS
+    try:
+        for df in (mixed, docs):
+            for kw in ({}, {"exact_unique_cols": []},
+                       {"exact_unique_cols": [df.columns[0]]}):
+                P.WIDE_PROFILE_MAX_COLS = 999
+                wide = P.profile(df, **kw)
+                P.WIDE_PROFILE_MAX_COLS = -1
+                melt = P.profile(df, **kw)
+                assert json.dumps(wide, sort_keys=True, default=str) == \
+                    json.dumps(melt, sort_keys=True, default=str)
+    finally:
+        P.WIDE_PROFILE_MAX_COLS = saved
