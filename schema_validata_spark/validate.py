@@ -154,6 +154,15 @@ class ValidationResult:
                         for v in self.composite_uniqueness.values())
                 and all(c == 0 for c in self.referential.values()))
 
+    def unpersist(self) -> None:
+        """Release the cached speculative violations scan (validate()
+        persists it so consuming actions don't re-scan the input)."""
+        if self.violations is not None:
+            try:
+                self.violations.unpersist()
+            except Exception:  # noqa: BLE001 — uncached lineage is fine
+                pass
+
     def report(self, max_value_errors: int | None = 100_000) -> dict:
         """Reference-shaped nested result dict
         (src/schema_validata.py:2678-2700). Row-level errors are
@@ -193,9 +202,18 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
              key_cols: list[str] | None = None,
              partition_col: str | None = None,
              manifest_path: str | None = None,
-             snapshot_id: str | None = None) -> ValidationResult:
+             snapshot_id: str | None = None,
+             persist_violations: bool = True) -> ValidationResult:
     """Validate ``df`` against ``rules``; see module docstring for the
     job plan. ``dims`` supplies dimension tables for rules.foreign_keys.
+
+    ``persist_violations`` caches the speculative violations scan
+    (MEMORY_AND_DISK) so every consuming action — count, report,
+    sink — reads the (≪ input) violation rows instead of re-scanning
+    the full table: at 100 TB that is 1 input scan instead of k. The
+    cache write costs ~5% locally for a single-consumer run; pass
+    False to keep the scan fully lazy. ``ValidationResult.unpersist()``
+    releases the cache.
     ``key_cols`` are the stable row-address columns carried on violation
     rows (defaults to the first composite_unique key or the uid column).
     ``snapshot_id`` (Iceberg) feeds the run uid's content token; without
@@ -251,7 +269,7 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
     # distinct value for a stat no verdict consumes (VERDICT r1 #3).
     exact_cols = [fr.field_name for fr in rules
                   if fr.unique_value and fr.field_name in df.columns]
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_prof = pool.submit(profile, df, out_distincts=distincts,
                              exact_unique_cols=exact_cols)
         f_comp = pool.submit(_composites)
@@ -259,6 +277,13 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         if speculative:
             spec_specs = _speculative_specs(df, rules, ignore_errors)
             violations = value_errors_df(df, spec_specs, key_cols)
+            if persist_violations:
+                # reconcile below only stacks filters/unions ON TOP of
+                # the persisted base, so the cache stays valid;
+                # MEMORY_AND_DISK spills rather than OOMs if violations
+                # are pathologically numerous
+                from pyspark import StorageLevel
+                violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
         observed = f_prof.result()
         f_comp.result()
         f_ri.result()
