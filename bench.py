@@ -72,7 +72,9 @@ def _run_validate(spark, tdir, cdir):
                    dataset_name="transcripts",
                    dims={"conversations": c},
                    key_cols=["conv_id", "turn_idx"], ignore_errors=[])
-    return res.violations.count()
+    n = res.violations.count()
+    res.unpersist()          # don't accumulate lap caches
+    return n
 
 
 def bench_validate_transcripts(spark):
