@@ -1206,7 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (
           SELECT user_id, ts,
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-          FROM events WHERE user_id IS NOT NULL),
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         b AS (
           SELECT user_id,
                  CASE WHEN pts IS NULL

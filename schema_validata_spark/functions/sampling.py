@@ -81,9 +81,15 @@ def split_expr(key: Column | str, fractions: dict[str, float],
         cuts.append((name, _hex_threshold(cum)))
     # fold from the last interval inward so the OUTERMOST when tests the
     # smallest cumulative cut: h < cut1 → name1, elif h < cut2 → name2, …
+    # A None cut means this split's cumulative fraction reaches 1.0 —
+    # it absorbs ALL remaining rows (later zero-width splits are
+    # unreachable), so it REPLACES the fallback rather than being
+    # skipped.
     expr = F.lit(names[-1])
     for name, cut in reversed(cuts):
-        if cut is not None:
+        if cut is None:
+            expr = F.lit(name)
+        else:
             expr = F.when(h < F.lit(cut), F.lit(name)).otherwise(expr)
     return expr
 

@@ -97,12 +97,7 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-shingles as an array<string> — input to MinHash / Jaccard.
     Built with transform() over a token array: JVM-side, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])))
+    return shingles_from_tokens(F.split(F.lower(F.trim(c)), r"\s+"), k)
 
 
 # --- PII pattern scan ------------------------------------------------------
@@ -175,11 +170,16 @@ def repetition_stats(df, text_col: str, id_col: str):
                       .agg(F.count(F.lit(1)).alias("c")))
     mode_frac = (tok_counts.groupBy(id_col)
                  .agg((F.max("c") / F.sum("c")).alias("top_token_frac")))
-    tri = base.select(
-        F.col(id_col),
-        (F.lit(1.0) - F.size(F.array_distinct(shingles_from_tokens("__toks", 3)))
-         / F.greatest(F.size(shingles_from_tokens("__toks", 3)), F.lit(1)))
-        .alias("dup_trigram_frac"))
+    # materialize the shingle array ONCE: transform()-based
+    # higher-order functions are CodegenFallback, so whole-stage
+    # subexpression elimination would NOT merge two occurrences —
+    # without this every doc's trigram array is built twice
+    tri = (base.withColumn("__tri", shingles_from_tokens("__toks", 3))
+               .select(
+                   F.col(id_col),
+                   (F.lit(1.0) - F.size(F.array_distinct("__tri"))
+                    / F.greatest(F.size("__tri"), F.lit(1)))
+                   .alias("dup_trigram_frac")))
     return (mode_frac.join(tri, id_col)
             .select(id_col,
                     F.round("top_token_frac", 6).alias("top_token_frac"),

@@ -336,6 +336,7 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
               .localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .select("id", F.col("id").alias("lbl")))
+    prev_ckpt = None
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges["dst"] == labels["id"])
                     .groupBy("src").agg(F.min("lbl").alias("nlbl")))
@@ -352,6 +353,13 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                                        F.coalesce("plbl", "mid"))
                                 .alias("new"))
                        .localCheckpoint(eager=True))
+        # the previous round's checkpoint blocks are now unreachable —
+        # release them explicitly rather than waiting for driver GC +
+        # ContextCleaner (max_iter label-set copies would otherwise sit
+        # in executor storage simultaneously)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = stepped
         labels = stepped.select("id", F.col("new").alias("lbl"))
         if stepped.where(F.col("new") != F.col("old")).limit(1).count() == 0:
             break

@@ -41,7 +41,12 @@ def sessionize(df: DataFrame, part_col: str, ts_col: str,
 
     Tied timestamps: which of the tied rows carries a boundary is
     order-dependent, but the NUMBER of boundaries per partition is not,
-    so ``session_stats`` (counts) is deterministic even with ties."""
+    so ``session_stats`` (counts) is deterministic even with ties.
+
+    NULL event times cannot be sessionized and are EXCLUDED (under
+    Spark's NULLS FIRST each null-ts row would otherwise open its own
+    session, inflating counts and diverging from NULLS LAST engines)."""
+    df = df.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(part_col).orderBy(F.col(ts_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)
     # NTZ timestamps refuse a direct double cast; the ltz hop is a

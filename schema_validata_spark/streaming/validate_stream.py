@@ -169,7 +169,16 @@ def stream_dedup(stream_df: DataFrame, key_cols: list[str] | None = None,
     if (key_cols is None) == (text_col is None):
         raise ValueError("pass exactly one of key_cols / text_col")
     if text_col is not None:
-        df = df.withColumn("__fp", fingerprint(text_col))
-        out = df.dropDuplicatesWithinWatermark(["__fp"])
-        return out.drop("__fp")
+        # NULL text must pass through untouched: fingerprint() is
+        # xxhash64, and xxhash64(NULL) is the constant SEED, not NULL —
+        # an ungated fingerprint would collapse every text-less row in
+        # the horizon into one (and dropDuplicates also treats NULL
+        # keys as equal). Dedup only rows with real text.
+        fp = F.when(F.col(text_col).isNotNull(), fingerprint(text_col))
+        with_fp = df.withColumn("__fp", fp)
+        deduped = (with_fp.where(F.col("__fp").isNotNull())
+                          .dropDuplicatesWithinWatermark(["__fp"])
+                          .drop("__fp"))
+        passthrough = with_fp.where(F.col("__fp").isNull()).drop("__fp")
+        return deduped.unionByName(passthrough)
     return df.dropDuplicatesWithinWatermark(key_cols)

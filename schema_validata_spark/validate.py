@@ -147,6 +147,11 @@ class ValidationResult:
     referential: dict[str, int]             # {fk_repr: violation_count}
     partition_verdicts: DataFrame | None = None
     run_metadata: dict[str, Any] = field(default_factory=dict)
+    # handle to the persist()ed base of the violations plan: the
+    # reconcile step may wrap `violations` in where()/union() layers,
+    # and DataFrame.unpersist() only releases a plan that IS a cache
+    # entry — unpersisting the derived plan would silently leak
+    persisted_base: DataFrame | None = None
 
     def passed(self) -> bool:
         return (not self.schema_violations
@@ -157,9 +162,11 @@ class ValidationResult:
     def unpersist(self) -> None:
         """Release the cached speculative violations scan (validate()
         persists it so consuming actions don't re-scan the input)."""
-        if self.violations is not None:
+        target = self.persisted_base if self.persisted_base is not None \
+            else self.violations
+        if target is not None:
             try:
-                self.violations.unpersist()
+                target.unpersist()
             except Exception:  # noqa: BLE001 — uncached lineage is fine
                 pass
 
@@ -261,6 +268,7 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
     speculative = bool(key_cols) and not preferred and list_errors
 
     violations = None
+    persisted_base = None
     spec_specs: list[CheckSpec] = []
     distincts: dict[str, int] = {}
     # Exact distinct/duplicate stats only where a unique_value rule needs
@@ -284,6 +292,7 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
                 # are pathologically numerous
                 from pyspark import StorageLevel
                 violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted_base = violations
         observed = f_prof.result()
         f_comp.result()
         f_ri.result()
@@ -337,6 +346,7 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         composite_uniqueness=composite, referential=referential,
         run_metadata={"schema_mapping": [
             {"dataset": dataset_name, "data_dict": rules.name}]},
+        persisted_base=persisted_base,
     )
     if partition_col:
         result.partition_verdicts = partition_verdicts(

@@ -135,3 +135,28 @@ def test_stream_dedup_arg_validation(spark):
         F.current_timestamp().alias("ts"))
     with _pytest.raises(ValueError):
         stream_dedup(df)
+
+
+def test_stream_dedup_null_text_passthrough(spark, tmp_path):
+    """Text-less rows must pass through content-mode dedup untouched —
+    xxhash64(NULL) is the constant seed, so an ungated fingerprint
+    would collapse every null-text row in the horizon into one."""
+    import datetime as dt
+    from schema_validata_spark.streaming.validate_stream import stream_dedup
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [("c1", 0, None, base), ("c2", 0, None, base),
+            ("c3", 0, None, base), ("c4", 0, "real text", base)]
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, ts timestamp"
+    ).parquet(src)
+    q = (stream_dedup(stream, text_col="text")
+         .writeStream.format("memory").queryName("dedup_null_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r[0] for r in
+                 spark.sql("SELECT conv_id FROM dedup_null_mem").collect())
+    assert got == ["c1", "c2", "c3", "c4"]    # all three null-text rows kept

@@ -81,3 +81,18 @@ def test_sample_expr_is_map_only(spark, tmp_path):
     plan = df.where(sample_expr("k", 0.3)) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan       # no shuffle: filter in the scan stage
+
+
+def test_split_full_cumulative_fraction(spark):
+    # cumulative fraction reaching 1.0 before the last split must NOT
+    # leak rows into later zero-width splits
+    df = _keys(spark, 1000)
+    out = df.select("k", split_expr(
+        "k", {"train": 0.9, "val": 0.1, "test": 0.0}).alias("s"))
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "test" not in counts
+    assert abs(counts["train"] / 1000 - 0.9) < 0.05
+    assert abs(counts["val"] / 1000 - 0.1) < 0.05
+    one = df.select(split_expr("k", {"a": 1.0, "b": 0.0}).alias("s"))
+    assert {r["s"] for r in one.distinct().collect()} == {"a"}

@@ -65,3 +65,16 @@ def test_order_regressions(spark):
     got = [(r["conv_id"], r["turn_idx"]) for r in
            order_regressions(df, "conv_id", ["turn_idx"], "ts").collect()]
     assert got == [("c", 3)]
+
+
+def test_sessionize_excludes_null_ts(spark):
+    import datetime as dt
+    from schema_validata_spark.operators.sequence import session_stats
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [("a", base), ("a", None), ("a", None),
+            ("a", base + dt.timedelta(hours=2))]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    stats = {r["user_id"]: (r["n_sessions"], r["n_events"])
+             for r in session_stats(df, "user_id", "ts", 30.0).collect()}
+    # null-ts rows are excluded, NOT each their own session
+    assert stats["a"] == (2, 2)
