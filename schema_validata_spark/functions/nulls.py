@@ -85,10 +85,15 @@ def is_na_expr(col: Column | str,
         return c.isNull() | s.rlike(pattern)
     # octet_length is O(1) (byte count) — document text short-circuits
     # before the O(n) trim; ×4 covers multibyte sentinels, and the gate
-    # itself allows arbitrary whitespace padding (trim first)
-    return c.isNull() | ((F.octet_length(s) <= (gate + 64) * 4)
-                         & (F.length(F.trim(s)) <= gate)
-                         & s.rlike(pattern))
+    # itself allows arbitrary whitespace padding (trim first). Values
+    # PAST the byte gate get one trim-only check so a long
+    # whitespace-only cell (padded fixed-width exports) still
+    # NA-classifies — trim is a byte scan, the regex never runs on
+    # long text.
+    return c.isNull() | F.when(
+        F.octet_length(s) <= (gate + 64) * 4,
+        (F.length(F.trim(s)) <= gate) & s.rlike(pattern)
+    ).otherwise(F.trim(s) == "")   # trim walks only the ends: O(ws)
 
 
 def discover_na_values(df: DataFrame,

@@ -462,8 +462,12 @@ def _pass_c(df: DataFrame, cols: list[str]) -> dict[str, list[str]]:
 
 
 def _downcast(v):
-    """Reference downcast_ints (src/schema_validata.py:304-324): 12.0 → 12."""
-    if isinstance(v, float) and not math.isnan(v) and v == int(v):
+    """Reference downcast_ints (src/schema_validata.py:304-324): 12.0 → 12.
+    Guard on isfinite, not just isnan — ``int(float('inf'))`` raises
+    OverflowError, and safe_double deliberately admits 'inf'/'Infinity'
+    strings (pandas to_numeric parity), so ±inf can reach a num_min/max
+    stat."""
+    if isinstance(v, float) and math.isfinite(v) and v == int(v):
         return int(v)
     return v
 

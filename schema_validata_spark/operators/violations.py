@@ -117,8 +117,11 @@ def _check_condition(df: DataFrame, spec: CheckSpec,
                     ok = False
                     break
             if ok:
+                # mask NaN for pandas parity, same as the range checks:
+                # the reference's isin on a float column never flags NaN
+                # (NaN compares unequal but pandas drops it via dropna)
                 d = c.cast("double")
-                return d.isNotNull() & ~d.isin(fvals), \
+                return d.isNotNull() & ~F.isnan(d) & ~d.isin(fvals), \
                     ERROR_TYPE_LABELS["allowed_value_list"]
         return c.isNotNull() & ~F.trim(s).isin(vals), \
             ERROR_TYPE_LABELS["allowed_value_list"]

@@ -33,8 +33,14 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — planning-only failure: leave as-is
         files = []
-    if files:
-        return df.repartition(target) if len(files) < floor else df
+    if files and len(files) >= floor:
+        # many files → at least one task each; metadata-only fast exit
+        return df
+    # few (or unknown) files: a few LARGE parquet files still split into
+    # many tasks via maxPartitionBytes, so confirm with the planner's
+    # actual partition count before paying a full repartition shuffle —
+    # repartitioning an 8×1 GB table that already planned 64 scan tasks
+    # would be a pure regression
     try:
         nparts = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — planning-only failure: leave as-is

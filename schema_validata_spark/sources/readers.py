@@ -108,6 +108,7 @@ def _clean_and_infer(df: DataFrame, rm_newlines: bool, replace_char: str,
         aggs += type_probe_aggs(c, F.col(c))
     row = df.agg(*aggs).collect()[0].asDict()
     casts = []
+    dt_candidates: list[str] = []
     for c in df.columns:
         probes = {p: row.get(f"{c}__{p}") or 0
                   for p in ["nonnull", "int_ok", "float_ok", "bool_ok",
@@ -117,14 +118,23 @@ def _clean_and_infer(df: DataFrame, rm_newlines: bool, replace_char: str,
         if target == "string":
             casts.append(F.col(c))
         elif target == "timestamp":
-            # full multi-format parse (reference COMMON_DATETIMES + ISO);
-            # a format election (functions/datetimes.py:
-            # infer_datetime_format) is available when one-parse-per-cell
-            # matters more than the extra election job
-            from ..functions.datetimes import parse_datetime_multi
-            casts.append(parse_datetime_multi(F.col(c)).alias(c))
+            # COLUMN-level format election (reference
+            # infer_datetime_column :508-579): ONE format is elected for
+            # the whole column and every cell parses with it. A per-cell
+            # first-match over COMMON_DATETIMES would silently mix
+            # M/d-vs-d/M interpretations within one column ('03/04/2024'
+            # → Mar 4 but '25/12/2024' → day-first) — the election keeps
+            # the column self-consistent, converted below.
+            dt_candidates.append(c)
+            casts.append(F.col(c))
         elif target == "boolean":
             casts.append(F.lower(F.trim(F.col(c))).try_cast("boolean").alias(c))
         else:
             casts.append(F.trim(F.col(c)).try_cast(target).alias(c))
-    return df.select(casts)
+    out = df.select(casts)
+    for c in dt_candidates:
+        from ..functions.datetimes import convert_datetime_column
+        converted = convert_datetime_column(out, c)
+        if converted is not None:     # None → no coherent format: stay string
+            out = converted
+    return out

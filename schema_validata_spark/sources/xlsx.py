@@ -25,7 +25,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _NS_REL = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
@@ -223,7 +223,9 @@ def write_xlsx(path: str, sheets: dict[str, list[list]],
                    'officeDocument" Target="xl/workbook.xml"/>'
                    '</Relationships>')
         sheet_tags = "".join(
-            f'<sheet name="{escape(names[i])}" sheetId="{i + 1}" '
+            # attribute context: quotes must be escaped too (escape()
+            # alone leaves '"' and corrupts the workbook XML)
+            f'<sheet name={quoteattr(names[i])} sheetId="{i + 1}" '
             f'r:id="rId{i + 1}"/>'
             for i in range(len(order)))
         z.writestr("xl/workbook.xml",

@@ -133,7 +133,11 @@ def partition_fingerprints(df: DataFrame, partition_col: str
                    F.expr("bit_xor(__h)").alias("hx"),
                    F.sum(F.pmod(F.col("__h"), F.lit(1 << 20))).alias("hs"))
               .collect())
-    return {r["__p"]: f"fp:{r['n']}:{r['hx']}:{r['hs']}" for r in rows}
+    # str() maps a NULL partition to 'None' — the SAME key every other
+    # identity branch produces (str(r[0]) on a collected NULL), so one
+    # partition can't flip identity keys between modes (and sorted()
+    # never compares None with str)
+    return {str(r["__p"]): f"fp:{r['n']}:{r['hx']}:{r['hs']}" for r in rows}
 
 
 @dataclass
@@ -480,9 +484,29 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
     manifest = Manifest(spark, manifest_path)
     done_ids = manifest.done_identities(run_id)
 
+    # identity tokens: 'snap:S' (fast path, metadata only),
+    # 'fp:n:hx:hs' (content fingerprint), or 'snap:S;fp:...' (both —
+    # written on the snapshot-moved fallback so the NEXT run under the
+    # same snapshot regains the metadata-only fast path)
+    def _fp_part(v: str | None) -> str | None:
+        if v and "fp:" in v:
+            return v[v.index("fp:"):]
+        return None
+
+    def _snap_part(v: str | None) -> str | None:
+        return v.split(";", 1)[0] if v and v.startswith("snap:") else None
+
+    def _matches(old: str | None, new: str | None) -> bool:
+        if old is None or new is None:
+            return old == new and old is not None
+        if old == new:
+            return True
+        of, nf = _fp_part(old), _fp_part(new)
+        return of is not None and of == nf
+
     snap_token = f"snap:{snapshot_id}" if snapshot_id is not None else None
     if snap_token is not None and (not done_ids or
-                                   all(v == snap_token
+                                   all(_snap_part(v) == snap_token
                                        for v in done_ids.values())):
         # same snapshot (or fresh run): partition list only, no data read
         parts = [str(r[0]) for r in
@@ -490,13 +514,9 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                    .distinct().collect()]
         current = {p: snap_token for p in parts}
     elif verify_content or snap_token is not None:
-        current = partition_fingerprints(df, partition_col)
-        if snap_token is not None:
-            # re-record under the new snapshot; skip iff content unchanged
-            # (manifest may hold either snap: or fp: identities)
-            fp_done = {p: v for p, v in done_ids.items()
-                       if v and v.startswith("fp:")}
-            done_ids = fp_done
+        fps = partition_fingerprints(df, partition_col)
+        current = {p: (f"{snap_token};{fp}" if snap_token else fp)
+                   for p, fp in fps.items()}
     else:
         parts = [str(r[0]) for r in
                  df.select(F.col(partition_col).cast("string"))
@@ -504,19 +524,36 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
         current = {p: done_ids.get(p) for p in parts}  # always "matches"
     parts = list(current)
     todo = sorted(p for p in parts
-                  if p not in done_ids or done_ids[p] != current[p])
+                  if not _matches(done_ids.get(p), current[p]))
+
+    # heal identities of SKIPPED partitions whose stored token differs
+    # only in form (old snapshot / bare fp): re-record under the current
+    # token, reusing stored metrics, so the metadata-only fast path
+    # works again on the next run instead of re-scanning forever
+    stale_form = [p for p in parts
+                  if p not in set(todo) and done_ids.get(p) != current.get(p)
+                  and current.get(p) is not None]
+    if stale_form:
+        kept = manifest.metrics(run_id)
+        manifest.mark_done_many(run_id, [
+            (p, kept.get(p, {}), None, 0.0, current[p])
+            for p in stale_form])
 
     all_rows: list[tuple] = []
     for i in range(0, len(todo), batch_size):
         batch = todo[i:i + batch_size]
         t0 = timed()
-        sub = df.where(F.col(partition_col).cast("string").isin(batch))
+        # coalesce so the 'None' identity key actually selects the
+        # NULL-partition rows (NULL.isin([...]) is never true)
+        pkey = F.coalesce(F.col(partition_col).cast("string"),
+                          F.lit("None"))
+        sub = df.where(pkey.isin(batch))
         pv = partition_verdicts(sub, rules, partition_col, dims=dims)
         rows = pv.collect()
         wall = timed() - t0
         by_part: dict[str, list] = {p: [] for p in batch}
         for r in rows:
-            by_part.setdefault(r["partition_key"], []).append(
+            by_part.setdefault(str(r["partition_key"]), []).append(
                 (r["column_name"], r["check"], r["violation_count"], r["status"]))
         manifest.mark_done_many(run_id, [
             (p, {"checks": by_part.get(p, [])}, None,

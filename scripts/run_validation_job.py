@@ -59,7 +59,15 @@ def main(argv=None):
     if args.conversations:
         dims["conversations"] = spark.read.parquet(args.conversations)
     if args.rules_xlsx:
-        sheet, _, path = args.rules_xlsx.rpartition(":")
+        # 'SHEET:path' — but only treat the prefix as a sheet name when
+        # it can't be part of a path ('C:\dicts\dd.xlsx', 's3://…' must
+        # parse as plain paths, not sheet 'C' / 's3')
+        sheet, sep, rest = args.rules_xlsx.partition(":")
+        if sep and sheet and not any(ch in sheet for ch in "\\/.") \
+                and not rest.startswith("//"):
+            path = rest
+        else:
+            sheet, path = "", args.rules_xlsx
         rules = Rules.from_xlsx(path, sheet=sheet or None)
         if isinstance(rules, dict):  # no sheet given: take the first
             rules = next(iter(rules.values()))

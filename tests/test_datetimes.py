@@ -125,3 +125,21 @@ def test_mixed_formats_stay_string_per_format_election(spark):
     vals = ["11/14/2023", "2023-11-14"]
     fmt = infer_datetime_format(_df(spark, vals), "d")
     assert fmt == "dateutil"
+
+
+def test_reader_elects_one_format_per_column(spark, tmp_path):
+    """Ingest must parse a d/M column with ONE elected format — a
+    per-cell first-match would read '03/04/2024' as March 4 (US) while
+    '25/12/2024' falls through to day-first, mixing conventions."""
+    import csv
+    from schema_validata_spark.sources.readers import read_spreadsheet
+    p = str(tmp_path / "d.csv")
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "d"])
+        w.writerows([[1, "25/12/2024"], [2, "03/04/2024"]])
+    df = read_spreadsheet(spark, p)
+    vals = {r["id"]: r["d"] for r in df.collect()}
+    assert vals[1].month == 12 and vals[1].day == 25
+    # same convention for the ambiguous value: day-first → April 3
+    assert vals[2].month == 4 and vals[2].day == 3

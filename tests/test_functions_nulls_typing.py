@@ -139,3 +139,15 @@ def test_get_byte_units():
     assert get_byte_units(0) == "0 : B"
     assert get_byte_units(1500) == "1.5 : KB"
     assert get_byte_units(2_000_000_000) == "2.0 : GB"
+
+
+def test_long_whitespace_only_cell_is_na(spark):
+    """A whitespace-padded empty cell beyond the byte gate (fixed-width
+    exports) must still NA-classify — the gate skips the regex, not the
+    trim-only emptiness check."""
+    from schema_validata_spark.functions.nulls import is_na_expr
+    df = spark.createDataFrame(
+        [(" " * 500,), ("x" + " " * 500,), ("n/a",)], "v string")
+    got = [r["na"] for r in
+           df.select(is_na_expr("v").alias("na")).collect()]
+    assert got == [True, False, True]

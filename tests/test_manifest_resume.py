@@ -106,3 +106,48 @@ def test_rerun_is_idempotent(spark, tmp_path):
     m = Manifest(spark, mpath)
     parts = {r[0] for r in t.select(t.ts_date.cast("string")).distinct().collect()}
     assert m.completed("x") == parts
+
+
+def test_null_partition_resume_and_processing(spark, tmp_path):
+    """A NULL partition key must get a stable 'None' identity in every
+    mode AND actually be selected for processing (NULL.isin never
+    matches without the coalesce)."""
+    from schema_validata_spark.datagen import transcript_rules
+    from schema_validata_spark.validate import validate_partitioned
+    from pyspark.sql import functions as F
+    from schema_validata_spark.datagen import gen_transcripts
+    t = gen_transcripts(spark, 2000, seed=42)
+    t = t.withColumn("ts_date", F.when(F.col("turn_idx") % 7 == 0, None)
+                     .otherwise(F.col("ts_date")))
+    mpath = str(tmp_path / "m1")
+    pv = validate_partitioned(spark, t, transcript_rules(), "ts_date",
+                              mpath, run_id="nulls1")
+    keys = {r["partition_key"] for r in pv.select("partition_key")
+            .distinct().collect()}
+    assert None in keys or "None" in keys     # null partition processed
+    # rerun: nothing recomputes, no crash sorting identities
+    pv2 = validate_partitioned(spark, t, transcript_rules(), "ts_date",
+                               mpath, run_id="nulls1")
+    assert pv2.count() == pv.count()
+
+
+def test_snapshot_move_heals_fast_path(spark, tmp_path):
+    """Snapshot moved: unchanged partitions are skipped via fingerprint
+    AND re-recorded under the new snapshot, so the NEXT run under that
+    snapshot takes the metadata-only fast path again."""
+    from schema_validata_spark.datagen import gen_transcripts, transcript_rules
+    from schema_validata_spark.manifest import Manifest
+    from schema_validata_spark.validate import validate_partitioned
+    t = gen_transcripts(spark, 2000, seed=42)
+    mpath = str(tmp_path / "m2")
+    validate_partitioned(spark, t, transcript_rules(), "ts_date", mpath,
+                         run_id="snap1", snapshot_id="S1")
+    m = Manifest(spark, mpath)
+    assert all(v == "snap:S1"
+               for v in m.done_identities("snap1").values())
+    # snapshot moves, data unchanged → fingerprints match, partitions
+    # skipped, identities re-recorded as snap:S2;fp:…
+    validate_partitioned(spark, t, transcript_rules(), "ts_date", mpath,
+                         run_id="snap1", snapshot_id="S2")
+    ids = m.done_identities("snap1")
+    assert all(v.startswith("snap:S2;fp:") for v in ids.values()), ids

@@ -195,3 +195,12 @@ def test_wide_and_melt_paths_identical(spark, sf_dir):
                     json.dumps(melt, sort_keys=True, default=str)
     finally:
         P.WIDE_PROFILE_MAX_COLS = saved
+
+
+def test_profile_inf_string_column(spark):
+    """'inf' strings parse as numeric (pandas to_numeric parity) and
+    must not crash the int-downcast of range stats."""
+    from schema_validata_spark.operators.profile import profile
+    df = spark.createDataFrame([("1",), ("2",), ("inf",)], "v string")
+    out = profile(df)
+    assert out["v"]["range_max"] == float("inf")

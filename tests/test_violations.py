@@ -113,3 +113,15 @@ def test_sheet_row_parity(spark):
 
 def test_empty_plan_returns_none(spark):
     assert value_errors_df(_df(spark), [], ["id"]) is None
+
+
+def test_allowed_values_numeric_nan_not_flagged(spark):
+    """NaN in a numeric column is not an 'unallowed value' (pandas isin
+    parity — same masking the range checks already have)."""
+    from schema_validata_spark.operators.violations import (CheckSpec,
+                                                            value_errors_df)
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 9.0)], "id long, v double")
+    out = value_errors_df(
+        df, [CheckSpec("v", "allowed_value_list", [1.0, 2.0])], ["id"])
+    assert sorted(r["id"] for r in out.collect()) == [3]

@@ -169,3 +169,14 @@ def test_dataset_schema_to_xlsx_roundtrip(spark, tmp_path):
     assert rules["k"].data_type == "Integer"
     assert rules["k"].unique_value is True
     assert rules["cat"].allowed_value_list == ["a", "b"]
+
+
+def test_sheet_name_with_quotes_roundtrips(spark, tmp_path):
+    """A '"' in a dataset/sheet name must not corrupt workbook.xml
+    (attribute context needs quote escaping)."""
+    from schema_validata_spark.sources.xlsx import read_xlsx, write_xlsx
+    p = str(tmp_path / "q.xlsx")
+    write_xlsx(p, {'q3 "final" load': [["a", "b"], [1, 2]]})
+    got = read_xlsx(p)
+    assert list(got) == ['q3 "final" load']
+    assert got['q3 "final" load'][1] == [1, 2]
