@@ -155,39 +155,67 @@ def column_is_timestamp(df: DataFrame, column_name: str) -> bool:
     return row["n"] > 0 and row["ok"] == row["n"]
 
 
-def infer_datetime_format(df: DataFrame, column_name: str) -> str | None:
-    """COLUMN-level format election with the reference's semantics
-    (infer_datetime_column :508-579): refuse integer-like and time-only
-    columns, then return the FIRST format under which every non-null
-    value parses; ``'dateutil'`` when only the per-value fallback covers
-    the column; None when the column is not datetime-convertible.
+def infer_datetime_formats(df: DataFrame,
+                           columns: list[str]) -> dict[str, str | None]:
+    """COLUMN-level format election for MANY columns at once with the
+    reference's per-column semantics (infer_datetime_column :508-579):
+    refuse integer-like and time-only columns, then elect the FIRST
+    format under which every non-null value parses; ``'dateutil'`` when
+    only the per-value fallback covers the column; None when the column
+    is not datetime-convertible.
 
-    ONE aggregate computes every per-format success count (the counts
-    are independent aggregations over the same scan — column-count-free),
-    plus the integer-like and time-only tallies; the dateutil UDF job
-    runs only when all formats failed (rare)."""
+    The election counts are independent aggregations over one scan, so
+    ALL columns share one aggregate job (chunked at 8 columns — 13
+    try_to_timestamp probes each — to stay inside generated-method
+    limits), plus at most one batched dateutil-UDF job for the columns
+    every format failed on (rare). k candidate columns cost ~ceil(k/8)
+    jobs instead of the k serial scans of a per-column election."""
     from .typing import safe_bigint
-    c = F.col(column_name)
-    t = F.trim(c.cast("string"))
-    aggs = [
-        F.count(c).alias("n"),
-        F.count(safe_bigint(t)).alias("int_like"),
-        F.coalesce(F.sum(time_only_probe_expr(c)), F.lit(0)).alias("timeonly"),
-    ]
-    for i, (fmt, gate, needs_initcap) in enumerate(COMMON_DATETIMES_SPARK):
-        v = F.initcap(t) if needs_initcap else t
-        ok = F.when(t.rlike(gate), F.try_to_timestamp(v, F.lit(fmt)))
-        aggs.append(F.count(ok).alias(f"f{i}"))
-    row = df.agg(*aggs).collect()[0]
-    n = row["n"]
-    if n == 0 or row["int_like"] == n or row["timeonly"] == n:
-        return None
-    for i, (fmt, _, _) in enumerate(COMMON_DATETIMES_SPARK):
-        if row[f"f{i}"] == n:
-            return fmt
-    # dateutil fallback: all non-null values must parse
-    ok = df.agg(F.count(dateutil_parse(c)).alias("ok")).collect()[0]["ok"]
-    return "dateutil" if ok == n else None
+    out: dict[str, str | None] = {}
+    fallback: list[tuple[str, int]] = []
+    chunk = 8
+    for lo in range(0, len(columns), chunk):
+        cols = columns[lo:lo + chunk]
+        aggs = []
+        for col in cols:
+            c = F.col(col)
+            t = F.trim(c.cast("string"))
+            aggs += [
+                F.count(c).alias(f"{col}__n"),
+                F.count(safe_bigint(t)).alias(f"{col}__int"),
+                F.coalesce(F.sum(time_only_probe_expr(c)), F.lit(0))
+                 .alias(f"{col}__to"),
+            ]
+            for i, (fmt, gate, needs_initcap) in \
+                    enumerate(COMMON_DATETIMES_SPARK):
+                v = F.initcap(t) if needs_initcap else t
+                ok = F.when(t.rlike(gate), F.try_to_timestamp(v, F.lit(fmt)))
+                aggs.append(F.count(ok).alias(f"{col}__f{i}"))
+        row = df.agg(*aggs).collect()[0]
+        for col in cols:
+            n = row[f"{col}__n"]
+            if n == 0 or row[f"{col}__int"] == n or row[f"{col}__to"] == n:
+                out[col] = None
+                continue
+            for i, (fmt, _, _) in enumerate(COMMON_DATETIMES_SPARK):
+                if row[f"{col}__f{i}"] == n:
+                    out[col] = fmt
+                    break
+            else:
+                fallback.append((col, n))
+    if fallback:
+        frow = df.agg(*[
+            F.count(dateutil_parse(F.col(col))).alias(f"{col}__ok")
+            for col, _ in fallback]).collect()[0]
+        for col, n in fallback:
+            out[col] = "dateutil" if frow[f"{col}__ok"] == n else None
+    return out
+
+
+def infer_datetime_format(df: DataFrame, column_name: str) -> str | None:
+    """Single-column election (reference infer_datetime_column
+    :508-579) — thin wrapper over the batched ``infer_datetime_formats``."""
+    return infer_datetime_formats(df, [column_name])[column_name]
 
 
 def _dateutil_series(s: pd.Series) -> pd.Series:
@@ -223,6 +251,18 @@ def dateutil_parse(col: Column | str) -> Column:
     return _DATEUTIL_UDF(c.cast("string"))
 
 
+def _elected_parse_expr(column_name: str, fmt: str) -> Column:
+    """One parse per cell under an elected format (no probe battery)."""
+    c = F.col(column_name)
+    t = F.trim(c.cast("string"))
+    if fmt == "dateutil":
+        return dateutil_parse(c)
+    needs_initcap = any(f == fmt and ic
+                        for f, _, ic in COMMON_DATETIMES_SPARK)
+    return F.try_to_timestamp(F.initcap(t) if needs_initcap else t,
+                              F.lit(fmt))
+
+
 def convert_datetime_column(df: DataFrame, column_name: str) -> DataFrame | None:
     """The full ``infer_datetime_column`` op (reference :508-579): elect
     a format, convert the column to timestamp with ONE parse per cell
@@ -231,13 +271,18 @@ def convert_datetime_column(df: DataFrame, column_name: str) -> DataFrame | None
     fmt = infer_datetime_format(df, column_name)
     if fmt is None:
         return None
-    c = F.col(column_name)
-    t = F.trim(c.cast("string"))
-    if fmt == "dateutil":
-        parsed = dateutil_parse(c)
-    else:
-        needs_initcap = any(f == fmt and ic
-                            for f, _, ic in COMMON_DATETIMES_SPARK)
-        parsed = F.try_to_timestamp(F.initcap(t) if needs_initcap else t,
-                                    F.lit(fmt))
-    return df.withColumn(column_name, parsed)
+    return df.withColumn(column_name, _elected_parse_expr(column_name, fmt))
+
+
+def convert_datetime_columns(df: DataFrame,
+                             columns: list[str]) -> DataFrame:
+    """Batched ``convert_datetime_column`` over candidate columns: ONE
+    chunked election job for all of them (infer_datetime_formats), then
+    ONE select applying every elected conversion; columns with no
+    coherent format stay as-is."""
+    fmts = infer_datetime_formats(df, columns)
+    sel = [_elected_parse_expr(c, fmts[c]).alias(c)
+           if fmts.get(c) else F.col(c) for c in df.columns]
+    if all(not fmts.get(c) for c in columns):
+        return df
+    return df.select(sel)

@@ -93,7 +93,11 @@ def is_na_expr(col: Column | str,
     return c.isNull() | F.when(
         F.octet_length(s) <= (gate + 64) * 4,
         (F.length(F.trim(s)) <= gate) & s.rlike(pattern)
-    ).otherwise(F.trim(s) == "")   # trim walks only the ends: O(ws)
+    ).otherwise(s.rlike(r"^\s*$"))
+    # past-gate branch: one linear anchored regex (no alternation) so a
+    # long whitespace-ONLY cell of tabs/newlines/spaces NA-classifies
+    # the same as a short one — F.trim strips only ' ' and would miss
+    # '\t'/'\n' padding; this branch runs only on long values (rare)
 
 
 def discover_na_values(df: DataFrame,

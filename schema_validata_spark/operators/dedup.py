@@ -356,9 +356,17 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
         # the previous round's checkpoint blocks are now unreachable —
         # release them explicitly rather than waiting for driver GC +
         # ContextCleaner (max_iter label-set copies would otherwise sit
-        # in executor storage simultaneously)
+        # in executor storage simultaneously). DataFrame.unpersist() is
+        # a no-op for localCheckpoint blocks (they are RDD-persisted,
+        # not cache-manager entries), so release the underlying RDD;
+        # the expected "lineage truncated" warning is harmless — the
+        # old label set is never recomputed.
         if prev_ckpt is not None:
-            prev_ckpt.unpersist()
+            try:
+                (prev_ckpt._jdf.queryExecution().analyzed()
+                 .rdd().unpersist(False))
+            except Exception:  # noqa: BLE001 — best-effort release;
+                pass           # ContextCleaner frees it on GC anyway
         prev_ckpt = stepped
         labels = stepped.select("id", F.col("new").alias("lbl"))
         if stepped.where(F.col("new") != F.col("old")).limit(1).count() == 0:

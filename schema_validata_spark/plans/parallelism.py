@@ -19,13 +19,17 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff its scan would
     otherwise use fewer tasks than ``min_factor * defaultParallelism``.
 
-    For file-backed sources the decision uses ``inputFiles()`` — pure
-    metadata, no ``.rdd`` materialization (converting to RDD forces an
-    extra analysis/conversion per call on the hot orchestration path).
-    Small single-row-group files plan one task per file, so the file
-    count IS the effective parallelism there; at real scale (files ≥
-    cores) this returns immediately. Non-file sources (in-memory frames,
-    post-shuffle) fall back to the exact partition count."""
+    Decision ladder, cheapest first: (1) ``inputFiles()`` — file count ≥
+    floor means at least one task each, metadata-only exit (the common
+    at-scale case: files ≫ cores); (2) few local files — stat their
+    sizes and estimate split count via ``maxPartitionBytes`` (big files
+    still split into many tasks; filesystem metadata only); (3) only
+    when both are inconclusive (remote files, non-file sources), confirm
+    with ``df.rdd.getNumPartitions()``, which forces a plan→RDD
+    conversion — the one non-metadata step, paid only on this last rung.
+    Repartitioning an 8×1 GB table that already plans 64 scan tasks
+    would be a pure regression, hence the confirmation before the
+    shuffle."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     floor = max(1, int(target * min_factor))
@@ -36,11 +40,22 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     if files and len(files) >= floor:
         # many files → at least one task each; metadata-only fast exit
         return df
-    # few (or unknown) files: a few LARGE parquet files still split into
-    # many tasks via maxPartitionBytes, so confirm with the planner's
-    # actual partition count before paying a full repartition shuffle —
-    # repartitioning an 8×1 GB table that already planned 64 scan tasks
-    # would be a pure regression
+    if files and all(f.startswith("file:") for f in files):
+        # local files: estimate the planner's split count from sizes —
+        # os.stat only, no RDD conversion
+        import os
+        from urllib.parse import unquote, urlparse
+        try:
+            total = sum(os.path.getsize(unquote(urlparse(f).path))
+                        for f in files)
+            max_pb = int(df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 << 20))
+                .rstrip("b"))
+            est_tasks = max(len(files), -(-total // max(1, max_pb)))
+            if est_tasks >= floor:
+                return df
+        except (OSError, ValueError):
+            pass  # fall through to the exact count
     try:
         nparts = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — planning-only failure: leave as-is

@@ -132,9 +132,10 @@ def _clean_and_infer(df: DataFrame, rm_newlines: bool, replace_char: str,
         else:
             casts.append(F.trim(F.col(c)).try_cast(target).alias(c))
     out = df.select(casts)
-    for c in dt_candidates:
-        from ..functions.datetimes import convert_datetime_column
-        converted = convert_datetime_column(out, c)
-        if converted is not None:     # None → no coherent format: stay string
-            out = converted
+    if dt_candidates:
+        # ONE chunked election job for every candidate column + one
+        # select with the elected parses (a per-column election would
+        # pay k serial scans); no-format columns stay string
+        from ..functions.datetimes import convert_datetime_columns
+        out = convert_datetime_columns(out, dt_candidates)
     return out

@@ -497,9 +497,19 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
         return v.split(";", 1)[0] if v and v.startswith("snap:") else None
 
     def _matches(old: str | None, new: str | None) -> bool:
-        if old is None or new is None:
-            return old == new and old is not None
+        # callers guard "never completed" with `p not in done_ids`, so
+        # old may legitimately be None here (trust-the-manifest mode
+        # stores None identities) and None == None IS a match
         if old == new:
+            return True
+        if old is None or new is None:
+            return False
+        # same snapshot id ⇒ unchanged content, whatever extra parts
+        # either token carries ('snap:S;fp:X' vs bare 'snap:S' — the
+        # fast path emits the bare form right after a heal wrote the
+        # combined one)
+        so, sn = _snap_part(old), _snap_part(new)
+        if so is not None and so == sn:
             return True
         of, nf = _fp_part(old), _fp_part(new)
         return of is not None and of == nf
@@ -524,15 +534,23 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
         current = {p: done_ids.get(p) for p in parts}  # always "matches"
     parts = list(current)
     todo = sorted(p for p in parts
-                  if not _matches(done_ids.get(p), current[p]))
+                  if p not in done_ids
+                  or not _matches(done_ids[p], current[p]))
 
-    # heal identities of SKIPPED partitions whose stored token differs
-    # only in form (old snapshot / bare fp): re-record under the current
-    # token, reusing stored metrics, so the metadata-only fast path
-    # works again on the next run instead of re-scanning forever
+    # heal identities of SKIPPED partitions recorded under a DIFFERENT
+    # snapshot (bare fp / old snapshot prefix): re-record under the
+    # current token, reusing stored metrics, so the metadata-only fast
+    # path works again on the next run instead of re-scanning forever.
+    # Same-snapshot form differences are left alone — overwriting
+    # 'snap:S;fp:X' with the fast path's bare 'snap:S' would discard
+    # the fingerprint that lets the NEXT snapshot move skip unchanged
+    # partitions.
+    todo_set = set(todo)
     stale_form = [p for p in parts
-                  if p not in set(todo) and done_ids.get(p) != current.get(p)
-                  and current.get(p) is not None]
+                  if p not in todo_set and p in done_ids
+                  and current.get(p) is not None
+                  and _snap_part(current[p]) is not None
+                  and _snap_part(done_ids[p]) != _snap_part(current[p])]
     if stale_form:
         kept = manifest.metrics(run_id)
         manifest.mark_done_many(run_id, [
@@ -559,8 +577,12 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
             (p, {"checks": by_part.get(p, [])}, None,
              wall / max(1, len(batch)), current.get(p))
             for p in batch])
+        # same str() normalization as the manifest keys: the NULL
+        # partition is 'None' everywhere (output rows, manifest,
+        # reconstructed resume rows) — never NULL on one path and
+        # 'None' on another
         all_rows.extend(
-            (r["partition_key"], r["column_name"], r["check"],
+            (str(r["partition_key"]), r["column_name"], r["check"],
              r["violation_count"], r["status"]) for r in rows)
 
     # previously completed, still-current partitions: reconstruct verdict

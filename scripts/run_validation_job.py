@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -59,15 +60,21 @@ def main(argv=None):
     if args.conversations:
         dims["conversations"] = spark.read.parquet(args.conversations)
     if args.rules_xlsx:
-        # 'SHEET:path' — but only treat the prefix as a sheet name when
-        # it can't be part of a path ('C:\dicts\dd.xlsx', 's3://…' must
-        # parse as plain paths, not sheet 'C' / 's3')
-        sheet, sep, rest = args.rules_xlsx.partition(":")
-        if sep and sheet and not any(ch in sheet for ch in "\\/.") \
-                and not rest.startswith("//"):
-            path = rest
-        else:
-            sheet, path = "", args.rules_xlsx
+        # 'SHEET:path' — treat the prefix as a sheet name only when the
+        # whole argument isn't itself a path: an existing file wins
+        # outright; otherwise a multi-char prefix whose remainder is not
+        # a URL ('s3://…', rest starts '//') or Windows drive path
+        # ('C:\dicts\dd.xlsx' — single-char prefix, rest starts '\') is
+        # a sheet. Dots are allowed (Excel permits 'My.Sheet'); a
+        # single-character sheet name needs the path to not exist and is
+        # otherwise read as a drive letter.
+        arg = args.rules_xlsx
+        sheet, path = "", arg
+        if not os.path.exists(arg):
+            head, sep, rest = arg.partition(":")
+            if sep and len(head) > 1 and not rest.startswith("//") \
+                    and not rest.startswith("\\"):
+                sheet, path = head, rest
         rules = Rules.from_xlsx(path, sheet=sheet or None)
         if isinstance(rules, dict):  # no sheet given: take the first
             rules = next(iter(rules.values()))

@@ -143,3 +143,24 @@ def test_reader_elects_one_format_per_column(spark, tmp_path):
     assert vals[1].month == 12 and vals[1].day == 25
     # same convention for the ambiguous value: day-first → April 3
     assert vals[2].month == 4 and vals[2].day == 3
+
+
+def test_batched_election_many_columns(spark, tmp_path):
+    """Multi-column ingest elects per-column formats in ONE chunked job
+    (infer_datetime_formats) — each column keeps its own convention."""
+    import csv
+    from schema_validata_spark.sources.readers import read_spreadsheet
+    p = str(tmp_path / "many.csv")
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "us", "eu", "iso", "notdate"])
+        w.writerows([[1, "11/14/2023", "25/12/2024", "2023-01-02", "a-b"],
+                     [2, "01/02/2023", "03/04/2024", "2024-05-06", "c-d"]])
+    df = read_spreadsheet(spark, p)
+    types = dict(df.dtypes)
+    assert types["us"] == "timestamp" and types["eu"] == "timestamp" \
+        and types["iso"] == "timestamp"
+    assert types["notdate"] == "string"
+    r = {x["id"]: x for x in df.collect()}
+    assert (r[2]["us"].month, r[2]["us"].day) == (1, 2)      # M/d
+    assert (r[2]["eu"].month, r[2]["eu"].day) == (4, 3)      # d/M

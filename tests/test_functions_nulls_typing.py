@@ -151,3 +151,16 @@ def test_long_whitespace_only_cell_is_na(spark):
     got = [r["na"] for r in
            df.select(is_na_expr("v").alias("na")).collect()]
     assert got == [True, False, True]
+
+
+def test_long_tab_newline_only_cell_is_na(spark):
+    """Whitespace-only must mean ALL whitespace (tabs/newlines), not
+    just spaces, past the byte gate — classification of identical
+    content must not flip on length."""
+    from schema_validata_spark.functions.nulls import is_na_expr
+    df = spark.createDataFrame(
+        [("\t" * 500,), ("\n" * 300 + " " * 300,), ("x" + "\t" * 500,)],
+        "v string")
+    got = [r["na"] for r in
+           df.select(is_na_expr("v").alias("na")).collect()]
+    assert got == [True, True, False]

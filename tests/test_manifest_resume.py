@@ -151,3 +151,59 @@ def test_snapshot_move_heals_fast_path(spark, tmp_path):
                          run_id="snap1", snapshot_id="S2")
     ids = m.done_identities("snap1")
     assert all(v.startswith("snap:S2;fp:") for v in ids.values()), ids
+
+
+def test_trust_manifest_rerun_skips_without_identity(spark, tmp_path,
+                                                     monkeypatch):
+    """verify_content=False, no snapshot: identities are None on both
+    runs and None==None must MATCH — the rerun recomputes nothing."""
+    import importlib
+    V = importlib.import_module("schema_validata_spark.validate")
+    from schema_validata_spark.datagen import gen_transcripts, transcript_rules
+    t = gen_transcripts(spark, 2000, seed=42)
+    mpath = str(tmp_path / "m3")
+    pv = V.validate_partitioned(spark, t, transcript_rules(), "ts_date",
+                                mpath, run_id="trust1",
+                                verify_content=False)
+    n = pv.count()
+    calls = []
+    real = V.partition_verdicts
+    monkeypatch.setattr(V, "partition_verdicts",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    pv2 = V.validate_partitioned(spark, t, transcript_rules(), "ts_date",
+                                 mpath, run_id="trust1",
+                                 verify_content=False)
+    assert calls == []            # nothing recomputed
+    assert pv2.count() == n       # verdicts reconstructed from manifest
+
+
+def test_fast_path_after_heal_keeps_skipping(spark, tmp_path, monkeypatch):
+    """Run 3 under the SAME snapshot as a healed run 2: the fast path's
+    bare 'snap:S2' token must match the healed 'snap:S2;fp:…' (same
+    snapshot ⇒ unchanged) — no re-validation, and the stored fingerprint
+    is NOT downgraded to the bare form (it's needed at the next
+    snapshot move)."""
+    import importlib
+    V = importlib.import_module("schema_validata_spark.validate")
+    from schema_validata_spark.datagen import gen_transcripts, transcript_rules
+    from schema_validata_spark.manifest import Manifest
+    t = gen_transcripts(spark, 2000, seed=42)
+    mpath = str(tmp_path / "m4")
+    V.validate_partitioned(spark, t, transcript_rules(), "ts_date", mpath,
+                           run_id="snapheal", snapshot_id="S1")
+    V.validate_partitioned(spark, t, transcript_rules(), "ts_date", mpath,
+                           run_id="snapheal", snapshot_id="S2")
+    m = Manifest(spark, mpath)
+    assert all(v.startswith("snap:S2;fp:")
+               for v in m.done_identities("snapheal").values())
+    calls = []
+    real = V.partition_verdicts
+    monkeypatch.setattr(V, "partition_verdicts",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    pv3 = V.validate_partitioned(spark, t, transcript_rules(), "ts_date",
+                                 mpath, run_id="snapheal",
+                                 snapshot_id="S2")
+    assert calls == []                       # run 3: all skipped
+    assert pv3.count() > 0
+    ids = m.done_identities("snapheal")
+    assert all(v.startswith("snap:S2;fp:") for v in ids.values()), ids
