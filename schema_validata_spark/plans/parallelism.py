@@ -14,6 +14,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_BYTE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_byte_string(v: str) -> int:
+    """Spark byte-string conf values: '134217728', '134217728b',
+    '128m', '64MB', '1g' … (JavaUtils.byteStringAsBytes semantics)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
 
 def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff its scan would
@@ -40,17 +55,22 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     if files and len(files) >= floor:
         # many files → at least one task each; metadata-only fast exit
         return df
-    if files and all(f.startswith("file:") for f in files):
-        # local files: estimate the planner's split count from sizes —
-        # os.stat only, no RDD conversion
+    if files and all(f.startswith("file:") for f in files) \
+            and all(f.rstrip("/").lower().endswith((".parquet", ".orc"))
+                    for f in files):
+        # local SPLITTABLE columnar files: estimate the planner's split
+        # count from sizes — os.stat only, no RDD conversion. The
+        # format guard matters: a big .csv.gz is NON-splittable and
+        # plans one task however large, so the size estimate would
+        # wrongly skip the repartition; such inputs take the exact
+        # count below.
         import os
         from urllib.parse import unquote, urlparse
         try:
             total = sum(os.path.getsize(unquote(urlparse(f).path))
                         for f in files)
-            max_pb = int(df.sparkSession.conf.get(
-                "spark.sql.files.maxPartitionBytes", str(128 << 20))
-                .rstrip("b"))
+            max_pb = _parse_byte_string(df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 << 20)))
             est_tasks = max(len(files), -(-total // max(1, max_pb)))
             if est_tasks >= floor:
                 return df

@@ -504,15 +504,19 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
             return True
         if old is None or new is None:
             return False
-        # same snapshot id ⇒ unchanged content, whatever extra parts
-        # either token carries ('snap:S;fp:X' vs bare 'snap:S' — the
-        # fast path emits the bare form right after a heal wrote the
-        # combined one)
-        so, sn = _snap_part(old), _snap_part(new)
-        if so is not None and so == sn:
-            return True
+        # when BOTH sides carry a fingerprint it is authoritative — a
+        # contradicting fp means the content changed no matter what the
+        # snapshot prefix claims (same-id misuse must not reuse stale
+        # verdicts)
         of, nf = _fp_part(old), _fp_part(new)
-        return of is not None and of == nf
+        if of is not None and nf is not None:
+            return of == nf
+        # otherwise same snapshot id ⇒ unchanged content, whatever
+        # extra parts one token carries ('snap:S;fp:X' vs bare
+        # 'snap:S' — the fast path emits the bare form right after a
+        # heal wrote the combined one)
+        so, sn = _snap_part(old), _snap_part(new)
+        return so is not None and so == sn
 
     snap_token = f"snap:{snapshot_id}" if snapshot_id is not None else None
     if snap_token is not None and (not done_ids or
@@ -537,24 +541,28 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                   if p not in done_ids
                   or not _matches(done_ids[p], current[p]))
 
-    # heal identities of SKIPPED partitions recorded under a DIFFERENT
-    # snapshot (bare fp / old snapshot prefix): re-record under the
+    # heal identities of SKIPPED partitions whose stored token is less
+    # current than the computed one (bare fp / old snapshot prefix /
+    # bare snap when a fingerprint is now known): re-record under the
     # current token, reusing stored metrics, so the metadata-only fast
     # path works again on the next run instead of re-scanning forever.
-    # Same-snapshot form differences are left alone — overwriting
-    # 'snap:S;fp:X' with the fast path's bare 'snap:S' would discard
-    # the fingerprint that lets the NEXT snapshot move skip unchanged
-    # partitions.
+    # Never heal DOWN — overwriting 'snap:S;fp:X' with the fast path's
+    # bare 'snap:S' would discard the fingerprint that lets the NEXT
+    # snapshot move skip unchanged partitions.
     todo_set = set(todo)
+    # one manifest read serves both the heal and the reconstruct loop
+    # below (they only consult pre-run rows; the batch loop's new rows
+    # are for todo partitions, which the reconstruct loop skips)
+    prior_metrics = manifest.metrics(run_id)
     stale_form = [p for p in parts
                   if p not in todo_set and p in done_ids
                   and current.get(p) is not None
-                  and _snap_part(current[p]) is not None
-                  and _snap_part(done_ids[p]) != _snap_part(current[p])]
+                  and current[p] != done_ids[p]
+                  and not (_fp_part(done_ids[p]) is not None
+                           and _fp_part(current[p]) is None)]
     if stale_form:
-        kept = manifest.metrics(run_id)
         manifest.mark_done_many(run_id, [
-            (p, kept.get(p, {}), None, 0.0, current[p])
+            (p, prior_metrics.get(p, {}), None, 0.0, current[p])
             for p in stale_form])
 
     all_rows: list[tuple] = []
@@ -586,9 +594,9 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
              r["violation_count"], r["status"]) for r in rows)
 
     # previously completed, still-current partitions: reconstruct verdict
-    # rows from manifest metrics
-    todo_set = set(todo)
-    for p, m in manifest.metrics(run_id).items():
+    # rows from the pre-run manifest read (todo partitions — the only
+    # rows written since — are skipped here)
+    for p, m in prior_metrics.items():
         if p in todo_set or p not in current:
             continue
         for col, chk, cnt, status in m.get("checks", []):

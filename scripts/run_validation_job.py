@@ -72,8 +72,12 @@ def main(argv=None):
         sheet, path = "", arg
         if not os.path.exists(arg):
             head, sep, rest = arg.partition(":")
+            # Excel forbids '/', '\\' (and ':') in sheet names, so a
+            # prefix containing them is a path component, not a sheet
+            # ('data/v:2/dd.xlsx' must stay a plain path)
             if sep and len(head) > 1 and not rest.startswith("//") \
-                    and not rest.startswith("\\"):
+                    and not rest.startswith("\\") \
+                    and not any(ch in head for ch in "\\/"):
                 sheet, path = head, rest
         rules = Rules.from_xlsx(path, sheet=sheet or None)
         if isinstance(rules, dict):  # no sheet given: take the first
