@@ -207,3 +207,61 @@ def test_fast_path_after_heal_keeps_skipping(spark, tmp_path, monkeypatch):
     assert pv3.count() > 0
     ids = m.done_identities("snapheal")
     assert all(v.startswith("snap:S2;fp:") for v in ids.values()), ids
+
+
+def test_fp_contradiction_beats_same_snapshot(spark, tmp_path):
+    """When the fingerprint fallback runs (mixed stored snapshots) and a
+    stored token's fp CONTRADICTS the freshly computed one, the partition
+    must recompute even though both tokens carry the same 'snap:S'
+    prefix — a reused snapshot id must not revive stale verdicts."""
+    from pyspark.sql import functions as F
+    src = str(tmp_path / "src_fp")
+    gen_transcripts(spark, 6_000, seed=7).write.mode("overwrite").parquet(src)
+    t = spark.read.parquet(src)
+    rules = transcript_rules()
+    mpath = str(tmp_path / "m_fp")
+
+    validate_partitioned(spark, t, rules, "ts_date", mpath,
+                         run_id="fpwin", snapshot_id="S1")
+    # snapshot move → fingerprint fallback + heal: all 'snap:S2;fp:…'
+    validate_partitioned(spark, t, rules, "ts_date", mpath,
+                         run_id="fpwin", snapshot_id="S2")
+    m = Manifest(spark, mpath)
+    ids_before = m.done_identities("fpwin")
+    parts = sorted(ids_before)
+    assert len(parts) >= 2 and all(
+        v.startswith("snap:S2;fp:") for v in ids_before.values())
+    changed, aged = parts[0], parts[1]
+
+    # age ONE unchanged partition's token back to the S1 prefix (fp kept)
+    # so the metadata-only fast path is refused and fingerprints compute
+    aged_tok = "snap:S1" + ids_before[aged][len("snap:S2"):]
+    m.mark_done_many("fpwin", [
+        (aged, m.metrics("fpwin").get(aged, {}), None, 0.0, aged_tok)])
+
+    # mutate the data of `changed` (role → NULL there) and rerun while
+    # (mis)claiming the SAME snapshot S2
+    mutated = t.withColumn(
+        "role", F.when(t.ts_date.cast("string") == changed,
+                       F.lit(None).cast("string")).otherwise(t.role))
+    mdir = str(tmp_path / "src_fp2")
+    mutated.write.mode("overwrite").parquet(mdir)
+    t2 = spark.read.parquet(mdir)
+    second = validate_partitioned(spark, t2, rules, "ts_date", mpath,
+                                  run_id="fpwin", snapshot_id="S2")
+
+    ids_after = m.done_identities("fpwin")
+    # the changed partition recomputed under its NEW fingerprint…
+    assert ids_after[changed] != ids_before[changed]
+    assert ids_after[changed].startswith("snap:S2;fp:")
+    # …with FRESH verdicts, not the stale manifest copy
+    snd = {(r["partition_key"], r["column_name"], r["check"]):
+           r["violation_count"] for r in second.collect()}
+    n_changed = t2.where(t2.ts_date.cast("string") == changed).count()
+    assert snd[(changed, "role", "allow_null")] == n_changed
+    # the aged-but-unchanged partition skipped (fp matched) and healed
+    # back up to the current snapshot prefix without losing its fp
+    assert ids_after[aged] == ids_before[aged]
+    # remaining partitions untouched
+    for p in parts[2:]:
+        assert ids_after[p] == ids_before[p]
