@@ -14,7 +14,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_BYTE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_BYTE_SUFFIXES = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+                  "p": 1 << 50}
+
+# Compression suffixes Hadoop/Spark cannot split: one such file is one
+# task no matter its size, so the size-based estimate below would
+# overcount. bzip2 IS technically splittable but is treated
+# conservatively (rung 3's exact count handles it correctly either
+# way). Splittable plain text (.csv/.json/.txt uncompressed) and
+# columnar formats take the estimate.
+_NON_SPLITTABLE = (".gz", ".zip", ".lz4", ".snappy", ".zst", ".zstd",
+                   ".deflate", ".br", ".bz2")
 
 
 def _parse_byte_string(v: str) -> int:
@@ -53,25 +63,37 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     except Exception:  # noqa: BLE001 — planning-only failure: leave as-is
         files = []
     if files and len(files) >= floor:
-        # many files → at least one task each; metadata-only fast exit
+        # many files → at least one task each; metadata-only fast exit.
+        # (Safe despite FilePartition bin-packing: openCostInBytes pads
+        # every file to ≥4 MB and maxSplitBytes shrinks to
+        # totalBytes/defaultParallelism, so ≥floor files always plan
+        # ≥~floor partitions.)
         return df
     if files and all(f.startswith("file:") for f in files) \
-            and all(f.rstrip("/").lower().endswith((".parquet", ".orc"))
-                    for f in files):
-        # local SPLITTABLE columnar files: estimate the planner's split
-        # count from sizes — os.stat only, no RDD conversion. The
-        # format guard matters: a big .csv.gz is NON-splittable and
-        # plans one task however large, so the size estimate would
-        # wrongly skip the repartition; such inputs take the exact
-        # count below.
+            and not any(f.rstrip("/").lower().endswith(_NON_SPLITTABLE)
+                        for f in files):
+        # few local SPLITTABLE files: estimate the planner's bin count
+        # from sizes with FilePartition's own formula — os.stat only,
+        # no RDD conversion. Non-splittable compressed files (a big
+        # .csv.gz plans ONE task however large) are excluded above and
+        # take the exact count below.
         import os
         from urllib.parse import unquote, urlparse
         try:
-            total = sum(os.path.getsize(unquote(urlparse(f).path))
-                        for f in files)
-            max_pb = _parse_byte_string(df.sparkSession.conf.get(
+            conf = df.sparkSession.conf
+            open_cost = _parse_byte_string(conf.get(
+                "spark.sql.files.openCostInBytes", str(4 << 20)))
+            max_pb = _parse_byte_string(conf.get(
                 "spark.sql.files.maxPartitionBytes", str(128 << 20)))
-            est_tasks = max(len(files), -(-total // max(1, max_pb)))
+            padded = sum(os.path.getsize(unquote(urlparse(f).path))
+                         + open_cost for f in files)
+            # FilePartition.maxSplitBytes: min(maxPartitionBytes,
+            # max(openCostInBytes, bytesPerCore)); ceil(padded/split)
+            # is a lower bound on the planned bin count, so a skip
+            # here is always safe
+            max_split = min(max_pb,
+                            max(open_cost, padded // max(1, target)))
+            est_tasks = -(-padded // max(1, max_split))
             if est_tasks >= floor:
                 return df
         except (OSError, ValueError):

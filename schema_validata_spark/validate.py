@@ -548,7 +548,10 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
     # path works again on the next run instead of re-scanning forever.
     # Never heal DOWN — overwriting 'snap:S;fp:X' with the fast path's
     # bare 'snap:S' would discard the fingerprint that lets the NEXT
-    # snapshot move skip unchanged partitions.
+    # snapshot move skip unchanged partitions, and overwriting it with
+    # a snapshot-less run's bare 'fp:X' would discard the snapshot
+    # prefix that lets the next SAME-snapshot run take the
+    # metadata-only fast path.
     todo_set = set(todo)
     # one manifest read serves both the heal and the reconstruct loop
     # below (they only consult pre-run rows; the batch loop's new rows
@@ -559,7 +562,9 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                   and current.get(p) is not None
                   and current[p] != done_ids[p]
                   and not (_fp_part(done_ids[p]) is not None
-                           and _fp_part(current[p]) is None)]
+                           and _fp_part(current[p]) is None)
+                  and not (_snap_part(done_ids[p]) is not None
+                           and _snap_part(current[p]) is None)]
     if stale_form:
         manifest.mark_done_many(run_id, [
             (p, prior_metrics.get(p, {}), None, 0.0, current[p])

@@ -265,3 +265,35 @@ def test_fp_contradiction_beats_same_snapshot(spark, tmp_path):
     # remaining partitions untouched
     for p in parts[2:]:
         assert ids_after[p] == ids_before[p]
+
+
+def test_snapshotless_rerun_keeps_snapshot_prefix(spark, tmp_path,
+                                                  monkeypatch):
+    """A snapshot-less verify_content rerun over a manifest written with
+    snapshot ids must not heal 'snap:S;fp:X' down to bare 'fp:X' — the
+    prefix is what lets the next same-snapshot run take the
+    metadata-only fast path."""
+    import importlib
+    V = importlib.import_module("schema_validata_spark.validate")
+    t = gen_transcripts(spark, 2000, seed=42)
+    mpath = str(tmp_path / "m_keep")
+    V.validate_partitioned(spark, t, transcript_rules(), "ts_date", mpath,
+                           run_id="keep", snapshot_id="S1")
+    V.validate_partitioned(spark, t, transcript_rules(), "ts_date", mpath,
+                           run_id="keep", snapshot_id="S2")
+    m = Manifest(spark, mpath)
+    before = m.done_identities("keep")
+    assert all(v.startswith("snap:S2;fp:") for v in before.values())
+    # snapshot-less rerun: fps match → all skipped, tokens untouched
+    V.validate_partitioned(spark, t, transcript_rules(), "ts_date", mpath,
+                           run_id="keep")
+    assert m.done_identities("keep") == before
+    # next run under the SAME snapshot still gets the metadata-only
+    # fast path (no partition_verdicts recompute)
+    calls = []
+    real = V.partition_verdicts
+    monkeypatch.setattr(V, "partition_verdicts",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    pv = V.validate_partitioned(spark, t, transcript_rules(), "ts_date",
+                                mpath, run_id="keep", snapshot_id="S2")
+    assert calls == [] and pv.count() > 0
