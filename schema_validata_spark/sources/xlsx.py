@@ -53,6 +53,23 @@ def _col_letters(idx: int) -> str:
     return out
 
 
+def _rich_text(el: ET.Element) -> str:
+    """Concatenate the <t> runs of an <si>/<is> element, skipping
+    phonetic-hint subtrees (<rPh> furigana carries duplicate text that
+    is NOT part of the cell value — openpyxl excludes it too)."""
+    parts: list[str] = []
+    for child in el:
+        tag = child.tag
+        if tag == f"{{{_NS_MAIN}}}rPh":
+            continue
+        if tag == f"{{{_NS_MAIN}}}t":
+            parts.append(child.text or "")
+        else:  # <r> rich run (or future containers): take its <t>s
+            parts.extend(t.text or ""
+                         for t in child.iter(f"{{{_NS_MAIN}}}t"))
+    return "".join(parts)
+
+
 def _cell_value(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     v_el = c.find(f"{{{_NS_MAIN}}}v")
@@ -60,8 +77,7 @@ def _cell_value(c: ET.Element, shared: list[str]):
         is_el = c.find(f"{{{_NS_MAIN}}}is")
         if is_el is None:
             return None
-        return "".join(el.text or "" for el in
-                       is_el.iter(f"{{{_NS_MAIN}}}t")) or None
+        return _rich_text(is_el) or None
     if v_el is None or v_el.text is None:
         return None
     raw = v_el.text
@@ -71,12 +87,16 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return raw in ("1", "true")
     if t in ("str", "e"):
         return raw
-    # numeric: int when whole, float otherwise
+    # numeric: int when whole, float otherwise ('1e400' → inf raises
+    # OverflowError from int(), not ValueError)
     try:
         f = float(raw)
         return int(f) if f == int(f) and "e" not in raw.lower() else f
-    except ValueError:
-        return raw
+    except (ValueError, OverflowError):
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
 
 
 def read_xlsx(path: str) -> dict[str, list[list]]:
@@ -94,8 +114,7 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
         if "xl/sharedStrings.xml" in z.namelist():
             ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in ss.iter(f"{{{_NS_MAIN}}}si"):
-                shared.append("".join(
-                    t.text or "" for t in si.iter(f"{{{_NS_MAIN}}}t")))
+                shared.append(_rich_text(si))
 
         out: dict[str, list[list]] = {}
         sheet_no = 0
@@ -160,6 +179,14 @@ def read_xlsx_records(path: str) -> dict[str, list[dict]]:
 
 _INVALID_SHEET = re.compile(r"[\\/*?:\[\]]")
 
+# XML 1.0 forbids C0 controls except \t \n \r (and ￾/￿).
+# Transcript text routinely contains stray control bytes; writing them
+# raw would make the workbook unreadable by Excel AND by our own
+# reader, so they are dropped (openpyxl raises instead — for a report
+# sink, lossy-but-openable beats an exception).
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f￾￿\ud800-\udfff]")
+
 
 def _sheet_xml(rows: list[list]) -> bytes:
     parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
@@ -172,10 +199,17 @@ def _sheet_xml(rows: list[list]) -> bytes:
             ref = f"{_col_letters(ci)}{ri}"
             if isinstance(v, bool):
                 parts.append(f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
-            elif isinstance(v, (int, float)):
+            elif isinstance(v, int) or (isinstance(v, float)
+                                        and v == v and v not in
+                                        (float("inf"), float("-inf"))):
                 parts.append(f'<c r="{ref}"><v>{v!r}</v></c>')
+            elif isinstance(v, float):
+                # NaN/±inf are not valid SpreadsheetML numbers — render
+                # as text the way pandas/openpyxl print them
+                parts.append(f'<c r="{ref}" t="inlineStr">'
+                             f'<is><t>{escape(str(v))}</t></is></c>')
             else:
-                s = escape(str(v))
+                s = _XML_ILLEGAL.sub("", escape(str(v)))
                 parts.append(f'<c r="{ref}" t="inlineStr">'
                              f'<is><t xml:space="preserve">{s}</t></is></c>')
         parts.append("</row>")

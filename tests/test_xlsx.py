@@ -180,3 +180,103 @@ def test_sheet_name_with_quotes_roundtrips(spark, tmp_path):
     got = read_xlsx(p)
     assert list(got) == ['q3 "final" load']
     assert got['q3 "final" load'][1] == [1, 2]
+
+
+def test_writer_handles_nan_inf_controls_and_huge_numbers(tmp_path):
+    """Cells a real report can contain — NaN/±inf PSI scores, transcript
+    text with stray control bytes — must produce a workbook our own
+    reader (and Excel) can open; huge numeric strings must not crash
+    the reader."""
+    p = str(tmp_path / "edge.xlsx")
+    nan, inf = float("nan"), float("inf")
+    write_xlsx(p, {"S": [["a", "b", "c"],
+                         [nan, inf, -inf],
+                         ["ctrl\x01\x02 kept\ttab\nnl", 1.5, 2]]})
+    rows = read_xlsx(p)["S"]
+    assert rows[0] == ["a", "b", "c"]
+    # NaN/inf render as text, not corrupt numeric cells
+    assert rows[1] == ["nan", "inf", "-inf"]
+    # C0 controls dropped, \t and \n preserved
+    assert rows[2][0] == "ctrl kept\ttab\nnl"
+    assert rows[2][1:] == [1.5, 2]
+
+    # reader: a numeric cell overflowing float→int must not raise
+    import zipfile as zf
+    with zf.ZipFile(p) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    sheet = sheet.replace("<v>1.5</v>", "<v>1e400</v>")
+    p2 = str(tmp_path / "edge2.xlsx")
+    with zf.ZipFile(p) as zin, zf.ZipFile(p2, "w") as zout:
+        for item in zin.namelist():
+            data = sheet.encode() if item == "xl/worksheets/sheet1.xml" \
+                else zin.read(item)
+            zout.writestr(item, data)
+    assert read_xlsx(p2)["S"][2][1] == float("inf")
+
+
+def test_reader_skips_phonetic_runs(tmp_path):
+    """Shared strings with <rPh> furigana hints must not duplicate text
+    into the cell value (openpyxl semantics)."""
+    p = str(tmp_path / "ph.xlsx")
+    write_xlsx(p, {"S": [["placeholder"]]})
+    import zipfile as zf
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ss = (f'<?xml version="1.0"?><sst xmlns="{ns}" count="1" uniqueCount="1">'
+          '<si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh>'
+          '<phoneticPr fontId="1"/></si></sst>')
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+             '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+             '</sheetData></worksheet>')
+    p2 = str(tmp_path / "ph2.xlsx")
+    with zf.ZipFile(p) as zin, zf.ZipFile(p2, "w") as zout:
+        for item in zin.namelist():
+            data = sheet.encode() if item == "xl/worksheets/sheet1.xml" \
+                else zin.read(item)
+            zout.writestr(item, data)
+        zout.writestr("xl/sharedStrings.xml", ss)
+    assert read_xlsx(p2)["S"] == [["東京"]]
+
+
+def test_roundtrip_property(tmp_path):
+    """Hypothesis: write→read is identity for clean scalar grids."""
+    from hypothesis import given, settings, strategies as st
+
+    clean_text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=40).filter(lambda s: s == s and "\x00" not in s)
+    cell = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-2**53, max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64)
+        .filter(lambda f: f != int(f)),   # whole floats read back as int
+        clean_text)
+    grid = st.lists(st.lists(cell, min_size=1, max_size=5),
+                    min_size=1, max_size=6)
+
+    @settings(max_examples=40, deadline=None)
+    @given(grid=grid)
+    def check(grid):
+        # trailing all-None rows are dropped by contract; normalize
+        width = max(len(r) for r in grid)
+        norm = [r + [None] * (width - len(r)) for r in grid]
+        while norm and all(v is None for v in norm[-1]):
+            norm.pop()
+        p = str(tmp_path / "prop.xlsx")
+        write_xlsx(p, {"S": norm})
+        got = read_xlsx(p)["S"]
+        # Cell PRESENCE and read-back VALUE differ: None cells are never
+        # written (absent), while '' IS written but reads back as None.
+        # Sheet width = rightmost written cell; trailing rows whose
+        # read-back values are all None are dropped by the reader.
+        mapped = [[(None if v == "" else v) for v in r] for r in norm]
+        w = 0
+        for r in norm:
+            for i, v in enumerate(r):
+                if v is not None:          # '' counts: cell is written
+                    w = max(w, i + 1)
+        want = [r[:w] + [None] * (w - len(r[:w])) for r in mapped]
+        while want and all(v is None for v in want[-1]):
+            want.pop()
+        assert got == want, (got, want)
+
+    check()
