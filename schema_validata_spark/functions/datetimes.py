@@ -25,6 +25,8 @@ Spark re-expression:
 from __future__ import annotations
 
 import pandas as pd
+
+from .colref import qcol
 from pyspark.sql import Column, DataFrame, functions as F
 
 # (spark format, shape-gate regex, needs_initcap) in the REFERENCE's try
@@ -178,7 +180,7 @@ def infer_datetime_formats(df: DataFrame,
         cols = columns[lo:lo + chunk]
         aggs = []
         for col in cols:
-            c = F.col(col)
+            c = qcol(col)  # dot-safe resolution (spreadsheet headers)
             t = F.trim(c.cast("string"))
             aggs += [
                 F.count(c).alias(f"{col}__n"),
@@ -205,7 +207,7 @@ def infer_datetime_formats(df: DataFrame,
                 fallback.append((col, n))
     if fallback:
         frow = df.agg(*[
-            F.count(dateutil_parse(F.col(col))).alias(f"{col}__ok")
+            F.count(dateutil_parse(qcol(col))).alias(f"{col}__ok")
             for col, _ in fallback]).collect()[0]
         for col, n in fallback:
             out[col] = "dateutil" if frow[f"{col}__ok"] == n else None
@@ -251,9 +253,8 @@ def dateutil_parse(col: Column | str) -> Column:
     return _DATEUTIL_UDF(c.cast("string"))
 
 
-def _elected_parse_expr(column_name: str, fmt: str) -> Column:
+def _elected_parse_expr(c: Column, fmt: str) -> Column:
     """One parse per cell under an elected format (no probe battery)."""
-    c = F.col(column_name)
     t = F.trim(c.cast("string"))
     if fmt == "dateutil":
         return dateutil_parse(c)
@@ -271,7 +272,8 @@ def convert_datetime_column(df: DataFrame, column_name: str) -> DataFrame | None
     fmt = infer_datetime_format(df, column_name)
     if fmt is None:
         return None
-    return df.withColumn(column_name, _elected_parse_expr(column_name, fmt))
+    return df.withColumn(column_name,
+                         _elected_parse_expr(qcol(column_name), fmt))
 
 
 def convert_datetime_columns(df: DataFrame,
@@ -281,8 +283,8 @@ def convert_datetime_columns(df: DataFrame,
     ONE select applying every elected conversion; columns with no
     coherent format stay as-is."""
     fmts = infer_datetime_formats(df, columns)
-    sel = [_elected_parse_expr(c, fmts[c]).alias(c)
-           if fmts.get(c) else F.col(c) for c in df.columns]
+    sel = [_elected_parse_expr(qcol(c), fmts[c]).alias(c)
+           if fmts.get(c) else qcol(c) for c in df.columns]
     if all(not fmts.get(c) for c in columns):
         return df
     return df.select(sel)

@@ -19,6 +19,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import NA_PATTERNS, NA_VALUES
+from .colref import qcol
 
 
 @lru_cache(maxsize=64)
@@ -148,13 +149,16 @@ def canonicalize_na(df: DataFrame,
     string reads)."""
     cols = []
     target = set(columns) if columns is not None else None
+    # qcol(name), not F.col(name)/df[name]: spreadsheet headers may
+    # contain dots, which F.col parses as struct access and
+    # Dataset.apply rejects
     for f in df.schema.fields:
         if f.dataType.simpleString() == "string" and (
                 target is None or f.name in target):
             cols.append(
-                F.when(is_na_expr(F.col(f.name), na_values, na_patterns),
+                F.when(is_na_expr(qcol(f.name), na_values, na_patterns),
                        F.lit(None).cast("string"))
-                .otherwise(F.col(f.name)).alias(f.name))
+                .otherwise(qcol(f.name)).alias(f.name))
         else:
-            cols.append(F.col(f.name))
+            cols.append(qcol(f.name))
     return df.select(cols)

@@ -159,7 +159,12 @@ def schema_validation_to_xlsx(validation_results: dict[str, Any],
     Dataset/Column/Status/Required/Error Type/Error and title-cased
     status (:2758-2789), one value-errors sheet per dataset sorted by
     its row ordinal ascending (:2792-2806), file named
-    ``{out_name}_({uid}).xlsx`` (:2808-2811)."""
+    ``{out_name}_({uid}).xlsx`` (:2808-2811). Renders the FIRST uid
+    only, like the reference (:2740 ``list(...)[0]`` — one report per
+    validation run)."""
+    if not validation_results:
+        raise ValueError("validation_results is empty — pass the dict "
+                         "returned by ValidationResult.report()")
     uid = list(validation_results)[0]
     run = validation_results[uid]
 
@@ -202,8 +207,14 @@ def schema_validation_to_xlsx(validation_results: dict[str, Any],
                         None)
         if sort_key:
             recs.sort(key=lambda r: (r[sort_key] is None, r[sort_key]))
-        rpt_sheets[str(ds)] = recs
-        sheet_order.append(str(ds))
+        # a dataset literally named 'Metadata'/'Errors Overview' must
+        # not overwrite the report sheets (divergence from the
+        # reference, which silently loses its Metadata sheet here)
+        sheet = str(ds)
+        while sheet in rpt_sheets:
+            sheet += "_data"
+        rpt_sheets[sheet] = recs
+        sheet_order.append(sheet)
 
     name = f"{uid}.xlsx" if not out_name else f"{out_name}_({uid}).xlsx"
     return write_dataframes_to_xlsx(rpt_sheets, out_dir, name, sheet_order)

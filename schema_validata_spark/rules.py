@@ -190,7 +190,13 @@ class Rules:
             if isinstance(avl, str):
                 # Revive string-encoded python list literals, as the reference
                 # does via ast.literal_eval (src/schema_validata.py:388-434).
-                attrs["allowed_value_list"] = ast.literal_eval(avl)
+                # An unparseable cell ('[red, blue]' with unquoted items)
+                # stays a string — the reference swallows the error
+                # (:426-429) rather than failing the whole dictionary load.
+                try:
+                    attrs["allowed_value_list"] = ast.literal_eval(avl)
+                except (SyntaxError, ValueError):
+                    pass
             # XLSX dictionaries carry booleans as 'True'/'False' strings
             # (reference keeps them as object dtype, :51-62) — parse them
             for battr in ("required", "allow_null", "unique_value"):

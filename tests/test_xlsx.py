@@ -280,3 +280,74 @@ def test_roundtrip_property(tmp_path):
         assert got == want, (got, want)
 
     check()
+
+
+def test_ingest_messy_headers_and_quoted_newlines(spark, tmp_path):
+    """Real-world spreadsheet ingest: dotted / duplicated / blank
+    header cells, a blank first row, and CSV quoted fields containing
+    newlines (the reference's pandas reader handles all of these)."""
+    from schema_validata_spark.sources.readers import (read_csv_validated,
+                                                       read_spreadsheet)
+
+    # XLSX: blank first row + messy header cells
+    p = str(tmp_path / "messy.xlsx")
+    write_xlsx(p, {"Data": [
+        [None, None, None],                       # blank leading row
+        ["No.", "amount", "amount"],              # dot + duplicate
+        ["1", "10", "x"],
+        ["2", "20", "y"],
+    ]})
+    df = read_spreadsheet(spark, p, sheet_name="Data")
+    assert df.columns == ["No.", "amount", "amount.1"]
+    rows = df.orderBy("`No.`").collect()
+    assert [r["No."] for r in rows] == [1, 2]        # inferred integer
+    assert [r["amount"] for r in rows] == [10, 20]
+    assert [r["amount.1"] for r in rows] == ["x", "y"]
+
+    # missing sheet: clear error, not KeyError
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not found"):
+        read_spreadsheet(spark, p, sheet_name="Nope")
+
+    # CSV: quoted field with embedded newline survives as ONE row and
+    # rm_newlines strips it
+    csv = str(tmp_path / "nl.csv")
+    with open(csv, "w") as f:
+        f.write('id,text\n1,"hello\nworld"\n2,plain\n')
+    out = read_csv_validated(spark, csv).orderBy("id").collect()
+    assert len(out) == 2
+    assert out[0]["text"] == "helloworld"
+    assert out[1]["text"] == "plain"
+
+
+def test_unparseable_allowed_value_list_stays_string():
+    """Reference parity (src/schema_validata.py:426-429): a cell like
+    '[red, blue]' that literal_eval rejects stays a raw string instead
+    of aborting the whole dictionary load."""
+    r = Rules.from_nested_dict("d", {
+        "col": {"data_type": "String", "allowed_value_list": "[red, blue]"},
+        "ok": {"data_type": "String", "allowed_value_list": "['a', 'b']"},
+    })
+    by_name = {f.field_name: f for f in r.fields}
+    assert by_name["col"].allowed_value_list == "[red, blue]"
+    assert by_name["ok"].allowed_value_list == ["a", "b"]
+
+
+def test_dataset_named_metadata_keeps_report_sheets(spark, tmp_path):
+    """A dataset literally named 'Metadata' must not overwrite the
+    report's Metadata sheet."""
+    from schema_validata_spark.datagen import (gen_transcripts,
+                                               transcript_rules)
+    from schema_validata_spark.validate import validate
+
+    t = gen_transcripts(spark, 2000, seed=5)
+    res = validate(spark, t.drop("ts_date"), transcript_rules(),
+                   dataset_name="Metadata",
+                   key_cols=["conv_id", "turn_idx"], ignore_errors=[])
+    path = schema_validation_to_xlsx(res.report(max_value_errors=20),
+                                     str(tmp_path), "clash")
+    back = read_xlsx_records(path)
+    md = back["Metadata"]
+    assert md and {"Item", "Attribute", "Value"} <= set(md[0].keys())
+    assert "Metadata_data" in back      # the dataset's value errors
+    assert back["Metadata_data"] and "error_type" in back["Metadata_data"][0]
