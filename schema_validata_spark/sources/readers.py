@@ -14,6 +14,7 @@ formats.
 
 from __future__ import annotations
 
+import codecs
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -99,6 +100,58 @@ def read_xlsx_validated(spark: SparkSession, path: str,
     return out
 
 
+# UTF-32 BOMs first: BOM_UTF32_LE starts with BOM_UTF16_LE's bytes.
+_BOMS = [(codecs.BOM_UTF32_LE, "UTF-32LE"), (codecs.BOM_UTF32_BE, "UTF-32BE"),
+         (codecs.BOM_UTF8, "UTF-8"), (codecs.BOM_UTF16_LE, "UTF-16LE"),
+         (codecs.BOM_UTF16_BE, "UTF-16BE")]
+
+
+def detect_file_encoding(file_path: str, sample_bytes: int = 1 << 20) -> str:
+    """Charset sniff for text files — the reference's
+    ``detect_file_encoding`` (src/schema_validata.py:583-626) minus the
+    chardet dependency (absent in this environment): BOM match, then a
+    NUL-interleave probe for BOM-less UTF-16, then strict-UTF-8
+    try-decode with ISO-8859-1 as the low-confidence fallback —
+    mirroring the reference's <50%-confidence default. ISO-8859-1 (not
+    windows-1252) because Spark 4 validates CSV charsets against a
+    fixed list (UTF-8/16/32, ISO-8859-1, US-ASCII) and it decodes every
+    byte (the read can't fail); cp1252's extra glyphs in 0x80-0x9F
+    (curly quotes, em-dash) come through as C1 controls — the shared
+    accented-letter range is identical. Reads at most ``sample_bytes``;
+    scale note: this is a driver-side ingest helper for spreadsheet
+    files — Parquet/Iceberg are self-describing and never touch it."""
+    with open(file_path, "rb") as f:
+        raw = f.read(sample_bytes)
+    for bom, enc in _BOMS:
+        if raw.startswith(bom):
+            return enc
+    if not raw:
+        return "UTF-8"
+    # BOM-less UTF-16: ASCII-dominated text decodes to alternating NULs
+    if raw.count(b"\x00") * 3 > len(raw):
+        return ("UTF-16LE" if raw[1::2].count(0) > raw[::2].count(0)
+                else "UTF-16BE")
+    try:
+        raw.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError as e:
+        # a multi-byte char truncated by the sample window is not evidence
+        if len(raw) == sample_bytes and e.start >= len(raw) - 4:
+            return "UTF-8"
+        return "ISO-8859-1"
+
+
+def _detect_dir_encoding(path: str) -> str:
+    """Resolve 'auto' for a file OR a directory/glob of CSV parts
+    (sniffs the first part — Spark's encoding option is per-read)."""
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if not name.startswith((".", "_")):
+                return detect_file_encoding(os.path.join(path, name))
+        return "UTF-8"
+    return detect_file_encoding(path)
+
+
 def read_spreadsheet(spark: SparkSession, path: str,
                      sheet_name: str | None = None, **kw):
     """Dispatch CSV vs XLSX by extension (reference
@@ -124,7 +177,12 @@ def read_csv_validated(spark: SparkSession, path: str,
     it such rows split into corrupt records before ``rm_newlines`` can
     strip anything. Scale note: multiLine CSV is NOT splittable (one
     task per file); pass ``multiline=False`` for big known-clean
-    machine-written CSVs, or better, use Parquet for the scale path."""
+    machine-written CSVs, or better, use Parquet for the scale path.
+
+    ``encoding="auto"`` sniffs the charset from the file bytes
+    (``detect_file_encoding``) before the Spark read."""
+    if encoding.lower() == "auto":
+        encoding = _detect_dir_encoding(path)
     reader = (spark.read.option("header", "true")
               .option("encoding", encoding)
               # RFC 4180 doubled-quote escaping ("" inside a quoted

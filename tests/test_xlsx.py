@@ -351,3 +351,37 @@ def test_dataset_named_metadata_keeps_report_sheets(spark, tmp_path):
     assert md and {"Item", "Attribute", "Value"} <= set(md[0].keys())
     assert "Metadata_data" in back      # the dataset's value errors
     assert back["Metadata_data"] and "error_type" in back["Metadata_data"][0]
+
+
+def test_detect_file_encoding(spark, tmp_path):
+    """BOM sniff, BOM-less UTF-16 NUL probe, strict-UTF-8 try-decode,
+    ISO-8859-1 fallback — reference detect_file_encoding
+    (src/schema_validata.py:583-626) without chardet; and the
+    encoding='auto' CSV path round-trips non-ASCII text."""
+    from schema_validata_spark.sources.readers import (detect_file_encoding,
+                                                       read_csv_validated)
+
+    def w(name: str, data: bytes) -> str:
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(data)
+        return p
+
+    text = "id,name\n1,café\n2,straße\n"
+    assert detect_file_encoding(w("u8.csv", text.encode("utf-8"))) == "UTF-8"
+    assert detect_file_encoding(
+        w("u8b.csv", b"\xef\xbb\xbf" + text.encode("utf-8"))) == "UTF-8"
+    assert detect_file_encoding(
+        w("u16.csv", text.encode("utf-16"))) in ("UTF-16LE", "UTF-16BE")
+    assert detect_file_encoding(
+        w("u16nb.csv", text.encode("utf-16-le"))) == "UTF-16LE"
+    assert detect_file_encoding(
+        w("u32.csv", text.encode("utf-32"))) in ("UTF-32LE", "UTF-32BE")
+    assert detect_file_encoding(
+        w("latin.csv", text.encode("latin-1"))) == "ISO-8859-1"
+    assert detect_file_encoding(w("empty.csv", b"")) == "UTF-8"
+
+    # auto-encoding ingest: latin-1 bytes decode to the same rows
+    p = w("auto.csv", text.encode("latin-1"))
+    rows = read_csv_validated(spark, p, encoding="auto").orderBy("id").collect()
+    assert [r["name"] for r in rows] == ["café", "straße"]
