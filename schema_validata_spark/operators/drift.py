@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.colref import qcol
+
 EPS = 1e-6
 
 HIST_COLUMNS = ["partition_key", "column_name", "bucket", "count"]
@@ -33,10 +35,10 @@ def numeric_histogram(df: DataFrame, col: str, partition_col: str,
                       lo: float, hi: float, n_buckets: int = 20) -> DataFrame:
     """(partition, bucket) counts for a numeric expression via
     width_bucket — one hash aggregate."""
-    b = F.width_bucket(F.col(col).cast("double"), F.lit(lo), F.lit(hi),
+    b = F.width_bucket(qcol(col).cast("double"), F.lit(lo), F.lit(hi),
                        F.lit(n_buckets))
-    return (df.where(F.col(col).isNotNull())
-              .groupBy(F.col(partition_col).cast("string").alias("partition_key"),
+    return (df.where(qcol(col).isNotNull())
+              .groupBy(qcol(partition_col).cast("string").alias("partition_key"),
                        b.cast("string").alias("bucket"))
               .agg(F.count(F.lit(1)).alias("count"))
               .select("partition_key", F.lit(col).alias("column_name"),
@@ -48,9 +50,9 @@ def categorical_histogram(df: DataFrame, col: str, partition_col: str,
     """(partition, value) counts; categories beyond ``max_categories`` by
     global frequency collapse into '__other__' so a high-cardinality
     column cannot blow up the histogram."""
-    counts = (df.where(F.col(col).isNotNull())
-                .groupBy(F.col(partition_col).cast("string").alias("partition_key"),
-                         F.col(col).cast("string").alias("bucket"))
+    counts = (df.where(qcol(col).isNotNull())
+                .groupBy(qcol(partition_col).cast("string").alias("partition_key"),
+                         qcol(col).cast("string").alias("bucket"))
                 .agg(F.count(F.lit(1)).alias("count")))
     top = (counts.groupBy("bucket").agg(F.sum("count").alias("n"))
                  .orderBy(F.desc("n")).limit(max_categories)
@@ -68,7 +70,7 @@ def categorical_histogram(df: DataFrame, col: str, partition_col: str,
 def text_length_histogram(df: DataFrame, text_col: str, partition_col: str,
                           hi: int = 8000, n_buckets: int = 40) -> DataFrame:
     h = numeric_histogram(
-        df.select(partition_col, F.length(text_col).alias("__len")),
+        df.select(qcol(partition_col), F.length(qcol(text_col)).alias("__len")),
         "__len", partition_col, 0.0, float(hi), n_buckets)
     return h.withColumn("column_name", F.lit(f"{text_col}_length"))
 

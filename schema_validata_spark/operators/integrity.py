@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.colref import qcol
+
 # dimension row-count threshold below which we force a broadcast hint
 BROADCAST_DIM_MAX_ROWS = 50_000_000
 
@@ -21,7 +23,7 @@ def referential_violations(fact: DataFrame, fk_cols: list[str],
     """Rows of ``fact`` whose (non-null) foreign key has no match in
     ``dim``. NULL foreign keys are excluded — they are the null check's
     business, not RI's."""
-    d = dim.select(*[F.col(c).alias(f"__d_{i}") for i, c in enumerate(dim_cols)]) \
+    d = dim.select(*[qcol(c).alias(f"__d_{i}") for i, c in enumerate(dim_cols)]) \
            .dropDuplicates()
     if broadcast_dim is None:
         # cheap heuristic: let Catalyst/AQE decide unless caller insists;
@@ -31,11 +33,11 @@ def referential_violations(fact: DataFrame, fk_cols: list[str],
         d = F.broadcast(d)
     cond = None
     for i, fk in enumerate(fk_cols):
-        c = F.col(fk) == F.col(f"__d_{i}")
+        c = qcol(fk) == F.col(f"__d_{i}")
         cond = c if cond is None else cond & c
     nn = None
     for fk in fk_cols:
-        c = F.col(fk).isNotNull()
+        c = qcol(fk).isNotNull()
         nn = c if nn is None else nn & c
     return fact.where(nn).join(d, cond, "left_anti")
 

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import MAX_UNIQUE_VALS
 from ..functions.datetimes import dateish_shape_expr, datetime_probe_expr
+from ..functions.colref import qcol
 from ..functions.nulls import canonicalize_na, is_na_expr
 from ..functions.typing import (decide_logical_type, safe_bigint,
                                 safe_double, spark_type_to_logical)
@@ -51,7 +52,7 @@ def _canonical_values(df: DataFrame, na_values=None, na_patterns=None):
     → NULL, everything rendered as string."""
     out = []
     for f in df.schema.fields:
-        c = F.col(f.name)
+        c = qcol(f.name)
         if f.dataType.simpleString() == "string":
             vv = F.when(is_na_expr(c, na_values, na_patterns),
                         F.lit(None).cast("string")).otherwise(c)
@@ -87,7 +88,7 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("total")]
     names: list[str] = []
     for i, f in enumerate(df.schema.fields):
-        c = F.col(f.name)
+        c = qcol(f.name)
         kind = f.dataType.simpleString()
         names.append(f.name)
         if kind == "string":
@@ -265,7 +266,7 @@ def _melt_feat_rows(df: DataFrame, na_values, na_patterns,
         pay the regex/parse battery (the logical-type probes are read for
         string columns only); typed columns use native arithmetic —
         no regex, no cast exceptions, minimal bytecode in the hot loop."""
-        c = F.col(f.name)
+        c = qcol(f.name)
         kind = f.dataType.simpleString()
         if kind == "string":
             na = is_na_expr(c, na_values, na_patterns)
@@ -455,7 +456,7 @@ def _pass_c(df: DataFrame, cols: list[str]) -> dict[str, list[str]]:
     by the pass-B gate) — one small agg."""
     if not cols:
         return {}
-    aggs = [F.sort_array(F.collect_set(F.col(c).cast("string"))).alias(c)
+    aggs = [F.sort_array(F.collect_set(qcol(c).cast("string"))).alias(c)
             for c in cols]
     row = df.agg(*aggs).collect()[0].asDict()
     return {c: list(row[c]) for c in cols}
@@ -533,7 +534,7 @@ def profile(df: DataFrame,
                 cand.append(f.name)
         if cand:
             row = df.agg(*[
-                F.coalesce(F.sum(datetime_probe_expr(F.col(c))), F.lit(0))
+                F.coalesce(F.sum(datetime_probe_expr(qcol(c))), F.lit(0))
                  .alias(c) for c in cand]).collect()[0]
             for c in cand:
                 a[f"{c}__ts_ok"] = int(row[c])

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.colref import qcol
+
 
 def duplicate_stats(df: DataFrame, key_cols: list[str],
                     n_salts: int = 32) -> dict:
@@ -32,12 +34,12 @@ def duplicate_stats(df: DataFrame, key_cols: list[str],
     aggregation: ``{'duplicate_keys': k, 'duplicate_rows': m}`` where
     ``duplicate_rows`` counts every member of every duplicate group
     (pandas keep=False semantics)."""
-    keys = [F.col(c) for c in key_cols]
+    keys = [qcol(c) for c in key_cols]
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     phase1 = (df.select(*keys, salt.alias("__salt"))
-                .groupBy(*key_cols, "__salt")
+                .groupBy(*[qcol(c) for c in key_cols], "__salt")
                 .agg(F.count(F.lit(1)).alias("__c")))
-    phase2 = (phase1.groupBy(*key_cols)
+    phase2 = (phase1.groupBy(*[qcol(c) for c in key_cols])
                     .agg(F.sum("__c").alias("cnt"))
                     .where(F.col("cnt") > 1))
     row = phase2.agg(
@@ -60,10 +62,10 @@ def composite_duplicates(df: DataFrame, key_cols: list[str],
     AQE measures the aggregate's real output size at runtime and picks a
     broadcast join exactly when the duplicate key set is small."""
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
-    dup_keys = (df.select(*key_cols, salt.alias("__salt"))
-                  .groupBy(*key_cols, "__salt")
+    dup_keys = (df.select(*[qcol(c) for c in key_cols], salt.alias("__salt"))
+                  .groupBy(*[qcol(c) for c in key_cols], "__salt")
                   .agg(F.count(F.lit(1)).alias("__c"))
-                  .groupBy(*key_cols)
+                  .groupBy(*[qcol(c) for c in key_cols])
                   .agg(F.sum("__c").alias("dup_count"))
                   .where(F.col("dup_count") > 1))
     return df.join(dup_keys, key_cols, "inner")

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..config import (DEFAULT_IGNORE_ERRORS, ERROR_TYPE_LABELS, NA_VALUES,
                       length_error_type, range_error_type)
+from ..functions.colref import qcol
 from ..functions.nulls import is_na_expr
 from ..functions.typing import safe_double
 from ..rules import Rules
@@ -99,7 +100,7 @@ def _check_condition(df: DataFrame, spec: CheckSpec,
     string→double battery. ``parity_nulls`` reproduces the reference's
     ``astype(str)`` quirk for length checks (src/schema_validata.py:2328):
     NULLs render as the 3-char string 'nan' and are length-checked."""
-    c = F.col(spec.column)
+    c = qcol(spec.column)
     s = c.cast("string")
     numeric = _is_numericish(df, spec.column)
     if spec.check == "allow_null":
@@ -168,7 +169,7 @@ def _is_numericish(df: DataFrame, col: str) -> bool:
 def _display_str(df: DataFrame, col: str) -> Column:
     """String rendering of a value for length checks / error values:
     whole-number floats render like ints (pandas Int64 read parity)."""
-    c = F.col(col)
+    c = qcol(col)
     if _is_numericish(df, col):
         d = c.cast("double")
         return F.when(d == F.floor(d), (d).try_cast("bigint").cast("string")) \
@@ -200,7 +201,7 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
                     | set(key_cols) | ({lookup_col} if lookup_col else set()))
     from ..plans.parallelism import ensure_min_parallelism
     base = ensure_min_parallelism(
-        df.select(*[c for c in df.columns if c in needed]))
+        df.select(*[qcol(c) for c in df.columns if c in needed]))
 
     out_frames = []
     if row_specs:
@@ -209,7 +210,7 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
             cond, label = _check_condition(base, sp, parity_nulls)
             val = _display_str(base, sp.column)
             if parity_nulls and sp.check == "length":
-                val = F.coalesce(F.col(sp.column).cast("string"),
+                val = F.coalesce(qcol(sp.column).cast("string"),
                                  F.lit("nan"))
             structs.append(F.when(cond, F.struct(
                 F.lit(label).alias("error_type"),
@@ -220,12 +221,12 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
         hits = (base
                 .withColumn("__v", arr)
                 .where(F.size("__v") > 0)
-                .select(*key_cols,
-                        *( [F.col(lookup_col).cast("string").alias("__lk")]
+                .select(*[qcol(k) for k in key_cols],
+                        *( [qcol(lookup_col).cast("string").alias("__lk")]
                            if lookup_col else [F.lit(None).cast("string").alias("__lk")]),
                         F.explode("__v").alias("v")))
         out_frames.append(hits.select(
-            *key_cols,
+            *[qcol(k) for k in key_cols],
             F.col("v.error_type").alias("error_type"),
             F.col("v.column_name").alias("column_name"),
             F.col("v.error_value").alias("error_value"),
@@ -233,12 +234,12 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
             F.col("__lk").alias("lookup_value")))
 
     for sp in dup_specs:
-        c = F.col(sp.column)
+        c = qcol(sp.column)
         dup_keys = (base.where(c.isNotNull())
-                    .groupBy(sp.column)
+                    .groupBy(c)
                     .agg(F.count(F.lit(1)).alias("__cnt"))
                     .where(F.col("__cnt") > 1)
-                    .select(sp.column))
+                    .select(qcol(sp.column)))
         # NO broadcast hint: a hint is honored regardless of size, and a
         # pervasively-duplicated column (worst case n/2 distinct keys)
         # would broadcast an unbounded key set. Unhinted, AQE measures the
@@ -246,12 +247,12 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
         # when the duplicate key set really is small (the common case).
         hits = base.join(dup_keys, sp.column, "inner")
         out_frames.append(hits.select(
-            *key_cols,
+            *[qcol(k) for k in key_cols],
             F.lit(ERROR_TYPE_LABELS["unique_value"]).alias("error_type"),
             F.lit(sp.column).alias("column_name"),
             _display_str(base, sp.column).alias("error_value"),
             F.lit(lookup_col).cast("string").alias("lookup_column"),
-            (F.col(lookup_col).cast("string") if lookup_col
+            (qcol(lookup_col).cast("string") if lookup_col
              else F.lit(None).cast("string")).alias("lookup_value")))
 
     result = out_frames[0]
@@ -297,7 +298,7 @@ def with_sheet_row(violations: DataFrame, base: DataFrame,
     ``key_cols`` ordering. Costs a global sort — parity/report mode
     only, not part of the scale path."""
     from pyspark.sql import Window
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
-    ordinals = base.select(*key_cols).withColumn(
+    w = Window.orderBy(*[qcol(c) for c in key_cols])
+    ordinals = base.select(*[qcol(c) for c in key_cols]).withColumn(
         "sheet_row", F.row_number().over(w) + 1)
     return violations.join(ordinals, key_cols, "left")

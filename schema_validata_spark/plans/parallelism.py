@@ -87,12 +87,23 @@ def ensure_min_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
                 "spark.sql.files.maxPartitionBytes", str(128 << 20)))
             padded = sum(os.path.getsize(unquote(urlparse(f).path))
                          + open_cost for f in files)
+            # FilePartition.maxSplitBytes divides by minPartitionNum —
+            # conf spark.sql.files.minPartitionNum if set, else
+            # leafNodeDefaultParallelism (defaults to
+            # defaultParallelism ≈ target). Using target alone
+            # overestimates bins when either conf is set LOWER, and the
+            # guard would silently skip its repartition.
+            min_pn = conf.get("spark.sql.files.minPartitionNum", None)
+            if min_pn is None:
+                min_pn = conf.get(
+                    "spark.sql.leafNodeDefaultParallelism", None)
+            divisor = int(min_pn) if min_pn else max(1, target)
             # FilePartition.maxSplitBytes: min(maxPartitionBytes,
             # max(openCostInBytes, bytesPerCore)); ceil(padded/split)
             # is a lower bound on the planned bin count, so a skip
             # here is always safe
             max_split = min(max_pb,
-                            max(open_cost, padded // max(1, target)))
+                            max(open_cost, padded // max(1, divisor)))
             est_tasks = -(-padded // max(1, max_split))
             if est_tasks >= floor:
                 return df

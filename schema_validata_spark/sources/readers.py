@@ -101,9 +101,13 @@ def read_xlsx_validated(spark: SparkSession, path: str,
 
 
 # UTF-32 BOMs first: BOM_UTF32_LE starts with BOM_UTF16_LE's bytes.
-_BOMS = [(codecs.BOM_UTF32_LE, "UTF-32LE"), (codecs.BOM_UTF32_BE, "UTF-32BE"),
-         (codecs.BOM_UTF8, "UTF-8"), (codecs.BOM_UTF16_LE, "UTF-16LE"),
-         (codecs.BOM_UTF16_BE, "UTF-16BE")]
+# BOM'd files report the BOM-CONSUMING charset ("UTF-16", not
+# "UTF-16LE"): Java's endianness-specific decoders keep a leading
+# U+FEFF as data, which would leak into the first header name under
+# reader settings univocity's own BOM-skip doesn't cover.
+_BOMS = [(codecs.BOM_UTF32_LE, "UTF-32"), (codecs.BOM_UTF32_BE, "UTF-32"),
+         (codecs.BOM_UTF8, "UTF-8"), (codecs.BOM_UTF16_LE, "UTF-16"),
+         (codecs.BOM_UTF16_BE, "UTF-16")]
 
 
 def detect_file_encoding(file_path: str, sample_bytes: int = 1 << 20) -> str:
@@ -138,18 +142,50 @@ def detect_file_encoding(file_path: str, sample_bytes: int = 1 << 20) -> str:
         # a multi-byte char truncated by the sample window is not evidence
         if len(raw) == sample_bytes and e.start >= len(raw) - 4:
             return "UTF-8"
-        return "ISO-8859-1"
+    # BOM-less UTF-16 of NON-Latin text (CJK code units carry no NUL
+    # bytes, so the interleave probe above misses it). Discriminator:
+    # a real UTF-16 CSV decodes strictly AND contains '\n' (0A 00 /
+    # 00 0A pairs); single-byte text read as UTF-16 yields U+XX0A
+    # composites, never U+000A, so latin-1 files can't false-positive.
+    for enc, name in (("utf-16-le", "UTF-16LE"), ("utf-16-be", "UTF-16BE")):
+        if len(raw) % 2:
+            break
+        try:
+            t = raw.decode(enc)
+        except UnicodeDecodeError:
+            continue
+        if "\n" in t and not any(c < " " and c not in "\t\r\n" for c in t):
+            return name
+    return "ISO-8859-1"
 
 
 def _detect_dir_encoding(path: str) -> str:
-    """Resolve 'auto' for a file OR a directory/glob of CSV parts
-    (sniffs the first part — Spark's encoding option is per-read)."""
-    if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            if not name.startswith((".", "_")):
-                return detect_file_encoding(os.path.join(path, name))
-        return "UTF-8"
-    return detect_file_encoding(path)
+    """Resolve 'auto' for a file, a glob pattern, or a (possibly
+    Hive-partitioned) directory of CSV parts — sniffs the FIRST data
+    file found (Spark's encoding option is per-read, one charset for
+    all parts). Best-effort: any filesystem surprise falls back to
+    UTF-8 rather than failing a read Spark itself could do."""
+    import glob as _glob
+    try:
+        if os.path.isfile(path):        # explicit file: sniff it, even
+            return detect_file_encoding(path)   # if named _like_a_part
+        candidates = (sorted(_glob.glob(path)) if _glob.has_magic(path)
+                      else [path])
+        seen = 0
+        while candidates and seen < 4096:   # bounded directory walk
+            p = candidates.pop(0)
+            seen += 1
+            base = os.path.basename(p.rstrip("/"))
+            if base.startswith((".", "_")):
+                continue
+            if os.path.isdir(p):
+                candidates[:0] = [os.path.join(p, n)
+                                  for n in sorted(os.listdir(p))]
+            elif os.path.isfile(p):
+                return detect_file_encoding(p)
+    except OSError:
+        pass
+    return "UTF-8"
 
 
 def read_spreadsheet(spark: SparkSession, path: str,

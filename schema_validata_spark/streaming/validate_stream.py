@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.colref import qcol
 from ..operators.violations import CheckSpec, _check_condition
 from ..rules import Rules
 
@@ -60,13 +61,14 @@ def stream_validate(stream_df: DataFrame, rules: Rules,
         structs.append(F.when(cond, F.struct(
             F.lit(label).alias("error_type"),
             F.lit(sp.column).alias("column_name"),
-            F.col(sp.column).cast("string").alias("error_value"))))
+            qcol(sp.column).cast("string").alias("error_value"))))
     arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
     return (stream_df
             .withColumn("__v", arr)
             .where(F.size("__v") > 0)
-            .select(*key_cols, F.explode("__v").alias("v"))
-            .select(*key_cols,
+            .select(*[qcol(k) for k in key_cols],
+                    F.explode("__v").alias("v"))
+            .select(*[qcol(k) for k in key_cols],
                     "v.error_type", "v.column_name", "v.error_value"))
 
 

@@ -35,6 +35,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .functions.colref import qcol
+
 from .config import DEFAULT_IGNORE_ERRORS
 from .manifest import Manifest, timed
 from .operators.integrity import referential_violations
@@ -125,8 +127,8 @@ def partition_fingerprints(df: DataFrame, partition_col: str
     The scan reads every column (it hashes full rows); at scale prefer
     passing an Iceberg ``snapshot_id`` to ``validate_partitioned`` —
     metadata-only — and fall back to this when the snapshot moved."""
-    h = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
-    rows = (df.select(F.col(partition_col).cast("string").alias("__p"),
+    h = F.xxhash64(F.struct(*[qcol(c) for c in df.columns]))
+    rows = (df.select(qcol(partition_col).cast("string").alias("__p"),
                       h.alias("__h"))
               .groupBy("__p")
               .agg(F.count(F.lit(1)).alias("n"),
@@ -393,7 +395,7 @@ def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
         alias = f"v{i}"
         aggs.append(F.count(F.when(cond, 1)).alias(alias))
         names.append((alias, sp.column, sp.check))
-    per_part = df.groupBy(F.col(partition_col).cast("string")
+    per_part = df.groupBy(qcol(partition_col).cast("string")
                           .alias("partition_key")).agg(*aggs)
 
     stack_expr = ", ".join(
@@ -409,13 +411,14 @@ def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
         if not all(k in df.columns for k in key):
             continue
         salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(32))
-        dup = (df.select(partition_col, *key, salt.alias("__s"))
-                 .groupBy(partition_col, *key, "__s")
+        dup = (df.select(qcol(partition_col), *[qcol(k) for k in key],
+                         salt.alias("__s"))
+                 .groupBy(*[qcol(c) for c in [partition_col, *key]], "__s")
                  .agg(F.count(F.lit(1)).alias("__c"))
-                 .groupBy(partition_col, *key)
+                 .groupBy(*[qcol(c) for c in [partition_col, *key]])
                  .agg(F.sum("__c").alias("cnt"))
                  .where(F.col("cnt") > 1)
-                 .groupBy(F.col(partition_col).cast("string")
+                 .groupBy(qcol(partition_col).cast("string")
                           .alias("partition_key"))
                  .agg(F.sum("cnt").alias("violation_count"))
                  .select("partition_key",
@@ -427,10 +430,10 @@ def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
         dim = (dims or {}).get(dim_name)
         if dim is None or fk_col not in df.columns:
             continue
-        ri = (referential_violations(df.select(partition_col, fk_col),
+        ri = (referential_violations(df.select(qcol(partition_col), qcol(fk_col)),
                                      [fk_col], dim, [dim_col],
                                      broadcast_dim=True)
-              .groupBy(F.col(partition_col).cast("string")
+              .groupBy(qcol(partition_col).cast("string")
                        .alias("partition_key"))
               .agg(F.count(F.lit(1)).alias("violation_count"))
               .select("partition_key",
@@ -524,7 +527,7 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                                        for v in done_ids.values())):
         # same snapshot (or fresh run): partition list only, no data read
         parts = [str(r[0]) for r in
-                 df.select(F.col(partition_col).cast("string"))
+                 df.select(qcol(partition_col).cast("string"))
                    .distinct().collect()]
         current = {p: snap_token for p in parts}
     elif verify_content or snap_token is not None:
@@ -533,7 +536,7 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                    for p, fp in fps.items()}
     else:
         parts = [str(r[0]) for r in
-                 df.select(F.col(partition_col).cast("string"))
+                 df.select(qcol(partition_col).cast("string"))
                    .distinct().collect()]
         current = {p: done_ids.get(p) for p in parts}  # always "matches"
     parts = list(current)
@@ -576,7 +579,7 @@ def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
         t0 = timed()
         # coalesce so the 'None' identity key actually selects the
         # NULL-partition rows (NULL.isin([...]) is never true)
-        pkey = F.coalesce(F.col(partition_col).cast("string"),
+        pkey = F.coalesce(qcol(partition_col).cast("string"),
                           F.lit("None"))
         sub = df.where(pkey.isin(batch))
         pv = partition_verdicts(sub, rules, partition_col, dims=dims)

@@ -371,12 +371,19 @@ def test_detect_file_encoding(spark, tmp_path):
     assert detect_file_encoding(w("u8.csv", text.encode("utf-8"))) == "UTF-8"
     assert detect_file_encoding(
         w("u8b.csv", b"\xef\xbb\xbf" + text.encode("utf-8"))) == "UTF-8"
-    assert detect_file_encoding(
-        w("u16.csv", text.encode("utf-16"))) in ("UTF-16LE", "UTF-16BE")
+    # BOM'd files report the BOM-consuming charset (decoder eats U+FEFF)
+    assert detect_file_encoding(w("u16.csv", text.encode("utf-16"))) == "UTF-16"
+    assert detect_file_encoding(w("u32.csv", text.encode("utf-32"))) == "UTF-32"
+    # BOM-less needs explicit endianness
     assert detect_file_encoding(
         w("u16nb.csv", text.encode("utf-16-le"))) == "UTF-16LE"
+    # BOM-less UTF-16 of NON-Latin text: no NUL-interleave signal — the
+    # newline discriminator catches it
+    cjk = "id,text\n1,你好世界\n2,日本語のテキスト\n"
     assert detect_file_encoding(
-        w("u32.csv", text.encode("utf-32"))) in ("UTF-32LE", "UTF-32BE")
+        w("cjk16.csv", cjk.encode("utf-16-le"))) == "UTF-16LE"
+    assert detect_file_encoding(
+        w("cjk16be.csv", cjk.encode("utf-16-be"))) == "UTF-16BE"
     assert detect_file_encoding(
         w("latin.csv", text.encode("latin-1"))) == "ISO-8859-1"
     assert detect_file_encoding(w("empty.csv", b"")) == "UTF-8"
@@ -385,3 +392,48 @@ def test_detect_file_encoding(spark, tmp_path):
     p = w("auto.csv", text.encode("latin-1"))
     rows = read_csv_validated(spark, p, encoding="auto").orderBy("id").collect()
     assert [r["name"] for r in rows] == ["café", "straße"]
+
+    # auto on a glob pattern and on a (nested) directory — inputs
+    # Spark's .csv() accepts must not crash the sniffer
+    d = tmp_path / "parts" / "date=2024-01-01"
+    d.mkdir(parents=True)
+    with open(d / "part-0.csv", "wb") as f:
+        f.write(text.encode("latin-1"))
+    for src in (str(tmp_path / "parts" / "*" / "*.csv"),
+                str(tmp_path / "parts")):
+        got = (read_csv_validated(spark, src, encoding="auto")
+               .orderBy("id").collect())
+        assert [r["name"] for r in got] == ["café", "straße"], src
+
+
+def test_validate_dotted_headers_end_to_end(spark, tmp_path):
+    """Spreadsheet headers with dots ('No.', 'price.usd') must survive
+    the WHOLE pipeline — ingest, profile, verdicts, row-level
+    violations, composite duplicates — not just the reader (every
+    operator refs columns via dot-safe qcol, not F.col)."""
+    from schema_validata_spark import validate
+    from schema_validata_spark.rules import Rules
+    from schema_validata_spark.sources.readers import read_csv_validated
+
+    p = str(tmp_path / "dotted.csv")
+    with open(p, "w") as f:
+        f.write("No.,price.usd,conv.id\n")
+        for i in range(50):
+            f.write(f"{i},{i * 1.5},c{i % 10}\n")
+        f.write("3,999.0,c3\n")          # duplicate No. + out-of-range
+    df = read_csv_validated(spark, p)
+    assert set(df.columns) == {"No.", "price.usd", "conv.id"}
+
+    rules = Rules.from_nested_dict("dotted", {
+        "No.": {"data_type": "Integer", "unique_value": True,
+                "allow_null": False},
+        "price.usd": {"data_type": "Float", "range_min": 0,
+                      "range_max": 100},
+        "conv.id": {"data_type": "String", "length": 3},
+    })
+    res = validate(spark, df, rules, dataset_name="dotted",
+                   key_cols=["No."], ignore_errors=[])
+    errs = {(r["error_type"], r["column_name"])
+            for r in res.violations.collect()}
+    assert any(c == "No." for _, c in errs)          # dup flagged
+    assert any(c == "price.usd" for _, c in errs)    # 999 > 100
