@@ -48,13 +48,50 @@ class Manifest:
         self.path = path
 
     def _exists(self) -> bool:
-        return os.path.exists(self.path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs)
+        """True when the manifest holds at least one parquet file.
+        Must work on ANY Hadoop-visible filesystem (s3a://, hdfs://,
+        dbfs:/ — the storage a 10^5-partition run actually uses), so a
+        bare local-path check goes through os.path and everything else
+        through the JVM Hadoop FileSystem of the path's own scheme."""
+        p = self.path
+        scheme = p.split("://", 1)[0] if "://" in p else (
+            "file" if not p.startswith(("dbfs:", "hdfs:")) else p.split(":", 1)[0])
+        if scheme == "file":
+            local = p[len("file://"):] if p.startswith("file://") else p
+            return os.path.exists(local) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(local) for f in fs)
+        try:
+            jvm = self.spark._jvm
+            jsc = self.spark._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            if not fs.exists(hpath):
+                return False
+            it = fs.listFiles(hpath, True)  # recursive
+            while it.hasNext():
+                if it.next().getPath().getName().endswith(".parquet"):
+                    return True
+            return False
+        except Exception:  # noqa: BLE001 — permission/scheme surprises:
+            # claim existence and let the schema-pinned read decide; an
+            # unreadable-but-present manifest must not silently restart
+            # the whole run
+            return True
 
     def _latest_done(self, run_id: str):
         """Latest 'done' row per partition (recomputed partitions append
-        newer rows; old rows are superseded, never trusted again)."""
-        df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        newer rows; old rows are superseded, never trusted again).
+        Returns None when the manifest path does not exist yet (fresh
+        run); any OTHER read failure propagates — an unreadable manifest
+        must not silently restart a 10^5-partition run."""
+        from pyspark.errors import AnalysisException
+        try:
+            df = self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "does not exist" in str(e):
+                return None
+            raise
         from pyspark.sql import Window, functions as F
         w = Window.partitionBy("partition_key").orderBy(
             F.desc_nulls_last("committed_at"))
@@ -65,7 +102,10 @@ class Manifest:
     def completed(self, run_id: str) -> set[str]:
         if not self._exists():
             return set()
-        rows = self._latest_done(run_id).select("partition_key").collect()
+        latest = self._latest_done(run_id)
+        if latest is None:
+            return set()
+        rows = latest.select("partition_key").collect()
         return {r["partition_key"] for r in rows}
 
     def done_identities(self, run_id: str) -> dict[str, str | None]:
@@ -76,8 +116,10 @@ class Manifest:
         original run forces recomputation (no stale-verdict reuse)."""
         if not self._exists():
             return {}
-        rows = (self._latest_done(run_id)
-                .select("partition_key", "snapshot_id").collect())
+        latest = self._latest_done(run_id)
+        if latest is None:
+            return {}
+        rows = latest.select("partition_key", "snapshot_id").collect()
         return {r["partition_key"]: r["snapshot_id"] for r in rows}
 
     def mark_done(self, run_id: str, partition_key: str,
@@ -104,8 +146,11 @@ class Manifest:
     def metrics(self, run_id: str) -> dict[str, dict]:
         if not self._exists():
             return {}
+        latest = self._latest_done(run_id)
+        if latest is None:
+            return {}
         out = {}
-        for r in self._latest_done(run_id).collect():
+        for r in latest.collect():
             out[r["partition_key"]] = json.loads(r["metrics"] or "{}")
         return out
 

@@ -643,13 +643,14 @@ def length_percentiles(df: DataFrame, text_col: str,
     ``exact=True`` for the exact interpolated percentile (oracle
     checking, small data). Output: [group?,] p_<q> columns (doubles)."""
     fn = "percentile" if exact else "percentile_approx"
+    tc = "`" + text_col.replace("`", "``") + "`"   # dot/space-safe
     aggs = [
-        F.expr(f"{fn}(length({text_col}), {q})")
+        F.expr(f"{fn}(length({tc}), {q})")
          .alias(f"p_{str(q).replace('0.', '')}")
         for q in percentiles
     ]
     if group_col:
-        return df.groupBy(group_col).agg(*aggs)
+        return df.groupBy(qcol(group_col)).agg(*aggs)
     return df.agg(*aggs)
 
 

@@ -184,7 +184,8 @@ class ValidationResult:
         value_errors: dict[str, dict] = {}
         if self.violations is not None:
             rows = (self.violations.limit(max_value_errors).collect()
-                    if max_value_errors else self.violations.collect())
+                    if max_value_errors is not None
+                    else self.violations.collect())
             cols: dict[str, dict[str, Any]] = {}
             for i, r in enumerate(rows):
                 for k, v in r.asDict().items():
@@ -291,7 +292,7 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         if speculative:
             spec_specs = _speculative_specs(df, rules, ignore_errors)
             violations = value_errors_df(df, spec_specs, key_cols)
-            if persist_violations:
+            if persist_violations and violations is not None:
                 # reconcile below only stacks filters/unions ON TOP of
                 # the persisted base, so the cache stays valid;
                 # MEMORY_AND_DISK spills rather than OOMs if violations
@@ -325,9 +326,13 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         extra = [sp for sp in gated if (sp.column, sp.check) not in have]
         overshoot = [sp for sp in spec_specs
                      if (sp.column, sp.check) not in want]
-        if extra and violations is not None:
-            violations = violations.unionByName(
-                value_errors_df(df, extra, key_cols))
+        if extra:
+            # the speculative scan may have produced NO plan at all
+            # (zero speculative specs -> violations None); the gated
+            # top-up then IS the violations frame
+            extra_df = value_errors_df(df, extra, key_cols)
+            violations = (extra_df if violations is None
+                          else violations.unionByName(extra_df))
         for sp in overshoot:
             cond = ((F.col("column_name") == sp.column)
                     & (F.col("error_type") == _label_for(sp)))
@@ -395,27 +400,30 @@ def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
         alias = f"v{i}"
         aggs.append(F.count(F.when(cond, 1)).alias(alias))
         names.append((alias, sp.column, sp.check))
-    per_part = df.groupBy(qcol(partition_col).cast("string")
-                          .alias("partition_key")).agg(*aggs)
-
-    stack_expr = ", ".join(
-        f"'{col}', '{chk}', cast(`{alias}` as bigint)"
-        for alias, col, chk in names)
-    long = per_part.selectExpr(
-        "partition_key",
-        f"stack({len(names)}, {stack_expr}) as (column_name, check, violation_count)")
-
-    frames = [long]
+    frames = []
+    if names:   # zero aggs is an agg() error and stack(0,) is a parse error
+        per_part = df.groupBy(qcol(partition_col).cast("string")
+                              .alias("partition_key")).agg(*aggs)
+        stack_expr = ", ".join(
+            "'{}', '{}', cast(`{}` as bigint)".format(
+                col.replace("'", "''"), chk.replace("'", "''"), alias)
+            for alias, col, chk in names)
+        frames.append(per_part.selectExpr(
+            "partition_key",
+            f"stack({len(names)}, {stack_expr})"
+            " as (column_name, check, violation_count)"))
     spark = df.sparkSession
     for key in rules.composite_unique:
         if not all(k in df.columns for k in key):
             continue
         salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(32))
-        dup = (df.select(qcol(partition_col), *[qcol(k) for k in key],
-                         salt.alias("__s"))
-                 .groupBy(*[qcol(c) for c in [partition_col, *key]], "__s")
+        # a composite key CONTAINING the partition column must not select
+        # it twice (ambiguous reference)
+        pk = [partition_col] + [k for k in key if k != partition_col]
+        dup = (df.select(*[qcol(c) for c in pk], salt.alias("__s"))
+                 .groupBy(*[qcol(c) for c in pk], "__s")
                  .agg(F.count(F.lit(1)).alias("__c"))
-                 .groupBy(*[qcol(c) for c in [partition_col, *key]])
+                 .groupBy(*[qcol(c) for c in pk])
                  .agg(F.sum("__c").alias("cnt"))
                  .where(F.col("cnt") > 1)
                  .groupBy(qcol(partition_col).cast("string")
@@ -442,10 +450,15 @@ def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
                       F.col("violation_count").cast("bigint")))
         frames.append(ri)
 
+    if not frames:
+        # rules with NO per-row, uniqueness, or RI checks applicable to
+        # this frame: a well-typed empty verdict set, not a crash
+        return spark.createDataFrame(
+            [], "partition_key string, column_name string, check string,"
+                " violation_count bigint, status string")
     out = frames[0]
     for f2 in frames[1:]:
         out = out.unionByName(f2)
-    _ = spark
     return out.withColumn(
         "status", F.when(F.col("violation_count") > 0, F.lit("fail"))
                    .otherwise(F.lit("pass")))
