@@ -564,6 +564,89 @@ def q_na_discovery(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _cond_rules():
+    from schema_validata_spark.operators.expectations import ConditionalRule
+    return [
+        ConditionalRule("error_value_cap",
+                        "event_type = 'error'", "value <= 5"),
+        ConditionalRule("purchase_value_positive",
+                        "event_type = 'purchase'", "value > 0"),
+    ]
+
+
+def q_conditional_violations(spark, sf_dir):
+    """Cross-column conditional rules (operators/expectations.py):
+    IF when_sql THEN then_sql, compiled to Column predicates — one scan
+    for all rules via the array-of-structs → explode pattern."""
+    from schema_validata_spark.operators.expectations import \
+        conditional_violations
+    events = _t(spark, sf_dir, "events")
+    out = conditional_violations(events, _cond_rules(), ["event_id"])
+    return out.select("event_id", F.col("column_name").alias("rule_name"))
+
+
+def q_expectation_checks(spark, sf_dir):
+    """Dataset-level contracts (operators/expectations.py): ONE global
+    aggregate evaluates every expectation."""
+    from schema_validata_spark.operators.expectations import (Expectation,
+                                                              check_expectations)
+    events = _t(spark, sf_dir, "events")
+    exps = [
+        Expectation("row_count_min", "count(*)", ">=", 1000),
+        Expectation("value_null_frac_max",
+                    "avg(case when value is null then 1.0 else 0.0 end)",
+                    "<=", 0.01),
+        Expectation("event_type_card_max",
+                    "count(distinct event_type)", "<=", 10),
+        Expectation("value_max_cap", "max(value)", "<=", 400),
+    ]
+    out = check_expectations(events, exps)
+    return out.select("expectation", F.round("observed", 6).alias("observed"),
+                      "op", "threshold", "status")
+
+
+def q_freshness_daily(spark, sf_dir):
+    """Per-day arrival stats with lag vs the global max event time
+    (operators/expectations.py:freshness_stats) — one scan, bucket
+    aggregate + broadcast of the re-aggregated global max."""
+    from schema_validata_spark.operators.expectations import freshness_stats
+    events = _t(spark, sf_dir, "events")
+    out = freshness_stats(events, "ts", "day")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.col("row_count").cast("bigint").alias("row_count"),
+        F.date_format("bucket_max_ts", "yyyy-MM-dd HH:mm:ss")
+         .alias("bucket_max_ts"),
+        "lag_seconds")
+
+
+def q_completeness_gaps(spark, sf_dir):
+    """Hour buckets with zero purchase events between the observed min
+    and max (operators/expectations.py:completeness_gaps): dense range
+    from a 1-row aggregate (sequence + explode) anti-joined against the
+    observed buckets."""
+    from schema_validata_spark.operators.expectations import completeness_gaps
+    events = _t(spark, sf_dir, "events")
+    gaps = completeness_gaps(events.where(F.col("event_type") == "purchase"),
+                             "ts", "hour")
+    return gaps.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:00").alias("gap_hour"))
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier stats (operators/expectations.py:
+    iqr_outlier_stats). exact=True (exact percentile) for oracle parity;
+    the default percentile_approx sketch is the 100 TB path."""
+    from schema_validata_spark.operators.expectations import iqr_outlier_stats
+    events = _t(spark, sf_dir, "events")
+    out = iqr_outlier_stats(events, ["value"], k=1.5, exact=True)
+    return out.select(
+        "column_name", F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("fence_lo", 6).alias("fence_lo"),
+        F.round("fence_hi", 6).alias("fence_hi"), "n_outliers")
+
+
 def q_validate_events(spark, sf_dir):
     """End-to-end orchestrator (validate.py): flagged row-level violations
     for the events rule table, aggregated per (column, error_type)."""
@@ -592,6 +675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "datetime_inference": q_datetime_inference,
         "na_discovery": q_na_discovery,
+        "conditional_violations": q_conditional_violations,
+        "expectation_checks": q_expectation_checks,
+        "freshness_daily": q_freshness_daily,
+        "completeness_gaps": q_completeness_gaps,
+        "iqr_outliers": q_iqr_outliers,
         "dedup_exact": q_dedup_exact,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts": q_token_counts,
@@ -1228,6 +1316,80 @@ def oracle_sql() -> dict[str, str]:
                    AS prev_max_ts
           FROM events) t
         WHERE ts < prev_max_ts"""
+
+    sql["conditional_violations"] = """
+        SELECT event_id, 'error_value_cap' AS rule_name
+        FROM events
+        WHERE coalesce(event_type = 'error', false)
+          AND NOT coalesce(value <= 5, false)
+        UNION ALL
+        SELECT event_id, 'purchase_value_positive'
+        FROM events
+        WHERE coalesce(event_type = 'purchase', false)
+          AND NOT coalesce(value > 0, false)"""
+
+    sql["expectation_checks"] = """
+        WITH a AS (
+          SELECT cast(count(*) as double) AS row_cnt,
+                 avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS nf,
+                 cast(count(DISTINCT event_type) as double) AS card,
+                 cast(max(value) as double) AS mx
+          FROM events)
+        SELECT 'row_count_min' AS expectation, round(row_cnt, 6) AS observed,
+               '>=' AS op, cast(1000 as double) AS threshold,
+               CASE WHEN row_cnt >= 1000 THEN 'pass' ELSE 'fail' END AS status
+        FROM a
+        UNION ALL
+        SELECT 'value_null_frac_max', round(nf, 6), '<=',
+               cast(0.01 as double),
+               CASE WHEN nf <= 0.01 THEN 'pass' ELSE 'fail' END FROM a
+        UNION ALL
+        SELECT 'event_type_card_max', round(card, 6), '<=',
+               cast(10 as double),
+               CASE WHEN card <= 10 THEN 'pass' ELSE 'fail' END FROM a
+        UNION ALL
+        SELECT 'value_max_cap', round(mx, 6), '<=', cast(400 as double),
+               CASE WHEN coalesce(mx <= 400, false)
+                    THEN 'pass' ELSE 'fail' END FROM a"""
+
+    sql["freshness_daily"] = """
+        WITH per AS (
+          SELECT date_trunc('day', ts) AS bucket,
+                 count(*)::bigint AS row_count,
+                 max(ts) AS bucket_max_ts
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        g AS (SELECT max(bucket_max_ts) AS gmax FROM per)
+        SELECT strftime(bucket, '%Y-%m-%d') AS day, row_count,
+               strftime(bucket_max_ts, '%Y-%m-%d %H:%M:%S') AS bucket_max_ts,
+               (floor(epoch(gmax))::bigint
+                - floor(epoch(bucket_max_ts))::bigint) AS lag_seconds
+        FROM per, g"""
+
+    sql["completeness_gaps"] = """
+        WITH obs AS (
+          SELECT date_trunc('hour', ts) AS b
+          FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+          GROUP BY 1),
+        rng AS (
+          SELECT unnest(generate_series((SELECT min(b) FROM obs),
+                                        (SELECT max(b) FROM obs),
+                                        INTERVAL 1 HOUR)) AS b)
+        SELECT strftime(b, '%Y-%m-%d %H:00') AS gap_hour
+        FROM rng WHERE b NOT IN (SELECT b FROM obs)"""
+
+    sql["iqr_outliers"] = """
+        WITH q AS (
+          SELECT quantile_cont(cast(value as double), 0.25) AS q1,
+                 quantile_cont(cast(value as double), 0.75) AS q3
+          FROM events),
+        f AS (SELECT q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+                     q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        SELECT 'value' AS column_name,
+               round(q1, 6) AS q1, round(q3, 6) AS q3,
+               round(lo, 6) AS fence_lo, round(hi, 6) AS fence_hi,
+               (SELECT count(*) FROM events, f
+                WHERE value < f.lo OR value > f.hi)::bigint AS n_outliers
+        FROM f"""
 
     sql["embedding_norm_stats"] = """
         WITH n AS (

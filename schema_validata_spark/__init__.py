@@ -38,6 +38,11 @@ from .operators.sequence import (consecutive_repeats, order_regressions,
                                  session_stats, sessionize)
 from .operators.similarity import embedding_norm_stats
 from .operators.similarity import brute_force_topk, lsh_ann_topk
+from .operators.expectations import (ConditionalRule, Expectation,
+                                     check_expectations, completeness_gaps,
+                                     conditional_counts,
+                                     conditional_violations, freshness_stats,
+                                     iqr_outlier_stats)
 from .report import errors_overview, write_report
 from .validate import (ValidationResult, partition_verdicts, validate,
                        validate_partitioned)
@@ -64,6 +69,9 @@ __all__ = [
     "embedding_norm_stats",
     "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",
+    "ConditionalRule", "Expectation", "check_expectations",
+    "completeness_gaps", "conditional_counts", "conditional_violations",
+    "freshness_stats", "iqr_outlier_stats",
     "ValidationResult", "validate", "partition_verdicts",
     "validate_partitioned",
 ]

@@ -1,0 +1,264 @@
+"""Data-quality expectations beyond per-column schema rules: cross-column
+conditional rules, table-level aggregate expectations, freshness /
+completeness checks, and robust (IQR) outlier stats.
+
+The reference validates one column at a time against a data dictionary
+(src/schema_validata.py:2045-2154); a production pipeline layer also
+needs row predicates that SPAN columns ("when role='tool', tool must be
+set"), dataset-level contracts ("at least N rows, null fraction below
+x"), and arrival-completeness checks over the event-time column. These
+have no reference counterpart — they are engine-level additions in the
+same spirit as the north_rule's uniqueness/RI/drift checks.
+
+Scale design:
+
+* conditional rules are pure Column predicates compiled from SQL
+  fragments — they ride the SAME single column-pruned scan pattern as
+  ``value_errors_df`` (array-of-structs → explode), whole-stage codegen,
+  no Python in the row path;
+* expectation checks are ONE global aggregate (partial+final, no
+  shuffle beyond the final combine) + a constant-width stack;
+* freshness/completeness aggregate once per time bucket (map-side
+  combine collapses each bucket's rows), then operate on the tiny
+  bucket frame — the dense-range expansion and anti-join never touch
+  row data;
+* outlier fences use ``percentile_approx`` by default (single pass,
+  mergeable sketch); ``exact=True`` switches to exact ``percentile``
+  for oracle parity at test scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.colref import qcol
+
+# error-type label prefix for conditional-rule violations, following the
+# reference's human-readable label style (config.ERROR_TYPE_LABELS)
+CONDITIONAL_ERROR_PREFIX = "Conditional Rule Failed:"
+
+
+@dataclass(frozen=True)
+class ConditionalRule:
+    """IF ``when_sql`` holds for a row THEN ``then_sql`` must hold.
+
+    Both are boolean SQL fragments over the row's columns (compiled via
+    ``F.expr`` — rules are authored configuration, like the reference's
+    regex_pattern cells). A NULL ``when`` never triggers the rule; a
+    NULL ``then`` on a triggered row is a violation (the guarantee is
+    "then holds", and NULL is not 'holds').
+    """
+
+    name: str
+    when_sql: str
+    then_sql: str
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A dataset-level contract: ``agg_sql`` (an aggregate SQL
+    expression producing one number) compared against ``threshold``
+    with ``op`` (one of <=, >=, <, >, ==, !=)."""
+
+    name: str
+    agg_sql: str
+    op: str
+    threshold: float
+
+    def __post_init__(self):
+        if self.op not in ("<=", ">=", "<", ">", "==", "!="):
+            raise ValueError(f"bad op {self.op!r}")
+
+
+def conditional_violation_expr(rule: ConditionalRule) -> Column:
+    """Boolean Column: row triggers ``when`` but fails ``then``."""
+    when_c = F.coalesce(F.expr(rule.when_sql), F.lit(False))
+    then_c = F.coalesce(F.expr(rule.then_sql), F.lit(False))
+    return when_c & ~then_c
+
+
+def conditional_violations(df: DataFrame, rules: list[ConditionalRule],
+                           key_cols: list[str]) -> DataFrame | None:
+    """Row-level violation listing for conditional rules — ONE scan for
+    all rules via the array-of-structs → explode pattern (same shape as
+    operators.violations.value_errors_df so the frames union cleanly):
+    ``[*key_cols, error_type, column_name, error_value, lookup_column,
+    lookup_value]`` with column_name = rule name."""
+    if not rules:
+        return None
+    structs = [
+        F.when(conditional_violation_expr(r), F.struct(
+            F.lit(f"{CONDITIONAL_ERROR_PREFIX} {r.name}").alias("error_type"),
+            F.lit(r.name).alias("column_name"),
+            F.lit(r.then_sql).alias("error_value"),
+        ))
+        for r in rules
+    ]
+    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    hits = (df.withColumn("__cv", arr)
+              .where(F.size("__cv") > 0)
+              .select(*[qcol(k) for k in key_cols],
+                      F.explode("__cv").alias("v")))
+    return hits.select(
+        *[qcol(k) for k in key_cols],
+        F.col("v.error_type").alias("error_type"),
+        F.col("v.column_name").alias("column_name"),
+        F.col("v.error_value").alias("error_value"),
+        F.lit(None).cast("string").alias("lookup_column"),
+        F.lit(None).cast("string").alias("lookup_value"))
+
+
+def conditional_counts(df: DataFrame, rules: list[ConditionalRule],
+                       partition_col: str | None = None) -> DataFrame:
+    """(rule_name, violation_count, status) — optionally per partition.
+    One aggregate for ALL rules (each rule is one conditional count
+    expression; map-side partial aggregation collapses everything)."""
+    aggs = [F.count(F.when(conditional_violation_expr(r), 1))
+            .alias(f"c{i}") for i, r in enumerate(rules)]
+    names = [(f"c{i}", r.name) for i, r in enumerate(rules)]
+    if partition_col is not None:
+        agged = df.groupBy(qcol(partition_col).cast("string")
+                           .alias("partition_key")).agg(*aggs)
+        lead = ["partition_key"]
+    else:
+        agged = df.agg(*aggs)
+        lead = []
+    stack = ", ".join(
+        "'{}', cast(`{}` as bigint)".format(nm.replace("'", "''"), a)
+        for a, nm in names)
+    out = agged.selectExpr(
+        *lead, f"stack({len(names)}, {stack}) as (rule_name, violation_count)")
+    return out.withColumn(
+        "status", F.when(F.col("violation_count") > 0, F.lit("fail"))
+                   .otherwise(F.lit("pass")))
+
+
+def check_expectations(df: DataFrame,
+                       exps: list[Expectation]) -> DataFrame:
+    """Evaluate dataset-level expectations in ONE aggregate job.
+    Returns ``(expectation, observed, op, threshold, status)``; a NULL
+    observed value (e.g. max() of an empty set) fails the expectation.
+    """
+    if not exps:
+        raise ValueError("no expectations given")
+    aggs = [F.expr(e.agg_sql).cast("double").alias(f"e{i}")
+            for i, e in enumerate(exps)]
+    agged = df.agg(*aggs)
+    stack = ", ".join(
+        "'{}', `e{}`, '{}', cast({} as double)".format(
+            e.name.replace("'", "''"), i, e.op, repr(float(e.threshold)))
+        for i, e in enumerate(exps))
+    out = agged.selectExpr(
+        f"stack({len(exps)}, {stack})"
+        " as (expectation, observed, op, threshold)")
+    passed = (F.when(F.col("op") == "<=", F.col("observed") <= F.col("threshold"))
+               .when(F.col("op") == ">=", F.col("observed") >= F.col("threshold"))
+               .when(F.col("op") == "<", F.col("observed") < F.col("threshold"))
+               .when(F.col("op") == ">", F.col("observed") > F.col("threshold"))
+               .when(F.col("op") == "==", F.col("observed") == F.col("threshold"))
+               .otherwise(F.col("observed") != F.col("threshold")))
+    return out.withColumn(
+        "status", F.when(F.coalesce(passed, F.lit(False)), F.lit("pass"))
+                   .otherwise(F.lit("fail")))
+
+
+_GRAN_INTERVAL = {"hour": "interval 1 hour", "day": "interval 1 day",
+                  "week": "interval 7 days", "month": "interval 1 month",
+                  "minute": "interval 1 minute"}
+
+
+def freshness_stats(df: DataFrame, ts_col: str,
+                    granularity: str = "day") -> DataFrame:
+    """Per-time-bucket arrival stats: ``(bucket, row_count, bucket_max_ts,
+    lag_seconds)`` where lag is measured against the GLOBAL max event
+    time. ONE scan of the data (the global max re-aggregates the tiny
+    bucket frame, which is then broadcast back onto it)."""
+    if granularity not in _GRAN_INTERVAL:
+        raise ValueError(f"granularity {granularity!r} not supported")
+    bucket = F.date_trunc(granularity, qcol(ts_col))
+    per = (df.where(qcol(ts_col).isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("row_count"),
+                  F.max(qcol(ts_col)).alias("bucket_max_ts")))
+    glob = per.agg(F.max("bucket_max_ts").alias("__gmax"))
+    return (per.crossJoin(F.broadcast(glob))
+               .select("bucket", "row_count", "bucket_max_ts",
+                       (F.unix_timestamp("__gmax")
+                        - F.unix_timestamp("bucket_max_ts"))
+                       .cast("bigint").alias("lag_seconds")))
+
+
+def completeness_gaps(df: DataFrame, ts_col: str,
+                      granularity: str = "hour") -> DataFrame:
+    """Time buckets with ZERO rows between the observed min and max
+    bucket — arrival-completeness holes. The dense range expands from a
+    1-row aggregate (``sequence`` + ``explode``), then a left-anti join
+    against the (small) observed-bucket frame; row data is scanned
+    exactly once for the bucket aggregate."""
+    if granularity not in _GRAN_INTERVAL:
+        raise ValueError(f"granularity {granularity!r} not supported")
+    bucket = F.date_trunc(granularity, qcol(ts_col))
+    obs = (df.where(qcol(ts_col).isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    rng = (obs.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+              .where(F.col("lo").isNotNull())
+              .select(F.explode(F.expr(
+                  f"sequence(lo, hi, {_GRAN_INTERVAL[granularity]})"))
+                  .alias("bucket")))
+    return rng.join(obs, "bucket", "left_anti").select("bucket")
+
+
+def iqr_outlier_stats(df: DataFrame, cols: list[str], k: float = 1.5,
+                      exact: bool = False) -> DataFrame:
+    """Tukey-fence outlier stats per numeric column:
+    ``(column_name, q1, q3, fence_lo, fence_hi, n_outliers)``.
+
+    Two aggregate scans: quantiles, then fence counts (fences are four
+    scalars per column — computed on the driver between the jobs).
+    Default ``exact=False`` uses ``percentile_approx`` (single-pass
+    mergeable sketch — the 100 TB path); ``exact=True`` uses exact
+    ``percentile`` for oracle-parity testing (global sort per column —
+    test-scale only)."""
+    if not cols:
+        raise ValueError("no columns given")
+    fn = "percentile" if exact else "percentile_approx"
+    q_aggs = []
+    for i, c in enumerate(cols):
+        expr = f"cast({_q(c)} as double)"
+        q_aggs.append(F.expr(f"{fn}({expr}, 0.25)").alias(f"q1_{i}"))
+        q_aggs.append(F.expr(f"{fn}({expr}, 0.75)").alias(f"q3_{i}"))
+    qrow = df.agg(*q_aggs).first()
+    c_aggs, meta = [], []
+    for i, c in enumerate(cols):
+        q1, q3 = qrow[f"q1_{i}"], qrow[f"q3_{i}"]
+        if q1 is None or q3 is None:
+            meta.append((c, None, None, None, None))
+            c_aggs.append(F.lit(0).alias(f"n_{i}"))
+            continue
+        lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+        d = qcol(c).cast("double")
+        c_aggs.append(F.count(F.when(
+            ~F.isnan(d) & ((d < F.lit(lo)) | (d > F.lit(hi))), 1))
+            .alias(f"n_{i}"))
+        meta.append((c, float(q1), float(q3), float(lo), float(hi)))
+    counted = df.agg(*c_aggs)
+    stack = ", ".join(
+        "'{}', cast({} as double), cast({} as double), cast({} as double),"
+        " cast({} as double), cast(`n_{}` as bigint)".format(
+            c.replace("'", "''"),
+            "NULL" if q1 is None else repr(q1),
+            "NULL" if q3 is None else repr(q3),
+            "NULL" if lo is None else repr(lo),
+            "NULL" if hi is None else repr(hi), i)
+        for i, (c, q1, q3, lo, hi) in enumerate(meta))
+    return counted.selectExpr(
+        f"stack({len(meta)}, {stack})"
+        " as (column_name, q1, q3, fence_lo, fence_hi, n_outliers)")
+
+
+def _q(c: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL fragment."""
+    return "`" + c.replace("`", "``") + "`"

@@ -161,6 +161,10 @@ class Rules:
     composite_unique: list[tuple[str, ...]] = field(default_factory=list)
     # Referential-integrity constraints: (fk_column, dim_table, dim_column).
     foreign_keys: list[tuple[str, str, str]] = field(default_factory=list)
+    # Cross-column conditional rules (engine-level addition; items are
+    # operators.expectations.ConditionalRule — kept untyped here so the
+    # metadata model stays import-cycle-free).
+    conditional: list = field(default_factory=list)
 
     def __iter__(self) -> Iterable[FieldRule]:
         return iter(self.fields)

@@ -151,6 +151,7 @@ class ValidationResult:
     violations: DataFrame | None            # row-level violations (lazy)
     composite_uniqueness: dict[str, dict]   # {key_repr: {duplicate_keys, duplicate_rows}}
     referential: dict[str, int]             # {fk_repr: violation_count}
+    conditional: dict[str, int] = field(default_factory=dict)  # {rule_name: count}
     partition_verdicts: DataFrame | None = None
     run_metadata: dict[str, Any] = field(default_factory=dict)
     # handle to the persist()ed base of the violations plan: the
@@ -163,7 +164,8 @@ class ValidationResult:
         return (not self.schema_violations
                 and all(v["duplicate_rows"] == 0
                         for v in self.composite_uniqueness.values())
-                and all(c == 0 for c in self.referential.values()))
+                and all(c == 0 for c in self.referential.values())
+                and all(c == 0 for c in self.conditional.values()))
 
     def unpersist(self) -> None:
         """Release the cached speculative violations scan (validate()
@@ -200,6 +202,8 @@ class ValidationResult:
         # engine-level additions (north_rule): composite uniqueness + RI
         results[self.dataset_name]["composite_uniqueness"] = self.composite_uniqueness
         results[self.dataset_name]["referential_integrity"] = self.referential
+        if self.conditional:
+            results[self.dataset_name]["conditional_rules"] = self.conditional
         return {self.uid: {
             "run_metadata": self.run_metadata,
             "dataset_metadata": {"dataset_name": self.dataset_name},
@@ -247,11 +251,19 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
 
     composite: dict[str, dict] = {}
     referential: dict[str, int] = {}
+    conditional: dict[str, int] = {}
+    cond_rules = list(getattr(rules, "conditional", None) or [])
 
     def _composites():
         for key in rules.composite_unique:
             if all(k in df.columns for k in key):
                 composite["+".join(key)] = duplicate_stats(df, list(key))
+
+    def _conditionals():
+        if cond_rules:
+            from .operators.expectations import conditional_counts
+            for r in conditional_counts(df, cond_rules).collect():
+                conditional[r["rule_name"]] = int(r["violation_count"])
 
     def _referentials():
         for fk_col, dim_name, dim_col in rules.foreign_keys:
@@ -284,11 +296,12 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
     # distinct value for a stat no verdict consumes (VERDICT r1 #3).
     exact_cols = [fr.field_name for fr in rules
                   if fr.unique_value and fr.field_name in df.columns]
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_prof = pool.submit(profile, df, out_distincts=distincts,
                              exact_unique_cols=exact_cols)
         f_comp = pool.submit(_composites)
         f_ri = pool.submit(_referentials)
+        f_cond = pool.submit(_conditionals)
         if speculative:
             spec_specs = _speculative_specs(df, rules, ignore_errors)
             violations = value_errors_df(df, spec_specs, key_cols)
@@ -303,6 +316,7 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         observed = f_prof.result()
         f_comp.result()
         f_ri.result()
+        f_cond.result()
 
     # content token: Iceberg snapshot when given, else a hash of the
     # observed stats (already collected — no extra job)
@@ -351,10 +365,21 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
                                    ignore_errors)
         violations = value_errors_df(df, specs, key_cols, lookup_col=lookup)
 
+    if list_errors and cond_rules and key_cols:
+        # cross-column conditional rules ride the same violations frame
+        # (identical schema); they are never verdict-gated — a triggered
+        # rule always lists its rows
+        from .operators.expectations import conditional_violations
+        cond_df = conditional_violations(df, cond_rules, key_cols)
+        if cond_df is not None:
+            violations = (cond_df if violations is None
+                          else violations.unionByName(cond_df))
+
     result = ValidationResult(
         uid=uid, dataset_name=dataset_name, observed_schema=observed,
         schema_violations=schema_violations, violations=violations,
         composite_uniqueness=composite, referential=referential,
+        conditional=conditional,
         run_metadata={"schema_mapping": [
             {"dataset": dataset_name, "data_dict": rules.name}]},
         persisted_base=persisted_base,
@@ -400,6 +425,14 @@ def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
         alias = f"v{i}"
         aggs.append(F.count(F.when(cond, 1)).alias(alias))
         names.append((alias, sp.column, sp.check))
+    # cross-column conditional rules: one more count expression each in
+    # the SAME per-partition aggregate (no extra scan)
+    for j, cr in enumerate(getattr(rules, "conditional", None) or []):
+        from .operators.expectations import conditional_violation_expr
+        alias = f"cv{j}"
+        aggs.append(F.count(F.when(conditional_violation_expr(cr), 1))
+                    .alias(alias))
+        names.append((alias, cr.name, "conditional"))
     frames = []
     if names:   # zero aggs is an agg() error and stack(0,) is a parse error
         per_part = df.groupBy(qcol(partition_col).cast("string")
