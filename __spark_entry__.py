@@ -647,6 +647,20 @@ def q_iqr_outliers(spark, sf_dir):
         F.round("fence_hi", 6).alias("fence_hi"), "n_outliers")
 
 
+def q_volume_anomalies(spark, sf_dir):
+    """Row-volume anomaly screen (operators/expectations.py:
+    volume_anomalies): hourly bucket counts vs median + MAD — robust to
+    the spike masking itself. Anomalous buckets only (k=3)."""
+    from schema_validata_spark.operators.expectations import volume_anomalies
+    events = _t(spark, sf_dir, "events")
+    out = volume_anomalies(events, "ts", "hour", k=3.0)
+    return (out.where(F.col("is_anomaly"))
+               .select(F.date_format("bucket", "yyyy-MM-dd HH:00")
+                        .alias("hour"),
+                       F.col("row_count").cast("bigint").alias("row_count"),
+                       F.round("deviation", 6).alias("deviation")))
+
+
 def q_validate_events(spark, sf_dir):
     """End-to-end orchestrator (validate.py): flagged row-level violations
     for the events rule table, aggregated per (column, error_type)."""
@@ -680,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_daily": q_freshness_daily,
         "completeness_gaps": q_completeness_gaps,
         "iqr_outliers": q_iqr_outliers,
+        "volume_anomalies": q_volume_anomalies,
         "dedup_exact": q_dedup_exact,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts": q_token_counts,
@@ -1390,6 +1405,17 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM events, f
                 WHERE value < f.lo OR value > f.hi)::bigint AS n_outliers
         FROM f"""
+
+    sql["volume_anomalies"] = """
+        WITH per AS (
+          SELECT date_trunc('hour', ts) AS b, count(*)::bigint AS n
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        m AS (SELECT quantile_cont(n, 0.5) AS med FROM per),
+        d AS (SELECT quantile_cont(abs(n - med), 0.5) AS mad FROM per, m)
+        SELECT strftime(b, '%Y-%m-%d %H:00') AS hour, n AS row_count,
+               round(abs(n - med) / greatest(mad, 1.0), 6) AS deviation
+        FROM per, m, d
+        WHERE abs(n - med) / greatest(mad, 1.0) > 3.0"""
 
     sql["embedding_norm_stats"] = """
         WITH n AS (

@@ -42,7 +42,8 @@ from .operators.expectations import (ConditionalRule, Expectation,
                                      check_expectations, completeness_gaps,
                                      conditional_counts,
                                      conditional_violations, freshness_stats,
-                                     iqr_outlier_stats)
+                                     get_byte_units, iqr_outlier_stats,
+                                     volume_anomalies)
 from .report import errors_overview, write_report
 from .validate import (ValidationResult, partition_verdicts, validate,
                        validate_partitioned)
@@ -71,7 +72,8 @@ __all__ = [
     "errors_overview", "write_report",
     "ConditionalRule", "Expectation", "check_expectations",
     "completeness_gaps", "conditional_counts", "conditional_violations",
-    "freshness_stats", "iqr_outlier_stats",
+    "freshness_stats", "get_byte_units", "iqr_outlier_stats",
+    "volume_anomalies",
     "ValidationResult", "validate", "partition_verdicts",
     "validate_partitioned",
 ]

@@ -259,6 +259,52 @@ def iqr_outlier_stats(df: DataFrame, cols: list[str], k: float = 1.5,
         " as (column_name, q1, q3, fence_lo, fence_hi, n_outliers)")
 
 
+def volume_anomalies(df: DataFrame, ts_col: str,
+                     granularity: str = "day", k: float = 5.0) -> DataFrame:
+    """Per-time-bucket row-volume anomaly detection via the robust
+    median + MAD screen: ``(bucket, row_count, median_count, mad,
+    deviation, is_anomaly)`` where deviation = |n − median| / max(MAD, 1)
+    and is_anomaly ⇔ deviation > k.
+
+    One scan of the data produces the bucket-count frame; the median and
+    MAD re-aggregate that TINY frame (one row per bucket) and broadcast
+    back onto it — no second pass over row data, no driver collect.
+    MAD (not stddev) so a single huge spike does not inflate the scale
+    estimate and mask itself."""
+    if granularity not in _GRAN_INTERVAL:
+        raise ValueError(f"granularity {granularity!r} not supported")
+    bucket = F.date_trunc(granularity, qcol(ts_col))
+    per = (df.where(qcol(ts_col).isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("row_count")))
+    med = per.agg(F.expr(
+        "percentile(row_count, 0.5)").alias("median_count"))
+    j = per.crossJoin(F.broadcast(med))
+    mad = j.agg(F.expr(
+        "percentile(abs(row_count - median_count), 0.5)").alias("mad"))
+    dev = (F.abs(F.col("row_count") - F.col("median_count"))
+           / F.greatest(F.col("mad"), F.lit(1.0)))
+    return (j.crossJoin(F.broadcast(mad))
+             .select("bucket", "row_count", "median_count", "mad",
+                     dev.alias("deviation"),
+                     (dev > F.lit(float(k))).alias("is_anomaly")))
+
+
+def get_byte_units(size_bytes: int) -> str:
+    """Human-readable size — byte-identical to the reference's
+    ``get_byte_units`` (src/schema_validata.py:164-186): decimal-1000
+    units, 2-dp rounding, '{value} : {unit}' rendering, '0 : B' for
+    zero. Driver-side report formatting only."""
+    import math
+    if size_bytes == 0:
+        return "0 : B"
+    size_name = ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
+    i = int(math.floor(math.log(size_bytes, 1000)))
+    p = math.pow(1000, i)
+    s = round(size_bytes / p, 2)
+    return f"{s} : {size_name[i]}"
+
+
 def _q(c: str) -> str:
     """Backtick-quote a column name for embedding in a SQL fragment."""
     return "`" + c.replace("`", "``") + "`"

@@ -53,7 +53,9 @@ def stream_validate(stream_df: DataFrame, rules: Rules,
                     key_cols: list[str]) -> DataFrame:
     """Streaming violations DataFrame (append-mode friendly): same
     single-projection array-of-structs → explode shape as the batch
-    layer, so each micro-batch does one pass."""
+    layer, so each micro-batch does one pass. ``rules.conditional``
+    (cross-column IF/THEN rules) ride the same projection — their
+    predicates are pure Column expressions too."""
     specs = _specs_from_rules(stream_df, rules)
     structs = []
     for sp in specs:
@@ -62,6 +64,13 @@ def stream_validate(stream_df: DataFrame, rules: Rules,
             F.lit(label).alias("error_type"),
             F.lit(sp.column).alias("column_name"),
             qcol(sp.column).cast("string").alias("error_value"))))
+    for cr in getattr(rules, "conditional", None) or []:
+        from ..operators.expectations import (CONDITIONAL_ERROR_PREFIX,
+                                              conditional_violation_expr)
+        structs.append(F.when(conditional_violation_expr(cr), F.struct(
+            F.lit(f"{CONDITIONAL_ERROR_PREFIX} {cr.name}").alias("error_type"),
+            F.lit(cr.name).alias("column_name"),
+            F.lit(cr.then_sql).alias("error_value"))))
     arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
     return (stream_df
             .withColumn("__v", arr)
@@ -137,6 +146,11 @@ def stream_partition_verdicts(stream_df: DataFrame, rules: Rules,
         cond, _ = _check_condition(stream_df, sp)
         aggs.append(F.count(F.when(cond, 1)).alias(f"v{i}"))
         names.append((f"v{i}", sp.column, sp.check))
+    for j, cr in enumerate(getattr(rules, "conditional", None) or []):
+        from ..operators.expectations import conditional_violation_expr
+        aggs.append(F.count(F.when(conditional_violation_expr(cr), 1))
+                    .alias(f"cv{j}"))
+        names.append((f"cv{j}", cr.name, "conditional"))
     wdf = (stream_df.withWatermark(ts_col, watermark)
            .groupBy(F.window(F.col(ts_col), window).alias("w"))
            .agg(*aggs))

@@ -170,6 +170,63 @@ def test_validate_wires_conditionals(spark):
         res.unpersist()
 
 
+def test_volume_anomalies(spark):
+    # 9 steady days of 100 rows, one day with a 10x spike
+    rows = []
+    for d in range(10):
+        n = 1000 if d == 5 else 100
+        for i in range(n):
+            rows.append((TS + dt.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    from schema_validata_spark import volume_anomalies
+    out = {r["bucket"]: r for r in
+           volume_anomalies(df, "ts", "day", k=5.0).collect()}
+    assert len(out) == 10
+    spike = out[TS + dt.timedelta(days=5)]
+    assert spike["is_anomaly"] and spike["row_count"] == 1000
+    assert spike["median_count"] == 100.0 and spike["mad"] == 0.0
+    normals = [r for b, r in out.items() if b != TS + dt.timedelta(days=5)]
+    assert all(not r["is_anomaly"] for r in normals)
+
+
+def test_get_byte_units_reference_parity():
+    import sys
+    import types
+    fake = types.ModuleType("chardet")
+    fake.detect = lambda b: {"encoding": "utf-8", "confidence": 1.0}
+    sys.modules.setdefault("chardet", fake)
+    sys.path.insert(0, "/root/reference/src")
+    import schema_validata as ref
+    from schema_validata_spark import get_byte_units
+    for v in (0, 1, 999, 1000, 1536, 10**6, 2 * 10**9, 123456789012345):
+        assert get_byte_units(v) == ref.get_byte_units(v)
+
+
+def test_stream_validate_conditionals(spark, tmp_path):
+    from schema_validata_spark.streaming import stream_validate
+    from schema_validata_spark.datagen import (gen_transcripts,
+                                               transcript_rules)
+    # seed 42 / 20k seeds tool-role turns with NULL tool (7 of them)
+    t = gen_transcripts(spark, 20000, seed=42).drop("ts_date")
+    src = str(tmp_path / "cond_stream")
+    t.write.parquet(src)
+    rules = transcript_rules()
+    rules.conditional = [
+        ConditionalRule("tool_turns_have_tool",
+                        "role = 'tool'", "tool IS NOT NULL")]
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    out = stream_validate(stream, rules, ["conv_id", "turn_idx"])
+    q = (out.writeStream.format("memory").queryName("cond_v")
+            .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    got = spark.sql("select * from cond_v where column_name ="
+                    " 'tool_turns_have_tool'").count()
+    direct = (spark.read.parquet(src)
+              .where((F.col("role") == "tool") & F.col("tool").isNull())
+              .count())
+    assert got == direct > 0
+
+
 def test_partition_verdicts_include_conditionals(spark):
     df = gen_transcripts(spark, 2000, seed=7)
     rules = transcript_rules()
