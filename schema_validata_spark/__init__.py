@@ -45,7 +45,8 @@ from .operators.expectations import (ConditionalRule, Expectation,
                                      get_byte_units, iqr_outlier_stats,
                                      volume_anomalies)
 from .report import errors_overview, write_report
-from .validate import (ValidationResult, partition_verdicts, validate,
+from .validate import (MultiValidationResult, ValidationResult,
+                       partition_verdicts, validate, validate_datasets,
                        validate_partitioned)
 
 __all__ = [
@@ -74,6 +75,6 @@ __all__ = [
     "completeness_gaps", "conditional_counts", "conditional_violations",
     "freshness_stats", "get_byte_units", "iqr_outlier_stats",
     "volume_anomalies",
-    "ValidationResult", "validate", "partition_verdicts",
-    "validate_partitioned",
+    "MultiValidationResult", "ValidationResult", "validate",
+    "validate_datasets", "partition_verdicts", "validate_partitioned",
 ]

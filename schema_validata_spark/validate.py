@@ -391,6 +391,113 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
     return result
 
 
+@dataclass
+class MultiValidationResult:
+    """Results of a multi-dataset run (reference: one validate_dataset
+    call covering every sheet in the schema_mapping)."""
+
+    uid: str
+    results: dict[str, ValidationResult]
+    schema_mapping: list[dict[str, str]]
+    dropped_mappings: list[dict[str, str]] = field(default_factory=list)
+
+    def passed(self) -> bool:
+        return all(r.passed() for r in self.results.values())
+
+    def unpersist(self) -> None:
+        for r in self.results.values():
+            r.unpersist()
+
+    def report(self, max_value_errors: int | None = 100_000) -> dict:
+        """ONE reference-shaped dict for the whole run: a single uid
+        keyed entry whose ``results`` holds every dataset's section
+        (reference assembles exactly this, src/schema_validata.py:
+        2678-2700, with value_errors merged per sheet :2691-2700)."""
+        merged: dict[str, Any] = {}
+        for name, r in self.results.items():
+            inner = r.report(max_value_errors)[r.uid]
+            merged[name] = inner["results"][name]
+        return {self.uid: {
+            "run_metadata": {"schema_mapping": self.schema_mapping},
+            "dataset_metadata": {n: {"dataset_name": n}
+                                 for n in self.results},
+            "data_dict_metadata": {
+                n: {"rules_md5": r.uid.split("_")[1]}
+                for n, r in self.results.items()},
+            "results": merged,
+        }}
+
+
+def validate_datasets(spark: SparkSession,
+                      datasets: dict[str, DataFrame],
+                      data_dictionary: dict[str, Rules],
+                      schema_mapping: list[dict[str, str]],
+                      dims: dict[str, DataFrame] | None = None,
+                      list_errors: bool = True,
+                      ignore_errors: list[str] | None = None,
+                      key_cols: dict[str, list[str]] | None = None,
+                      ) -> MultiValidationResult:
+    """Validate several datasets against their mapped data-dictionary
+    sections in ONE run — the Spark analog of the reference's
+    ``validate_dataset`` over a multi-sheet workbook + schema_mapping
+    (src/schema_validata.py:2607-2712).
+
+    Reference semantics preserved:
+
+    * ``schema_mapping`` entries are ``{'dataset': name, 'data_dict':
+      section}`` (:2086-2088);
+    * mappings whose data-dictionary section does not exist are DROPPED
+      with a warning, not an error (:2076-2082) — reported in
+      ``dropped_mappings``;
+    * the merged report carries one uid for the whole run and one
+      results section per dataset (:2678-2700).
+
+    Each mapped pair runs through :func:`validate`; the pairs run
+    CONCURRENTLY (independent job DAGs — Spark's scheduler interleaves
+    their stages, which matters when datasets are many and small).
+    """
+    import warnings
+    from concurrent.futures import ThreadPoolExecutor
+
+    active: list[dict[str, str]] = []
+    dropped: list[dict[str, str]] = []
+    for m in schema_mapping:
+        if data_dictionary.get(m["data_dict"]) is None:
+            warnings.warn(
+                f'Authoritative schema not found for "{m["data_dict"]}". '
+                f"Please check schema_mapping and update the data "
+                f"dictionary if needed.")
+            dropped.append(m)
+        elif m["dataset"] not in datasets:
+            raise KeyError(f'dataset "{m["dataset"]}" not supplied')
+        else:
+            active.append(m)
+
+    def _one(m: dict[str, str]) -> tuple[str, ValidationResult]:
+        name = m["dataset"]
+        return name, validate(
+            spark, datasets[name], data_dictionary[m["data_dict"]],
+            dataset_name=name, dims=dims, list_errors=list_errors,
+            ignore_errors=ignore_errors,
+            key_cols=(key_cols or {}).get(name))
+
+    results: dict[str, ValidationResult] = {}
+    if active:
+        with ThreadPoolExecutor(max_workers=min(4, len(active))) as pool:
+            for name, res in pool.map(_one, active):
+                results[name] = res
+
+    ds_md5 = hashlib.md5("|".join(
+        results[n].uid.split("_")[0] for n in sorted(results)).encode()
+    ).hexdigest()
+    dict_md5 = hashlib.md5("|".join(
+        results[n].uid.split("_")[1] for n in sorted(results)).encode()
+    ).hexdigest()
+    return MultiValidationResult(
+        uid=f"{ds_md5}_{dict_md5}", results=results,
+        schema_mapping=active, dropped_mappings=dropped)
+
+
 def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
                        dims: dict[str, DataFrame] | None = None) -> DataFrame:
     """Per-partition pass/fail verdicts: ONE ``groupBy(partition)``
