@@ -647,6 +647,33 @@ def q_iqr_outliers(spark, sf_dir):
         F.round("fence_hi", 6).alias("fence_hi"), "n_outliers")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (functions/sampling.py:
+    stratified_sample): md5-hash keep decision with a CASE-selected
+    per-stratum cut — map-only, reproducible across engines and
+    partitionings. Here: keep 50% of errors, all purchases, 10% of
+    everything else."""
+    from schema_validata_spark.functions.sampling import stratified_sample
+    events = _t(spark, sf_dir, "events")
+    kept = stratified_sample(events, "event_id", "event_type",
+                             {"error": 0.5, "purchase": 1.0}, default=0.1)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+
+
+def q_clean_text(spark, sf_dir):
+    """Deterministic text normalization (functions/text.py:clean_text):
+    control-char strip, typographic normalization, whitespace collapse —
+    pure Column expressions. The messy input is synthesized identically
+    in both engines (curly quotes + NBSP + em dash + tab + BEL around
+    the document text)."""
+    from schema_validata_spark.functions.text import clean_text
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(F.lit("\u201c"), F.col("text"), F.lit("\u201d"),
+                     F.lit("\u00a0\u2014\t"), F.lit("x\x07y"))
+    return docs.select("doc_id", clean_text(messy).alias("cleaned"))
+
+
 def q_volume_anomalies(spark, sf_dir):
     """Row-volume anomaly screen (operators/expectations.py:
     volume_anomalies): hourly bucket counts vs median + MAD — robust to
@@ -695,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_gaps": q_completeness_gaps,
         "iqr_outliers": q_iqr_outliers,
         "volume_anomalies": q_volume_anomalies,
+        "stratified_sample": q_stratified_sample,
+        "clean_text": q_clean_text,
         "dedup_exact": q_dedup_exact,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts": q_token_counts,
@@ -1405,6 +1434,43 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM events, f
                 WHERE value < f.lo OR value > f.hi)::bigint AS n_outliers
         FROM f"""
+
+    c50, c10 = _hex_threshold(0.5), _hex_threshold(0.1)
+    sql["stratified_sample"] = f"""
+        SELECT event_type, count(*)::bigint AS n_kept
+        FROM events
+        WHERE substr(md5(cast(event_id as varchar)), 1, 8) <
+              CASE event_type WHEN 'error' THEN '{c50}'
+                              WHEN 'purchase' THEN 'g'
+                              ELSE '{c10}' END
+        GROUP BY event_type"""
+
+    # messy = curly-quoted text + NBSP + em dash + tab + 'x' BEL 'y';
+    # cleaning: control strip -> typographic translate -> \s+ collapse
+    sql["clean_text"] = r"""
+        WITH m AS (
+          SELECT doc_id,
+                 chr(8220) || text || chr(8221) || chr(160) || chr(8212)
+                 || chr(9) || 'x' || chr(7) || 'y' AS messy
+          FROM documents),
+        s1 AS (
+          SELECT doc_id, regexp_replace(messy,
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]', '', 'g') AS t
+          FROM m),
+        s2 AS (
+          SELECT doc_id, translate(t,
+                 chr(8216) || chr(8217) || chr(8218) || chr(8220)
+                 || chr(8221) || chr(8222) || chr(8211) || chr(8212)
+                 || chr(8213) || chr(160) || chr(8201) || chr(8239),
+                 repeat(chr(39), 3) || repeat(chr(34), 3) || '---'
+                 || '   ') AS t
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, regexp_replace(t, chr(8230), '...', 'g') AS t
+          FROM s2)
+        SELECT doc_id,
+               trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned
+        FROM s3"""
 
     sql["volume_anomalies"] = """
         WITH per AS (

@@ -94,6 +94,40 @@ def split_expr(key: Column | str, fractions: dict[str, float],
     return expr
 
 
+def stratified_sample_expr(key: Column | str, strata: Column | str,
+                           fractions: dict[str, float],
+                           default: float = 0.0,
+                           salt: str = "") -> Column:
+    """Boolean Column: deterministic PER-STRATUM sampling — each stratum
+    value gets its own keep-fraction (unlisted strata fall back to
+    ``default``). One hash per row compared against a CASE-selected
+    cut; same scale profile as ``sample_expr`` (map-only, no shuffle).
+
+    The workhorse for quota/rebalance sampling in training-data
+    pipelines: downsample the over-represented language/source, keep
+    all of the rare one — reproducibly, with whole-key granularity."""
+    # 'g' sorts above every lowercase-hex digest => keep-all sentinel
+    # (cut None means fraction == 1.0)
+    def _cut(f: float) -> str:
+        return _hex_threshold(f) or "g"
+
+    cut = F.lit(_cut(default))
+    s = F.col(strata) if isinstance(strata, str) else strata
+    for name, frac in fractions.items():
+        cut = F.when(s.eqNullSafe(F.lit(name)), F.lit(_cut(frac))) \
+               .otherwise(cut)
+    return stable_hash_hex(key, salt) < cut
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Keep a reproducible per-stratum fraction of rows (see
+    ``stratified_sample_expr``)."""
+    return df.where(stratified_sample_expr(key_col, strata_col,
+                                           fractions, default, salt))
+
+
 def group_split(df: DataFrame, group_col: str,
                 fractions: dict[str, float] | None = None,
                 salt: str = "", split_col: str = "split") -> DataFrame:

@@ -186,6 +186,36 @@ def repetition_stats(df, text_col: str, id_col: str):
                     F.round("dup_trigram_frac", 6).alias("dup_trigram_frac")))
 
 
+def clean_text(col: Column | str) -> Column:
+    """Deterministic text normalization for training-data ingest — pure
+    Column expressions (regexp_replace/translate chains, whole-stage
+    codegen, no UDF), so the cleaning decision is identical in every
+    engine:
+
+    1. strip C0/C1 control characters (keeping \\t \\n \\r for step 2);
+    2. normalize typographic variants: curly quotes → straight,
+       en/em/horizontal dashes → '-', NBSP/thin spaces → ' ',
+       ellipsis char → '...';
+    3. collapse ALL whitespace runs to one space and trim.
+
+    NULL passes through as NULL (no coalesce — a missing document is
+    not an empty one)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # 1: control chars (x00-x08 x0B x0C x0E-x1F x7F-x9F), keep \t\n\r
+    s = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
+    # 2: typographic normalization — translate() is one pass per char
+    s = F.translate(
+        s,
+        "\u2018\u2019\u201a\u201c\u201d\u201e"   # curly quotes
+        "\u2013\u2014\u2015"                        # en/em/horizontal dash
+        "\u00a0\u2009\u202f",                       # nbsp/thin/narrow-nbsp
+        "'''\"\"\"---   ")
+    s = F.regexp_replace(s, "\u2026", "...")
+    # 3: whitespace collapse + trim
+    return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+
 def shingles_from_tokens(toks_col: Column | str, k: int = 3) -> Column:
     """Word k-shingles from an ALREADY-TOKENIZED array column (same
     semantics as ``shingles``, without re-splitting the text)."""

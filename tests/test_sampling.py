@@ -96,3 +96,37 @@ def test_split_full_cumulative_fraction(spark):
     assert abs(counts["val"] / 1000 - 0.1) < 0.05
     one = df.select(split_expr("k", {"a": 1.0, "b": 0.0}).alias("s"))
     assert {r["s"] for r in one.distinct().collect()} == {"a"}
+
+
+def test_stratified_sample_fractions(spark):
+    from schema_validata_spark.functions.sampling import stratified_sample
+    df = spark.range(30_000).select(
+        F.col("id"),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("s"))
+    out = stratified_sample(df, "id", "s",
+                            {"a": 0.5, "b": 1.0}, default=0.0)
+    by = {r["s"]: r["n"] for r in
+          out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by.get("b") == 10_000                 # keep-all stratum
+    assert "c" not in by                         # default 0.0 drops all
+    assert abs(by.get("a", 0) - 5_000) < 300     # ~50%
+    # deterministic: second run identical
+    again = stratified_sample(df, "id", "s", {"a": 0.5, "b": 1.0})
+    assert sorted(r["id"] for r in out.collect()) == \
+        sorted(r["id"] for r in again.collect())
+
+
+def test_stratified_sample_null_stratum_uses_default(spark):
+    from schema_validata_spark.functions.sampling import (
+        stratified_sample, stratified_sample_expr)
+    df = spark.range(100).select(
+        F.col("id"), F.lit(None).cast("string").alias("s"))
+    assert stratified_sample(df, "id", "s", {"a": 1.0},
+                             default=0.0).count() == 0
+    assert stratified_sample(df, "id", "s", {"a": 0.0},
+                             default=1.0).count() == 100
+    # a NULL-named stratum can still be targeted via eqNullSafe
+    kept = df.where(stratified_sample_expr("id", "s", {None: 1.0},
+                                           default=0.0))
+    assert kept.count() == 100

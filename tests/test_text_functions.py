@@ -93,3 +93,24 @@ def test_repetition_stats(spark):
     assert abs(got[2]["top_token_frac"] - 1 / 6) < 1e-6
     assert got[2]["dup_trigram_frac"] == 0.0
     assert got[3]["dup_trigram_frac"] > 0.5
+
+
+def test_clean_text(spark):
+    from schema_validata_spark.functions.text import clean_text
+    rows = [
+        ("“Hi” —\tthere",),   # curly quotes, nbsp, emdash, tab
+        ("a\x07b\x00c",),                         # control chars stripped
+        ("  multi   space\n\nlines  ",),
+        ("it’s … fine",),               # curly apostrophe + ellipsis
+        (None,),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r["c"] for r in
+           df.select(clean_text("t").alias("c")).collect()]
+    assert got[0] == '"Hi" - there'
+    assert got[1] == "abc"
+    assert got[2] == "multi space lines"
+    assert got[3] == "it's ... fine"
+    assert got[4] is None
+    assert got[5] == ""
