@@ -42,8 +42,8 @@ from .operators.expectations import (ConditionalRule, Expectation,
                                      check_expectations, completeness_gaps,
                                      conditional_counts,
                                      conditional_violations, freshness_stats,
-                                     get_byte_units, iqr_outlier_stats,
-                                     volume_anomalies)
+                                     iqr_outlier_stats, volume_anomalies)
+from .sources.tableio import get_byte_units
 from .report import errors_overview, write_report
 from .validate import (MultiValidationResult, ValidationResult,
                        partition_verdicts, validate, validate_datasets,

@@ -79,15 +79,42 @@ def conditional_violation_expr(rule: ConditionalRule) -> Column:
     return when_c & ~then_c
 
 
+def _referenced_columns(df: DataFrame,
+                        rules: list[ConditionalRule]) -> list[str] | None:
+    """Columns of ``df`` referenced by the rules' SQL fragments, via a
+    conservative whole-word text match (a false positive only widens the
+    projection; a parse-level reference can never be missed because any
+    identifier must appear verbatim or backtick-quoted in the text).
+    Returns None when a fragment uses ``*`` (keep every column)."""
+    import re
+    blob = " ".join(f"{r.when_sql} {r.then_sql}" for r in rules)
+    if "*" in blob:
+        return None
+    out = []
+    for c in df.columns:
+        if re.search(r"(?<![\w`])" + re.escape(c) + r"(?![\w`])", blob) \
+                or f"`{c}`" in blob:
+            out.append(c)
+    return out
+
+
 def conditional_violations(df: DataFrame, rules: list[ConditionalRule],
                            key_cols: list[str]) -> DataFrame | None:
     """Row-level violation listing for conditional rules — ONE scan for
     all rules via the array-of-structs → explode pattern (same shape as
     operators.violations.value_errors_df so the frames union cleanly):
     ``[*key_cols, error_type, column_name, error_value, lookup_column,
-    lookup_value]`` with column_name = rule name."""
+    lookup_value]`` with column_name = rule name.
+
+    The scan is COLUMN-PRUNED to the rule-referenced columns + keys (a
+    transcript table's ``text`` column must not be read to check a
+    role/tool implication)."""
     if not rules:
         return None
+    refd = _referenced_columns(df, rules)
+    if refd is not None:
+        needed = set(refd) | set(key_cols)
+        df = df.select(*[qcol(c) for c in df.columns if c in needed])
     structs = [
         F.when(conditional_violation_expr(r), F.struct(
             F.lit(f"{CONDITIONAL_ERROR_PREFIX} {r.name}").alias("error_type"),
@@ -288,21 +315,6 @@ def volume_anomalies(df: DataFrame, ts_col: str,
              .select("bucket", "row_count", "median_count", "mad",
                      dev.alias("deviation"),
                      (dev > F.lit(float(k))).alias("is_anomaly")))
-
-
-def get_byte_units(size_bytes: int) -> str:
-    """Human-readable size — byte-identical to the reference's
-    ``get_byte_units`` (src/schema_validata.py:164-186): decimal-1000
-    units, 2-dp rounding, '{value} : {unit}' rendering, '0 : B' for
-    zero. Driver-side report formatting only."""
-    import math
-    if size_bytes == 0:
-        return "0 : B"
-    size_name = ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
-    i = int(math.floor(math.log(size_bytes, 1000)))
-    p = math.pow(1000, i)
-    s = round(size_bytes / p, 2)
-    return f"{s} : {size_name[i]}"
 
 
 def _q(c: str) -> str:

@@ -197,7 +197,7 @@ def test_get_byte_units_reference_parity():
     sys.modules.setdefault("chardet", fake)
     sys.path.insert(0, "/root/reference/src")
     import schema_validata as ref
-    from schema_validata_spark import get_byte_units
+    from schema_validata_spark import get_byte_units  # sources.tableio
     for v in (0, 1, 999, 1000, 1536, 10**6, 2 * 10**9, 123456789012345):
         assert get_byte_units(v) == ref.get_byte_units(v)
 
@@ -225,6 +225,22 @@ def test_stream_validate_conditionals(spark, tmp_path):
               .where((F.col("role") == "tool") & F.col("tool").isNull())
               .count())
     assert got == direct > 0
+
+
+def test_conditional_violations_column_pruned(spark, tmp_path):
+    """The conditional scan must not read columns the rules never
+    reference (ReadSchema check on a parquet-backed frame)."""
+    from schema_validata_spark.datagen import gen_transcripts
+    src = str(tmp_path / "cond_prune")
+    gen_transcripts(spark, 1000, seed=5).drop("ts_date").write.parquet(src)
+    t = spark.read.parquet(src)
+    out = conditional_violations(
+        t, [ConditionalRule("r", "role = 'tool'", "tool IS NOT NULL")],
+        ["conv_id", "turn_idx"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "role" in read and "tool" in read and "conv_id" in read
+    assert "text" not in read and "ts" not in read
 
 
 def test_partition_verdicts_include_conditionals(spark):
