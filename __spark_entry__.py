@@ -674,6 +674,23 @@ def q_clean_text(spark, sf_dir):
     return docs.select("doc_id", clean_text(messy).alias("cleaned"))
 
 
+def q_quarantine(spark, sf_dir):
+    """Quarantine split (operators/violations.py:quarantine): rows
+    violating any per-row rule, tagged with the reason labels (spec
+    order), plus the clean/bad counts implied by the row set."""
+    from schema_validata_spark.operators.violations import quarantine
+    from schema_validata_spark.rules import FieldRule, Rules
+    events = _t(spark, sf_dir, "events")
+    rules = Rules(name="Q", fields=[
+        FieldRule("event_type", allowed_value_list=_EVENT_ALLOWED),
+        FieldRule("value", range_max=400.0),
+    ])
+    _clean, bad = quarantine(events, rules, ignore_errors=[])
+    return bad.select(
+        "event_id",
+        F.array_join("violation_reasons", ",").alias("reasons"))
+
+
 def q_volume_anomalies(spark, sf_dir):
     """Row-volume anomaly screen (operators/expectations.py:
     volume_anomalies): hourly bucket counts vs median + MAD — robust to
@@ -724,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomalies": q_volume_anomalies,
         "stratified_sample": q_stratified_sample,
         "clean_text": q_clean_text,
+        "quarantine": q_quarantine,
         "dedup_exact": q_dedup_exact,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts": q_token_counts,
@@ -1434,6 +1452,20 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM events, f
                 WHERE value < f.lo OR value > f.hi)::bigint AS n_outliers
         FROM f"""
+
+    ev_allowed = ", ".join(f"'{v}'" for v in _EVENT_ALLOWED)
+    sql["quarantine"] = f"""
+        WITH r AS (
+          SELECT event_id,
+                 concat_ws(',',
+                   CASE WHEN event_type IS NOT NULL
+                             AND trim(event_type) NOT IN ({ev_allowed})
+                        THEN 'Unallowed Value' END,
+                   CASE WHEN value > 400.0
+                        THEN 'Exceeds Maximum Allowed Value (400)' END)
+                   AS reasons
+          FROM events)
+        SELECT event_id, reasons FROM r WHERE reasons <> ''"""
 
     c50, c10 = _hex_threshold(0.5), _hex_threshold(0.1)
     sql["stratified_sample"] = f"""

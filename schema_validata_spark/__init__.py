@@ -18,7 +18,7 @@ from .operators.profile import (length_percentiles, profile,
                                 profile_stats_df)
 from .operators.verdicts import validate_schema, verdicts_for
 from .operators.violations import (value_errors_df, violation_plan_for,
-                                   get_best_uid_column)
+                                   get_best_uid_column, quarantine)
 from .operators.uniqueness import composite_duplicates, duplicate_stats
 from .operators.integrity import (referential_violation_count,
                                   referential_violations)
@@ -57,6 +57,7 @@ __all__ = [
     "profile", "profile_stats_df", "length_percentiles",
     "validate_schema", "verdicts_for",
     "value_errors_df", "violation_plan_for", "get_best_uid_column",
+    "quarantine",
     "composite_duplicates", "duplicate_stats",
     "referential_violation_count", "referential_violations",
     "build_histograms", "drift_scores",

@@ -261,6 +261,70 @@ def value_errors_df(df: DataFrame, specs: list[CheckSpec],
     return result
 
 
+def quarantine(df: DataFrame, rules: Rules,
+               ignore_errors: list[str] | None = None,
+               reasons_col: str = "violation_reasons"
+               ) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into ``(clean, quarantined)`` on the per-row checks:
+    a row is quarantined iff it violates ANY per-row rule predicate
+    (null / allowed / length / range / regex, plus ``rules.conditional``
+    cross-column rules). Both outputs derive from ONE projection over
+    the same scan — the reason array is computed once; Spark caches or
+    recomputes the shared subplan, and either way no extra shuffle
+    exists. The quarantined frame carries ``reasons_col``
+    (array<string> of error-type labels, spec order).
+
+    Per-ROW checks only by design: uniqueness/duplicate violations are a
+    property of the key group, not the row — routing them here would
+    need the duplicate join; keep using ``value_errors_df`` for those.
+
+    The standard write-path pattern at scale: ``clean`` flows to the
+    production sink, ``quarantined`` to a review table, one input scan
+    each (or persist the projected frame for a single scan total).
+    """
+    from .verdicts import downcast_ints
+    ignore = DEFAULT_IGNORE_ERRORS if ignore_errors is None else ignore_errors
+    specs: list[CheckSpec] = []
+    for fr in rules:
+        c = fr.field_name
+        if c not in df.columns:
+            continue
+        if fr.allow_null is False and "allow_null" not in ignore:
+            specs.append(CheckSpec(c, "allow_null"))
+        if fr.length is not None and "length" not in ignore:
+            specs.append(CheckSpec(c, "length", downcast_ints(fr.length)))
+        if fr.range_min is not None and "range_min" not in ignore:
+            specs.append(CheckSpec(c, "range_min",
+                                   downcast_ints(fr.range_min)))
+        if fr.range_max is not None and "range_max" not in ignore:
+            specs.append(CheckSpec(c, "range_max",
+                                   downcast_ints(fr.range_max)))
+        if fr.allowed_value_list and "allowed_value_list" not in ignore:
+            specs.append(CheckSpec(c, "allowed_value_list",
+                                   fr.allowed_value_list))
+        if isinstance(fr.regex_pattern, str) \
+                and "regex_pattern" not in ignore:
+            specs.append(CheckSpec(c, "regex_pattern", fr.regex_pattern))
+
+    reasons = []
+    for sp in specs:
+        cond, label = _check_condition(df, sp)
+        reasons.append(F.when(cond, F.lit(label)))
+    for cr in getattr(rules, "conditional", None) or []:
+        from .expectations import (CONDITIONAL_ERROR_PREFIX,
+                                   conditional_violation_expr)
+        reasons.append(F.when(conditional_violation_expr(cr),
+                              F.lit(f"{CONDITIONAL_ERROR_PREFIX} {cr.name}")))
+    if not reasons:
+        empty = F.array().cast("array<string>")
+        return df, df.withColumn(reasons_col, empty).where(F.lit(False))
+    arr = F.filter(F.array(*reasons), lambda x: x.isNotNull())
+    tagged = df.withColumn(reasons_col, arr)
+    clean = tagged.where(F.size(reasons_col) == 0).drop(reasons_col)
+    bad = tagged.where(F.size(reasons_col) > 0)
+    return clean, bad
+
+
 def get_best_uid_column(df: DataFrame, preferred_column: str | None = None,
                         distinct_counts: dict[str, int] | None = None) -> str | None:
     """Most-unique Integer/String column, preferring ``preferred_column``

@@ -125,3 +125,45 @@ def test_allowed_values_numeric_nan_not_flagged(spark):
     out = value_errors_df(
         df, [CheckSpec("v", "allowed_value_list", [1.0, 2.0])], ["id"])
     assert sorted(r["id"] for r in out.collect()) == [3]
+
+
+def test_quarantine_split(spark):
+    from schema_validata_spark import FieldRule, Rules, quarantine
+    df = spark.createDataFrame(
+        [(1, "click", 10.0), (2, "bogus", 10.0), (3, "click", 500.0),
+         (4, "bogus", 500.0), (5, None, 10.0)],
+        "id bigint, et string, v double")
+    rules = Rules("Q", fields=[
+        FieldRule("et", allow_null=False,
+                  allowed_value_list=["click", "view"]),
+        FieldRule("v", range_max=400.0),
+    ])
+    clean, bad = quarantine(df, rules, ignore_errors=[])
+    assert sorted(r["id"] for r in clean.collect()) == [1]
+    got = {r["id"]: list(r["violation_reasons"]) for r in bad.collect()}
+    assert got[2] == ["Unallowed Value"]
+    assert got[3] == ["Exceeds Maximum Allowed Value (400)"]
+    assert got[4] == ["Unallowed Value",
+                      "Exceeds Maximum Allowed Value (400)"]
+    assert got[5] == ["Null Value"]
+    # clean + bad partition the input exactly
+    assert clean.count() + bad.count() == df.count()
+
+
+def test_quarantine_conditional_and_empty_rules(spark):
+    from schema_validata_spark import (ConditionalRule, FieldRule, Rules,
+                                       quarantine)
+    df = spark.createDataFrame(
+        [(1, "tool", None), (2, "tool", "search"), (3, "user", None)],
+        "id bigint, role string, tool string")
+    rules = Rules("C", fields=[])
+    rules.conditional = [ConditionalRule(
+        "tool_set", "role = 'tool'", "tool IS NOT NULL")]
+    clean, bad = quarantine(df, rules)
+    assert sorted(r["id"] for r in bad.collect()) == [1]
+    assert bad.collect()[0]["violation_reasons"] == \
+        ["Conditional Rule Failed: tool_set"]
+    # rules with no applicable checks: everything clean, bad is empty
+    clean2, bad2 = quarantine(df, Rules("E", fields=[]))
+    assert clean2.count() == 3 and bad2.count() == 0
+    assert "violation_reasons" in bad2.columns
