@@ -231,6 +231,42 @@ class Rules:
     def from_json(cls, name: str, text: str) -> "Rules":
         return cls.from_nested_dict(name, json.loads(text))
 
+    def to_config(self) -> dict[str, Any]:
+        """FULL rule-table serialization, engine extensions included —
+        the shape a production job config carries (the reference's
+        nested dict covers per-field rules only). Round-trips through
+        :meth:`from_config`."""
+        cfg: dict[str, Any] = {"name": self.name,
+                               "fields": self.to_nested_dict()}
+        if self.composite_unique:
+            cfg["composite_unique"] = [list(k) for k in self.composite_unique]
+        if self.foreign_keys:
+            cfg["foreign_keys"] = [list(t) for t in self.foreign_keys]
+        if self.conditional:
+            cfg["conditional"] = [
+                {"name": r.name, "when_sql": r.when_sql,
+                 "then_sql": r.then_sql} for r in self.conditional]
+        return cfg
+
+    @classmethod
+    def from_config(cls, cfg: dict[str, Any] | str) -> "Rules":
+        """Inverse of :meth:`to_config`; also accepts the JSON text."""
+        if isinstance(cfg, str):
+            cfg = json.loads(cfg)
+        rules = cls.from_nested_dict(cfg.get("name", "RULES"),
+                                     cfg.get("fields", {}))
+        rules.composite_unique = [tuple(k) for k in
+                                  cfg.get("composite_unique", [])]
+        rules.foreign_keys = [tuple(t) for t in cfg.get("foreign_keys", [])]
+        if cfg.get("conditional"):
+            # runtime import: operators package imports rules at module
+            # load; this lazy import keeps the metadata model cycle-free
+            from .operators.expectations import ConditionalRule
+            rules.conditional = [
+                ConditionalRule(d["name"], d["when_sql"], d["then_sql"])
+                for d in cfg["conditional"]]
+        return rules
+
     @classmethod
     def from_profile(cls, name: str,
                      observed: dict[str, dict[str, Any]]) -> "Rules":

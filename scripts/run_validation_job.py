@@ -84,7 +84,12 @@ def main(argv=None):
             rules = next(iter(rules.values()))
     elif args.rules:
         with open(args.rules) as f:
-            rules = Rules.from_nested_dict("JOB_RULES", json.load(f))
+            data = json.load(f)
+        # config shape ({"fields": {...}, "composite_unique": [...],
+        # "foreign_keys": [...], "conditional": [...]}) carries the
+        # engine extensions; a bare nested dict is per-field rules only
+        rules = (Rules.from_config(data) if "fields" in data
+                 else Rules.from_nested_dict("JOB_RULES", data))
     else:
         rules = transcript_rules()
 

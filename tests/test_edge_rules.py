@@ -102,3 +102,26 @@ def test_manifest_missing_path_is_fresh_run(spark, tmp_path):
     m.mark_done("r1", "p1", metrics={"n": 1}, rows=10, wall_s=0.1)
     assert m.completed("r1") == {"p1"}
     assert m.metrics("r1")["p1"] == {"n": 1}
+
+
+def test_rules_config_roundtrip():
+    from schema_validata_spark import ConditionalRule, FieldRule, Rules
+    r = Rules("T", fields=[
+        FieldRule("a", required=True, data_type="Integer",
+                  allow_null=False, unique_value=True, range_min=0.0),
+        FieldRule("b", data_type="String",
+                  allowed_value_list=["x", "y"], regex_pattern=r"^\w+$"),
+    ], composite_unique=[("a", "b")],
+       foreign_keys=[("a", "dim", "k")])
+    r.conditional = [ConditionalRule("c1", "b = 'x'", "a > 0")]
+    import json
+    cfg = json.loads(json.dumps(r.to_config()))   # through real JSON
+    back = Rules.from_config(cfg)
+    assert back.name == "T"
+    assert back.to_nested_dict() == r.to_nested_dict()
+    assert back.composite_unique == [("a", "b")]
+    assert back.foreign_keys == [("a", "dim", "k")]
+    assert back.conditional == r.conditional
+    # bare nested dict (reference shape) still loads without extras
+    bare = Rules.from_config({"fields": r.to_nested_dict()})
+    assert bare.composite_unique == [] and bare.conditional == []
