@@ -674,6 +674,17 @@ def q_clean_text(spark, sf_dir):
     return docs.select("doc_id", clean_text(messy).alias("cleaned"))
 
 
+def q_reconcile_keys(spark, sf_dir):
+    """Two-sided key reconciliation (operators/integrity.py:
+    reconcile_keys): distinct event users vs the customer dimension —
+    tag + union + ONE hash aggregate (duplicates collapse map-side; no
+    join, no separate distinct pass)."""
+    from schema_validata_spark.operators.integrity import reconcile_keys
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    return reconcile_keys(events, ["user_id"], customer, ["c_custkey"])
+
+
 def q_quarantine(spark, sf_dir):
     """Quarantine split (operators/violations.py:quarantine): rows
     violating any per-row rule, tagged with the reason labels (spec
@@ -742,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "clean_text": q_clean_text,
         "quarantine": q_quarantine,
+        "reconcile_keys": q_reconcile_keys,
         "dedup_exact": q_dedup_exact,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts": q_token_counts,
@@ -1452,6 +1464,19 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM events, f
                 WHERE value < f.lo OR value > f.hi)::bigint AS n_outliers
         FROM f"""
+
+    sql["reconcile_keys"] = """
+        WITH a AS (SELECT DISTINCT user_id AS k FROM events
+                   WHERE user_id IS NOT NULL),
+             b AS (SELECT DISTINCT c_custkey AS k FROM customer
+                   WHERE c_custkey IS NOT NULL),
+        m AS (
+          SELECT coalesce(a.k, b.k) AS k,
+                 CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 'both'
+                      WHEN a.k IS NOT NULL THEN 'only_a'
+                      ELSE 'only_b' END AS status
+          FROM a FULL OUTER JOIN b ON a.k = b.k)
+        SELECT status, count(*)::bigint AS n_keys FROM m GROUP BY status"""
 
     ev_allowed = ", ".join(f"'{v}'" for v in _EVENT_ALLOWED)
     sql["quarantine"] = f"""

@@ -15,12 +15,13 @@ from .config import (ALLOWED_CASTING, DATA_DICT_SCHEMA, NA_PATTERNS,
 from .report import schema_validation_to_xlsx, write_dataframes_to_xlsx
 from .rules import FieldRule, Rules, data_dict_xlsx_to_json
 from .operators.profile import (length_percentiles, profile,
-                                profile_stats_df)
+                                profile_diff, profile_stats_df)
 from .operators.verdicts import validate_schema, verdicts_for
 from .operators.violations import (value_errors_df, violation_plan_for,
                                    get_best_uid_column, quarantine)
 from .operators.uniqueness import composite_duplicates, duplicate_stats
-from .operators.integrity import (referential_violation_count,
+from .operators.integrity import (reconcile_keys,
+                                  referential_violation_count,
                                   referential_violations)
 from .operators.drift import build_histograms, drift_scores
 from .operators.dedup import (dedup_exact, dedup_keep_canonical,
@@ -54,12 +55,13 @@ __all__ = [
     "SCHEMA_ERROR_TEMPLATES", "FieldRule", "Rules",
     "data_dict_xlsx_to_json", "schema_validation_to_xlsx",
     "write_dataframes_to_xlsx",
-    "profile", "profile_stats_df", "length_percentiles",
+    "profile", "profile_diff", "profile_stats_df", "length_percentiles",
     "validate_schema", "verdicts_for",
     "value_errors_df", "violation_plan_for", "get_best_uid_column",
     "quarantine",
     "composite_duplicates", "duplicate_stats",
-    "referential_violation_count", "referential_violations",
+    "reconcile_keys", "referential_violation_count",
+    "referential_violations",
     "build_histograms", "drift_scores",
     "dedup_exact", "dedup_keep_canonical", "exact_duplicates",
     "embedding_near_duplicates", "embedding_near_duplicates_lsh",

@@ -42,6 +42,40 @@ def referential_violations(fact: DataFrame, fk_cols: list[str],
     return fact.where(nn).join(d, cond, "left_anti")
 
 
+def reconcile_keys(df_a: DataFrame, keys_a: list[str],
+                   df_b: DataFrame, keys_b: list[str]) -> DataFrame:
+    """Two-sided key reconciliation: ``(status, n_keys)`` for status in
+    {'only_a', 'only_b', 'both'} over the DISTINCT (non-null) key sets —
+    the source-vs-sink audit after a copy/transform ("did every order
+    land, and did anything appear from nowhere?").
+
+    Scale shape: tag + union + ONE aggregate on the key — each side's
+    duplicates collapse map-side in the same hash aggregate (no separate
+    distinct pass, no join); the classification re-aggregates the
+    distinct-key frame. Works for composite keys (positional match)."""
+    if len(keys_a) != len(keys_b):
+        raise ValueError("keys_a and keys_b must have the same arity")
+
+    def _side(df: DataFrame, keys: list[str], bit: int) -> DataFrame:
+        nn = None
+        for k in keys:
+            c = qcol(k).isNotNull()
+            nn = c if nn is None else nn & c
+        return (df.where(nn)
+                  .select(*[qcol(k).alias(f"__k{i}")
+                            for i, k in enumerate(keys)],
+                          F.lit(bit).alias("__s")))
+
+    tagged = _side(df_a, keys_a, 1).unionByName(_side(df_b, keys_b, 2))
+    kcols = [f"__k{i}" for i in range(len(keys_a))]
+    per_key = tagged.groupBy(*kcols).agg(F.bit_or("__s").alias("__m"))
+    status = (F.when(F.col("__m") == 1, F.lit("only_a"))
+               .when(F.col("__m") == 2, F.lit("only_b"))
+               .otherwise(F.lit("both")))
+    return (per_key.groupBy(status.alias("status"))
+                   .agg(F.count(F.lit(1)).alias("n_keys")))
+
+
 def referential_violation_count(fact: DataFrame, fk_cols: list[str],
                                 dim: DataFrame, dim_cols: list[str],
                                 broadcast_dim: bool | None = None) -> int:

@@ -633,6 +633,49 @@ def profile(df: DataFrame,
     return out
 
 
+_DIFF_ATTRS = ["data_type", "allow_null", "unique_value", "length",
+               "range_min", "range_max", "allowed_value_list", "required"]
+
+
+def profile_diff(old: dict[str, dict], new: dict[str, dict],
+                 attrs: list[str] | None = None,
+                 include_counts: bool = False) -> dict:
+    """Schema-evolution diff of two observed profiles (``profile()``
+    outputs — e.g. yesterday's snapshot vs today's):
+
+    ``{"added": [col...], "removed": [col...],
+       "changed": {col: {attr: {"old": v, "new": v}}}}``
+
+    Driver-side dict comparison (profiles are one record per column);
+    the distributed work already happened in the two profile passes.
+    By default compares the SHAPE attributes (type, nullability,
+    uniqueness, length, ranges, allowed list, required) and ignores the
+    data-size-dependent counters (null_count / duplicate_count) —
+    ``include_counts=True`` adds them. List attrs compare sorted, like
+    the reference's rules diff (src/schema_validata.py:1724-1728)."""
+    attrs = list(_DIFF_ATTRS if attrs is None else attrs)
+    if include_counts:
+        attrs += ["null_count", "duplicate_count"]
+    added = sorted(c for c in new if c not in old)
+    removed = sorted(c for c in old if c not in new)
+    changed: dict[str, dict] = {}
+    for c in old:
+        if c not in new:
+            continue
+        diffs = {}
+        for a in attrs:
+            ov, nv = old[c].get(a), new[c].get(a)
+            if isinstance(ov, list) and isinstance(nv, list):
+                if sorted(map(str, ov)) == sorted(map(str, nv)):
+                    continue
+            elif ov == nv:
+                continue
+            diffs[a] = {"old": ov, "new": nv}
+        if diffs:
+            changed[c] = diffs
+    return {"added": added, "removed": removed, "changed": changed}
+
+
 def length_percentiles(df: DataFrame, text_col: str,
                        percentiles=(0.5, 0.9, 0.99),
                        group_col: str | None = None,

@@ -204,3 +204,23 @@ def test_profile_inf_string_column(spark):
     df = spark.createDataFrame([("1",), ("2",), ("inf",)], "v string")
     out = profile(df)
     assert out["v"]["range_max"] == float("inf")
+
+
+def test_profile_diff(spark):
+    from schema_validata_spark import profile, profile_diff
+    old_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, s string, v double")
+    new_df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "verylongstring", None)],
+        "id bigint, s string, v double")
+    d = profile_diff(profile(old_df), profile(new_df))
+    assert d["added"] == [] and d["removed"] == []
+    assert "s" in d["changed"]           # length + uniqueness changed
+    assert d["changed"]["v"]["data_type"]["new"] == "Null-Unknown"
+    # identical profiles -> empty diff
+    p = profile(old_df)
+    d2 = profile_diff(p, p)
+    assert d2 == {"added": [], "removed": [], "changed": {}}
+    # column add/remove detection
+    d3 = profile_diff(profile(old_df.drop("v")), profile(new_df))
+    assert d3["added"] == ["v"]

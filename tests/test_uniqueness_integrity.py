@@ -61,3 +61,25 @@ def test_referential_on_generated_data(spark):
     assert n > 0
     bad = referential_violations(t, ["conv_id"], c, ["conv_id"], True)
     assert bad.where(F.col("conv_id").rlike("^conv-9")).count() > 0
+
+
+def test_reconcile_keys(spark):
+    from schema_validata_spark import reconcile_keys
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k bigint")
+    b = spark.createDataFrame([(2,), (3,), (4,), (4,)], "k bigint")
+    got = {r["status"]: r["n_keys"]
+           for r in reconcile_keys(a, ["k"], b, ["k"]).collect()}
+    assert got == {"only_a": 1, "only_b": 1, "both": 2}
+
+
+def test_reconcile_keys_composite_and_arity(spark):
+    import pytest as _pt
+    from schema_validata_spark import reconcile_keys
+    a = spark.createDataFrame([(1, "x"), (1, "y")], "k bigint, s string")
+    b = spark.createDataFrame([(1, "y"), (2, "z")], "j bigint, t string")
+    got = {r["status"]: r["n_keys"] for r in
+           reconcile_keys(a, ["k", "s"], b, ["j", "t"]).collect()}
+    assert got == {"only_a": 1, "only_b": 1, "both": 1}
+    with _pt.raises(ValueError):
+        reconcile_keys(a, ["k"], b, ["j", "t"])
