@@ -70,6 +70,11 @@ class Expectation:
     def __post_init__(self):
         if self.op not in ("<=", ">=", "<", ">", "==", "!="):
             raise ValueError(f"bad op {self.op!r}")
+        import math
+        if not math.isfinite(float(self.threshold)):
+            # a non-finite literal would render as an unquoted 'inf'/
+            # 'nan' identifier in the generated stack() SQL
+            raise ValueError(f"threshold must be finite, got {self.threshold}")
 
 
 def conditional_violation_expr(rule: ConditionalRule) -> Column:
@@ -259,8 +264,16 @@ def iqr_outlier_stats(df: DataFrame, cols: list[str], k: float = 1.5,
         q_aggs.append(F.expr(f"{fn}({expr}, 0.75)").alias(f"q3_{i}"))
     qrow = df.agg(*q_aggs).first()
     c_aggs, meta = [], []
+    import math
     for i, c in enumerate(cols):
         q1, q3 = qrow[f"q1_{i}"], qrow[f"q3_{i}"]
+        # a NaN quantile (≥25% NaN values — NaN sorts above every
+        # double) would render as an unquoted 'nan' identifier in the
+        # stack() SQL; report the column as unmeasurable instead
+        if q1 is not None and not math.isfinite(q1):
+            q1 = None
+        if q3 is not None and not math.isfinite(q3):
+            q3 = None
         if q1 is None or q3 is None:
             meta.append((c, None, None, None, None))
             c_aggs.append(F.lit(0).alias(f"n_{i}"))

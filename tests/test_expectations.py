@@ -256,3 +256,16 @@ def test_partition_verdicts_include_conditionals(spark):
     direct = df.where((F.col("role") == "tool")
                       & F.col("tool").isNull()).count()
     assert tot == direct
+
+
+def test_expectation_threshold_must_be_finite():
+    with pytest.raises(ValueError, match="finite"):
+        Expectation("bad", "count(*)", "<=", float("inf"))
+
+
+def test_iqr_nan_heavy_column_reported_unmeasurable(spark):
+    # >25% NaN: q3 lands on NaN -> column is unmeasurable, not a crash
+    vals = [1.0, 2.0, 3.0] + [float("nan")] * 7
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = iqr_outlier_stats(df, ["x"], exact=True).collect()[0]
+    assert out["q3"] is None and out["n_outliers"] == 0
