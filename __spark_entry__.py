@@ -728,6 +728,34 @@ def q_validate_events(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")))
 
 
+def q_top_tokens(spark, sf_dir):
+    """Corpus vocabulary head (functions/text.py:top_tokens): wordcount
+    two-stage agg + TakeOrderedAndProject top-k — the shuffle carries
+    per-partition partial counts, never token occurrences."""
+    from schema_validata_spark.functions.text import top_tokens
+    return top_tokens(_t(spark, sf_dir, "documents"), "text", 20)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style per-document quality-filter verdicts
+    (functions/text.py:gopher_rules): word count / mean word length /
+    alpha fraction / stopword rules as one map-only scan with a 0/1
+    flag per rule plus the audit stats."""
+    from schema_validata_spark.functions.text import gopher_rules
+    return gopher_rules(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_json_payload_stats(spark, sf_dir):
+    """Semi-structured payload health (operators/semistructured.py):
+    per event_type, JSON parseability + key presence + numeric-typed
+    share + mean of $.k — one aggregate, all get_json_object exprs
+    inside the scan stage."""
+    from schema_validata_spark.operators.semistructured import \
+        json_payload_stats
+    return json_payload_stats(_t(spark, sf_dir, "events"),
+                              "props", "event_type", "k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -780,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
+        "top_tokens": q_top_tokens,
+        "gopher_rules": q_gopher_rules,
+        "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1553,5 +1584,64 @@ def oracle_sql() -> dict[str, str]:
                round(max(nm), 4) AS max_norm,
                round(avg(nm), 4) AS avg_norm
         FROM n"""
+
+    sql["top_tokens"] = r"""
+        SELECT token, count(*)::bigint AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+')) AS token
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"""
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    sql["gopher_rules"] = rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0
+                      THEN NULL
+                      ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                 END AS w
+          FROM documents),
+        stats AS (
+          SELECT doc_id,
+                 COALESCE(len(w), 0)::bigint AS n_words,
+                 CASE WHEN len(w) > 0 THEN
+                   length(regexp_replace(trim(text), '\s+', '', 'g'))::double
+                     / len(w) END AS mwl,
+                 CASE WHEN len(w) > 0 THEN
+                   len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::double
+                     / len(w) END AS af,
+                 CASE WHEN w IS NULL THEN 0
+                      ELSE len(list_distinct(list_filter(
+                               w, x -> x IN ({stop_list})))) END::bigint
+                   AS sh
+          FROM base)
+        SELECT doc_id, n_words,
+               round(mwl, 6) AS mean_word_len,
+               round(af, 6) AS alpha_frac,
+               sh AS stop_hits,
+               (n_words BETWEEN 5 AND 100000)::int AS ok_word_count,
+               COALESCE(mwl BETWEEN 3.0 AND 10.0, FALSE)::int
+                 AS ok_mean_word_len,
+               COALESCE(af >= 0.8, FALSE)::int AS ok_alpha,
+               (sh >= 2)::int AS ok_stop,
+               ((n_words BETWEEN 5 AND 100000)
+                AND COALESCE(mwl BETWEEN 3.0 AND 10.0, FALSE)
+                AND COALESCE(af >= 0.8, FALSE)
+                AND sh >= 2)::int AS passes
+        FROM stats"""
+
+    sql["json_payload_stats"] = """
+        SELECT event_type,
+               count(*)::bigint AS n_rows,
+               sum(CASE WHEN props IS NOT NULL AND json_valid(props)
+                        THEN 1 ELSE 0 END)::bigint AS n_valid_json,
+               count(json_extract_string(props, '$.k'))::bigint
+                 AS n_with_key,
+               count(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                 ::bigint AS n_numeric,
+               round(avg(TRY_CAST(json_extract_string(props, '$.k')
+                                  AS DOUBLE)), 6) AS avg_value
+        FROM events GROUP BY event_type ORDER BY event_type"""
 
     return sql

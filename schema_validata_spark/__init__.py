@@ -33,8 +33,11 @@ from .operators.dedup import (dedup_exact, dedup_keep_canonical,
 from .operators.selection import top_k_per_group
 from .functions.sampling import (deterministic_sample, group_split,
                                  sample_expr, split_expr)
-from .functions.text import pii_scan, pii_summary, repetition_stats
+from .functions.text import (gopher_rules, pii_scan, pii_summary,
+                             repetition_stats, top_tokens)
 from .operators.decontam import contamination_pairs, decontaminate
+from .operators.semistructured import (json_is_valid, json_payload_stats,
+                                       json_payload_violations)
 from .operators.sequence import (consecutive_repeats, order_regressions,
                                  session_stats, sessionize)
 from .operators.similarity import embedding_norm_stats
@@ -70,7 +73,8 @@ __all__ = [
     "deterministic_sample", "group_split", "sample_expr", "split_expr",
     "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
     "consecutive_repeats", "order_regressions", "sessionize",
-    "session_stats", "repetition_stats",
+    "session_stats", "repetition_stats", "top_tokens", "gopher_rules",
+    "json_is_valid", "json_payload_stats", "json_payload_violations",
     "embedding_norm_stats",
     "brute_force_topk", "lsh_ann_topk",
     "errors_overview", "write_report",

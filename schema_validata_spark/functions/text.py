@@ -226,3 +226,98 @@ def shingles_from_tokens(toks_col: Column | str, k: int = 3) -> Column:
         F.transform(idx, lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int"))
                    for j in range(k)])))
+
+
+def top_tokens(df, text_col: str, k: int = 20) -> "DataFrame":
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens (case-folded) with their counts — output (token, n), ordered
+    by count desc then token asc (deterministic tiebreak).
+
+    The standard first look at a web-scale corpus (vocabulary head
+    inspection, boilerplate-token discovery, stopword curation).
+
+    SCALE: classic wordcount — explode + TWO-stage hash aggregate, so
+    per-partition partial counts collapse map-side and the shuffle
+    carries one row per (partition, distinct token), not per token
+    occurrence. The final top-k is ``orderBy().limit(k)`` over the
+    distinct-vocabulary frame (≪ corpus), which Spark executes as
+    TakeOrderedAndProject — each task keeps a k-row heap; no global
+    sort materializes. Empty/NULL texts carry no tokens."""
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+# Gopher-style heuristic document filter thresholds (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1 — public paper). The
+# word-count floor is scaled down from the paper's 50 to suit short-doc
+# fixtures; every threshold is a keyword arg.
+GOPHER_DEFAULTS = dict(min_words=5, max_words=100_000,
+                       min_mean_word_len=3.0, max_mean_word_len=10.0,
+                       min_alpha_frac=0.8, min_stop_hits=2)
+
+
+def gopher_rules(df, text_col: str, id_col: str, *,
+                 min_words: int = 5, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> "DataFrame":
+    """Gopher-style per-document quality-filter verdicts: one row per
+    document with the measured stats, a 0/1 flag per rule, and the
+    overall ``passes`` flag — the audit-friendly form (a pipeline wants
+    to know WHY a doc was dropped, not just that it was).
+
+    Rules (all pure Column expressions, one scan, map-only):
+
+    * ``ok_word_count``    — word count within [min_words, max_words];
+    * ``ok_mean_word_len`` — mean word length within [3, 10] (gibberish
+      and char-mashed text fall outside);
+    * ``ok_alpha``         — ≥80% of words contain a letter (symbol/
+      number soup fails);
+    * ``ok_stop``          — ≥2 distinct English stopwords present
+      (the classic machine-generated-text tell).
+
+    NULL/empty documents get n_words=0, NULL stats, and fail every
+    rule (a missing document is never training-worthy). Mean word
+    length is computed as squashed-length/word-count so the SQL oracle
+    can reproduce it without array aggregation."""
+    c = F.col(text_col)
+    empty = c.isNull() | (F.length(F.trim(c)) == 0)
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n_words = F.when(empty, F.lit(0)).otherwise(F.size(words)) \
+               .cast("bigint")
+    squashed = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    mean_wl = F.when(n_words > 0, squashed.cast("double") / n_words)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+         .cast("double") / n_words)
+    stop_hits = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.array_distinct(
+            F.filter(words, lambda w: w.isin(*STOPWORDS_EN))))) \
+        .cast("bigint")
+    ok_wc = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
+    ok_mwl = F.coalesce((mean_wl >= min_mean_word_len)
+                        & (mean_wl <= max_mean_word_len),
+                        F.lit(False)).cast("int")
+    ok_alpha = F.coalesce(alpha_frac >= min_alpha_frac,
+                          F.lit(False)).cast("int")
+    ok_stop = (stop_hits >= min_stop_hits).cast("int")
+    passes = ((ok_wc == 1) & (ok_mwl == 1) & (ok_alpha == 1)
+              & (ok_stop == 1)).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        passes.alias("passes"))

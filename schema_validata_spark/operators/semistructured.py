@@ -1,0 +1,88 @@
+"""Semi-structured payload validation: schema-on-read checks over JSON
+string columns (event properties, tool-call arguments, API payloads).
+
+Transcript/event tables routinely carry a free-form JSON column
+(`props`, tool arguments) that the fixed-schema validator can't see
+into; a pipeline needs to know (a) what fraction of payloads even parse,
+(b) whether required keys are present and well-typed, and (c) the value
+distribution of extracted keys — all without a pre-declared struct
+schema (payload shapes drift per event_type).
+
+SCALE DESIGN: everything here is `get_json_object` / `try_cast` Column
+expressions — JVM-side SimpleJson path extraction inside the scan stage
+(whole-stage codegen, no Python, no shuffle before the final
+per-group combine). Extracting k keys costs k passes over each payload
+string; for hot multi-key extraction prefer one `from_json` with an
+explicit schema — this module is the schemaless audit path. The
+per-group aggregate is a standard partial+final hash agg on the
+(low-cardinality) group key.
+
+No reference counterpart (the reference validates flat spreadsheet
+columns only) — engine-level addition in the spirit of SURVEY §2's
+expectations layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def json_is_valid(col: Column | str) -> Column:
+    """Boolean Column: the string parses as a JSON document.
+    `get_json_object(s, '$')` returns NULL exactly when the payload is
+    unparseable (and NULL for NULL input) — no exceptions, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & F.get_json_object(c, "$").isNotNull()
+
+
+def json_payload_stats(df: DataFrame, json_col: str, group_col: str,
+                       key: str) -> DataFrame:
+    """Per-group JSON payload health: row count, parseable count,
+    presence count of ``$.key``, numeric-typed count of its value, and
+    its mean — ONE aggregate pass.
+
+    Output: (group, n_rows, n_valid_json, n_with_key, n_numeric,
+    avg_value rounded to 6)."""
+    c = F.col(json_col)
+    val = F.get_json_object(c, f"$.{key}")
+    num = val.try_cast("double")
+    return (df.groupBy(F.col(group_col))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                   F.sum(json_is_valid(c).cast("int")).cast("bigint")
+                    .alias("n_valid_json"),
+                   F.count(val).cast("bigint").alias("n_with_key"),
+                   F.count(num).cast("bigint").alias("n_numeric"),
+                   F.round(F.avg(num), 6).alias("avg_value"))
+              .orderBy(group_col))
+
+
+def json_payload_violations(df: DataFrame, json_col: str, id_col: str,
+                            required_keys: list[str],
+                            numeric_keys: list[str] | None = None
+                            ) -> DataFrame:
+    """Row-level JSON payload violations, one row per (row, reason):
+
+    * ``invalid_json``      — payload present but unparseable;
+    * ``missing:<key>``     — required key absent (or payload NULL);
+    * ``non_numeric:<key>`` — key present but its value doesn't cast
+      to double.
+
+    Mirrors the engine's value_errors listing style (id + reason tag);
+    built as an array-of-conditions → filter → explode so every reason
+    is evaluated in the same single scan."""
+    c = F.col(json_col)
+    valid = json_is_valid(c)
+    conds: list[Column] = [
+        F.when(c.isNotNull() & ~valid, F.lit("invalid_json"))]
+    for k in required_keys:
+        conds.append(F.when(F.get_json_object(c, f"$.{k}").isNull(),
+                            F.lit(f"missing:{k}")))
+    for k in (numeric_keys or []):
+        v = F.get_json_object(c, f"$.{k}")
+        conds.append(F.when(v.isNotNull()
+                            & v.try_cast("double").isNull(),
+                            F.lit(f"non_numeric:{k}")))
+    reasons = F.filter(F.array(*conds), lambda r: r.isNotNull())
+    return (df.select(F.col(id_col), reasons.alias("__r"))
+              .where(F.size("__r") > 0)
+              .select(id_col, F.explode("__r").alias("reason")))
