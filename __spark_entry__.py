@@ -756,6 +756,30 @@ def q_json_payload_stats(spark, sf_dir):
                               "props", "event_type", "k")
 
 
+def q_turn_conformance(spark, sf_dir):
+    """Dense turn-index invariant (operators/sequence.py:
+    turn_conformance) — the structural (conv_id, turn_idx) check of the
+    north-star transcript table, driven here over (l_orderkey,
+    l_linenumber): one hash aggregate, non-dense partitions listed with
+    null/dup/span diagnostics."""
+    from schema_validata_spark.operators.sequence import turn_conformance
+    return turn_conformance(_t(spark, sf_dir, "lineitem"),
+                            "l_orderkey", "l_linenumber", start=1)
+
+
+def q_source_share_caps(spark, sf_dir):
+    """Source-mix balancing (functions/sampling.py:cap_group_share):
+    every source above 3% corpus share is deterministically downsampled
+    to the cap (md5-keyed keep decision, engine-portable); per-source
+    kept counts."""
+    from schema_validata_spark.functions.sampling import cap_group_share
+    docs = _t(spark, sf_dir, "documents")
+    return (cap_group_share(docs, "doc_id", "source", 0.03)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -808,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
+        "turn_conformance": q_turn_conformance,
+        "source_share_caps": q_source_share_caps,
         "top_tokens": q_top_tokens,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
@@ -1643,5 +1669,33 @@ def oracle_sql() -> dict[str, str]:
                round(avg(TRY_CAST(json_extract_string(props, '$.k')
                                   AS DOUBLE)), 6) AS avg_value
         FROM events GROUP BY event_type ORDER BY event_type"""
+
+    sql["turn_conformance"] = """
+        WITH agg AS (
+          SELECT l_orderkey,
+                 count(*)::bigint AS n_turns,
+                 (count(*) - count(l_linenumber))::bigint AS n_null_idx,
+                 (count(l_linenumber)
+                  - count(DISTINCT l_linenumber))::bigint AS n_dup_rows,
+                 min(l_linenumber) AS min_idx,
+                 max(l_linenumber) AS max_idx
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT * FROM agg
+        WHERE NOT (n_null_idx = 0 AND n_dup_rows = 0 AND min_idx = 1
+                   AND max_idx = 1 + n_turns - 1)"""
+
+    sql["source_share_caps"] = """
+        WITH counts AS (
+          SELECT source, count(*)::double AS n
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(n) AS t FROM counts),
+        rates AS (
+          SELECT source, least(1.0, 0.03 * t / n) AS r FROM counts, tot)
+        SELECT d.source, count(*)::bigint AS n_kept
+        FROM documents d JOIN rates USING (source)
+        WHERE r >= 1.0
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', CAST(round(r * 4294967296.0) AS BIGINT))
+        GROUP BY d.source ORDER BY d.source"""
 
     return sql

@@ -31,15 +31,16 @@ from .operators.dedup import (dedup_exact, dedup_keep_canonical,
                               near_dup_clusters, ngram_jaccard_pairs,
                               simhash_near_duplicates)
 from .operators.selection import top_k_per_group
-from .functions.sampling import (deterministic_sample, group_split,
-                                 sample_expr, split_expr)
+from .functions.sampling import (cap_group_share, deterministic_sample,
+                                 group_split, sample_expr, split_expr)
 from .functions.text import (gopher_rules, pii_scan, pii_summary,
                              repetition_stats, top_tokens)
 from .operators.decontam import contamination_pairs, decontaminate
 from .operators.semistructured import (json_is_valid, json_payload_stats,
                                        json_payload_violations)
 from .operators.sequence import (consecutive_repeats, order_regressions,
-                                 session_stats, sessionize)
+                                 session_stats, sessionize,
+                                 turn_conformance)
 from .operators.similarity import embedding_norm_stats
 from .operators.similarity import brute_force_topk, lsh_ann_topk
 from .operators.expectations import (ConditionalRule, Expectation,
@@ -74,6 +75,7 @@ __all__ = [
     "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
     "consecutive_repeats", "order_regressions", "sessionize",
     "session_stats", "repetition_stats", "top_tokens", "gopher_rules",
+    "turn_conformance", "cap_group_share",
     "json_is_valid", "json_payload_stats", "json_payload_violations",
     "embedding_norm_stats",
     "brute_force_topk", "lsh_ann_topk",

@@ -137,3 +137,39 @@ def group_split(df: DataFrame, group_col: str,
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn(split_col,
                          split_expr(group_col, fractions, salt))
+
+
+def cap_group_share(df: DataFrame, key_col: str, group_col: str,
+                    max_share: float, salt: str = "") -> DataFrame:
+    """Source/domain balancing: deterministically downsample every
+    group (source, domain, language) whose row share exceeds
+    ``max_share`` of the corpus, leaving smaller groups untouched —
+    the standard web-pipeline guard against one crawl dominating the
+    training mix.
+
+    Per group g: keep-rate r_g = min(1, max_share·total/count_g), and a
+    row survives iff hash(key) falls below r_g — the same md5-keyed
+    decision as ``deterministic_sample`` (reproducible across runs,
+    partitionings, and engines). The cap is relative to the ORIGINAL
+    total: capped groups land at ≈ max_share·total rows each (their
+    share of the smaller post-filter corpus is slightly higher — the
+    one-pass contract, documented rather than iterated away).
+
+    SCALE: two jobs — (1) per-group counts, a map-side-collapsing hash
+    agg producing a #groups-sized frame; (2) one corpus scan joined to
+    that tiny rates frame (AQE broadcasts it — no forced hint) plus the
+    map-only hash filter. Row data is never shuffled; the per-group cut
+    is rendered as an 8-hex-char string (format_string('%08x')) so the
+    compare matches ``stable_hash_hex`` exactly in any engine."""
+    counts = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__t"))
+    rates = (counts.crossJoin(total)
+                   .select(F.col(group_col),
+                           F.least(F.lit(1.0),
+                                   F.lit(float(max_share)) * F.col("__t")
+                                   / F.col("__n")).alias("__r")))
+    cut = F.format_string(
+        "%08x", F.round(F.col("__r") * F.lit(4294967296.0)).cast("bigint"))
+    keep = (F.col("__r") >= 1.0) | (stable_hash_hex(key_col, salt) < cut)
+    return df.join(rates, group_col).where(keep).drop("__r")

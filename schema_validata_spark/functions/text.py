@@ -252,15 +252,6 @@ def top_tokens(df, text_col: str, k: int = 20) -> "DataFrame":
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
-# Gopher-style heuristic document filter thresholds (Rae et al. 2021,
-# "Scaling Language Models: ... Gopher", Table A1 — public paper). The
-# word-count floor is scaled down from the paper's 50 to suit short-doc
-# fixtures; every threshold is a keyword arg.
-GOPHER_DEFAULTS = dict(min_words=5, max_words=100_000,
-                       min_mean_word_len=3.0, max_mean_word_len=10.0,
-                       min_alpha_frac=0.8, min_stop_hits=2)
-
-
 def gopher_rules(df, text_col: str, id_col: str, *,
                  min_words: int = 5, max_words: int = 100_000,
                  min_mean_word_len: float = 3.0,
@@ -270,7 +261,10 @@ def gopher_rules(df, text_col: str, id_col: str, *,
     """Gopher-style per-document quality-filter verdicts: one row per
     document with the measured stats, a 0/1 flag per rule, and the
     overall ``passes`` flag — the audit-friendly form (a pipeline wants
-    to know WHY a doc was dropped, not just that it was).
+    to know WHY a doc was dropped, not just that it was). Thresholds
+    follow Rae et al. 2021 ("Scaling Language Models: ... Gopher",
+    Table A1 — public paper), with the word-count floor scaled down
+    from the paper's 50 to suit short-doc fixtures.
 
     Rules (all pure Column expressions, one scan, map-only):
 

@@ -86,3 +86,37 @@ def order_regressions(df: DataFrame, part_col: str,
     running_max = F.max(F.col(ts_col)).over(w)
     return (df.withColumn("prev_max_ts", running_max)
               .where(F.col(ts_col) < F.col("prev_max_ts")))
+
+
+def turn_conformance(df: DataFrame, part_col: str, idx_col: str,
+                     start: int = 0) -> DataFrame:
+    """Conversations whose turn index is NOT a dense ``start..start+n-1``
+    sequence — the structural invariant of a multi-turn transcript (the
+    north-star table keys on (conv_id, turn_idx); a gap means a dropped
+    turn, a duplicate means a double-write, an offset means a re-based
+    export).
+
+    Output (non-conformant partitions only): part, n_turns, n_null_idx
+    (rows with NULL index), n_dup_rows (rows beyond the first per index
+    value), min_idx, max_idx. Dense ⇔ no nulls, no dups, min == start,
+    max == start + n - 1 (gaps are implied by the span exceeding the
+    row count once nulls/dups are ruled out).
+
+    SCALE: ONE hash aggregate on the conversation key — count/min/max
+    collapse map-side; count(DISTINCT idx) is per-group exact over the
+    (part, idx) pairs the group already owns (Spark expands it to a
+    two-phase agg on (part, idx), still 8-byte keys, no row data).
+    Skewed mega-conversations ride on AQE."""
+    idx = F.col(idx_col)
+    agg = (df.groupBy(F.col(part_col))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+                  (F.count(F.lit(1)) - F.count(idx)).cast("bigint")
+                   .alias("n_null_idx"),
+                  (F.count(idx) - F.countDistinct(idx)).cast("bigint")
+                   .alias("n_dup_rows"),
+                  F.min(idx).alias("min_idx"),
+                  F.max(idx).alias("max_idx")))
+    dense = ((F.col("n_null_idx") == 0) & (F.col("n_dup_rows") == 0)
+             & (F.col("min_idx") == start)
+             & (F.col("max_idx") == start + F.col("n_turns") - 1))
+    return agg.where(~dense)

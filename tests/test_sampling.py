@@ -130,3 +130,31 @@ def test_stratified_sample_null_stratum_uses_default(spark):
     kept = df.where(stratified_sample_expr("id", "s", {None: 1.0},
                                            default=0.0))
     assert kept.count() == 100
+
+
+# --- cap_group_share ---------------------------------------------------------
+
+def test_cap_group_share_downsamples_only_big_groups(spark):
+    from schema_validata_spark.functions.sampling import cap_group_share
+    import pyspark.sql.functions as F
+    # 900 rows in 'big', 100 in 'small' → small is 10% of total
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("g"))
+    out = cap_group_share(df, "k", "g", 0.30)
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 100                      # under cap: untouched
+    # big capped at ≈ 0.30 * 1000 = 300 (hash-exact, not quota-exact)
+    assert 240 <= counts["big"] <= 360
+
+
+def test_cap_group_share_deterministic_and_partition_independent(spark):
+    from schema_validata_spark.functions.sampling import cap_group_share
+    import pyspark.sql.functions as F
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g"))
+    a = set(r["k"] for r in cap_group_share(df, "k", "g", 0.2).collect())
+    b = set(r["k"] for r in
+            cap_group_share(df.repartition(7), "k", "g", 0.2).collect())
+    assert a == b and len(a) > 0

@@ -78,3 +78,38 @@ def test_sessionize_excludes_null_ts(spark):
              for r in session_stats(df, "user_id", "ts", 30.0).collect()}
     # null-ts rows are excluded, NOT each their own session
     assert stats["a"] == (2, 2)
+
+
+# --- turn_conformance --------------------------------------------------------
+
+def _tc(spark, rows, start=0):
+    from schema_validata_spark.operators.sequence import turn_conformance
+    df = spark.createDataFrame(rows, ["conv", "idx"])
+    return {r["conv"]: r for r in
+            turn_conformance(df, "conv", "idx", start=start).collect()}
+
+
+def test_turn_conformance_dense_not_flagged(spark):
+    rows = [("a", 0), ("a", 1), ("a", 2), ("b", 0)]
+    assert _tc(spark, rows) == {}
+
+
+def test_turn_conformance_gap(spark):
+    out = _tc(spark, [("a", 0), ("a", 2)])
+    r = out["a"]
+    assert r["n_turns"] == 2 and r["n_dup_rows"] == 0
+    assert (r["min_idx"], r["max_idx"]) == (0, 2)
+
+
+def test_turn_conformance_duplicate_and_null(spark):
+    out = _tc(spark, [("a", 0), ("a", 0), ("a", 1),
+                      ("b", 0), ("b", None)])
+    assert out["a"]["n_dup_rows"] == 1
+    assert out["b"]["n_null_idx"] == 1
+
+
+def test_turn_conformance_offset_start(spark):
+    # dense 1..n is conformant only with start=1
+    rows = [("a", 1), ("a", 2), ("a", 3)]
+    assert "a" in _tc(spark, rows, start=0)
+    assert _tc(spark, rows, start=1) == {}
