@@ -756,6 +756,23 @@ def q_json_payload_stats(spark, sf_dir):
                               "props", "event_type", "k")
 
 
+def q_asof_state(spark, sf_dir):
+    """Point-in-time state join (operators/asof.py:asof_join): each
+    event matched to the user's most recent preceding 'signup' event —
+    union + one keyed window carry-forward (single shuffle), vs
+    DuckDB's native ASOF JOIN as the oracle."""
+    from schema_validata_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    snap = (ev.where(F.col("event_type") == "signup")
+              .select("user_id", "ts",
+                      F.col("value").alias("snap_value")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), snap,
+                    "ts", ["user_id"], value_cols=["snap_value"])
+    return out.select("event_id", "user_id", "ts",
+                      F.round("snap_value", 6).alias("snap_value"),
+                      "asof_ts")
+
+
 def q_turn_conformance(spark, sf_dir):
     """Dense turn-index invariant (operators/sequence.py:
     turn_conformance) — the structural (conv_id, turn_idx) check of the
@@ -832,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
+        "asof_state": q_asof_state,
         "turn_conformance": q_turn_conformance,
         "source_share_caps": q_source_share_caps,
         "top_tokens": q_top_tokens,
@@ -1669,6 +1687,16 @@ def oracle_sql() -> dict[str, str]:
                round(avg(TRY_CAST(json_extract_string(props, '$.k')
                                   AS DOUBLE)), 6) AS avg_value
         FROM events GROUP BY event_type ORDER BY event_type"""
+
+    sql["asof_state"] = """
+        WITH snap AS (
+          SELECT user_id, ts AS snap_ts, value AS snap_value
+          FROM events WHERE event_type = 'signup')
+        SELECT e.event_id, e.user_id, e.ts,
+               round(s.snap_value, 6) AS snap_value,
+               s.snap_ts AS asof_ts
+        FROM events e ASOF LEFT JOIN snap s
+          ON e.user_id = s.user_id AND e.ts >= s.snap_ts"""
 
     sql["turn_conformance"] = """
         WITH agg AS (

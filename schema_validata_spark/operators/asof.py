@@ -1,0 +1,116 @@
+"""As-of (point-in-time) join — match each left row to the most recent
+right row at or before its timestamp, per key.
+
+Spark has no native ASOF JOIN (pandas ``merge_asof`` / DuckDB ``ASOF
+JOIN`` / kdb ``aj`` semantics), but a validation pipeline needs one
+constantly: join each transcript turn to the rules/config snapshot that
+was active when it happened, each event to the latest preceding state
+change, metrics to the last deployed model version.
+
+IMPLEMENTATION (Spark-first, no UDF): tag both sides, union them, and
+run ONE window per key ordered by (ts, side) where the right side sorts
+first at equal timestamps — then ``last(value, ignorenulls=True)`` over
+an unbounded-preceding frame carries the latest right-side values
+forward onto every left row. Filter back to left rows. This is the
+classic sort-merge formulation: ONE shuffle on the key (the window
+exchange), a single streaming pass per partition, and the right side is
+never re-scanned per left row (the naive inequality join is O(n·m) per
+key and is what Catalyst would do with a plain ``l.ts >= r.ts`` theta
+join).
+
+SCALE NOTES: cost is sort-of(left+right) within each key partition —
+the same profile as any windowed check in this engine; a mega-key rides
+on the sort's spill path (the carried columns are the only extra state,
+one row's worth). Tolerance filtering is a post-window map. If the
+right side is tiny and keys are few, a broadcast + max-under aggregate
+can beat this; this operator targets the general large×large case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
+              by_cols: list[str], value_cols: list[str] | None = None,
+              tolerance_s: float | None = None,
+              allow_exact_matches: bool = True,
+              matched_ts_col: str = "asof_ts") -> DataFrame:
+    """Left as-of-backward join: every ``left`` row, plus ``right``'s
+    ``value_cols`` from the most recent right row with the same
+    ``by_cols`` key and ``right.ts <= left.ts`` (``<`` when
+    ``allow_exact_matches=False``); NULLs when no such row exists or
+    it is older than ``tolerance_s`` seconds. ``matched_ts_col`` holds
+    the matched right row's timestamp (the audit column).
+
+    Ties inside the right side (two right rows with identical (key,
+    ts)) resolve to the later row in the union's sort order — supply a
+    unique tiebreak column in ``value_cols`` ordering upstream if the
+    right side can hold exact-duplicate timestamps.
+
+    Column-name contract: ``value_cols`` must not collide with left
+    columns (rename upstream); ``ts_col``/``by_cols`` must exist on
+    both sides."""
+    value_cols = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in by_cols and c != ts_col]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: "
+                         f"{sorted(clash)}; rename on the right side")
+
+    # side 0 = right, 1 = left: at equal ts the right row sorts first,
+    # so its values are already carried when the left row is evaluated
+    # (allow_exact_matches=True). For strict '<', left sorts FIRST at
+    # equal ts so the same-instant right row is not yet visible.
+    r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
+    from pyspark.sql import Window
+    r = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(ts_col),
+        F.lit(r_side).alias("__side"),
+        F.col(ts_col).alias("__r_ts"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by_cols and c != ts_col])
+    l = left.select(
+        *[F.col(c) for c in by_cols],
+        F.col(ts_col),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in value_cols],
+        *[F.col(c) for c in left.columns
+          if c not in by_cols and c != ts_col])
+    u = r.unionByName(l)
+
+    is_left = F.col("__side") == l_side
+    w = (Window.partitionBy(*[F.col(c) for c in by_cols])
+               .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    # carry ONE struct, non-NULL exactly for right rows: a matched right
+    # row whose VALUE is legitimately NULL must yield that NULL, not an
+    # older non-null value (last(value, ignorenulls) would skip it)
+    st = F.when(F.col("__side") == r_side,
+                F.struct(F.col("__r_ts").alias("__ts"),
+                         *[F.col(c).alias(c) for c in value_cols]))
+    carried_st = F.last(st, ignorenulls=True).over(w)
+    carried_ts = carried_st["__ts"]
+    carried = {c: carried_st[c] for c in value_cols}
+
+    within: Column = F.lit(True)
+    if tolerance_s is not None:
+        # NTZ-safe epoch diff (same hop as sequence.sessionize)
+        def _ep(c):
+            return c.cast("timestamp_ltz").cast("double")
+        within = (_ep(F.col(ts_col)) - _ep(carried_ts)) <= float(tolerance_s)
+
+    matched = carried_ts.isNotNull() & within
+    out_cols = (
+        [F.col(c) for c in by_cols]
+        + [F.col(ts_col)]
+        + [F.col(c) for c in left.columns
+           if c not in by_cols and c != ts_col]
+        + [F.when(matched, carried[c]).alias(c) for c in value_cols]
+        + [F.when(matched, carried_ts).alias(matched_ts_col)])
+    return u.select(*out_cols, is_left.alias("__is_left")) \
+            .where(F.col("__is_left")).drop("__is_left")
