@@ -773,6 +773,24 @@ def q_asof_state(spark, sf_dir):
                       "asof_ts")
 
 
+def q_interval_counts(spark, sf_dir):
+    """Bucketized range join (operators/rangejoin.py:interval_join):
+    event values matched to overlapping bands derived from nation
+    (width 6, stride 4 — some points match 2 bands), counted per band;
+    equi-join on bucket ids + exact containment post-filter, never a
+    nested-loop plan."""
+    from schema_validata_spark.operators.rangejoin import interval_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 4.0).alias("lo"),
+        (F.col("n_nationkey") * 4.0 + 6.0).alias("hi"))
+    out = interval_join(ev, bands, "value", "lo", "hi", bucket_width=6.0)
+    return (out.groupBy("band_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+               .orderBy("band_id"))
+
+
 def q_turn_conformance(spark, sf_dir):
     """Dense turn-index invariant (operators/sequence.py:
     turn_conformance) — the structural (conv_id, turn_idx) check of the
@@ -850,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
         "asof_state": q_asof_state,
+        "interval_counts": q_interval_counts,
         "turn_conformance": q_turn_conformance,
         "source_share_caps": q_source_share_caps,
         "top_tokens": q_top_tokens,
@@ -1697,6 +1716,17 @@ def oracle_sql() -> dict[str, str]:
                s.snap_ts AS asof_ts
         FROM events e ASOF LEFT JOIN snap s
           ON e.user_id = s.user_id AND e.ts >= s.snap_ts"""
+
+    sql["interval_counts"] = """
+        WITH bands AS (
+          SELECT n_nationkey AS band_id,
+                 n_nationkey * 4.0 AS lo,
+                 n_nationkey * 4.0 + 6.0 AS hi
+          FROM nation)
+        SELECT band_id, count(*)::bigint AS n_points
+        FROM events e JOIN bands b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY band_id ORDER BY band_id"""
 
     sql["turn_conformance"] = """
         WITH agg AS (

@@ -36,6 +36,7 @@ from .functions.sampling import (cap_group_share, deterministic_sample,
 from .functions.text import (gopher_rules, pii_scan, pii_summary,
                              repetition_stats, top_tokens)
 from .operators.asof import asof_join
+from .operators.rangejoin import interval_join
 from .operators.decontam import contamination_pairs, decontaminate
 from .operators.semistructured import (json_is_valid, json_payload_stats,
                                        json_payload_violations)
@@ -76,7 +77,7 @@ __all__ = [
     "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
     "consecutive_repeats", "order_regressions", "sessionize",
     "session_stats", "repetition_stats", "top_tokens", "gopher_rules",
-    "turn_conformance", "cap_group_share", "asof_join",
+    "turn_conformance", "cap_group_share", "asof_join", "interval_join",
     "json_is_valid", "json_payload_stats", "json_payload_violations",
     "embedding_norm_stats",
     "brute_force_topk", "lsh_ann_topk",
