@@ -163,12 +163,16 @@ def cap_group_share(df: DataFrame, key_col: str, group_col: str,
     compare matches ``stable_hash_hex`` exactly in any engine."""
     counts = df.groupBy(F.col(group_col)).agg(
         F.count(F.lit(1)).cast("double").alias("__n"))
-    total = counts.agg(F.sum("__n").alias("__t"))
-    rates = (counts.crossJoin(total)
-                   .select(F.col(group_col),
-                           F.least(F.lit(1.0),
-                                   F.lit(float(max_share)) * F.col("__t")
-                                   / F.col("__n")).alias("__r")))
+    # corpus total as a GLOBAL WINDOW over the tiny counts frame — not a
+    # second aggregate of df (counts → agg → crossJoin would duplicate
+    # the counts subtree and re-scan the corpus; the single-partition
+    # window moves only #groups rows)
+    from pyspark.sql import Window
+    tot = F.sum("__n").over(Window.partitionBy())
+    rates = counts.select(
+        F.col(group_col),
+        F.least(F.lit(1.0),
+                F.lit(float(max_share)) * tot / F.col("__n")).alias("__r"))
     cut = F.format_string(
         "%08x", F.round(F.col("__r") * F.lit(4294967296.0)).cast("bigint"))
     keep = (F.col("__r") >= 1.0) | (stable_hash_hex(key_col, salt) < cut)
