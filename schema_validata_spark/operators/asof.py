@@ -57,6 +57,9 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     if clash:
         raise ValueError(f"value_cols collide with left columns: "
                          f"{sorted(clash)}; rename on the right side")
+    if matched_ts_col in left.columns or matched_ts_col in value_cols:
+        raise ValueError(f"matched_ts_col {matched_ts_col!r} collides "
+                         f"with an output column; pass a different name")
 
     # side 0 = right, 1 = left: at equal ts the right row sorts first,
     # so its values are already carried when the left row is evaluated

@@ -75,6 +75,8 @@ def test_asof_value_col_collision_raises(frames):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("cfg", "event_id"),
                   "ts", ["k"])
+    with pytest.raises(ValueError, match="matched_ts_col"):
+        asof_join(left, right, "ts", ["k"], matched_ts_col="event_id")
 
 
 def test_asof_single_shuffle_plan(frames):
