@@ -35,13 +35,18 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
               by_cols: list[str], value_cols: list[str] | None = None,
               tolerance_s: float | None = None,
               allow_exact_matches: bool = True,
+              direction: str = "backward",
               matched_ts_col: str = "asof_ts") -> DataFrame:
-    """Left as-of-backward join: every ``left`` row, plus ``right``'s
+    """Left as-of join: every ``left`` row, plus ``right``'s
     ``value_cols`` from the most recent right row with the same
-    ``by_cols`` key and ``right.ts <= left.ts`` (``<`` when
-    ``allow_exact_matches=False``); NULLs when no such row exists or
-    it is older than ``tolerance_s`` seconds. ``matched_ts_col`` holds
-    the matched right row's timestamp (the audit column).
+    ``by_cols`` key and ``right.ts <= left.ts`` (``direction=
+    'backward'``, the default) or the EARLIEST right row with
+    ``right.ts >= left.ts`` (``direction='forward'``); strict
+    inequality when ``allow_exact_matches=False``. NULLs when no such
+    row exists or it is further than ``tolerance_s`` seconds away.
+    ``matched_ts_col`` holds the matched right row's timestamp (the
+    audit column). 'forward' is the same single-window plan with the
+    sort reversed — not a second pass.
 
     Ties inside the right side (two right rows with identical (key,
     ts)) resolve to the later row in the union's sort order — supply a
@@ -61,10 +66,15 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
         raise ValueError(f"matched_ts_col {matched_ts_col!r} collides "
                          f"with an output column; pass a different name")
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', "
+                         f"got {direction!r}")
     # side 0 = right, 1 = left: at equal ts the right row sorts first,
     # so its values are already carried when the left row is evaluated
-    # (allow_exact_matches=True). For strict '<', left sorts FIRST at
-    # equal ts so the same-instant right row is not yet visible.
+    # (allow_exact_matches=True). For strict inequality, left sorts
+    # FIRST at equal ts so the same-instant right row is not yet
+    # visible. 'forward' reverses the time order, turning the carry of
+    # "latest right row so far" into "earliest right row from here on".
     r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
     from pyspark.sql import Window
     r = right.select(
@@ -87,8 +97,10 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     u = r.unionByName(l)
 
     is_left = F.col("__side") == l_side
+    ts_order = (F.col(ts_col).asc() if direction == "backward"
+                else F.col(ts_col).desc())
     w = (Window.partitionBy(*[F.col(c) for c in by_cols])
-               .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+               .orderBy(ts_order, F.col("__side").asc())
                .rowsBetween(Window.unboundedPreceding, 0))
     # carry ONE struct, non-NULL exactly for right rows: a matched right
     # row whose VALUE is legitimately NULL must yield that NULL, not an
@@ -105,7 +117,10 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
         # NTZ-safe epoch diff (same hop as sequence.sessionize)
         def _ep(c):
             return c.cast("timestamp_ltz").cast("double")
-        within = (_ep(F.col(ts_col)) - _ep(carried_ts)) <= float(tolerance_s)
+        gap = (_ep(F.col(ts_col)) - _ep(carried_ts)
+               if direction == "backward"
+               else _ep(carried_ts) - _ep(F.col(ts_col)))
+        within = gap <= float(tolerance_s)
 
     matched = carried_ts.isNotNull() & within
     out_cols = (

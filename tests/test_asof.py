@@ -63,6 +63,28 @@ def test_asof_tolerance(frames):
     assert got[1] == (None, None)                         # 10 min: too old
 
 
+def test_asof_forward(frames):
+    left, right = frames
+    got = _by_event(asof_join(left, right, "ts", ["k"],
+                              direction="forward"))
+    # earliest right row AT or AFTER each left ts
+    assert got[3] == ("cfgA", T("2024-01-01 09:30:00"))   # 09:00 → 09:30
+    assert got[1] == (None, T("2024-01-01 11:00:00"))     # 10:00 → 11:00 (NULL value)
+    assert got[2] == ("cfgB", T("2024-01-01 12:00:00"))   # exact match
+    assert got[4] == (None, None)
+    # strict: the 12:00 left row has nothing strictly after it
+    strict = _by_event(asof_join(left, right, "ts", ["k"],
+                                 direction="forward",
+                                 allow_exact_matches=False))
+    assert strict[2] == (None, None)
+    # tolerance in the forward direction
+    tol = _by_event(asof_join(left, right, "ts", ["k"],
+                              direction="forward", tolerance_s=600))
+    assert tol[3] == (None, None)                         # 30 min > 10 min
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "ts", ["k"], direction="nearest")
+
+
 def test_asof_left_rows_preserved_exactly(frames):
     left, right = frames
     out = asof_join(left, right, "ts", ["k"])
