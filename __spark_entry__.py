@@ -791,6 +791,16 @@ def q_interval_counts(spark, sf_dir):
                .orderBy("band_id"))
 
 
+def q_topk_sample(spark, sf_dir):
+    """Exact-size deterministic sample (functions/sampling.py:
+    deterministic_topk_sample): the 50 smallest-hash doc_ids via
+    TakeOrderedAndProject (per-task heap, no global sort)."""
+    from schema_validata_spark.functions.sampling import \
+        deterministic_topk_sample
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_topk_sample(docs, "doc_id", 50).select("doc_id")
+
+
 def q_turn_conformance(spark, sf_dir):
     """Dense turn-index invariant (operators/sequence.py:
     turn_conformance) — the structural (conv_id, turn_idx) check of the
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "asof_state": q_asof_state,
         "interval_counts": q_interval_counts,
+        "topk_sample": q_topk_sample,
         "turn_conformance": q_turn_conformance,
         "source_share_caps": q_source_share_caps,
         "top_tokens": q_top_tokens,
@@ -1716,6 +1727,13 @@ def oracle_sql() -> dict[str, str]:
                s.snap_ts AS asof_ts
         FROM events e ASOF LEFT JOIN snap s
           ON e.user_id = s.user_id AND e.ts >= s.snap_ts"""
+
+    sql["topk_sample"] = """
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+          FROM documents)
+        ORDER BY h ASC, doc_id ASC LIMIT 50"""
 
     sql["interval_counts"] = """
         WITH bands AS (

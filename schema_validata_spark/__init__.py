@@ -32,7 +32,8 @@ from .operators.dedup import (dedup_exact, dedup_keep_canonical,
                               simhash_near_duplicates)
 from .operators.selection import top_k_per_group
 from .functions.sampling import (cap_group_share, deterministic_sample,
-                                 group_split, sample_expr, split_expr)
+                                 deterministic_topk_sample, group_split,
+                                 sample_expr, split_expr)
 from .functions.text import (gopher_rules, pii_scan, pii_summary,
                              repetition_stats, top_tokens)
 from .operators.asof import asof_join
@@ -73,7 +74,8 @@ __all__ = [
     "embedding_near_duplicates", "embedding_near_duplicates_lsh",
     "minhash_near_duplicates", "near_dup_clusters", "ngram_jaccard_pairs",
     "simhash_near_duplicates", "top_k_per_group",
-    "deterministic_sample", "group_split", "sample_expr", "split_expr",
+    "deterministic_sample", "deterministic_topk_sample", "group_split",
+    "sample_expr", "split_expr",
     "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
     "consecutive_repeats", "order_regressions", "sessionize",
     "session_stats", "repetition_stats", "top_tokens", "gopher_rules",

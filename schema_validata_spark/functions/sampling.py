@@ -177,3 +177,25 @@ def cap_group_share(df: DataFrame, key_col: str, group_col: str,
         "%08x", F.round(F.col("__r") * F.lit(4294967296.0)).cast("bigint"))
     keep = (F.col("__r") >= 1.0) | (stable_hash_hex(key_col, salt) < cut)
     return df.join(rates, group_col).where(keep).drop("__r")
+
+
+def deterministic_topk_sample(df: DataFrame, key_col: str, k: int,
+                              salt: str = "") -> DataFrame:
+    """EXACT-size deterministic sample: the ``k`` rows whose key hash
+    is smallest — unlike ``deterministic_sample`` (fraction-exact but
+    size-approximate), this returns exactly min(k, n) rows, and adding
+    or removing OTHER rows can only slide the boundary (a kept key
+    stays kept unless displaced by a new smaller-hash key).
+
+    SCALE: ``orderBy(hash).limit(k)`` plans as TakeOrderedAndProject —
+    every task keeps a k-row heap and the driver merges task heaps; no
+    global sort, no full shuffle. Keep k small enough that k rows fit
+    on the driver's merge path (it's a sample, not a split).
+
+    Ties (duplicate keys hash identically) are broken by the key value
+    itself so the result stays deterministic across partitionings."""
+    h = stable_hash_hex(key_col, salt)
+    return (df.withColumn("__h", h)
+              .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+              .limit(int(k))
+              .drop("__h"))

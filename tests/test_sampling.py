@@ -158,3 +158,39 @@ def test_cap_group_share_deterministic_and_partition_independent(spark):
     b = set(r["k"] for r in
             cap_group_share(df.repartition(7), "k", "g", 0.2).collect())
     assert a == b and len(a) > 0
+
+
+# --- deterministic_topk_sample -----------------------------------------------
+
+def test_topk_sample_exact_size_and_stability(spark):
+    from schema_validata_spark.functions.sampling import (
+        deterministic_topk_sample)
+    import pyspark.sql.functions as F
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    a = [r["k"] for r in deterministic_topk_sample(df, "k", 20).collect()]
+    assert len(a) == 20
+    b = [r["k"] for r in
+         deterministic_topk_sample(df.repartition(13), "k", 20).collect()]
+    assert a == b                                     # partition-independent
+    # shrinking the corpus can only REMOVE kept keys, never add new ones
+    # ahead of surviving keys
+    half = df.where(F.col("k") < 500)
+    c = set(r["k"] for r in
+            deterministic_topk_sample(half, "k", 20).collect())
+    assert c >= (set(a) & set(range(500)))
+
+
+def test_topk_sample_k_larger_than_input(spark):
+    from schema_validata_spark.functions.sampling import (
+        deterministic_topk_sample)
+    df = spark.range(5).withColumnRenamed("id", "k")
+    assert deterministic_topk_sample(df, "k", 100).count() == 5
+
+
+def test_topk_sample_plan_is_take_ordered(spark):
+    from schema_validata_spark.functions.sampling import (
+        deterministic_topk_sample)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plan = deterministic_topk_sample(df, "k", 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
