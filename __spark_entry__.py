@@ -801,6 +801,17 @@ def q_topk_sample(spark, sf_dir):
     return deterministic_topk_sample(docs, "doc_id", 50).select("doc_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Length-proportional deterministic sampling (functions/
+    sampling.py:weighted_sample): keep probability = clamp(n_chars ×
+    0.002, 0, 1) decided by md5(doc_id) — expected TOKEN mass, not row
+    count, matches the budget; map-only, engine-portable."""
+    from schema_validata_spark.functions.sampling import weighted_sample
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", scale=0.002) \
+        .select("doc_id")
+
+
 def q_turn_conformance(spark, sf_dir):
     """Dense turn-index invariant (operators/sequence.py:
     turn_conformance) — the structural (conv_id, turn_idx) check of the
@@ -880,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_state": q_asof_state,
         "interval_counts": q_interval_counts,
         "topk_sample": q_topk_sample,
+        "weighted_sample": q_weighted_sample,
         "turn_conformance": q_turn_conformance,
         "source_share_caps": q_source_share_caps,
         "top_tokens": q_top_tokens,
@@ -1734,6 +1746,15 @@ def oracle_sql() -> dict[str, str]:
                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
           FROM documents)
         ORDER BY h ASC, doc_id ASC LIMIT 50"""
+
+    sql["weighted_sample"] = """
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 least(1.0, greatest(n_chars * 0.002, 0.0)) AS r
+          FROM documents)
+        WHERE r >= 1.0
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', CAST(round(r * 4294967296.0) AS BIGINT))"""
 
     sql["interval_counts"] = """
         WITH bands AS (

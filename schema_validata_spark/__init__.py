@@ -33,7 +33,7 @@ from .operators.dedup import (dedup_exact, dedup_keep_canonical,
 from .operators.selection import top_k_per_group
 from .functions.sampling import (cap_group_share, deterministic_sample,
                                  deterministic_topk_sample, group_split,
-                                 sample_expr, split_expr)
+                                 sample_expr, split_expr, weighted_sample)
 from .functions.text import (gopher_rules, pii_scan, pii_summary,
                              repetition_stats, top_tokens)
 from .operators.asof import asof_join
@@ -75,7 +75,7 @@ __all__ = [
     "minhash_near_duplicates", "near_dup_clusters", "ngram_jaccard_pairs",
     "simhash_near_duplicates", "top_k_per_group",
     "deterministic_sample", "deterministic_topk_sample", "group_split",
-    "sample_expr", "split_expr",
+    "sample_expr", "split_expr", "weighted_sample",
     "pii_scan", "pii_summary", "contamination_pairs", "decontaminate",
     "consecutive_repeats", "order_regressions", "sessionize",
     "session_stats", "repetition_stats", "top_tokens", "gopher_rules",

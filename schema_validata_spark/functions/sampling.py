@@ -173,10 +173,39 @@ def cap_group_share(df: DataFrame, key_col: str, group_col: str,
         F.col(group_col),
         F.least(F.lit(1.0),
                 F.lit(float(max_share)) * tot / F.col("__n")).alias("__r"))
-    cut = F.format_string(
-        "%08x", F.round(F.col("__r") * F.lit(4294967296.0)).cast("bigint"))
-    keep = (F.col("__r") >= 1.0) | (stable_hash_hex(key_col, salt) < cut)
+    keep = ((F.col("__r") >= 1.0)
+            | (stable_hash_hex(key_col, salt) < _hex_cut_expr(F.col("__r"))))
     return df.join(rates, group_col).where(keep).drop("__r")
+
+
+def _hex_cut_expr(rate: Column) -> Column:
+    """Per-ROW keep-cut for a COLUMN-valued rate: the 8-hex-char string
+    such that ``stable_hash_hex(key) < cut`` keeps with probability
+    ``rate`` — format_string('%08x') renders zero-padded lowercase hex
+    identically in Spark and DuckDB (printf), so the compare is
+    engine-portable like the constant-threshold path."""
+    return F.format_string(
+        "%08x", F.round(rate * F.lit(4294967296.0)).cast("bigint"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    scale: float = 1.0, salt: str = "") -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling: each row is kept with
+    probability clamp(weight·scale, 0, 1), decided by the row key's
+    hash — e.g. length-proportional document sampling (weight =
+    n_chars, scale = 1/target_length) keeps a corpus slice whose
+    expected TOKEN mass, not row count, matches the budget.
+
+    Same reproducibility contract as ``deterministic_sample`` (the
+    decision depends only on key, weight, scale — never partitioning,
+    ordering, or seed state), and the same scale profile: one md5 +
+    one compare per row, map-only inside the scan stage, no shuffle.
+    NULL weights never keep (clamp of NULL is NULL → comparison NULL)."""
+    r = F.least(F.lit(1.0),
+                F.greatest(F.col(weight_col).cast("double")
+                           * F.lit(float(scale)), F.lit(0.0)))
+    keep = (r >= 1.0) | (stable_hash_hex(key_col, salt) < _hex_cut_expr(r))
+    return df.where(keep)
 
 
 def deterministic_topk_sample(df: DataFrame, key_col: str, k: int,

@@ -194,3 +194,41 @@ def test_topk_sample_plan_is_take_ordered(spark):
     plan = deterministic_topk_sample(df, "k", 5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- weighted_sample ---------------------------------------------------------
+
+def test_weighted_sample_extremes_and_null(spark):
+    from schema_validata_spark.functions.sampling import weighted_sample
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None), (5, 2.0)],
+        ["k", "w"])
+    kept = set(r["k"] for r in weighted_sample(df, "k", "w").collect())
+    assert 1 in kept and 5 in kept          # weight >= 1 always kept
+    assert 2 not in kept and 3 not in kept  # zero/negative never kept
+    assert 4 not in kept                    # NULL weight never kept
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from schema_validata_spark.functions.sampling import weighted_sample
+    import pyspark.sql.functions as F
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.2).alias("w"))
+    out = weighted_sample(df, "k", "w")
+    hi = out.where(F.col("w") == 0.8).count()
+    lo = out.where(F.col("w") == 0.2).count()
+    assert 1450 <= hi <= 1750               # ~0.8 * 2000
+    assert 290 <= lo <= 510                 # ~0.2 * 2000
+
+
+def test_weighted_sample_deterministic(spark):
+    from schema_validata_spark.functions.sampling import weighted_sample
+    import pyspark.sql.functions as F
+    df = spark.range(500).select(F.col("id").alias("k"),
+                                 (F.col("id") % 7 / 10.0).alias("w"))
+    a = set(r["k"] for r in weighted_sample(df, "k", "w").collect())
+    b = set(r["k"] for r in
+            weighted_sample(df.repartition(9), "k", "w").collect())
+    assert a == b
