@@ -827,13 +827,16 @@ def q_source_share_caps(spark, sf_dir):
     """Source-mix balancing (functions/sampling.py:cap_group_share):
     every source above 3% corpus share is deterministically downsampled
     to the cap (md5-keyed keep decision, engine-portable); per-source
-    kept counts."""
+    kept counts. One source ('src7') is remapped to NULL so the oracle
+    exercises the NULL-group path: NULL-group rows must obey the cap
+    like any other group, not silently vanish (VERDICT r2 #1)."""
     from schema_validata_spark.functions.sampling import cap_group_share
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents") \
+        .withColumn("source", F.nullif(F.col("source"), F.lit("src7")))
     return (cap_group_share(docs, "doc_id", "source", 0.03)
             .groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
-            .orderBy("source"))
+            .orderBy(F.col("source").asc_nulls_first()))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1754,7 +1757,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         WHERE r >= 1.0
            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-              < printf('%08x', CAST(round(r * 4294967296.0) AS BIGINT))"""
+              < printf('%08x', least(CAST(round(r * 4294967296.0) AS BIGINT),
+                                     4294967295))"""
 
     sql["interval_counts"] = """
         WITH bands AS (
@@ -1782,17 +1786,20 @@ def oracle_sql() -> dict[str, str]:
                    AND max_idx = 1 + n_turns - 1)"""
 
     sql["source_share_caps"] = """
-        WITH counts AS (
+        WITH docs AS (
+          SELECT doc_id, nullif(source, 'src7') AS source FROM documents),
+        counts AS (
           SELECT source, count(*)::double AS n
-          FROM documents GROUP BY source),
+          FROM docs GROUP BY source),
         tot AS (SELECT sum(n) AS t FROM counts),
         rates AS (
           SELECT source, least(1.0, 0.03 * t / n) AS r FROM counts, tot)
         SELECT d.source, count(*)::bigint AS n_kept
-        FROM documents d JOIN rates USING (source)
-        WHERE r >= 1.0
+        FROM docs d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+        WHERE r.r >= 1.0
            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-              < printf('%08x', CAST(round(r * 4294967296.0) AS BIGINT))
-        GROUP BY d.source ORDER BY d.source"""
+              < printf('%08x', least(CAST(round(r.r * 4294967296.0) AS BIGINT),
+                                     4294967295))
+        GROUP BY d.source ORDER BY d.source NULLS FIRST"""
 
     return sql

@@ -155,6 +155,11 @@ def cap_group_share(df: DataFrame, key_col: str, group_col: str,
     share of the smaller post-filter corpus is slightly higher — the
     one-pass contract, documented rather than iterated away).
 
+    NULL groups are a group like any other: the join back to the rates
+    frame is NULL-SAFE (``eqNullSafe``), so rows whose ``group_col`` is
+    NULL obey the same cap instead of silently vanishing (VERDICT r2 #1
+    — a web corpus with missing ``source`` must not lose those docs).
+
     SCALE: two jobs — (1) per-group counts, a map-side-collapsing hash
     agg producing a #groups-sized frame; (2) one corpus scan joined to
     that tiny rates frame (AQE broadcasts it — no forced hint) plus the
@@ -170,12 +175,13 @@ def cap_group_share(df: DataFrame, key_col: str, group_col: str,
     from pyspark.sql import Window
     tot = F.sum("__n").over(Window.partitionBy())
     rates = counts.select(
-        F.col(group_col),
+        F.col(group_col).alias("__g"),
         F.least(F.lit(1.0),
                 F.lit(float(max_share)) * tot / F.col("__n")).alias("__r"))
     keep = ((F.col("__r") >= 1.0)
             | (stable_hash_hex(key_col, salt) < _hex_cut_expr(F.col("__r"))))
-    return df.join(rates, group_col).where(keep).drop("__r")
+    return (df.join(rates, F.col(group_col).eqNullSafe(F.col("__g")))
+              .where(keep).drop("__g", "__r"))
 
 
 def _hex_cut_expr(rate: Column) -> Column:
@@ -183,9 +189,16 @@ def _hex_cut_expr(rate: Column) -> Column:
     such that ``stable_hash_hex(key) < cut`` keeps with probability
     ``rate`` — format_string('%08x') renders zero-padded lowercase hex
     identically in Spark and DuckDB (printf), so the compare is
-    engine-portable like the constant-threshold path."""
+    engine-portable like the constant-threshold path.
+
+    The rounded cut is CLAMPED to 0xffffffff: a rate within ~2^-33 of
+    1.0 (missed by the caller's ``r >= 1.0`` keep-all branch) would
+    otherwise render the 9-char string '100000000', and the
+    lexicographic compare would keep only hashes starting with '0'
+    (~1/16) instead of ~all (ADVICE r2)."""
     return F.format_string(
-        "%08x", F.round(rate * F.lit(4294967296.0)).cast("bigint"))
+        "%08x", F.least(F.round(rate * F.lit(4294967296.0)).cast("bigint"),
+                        F.lit(4294967295)))
 
 
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
@@ -200,7 +213,10 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     decision depends only on key, weight, scale — never partitioning,
     ordering, or seed state), and the same scale profile: one md5 +
     one compare per row, map-only inside the scan stage, no shuffle.
-    NULL weights never keep (clamp of NULL is NULL → comparison NULL)."""
+    NULL weights never keep: Spark's ``greatest()`` SKIPS NULL
+    arguments, so greatest(NULL·scale, 0.0) evaluates to 0.0 — keep
+    rate 0 (not NULL-propagation; reordering the clamp terms would not
+    change this, but dropping the 0.0 floor would)."""
     r = F.least(F.lit(1.0),
                 F.greatest(F.col(weight_col).cast("double")
                            * F.lit(float(scale)), F.lit(0.0)))

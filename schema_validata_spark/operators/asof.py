@@ -36,7 +36,8 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
               tolerance_s: float | None = None,
               allow_exact_matches: bool = True,
               direction: str = "backward",
-              matched_ts_col: str = "asof_ts") -> DataFrame:
+              matched_ts_col: str = "asof_ts",
+              tiebreak_col: str | None = None) -> DataFrame:
     """Left as-of join: every ``left`` row, plus ``right``'s
     ``value_cols`` from the most recent right row with the same
     ``by_cols`` key and ``right.ts <= left.ts`` (``direction=
@@ -49,9 +50,18 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     sort reversed — not a second pass.
 
     Ties inside the right side (two right rows with identical (key,
-    ts)) resolve to the later row in the union's sort order — supply a
-    unique tiebreak column in ``value_cols`` ordering upstream if the
-    right side can hold exact-duplicate timestamps.
+    ts)): pass ``tiebreak_col`` (a right-side column) and the row with
+    the GREATEST tiebreak value wins, deterministically across
+    partitionings and shuffle retries. Without it, ties resolve to the
+    later row in the union's sort order — nondeterministic under
+    shuffle retries if the right side holds exact-duplicate (key, ts)
+    rows (caller contract).
+
+    NULL timestamps: a left row with NULL ts matches nothing (NULLs
+    sort FIRST in both directions, before every right row, so nothing
+    is carried onto it); a right row with NULL ts is never matched (its
+    carried ``__ts`` is NULL → the match predicate fails) — pandas
+    ``merge_asof`` / SQL ASOF semantics.
 
     Column-name contract: ``value_cols`` must not collide with left
     columns (rename upstream); ``ts_col``/``by_cols`` must exist on
@@ -69,6 +79,9 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', "
                          f"got {direction!r}")
+    if tiebreak_col is not None and tiebreak_col not in right.columns:
+        raise ValueError(f"tiebreak_col {tiebreak_col!r} must be a "
+                         f"right-side column")
     # side 0 = right, 1 = left: at equal ts the right row sorts first,
     # so its values are already carried when the left row is evaluated
     # (allow_exact_matches=True). For strict inequality, left sorts
@@ -77,10 +90,15 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     # "latest right row so far" into "earliest right row from here on".
     r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
     from pyspark.sql import Window
+    tb_r = (F.col(tiebreak_col).alias("__tb") if tiebreak_col is not None
+            else F.lit(0).alias("__tb"))
+    tb_l = (F.lit(None).cast(right.schema[tiebreak_col].dataType)
+            if tiebreak_col is not None else F.lit(0)).alias("__tb")
     r = right.select(
         *[F.col(c) for c in by_cols],
         F.col(ts_col),
         F.lit(r_side).alias("__side"),
+        tb_r,
         F.col(ts_col).alias("__r_ts"),
         *[F.col(c) for c in value_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -89,6 +107,7 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
         *[F.col(c) for c in by_cols],
         F.col(ts_col),
         F.lit(l_side).alias("__side"),
+        tb_l,
         F.lit(None).cast(right.schema[ts_col].dataType).alias("__r_ts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c)
           for c in value_cols],
@@ -97,10 +116,19 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     u = r.unionByName(l)
 
     is_left = F.col("__side") == l_side
-    ts_order = (F.col(ts_col).asc() if direction == "backward"
-                else F.col(ts_col).desc())
+    # NULLS FIRST in BOTH directions (asc defaults to it; desc does NOT
+    # — Spark's desc() is NULLS LAST, which would sort a NULL-ts left
+    # row after every right row and hand it the min-ts row's values):
+    # NULL-ts rows must precede every real timestamp so they carry
+    # nothing and match nothing.
+    ts_order = (F.col(ts_col).asc_nulls_first() if direction == "backward"
+                else F.col(ts_col).desc_nulls_first())
+    # __tb last: among equal-(ts, side) RIGHT rows the greatest tiebreak
+    # value sorts last and wins the carry; asc_nulls_first keeps rows
+    # without a tiebreak (left rows / None) inert.
     w = (Window.partitionBy(*[F.col(c) for c in by_cols])
-               .orderBy(ts_order, F.col("__side").asc())
+               .orderBy(ts_order, F.col("__side").asc(),
+                        F.col("__tb").asc_nulls_first())
                .rowsBetween(Window.unboundedPreceding, 0))
     # carry ONE struct, non-NULL exactly for right rows: a matched right
     # row whose VALUE is legitimately NULL must yield that NULL, not an

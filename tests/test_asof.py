@@ -101,6 +101,56 @@ def test_asof_value_col_collision_raises(frames):
         asof_join(left, right, "ts", ["k"], matched_ts_col="event_id")
 
 
+def test_asof_null_ts_left_rows_never_match(spark, frames):
+    # ADVICE r2 (medium): forward's DESC order placed NULL ts LAST, so a
+    # NULL-ts left row inherited the min-ts right row. Both directions
+    # must yield no match for a NULL-ts left row.
+    _, right = frames
+    left = spark.createDataFrame(
+        [("u1", None, 1), ("u1", T("2024-01-01 10:00:00"), 2)],
+        "k string, ts timestamp, event_id int")
+    for d in ("backward", "forward"):
+        got = _by_event(asof_join(left, right, "ts", ["k"], direction=d))
+        assert got[1] == (None, None), f"direction={d}"
+        assert got[2][1] is not None          # real-ts row still matches
+    # strict-inequality variants flip the side ordering — same contract
+    for d in ("backward", "forward"):
+        got = _by_event(asof_join(left, right, "ts", ["k"], direction=d,
+                                  allow_exact_matches=False))
+        assert got[1] == (None, None), f"strict direction={d}"
+
+
+def test_asof_null_ts_right_rows_never_matched(spark, frames):
+    left, _ = frames
+    right = spark.createDataFrame(
+        [("u1", None, "ghost")], "k string, ts timestamp, cfg string")
+    for d in ("backward", "forward"):
+        got = _by_event(asof_join(left, right, "ts", ["k"], direction=d))
+        assert all(v == (None, None) for v in got.values()), f"direction={d}"
+
+
+def test_asof_tiebreak_deterministic(spark):
+    # duplicate (key, ts) right rows: greatest tiebreak value wins,
+    # stable across repartitionings (VERDICT r2 #5)
+    left = spark.createDataFrame(
+        [("u1", T("2024-01-01 10:00:00"), 1)], ["k", "ts", "event_id"])
+    rows = [("u1", T("2024-01-01 09:00:00"), f"cfg{i}", i)
+            for i in range(8)]
+    import random
+    rng = random.Random(7)
+    for trial in range(3):
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        right = spark.createDataFrame(shuffled, ["k", "ts", "cfg", "seq"]) \
+                     .repartition(trial + 1)
+        got = _by_event(asof_join(left, right, "ts", ["k"],
+                                  value_cols=["cfg"], tiebreak_col="seq"))
+        assert got[1] == ("cfg7", T("2024-01-01 09:00:00"))
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        asof_join(left, spark.createDataFrame(rows, ["k", "ts", "cfg", "seq"]),
+                  "ts", ["k"], tiebreak_col="nope")
+
+
 def test_asof_single_shuffle_plan(frames):
     left, right = frames
     plan = asof_join(left, right, "ts", ["k"]) \

@@ -160,6 +160,48 @@ def test_cap_group_share_deterministic_and_partition_independent(spark):
     assert a == b and len(a) > 0
 
 
+def test_cap_group_share_null_group_rows_survive(spark):
+    # VERDICT r2 #1: the join back to the rates frame must be NULL-safe
+    # — NULL-group rows obey the cap like any group, never silently drop.
+    from schema_validata_spark.functions.sampling import cap_group_share
+    import pyspark.sql.functions as F
+    # 900 'big', 100 NULL-group → NULL group is 10% of total, under cap
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, "big").alias("g"))
+    out = cap_group_share(df, "k", "g", 0.30)
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts[None] == 100            # under-cap NULL group: untouched
+    assert 240 <= counts["big"] <= 360
+    # over-cap NULL group is downsampled, not dropped
+    df2 = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 900, "small").alias("g"))
+    counts2 = {r["g"]: r["n"] for r in
+               cap_group_share(df2, "k", "g", 0.30)
+               .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts2["small"] == 100
+    assert 240 <= counts2[None] <= 360
+
+
+def test_hex_cut_clamps_near_one_rate(spark):
+    # ADVICE r2: a rate within ~2^-33 of 1.0 must clamp the rendered cut
+    # to 'ffffffff' (keep ~all), not roll over to the 9-char '100000000'
+    # (keep ~1/16).
+    from schema_validata_spark.functions.sampling import _hex_cut_expr
+    import pyspark.sql.functions as F
+    rate = 1.0 - 2.0 ** -34               # rounds to 2^32, but < 1.0
+    assert rate < 1.0
+    cut = spark.range(1).select(
+        _hex_cut_expr(F.lit(rate)).alias("c")).first()["c"]
+    assert cut == "ffffffff"
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    from schema_validata_spark.functions.sampling import stable_hash_hex
+    kept = df.where(stable_hash_hex("k") < _hex_cut_expr(F.lit(rate))).count()
+    assert kept == 2000                   # ~all, not ~1/16
+
+
 # --- deterministic_topk_sample -----------------------------------------------
 
 def test_topk_sample_exact_size_and_stability(spark):
