@@ -75,7 +75,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 
 def _cap_buckets(buckets: DataFrame, bucket_col: str,
-                 max_bucket: int | None) -> DataFrame:
+                 max_bucket: int | None,
+                 telemetry_out: dict | None = None) -> DataFrame:
     """Drop buckets larger than ``max_bucket`` before pair generation.
 
     A degenerate bucket of k near-identical docs costs O(k²) candidate
@@ -87,25 +88,57 @@ def _cap_buckets(buckets: DataFrame, bucket_col: str,
     them trades bounded recall on mega-clusters for a hard cost ceiling.
     ``None`` disables the cap. The size aggregate's keys are bucket
     hashes (tiny rows); AQE picks the join strategy from its real size.
+
+    DROPS ARE NOT SILENT (VERDICT r2 #2): pass ``telemetry_out`` (a
+    dict) and the cap reports what it discarded —
+    ``{"capped_buckets": n, "capped_rows": r, "capped_candidate_pairs":
+    p}`` (p = Σ k·(k−1)/2 over dropped buckets, the pair volume the cap
+    avoided), plus a ``logging`` WARNING when n > 0. The audit is ONE
+    extra aggregate action over the bucket frame, run eagerly at plan
+    time — at corpus scale that re-derives the signatures once, so it is
+    opt-in; without it the cap costs nothing extra (the documented
+    trade: audit runs pay one extra pass to know their recall loss).
     """
     if max_bucket is None:
+        if telemetry_out is not None:
+            telemetry_out.update({"capped_buckets": 0, "capped_rows": 0,
+                                  "capped_candidate_pairs": 0})
         return buckets
-    ok = (buckets.groupBy(bucket_col)
-                 .agg(F.count(F.lit(1)).alias("__bsz"))
-                 .where(F.col("__bsz") <= max_bucket)
-                 .select(bucket_col))
+    sizes = buckets.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__bsz"))
+    if telemetry_out is not None:
+        row = (sizes.where(F.col("__bsz") > max_bucket)
+                    .agg(F.count(F.lit(1)).alias("nb"),
+                         F.coalesce(F.sum("__bsz"), F.lit(0)).alias("nr"),
+                         F.coalesce(F.sum(F.col("__bsz")
+                                          * (F.col("__bsz") - 1) / 2),
+                                    F.lit(0.0)).alias("np"))
+                    .first())
+        telemetry_out.update({
+            "capped_buckets": int(row["nb"]),
+            "capped_rows": int(row["nr"]),
+            "capped_candidate_pairs": int(row["np"])})
+        if row["nb"]:
+            import logging
+            logging.getLogger(__name__).warning(
+                "_cap_buckets(max_bucket=%d): dropped %d oversized "
+                "bucket(s) covering %d rows (~%d candidate pairs "
+                "avoided) — recall on mega-clusters is bounded; run "
+                "dedup_exact first so these are boilerplate clusters",
+                max_bucket, row["nb"], row["nr"], int(row["np"]))
+    ok = sizes.where(F.col("__bsz") <= max_bucket).select(bucket_col)
     return buckets.join(ok, bucket_col)
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_k: int = 3,
-                           max_bucket: int | None = 2000) -> DataFrame:
+                           max_bucket: int | None = 2000,
+                           telemetry_out: dict | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH:
     explode signatures into (band, band_hash) buckets → self-join within
     buckets → distinct pairs (a < b). Shuffle keys are band hashes;
-    documents never move. ``max_bucket`` bounds degenerate buckets
-    (see ``_cap_buckets``)."""
+    documents never move. ``max_bucket`` bounds degenerate buckets;
+    ``telemetry_out`` audits what the cap dropped (see ``_cap_buckets``)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     band_cols = [
@@ -117,7 +150,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     buckets = sigs.select(
         F.col(id_col),
         F.explode(F.array(*band_cols)).alias("bucket"))
-    buckets = _cap_buckets(buckets, "bucket", max_bucket)
+    buckets = _cap_buckets(buckets, "bucket", max_bucket, telemetry_out)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
@@ -131,13 +164,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
 def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             threshold: float = 0.7, num_hashes: int = 32,
                             bands: int = 8, shingle_k: int = 3,
-                            max_bucket: int | None = 2000) -> DataFrame:
+                            max_bucket: int | None = 2000,
+                            telemetry_out: dict | None = None) -> DataFrame:
     """LSH candidates verified by exact Jaccard over shingle sets —
     verification joins the (small) candidate set back to the shingle
     arrays, so the expensive set math runs on candidates only.
-    Output: (id_a, id_b, jaccard)."""
+    Output: (id_a, id_b, jaccard). ``telemetry_out`` audits buckets the
+    cap dropped (see ``_cap_buckets``)."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
-                                   bands, shingle_k, max_bucket)
+                                   bands, shingle_k, max_bucket,
+                                   telemetry_out)
     sh = df.select(F.col(id_col),
                    F.array_distinct(shingles(text_col, shingle_k)).alias("sh"))
     j = (cands
@@ -182,7 +218,8 @@ def embedding_near_duplicates_lsh(df: DataFrame, vec_col: str = "embedding",
                                   id_col: str = "vec_id",
                                   threshold: float = 0.9,
                                   n_planes: int = 8, n_tables: int = 8,
-                                  max_bucket: int | None = 10_000
+                                  max_bucket: int | None = 10_000,
+                                  telemetry_out: dict | None = None
                                   ) -> DataFrame:
     """Corpus-wide embedding near-dup pairs — the SCALE path (VERDICT r1
     #7): random-hyperplane bucket codes (similarity.bucketize — one
@@ -202,7 +239,7 @@ def embedding_near_duplicates_lsh(df: DataFrame, vec_col: str = "embedding",
     e = df.select(F.col(id_col),
                   F.col(vec_col).cast("array<double>").alias("v"))
     buckets = bucketize(e, id_col, n_tables, n_planes)
-    buckets = _cap_buckets(buckets, "tc", max_bucket)
+    buckets = _cap_buckets(buckets, "tc", max_bucket, telemetry_out)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (a.join(b, (F.col("a.tc") == F.col("b.tc"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -266,7 +303,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             max_hamming: int = 3, shingle_k: int = 2,
-                            max_bucket: int | None = 2000) -> DataFrame:
+                            max_bucket: int | None = 2000,
+                            telemetry_out: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: split the 64-bit signature into
     max_hamming+1 chunks; pairs within Hamming distance share ≥1 chunk
     exactly → groupBy(chunk) buckets candidates, then exact Hamming
@@ -292,7 +330,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     buckets = sigs.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*chunk_cols)).alias("c"))
-    buckets = _cap_buckets(buckets, "c", max_bucket)
+    buckets = _cap_buckets(buckets, "c", max_bucket, telemetry_out)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (a.join(b, (F.col("a.c") == F.col("b.c"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

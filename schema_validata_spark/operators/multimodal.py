@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (the container ships no image/audio
-libraries): ``decode_image_batch`` raises NotImplementedError unless a
-deterministic fake decoder is requested. Everything around it — schema,
-partition sizing, UDF signature, batch shape, error channeling — is real
-and tested, so dropping in PIL/librosa later is a one-function change.
+Image decode is REAL for PNG (VERDICT r2 #4): a stdlib decoder (zlib +
+struct — signature, per-chunk CRC verification, IHDR parse, IDAT
+inflate, scanline unfilter) produces an 8-dim feature
+``[width, height, bit_depth, channels, mean_c0..mean_c3]`` with no
+image-library dependency. Other formats (JPEG/WebP/audio) land a
+per-payload error in the ``error`` column — the container ships no
+codec libraries; dropping in PIL/librosa later extends the same
+one-function seam. The deterministic fake decoder remains for
+pipeline-shape tests.
 
 Design for 100 TB of blobs:
 * blobs never pass through a shuffle — feature extraction is a
@@ -62,27 +66,146 @@ def gen_media(spark, n: int, seed: int = 42) -> DataFrame:
         payload.alias("payload"))
 
 
-def decode_image_batch(payloads, fake: bool = False):
-    """Decode a batch of image blobs → feature vectors.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (palette indices count as one sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    STUB: real decoding needs an image library absent from this
-    container. ``fake=True`` returns a deterministic 8-dim feature from
-    the payload bytes so the full pipeline is testable end to end.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an image library (e.g. PIL) not present "
-            "in this environment; pass fake=True for the deterministic stub")
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Undo PNG scanline filters 0–4 (None/Sub/Up/Average/Paeth).
+    Sequential per spec (each byte depends on the already-reconstructed
+    left/up/up-left bytes); plain loops are fine — feature extraction
+    parallelism comes from Spark tasks, not from this inner loop."""
+    if len(raw) != height * (1 + stride):
+        raise ValueError(f"IDAT size {len(raw)} != expected "
+                         f"{height * (1 + stride)}")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if ft == 1:                                   # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:                                 # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:                                 # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                                 # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter type {ft} at row {y}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(data: bytes) -> list[float]:
+    """Stdlib PNG decode → 8-dim feature
+    ``[width, height, bit_depth, channels, mean_c0, mean_c1, mean_c2,
+    mean_c3]`` (channel means scaled to [0,1]; absent channels 0.0;
+    palette images report index statistics — the PLTE is metadata, not
+    samples). Every chunk's CRC-32 is verified; raises ValueError on
+    any corruption. 8-bit, non-interlaced images only (16-bit and Adam7
+    are rare in web corpora and are reported, not mis-decoded)."""
+    import struct
+    import zlib
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad IHDR compression/filter ({comp}/{filt})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if depth != 8:
+        raise ValueError(f"bit depth {depth} not supported (8 only)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad color type {color_type}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension image")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, h, w * channels, channels)
     import numpy as np
-    out = []
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, channels)
+    means = arr.mean(axis=(0, 1)) / 255.0
+    return ([float(w), float(h), float(depth), float(channels)]
+            + [float(means[i]) if i < channels else 0.0 for i in range(4)])
+
+
+def decode_image_batch(payloads, fake: bool = False
+                       ) -> list[tuple[list[float] | None, str | None]]:
+    """Decode a batch of image blobs → ``[(feature, error)]`` pairs,
+    exactly one per payload (a poison blob yields ``(None, "…")``, never
+    an exception — it must not kill a 10^6-task job).
+
+    Real path: stdlib PNG decode (``decode_png``). Non-PNG formats
+    report an 'unsupported format' error — extending to JPEG/WebP means
+    adding a codec here, nothing else changes. ``fake=True`` keeps the
+    deterministic byte-histogram feature for pipeline-shape tests."""
+    out: list[tuple[list[float] | None, str | None]] = []
+    if fake:
+        import numpy as np
+        for p in payloads:
+            if p is None:
+                out.append((None, "null payload"))
+                continue
+            b = np.frombuffer(bytes(p), dtype=np.uint8)
+            # deterministic 8-bucket byte histogram, normalized
+            hist = np.bincount(b % 8, minlength=8).astype("float64")
+            out.append(([float(x) for x in hist / max(1.0, float(hist.sum()))],
+                        None))
+        return out
     for p in payloads:
         if p is None:
-            out.append(None)
+            out.append((None, "null payload"))
             continue
-        b = np.frombuffer(bytes(p), dtype=np.uint8)
-        # deterministic 8-bucket byte histogram, normalized
-        hist = np.bincount(b % 8, minlength=8).astype("float32")
-        out.append(hist / max(1.0, float(hist.sum())))
+        b = bytes(p)
+        if b[:8] != _PNG_SIG:
+            out.append((None, "unsupported format (stdlib decoder handles "
+                              "PNG only; JPEG/WebP/audio need a codec "
+                              "library not present in this environment)"))
+            continue
+        try:
+            out.append((decode_png(b), None))
+        except Exception as e:  # corrupt blob → error channel, not a crash
+            out.append((None, f"corrupt PNG: {e}"))
     return out
 
 
@@ -97,18 +220,10 @@ def extract_features(df: DataFrame, fake_decode: bool = True,
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start:start + batch_rows]
-                feats, errs = [], []
-                try:
-                    decoded = decode_image_batch(chunk["payload"].tolist(),
-                                                 fake=fake_decode)
-                except NotImplementedError as e:
-                    decoded = [None] * len(chunk)
-                    errs = [str(e)] * len(chunk)
-                if not errs:
-                    errs = [None if d is not None else "null payload"
-                            for d in decoded]
-                feats = [None if d is None else [float(x) for x in d]
-                         for d in decoded]
+                decoded = decode_image_batch(chunk["payload"].tolist(),
+                                             fake=fake_decode)
+                feats = [f for f, _ in decoded]
+                errs = [e for _, e in decoded]
                 yield pd.DataFrame({
                     "media_id": chunk["media_id"].values,
                     "kind": chunk["kind"].values,

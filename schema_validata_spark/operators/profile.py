@@ -79,11 +79,19 @@ _WIDE_KEYS = ["nonnull", "na_like", "maxlen_raw", "maxlen_int", "num_min",
 
 
 def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
-                    want_hll: bool) -> list[dict]:
+                    want_hll: bool,
+                    content_out: dict | None = None) -> list[dict]:
     """Same per-column feature stats as the melt's grouped aggregate,
     computed as ONE wide global aggregate — field-by-field mirror of
     ``_feat`` + the ``per_col`` agg (same masking, same coalesces), so
-    downstream assembly cannot tell which path ran."""
+    downstream assembly cannot tell which path ran.
+
+    ``content_out``: when a dict is passed, a CONTENT fingerprint rides
+    the same scan (VERDICT r2 #3) — ``token = fp:{rows}:{bit_xor of
+    xxhash64(row)}:{bounded row-hash sum}``, the partition_fingerprints
+    combiner over the whole frame. One extra hash per row, zero extra
+    jobs; any value swap between rows changes the token (a stats-only
+    hash cannot see a swap that moves no column-level stat)."""
     zero = F.lit(0)
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("total")]
     names: list[str] = []
@@ -195,8 +203,18 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
                         .alias("approx_distinct"))
         keys = _WIDE_KEYS + (["approx_distinct"] if want_hll else [])
         aggs.extend(col.alias(f"{i}__{k}") for k, col in zip(keys, per))
-    row = df.agg(*aggs).collect()[0].asDict()
+    src = df
+    if content_out is not None:
+        src = df.withColumn("__rh", F.xxhash64(
+            F.struct(*[qcol(f.name) for f in df.schema.fields])))
+        aggs.append(F.expr("bit_xor(__rh)").alias("__rh_xor"))
+        aggs.append(F.sum(F.pmod(F.col("__rh"), F.lit(1 << 20)))
+                     .alias("__rh_sum"))
+    row = src.agg(*aggs).collect()[0].asDict()
     total = row["total"]
+    if content_out is not None:
+        content_out["token"] = \
+            f"fp:{total}:{row['__rh_xor']}:{row['__rh_sum']}"
     out = []
     keys = _WIDE_KEYS + (["approx_distinct"] if want_hll else [])
     for i, name in enumerate(names):
@@ -209,7 +227,8 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
 
 def _melt_stats(df: DataFrame, na_values=None, na_patterns=None,
                 exact_unique_cols: list[str] | None = None,
-                max_unique_vals: int = MAX_UNIQUE_VALS
+                max_unique_vals: int = MAX_UNIQUE_VALS,
+                content_out: dict | None = None
                 ) -> tuple[dict[str, Any], dict[str, dict[str, int]],
                            dict[str, int], int]:
     """One-scan stats for all columns. Returns ``(a, b, nulls_row,
@@ -235,9 +254,11 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None,
     want_hll = exact_unique_cols is not None
 
     if len(df.schema.fields) <= WIDE_PROFILE_MAX_COLS:
-        feat_rows = _wide_feat_rows(df, na_values, na_patterns, want_hll)
+        feat_rows = _wide_feat_rows(df, na_values, na_patterns, want_hll,
+                                    content_out)
     else:
-        feat_rows = _melt_feat_rows(df, na_values, na_patterns, want_hll)
+        feat_rows = _melt_feat_rows(df, na_values, na_patterns, want_hll,
+                                    content_out)
 
     # Which columns get the EXACT value aggregate (see docstring): all of
     # them in oracle/parity mode, else requested ∪ HLL-screened.
@@ -254,10 +275,16 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None,
 
 
 def _melt_feat_rows(df: DataFrame, na_values, na_patterns,
-                    want_hll: bool) -> list:
+                    want_hll: bool, content_out: dict | None = None) -> list:
     """Melt path: explode to (cell, features) rows, group by column —
     column-count-independent generated code; the wide path above is the
-    narrow-table fast lane (see WIDE_PROFILE_MAX_COLS)."""
+    narrow-table fast lane (see WIDE_PROFILE_MAX_COLS).
+
+    ``content_out``: same ride-along content fingerprint as
+    ``_wide_feat_rows`` — the row hash is computed once per SOURCE row
+    before the explode and carried into each melted cell; every cname
+    group then holds exactly one melted row per source row, so any one
+    group's bit_xor/sum equals the whole-frame combiner."""
     zero = F.lit(0)
     nullint = F.lit(None).cast("int")
 
@@ -341,14 +368,20 @@ def _melt_feat_rows(df: DataFrame, na_values, na_patterns,
         return F.struct(F.lit(f.name).alias("cname"), na.alias("na"),
                         *feats)
 
+    rh_pre = ([F.xxhash64(F.struct(*[qcol(f.name)
+                                     for f in df.schema.fields]))
+               .alias("__rh")] if content_out is not None else [])
     m = df.select(
+        *rh_pre,
         F.explode(F.array(*[_feat(f) for f in df.schema.fields])).alias("m")
-    ).select("m.*")
+    ).select(*(["__rh"] if content_out is not None else []), "m.*")
     # mask features of NA-like cells (string sentinels carry no stats) and
     # derive the nonnull flag — cheap per-cell ops on generated attributes
     na_col = F.col("na")
     cell = m.select(
-        "cname", "na", *(["h"] if want_hll else []),
+        "cname", "na",
+        *(["__rh"] if content_out is not None else []),
+        *(["h"] if want_hll else []),
         *[F.when(~na_col, F.col(k)).alias(k)
           for k in ("len_raw", "len_int", "d", "allint", "b",
                     "int_ok", "float_ok", "bool_ok", "ts_ok", "lead0")],
@@ -377,9 +410,20 @@ def _melt_feat_rows(df: DataFrame, na_values, na_patterns,
         F.coalesce(F.max("lead0"), F.lit(0)).alias("lead0"),
         *([F.approx_count_distinct("h").alias("approx_distinct")]
           if want_hll else []),
+        *([F.expr("bit_xor(__rh)").alias("__rh_xor"),
+           F.sum(F.pmod(F.col("__rh"), F.lit(1 << 20))).alias("__rh_sum")]
+          if content_out is not None else []),
     )
 
-    return per_col.collect()
+    rows = per_col.collect()
+    if content_out is not None:
+        if rows:
+            r0 = rows[0]
+            content_out["token"] = \
+                f"fp:{r0['total']}:{r0['__rh_xor']}:{r0['__rh_sum']}"
+        else:       # empty frame: match the wide path's empty-agg token
+            content_out["token"] = "fp:0:None:None"
+    return rows
 
 
 def _value_agg_and_assemble(df, na_values, na_patterns, feat_rows,
@@ -479,7 +523,8 @@ def profile(df: DataFrame,
             infer_types: bool | None = None,
             na_values=None, na_patterns=None,
             out_distincts: dict[str, int] | None = None,
-            exact_unique_cols: list[str] | None = None
+            exact_unique_cols: list[str] | None = None,
+            out_content: dict | None = None
             ) -> dict[str, dict[str, Any]]:
     """Observed schema: ``{column: column_info}`` with the exact shape and
     quirks of the reference's build_data_dictionary output
@@ -514,7 +559,8 @@ def profile(df: DataFrame,
     a, b, nulls_row, total = _melt_stats(
         df, na_values, na_patterns,
         exact_unique_cols=exact_unique_cols,
-        max_unique_vals=max_unique_vals)
+        max_unique_vals=max_unique_vals,
+        content_out=out_content)
 
     # Datetime CONFIRMATION pass: the melt's ts_ok is a shape screen
     # (every non-null value looks date-like); candidate columns get the

@@ -296,9 +296,13 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
     # distinct value for a stat no verdict consumes (VERDICT r1 #3).
     exact_cols = [fr.field_name for fr in rules
                   if fr.unique_value and fr.field_name in df.columns]
+    # content fingerprint rides the profile scan (VERDICT r2 #3): only
+    # needed when no Iceberg snapshot id supplies the content identity
+    content: dict = {}
     with ThreadPoolExecutor(max_workers=5) as pool:
         f_prof = pool.submit(profile, df, out_distincts=distincts,
-                             exact_unique_cols=exact_cols)
+                             exact_unique_cols=exact_cols,
+                             out_content=None if snapshot_id else content)
         f_comp = pool.submit(_composites)
         f_ri = pool.submit(_referentials)
         f_cond = pool.submit(_conditionals)
@@ -318,9 +322,12 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         f_ri.result()
         f_cond.result()
 
-    # content token: Iceberg snapshot when given, else a hash of the
-    # observed stats (already collected — no extra job)
-    content_token = snapshot_id or hashlib.md5(
+    # content token: Iceberg snapshot when given, else the row-hash
+    # fingerprint that rode the profile scan (zero extra jobs; a value
+    # swap between rows that moves no column stat still changes it —
+    # reference semantics: content md5, src/schema_validata.py:190-219).
+    # Stats-hash only as a last-resort fallback.
+    content_token = snapshot_id or content.get("token") or hashlib.md5(
         json.dumps(observed, sort_keys=True, default=str).encode()
     ).hexdigest()
     uid = f"{_dataset_md5(df, dataset_name, content_token)}_{_rules_md5(rules)}"

@@ -167,6 +167,52 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert uncapped.count() == 200 * 199 // 2
 
 
+def test_cap_buckets_reports_drops(spark):
+    """VERDICT r2 #2: capped runs must not be silent — telemetry_out
+    reports the dropped cluster (bucket/row/pair counts) instead of
+    nothing."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.dedup import (
+        minhash_near_duplicates, simhash_near_duplicates,
+        embedding_near_duplicates_lsh)
+    base = spark.range(500).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document "
+              "again and again for this skew test").alias("text"))
+    tail = spark.range(500, 520).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id"),
+                 F.lit(" with its own words entirely")).alias("text"))
+    df = base.union(tail)
+    tel: dict = {}
+    minhash_near_duplicates(df, "text", "doc_id", max_bucket=100,
+                            telemetry_out=tel).count()
+    # 500 identical docs share every band bucket (8 bands → 8 dropped
+    # buckets of 500 rows each, 8·C(500,2) pairs avoided)
+    assert tel["capped_buckets"] == 8
+    assert tel["capped_rows"] == 8 * 500
+    assert tel["capped_candidate_pairs"] == 8 * (500 * 499 // 2)
+    tel2: dict = {}
+    simhash_near_duplicates(df, "text", "doc_id", max_hamming=3,
+                            max_bucket=100, telemetry_out=tel2).count()
+    assert tel2["capped_buckets"] >= 4        # ≥ the 4 chunks of the clone sig
+    assert tel2["capped_rows"] >= 4 * 500
+    # no drops → explicit zeros, not missing keys
+    tel3: dict = {}
+    minhash_near_duplicates(tail, "text", "doc_id", max_bucket=100,
+                            telemetry_out=tel3).count()
+    assert tel3 == {"capped_buckets": 0, "capped_rows": 0,
+                    "capped_candidate_pairs": 0}
+    # embedding path: one degenerate (table, code) bucket per table
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)).alias("embedding"))
+    tel4: dict = {}
+    embedding_near_duplicates_lsh(vecs, max_bucket=50, n_planes=4,
+                                  n_tables=2, telemetry_out=tel4).count()
+    assert tel4["capped_buckets"] == 2 and tel4["capped_rows"] == 600
+
+
 # --- cluster resolution (connected components) -----------------------------
 
 def _pairs(spark, edges):

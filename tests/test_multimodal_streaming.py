@@ -27,20 +27,109 @@ def test_media_schema_and_features(spark):
         {r["media_id"]: r["feature"] for r in again}
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        decode_image_batch([b"x"], fake=False)
+def _encode_png(width, height, pixels, color_type=2, filters=None):
+    """Minimal PNG encoder for test fixtures (filters per row, default
+    all-0/None) — independent of the decoder under test."""
+    import struct
+    import zlib
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = [0] * (width * channels)
+    for y in range(height):
+        row = [pixels[y][x][c] if channels > 1 else pixels[y][x]
+               for x in range(width) for c in range(channels)] \
+            if channels > 1 else [pixels[y][x] for x in range(width)]
+        ft = filters[y]
+        raw.append(ft)
+        bpp = channels
+        if ft == 0:
+            raw += bytes(row)
+        elif ft == 1:      # Sub
+            raw += bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                         for i in range(len(row)))
+        elif ft == 2:      # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif ft == 3:      # Average
+            raw += bytes((row[i] - (((row[i - bpp] if i >= bpp else 0)
+                                     + prev[i]) >> 1)) & 0xFF
+                         for i in range(len(row)))
+        elif ft == 4:      # Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw += bytes((row[i] - paeth(row[i - bpp] if i >= bpp else 0,
+                                         prev[i],
+                                         prev[i - bpp] if i >= bpp else 0))
+                         & 0xFF for i in range(len(row)))
+        prev = row
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_real():
+    """Stdlib PNG decode (VERDICT r2 #4): dims/depth/channels + channel
+    means, across all five scanline filter types."""
+    # 2×2 RGB: known means R=(10+30+50+70)/4=40, G=80, B=120
+    px = [[(10, 60, 100), (30, 70, 110)], [(50, 90, 130), (70, 100, 140)]]
+    for filters in ([0, 0], [1, 2], [3, 4]):
+        blob = _encode_png(2, 2, px, color_type=2, filters=filters)
+        (feat, err), = decode_image_batch([blob], fake=False)
+        assert err is None, (filters, err)
+        assert feat[:4] == [2.0, 2.0, 8.0, 3.0]
+        assert abs(feat[4] - 40 / 255) < 1e-6
+        assert abs(feat[5] - 80 / 255) < 1e-6
+        assert abs(feat[6] - 120 / 255) < 1e-6
+        assert feat[7] == 0.0                   # no alpha channel
+    # grayscale
+    g = _encode_png(3, 1, [[0, 128, 255]], color_type=0)
+    (feat, err), = decode_image_batch([g], fake=False)
+    assert err is None and feat[:4] == [3.0, 1.0, 8.0, 1.0]
+    assert abs(feat[4] - (383 / 3) / 255) < 1e-6
+
+
+def test_png_decode_poison_blobs():
+    """Poison blobs land in the error slot, never raise: non-PNG,
+    CRC-corrupted, and truncated payloads."""
+    good = _encode_png(2, 2, [[(1, 2, 3), (4, 5, 6)],
+                              [(7, 8, 9), (10, 11, 12)]])
+    corrupt = bytearray(good)
+    corrupt[-17] ^= 0xFF                        # flip a byte inside IDAT
+    got = decode_image_batch(
+        [b"x", None, bytes(corrupt), good[:20], good], fake=False)
+    assert got[0][0] is None and "unsupported format" in got[0][1]
+    assert got[1] == (None, "null payload")
+    assert got[2][0] is None and "corrupt PNG" in got[2][1]
+    assert got[3][0] is None and "corrupt PNG" in got[3][1]
+    assert got[4][1] is None and got[4][0][:2] == [2.0, 2.0]
 
 
 def test_real_decode_path_channels_errors(spark):
-    """fake_decode=False must not kill the job: errors land in the
-    error column (poison-blob resilience)."""
+    """fake_decode=False must not kill the job: non-PNG blobs land in
+    the error column (poison-blob resilience), PNG blobs decode — in the
+    same Spark pass."""
     m = gen_media(spark, 5)
     rows = extract_features(m, fake_decode=False).collect()
     assert len(rows) == 5
-    assert all(r["error"] and "image decode requires" in r["error"]
-               for r in rows)
+    assert all(r["error"] and "unsupported format" in r["error"]
+               for r in rows)                   # gen_media blobs aren't PNG
     assert all(r["feature"] is None for r in rows)
+    # a real PNG through the same mapInPandas path decodes
+    blob = _encode_png(4, 2, [[(i * 10, 0, 255) for i in range(4)]] * 2)
+    png_df = spark.createDataFrame(
+        [(99, "image", "image/png", 4, 2, 0, bytearray(blob))],
+        gen_media(spark, 1).schema)
+    row, = extract_features(png_df, fake_decode=False).collect()
+    assert row["error"] is None
+    assert row["feature"][:4] == [4.0, 2.0, 8.0, 3.0]
 
 
 def test_frame_sample_plan(spark):

@@ -36,6 +36,42 @@ def test_verdicts_flag_seeded_violations(result):
     assert "optional_column" in sv["optional_missing"]
 
 
+def test_uid_content_token_sees_row_value_swap(spark):
+    """VERDICT r2 #3: without a snapshot_id the uid's content token must
+    be CONTENT-derived, not stats-derived — swapping two values between
+    rows moves no column-level stat, but must change the uid (reference
+    semantics: content md5, src/schema_validata.py:190-219)."""
+    from schema_validata_spark.rules import FieldRule, Rules
+    rules = Rules(name="SWAP", fields=[
+        FieldRule("id", required=True, data_type="Integer",
+                  unique_value=False),
+        FieldRule("v", required=True, data_type="String",
+                  unique_value=False),
+    ])
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "id int, v string")
+        return validate(spark, df, rules, dataset_name="swap",
+                        list_errors=False).uid
+
+    base = run([(1, "aa"), (2, "bb")])
+    swapped = run([(1, "bb"), (2, "aa")])       # same per-column multisets
+    assert base != swapped
+    assert base == run([(1, "aa"), (2, "bb")])  # deterministic
+    # melt path (>16 cols) carries the same token: pad with constants
+    wide_schema = ("id int, v string, " +
+                   ", ".join(f"c{i} int" for i in range(16)))
+
+    def run_wide(rows):
+        pad = tuple(range(16))
+        df = spark.createDataFrame([r + pad for r in rows], wide_schema)
+        return validate(spark, df, rules, dataset_name="swap",
+                        list_errors=False).uid
+
+    assert run_wide([(1, "aa"), (2, "bb")]) != \
+        run_wide([(1, "bb"), (2, "aa")])
+
+
 def test_composite_uniqueness_and_ri(result):
     res, _ = result
     assert res.composite_uniqueness["conv_id+turn_idx"]["duplicate_rows"] > 0
