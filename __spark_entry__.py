@@ -749,11 +749,17 @@ def q_json_payload_stats(spark, sf_dir):
     """Semi-structured payload health (operators/semistructured.py):
     per event_type, JSON parseability + key presence + numeric-typed
     share + mean of $.k — one aggregate, all get_json_object exprs
-    inside the scan stage."""
+    inside the scan stage. Poison payloads are SEEDED (every 97th
+    event's props becomes the malformed '{broken') so the invalid-JSON
+    counting path is oracle-verified, not just the happy path
+    (ADVICE r2)."""
     from schema_validata_spark.operators.semistructured import \
         json_payload_stats
-    return json_payload_stats(_t(spark, sf_dir, "events"),
-                              "props", "event_type", "k")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.pmod(F.col("event_id"), F.lit(97)) == 0, F.lit("{broken"))
+         .otherwise(F.col("props")))
+    return json_payload_stats(ev, "props", "event_type", "k")
 
 
 def q_asof_state(spark, sf_dir):
@@ -1721,17 +1727,27 @@ def oracle_sql() -> dict[str, str]:
         FROM stats"""
 
     sql["json_payload_stats"] = """
+        WITH ev AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 97 = 0 THEN '{broken' ELSE props END
+                   AS props
+          FROM events),
+        vals AS (
+          SELECT event_type, props,
+                 -- json_valid guard: DuckDB's json_extract_string RAISES
+                 -- on malformed JSON even inside TRY_CAST; the CASE keeps
+                 -- the oracle alive on seeded poison payloads
+                 CASE WHEN json_valid(props)
+                      THEN json_extract_string(props, '$.k') END AS v
+          FROM ev)
         SELECT event_type,
                count(*)::bigint AS n_rows,
                sum(CASE WHEN props IS NOT NULL AND json_valid(props)
                         THEN 1 ELSE 0 END)::bigint AS n_valid_json,
-               count(json_extract_string(props, '$.k'))::bigint
-                 AS n_with_key,
-               count(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
-                 ::bigint AS n_numeric,
-               round(avg(TRY_CAST(json_extract_string(props, '$.k')
-                                  AS DOUBLE)), 6) AS avg_value
-        FROM events GROUP BY event_type ORDER BY event_type"""
+               count(v)::bigint AS n_with_key,
+               count(TRY_CAST(v AS DOUBLE))::bigint AS n_numeric,
+               round(avg(TRY_CAST(v AS DOUBLE)), 6) AS avg_value
+        FROM vals GROUP BY event_type ORDER BY event_type"""
 
     sql["asof_state"] = """
         WITH snap AS (

@@ -99,9 +99,25 @@ def _cell_value(c: ET.Element, shared: list[str]):
             return raw
 
 
+# OLE2 compound-document magic — the container of legacy binary .xls
+# (BIFF) workbooks, which the reference's openpyxl-free pandas path
+# accepts (src/schema_validata.py:862-953) but this stdlib OOXML
+# (zip/XML) reader cannot parse.
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
 def read_xlsx(path: str) -> dict[str, list[list]]:
     """{sheet_name: rows} in workbook order; each row a list padded with
-    None for gap cells, trailing all-None rows dropped."""
+    None for gap cells, trailing all-None rows dropped.
+
+    Legacy binary ``.xls`` (OLE2/BIFF) workbooks are detected by magic
+    bytes — regardless of file extension — and rejected with a clear
+    error instead of an opaque zipfile failure."""
+    with open(path, "rb") as f:
+        if f.read(8) == _OLE2_MAGIC:
+            raise ValueError(
+                f"{path}: legacy binary .xls (OLE2/BIFF) workbooks are "
+                "not supported — re-save as .xlsx (OOXML) and retry")
     with zipfile.ZipFile(path) as z:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         try:

@@ -437,3 +437,20 @@ def test_validate_dotted_headers_end_to_end(spark, tmp_path):
             for r in res.violations.collect()}
     assert any(c == "No." for _, c in errs)          # dup flagged
     assert any(c == "price.usd" for _, c in errs)    # 999 > 100
+
+
+def test_legacy_xls_rejected_with_clear_error(spark, tmp_path):
+    """VERDICT r2 #6: the reference accepts legacy binary .xls; this
+    engine's OOXML reader cannot — the failure must be a clear
+    conversion hint, never a CSV mis-parse or an opaque zipfile error."""
+    from schema_validata_spark.sources.readers import read_spreadsheet
+    # extension dispatch: .xls fails fast before any read
+    p = tmp_path / "old_book.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 64)
+    with pytest.raises(ValueError, match=r"\.xls .*not supported"):
+        read_spreadsheet(spark, str(p))
+    # magic-byte detection: an OLE2 workbook mis-named .xlsx too
+    p2 = tmp_path / "renamed.xlsx"
+    p2.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 64)
+    with pytest.raises(ValueError, match="OLE2/BIFF"):
+        read_xlsx(str(p2))
