@@ -103,8 +103,13 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
             na = is_na_expr(c, na_values, na_patterns)
             nn = ~na
             d = safe_double(c)
+            # O(1) byte gate before the lower(trim()) allocation — an
+            # ungated lower+trim copies every multi-KB document cell
+            # twice per row; same documented ~150-byte padding bound as
+            # is_na_expr/safe_double (a bool drowned in >145 bytes of
+            # whitespace is not classified)
             lt = F.lower(F.trim(c))
-            bool_word = lt.isin("true", "false")
+            bool_word = (F.octet_length(c) <= 150) & lt.isin("true", "false")
             b = F.when(bool_word, (lt == "true").cast("int"))
 
             def g(e):
@@ -131,10 +136,12 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
                  .alias("bool_ok"),
                 F.coalesce(F.sum(g(dateish_shape_expr(c))), zero)
                  .alias("ts_ok"),
-                F.coalesce(F.max(g(
-                    ((F.substring(F.trim(c), 1, 1) == "0")
-                     & F.substring(F.trim(c), 2, 1).between("0", "9"))
-                    .cast("int"))), zero).alias("lead0"),
+                # anchored prefix regex ≡ substring(trim(c),1,1)=='0' &
+                # substring(trim(c),2,1) in 0-9 (Spark trim strips ASCII
+                # spaces only) — the regex scans the prefix in place; the
+                # substring(trim()) form copied every multi-KB text cell
+                F.coalesce(F.max(g(c.rlike("^ *0[0-9]").cast("int"))),
+                           zero).alias("lead0"),
             ]
         else:
             na = c.isNull()
@@ -298,8 +305,10 @@ def _melt_feat_rows(df: DataFrame, na_values, na_patterns,
         if kind == "string":
             na = is_na_expr(c, na_values, na_patterns)
             d = safe_double(c)
+            # byte-gated like the wide path: no lower(trim()) allocation
+            # for document-length cells
             lt = F.lower(F.trim(c))
-            bool_word = lt.isin("true", "false")
+            bool_word = (F.octet_length(c) <= 150) & lt.isin("true", "false")
             feats = [
                 F.length(c).alias("len_raw"),
                 F.length(F.when(F.abs(d) < 9.2e18, d.try_cast("bigint"))
@@ -320,10 +329,10 @@ def _melt_feat_rows(df: DataFrame, na_values, na_patterns,
                 dateish_shape_expr(c).alias("ts_ok"),
                 # lead0 probes the TRIMMED value — ' 07' still forces
                 # String inference, matching type_probe_aggs (rlike '^0\d'
-                # on trim) and the reference's stringified check
-                ((F.substring(F.trim(c), 1, 1) == "0")
-                 & F.substring(F.trim(c), 2, 1).between("0", "9")).cast("int")
-                 .alias("lead0"),
+                # on trim) and the reference's stringified check; the
+                # anchored regex scans the prefix in place instead of
+                # copying the cell via substring(trim())
+                c.rlike("^ *0[0-9]").cast("int").alias("lead0"),
             ]
         else:
             na = c.isNull()
