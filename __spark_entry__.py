@@ -845,6 +845,70 @@ def q_source_share_caps(spark, sf_dir):
             .orderBy(F.col("source").asc_nulls_first()))
 
 
+def q_pack_shards(spark, sf_dir):
+    """Sequence packing (operators/packing.py:shard_stats): per-source
+    cumulative-sum binning of documents into 4096-token shards — one
+    window per group key, deterministic across partitionings; the
+    audit view is per-(source, shard) doc count + token mass."""
+    from schema_validata_spark.operators.packing import shard_stats
+    return (shard_stats(_t(spark, sf_dir, "documents"),
+                        "doc_id", "n_chars", 4096, group_col="source")
+            .orderBy("source", "shard_idx"))
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus boilerplate discovery (operators/boilerplate.py): word
+    3-grams present in ≥5 distinct documents. Map-side per-doc dedup
+    (array_distinct before explode); the shuffle carries distinct
+    (gram, doc) pairs only."""
+    from schema_validata_spark.operators.boilerplate import \
+        boilerplate_ngrams
+    return (boilerplate_ngrams(_t(spark, sf_dir, "documents"),
+                               "text", "doc_id", n=3, min_docs=5)
+            .orderBy("ngram"))
+
+
+def q_boilerplate_ratio(spark, sf_dir):
+    """Per-document boilerplate share (operators/boilerplate.py):
+    fraction of each doc's 3-gram occurrences that are corpus-frequent
+    (≥5 docs) — the C4-style cleaning signal, scored not dropped so the
+    threshold stays a policy knob."""
+    from schema_validata_spark.operators.boilerplate import \
+        boilerplate_ratio
+    return (boilerplate_ratio(_t(spark, sf_dir, "documents"),
+                              "text", "doc_id", n=3, min_docs=5)
+            .orderBy("doc_id"))
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency audit (operators/integrity.py:fd_check):
+    does l_orderkey determine l_returnflag / l_linestatus, does
+    l_partkey determine l_suppkey — one hash aggregate per dependency,
+    one summary row each."""
+    from schema_validata_spark.operators.integrity import fd_check
+    return (fd_check(_t(spark, sf_dir, "lineitem"),
+                     [("orderkey_to_returnflag", ["l_orderkey"],
+                       "l_returnflag"),
+                      ("orderkey_to_linestatus", ["l_orderkey"],
+                       "l_linestatus"),
+                      ("partkey_to_suppkey", ["l_partkey"],
+                       "l_suppkey")])
+            .orderBy("fd"))
+
+
+def q_quality_percentiles(spark, sf_dir):
+    """Within-source percentile calibration (operators/selection.py:
+    group_percent_rank): percent_rank of document length inside each
+    source, doc_id tiebreak — the per-group threshold that keeps
+    filter rates comparable across sources."""
+    from schema_validata_spark.operators.selection import \
+        group_percent_rank
+    docs = _t(spark, sf_dir, "documents")
+    return (group_percent_rank(docs, "source", "n_chars", "doc_id")
+            .select("doc_id", "source", "n_chars", "pct_rank")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -911,6 +975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ivf_route": q_ivf_route,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "pack_shards": q_pack_shards,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "boilerplate_ratio": q_boilerplate_ratio,
+        "fd_check": q_fd_check,
+        "quality_percentiles": q_quality_percentiles,
     }
 
 
@@ -1817,5 +1886,95 @@ def oracle_sql() -> dict[str, str]:
               < printf('%08x', least(CAST(round(r.r * 4294967296.0) AS BIGINT),
                                      4294967295))
         GROUP BY d.source ORDER BY d.source NULLS FIRST"""
+
+    sql["pack_shards"] = """
+        WITH packed AS (
+          SELECT source, doc_id,
+                 greatest(coalesce(CAST(n_chars AS DOUBLE), 0.0), 0.0)
+                   AS tok,
+                 sum(greatest(coalesce(CAST(n_chars AS DOUBLE), 0.0), 0.0))
+                   OVER (PARTITION BY source ORDER BY doc_id) AS cum
+          FROM documents)
+        SELECT source,
+               CAST(floor((cum - tok) / 4096.0) AS BIGINT) AS shard_idx,
+               count(*)::bigint AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS token_mass
+        FROM packed GROUP BY source, shard_idx
+        ORDER BY source, shard_idx"""
+
+    # shared n-gram expansion for the two boilerplate oracles: word
+    # 3-grams via list_transform over an index range (DuckDB's unnest
+    # of a NULL list yields no rows, matching Spark explode of NULL)
+    _grams_cte = r"""
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+                      THEN regexp_split_to_array(lower(trim(text)), '\s+')
+                 END AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 3
+                      THEN list_transform(range(1, len(ws) - 1),
+                             i -> array_to_string(
+                                    list_slice(ws, i, i + 2), ' '))
+                 END AS ng
+          FROM w),
+        occ AS (SELECT doc_id, unnest(ng) AS ngram FROM g)"""
+
+    sql["boilerplate_ngrams"] = f"""
+        WITH {_grams_cte}
+        SELECT ngram, count(*)::bigint AS n_docs
+        FROM (SELECT DISTINCT doc_id, ngram FROM occ)
+        GROUP BY ngram HAVING count(*) >= 5
+        ORDER BY ngram"""
+
+    sql["boilerplate_ratio"] = f"""
+        WITH {_grams_cte},
+        freq AS (
+          SELECT ngram FROM (SELECT DISTINCT doc_id, ngram FROM occ)
+          GROUP BY ngram HAVING count(*) >= 5),
+        hits AS (
+          SELECT o.doc_id, count(*)::bigint AS n_ngrams,
+                 count(f.ngram)::bigint AS n_boiler
+          FROM occ o LEFT JOIN freq f ON o.ngram = f.ngram
+          GROUP BY o.doc_id)
+        SELECT d.doc_id,
+               coalesce(h.n_ngrams, 0)::bigint AS n_ngrams,
+               coalesce(h.n_boiler, 0)::bigint AS n_boiler,
+               CASE WHEN coalesce(h.n_ngrams, 0) > 0
+                    THEN round(h.n_boiler / h.n_ngrams::double, 6)
+               END AS boiler_ratio
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id"""
+
+    def _fd_sql(name: str, det: str, dep: str) -> str:
+        return f"""
+          SELECT '{name}' AS fd,
+                 count(*)::bigint AS n_keys,
+                 sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::bigint
+                   AS n_violating_keys,
+                 sum(CASE WHEN d > 1 THEN n ELSE 0 END)::bigint
+                   AS n_rows_in_violating_keys
+          FROM (SELECT {det}, count(*) AS n,
+                       count(DISTINCT {dep}) AS d
+                FROM lineitem GROUP BY {det})"""
+
+    sql["fd_check"] = (
+        "SELECT * FROM ("
+        + _fd_sql("orderkey_to_returnflag", "l_orderkey", "l_returnflag")
+        + " UNION ALL "
+        + _fd_sql("orderkey_to_linestatus", "l_orderkey", "l_linestatus")
+        + " UNION ALL "
+        + _fd_sql("partkey_to_suppkey", "l_partkey", "l_suppkey")
+        + ") ORDER BY fd")
+
+    sql["quality_percentiles"] = """
+        SELECT doc_id, source, n_chars,
+               round(percent_rank() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars ASC NULLS FIRST, doc_id ASC), 6)
+                 AS pct_rank
+        FROM documents ORDER BY doc_id"""
 
     return sql

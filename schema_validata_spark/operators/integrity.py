@@ -81,3 +81,43 @@ def referential_violation_count(fact: DataFrame, fk_cols: list[str],
                                 broadcast_dim: bool | None = None) -> int:
     return referential_violations(fact, fk_cols, dim, dim_cols,
                                   broadcast_dim).count()
+
+
+def fd_check(df: DataFrame,
+             fds: list[tuple[str, list[str], str]]) -> DataFrame:
+    """Functional-dependency audit: for each claimed dependency
+    ``determinant → dependent``, how many determinant keys map to MORE
+    than one distinct non-null dependent value (and how many rows live
+    under those keys). The classic "is this column derivable from that
+    key" data-quality probe — e.g. does every order carry one return
+    flag, does every user keep one signup country.
+
+    ``fds`` is ``[(name, [det_col, ...], dep_col), ...]``; output is
+    one row per dependency:
+    ``(fd, n_keys, n_violating_keys, n_rows_in_violating_keys)``.
+
+    NULL dependent values are ignored (NULL asserts nothing about the
+    dependency); rows whose determinant is entirely NULL are grouped
+    under the NULL key like any other group.
+
+    Scale shape: one hash aggregate per dependency on the determinant
+    key (two-stage count-distinct — partial (key, dep) dedup map-side),
+    then a one-row reduction; results union. Distinct dependencies
+    cannot share a grouping, so the scans are per-FD by construction —
+    at cluster scale callers persist ``df`` once across the list."""
+    if not fds:
+        raise ValueError("fds must be non-empty")
+    out = None
+    for name, det_cols, dep_col in fds:
+        per_key = (df.groupBy(*[qcol(c) for c in det_cols])
+                   .agg(F.count(F.lit(1)).alias("__n"),
+                        F.count_distinct(qcol(dep_col)).alias("__d")))
+        summ = per_key.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("__d") > 1, 1).otherwise(0))
+             .cast("bigint").alias("n_violating_keys"),
+            F.sum(F.when(F.col("__d") > 1, F.col("__n")).otherwise(0))
+             .cast("bigint").alias("n_rows_in_violating_keys"))
+        out = summ if out is None else out.unionByName(summ)
+    return out

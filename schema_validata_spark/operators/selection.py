@@ -33,3 +33,28 @@ def top_k_per_group(df: DataFrame, group_cols: list[str],
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (df.withColumn(rank_col, F.row_number().over(w))
               .where(F.col(rank_col) <= k))
+
+
+def group_percent_rank(df: DataFrame, group_col: str, value_col: str,
+                       tiebreak_col: str,
+                       pct_col: str = "pct_rank") -> DataFrame:
+    """Within-group percentile calibration: ``percent_rank()`` of
+    ``value_col`` inside each ``group_col`` partition, ties broken by
+    ``tiebreak_col`` so the rank is a pure function of the data (a
+    plain percent_rank over a non-unique order is frame-stable but the
+    tiebreak makes it robust to engine NULLS-ordering quirks too).
+
+    Why it exists: a single global quality threshold over-prunes
+    whole sources whose score distribution sits lower (non-English
+    text under an English-trained scorer is the canonical case);
+    calibrating to the within-source percentile keeps the filter rate
+    comparable across groups. Feed the result to a ``pct_rank >= p``
+    filter or to ``weighted_sample``.
+
+    Scale shape: ONE window = one shuffle on the group key + a
+    per-group sort; no global sort, no driver state. Rows with NULL
+    ``value_col`` sort first (Spark ASC default) and receive the
+    lowest ranks — filter them beforehand if NULL means "unscored"."""
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc()))
+    return df.withColumn(pct_col, F.round(F.percent_rank().over(w), 6))
