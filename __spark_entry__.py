@@ -909,6 +909,31 @@ def q_quality_percentiles(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture downsampling (functions/sampling.py:
+    mixture_sample): keep the largest corpus realizing 50/30/20
+    shares over src0/src1/src2 (everything else drops) — feasible
+    total pinned by the first group to run out, md5-keyed keep
+    decision, row data never shuffles."""
+    from schema_validata_spark.functions.sampling import mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, "doc_id", "source",
+                          {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+            .orderBy("source"))
+
+
+def q_padding_waste(spark, sf_dir):
+    """Length-bucket batching audit (operators/packing.py:
+    padding_waste): per 128-token bucket, real vs pad-to-ceiling token
+    mass and the wasted share — one hash aggregate."""
+    from schema_validata_spark.operators.packing import padding_waste
+    return (padding_waste(_t(spark, sf_dir, "documents"),
+                          "n_chars", 128)
+            .orderBy("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -980,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ratio": q_boilerplate_ratio,
         "fd_check": q_fd_check,
         "quality_percentiles": q_quality_percentiles,
+        "mixture_sample": q_mixture_sample,
+        "padding_waste": q_padding_waste,
     }
 
 
@@ -1976,5 +2003,48 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC NULLS FIRST, doc_id ASC), 6)
                  AS pct_rank
         FROM documents ORDER BY doc_id"""
+
+    sql["mixture_sample"] = """
+        WITH counts AS (
+          SELECT source, count(*)::double AS n
+          FROM documents GROUP BY source),
+        tg AS (
+          SELECT source, n,
+                 CASE WHEN source = 'src0' THEN 0.5
+                      WHEN source = 'src1' THEN 0.3
+                      WHEN source = 'src2' THEN 0.2 END AS tgt
+          FROM counts),
+        feas AS (
+          SELECT min(n / tgt) FILTER (WHERE tgt > 0) AS t FROM tg),
+        rates AS (
+          SELECT source,
+                 CASE WHEN tgt > 0 THEN least(1.0, tgt * t / n)
+                      ELSE 0.0 END AS r
+          FROM tg, feas)
+        SELECT d.source, count(*)::bigint AS n_kept
+        FROM documents d
+        JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+        WHERE r.r >= 1.0
+           OR (r.r > 0.0
+               AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   < printf('%08x',
+                            least(CAST(round(r.r * 4294967296.0) AS BIGINT),
+                                  4294967295)))
+        GROUP BY d.source ORDER BY d.source"""
+
+    sql["padding_waste"] = """
+        WITH base AS (
+          SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 128.0) AS BIGINT)
+                   AS bucket,
+                 CAST(n_chars AS DOUBLE) AS tok
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars >= 0)
+        SELECT bucket,
+               count(*)::bigint AS n_seqs,
+               CAST(sum(tok) AS BIGINT) AS token_mass,
+               CAST(sum((bucket + 1) * 128) AS BIGINT) AS padded_mass,
+               round(1.0 - sum(tok) / sum((bucket + 1) * 128), 6)
+                 AS waste_ratio
+        FROM base GROUP BY bucket ORDER BY bucket"""
 
     return sql

@@ -184,6 +184,62 @@ def cap_group_share(df: DataFrame, key_col: str, group_col: str,
               .where(keep).drop("__g", "__r"))
 
 
+def mixture_sample(df: DataFrame, key_col: str, group_col: str,
+                   targets: dict[str, float],
+                   salt: str = "") -> DataFrame:
+    """Deterministically downsample to a TARGET MIXTURE: given desired
+    corpus shares per group ("30% code, 50% web, 20% books"), keep the
+    largest corpus that realizes those proportions exactly (in
+    expectation) without upsampling anything.
+
+    Feasible total ``T = min over listed groups of count_g/target_g``
+    (the group that runs out first pins the size); per-group keep-rate
+    ``r_g = target_g·T/count_g ≤ 1``. Rows survive by the same md5-keyed
+    decision as ``deterministic_sample`` — reproducible across runs,
+    partitionings, and engines.
+
+    Groups NOT listed in ``targets`` (including NULL) are DROPPED —
+    a mixture is a closed recipe; give a group a share to keep it.
+    Zero/negative target shares likewise drop the group. A listed
+    group absent from the corpus simply cannot contribute: T is pinned
+    by the groups that exist, and the realized mixture renormalizes
+    over those (documented one-pass contract, not iterated).
+
+    SCALE: identical shape to ``cap_group_share`` — one map-side-
+    collapsing counts aggregate (#groups rows), T via a global window
+    over that tiny frame, then one corpus scan joined (NULL-safely) to
+    the rates frame with the map-only hash filter. Row data never
+    shuffles."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(v > 1.0 for v in targets.values()) \
+            or sum(max(v, 0.0) for v in targets.values()) > 1.0 + 1e-9:
+        raise ValueError("target shares must each be <= 1 and sum to <= 1")
+    counts = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    tgt = F.lit(None).cast("double")
+    for name, share in targets.items():
+        tgt = F.when(F.col(group_col).eqNullSafe(F.lit(name)),
+                     F.lit(float(share))).otherwise(tgt)
+    with_t = counts.select(F.col(group_col).alias("__g"), "__n",
+                           tgt.alias("__t"))
+    from pyspark.sql import Window
+    feas = F.min(F.when(F.col("__t") > 0,
+                        F.col("__n") / F.col("__t"))) \
+            .over(Window.partitionBy())
+    rates = with_t.select(
+        "__g",
+        F.when(F.col("__t") > 0,
+               F.least(F.lit(1.0), F.col("__t") * feas / F.col("__n")))
+         .otherwise(F.lit(0.0)).alias("__r"))
+    keep = ((F.col("__r") >= 1.0)
+            | ((F.col("__r") > 0.0)
+               & (stable_hash_hex(key_col, salt)
+                  < _hex_cut_expr(F.col("__r")))))
+    return (df.join(rates, F.col(group_col).eqNullSafe(F.col("__g")))
+              .where(keep).drop("__g", "__r"))
+
+
 def _hex_cut_expr(rate: Column) -> Column:
     """Per-ROW keep-cut for a COLUMN-valued rate: the 8-hex-char string
     such that ``stable_hash_hex(key) < cut`` keeps with probability

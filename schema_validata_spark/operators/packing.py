@@ -67,3 +67,32 @@ def shard_stats(df: DataFrame, order_col: str, token_col: str,
     return (packed.groupBy(group_col, "shard_idx")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum(tok).cast("bigint").alias("token_mass")))
+
+
+def padding_waste(df: DataFrame, token_col: str,
+                  bucket_width: int) -> DataFrame:
+    """Batching-efficiency audit: if sequences are length-bucketed and
+    each batch pads to its bucket's ceiling (the standard alternative
+    to packing), how many pad tokens does each bucket burn?
+
+    Per bucket ``floor(tokens/width)``: sequence count, real token
+    mass, padded mass (count × bucket ceiling), and the wasted share
+    ``1 − real/padded``. A high-waste tail bucket is the signal to
+    switch that range to ``pack_sequences``.
+
+    Rows with NULL or negative token counts are EXCLUDED — they have
+    no defined length bucket. ONE map-side-collapsing hash aggregate
+    on an 8-byte bucket id; no shuffle of row data beyond it."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    tok = F.col(token_col).cast("double")
+    base = df.where(tok.isNotNull() & (tok >= 0))
+    bucket = F.floor(tok / F.lit(float(bucket_width))).cast("bigint")
+    ceiling = (bucket + 1) * F.lit(bucket_width).cast("bigint")
+    return (base.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+                 F.sum(tok).cast("bigint").alias("token_mass"),
+                 F.sum(ceiling).cast("bigint").alias("padded_mass"))
+            .withColumn("waste_ratio",
+                        F.round(F.lit(1.0) - F.col("token_mass")
+                                / F.col("padded_mass"), 6)))

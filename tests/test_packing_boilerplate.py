@@ -177,3 +177,68 @@ def test_group_percent_rank_tiebreak_deterministic(spark):
     b = group_percent_rank(df.repartition(3, "i"), "g", "s", "i").collect()
     assert sorted((r.i, r.pct_rank) for r in a) \
         == sorted((r.i, r.pct_rank) for r in b)
+
+
+# --------------------------------------------------------- mixture_sample
+
+def _mix_corpus(spark):
+    rows = [Row(doc_id=i, src="a") for i in range(100)]
+    rows += [Row(doc_id=100 + i, src="b") for i in range(100)]
+    rows += [Row(doc_id=200 + i, src="c") for i in range(20)]
+    rows += [Row(doc_id=300, src=None)]
+    return spark.createDataFrame(rows)
+
+
+def test_mixture_sample_realizes_targets(spark):
+    from schema_validata_spark.functions.sampling import mixture_sample
+    df = _mix_corpus(spark)
+    kept = mixture_sample(df, "doc_id", "src", {"a": 0.9, "b": 0.1})
+    by = {r.src: r.n for r in
+          kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # T = min(100/0.9, 100/0.1) = 111.1 -> a keeps all, b ~11
+    assert by["a"] == 100
+    assert 2 <= by.get("b", 0) <= 30
+    # unlisted groups (c and NULL) are dropped
+    assert "c" not in by and None not in by
+
+
+def test_mixture_sample_deterministic(spark):
+    from schema_validata_spark.functions.sampling import mixture_sample
+    df = _mix_corpus(spark)
+    a = sorted(r.doc_id for r in
+               mixture_sample(df.repartition(1), "doc_id", "src",
+                              {"a": 0.5, "b": 0.5}).collect())
+    b = sorted(r.doc_id for r in
+               mixture_sample(df.repartition(5, "doc_id"), "doc_id",
+                              "src", {"a": 0.5, "b": 0.5}).collect())
+    assert a == b and len(a) > 0
+
+
+def test_mixture_sample_validates_targets(spark):
+    from schema_validata_spark.functions.sampling import mixture_sample
+    df = _mix_corpus(spark)
+    with pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "src", {})
+    with pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "src", {"a": 0.9, "b": 0.3})
+
+
+# ---------------------------------------------------------- padding_waste
+
+def test_padding_waste_buckets_and_exclusions(spark):
+    from schema_validata_spark.operators.packing import padding_waste
+    df = spark.createDataFrame(
+        [Row(i=0, tok=10), Row(i=1, tok=120), Row(i=2, tok=130),
+         Row(i=3, tok=None), Row(i=4, tok=-5)])
+    out = {r.bucket: r for r in padding_waste(df, "tok", 128).collect()}
+    assert set(out) == {0, 1}
+    b0 = out[0]
+    assert (b0.n_seqs, b0.token_mass, b0.padded_mass) == (2, 130, 256)
+    assert abs(b0.waste_ratio - (1.0 - 130.0 / 256.0)) < 1e-6
+    assert out[1].padded_mass == 256
+
+
+def test_padding_waste_rejects_bad_width(spark):
+    from schema_validata_spark.operators.packing import padding_waste
+    with pytest.raises(ValueError):
+        padding_waste(spark.range(1), "id", 0)
