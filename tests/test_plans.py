@@ -126,3 +126,73 @@ def test_contamination_scan_prunes_columns(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "doc_id" in plan and "text" in plan
     assert "other_payload" not in plan and "lang" not in plan
+
+
+def _tree(df) -> str:
+    """Plain (non-formatted) executed-plan tree: root first, leaves
+    last, each Exchange rendered on one line with its partitioning."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_shard_stats_single_exchange(spark, tmp_path):
+    """pack_sequences + per-shard agg must reuse the window's
+    hash-partitioning on the group key: the groupBy keys (group,
+    shard_idx) are clustered by the window's Exchange on group alone,
+    so the whole shard_stats plan carries exactly ONE shuffle."""
+    from schema_validata_spark.operators.packing import shard_stats
+    src = str(tmp_path / "docs")
+    spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 16).cast("string").alias("source"),
+        (F.col("id") % 700 + 1).alias("n_chars")) \
+        .write.parquet(src)
+    stats = shard_stats(spark.read.parquet(src), "doc_id", "n_chars",
+                        4096, group_col="source")
+    plan = _tree(stats)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_boilerplate_expansion_is_map_side(spark, tmp_path):
+    """boilerplate_ngrams must expand + dedup n-grams inside the scan
+    stage, never shuffle raw text: below the first Exchange (later in
+    the root-first tree string) sit the Generate AND a partial
+    aggregate, so the shuffle carries (ngram-hash, count) pairs; no
+    global Sort anywhere."""
+    from schema_validata_spark.operators.boilerplate import \
+        boilerplate_ngrams
+    src = str(tmp_path / "bdocs")
+    spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta doc"),
+                 F.col("id").cast("string")).alias("text")) \
+        .write.parquet(src)
+    freq = boilerplate_ngrams(spark.read.parquet(src), "text", "doc_id",
+                              n=3, min_docs=2)
+    plan = _tree(freq)
+    first_exchange = plan.index("Exchange hashpartitioning")
+    below = plan[first_exchange:]
+    assert "Generate" in below, plan
+    assert "partial" in below, plan
+    assert "Sort [" not in plan.split("Exchange")[0], plan
+
+
+def test_mixture_sample_no_row_shuffle(spark):
+    """mixture_sample's corpus side must stay map-only: the only
+    hash-partitioned exchanges belong to the tiny counts/rates frame
+    (group key), and row data reaches the join without repartitioning
+    (AQE decides broadcast at runtime; no forced hint)."""
+    from schema_validata_spark.functions.sampling import mixture_sample
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"))
+    kept = mixture_sample(df, "doc_id", "source",
+                          {"0": 0.5, "1": 0.5})
+    logical = kept._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = _tree(kept)
+    exchange_lines = [l for l in plan.splitlines()
+                      if "Exchange hashpartitioning" in l]
+    assert exchange_lines, plan
+    for line in exchange_lines:
+        assert "source" in line and "doc_id" not in line, line
