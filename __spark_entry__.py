@@ -934,6 +934,106 @@ def q_padding_waste(spark, sf_dir):
             .orderBy("bucket"))
 
 
+def q_encoding_qa(spark, sf_dir):
+    """Encoding/mojibake QA (functions/text.py:encoding_summary):
+    per-source totals + affected-doc counts for replacement chars,
+    stray C0 controls and UTF-8-as-Latin-1 mojibake. The artifacts are
+    synthesized identically in both engines (every 31st doc gains a
+    U+FFFD + 'Ã©', every 41st a \\x01 + 'â€™' prefix); ONE hash
+    aggregate over map-side regexp_count columns — text never
+    shuffles."""
+    from schema_validata_spark.functions.text import encoding_summary
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = (F.when(did % 31 == 0,
+                    F.concat(F.col("text"), F.lit("�"),
+                             F.lit("Ã©")))
+              .when(did % 41 == 0,
+                    F.concat(F.lit("\x01â€™"),
+                             F.col("text")))
+              .otherwise(F.col("text")))
+    return (encoding_summary(docs.select("source", messy.alias("text")),
+                             "text", group_col="source")
+            .orderBy("source"))
+
+
+def q_markup_stats(spark, sf_dir):
+    """Markup/URL density (functions/text.py:markup_stats): per-doc
+    HTML-tag / URL / entity occurrence counts and the fraction of
+    characters consumed by markup — the web-extractor-escape signal.
+    Map-only; every 13th doc is wrapped in tags + given a URL, every
+    17th gains entities, identically in both engines."""
+    from schema_validata_spark.functions.text import markup_stats
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    messy = (F.when(did % 13 == 0,
+                    F.concat(F.lit("<p>"), F.col("text"),
+                             F.lit("</p> see https://example.com/a?b=1")))
+              .when(did % 17 == 0,
+                    F.concat(F.col("text"), F.lit(" &amp;&#39;")))
+              .otherwise(F.col("text")))
+    return (markup_stats(docs.select("doc_id", messy.alias("text")),
+                         "text", "doc_id")
+            .orderBy("doc_id"))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup (operators/dedup.py:
+    snapshot_fingerprints + incremental_dedup): the seen set is every
+    5th doc's content fingerprint; the new batch is the corpus plus
+    clones of those docs under UNRELATED ids (+1000001) — clones must
+    vanish by CONTENT, seen originals too, everything else survives.
+    One left-anti join on the 8-byte fingerprint."""
+    from schema_validata_spark.operators.dedup import (
+        incremental_dedup, snapshot_fingerprints)
+    docs = _t(spark, sf_dir, "documents")
+    prior = docs.where(F.col("doc_id") % 5 == 0)
+    clones = prior.withColumn("doc_id", F.col("doc_id") + F.lit(1000001))
+    new_batch = docs.unionByName(clones)
+    seen = snapshot_fingerprints(prior, "text")
+    return (incremental_dedup(new_batch, seen, "text")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split exact-content leakage (operators/decontam.py:
+    split_leakage): splits assigned by doc_id % 3, plus clones of every
+    10th doc under ids that land in a DIFFERENT split — each cloned
+    content must surface as one leakage row (min-id exemplar, row
+    count, sorted split list). ONE fingerprint-keyed hash aggregate."""
+    from schema_validata_spark.operators.decontam import split_leakage
+    docs = _t(spark, sf_dir, "documents")
+    clones = (docs.where(F.col("doc_id") % 10 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + F.lit(1000001)))
+    corpus = docs.unionByName(clones)
+    split = (F.when(F.col("doc_id") % 3 == 0, F.lit("train"))
+              .when(F.col("doc_id") % 3 == 1, F.lit("val"))
+              .otherwise(F.lit("test")))
+    return (split_leakage(corpus.withColumn("split", split),
+                          "text", "doc_id", "split")
+            .orderBy("example_id"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """Line-level corpus dedup (operators/dedup.py:dedup_lines, the
+    CCNet/C4 boilerplate-line pass): every doc gains a universal
+    header, every even doc a shared footer, every odd doc a unique
+    trailer — lines in ≥50 distinct docs are removed and the text
+    reassembled in order. Returns (doc_id, cleaned text) so the oracle
+    hash checks the full rebuild."""
+    from schema_validata_spark.operators.dedup import dedup_lines
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    trailer = (F.when(did % 2 == 0, F.lit("SHARED FOOTER"))
+                .otherwise(F.concat(F.lit("unique-"),
+                                    did.cast("string"))))
+    messy = F.concat_ws("\n", F.lit("HEADER NAV"), F.col("text"),
+                        trailer)
+    mdf = docs.select("doc_id", messy.alias("text"))
+    return dedup_lines(mdf, "text", "doc_id", min_docs=50) \
+        .orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -1007,6 +1107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentiles": q_quality_percentiles,
         "mixture_sample": q_mixture_sample,
         "padding_waste": q_padding_waste,
+        "encoding_qa": q_encoding_qa,
+        "markup_stats": q_markup_stats,
+        "incremental_dedup": q_incremental_dedup,
+        "split_leakage": q_split_leakage,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2046,5 +2151,123 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 - sum(tok) / sum((bucket + 1) * 128), 6)
                  AS waste_ratio
         FROM base GROUP BY bucket ORDER BY bucket"""
+
+    # The SAME pattern strings the Spark operators compile (verified
+    # count-identical under Java regex and RE2) — imported, not copied,
+    # so the oracle can never drift from the engine.
+    from schema_validata_spark.functions.text import (
+        ENCODING_PATTERNS, MARKUP_PATTERNS)
+    _enc = {k: p.replace("'", "''") for k, p in ENCODING_PATTERNS.items()}
+    _mk = {k: p.replace("'", "''") for k, p in MARKUP_PATTERNS.items()}
+
+    _enc_cnt = "\n".join(
+        f", coalesce(len(regexp_extract_all(t, '{p}')), 0) AS c_{k}"
+        for k, p in _enc.items())
+    _enc_aggs = "\n".join(
+        f", sum(c_{k})::bigint AS {k}_total,"
+        f" sum(CASE WHEN c_{k} > 0 THEN 1 ELSE 0 END)::bigint AS {k}_docs"
+        for k in _enc)
+    _enc_dirty = " OR ".join(f"c_{k} > 0" for k in _enc)
+    sql["encoding_qa"] = f"""
+        WITH m AS (
+          SELECT source,
+                 CASE WHEN doc_id % 31 = 0
+                        THEN text || chr(65533) || chr(195) || chr(169)
+                      WHEN doc_id % 41 = 0
+                        THEN chr(1) || chr(226) || chr(8364) || chr(8482)
+                             || text
+                      ELSE text END AS t
+          FROM documents),
+        c AS (SELECT source {_enc_cnt} FROM m)
+        SELECT source, count(*)::bigint AS n_docs {_enc_aggs},
+               sum(CASE WHEN {_enc_dirty} THEN 1 ELSE 0 END)::bigint
+                 AS dirty_docs
+        FROM c GROUP BY source ORDER BY source"""
+
+    _mk_cnt = "\n".join(
+        f", coalesce(len(regexp_extract_all(t, '{p}')), 0) AS {k}"
+        for k, p in _mk.items())
+    _mk_strip = "t"
+    for p in _mk.values():
+        _mk_strip = f"regexp_replace({_mk_strip}, '{p}', '', 'g')"
+    sql["markup_stats"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                        THEN '<p>' || text
+                             || '</p> see https://example.com/a?b=1'
+                      WHEN doc_id % 17 = 0
+                        THEN text || ' &amp;&#39;'
+                      ELSE text END AS t
+          FROM documents)
+        SELECT doc_id {_mk_cnt},
+               CASE WHEN length(t) > 0
+                    THEN round((length(t) - length({_mk_strip}))
+                               / length(t)::double, 6)
+               END AS markup_char_ratio
+        FROM m ORDER BY doc_id"""
+
+    def _norm(q: str) -> str:
+        return (f"regexp_replace(lower(trim({q}.text)),"
+                r" '\s+', ' ', 'g')")
+
+    sql["incremental_dedup"] = f"""
+        WITH nb AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 1000001, text, source FROM documents
+          WHERE doc_id % 5 = 0)
+        SELECT nb.doc_id, nb.source FROM nb
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents s WHERE s.doc_id % 5 = 0
+            AND {_norm('s')} IS NOT DISTINCT FROM {_norm('nb')})
+        ORDER BY nb.doc_id"""
+
+    sql["split_leakage"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000001, text FROM documents
+          WHERE doc_id % 10 = 0),
+        s AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'train'
+                                 WHEN 1 THEN 'val'
+                                 ELSE 'test' END AS split,
+                 {_norm('corpus')} AS nt
+          FROM corpus)
+        SELECT min(doc_id) AS example_id,
+               count(DISTINCT split)::bigint AS n_splits,
+               count(*)::bigint AS n_rows,
+               string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+        FROM s GROUP BY nt HAVING count(DISTINCT split) > 1
+        ORDER BY example_id"""
+
+    sql["line_dedup"] = r"""
+        WITH m AS (
+          SELECT doc_id,
+                 'HEADER NAV' || chr(10) || text || chr(10) ||
+                 CASE WHEN doc_id % 2 = 0 THEN 'SHARED FOOTER'
+                      ELSE 'unique-' || CAST(doc_id AS VARCHAR) END AS t
+          FROM documents WHERE text IS NOT NULL),
+        w AS (SELECT doc_id, string_split(t, chr(10)) AS ws FROM m),
+        l AS (SELECT doc_id, u.z[1] AS line,
+                     CAST(u.z[2] AS BIGINT) AS pos
+              FROM w, unnest(list_zip(ws, range(1, len(ws) + 1)))
+                       AS u(z)),
+        freq AS (
+          SELECT line FROM (SELECT DISTINCT doc_id, line FROM l
+                            WHERE length(trim(line)) > 0)
+          GROUP BY line HAVING count(*) >= 50),
+        kept AS (
+          SELECT doc_id, pos, line FROM l
+          WHERE length(trim(line)) = 0
+             OR line NOT IN (SELECT line FROM freq)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+          FROM kept GROUP BY doc_id)
+        SELECT m.doc_id, coalesce(r.t2, '') AS text
+        FROM m LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY m.doc_id"""
 
     return sql

@@ -315,3 +315,95 @@ def gopher_rules(df, text_col: str, id_col: str, *,
         ok_alpha.alias("ok_alpha"),
         ok_stop.alias("ok_stop"),
         passes.alias("passes"))
+
+
+# --- Encoding / mojibake QA -------------------------------------------------
+# Encoding-artifact battery for web-scale ingest QA. Each pattern is
+# valid (and was verified count-identical) under BOTH Java regex
+# (Spark regexp_count) and RE2 (DuckDB regexp_extract_all), so the
+# oracle can replay the exact same strings. Heuristic by design, like
+# PII_PATTERNS: a density signal for audit, not a decoder.
+ENCODING_PATTERNS: dict[str, str] = {
+    # U+FFFD — a decoder already gave up on these bytes upstream
+    "replacement_chars": "�",
+    # C0 controls except \t \n \r — binary junk inside "text"
+    "control_chars": "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]",
+    # UTF-8 bytes decoded as Latin-1/cp1252: 2-byte sequences surface
+    # as Ã/Â + a char in U+00A0–U+00BF (é→Ã©, »→Â»), 3-byte
+    # punctuation as the literal digraph â€ (’→â€™, “→â€œ)
+    "mojibake_seqs": "â€|Ã[ -¿]|Â[ -¿]",
+}
+
+
+def encoding_artifact_counts(col: Column | str) -> dict[str, Column]:
+    """{artifact_type: occurrences-in-text Column} — one regexp_count
+    per pattern, all JVM-side in the same projection (one text scan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.coalesce(
+                F.regexp_count(c, F.lit(pat)), F.lit(0)).alias(name)
+            for name, pat in ENCODING_PATTERNS.items()}
+
+
+def encoding_qa(df, text_col: str, id_col: str):
+    """Per-document encoding-artifact counts plus an ``is_clean`` flag
+    (1 = no artifact of any type). Map-only — evaluates inside the
+    scan; the natural pre-filter before fingerprinting/dedup, since
+    mojibake makes byte-identical content hash differently."""
+    counts = encoding_artifact_counts(text_col)
+    clean = F.lit(True)
+    for c in counts.values():
+        clean = clean & (c == 0)
+    return df.select(F.col(id_col), *counts.values(),
+                     clean.cast("int").alias("is_clean"))
+
+
+def encoding_summary(df, text_col: str, group_col: str | None = None):
+    """Corpus (or per-group) encoding health: doc counts, affected-doc
+    counts and total occurrences per artifact type — ONE hash
+    aggregate over the map-side per-doc counts; long text never
+    shuffles (only the small int vector does)."""
+    counts = encoding_artifact_counts(text_col)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    dirty = None
+    for name in counts:
+        aggs.append(F.sum(name).cast("bigint").alias(f"{name}_total"))
+        aggs.append(F.count(F.when(F.col(name) > 0, 1))
+                     .cast("bigint").alias(f"{name}_docs"))
+        cond = F.col(name) > 0
+        dirty = cond if dirty is None else (dirty | cond)
+    aggs.append(F.count(F.when(dirty, 1)).cast("bigint")
+                 .alias("dirty_docs"))
+    keys = [group_col] if group_col else []
+    wide = df.select(*([F.col(group_col)] if group_col else []),
+                     *counts.values())
+    return wide.groupBy(*keys).agg(*aggs)
+
+
+# --- Markup / URL density ---------------------------------------------------
+# Web-corpus cleaning signal: text that is still full of HTML tags,
+# entities, or bare URLs escaped the extractor. Same dual-dialect
+# (Java + RE2) discipline as ENCODING_PATTERNS.
+MARKUP_PATTERNS: dict[str, str] = {
+    "html_tags": "<[A-Za-z/][^>]*>",
+    "urls": "https?://[^\\s<>\"']+",
+    "html_entities": "&[A-Za-z]+;|&#[0-9]+;",
+}
+
+
+def markup_stats(df, text_col: str, id_col: str):
+    """Per-document markup density: occurrence counts per pattern plus
+    ``markup_char_ratio`` — the fraction of characters consumed by
+    tag/entity/URL matches (computed by deleting the matches and
+    comparing lengths, so it stays a pure Column chain). Map-only."""
+    c = F.col(text_col)
+    counts = {name: F.coalesce(
+                  F.regexp_count(c, F.lit(pat)), F.lit(0)).alias(name)
+              for name, pat in MARKUP_PATTERNS.items()}
+    stripped = c
+    for pat in MARKUP_PATTERNS.values():
+        stripped = F.regexp_replace(stripped, pat, "")
+    n = F.length(c).cast("double")
+    ratio = F.when(n > 0,
+                   F.round((n - F.length(stripped)) / n, 6))
+    return df.select(F.col(id_col), *counts.values(),
+                     ratio.alias("markup_char_ratio"))

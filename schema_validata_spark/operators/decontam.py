@@ -61,3 +61,31 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
                                shingle_k, min_overlap)
            .select(F.col("train_id").alias(id_col)).distinct())
     return train.join(bad, on=id_col, how="left_anti")
+
+
+def split_leakage(df: DataFrame, text_col: str, id_col: str,
+                  split_col: str) -> DataFrame:
+    """Exact-content leakage across train/val/test splits: one row per
+    duplicated content that appears in MORE THAN ONE split, with the
+    minimum member id as a stable exemplar, the affected row count and
+    the sorted comma-joined split list. The check ``group_split``'s
+    whole-group hashing makes unnecessary — but corpora assembled from
+    multiple upstream splits need it as an audit.
+
+    SCALE: ONE hash aggregate keyed on the 8-byte content fingerprint
+    (count / min / collect_set of the tiny split label collapse
+    map-side); text never shuffles. NULL-split rows count toward
+    ``n_rows`` but not toward ``n_splits`` (count distinct skips
+    NULL) — a row of unknown split cannot prove leakage."""
+    from ..functions.text import fingerprint
+    fp = df.select(F.col(id_col), F.col(split_col),
+                   fingerprint(text_col).alias("__fp"))
+    return (fp.groupBy("__fp")
+              .agg(F.countDistinct(split_col).cast("bigint")
+                    .alias("n_splits"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                   F.min(id_col).alias("example_id"),
+                   F.concat_ws(",", F.array_sort(
+                       F.collect_set(split_col))).alias("splits"))
+              .where(F.col("n_splits") > 1)
+              .select("example_id", "n_splits", "n_rows", "splits"))

@@ -426,3 +426,107 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str,
     losers = (clusters.where(F.col("id") != F.col("cluster_id"))
                       .select(F.col("id").alias(id_col)))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# --- Incremental (cross-snapshot) dedup -------------------------------------
+
+def snapshot_fingerprints(df: DataFrame, text_col: str,
+                          fp_col: str = "fp") -> DataFrame:
+    """Distinct content fingerprints of a corpus snapshot — the compact
+    (8 bytes/row) artifact a pipeline persists after each ingest so the
+    NEXT batch can dedup against everything already taken, without
+    re-reading prior text. NULL text carries the NULL-content
+    fingerprint (xxhash64 seed value), so a seen NULL doc screens
+    later NULL docs — one explicit, engine-stable contract."""
+    return df.select(fingerprint(text_col).alias(fp_col)).distinct()
+
+
+def incremental_dedup(new_df: DataFrame, seen: DataFrame, text_col: str,
+                      fp_col: str = "fp") -> DataFrame:
+    """Rows of ``new_df`` whose content fingerprint does NOT appear in
+    ``seen`` (a ``snapshot_fingerprints`` frame) — the incremental
+    ingest stage of a continuously-growing corpus.
+
+    SCALE: one left-anti join keyed on the 8-byte fingerprint. No
+    forced hint — AQE broadcasts a modest seen set (map-only scan of
+    the new batch); at snapshot scale (billions of fps) persist BOTH
+    sides bucketed by ``fp`` so the anti-join is a co-located
+    zero-shuffle merge. Within-batch duplicates are intentionally NOT
+    collapsed here (that is ``dedup_exact``'s job; compose them)."""
+    fp = "__" + fp_col
+    seen_fp = seen.select(F.col(fp_col).alias(fp))
+    return (new_df.withColumn(fp, fingerprint(text_col))
+                  .join(seen_fp, on=fp, how="left_anti")
+                  .drop(fp))
+
+
+# --- Line-level dedup (CCNet-style) -----------------------------------------
+
+def frequent_lines(df: DataFrame, text_col: str, min_docs: int = 2
+                   ) -> DataFrame:
+    """Lines (split on \\n, compared raw) that occur in at least
+    ``min_docs`` DISTINCT documents → one (line_hash, n_docs) row each.
+    Blank/whitespace-only lines are exempt by contract (they are
+    'frequent' everywhere but carry no boilerplate signal).
+
+    SCALE: per-doc line sets are deduplicated MAP-SIDE
+    (array_distinct before explode), so the shuffle carries distinct
+    (doc, line-hash) pairs — 8-byte keys, never the line text — and a
+    page repeating one footer 10^4 times contributes one pair."""
+    lines = F.split(F.col(text_col), "\n")
+    keep = F.filter(lines, lambda l: F.length(F.trim(l)) > 0)
+    return (df.where(F.col(text_col).isNotNull())
+              .select(F.explode(F.array_distinct(keep)).alias("__l"))
+              .select(F.xxhash64("__l").alias("line_hash"))
+              .groupBy("line_hash")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+              .where(F.col("n_docs") >= min_docs))
+
+
+def dedup_lines(df: DataFrame, text_col: str, id_col: str,
+                min_docs: int = 2,
+                frequent: DataFrame | None = None) -> DataFrame:
+    """Remove corpus-frequent lines from every document (the CCNet /
+    C4 line-level dedup pass: navigation chrome, cookie banners and
+    footers repeat across pages; prose does not). Returns the input
+    columns with ``text_col`` rewritten; NULL-text rows pass through
+    unchanged; a doc whose every line was frequent becomes ''.
+
+    Pass a pre-materialized ``frequent_lines`` frame to score against
+    a fixed corpus statistic (and to skip the second corpus scan —
+    at cluster scale you compute it once and reuse it across jobs).
+
+    SCALE: positional explode → anti-join on the 8-byte line hash →
+    ONE groupBy(id) reassembly (array_sort of (pos, line) structs, no
+    window/global sort). The frequent set is Zipf-truncated tiny, so
+    AQE broadcasts the anti-join side and the only real shuffle is the
+    reassembly — (id, pos, line) rows, the same order of bytes as the
+    input text. Other columns rejoin by id AFTER reassembly so wide
+    tables don't ride the line shuffle."""
+    if frequent is None:
+        frequent = frequent_lines(df, text_col, min_docs)
+    freq = frequent.select(F.col("line_hash").alias("__lh"))
+    base = df.where(F.col(text_col).isNotNull())
+    exploded = (base.select(
+                    F.col(id_col),
+                    F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("__pos", "__line"))
+                .withColumn("__lh", F.xxhash64("__line")))
+    blank = F.length(F.trim(F.col("__line"))) == 0
+    kept = (exploded.where(~blank)
+                    .join(freq, on="__lh", how="left_anti")
+                    .unionByName(exploded.where(blank))
+                    .drop("__lh"))
+    rebuilt = (kept.groupBy(id_col)
+                   .agg(F.array_sort(F.collect_list(
+                            F.struct("__pos", "__line"))).alias("__ps"))
+                   .select(F.col(id_col),
+                           F.concat_ws("\n", F.transform(
+                               "__ps", lambda s: s["__line"]))
+                            .alias("__new")))
+    out = (df.join(rebuilt, on=id_col, how="left")
+             .withColumn(text_col,
+                         F.when(F.col(text_col).isNull(), F.lit(None))
+                          .otherwise(F.coalesce("__new", F.lit(""))))
+             .drop("__new"))
+    return out.select(*df.columns)

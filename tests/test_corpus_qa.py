@@ -1,0 +1,199 @@
+"""Corpus-QA operators added in round 3: encoding/mojibake QA, markup
+density, incremental (cross-snapshot) dedup, cross-split leakage and
+CCNet-style line-level dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_validata_spark.functions.text import (encoding_qa,
+                                                  encoding_summary,
+                                                  markup_stats)
+from schema_validata_spark.operators.decontam import split_leakage
+from schema_validata_spark.operators.dedup import (dedup_lines,
+                                                   frequent_lines,
+                                                   incremental_dedup,
+                                                   snapshot_fingerprints)
+
+
+# --- encoding QA ------------------------------------------------------------
+
+def test_encoding_qa_per_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "clean prose, nothing wrong"),
+         (2, "bad�byte and cafÃ© mojibake"),
+         (3, "ctrl\x01char"),
+         (4, "curly â€™ quote"),   # â€™
+         (5, None)],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in encoding_qa(df, "text", "doc_id")
+            .collect()}
+    assert rows[1]["is_clean"] == 1
+    assert rows[2]["replacement_chars"] == 1
+    assert rows[2]["mojibake_seqs"] == 1
+    assert rows[2]["is_clean"] == 0
+    assert rows[3]["control_chars"] == 1 and rows[3]["is_clean"] == 0
+    assert rows[4]["mojibake_seqs"] == 1
+    # NULL text: counts coalesce to 0 → clean by contract
+    assert rows[5]["is_clean"] == 1
+
+
+def test_encoding_summary_groups(spark):
+    df = spark.createDataFrame(
+        [("a", "ok"), ("a", "x�y"), ("b", "ok too")],
+        ["src", "text"])
+    out = {r["src"]: r for r in
+           encoding_summary(df, "text", group_col="src").collect()}
+    assert out["a"]["n_docs"] == 2
+    assert out["a"]["replacement_chars_total"] == 1
+    assert out["a"]["replacement_chars_docs"] == 1
+    assert out["a"]["dirty_docs"] == 1
+    assert out["b"]["dirty_docs"] == 0
+
+
+def test_encoding_summary_global(spark):
+    df = spark.createDataFrame([("x\x02",), ("ok",)], ["text"])
+    row = encoding_summary(df, "text").collect()[0]
+    assert row["n_docs"] == 2 and row["control_chars_total"] == 1
+
+
+# --- markup density ----------------------------------------------------------
+
+def test_markup_stats_counts_and_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>hi</p> see https://x.example/a &amp; done"),
+         (2, "plain text"),
+         (3, "")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in markup_stats(df, "text", "doc_id")
+            .collect()}
+    assert rows[1]["html_tags"] == 2
+    assert rows[1]["urls"] == 1
+    assert rows[1]["html_entities"] == 1
+    assert 0.0 < rows[1]["markup_char_ratio"] < 1.0
+    assert rows[2]["markup_char_ratio"] == 0.0
+    assert rows[3]["markup_char_ratio"] is None  # empty text → undefined
+
+
+# --- incremental dedup --------------------------------------------------------
+
+def test_incremental_dedup_by_content_not_id(spark):
+    prior = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "seen before"),            # same content, new id → drop
+         (11, "SEEN   before"),          # normalizes equal → drop
+         (12, "genuinely new")],
+        ["doc_id", "text"])
+    seen = snapshot_fingerprints(prior, "text")
+    kept = [r["doc_id"] for r in
+            incremental_dedup(new, seen, "text").collect()]
+    assert kept == [12]
+
+
+def test_incremental_dedup_null_contract(spark):
+    prior = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    new = spark.createDataFrame([(2, None), (3, "real")],
+                                "doc_id int, text string")
+    seen = snapshot_fingerprints(prior, "text")
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(new, seen, "text").collect())
+    # a seen NULL doc screens later NULL docs (documented contract)
+    assert kept == [3]
+
+
+def test_incremental_dedup_keeps_within_batch_dups(spark):
+    seen = snapshot_fingerprints(
+        spark.createDataFrame([(0, "x")], ["doc_id", "text"]), "text")
+    new = spark.createDataFrame(
+        [(1, "twice"), (2, "twice")], ["doc_id", "text"])
+    assert incremental_dedup(new, seen, "text").count() == 2
+
+
+# --- split leakage -------------------------------------------------------------
+
+def test_split_leakage_detects_cross_split_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "shared doc", "train"),
+         (2, "shared doc", "test"),
+         (3, "train-only dup", "train"),
+         (4, "train-only dup", "train"),
+         (5, "unique", "val")],
+        ["doc_id", "text", "split"])
+    rows = split_leakage(df, "text", "doc_id", "split").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["example_id"] == 1 and r["n_splits"] == 2
+    assert r["n_rows"] == 2 and r["splits"] == "test,train"
+
+
+def test_split_leakage_null_split_not_leakage(spark):
+    df = spark.createDataFrame(
+        [(1, "doc", "train"), (2, "doc", None)],
+        "doc_id int, text string, split string")
+    assert split_leakage(df, "text", "doc_id", "split").count() == 0
+
+
+# --- line-level dedup -----------------------------------------------------------
+
+def _mk_docs(spark, n=6):
+    rows = []
+    for i in range(n):
+        rows.append((i, "COMMON HEADER\nbody line %d\nCOMMON FOOTER" % i))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_frequent_lines_counts_docs_not_occurrences(spark):
+    df = spark.createDataFrame(
+        [(1, "dup\ndup\ndup"), (2, "dup\nother")], ["doc_id", "text"])
+    freq = frequent_lines(df, "text", min_docs=2).collect()
+    # 'dup' appears 4 times but in 2 docs; 'other' in 1 doc only
+    assert len(freq) == 1 and freq[0]["n_docs"] == 2
+
+
+def test_dedup_lines_removes_frequent_keeps_order(spark):
+    df = _mk_docs(spark)
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(df, "text", "doc_id", min_docs=3)
+           .collect()}
+    for i in out:
+        assert out[i] == "body line %d" % i
+
+
+def test_dedup_lines_preserves_blank_and_unique(spark):
+    df = spark.createDataFrame(
+        [(1, "FREQ\n\nkeep me\nFREQ"),
+         (2, "FREQ\nother body"),
+         (3, "FREQ\nthird body"),
+         (4, None)],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(df, "text", "doc_id", min_docs=3)
+           .collect()}
+    assert out[1] == "\nkeep me"        # blank line survives, order kept
+    assert out[2] == "other body"
+    assert out[4] is None               # NULL text passes through
+
+
+def test_dedup_lines_all_frequent_becomes_empty(spark):
+    df = spark.createDataFrame(
+        [(i, "ONLY LINE") for i in range(4)], ["doc_id", "text"])
+    out = dedup_lines(df, "text", "doc_id", min_docs=2).collect()
+    assert all(r["text"] == "" for r in out)
+
+
+def test_dedup_lines_precomputed_frequent_frame(spark):
+    df = _mk_docs(spark)
+    freq = frequent_lines(df, "text", min_docs=3)
+    out = dedup_lines(df, "text", "doc_id", frequent=freq).collect()
+    assert all(r["text"].startswith("body line") for r in out)
+
+
+def test_dedup_lines_partition_independent(spark):
+    df = _mk_docs(spark, n=8)
+    a = {(r["doc_id"], r["text"])
+         for r in dedup_lines(df.repartition(7), "text", "doc_id",
+                              min_docs=3).collect()}
+    b = {(r["doc_id"], r["text"])
+         for r in dedup_lines(df.coalesce(1), "text", "doc_id",
+                              min_docs=3).collect()}
+    assert a == b

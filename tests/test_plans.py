@@ -196,3 +196,38 @@ def test_mixture_sample_no_row_shuffle(spark):
     assert exchange_lines, plan
     for line in exchange_lines:
         assert "source" in line and "doc_id" not in line, line
+
+
+def test_incremental_dedup_is_one_anti_join_no_hint(spark):
+    """incremental_dedup must be a single LeftAnti join keyed on the
+    8-byte fingerprint with NO forced broadcast (AQE decides from the
+    seen set's real size) and no nested-loop fallback."""
+    from schema_validata_spark.operators.dedup import (
+        incremental_dedup, snapshot_fingerprints)
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    seen = snapshot_fingerprints(df.where(F.col("doc_id") % 7 == 0),
+                                 "text")
+    out = incremental_dedup(df, seen, "text")
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical
+    plan = _tree(out)
+    assert plan.count("LeftAnti") == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_dedup_lines_no_global_sort(spark):
+    """dedup_lines reassembles per-doc via groupBy + array_sort — the
+    plan must contain NO global (non-partition-local) sort and no
+    nested-loop join; frequent-line filtering is an anti hash join."""
+    from schema_validata_spark.operators.dedup import dedup_lines
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("HEAD\nbody "), F.col("id"),
+                 F.lit("\nFOOT")).alias("text"))
+    out = dedup_lines(df, "text", "doc_id", min_docs=10)
+    plan = _tree(out)
+    assert "Sort [" not in plan, plan          # no SortExec at all
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "LeftAnti" in plan, plan
