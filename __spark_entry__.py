@@ -1034,6 +1034,71 @@ def q_line_dedup(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def _event_role(spark, sf_dir):
+    """Shared fixture: events as a transcript — conv=user_id, order=ts
+    (unique per user in the testdata), role derived deterministically
+    from event_type (signup→system, click/view→user, rest→assistant)
+    with every 97th event_id's role NULLed to exercise NULL handling.
+    The oracle derives the identical mapping in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    role = (F.when(F.col("event_id") % 97 == 0, F.lit(None))
+             .when(F.col("event_type") == "signup", F.lit("system"))
+             .when(F.col("event_type").isin("click", "view"),
+                   F.lit("user"))
+             .otherwise(F.lit("assistant")))
+    return ev.select("user_id", "ts", role.alias("role"))
+
+
+def q_role_conformance(spark, sf_dir):
+    """Speaker-sequence automaton check (operators/sequence.py:
+    role_conformance): allowed transitions system→user, user→assistant,
+    assistant→user; openers system|user. Random event sequences violate
+    constantly, so the output lists most conversations with
+    bad-transition counts and the first break point — one lag window +
+    one hash aggregate."""
+    from schema_validata_spark.operators.sequence import role_conformance
+    return (role_conformance(
+                _event_role(spark, sf_dir), "user_id", ["ts"], "role",
+                transitions={("system", "user"), ("user", "assistant"),
+                             ("assistant", "user")},
+                first_roles={"system", "user"})
+            .orderBy("user_id"))
+
+
+def q_duplicate_conversations(spark, sf_dir):
+    """Whole-dialogue dedup (operators/dedup.py:
+    duplicate_conversations): conversations = events grouped by
+    user_id ordered by ts with props as turn text; every 7th user is
+    cloned under an unrelated id (+100000) — each cloned dialogue must
+    surface as one duplicate group keyed on SEQUENCE content (min-id
+    exemplar, member count, turn count). Turn texts hash map-side;
+    only 8-byte hashes shuffle."""
+    from schema_validata_spark.operators.dedup import (
+        duplicate_conversations)
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "props")
+    clones = ev.where(F.col("user_id") % 7 == 0) \
+               .withColumn("user_id", F.col("user_id") + F.lit(100000))
+    corpus = ev.unionByName(clones)
+    return (duplicate_conversations(corpus, "user_id", "ts", "props")
+            .orderBy("example_conv"))
+
+
+def q_context_budget(spark, sf_dir):
+    """Context-window truncation audit (operators/packing.py:
+    context_budget_stats): per-conversation cumulative bpe-ish token
+    mass over turn order vs a 400-token budget — what a
+    truncate-at-budget pass keeps, where the cut lands, how much
+    overflows. One running-sum window + one hash aggregate."""
+    from schema_validata_spark.functions.text import bpe_ish_token_count
+    from schema_validata_spark.operators.packing import (
+        context_budget_stats)
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "ts",
+                  bpe_ish_token_count("props").alias("n_tok")))
+    return (context_budget_stats(ev, "user_id", ["ts"], "n_tok", 400)
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -1112,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "split_leakage": q_split_leakage,
         "line_dedup": q_line_dedup,
+        "role_conformance": q_role_conformance,
+        "duplicate_conversations": q_duplicate_conversations,
+        "context_budget": q_context_budget,
     }
 
 
@@ -2269,5 +2337,78 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.doc_id, coalesce(r.t2, '') AS text
         FROM m LEFT JOIN rebuilt r USING (doc_id)
         ORDER BY m.doc_id"""
+
+    sql["role_conformance"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 CASE WHEN event_id % 97 = 0 THEN NULL
+                      WHEN event_type = 'signup' THEN 'system'
+                      WHEN event_type IN ('click', 'view') THEN 'user'
+                      ELSE 'assistant' END AS role
+          FROM events),
+        l AS (
+          SELECT user_id, ts, role,
+                 coalesce(role, chr(1)) AS cur,
+                 lag(coalesce(role, chr(1)))
+                   OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM r),
+        f AS (
+          SELECT user_id, ts, role, prev IS NULL AS is_first,
+                 CASE WHEN prev IS NULL
+                      THEN CASE WHEN cur IN ('system', 'user')
+                                THEN 0 ELSE 1 END
+                      ELSE CASE WHEN (prev = 'system' AND cur = 'user')
+                                  OR (prev = 'user' AND cur = 'assistant')
+                                  OR (prev = 'assistant' AND cur = 'user')
+                                THEN 0 ELSE 1 END END AS bad
+          FROM l)
+        SELECT user_id, count(*)::bigint AS n_turns,
+               max(CASE WHEN is_first AND bad = 1 THEN 1 ELSE 0
+                   END)::bigint AS bad_first,
+               sum(CASE WHEN NOT is_first AND bad = 1 THEN 1 ELSE 0
+                   END)::bigint AS n_bad_transitions,
+               sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END)::bigint
+                 AS n_null_roles,
+               min(CASE WHEN bad = 1 THEN ts END) AS first_bad_order
+        FROM f GROUP BY user_id
+        HAVING max(CASE WHEN is_first AND bad = 1 THEN 1 ELSE 0 END) = 1
+            OR sum(CASE WHEN NOT is_first AND bad = 1 THEN 1 ELSE 0
+                   END) > 0
+        ORDER BY user_id"""
+
+    sql["duplicate_conversations"] = """
+        WITH corpus AS (
+          SELECT user_id, ts, props FROM events
+          UNION ALL
+          SELECT user_id + 100000, ts, props FROM events
+          WHERE user_id % 7 = 0),
+        per_conv AS (
+          SELECT user_id, list(props ORDER BY ts) AS seq,
+                 count(*) AS n_turns
+          FROM corpus GROUP BY user_id)
+        SELECT min(user_id) AS example_conv,
+               count(*)::bigint AS n_convs,
+               min(n_turns)::bigint AS n_turns
+        FROM per_conv GROUP BY seq HAVING count(*) > 1
+        ORDER BY example_conv"""
+
+    sql["context_budget"] = r"""
+        WITH t AS (
+          SELECT user_id, ts,
+                 len(regexp_extract_all(props,
+                     '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]'))::double AS tok
+          FROM events),
+        c AS (
+          SELECT user_id, ts, tok,
+                 sum(tok) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+        SELECT user_id, count(*)::bigint AS n_turns,
+               sum(tok)::bigint AS total_tokens,
+               sum(CASE WHEN cum <= 400 THEN 1 ELSE 0 END)::bigint
+                 AS n_turns_within,
+               min(CASE WHEN cum > 400 THEN ts END) AS first_over_order,
+               greatest(sum(tok) - 400, 0)::bigint AS overflow_tokens
+        FROM c GROUP BY user_id ORDER BY user_id"""
 
     return sql

@@ -530,3 +530,53 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
                           .otherwise(F.coalesce("__new", F.lit(""))))
              .drop("__new"))
     return out.select(*df.columns)
+
+
+# --- Conversation-level (multi-turn) dedup ----------------------------------
+
+def conversation_fingerprints(df: DataFrame, conv_col: str,
+                              order_col: str, text_col: str,
+                              fp_col: str = "conv_fp") -> DataFrame:
+    """One (conv, fingerprint, n_turns) row per conversation, where the
+    fingerprint hashes the SEQUENCE of turn contents in turn order —
+    two conversations match iff their ordered turn texts match, even if
+    their ids or absolute index values differ (a re-based export of the
+    same dialogue still collides, because only the order of turns
+    matters, not the index arithmetic).
+
+    SCALE: each turn's text collapses to an 8-byte xxhash64 inside the
+    scan projection, so the groupBy shuffle carries (conv, order, hash)
+    — never the text. The per-conversation array is turns-sized (the
+    mega-conversation fixture bounds this; a 10^5-turn outlier is still
+    only ~2.4 MB of struct), sorted in-memory per group and hashed to
+    one 8-byte value. NULL-text turns hash to the engine's stable
+    NULL-input value, so they participate in identity rather than
+    silently dropping out of the sequence."""
+    turn = F.struct(F.col(order_col).alias("o"),
+                    F.xxhash64(F.col(text_col)).alias("h"))
+    ordered = F.array_sort(F.collect_list(turn))
+    hseq = F.transform(ordered, lambda s: s["h"])
+    return (df.groupBy(F.col(conv_col))
+              .agg(F.xxhash64(hseq).alias(fp_col),
+                   F.count(F.lit(1)).cast("bigint").alias("n_turns")))
+
+
+def duplicate_conversations(df: DataFrame, conv_col: str,
+                            order_col: str, text_col: str) -> DataFrame:
+    """Groups of conversations whose full ordered turn content is
+    identical — whole-dialogue duplicates that turn-level exact dedup
+    cannot see (every turn may individually be common boilerplate; the
+    duplicated OBJECT is the sequence). One row per duplicate group:
+    example_conv (minimum member id), n_convs, n_turns.
+
+    SCALE: conversation_fingerprints' turn shuffle (8-byte hashes) +
+    ONE hash aggregate over conversation-count rows keyed on the
+    8-byte fingerprint. Text never shuffles; nothing is corpus-sized
+    after the first aggregate."""
+    fps = conversation_fingerprints(df, conv_col, order_col, text_col)
+    return (fps.groupBy("conv_fp")
+               .agg(F.min(conv_col).alias("example_conv"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+                    F.min("n_turns").alias("n_turns"))
+               .where(F.col("n_convs") > 1)
+               .select("example_conv", "n_convs", "n_turns"))

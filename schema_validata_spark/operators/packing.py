@@ -96,3 +96,48 @@ def padding_waste(df: DataFrame, token_col: str,
             .withColumn("waste_ratio",
                         F.round(F.lit(1.0) - F.col("token_mass")
                                 / F.col("padded_mass"), 6)))
+
+
+def context_budget_stats(df: DataFrame, part_col: str,
+                         order_cols: list[str], token_col: str,
+                         budget: int) -> DataFrame:
+    """Per-conversation context-window audit: where does each dialogue
+    cross a token ``budget`` laid out in turn order? The planning view
+    for context-length truncation — how much survives a cut, which
+    conversations overflow at all, and at which turn the cut lands.
+
+    Output, one row per conversation: part, n_turns, total_tokens,
+    n_turns_within (turns whose cumulative mass still fits the budget
+    — what a truncate-at-budget pass would KEEP), first_over_order
+    (the order_cols[0] value of the first overflowing turn; NULL when
+    the whole conversation fits) and overflow_tokens
+    (max(total − budget, 0)).
+
+    NULL/negative token counts clamp to 0 (same contract as
+    ``pack_sequences``: the turn stays, it just occupies no budget).
+    ``order_cols`` must totally order each conversation.
+
+    SCALE: ONE keyed window (running sum — streaming per group, no
+    buffering) + ONE hash aggregate; only (part, order, count) ride
+    the shuffle if the caller projects first. Result is
+    conversations-sized."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tok = F.greatest(F.coalesce(F.col(token_col).cast("double"),
+                                F.lit(0.0)), F.lit(0.0))
+    w = (Window.partitionBy(part_col)
+               .orderBy(*[F.col(c) for c in order_cols])
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(tok).over(w)
+    o0 = F.col(order_cols[0])
+    return (df.withColumn("__cum", cum)
+              .groupBy(F.col(part_col))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+                   F.sum(tok).cast("bigint").alias("total_tokens"),
+                   F.count(F.when(F.col("__cum") <= float(budget), 1))
+                    .cast("bigint").alias("n_turns_within"),
+                   F.min(F.when(F.col("__cum") > float(budget), o0))
+                    .alias("first_over_order"))
+              .withColumn("overflow_tokens",
+                          F.greatest(F.col("total_tokens") - budget,
+                                     F.lit(0)).cast("bigint")))

@@ -88,6 +88,58 @@ def order_regressions(df: DataFrame, part_col: str,
               .where(F.col(ts_col) < F.col("prev_max_ts")))
 
 
+def role_conformance(df: DataFrame, part_col: str,
+                     order_cols: list[str], role_col: str, *,
+                     transitions: set[tuple[str, str]],
+                     first_roles: set[str]) -> DataFrame:
+    """Conversations whose speaker sequence violates a role-transition
+    automaton — the transcript-shape invariant SFT pipelines assume
+    (e.g. ``system`` only opens, ``user`` and ``assistant`` strictly
+    alternate, ``tool`` only follows ``assistant``). ``transitions``
+    is the allowed (prev_role, role) set; ``first_roles`` the roles
+    allowed to open a conversation.
+
+    Output (violating conversations only): part, n_turns,
+    bad_first (0/1), n_bad_transitions, n_null_roles, first_bad_order
+    (the FIRST order_cols[0] value at which the automaton broke — the
+    truncation point a repair pass would cut at). NULL roles can never
+    match an allowed role/transition, so they surface as violations
+    and are also counted separately.
+
+    SCALE: ONE keyed window (lag over the caller's total order — same
+    contract as the other ops here) + ONE hash aggregate; the role
+    strings are tiny and the transition set is a literal isin list
+    evaluated JVM-side. Conformant conversations are filtered out, so
+    the result is violations-sized, not corpus-sized."""
+    sep = "\x1f"
+    sentinel = "\x00"  # stands in for NULL; never a legal role
+    role = F.coalesce(F.col(role_col), F.lit(sentinel))
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    prev = F.lag(role).over(w)
+    first_ok = role.isin(*[F.lit(r) for r in first_roles])
+    trans_key = F.concat_ws(sep, prev, role)
+    trans_ok = trans_key.isin(
+        *[F.lit(a + sep + b) for a, b in transitions])
+    bad = F.when(prev.isNull(), ~first_ok).otherwise(~trans_ok)
+    o0 = F.col(order_cols[0])
+    agg = (df.withColumn("__bad", bad)
+             .withColumn("__first", prev.isNull())
+             .groupBy(F.col(part_col))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+                  F.max(F.when(F.col("__first") & F.col("__bad"), 1)
+                         .otherwise(0)).cast("bigint")
+                   .alias("bad_first"),
+                  F.count(F.when(~F.col("__first") & F.col("__bad"), 1))
+                   .cast("bigint").alias("n_bad_transitions"),
+                  (F.count(F.lit(1)) - F.count(role_col)).cast("bigint")
+                   .alias("n_null_roles"),
+                  F.min(F.when(F.col("__bad"), o0))
+                   .alias("first_bad_order")))
+    return agg.where((F.col("bad_first") == 1)
+                     | (F.col("n_bad_transitions") > 0))
+
+
 def turn_conformance(df: DataFrame, part_col: str, idx_col: str,
                      start: int = 0) -> DataFrame:
     """Conversations whose turn index is NOT a dense ``start..start+n-1``

@@ -231,3 +231,57 @@ def test_dedup_lines_no_global_sort(spark):
     assert "Sort [" not in plan, plan          # no SortExec at all
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_role_conformance_one_shuffle(spark):
+    """role_conformance = ONE exchange on the conversation key (the
+    lag window and the per-conversation aggregate share it) plus a
+    partition-LOCAL sort only; never a nested-loop join."""
+    from schema_validata_spark.operators.sequence import role_conformance
+    df = spark.range(2_000).select(
+        (F.col("id") % 40).alias("conv"), F.col("id").alias("turn"),
+        F.when(F.col("id") % 2 == 0, "user").otherwise("assistant")
+         .alias("role"))
+    out = role_conformance(
+        df, "conv", ["turn"], "role",
+        transitions={("user", "assistant"), ("assistant", "user")},
+        first_roles={"user"})
+    plan = _tree(out)
+    assert plan.count("Exchange") == 1, plan
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert ", false, 0" in line, line   # partition-local only
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_context_budget_one_shuffle(spark):
+    """context_budget_stats shares the same single-exchange window+agg
+    shape as role_conformance."""
+    from schema_validata_spark.operators.packing import (
+        context_budget_stats)
+    df = spark.range(2_000).select(
+        (F.col("id") % 40).alias("conv"), F.col("id").alias("turn"),
+        (F.col("id") % 9).alias("tok"))
+    out = context_budget_stats(df, "conv", ["turn"], "tok", 20)
+    plan = _tree(out)
+    assert plan.count("Exchange") == 1, plan
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert ", false, 0" in line, line
+    assert "NestedLoop" not in plan, plan
+
+
+def test_duplicate_conversations_two_hash_aggs_no_sort(spark):
+    """duplicate_conversations = exactly two exchanges (conversation
+    key, then the 8-byte fingerprint) with NO sort of any kind — turn
+    text must collapse to xxhash64 BEFORE the first shuffle."""
+    from schema_validata_spark.operators.dedup import (
+        duplicate_conversations)
+    df = spark.range(2_000).select(
+        (F.col("id") % 40).alias("conv"), F.col("id").alias("turn"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"))
+    out = duplicate_conversations(df, "conv", "turn", "text")
+    plan = _tree(out)
+    assert plan.count("Exchange") == 2, plan
+    assert "Sort [" not in plan, plan
+    assert "xxhash64" in plan, plan
