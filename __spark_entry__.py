@@ -1099,6 +1099,28 @@ def q_context_budget(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary summary (functions/text.py:vocab_stats):
+    total/distinct tokens, type-token ratio, hapax count + share, head
+    token share — ONE row from a wordcount two-stage aggregate plus a
+    global aggregate over the vocabulary-sized counts frame."""
+    from schema_validata_spark.functions.text import vocab_stats
+    return vocab_stats(_t(spark, sf_dir, "documents"), "text")
+
+
+def q_novelty(spark, sf_dir):
+    """Per-document novelty vs a reference snapshot (operators/
+    decontam.py:novelty_stats): share of each doc's distinct 5-gram
+    hashes absent from the reference (every 3rd doc — those score 0 by
+    construction). 8-byte shingle-hash left join + one aggregate; the
+    oracle joins the shingle strings directly."""
+    from schema_validata_spark.operators.decontam import novelty_stats
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    return (novelty_stats(docs, ref, "text", "doc_id", shingle_k=5)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -1180,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_conformance": q_role_conformance,
         "duplicate_conversations": q_duplicate_conversations,
         "context_budget": q_context_budget,
+        "vocab_stats": q_vocab_stats,
+        "novelty_stats": q_novelty,
     }
 
 
@@ -2410,5 +2434,38 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cum > 400 THEN ts END) AS first_over_order,
                greatest(sum(tok) - 400, 0)::bigint AS overflow_tokens
         FROM c GROUP BY user_id ORDER BY user_id"""
+
+    sql["vocab_stats"] = r"""
+        WITH counts AS (
+          SELECT token, count(*)::bigint AS n
+          FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+')) AS token
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0)
+          GROUP BY token)
+        SELECT sum(n)::bigint AS n_tokens,
+               count(*)::bigint AS n_types,
+               round(count(*) / sum(n)::double, 6) AS type_token_ratio,
+               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::bigint AS n_hapax,
+               round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                     / count(*)::double, 6) AS hapax_share,
+               round(max(n) / sum(n)::double, 6) AS top_share
+        FROM counts"""
+
+    # reuse the toks/sh shingle CTEs (drop the contamination-specific
+    # ev/cp tail) so the novelty oracle shares the exact 5-gram recipe
+    _sh5_base = _sh5_ctes[:_sh5_ctes.index("ev AS")].rstrip().rstrip(",")
+    sql["novelty_stats"] = f"""
+        WITH {_sh5_base},
+        ref AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                WHERE doc_id % 3 = 0),
+        d AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        j AS (SELECT d.doc_id, r.g IS NOT NULL AS seen
+              FROM d LEFT JOIN ref r ON d.g = r.g)
+        SELECT doc_id, count(*)::bigint AS n_shingles,
+               sum(CASE WHEN seen THEN 0 ELSE 1 END)::bigint AS n_novel,
+               round(sum(CASE WHEN seen THEN 0 ELSE 1 END)
+                     / count(*)::double, 6) AS novelty_ratio
+        FROM j GROUP BY doc_id ORDER BY doc_id"""
 
     return sql

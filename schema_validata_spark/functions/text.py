@@ -407,3 +407,50 @@ def markup_stats(df, text_col: str, id_col: str):
                    F.round((n - F.length(stripped)) / n, 6))
     return df.select(F.col(id_col), *counts.values(),
                      ratio.alias("markup_char_ratio"))
+
+
+def vocab_stats(df, text_col: str) -> "DataFrame":
+    """Corpus vocabulary summary in ONE row: token occurrences
+    (``n_tokens``), distinct types (``n_types``), type/token ratio,
+    hapax legomena count + share (types occurring exactly once — the
+    Zipf tail; a collapsing hapax share is the classic symptom of
+    template/boilerplate-dominated or deduplicated-to-death corpora)
+    and the head token's share of all occurrences (``top_share``).
+
+    Same case-folded whitespace tokenization as ``top_tokens``;
+    empty/NULL texts carry no tokens.
+
+    SCALE: wordcount two-stage hash aggregate (map-side partial
+    collapse — the shuffle carries one row per (partition, distinct
+    token)), then ONE global aggregate over the vocabulary-sized
+    counts frame. No sort, no top-k heap, no row data after the first
+    aggregate."""
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (counts.agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("bigint")
+                 .alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.count(F.when(F.col("n") == 1, 1)).cast("bigint")
+                 .alias("n_hapax"),
+                F.coalesce(F.max("n"), F.lit(0)).cast("bigint")
+                 .alias("top_n"))
+            .select(
+                "n_tokens", "n_types",
+                F.when(F.col("n_tokens") > 0,
+                       F.round(F.col("n_types")
+                               / F.col("n_tokens").cast("double"), 6))
+                 .alias("type_token_ratio"),
+                "n_hapax",
+                F.when(F.col("n_types") > 0,
+                       F.round(F.col("n_hapax")
+                               / F.col("n_types").cast("double"), 6))
+                 .alias("hapax_share"),
+                F.when(F.col("n_tokens") > 0,
+                       F.round(F.col("top_n")
+                               / F.col("n_tokens").cast("double"), 6))
+                 .alias("top_share")))

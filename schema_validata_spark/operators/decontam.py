@@ -89,3 +89,37 @@ def split_leakage(df: DataFrame, text_col: str, id_col: str,
                        F.collect_set(split_col))).alias("splits"))
               .where(F.col("n_splits") > 1)
               .select("example_id", "n_splits", "n_rows", "splits"))
+
+
+def novelty_stats(df: DataFrame, ref: DataFrame, text_col: str,
+                  id_col: str, shingle_k: int = 8) -> DataFrame:
+    """Per-document novelty vs a reference corpus: of the doc's
+    DISTINCT ``shingle_k``-gram hashes, how many never occur in
+    ``ref``? Output: (id, n_shingles, n_novel, novelty_ratio). The
+    inverse view of contamination — curation keeps HIGH-novelty docs
+    when growing a corpus snapshot (near-zero novelty ≈ the reference
+    already covers the content; decontamination instead DROPS on any
+    overlap with a protected set).
+
+    NULL-text docs carry no shingles and are excluded (same contract
+    as ``contamination_pairs``); short docs (< k tokens) hash their
+    whole text as one shingle.
+
+    SCALE: both sides collapse to 8-byte shingle hashes inside their
+    scans; the reference's DISTINCT hash set (vocabulary-sized, not
+    corpus-sized) left-joins against the doc-shingle frame — unhinted,
+    AQE broadcasts when it fits — and ONE hash aggregate per doc
+    closes it. Text never shuffles."""
+    d = _shingle_hashes(df, text_col, id_col, "__id", shingle_k)
+    seen = (_shingle_hashes(ref, text_col, id_col, "__rid", shingle_k)
+            .select("sh").distinct()
+            .withColumn("__seen", F.lit(1)))
+    return (d.join(seen, on="sh", how="left")
+             .groupBy(F.col("__id").alias(id_col))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+                  F.count(F.when(F.col("__seen").isNull(), 1))
+                   .cast("bigint").alias("n_novel"))
+             .withColumn("novelty_ratio",
+                         F.round(F.col("n_novel")
+                                 / F.col("n_shingles").cast("double"),
+                                 6)))

@@ -197,3 +197,59 @@ def test_dedup_lines_partition_independent(spark):
          for r in dedup_lines(df.coalesce(1), "text", "doc_id",
                               min_docs=3).collect()}
     assert a == b
+
+
+# --- vocab_stats -------------------------------------------------------------
+
+def test_vocab_stats_counts(spark):
+    from schema_validata_spark.functions.text import vocab_stats
+    df = spark.createDataFrame(
+        [("a b a",), ("B c",), (None,), ("  ",)], "text string")
+    r = vocab_stats(df, "text").collect()[0]
+    # tokens: a b a b c → 5 occurrences, 3 types (case-folded)
+    assert (r["n_tokens"], r["n_types"]) == (5, 3)
+    assert r["n_hapax"] == 1                       # only 'c'
+    assert r["type_token_ratio"] == round(3 / 5, 6)
+    assert r["hapax_share"] == round(1 / 3, 6)
+    assert r["top_share"] == round(2 / 5, 6)       # 'a' or 'b' = 2/5
+
+
+def test_vocab_stats_empty_corpus(spark):
+    from schema_validata_spark.functions.text import vocab_stats
+    df = spark.createDataFrame([(None,), ("",)], "text string")
+    r = vocab_stats(df, "text").collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (0, 0, 0)
+    assert r["type_token_ratio"] is None
+    assert r["top_share"] is None
+
+
+# --- novelty_stats -----------------------------------------------------------
+
+def test_novelty_stats_planted(spark):
+    from schema_validata_spark.operators.decontam import novelty_stats
+    mk = " ".join  # build texts with known 3-gram structure
+    df = spark.createDataFrame(
+        [(1, mk(["w1", "w2", "w3", "w4"])),    # shingles: w1w2w3, w2w3w4
+         (2, mk(["w1", "w2", "w3"])),          # shingle: w1w2w3
+         (3, mk(["x1", "x2", "x3"])),          # novel entirely
+         (4, None)],                           # excluded
+        "doc_id long, text string")
+    ref = df.where("doc_id = 2")               # covers only w1w2w3
+    got = {r["doc_id"]: r for r in
+           novelty_stats(df, ref, "text", "doc_id",
+                         shingle_k=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_shingles"], got[1]["n_novel"]) == (2, 1)
+    assert got[1]["novelty_ratio"] == 0.5
+    assert (got[2]["n_shingles"], got[2]["n_novel"]) == (1, 0)
+    assert (got[3]["n_shingles"], got[3]["n_novel"]) == (1, 1)
+
+
+def test_novelty_stats_short_doc_whole_text_shingle(spark):
+    from schema_validata_spark.operators.decontam import novelty_stats
+    df = spark.createDataFrame([(1, "tiny doc")],
+                               "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "tiny doc")],
+                                "doc_id long, text string")
+    r = novelty_stats(df, ref, "text", "doc_id", shingle_k=8).collect()
+    assert (r[0]["n_shingles"], r[0]["n_novel"]) == (1, 0)
