@@ -1099,6 +1099,52 @@ def q_context_budget(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_incremental_near_dedup(spark, sf_dir):
+    """Cross-snapshot NEAR dedup (operators/dedup.py:
+    incremental_near_dedup): the seen artifact is every 5th doc's
+    MinHash signature; the new batch adds lightly-edited clones of
+    those docs (one token appended) under unrelated ids — the clones
+    should screen out against the snapshot's signatures alone (no
+    prior text). Approximate on both axes (banding recall, signature
+    estimate) → rows-only check; the estimator and recall are
+    pytest-asserted."""
+    from schema_validata_spark.operators.dedup import (
+        incremental_near_dedup, snapshot_minhash_signatures)
+    docs = _t(spark, sf_dir, "documents")
+    prior = docs.where(F.col("doc_id") % 5 == 0)
+    clones = (prior.withColumn("doc_id", F.col("doc_id") + F.lit(2000001))
+                   .withColumn("text", F.concat(F.col("text"),
+                                                F.lit(" retrieved"))))
+    new_batch = docs.where(F.col("doc_id") % 5 != 0).unionByName(clones)
+    seen = snapshot_minhash_signatures(prior, "text", "doc_id")
+    return (incremental_near_dedup(new_batch, seen, "text", "doc_id",
+                                   threshold=0.5)
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+def q_url_domains(spark, sf_dir):
+    """Top URL domains (functions/text.py:url_domains): every 3rd doc
+    gains a link to a deterministic host (doc_id%7 picks the domain,
+    doc_id%3==0∧%2 adds a second mention) — occurrence and
+    document counts per host, top-k by link mass."""
+    from schema_validata_spark.functions.text import url_domains
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    link = F.concat(F.lit(" see https://site"),
+                    (did % 7).cast("string"),
+                    F.lit(".example.com/p?id="), did.cast("string"))
+    link2 = F.when(did % 2 == 0,
+                   F.concat(F.lit(" and https://site"),
+                            (did % 7).cast("string"),
+                            F.lit(".example.com/q"))) \
+             .otherwise(F.lit(""))
+    messy = F.when(did % 3 == 0,
+                   F.concat(F.col("text"), link, link2)) \
+             .otherwise(F.col("text"))
+    return url_domains(docs.select("doc_id", messy.alias("text")),
+                       "text", "doc_id", k=10)
+
+
 def q_vocab_stats(spark, sf_dir):
     """Corpus vocabulary summary (functions/text.py:vocab_stats):
     total/distinct tokens, type-token ratio, hapax count + share, head
@@ -1204,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_budget": q_context_budget,
         "vocab_stats": q_vocab_stats,
         "novelty_stats": q_novelty,
+        "incremental_near_dedup": q_incremental_near_dedup,
+        "url_domains": q_url_domains,
     }
 
 
@@ -2467,5 +2515,36 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CASE WHEN seen THEN 0 ELSE 1 END)
                      / count(*)::double, 6) AS novelty_ratio
         FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+    sql["url_domains"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' see https://site'
+                           || CAST(doc_id % 7 AS VARCHAR)
+                           || '.example.com/p?id='
+                           || CAST(doc_id AS VARCHAR)
+                           || CASE WHEN doc_id % 2 = 0
+                                   THEN ' and https://site'
+                                        || CAST(doc_id % 7 AS VARCHAR)
+                                        || '.example.com/q'
+                                   ELSE '' END
+                      ELSE text END AS t
+          FROM documents WHERE text IS NOT NULL),
+        u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(t, '{_mk["urls"]}')) AS url
+          FROM m),
+        d AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^https?://([^/:?#]+)', 1))
+                   AS domain
+          FROM u
+          WHERE length(regexp_extract(url, '^https?://([^/:?#]+)', 1))
+                > 0)
+        SELECT domain, count(*)::bigint AS n_occurrences,
+               count(DISTINCT doc_id)::bigint AS n_docs
+        FROM d GROUP BY domain
+        ORDER BY n_occurrences DESC, domain ASC LIMIT 10"""
 
     return sql

@@ -454,3 +454,36 @@ def vocab_stats(df, text_col: str) -> "DataFrame":
                        F.round(F.col("top_n")
                                / F.col("n_tokens").cast("double"), 6))
                  .alias("top_share")))
+
+
+def url_domains(df, text_col: str, id_col: str, k: int = 20
+                ) -> "DataFrame":
+    """Top-k URL domains cited inside document text — the
+    blocklist/whitelist curation view of a web corpus (which hosts
+    dominate the link mass, which docs to re-crawl or drop). Output
+    (domain, n_occurrences, n_docs), ordered by occurrences desc then
+    domain asc; domains are case-folded hosts (no port/path).
+
+    SCALE: ONE scan — URLs extract and reduce to hosts inside the scan
+    projection (regexp battery, same dual Java/RE2 dialect as
+    MARKUP_PATTERNS), then one hash aggregate per domain (the
+    countDistinct(doc) expands to a standard two-phase agg over
+    (domain, id) pairs — ids, never text, ride the shuffle). The final
+    top-k is TakeOrderedAndProject (per-task heap — no global sort)."""
+    c = F.col(text_col)
+    urls = F.regexp_extract_all(c, F.lit(MARKUP_PATTERNS["urls"]), 0)
+    host = lambda u: F.lower(F.regexp_extract(
+        u, r"^https?://([^/:?#]+)", 1))
+    domains = F.filter(F.transform(urls, host),
+                       lambda d: F.length(d) > 0)
+    pairs = (df.where(c.isNotNull())
+               .select(F.col(id_col).alias("__doc"),
+                       F.explode(domains).alias("domain")))
+    return (pairs.groupBy("domain")
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_occurrences"),
+                      F.countDistinct("__doc").cast("bigint")
+                       .alias("n_docs"))
+                 .orderBy(F.col("n_occurrences").desc(),
+                          F.col("domain").asc())
+                 .limit(k))

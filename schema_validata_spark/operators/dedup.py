@@ -129,6 +129,23 @@ def _cap_buckets(buckets: DataFrame, bucket_col: str,
     return buckets.join(ok, bucket_col)
 
 
+def _band_buckets(sigs: DataFrame, id_col: str, num_hashes: int,
+                  bands: int) -> DataFrame:
+    """(id, bucket): one LSH bucket hash per band per signature —
+    band b's bucket is xxhash64 of its signature slice, seeded by b so
+    identical slices in different bands never collide. Shared by the
+    self-join (within-corpus) and cross-snapshot candidate paths."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(F.concat_ws(
+            ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                   for r in range(rows_per_band)]), F.lit(b)).alias("bh")
+        for b in range(bands)
+    ]
+    return sigs.select(F.col(id_col),
+                       F.explode(F.array(*band_cols)).alias("bucket"))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_k: int = 3,
@@ -139,17 +156,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     buckets → distinct pairs (a < b). Shuffle keys are band hashes;
     documents never move. ``max_bucket`` bounds degenerate buckets;
     ``telemetry_out`` audits what the cap dropped (see ``_cap_buckets``)."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    band_cols = [
-        F.xxhash64(F.concat_ws(
-            ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                   for r in range(rows_per_band)]), F.lit(b)).alias("bh")
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("bucket"))
+    buckets = _band_buckets(sigs, id_col, num_hashes, bands)
     buckets = _cap_buckets(buckets, "bucket", max_bucket, telemetry_out)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -580,3 +588,71 @@ def duplicate_conversations(df: DataFrame, conv_col: str,
                     F.min("n_turns").alias("n_turns"))
                .where(F.col("n_convs") > 1)
                .select("example_conv", "n_convs", "n_turns"))
+
+
+def snapshot_minhash_signatures(df: DataFrame, text_col: str,
+                                id_col: str, num_hashes: int = 32,
+                                shingle_k: int = 3) -> DataFrame:
+    """The compact near-dup artifact a pipeline persists per snapshot:
+    (id, sig) MinHash signatures — num_hashes × 8 bytes per doc, so the
+    NEXT ingest batch can be screened for near-duplicates of content
+    whose text is no longer on hand. Thin alias of
+    ``minhash_signatures`` named for the persist-then-reuse contract
+    (store with the SAME num_hashes/shingle_k you screen with)."""
+    return minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_k)
+
+
+def incremental_near_dedup(new_df: DataFrame, seen_sigs: DataFrame,
+                           text_col: str, id_col: str, *,
+                           threshold: float = 0.7, num_hashes: int = 32,
+                           bands: int = 8, shingle_k: int = 3,
+                           max_bucket: int | None = 2000,
+                           telemetry_out: dict | None = None
+                           ) -> DataFrame:
+    """Rows of ``new_df`` that are NOT near-duplicates of a prior
+    snapshot, screening against the snapshot's persisted MinHash
+    signatures only (``snapshot_minhash_signatures`` — the prior text
+    is NOT needed). The NEAR twin of ``incremental_dedup``: exact
+    incremental dedup catches byte-identical re-crawls; this catches
+    the re-crawl with a new timestamp in the footer.
+
+    Verification is the standard MinHash ESTIMATE — the fraction of
+    matching signature components (an unbiased Jaccard estimator,
+    σ = sqrt(J(1−J)/H) ≈ 0.08 at H=32) — because the snapshot side has
+    no text to re-shingle. Near-dup decisions are therefore
+    approximate on BOTH axes (banding recall, estimate precision);
+    tighten num_hashes for a sharper estimate. New-batch docs with
+    NULL text carry no signature and PASS THROUGH (they cannot be
+    near anything; exact-dedup them separately).
+
+    SCALE: both band-bucket frames are (id, 8-byte bucket) rows; the
+    candidate join is bucket-keyed, the estimate joins two
+    num_hashes-long arrays for candidates only, and removal is one
+    anti-join on the new-batch id. Text never shuffles; the snapshot
+    never rescans. ``max_bucket``/``telemetry_out`` bound and audit
+    degenerate buckets exactly as in ``minhash_lsh_candidates``."""
+    new_sigs = minhash_signatures(new_df, text_col, id_col,
+                                  num_hashes, shingle_k)
+    nb = _band_buckets(new_sigs, id_col, num_hashes, bands) \
+        .withColumnRenamed(id_col, "__new_id")
+    sb = _band_buckets(seen_sigs.select(F.col(id_col), "sig"),
+                       id_col, num_hashes, bands) \
+        .withColumnRenamed(id_col, "__seen_id")
+    sb = _cap_buckets(sb, "bucket", max_bucket, telemetry_out)
+    cands = (nb.join(sb, on="bucket")
+               .select("__new_id", "__seen_id").distinct())
+    est = (cands
+           .join(new_sigs.select(F.col(id_col).alias("__new_id"),
+                                 F.col("sig").alias("__sa")), "__new_id")
+           .join(seen_sigs.select(F.col(id_col).alias("__seen_id"),
+                                  F.col("sig").alias("__sb")),
+                 "__seen_id"))
+    matches = F.aggregate(
+        F.zip_with("__sa", "__sb",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v).cast("double")
+    dup_ids = (est.where(matches / F.lit(float(num_hashes))
+                         >= F.lit(threshold))
+                  .select(F.col("__new_id").alias(id_col)).distinct())
+    return new_df.join(dup_ids, on=id_col, how="left_anti")

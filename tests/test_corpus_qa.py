@@ -253,3 +253,95 @@ def test_novelty_stats_short_doc_whole_text_shingle(spark):
                                 "doc_id long, text string")
     r = novelty_stats(df, ref, "text", "doc_id", shingle_k=8).collect()
     assert (r[0]["n_shingles"], r[0]["n_novel"]) == (1, 0)
+
+
+# --- incremental_near_dedup --------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_near_dedup_screens_edited_clones(spark):
+    from schema_validata_spark.operators.dedup import (
+        incremental_near_dedup, snapshot_minhash_signatures)
+    base = " ".join(f"w{i}" for i in range(60))
+    prior = _docs(spark, [(1, base), (2, "totally different thing here")])
+    seen = snapshot_minhash_signatures(prior, "text", "doc_id")
+    new = _docs(spark, [
+        (10, base + " extra"),          # near-dup of 1 → screened
+        (11, base),                     # exact content of 1 → screened
+        (12, " ".join(f"z{i}" for i in range(60))),  # novel → kept
+        (13, None),                     # NULL text → passes through
+    ])
+    kept = sorted(r["doc_id"] for r in
+                  incremental_near_dedup(new, seen, "text", "doc_id",
+                                         threshold=0.5).collect())
+    assert kept == [12, 13]
+
+
+def test_incremental_near_dedup_signature_estimate_threshold(spark):
+    """A doc overlapping ~half its shingles with the snapshot doc must
+    survive a high threshold and be screened by a low one."""
+    from schema_validata_spark.operators.dedup import (
+        incremental_near_dedup, snapshot_minhash_signatures)
+    half_a = " ".join(f"a{i}" for i in range(30))
+    half_b = " ".join(f"b{i}" for i in range(30))
+    half_c = " ".join(f"c{i}" for i in range(30))
+    prior = _docs(spark, [(1, half_a + " " + half_b)])
+    seen = snapshot_minhash_signatures(prior, "text", "doc_id",
+                                       num_hashes=64)
+    new = _docs(spark, [(10, half_a + " " + half_c)])  # J ≈ 1/3
+    # low-threshold screening needs many short bands (2-row bands →
+    # per-band collision J², ~98% recall over 32 bands at J=1/3);
+    # the default 8-row bands would rarely even surface the candidate
+    hi = incremental_near_dedup(new, seen, "text", "doc_id",
+                                threshold=0.8, num_hashes=64,
+                                bands=32).count()
+    lo = incremental_near_dedup(new, seen, "text", "doc_id",
+                                threshold=0.1, num_hashes=64,
+                                bands=32).count()
+    assert hi == 1   # survives: estimate well under 0.8
+    assert lo == 0   # screened: estimate well over 0.1
+
+
+def test_incremental_near_dedup_cap_telemetry(spark):
+    """Oversized snapshot buckets are capped AND reported."""
+    from schema_validata_spark.operators.dedup import (
+        incremental_near_dedup, snapshot_minhash_signatures)
+    same = "identical boilerplate page content repeated verbatim"
+    prior = _docs(spark, [(i, same) for i in range(50)])
+    seen = snapshot_minhash_signatures(prior, "text", "doc_id")
+    new = _docs(spark, [(1000, same), (1001, "fresh novel content")])
+    telemetry = {}
+    kept = incremental_near_dedup(new, seen, "text", "doc_id",
+                                  max_bucket=10,
+                                  telemetry_out=telemetry).collect()
+    # every snapshot bucket is 50-identical → all capped → clone kept
+    assert sorted(r["doc_id"] for r in kept) == [1000, 1001]
+    assert telemetry["capped_buckets"] > 0
+
+
+# --- url_domains -------------------------------------------------------------
+
+def test_url_domains_counts(spark):
+    from schema_validata_spark.functions.text import url_domains
+    df = _docs(spark, [
+        (1, "see https://A.com/x and https://a.com/y plus http://b.org"),
+        (2, "again https://a.com/z"),
+        (3, "no links here"),
+        (4, None),
+    ])
+    got = {r["domain"]: (r["n_occurrences"], r["n_docs"])
+           for r in url_domains(df, "text", "doc_id", k=5).collect()}
+    assert got == {"a.com": (3, 2), "b.org": (1, 1)}
+
+
+def test_url_domains_topk_ordering(spark):
+    from schema_validata_spark.functions.text import url_domains
+    rows = [(i, f"https://h{i % 3}.net/p https://h{i % 3}.net/q")
+            for i in range(9)]
+    got = url_domains(_docs(spark, rows), "text", "doc_id",
+                      k=2).collect()
+    assert len(got) == 2
+    assert [r["domain"] for r in got] == ["h0.net", "h1.net"]  # tie→asc
+    assert all(r["n_occurrences"] == 6 and r["n_docs"] == 3 for r in got)
