@@ -198,3 +198,66 @@ def stream_dedup(stream_df: DataFrame, key_cols: list[str] | None = None,
         passthrough = with_fp.where(F.col("__fp").isNull()).drop("__fp")
         return deduped.unionByName(passthrough)
     return df.dropDuplicatesWithinWatermark(key_cols)
+
+
+ROLE_OUT_SCHEMA = ("conv_id string, turn_idx int, prev_role string, "
+                   "role string, error_type string")
+# carried speaker context: the last seen role (sentinel-coded NULL)
+ROLE_STATE_SCHEMA = "last_role string"
+_ROLE_NULL = "\x00"
+
+
+def stream_role_conformance(stream_df: DataFrame,
+                            transitions: set[tuple[str, str]],
+                            first_roles: set[str],
+                            conv_col: str = "conv_id",
+                            idx_col: str = "turn_idx",
+                            role_col: str = "role") -> DataFrame:
+    """STATEFUL streaming twin of ``operators.sequence.
+    role_conformance``: per-conversation speaker-automaton checking
+    across micro-batches. State per conversation = the last seen role
+    (one string), so a transition that straddles a batch boundary —
+    batch 1 ends user, batch 2 opens user — is caught, which no
+    stateless scan can do. Emits one row per violating turn
+    (conv, turn, prev_role, role, error_type ∈ {'Bad Opening Role',
+    'Bad Role Transition'}); NULL roles are coded to a sentinel that
+    can never match an allowed role, mirroring the batch contract.
+
+    Rows are evaluated in ``idx_col`` order WITHIN each batch and in
+    arrival order across batches (same caveat as
+    ``stream_monotonic_ts_violations``: late cross-batch reordering is
+    the monotonicity op's job to flag)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    allowed = {a + "\x1f" + b for a, b in transitions}
+    openers = set(first_roles)
+
+    def fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(idx_col, kind="mergesort")
+        cur = rows[role_col].fillna(_ROLE_NULL).astype(str)
+        prev = cur.shift(1)
+        if state.exists:
+            prev.iloc[0] = state.get[0]
+        trans_bad = ~(prev + "\x1f" + cur).isin(allowed)
+        opener_bad = ~cur.isin(openers)
+        bad = trans_bad.where(prev.notna(), opener_bad)
+        state.update((cur.iloc[-1],))
+        if bad.any():
+            flagged = rows[bad.to_numpy(dtype=bool)]
+            pv = prev[bad.to_numpy(dtype=bool)]
+            yield pd.DataFrame({
+                "conv_id": flagged[conv_col].astype(str),
+                "turn_idx": flagged[idx_col].astype("int32"),
+                "prev_role": pv.replace(_ROLE_NULL, None),
+                "role": flagged[role_col],
+                "error_type": [
+                    "Bad Opening Role" if pd.isna(p)
+                    else "Bad Role Transition" for p in pv],
+            })
+
+    return (stream_df.groupBy(conv_col)
+            .applyInPandasWithState(fn, ROLE_OUT_SCHEMA,
+                                    ROLE_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.NoTimeout))

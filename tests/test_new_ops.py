@@ -117,3 +117,41 @@ def test_stream_monotonic_ts_state_across_batches(spark, tmp_path):
     assert ("c1", 2) in got
     assert ("c2", 1) not in got
     assert ("c1", 3) not in got
+
+
+def test_stream_role_conformance_state_across_batches(spark, tmp_path):
+    """Two micro-batches; a user→user transition that straddles the
+    batch boundary is only catchable via carried state. Also: a bad
+    opener in batch 2 and a NULL role mid-conversation."""
+    from schema_validata_spark.streaming import stream_role_conformance
+    src = str(tmp_path / "role_src")
+    rows1 = [("c1", 0, "user"), ("c1", 1, "assistant"),
+             ("c1", 2, "user"),
+             ("c2", 0, "user")]
+    rows2 = [("c1", 3, "user"),        # user→user ACROSS batches: bad
+             ("c2", 1, None),          # user→NULL: bad transition
+             ("c3", 0, "assistant"),   # bad opener
+             ("c3", 1, "user")]        # assistant→user: fine
+    schema = "conv_id string, turn_idx int, role string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_role_conformance(
+        stream,
+        transitions={("system", "user"), ("user", "assistant"),
+                     ("assistant", "user")},
+        first_roles={"system", "user"})
+    q = (out.writeStream.format("memory").queryName("role_mem")
+         .option("checkpointLocation", str(tmp_path / "role_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["conv_id"], r["turn_idx"]): r["error_type"]
+           for r in spark.sql("SELECT * FROM role_mem").collect()}
+    assert got[("c1", 3)] == "Bad Role Transition"
+    assert got[("c2", 1)] == "Bad Role Transition"
+    assert got[("c3", 0)] == "Bad Opening Role"
+    assert ("c3", 1) not in got
+    assert ("c1", 1) not in got and ("c1", 2) not in got
