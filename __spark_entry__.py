@@ -1145,6 +1145,17 @@ def q_url_domains(spark, sf_dir):
                        "text", "doc_id", k=10)
 
 
+def q_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (functions/text.py:
+    fertility_stats): BPE-ish tokens per word and chars per token by
+    lang — the mixture-weight driver for multilingual corpora. Map-side
+    token counts + ONE hash aggregate on lang."""
+    from schema_validata_spark.functions.text import fertility_stats
+    return (fertility_stats(_t(spark, sf_dir, "documents"),
+                            "text", "lang")
+            .orderBy("lang"))
+
+
 def q_vocab_stats(spark, sf_dir):
     """Corpus vocabulary summary (functions/text.py:vocab_stats):
     total/distinct tokens, type-token ratio, hapax count + share, head
@@ -1252,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_stats": q_novelty,
         "incremental_near_dedup": q_incremental_near_dedup,
         "url_domains": q_url_domains,
+        "fertility_stats": q_fertility,
     }
 
 
@@ -2546,5 +2558,29 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT doc_id)::bigint AS n_docs
         FROM d GROUP BY domain
         ORDER BY n_occurrences DESC, domain ASC LIMIT 10"""
+
+    sql["fertility_stats"] = r"""
+        WITH base AS (
+          SELECT lang,
+                 (CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN 0
+                       ELSE len(regexp_split_to_array(trim(text),
+                                                      '\s+'))
+                  END)::bigint AS w,
+                 coalesce(len(regexp_extract_all(text,
+                     '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]')), 0)::bigint AS t,
+                 coalesce(length(text), 0)::bigint AS c
+          FROM documents)
+        SELECT lang, count(*)::bigint AS n_docs,
+               sum(w)::bigint AS n_words,
+               sum(t)::bigint AS n_bpe_tokens,
+               sum(c)::bigint AS n_chars,
+               CASE WHEN sum(w) > 0
+                    THEN round(sum(t) / sum(w)::double, 6) END
+                 AS fertility,
+               CASE WHEN sum(t) > 0
+                    THEN round(sum(c) / sum(t)::double, 6) END
+                 AS chars_per_token
+        FROM base GROUP BY lang ORDER BY lang"""
 
     return sql

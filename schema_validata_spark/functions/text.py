@@ -487,3 +487,44 @@ def url_domains(df, text_col: str, id_col: str, k: int = 20
                  .orderBy(F.col("n_occurrences").desc(),
                           F.col("domain").asc())
                  .limit(k))
+
+
+def fertility_stats(df, text_col: str, group_col: str) -> "DataFrame":
+    """Per-group tokenizer fertility: BPE-ish tokens per whitespace
+    word (``fertility``) and characters per BPE-ish token
+    (``chars_per_token``) — the standard multilingual audit (a
+    language whose fertility is 2× English pays 2× the context budget
+    per word; mixture weights and per-lang length thresholds hang off
+    this table).
+
+    Output per group: n_docs, n_words, n_bpe_tokens, n_chars,
+    fertility, chars_per_token. Empty/NULL texts contribute zero mass
+    but still count as documents of their group.
+
+    SCALE: both token counts and the length evaluate inside the scan
+    projection (same dual-dialect expressions as ``token_counts`` /
+    ``bpe_token_counts``); ONE hash aggregate on the group key — text
+    never shuffles, only per-doc int triples do."""
+    words = F.coalesce(token_count(text_col).cast("bigint"), F.lit(0))
+    toks = F.coalesce(bpe_ish_token_count(text_col).cast("bigint"),
+                      F.lit(0))
+    chars = F.coalesce(F.length(F.col(text_col)).cast("bigint"),
+                       F.lit(0))
+    wide = df.select(F.col(group_col), words.alias("__w"),
+                     toks.alias("__t"), chars.alias("__c"))
+    return (wide.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("__w").cast("bigint").alias("n_words"),
+                 F.sum("__t").cast("bigint").alias("n_bpe_tokens"),
+                 F.sum("__c").cast("bigint").alias("n_chars"))
+            .select(group_col, "n_docs", "n_words", "n_bpe_tokens",
+                    "n_chars",
+                    F.when(F.col("n_words") > 0,
+                           F.round(F.col("n_bpe_tokens")
+                                   / F.col("n_words").cast("double"),
+                                   6)).alias("fertility"),
+                    F.when(F.col("n_bpe_tokens") > 0,
+                           F.round(F.col("n_chars")
+                                   / F.col("n_bpe_tokens")
+                                      .cast("double"), 6))
+                     .alias("chars_per_token")))

@@ -114,3 +114,31 @@ def test_clean_text(spark):
     assert got[3] == "it's ... fine"
     assert got[4] is None
     assert got[5] == ""
+
+
+def test_fertility_stats(spark):
+    from schema_validata_spark.functions.text import fertility_stats
+    df = spark.createDataFrame(
+        [("en", "hello world"),        # 2 words; bpe: hell+o wor+ld = 4
+         ("en", None),                 # zero mass, still a doc
+         ("de", "Donaudampfschiff")],  # 1 word, 4 bpe pieces
+        "lang string, text string")
+    got = {r["lang"]: r for r in
+           fertility_stats(df, "text", "lang").collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_words"], en["n_bpe_tokens"]) == (2, 2, 4)
+    assert en["n_chars"] == 11
+    assert en["fertility"] == 2.0
+    assert en["chars_per_token"] == 2.75
+    de = got["de"]
+    assert (de["n_words"], de["n_bpe_tokens"]) == (1, 4)
+    assert de["fertility"] == 4.0
+
+
+def test_fertility_stats_all_empty_group(spark):
+    from schema_validata_spark.functions.text import fertility_stats
+    df = spark.createDataFrame([("x", ""), ("x", None)],
+                               "lang string, text string")
+    r = fertility_stats(df, "text", "lang").collect()[0]
+    assert (r["n_docs"], r["n_words"]) == (2, 0)
+    assert r["fertility"] is None and r["chars_per_token"] is None
