@@ -1178,6 +1178,87 @@ def q_novelty(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_turn_latency(spark, sf_dir):
+    """Inter-turn latency profile (operators/sequence.py:
+    turn_latency_stats): per-conversation (user_id) gap stats between
+    consecutive events — count / mean / exact-interpolated median and
+    p95 / max seconds. ONE keyed window + ONE hash aggregate; the
+    oracle replays it with lag + quantile_cont."""
+    from schema_validata_spark.operators.sequence import (
+        turn_latency_stats)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return (turn_latency_stats(ev, "user_id", "ts")
+            .orderBy("user_id"))
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-chain bigram counts (operators/sequence.py:
+    transition_counts): which event_type follows which within a
+    conversation (user_id ordered by ts, event_id tiebreak); openers
+    surface with prev_value NULL. One lag window + one hash aggregate
+    over the tiny label alphabet."""
+    from schema_validata_spark.operators.sequence import (
+        transition_counts)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return (transition_counts(ev, "user_id", ["ts", "event_id"],
+                              "event_type")
+            .orderBy(F.col("n").desc(),
+                     F.col("prev_value").asc_nulls_first(),
+                     F.col("value").asc()))
+
+
+def q_dup_share_by_source(spark, sf_dir):
+    """Per-source duplication pressure (operators/dedup.py:
+    duplicate_share_by_group): every 9th doc is cloned under an
+    unrelated id (same source), so each source's share of rows whose
+    content fingerprint repeats corpus-wide is non-trivial. One
+    8-byte-fp aggregate + fp join-back + one group aggregate."""
+    from schema_validata_spark.operators.dedup import (
+        duplicate_share_by_group)
+    docs = _t(spark, sf_dir, "documents")
+    clones = (docs.where(F.col("doc_id") % 9 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + F.lit(1000001)))
+    return (duplicate_share_by_group(docs.unionByName(clones),
+                                     "text", "source")
+            .orderBy("source"))
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Per-source distinct-2 diversity (functions/text.py:
+    ngram_diversity): total vs distinct word bigrams and their ratio —
+    the slice-level template detector. Bigrams hash to 8 bytes inside
+    the scan; two-stage hash aggregate, no text shuffle."""
+    from schema_validata_spark.functions.text import ngram_diversity
+    return (ngram_diversity(_t(spark, sf_dir, "documents"),
+                            "text", "source", n=2)
+            .orderBy("source"))
+
+
+def q_embedding_dim_qa(spark, sf_dir):
+    """Embedding-shape QA (operators/similarity.py:embedding_dim_qa):
+    corruption is injected deterministically (every 53rd vec gains a
+    NaN head, every 59th becomes all-zero, every 61st NULL — WHEN
+    order wins on overlap) and the operator must bucket vectors by
+    dimension and count NaN / NULL-element / zero pathologies per
+    bucket. Pure array lambdas in the scan + one tiny-key aggregate."""
+    from schema_validata_spark.operators.similarity import (
+        embedding_dim_qa)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    nan_head = F.concat(
+        F.array(F.lit(float("nan")).cast("float")),
+        F.slice(v, 2, F.size(v) - 1))
+    corrupted = (F.when(F.col("vec_id") % 53 == 0, nan_head)
+                  .when(F.col("vec_id") % 59 == 0,
+                        F.transform(v, lambda x: F.lit(0.0)
+                                     .cast("float")))
+                  .when(F.col("vec_id") % 61 == 0,
+                        F.lit(None).cast("array<float>"))
+                  .otherwise(v))
+    return (embedding_dim_qa(emb.select(corrupted.alias("embedding")))
+            .orderBy(F.col("dim").asc_nulls_first()))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -1264,6 +1345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dedup": q_incremental_near_dedup,
         "url_domains": q_url_domains,
         "fertility_stats": q_fertility,
+        "turn_latency": q_turn_latency,
+        "tool_transitions": q_tool_transitions,
+        "dup_share_by_source": q_dup_share_by_source,
+        "ngram_diversity": q_ngram_diversity,
+        "embedding_dim_qa": q_embedding_dim_qa,
     }
 
 
@@ -2582,5 +2668,89 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(sum(c) / sum(t)::double, 6) END
                  AS chars_per_token
         FROM base GROUP BY lang ORDER BY lang"""
+
+    sql["turn_latency"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) AS gap
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        SELECT user_id, count(*)::bigint AS n_events,
+               count(gap)::bigint AS n_gaps,
+               round(avg(gap), 3) AS mean_gap_s,
+               round(quantile_cont(gap, 0.5), 3) AS median_gap_s,
+               round(quantile_cont(gap, 0.95), 3) AS p95_gap_s,
+               round(max(gap), 3) AS max_gap_s
+        FROM g GROUP BY user_id ORDER BY user_id"""
+
+    sql["tool_transitions"] = """
+        WITH t AS (
+          SELECT event_type AS value,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_value
+          FROM events WHERE user_id IS NOT NULL)
+        SELECT prev_value, value, count(*)::bigint AS n
+        FROM t GROUP BY prev_value, value
+        ORDER BY n DESC, prev_value ASC NULLS FIRST, value ASC"""
+
+    sql["dup_share_by_source"] = r"""
+        WITH corpus AS (
+          SELECT text, source FROM documents
+          UNION ALL
+          SELECT text, source FROM documents WHERE doc_id % 9 = 0),
+        c AS (
+          SELECT source, count(*) OVER (
+                   PARTITION BY regexp_replace(lower(trim(text)),
+                                               '\s+', ' ', 'g'))
+                   AS copies
+          FROM corpus)
+        SELECT source, count(*)::bigint AS n_docs,
+               sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::bigint
+                 AS n_dup_rows,
+               CASE WHEN count(*) > 0 THEN
+                 round(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+                       / count(*)::double, 6) END AS dup_share
+        FROM c GROUP BY source ORDER BY source"""
+
+    sql["ngram_diversity"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        g AS (
+          SELECT source, ws[u] || ' ' || ws[u + 1] AS gram
+          FROM toks, unnest(range(1, len(ws))) AS t(u)
+          WHERE len(ws) >= 2)
+        SELECT source, count(*)::bigint AS n_ngrams,
+               count(DISTINCT gram)::bigint AS n_distinct,
+               CASE WHEN count(*) > 0 THEN
+                 round(count(DISTINCT gram) / count(*)::double, 6) END
+                 AS distinct_ratio
+        FROM g GROUP BY source ORDER BY source"""
+
+    sql["embedding_dim_qa"] = """
+        WITH c AS (
+          SELECT CASE WHEN vec_id % 53 = 0
+                        THEN ['NaN'::FLOAT] || embedding[2:]
+                      WHEN vec_id % 59 = 0
+                        THEN list_transform(embedding,
+                                            x -> 0.0::FLOAT)
+                      WHEN vec_id % 61 = 0
+                        THEN NULL
+                      ELSE embedding END AS v
+          FROM embeddings)
+        SELECT len(v)::bigint AS dim, count(*)::bigint AS n_vectors,
+               sum(CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+                        THEN 1 ELSE 0 END)::bigint AS n_with_nan,
+               sum(CASE WHEN len(list_filter(v, x -> x IS NULL)) > 0
+                        THEN 1 ELSE 0 END)::bigint
+                 AS n_with_null_elem,
+               sum(CASE WHEN len(v) > 0
+                         AND len(list_filter(v,
+                               x -> x IS DISTINCT FROM 0.0)) = 0
+                        THEN 1 ELSE 0 END)::bigint AS n_zero_vectors
+        FROM c GROUP BY len(v) ORDER BY dim NULLS FIRST"""
 
     return sql

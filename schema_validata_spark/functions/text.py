@@ -456,6 +456,49 @@ def vocab_stats(df, text_col: str) -> "DataFrame":
                  .alias("top_share")))
 
 
+def ngram_diversity(df, text_col: str, group_col: str,
+                    n: int = 2) -> "DataFrame":
+    """Per-group distinct-n diversity: total word n-gram occurrences
+    vs distinct n-grams, and their ratio (the distinct-n metric of
+    text-generation evaluation, applied corpus-side) — a collapsing
+    ratio flags template-dominated or self-repetitive slices that
+    per-document ``repetition_stats`` can't see (each doc looks fine;
+    the SLICE repeats itself).
+
+    Tokenization matches ``top_tokens`` (case-folded whitespace
+    split); documents with fewer than ``n`` tokens contribute nothing.
+    Output per group: group, n_ngrams, n_distinct, distinct_ratio.
+
+    SCALE: n-grams assemble inside the scan projection (transform over
+    the token array — JVM-side, no UDF) and are hashed to 8 bytes
+    BEFORE the explode, so the shuffle carries (group, hash) pairs,
+    never n-gram text; TWO-stage hash aggregate — (group, hash)
+    partials collapse map-side, then one group-keyed aggregate over
+    the vocabulary-sized frame. No sort, no window."""
+    c = F.col(text_col)
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), sz - n)
+    grams = F.when(sz >= n, F.transform(idx, lambda i: F.xxhash64(
+        F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                           for j in range(n)])))) \
+             .otherwise(F.array().cast("array<bigint>"))
+    pairs = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+               .select(F.col(group_col),
+                       F.explode(grams).alias("__g")))
+    per_gram = (pairs.groupBy(F.col(group_col), F.col("__g"))
+                     .agg(F.count(F.lit(1)).cast("bigint")
+                           .alias("__n")))
+    return (per_gram.groupBy(F.col(group_col))
+            .agg(F.sum("__n").cast("bigint").alias("n_ngrams"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+            .select(group_col, "n_ngrams", "n_distinct",
+                    F.when(F.col("n_ngrams") > 0,
+                           F.round(F.col("n_distinct")
+                                   / F.col("n_ngrams").cast("double"),
+                                   6)).alias("distinct_ratio")))
+
+
 def url_domains(df, text_col: str, id_col: str, k: int = 20
                 ) -> "DataFrame":
     """Top-k URL domains cited inside document text — the

@@ -468,6 +468,46 @@ def incremental_dedup(new_df: DataFrame, seen: DataFrame, text_col: str,
                   .drop(fp))
 
 
+def duplicate_share_by_group(df: DataFrame, text_col: str,
+                             group_col: str) -> DataFrame:
+    """Per-group exact-duplication pressure: for each value of
+    ``group_col`` (source, domain, snapshot...), how many rows exist
+    and how many of them carry content whose fingerprint appears MORE
+    THAN ONCE in the WHOLE corpus (not just within the group) — the
+    curation dashboard that says which source is pumping boilerplate
+    into everyone else's slice.
+
+    Output per group: group, n_docs, n_dup_rows, dup_share (rounded).
+    NULL text rows share the NULL-content fingerprint (the
+    ``snapshot_fingerprints`` contract), so two NULL docs count as
+    duplicates of each other — deliberate: repeated empty payloads ARE
+    a duplication signal.
+
+    SCALE: fingerprints compute in the scan projection; ONE 8-byte-key
+    hash aggregate for corpus-wide copy counts, ONE fp-keyed join back
+    (AQE broadcasts when the distinct-fp frame is small; at corpus
+    scale both sides are already hash-partitioned on fp from the agg,
+    so the join reuses the exchange), then ONE group-key aggregate.
+    Text never shuffles — only (group, fp) pairs do."""
+    fps = df.select(F.col(group_col),
+                    fingerprint(text_col).alias("__fp"))
+    copies = (fps.groupBy("__fp")
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("__copies")))
+    joined = fps.join(copies, on="__fp")
+    dup = F.col("__copies") > 1
+    return (joined.groupBy(F.col(group_col))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                       F.count(F.when(dup, 1)).cast("bigint")
+                        .alias("n_dup_rows"))
+                  .select(group_col, "n_docs", "n_dup_rows",
+                          F.when(F.col("n_docs") > 0,
+                                 F.round(F.col("n_dup_rows")
+                                         / F.col("n_docs")
+                                            .cast("double"), 6))
+                           .alias("dup_share")))
+
+
 # --- Line-level dedup (CCNet-style) -----------------------------------------
 
 def frequent_lines(df: DataFrame, text_col: str, min_docs: int = 2

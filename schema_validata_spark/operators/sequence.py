@@ -140,6 +140,73 @@ def role_conformance(df: DataFrame, part_col: str,
                      | (F.col("n_bad_transitions") > 0))
 
 
+def turn_latency_stats(df: DataFrame, part_col: str,
+                       ts_col: str) -> DataFrame:
+    """Per-conversation inter-turn latency profile: the time deltas
+    between CONSECUTIVE events of a partition (ordered by ``ts_col``),
+    summarized as count / mean / median / p95 / max seconds — the
+    agent-responsiveness and stuck-session audit (a conversation whose
+    p95 gap is hours is a resumed or stitched session; a zero max gap
+    at high turn count is a bulk backfill).
+
+    Output per partition: part, n_events, n_gaps, mean_gap_s,
+    median_gap_s, p95_gap_s, max_gap_s (seconds, rounded to ms).
+    NULL timestamps are excluded (same contract as ``sessionize``).
+    Tied timestamps are safe: the deltas of a sorted sequence depend
+    only on the sorted multiset of times, not on tiebreak order, so
+    every stat here is deterministic under shuffle retries.
+
+    SCALE: ONE keyed window (lag over ts — one shuffle on the
+    conversation key, streaming pass per partition) + ONE hash
+    aggregate. ``percentile`` is the exact interpolated aggregate
+    (matches DuckDB ``quantile_cont``); for sketch-grade speed at
+    extreme cardinality swap in percentile_approx — exact is kept so
+    the oracle can replay it."""
+    df = df.where(F.col(ts_col).isNotNull())
+    w = Window.partitionBy(part_col).orderBy(F.col(ts_col))
+
+    def _epoch(c):
+        return c.cast("timestamp_ltz").cast("double")
+
+    gap = _epoch(F.col(ts_col)) - _epoch(F.lag(F.col(ts_col)).over(w))
+    return (df.withColumn("__gap", gap)
+              .groupBy(F.col(part_col))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   F.count("__gap").cast("bigint").alias("n_gaps"),
+                   F.round(F.avg("__gap"), 3).alias("mean_gap_s"),
+                   F.round(F.percentile("__gap", F.lit(0.5)), 3)
+                    .alias("median_gap_s"),
+                   F.round(F.percentile("__gap", F.lit(0.95)), 3)
+                    .alias("p95_gap_s"),
+                   F.round(F.max("__gap"), 3).alias("max_gap_s")))
+
+
+def transition_counts(df: DataFrame, part_col: str,
+                      order_cols: list[str],
+                      value_col: str) -> DataFrame:
+    """Bigram transition counts of a sequence attribute within
+    partitions: one row per (prev_value, value) adjacent pair across
+    all partitions — the tool-chain / speaker-flow fingerprint of a
+    transcript corpus (which tool follows which, what opens a
+    conversation). The opener of each partition appears with
+    ``prev_value`` NULL, so openers are countable too; NULL attribute
+    values group as NULL (SQL grouping), not silently dropped.
+
+    Output: prev_value, value, n (bigint).
+
+    SCALE: ONE keyed window (lag over the caller's total order) + ONE
+    hash aggregate on the tiny (prev, value) label pair — partial
+    counts collapse map-side, so the shuffle after the window carries
+    one row per (partition, distinct transition). Output is
+    |alphabet|²-sized, not corpus-sized."""
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    prev = F.lag(F.col(value_col)).over(w)
+    return (df.withColumn("prev_value", prev)
+              .groupBy("prev_value", F.col(value_col).alias("value"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
 def turn_conformance(df: DataFrame, part_col: str, idx_col: str,
                      start: int = 0) -> DataFrame:
     """Conversations whose turn index is NOT a dense ``start..start+n-1``

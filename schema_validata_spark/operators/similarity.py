@@ -162,6 +162,39 @@ def ivf_route(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("ivf_bucket", bucket)
 
 
+def embedding_dim_qa(df: DataFrame, vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """Embedding-shape QA grouped by vector DIMENSION: a healthy
+    corpus has exactly one dim row; extra rows mean mixed encoder
+    versions or truncated writes (the failure norm stats can't see —
+    a 512-dim and a 768-dim vector can both have norm 1). Per dim:
+    vector count, vectors containing NaN, vectors containing NULL
+    elements, all-zero vectors. NULL embeddings group under NULL dim.
+
+    SCALE: every predicate is an array lambda (exists/forall) evaluated
+    inside the scan projection — JVM-side, no UDF, no explode; ONE hash
+    aggregate on the tiny dim key. Output is |distinct dims|-sized."""
+    v = F.col(vec_col)
+    has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
+    has_null = F.exists(v, lambda x: x.isNull())
+    all_zero = (F.size(v) > 0) & F.forall(
+        v, lambda x: x.cast("double").eqNullSafe(F.lit(0.0)))
+    return (df.select(F.size(v).alias("__sz"),
+                      has_nan.alias("__nan"),
+                      has_null.alias("__nul"),
+                      all_zero.alias("__zero"))
+              .withColumn("dim", F.when(F.col("__sz") >= 0,
+                                        F.col("__sz")))
+              .groupBy("dim")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                   F.count(F.when(F.col("__nan"), 1)).cast("bigint")
+                    .alias("n_with_nan"),
+                   F.count(F.when(F.col("__nul"), 1)).cast("bigint")
+                    .alias("n_with_null_elem"),
+                   F.count(F.when(F.col("__zero"), 1)).cast("bigint")
+                    .alias("n_zero_vectors")))
+
+
 def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding"
                          ) -> DataFrame:
     """Corpus-QA for an embedding column in ONE aggregate: vector

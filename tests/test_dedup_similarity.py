@@ -295,3 +295,38 @@ def test_contamination_and_decontaminate(spark):
     kept = sorted(r["doc_id"] for r in
                   decontaminate(train, eval_set, shingle_k=5).collect())
     assert kept == [2, 4]    # null-text doc has no shingles → never flagged
+
+
+def test_duplicate_share_by_group(spark):
+    from schema_validata_spark.operators.dedup import (
+        duplicate_share_by_group)
+    rows = [
+        (1, "alpha beta", "s1"), (2, "ALPHA   beta", "s2"),  # cross-group dup
+        (3, "unique one", "s1"),
+        (4, None, "s1"), (5, None, "s2"),   # NULL-content dup pair
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {r["source"]: r
+           for r in duplicate_share_by_group(df, "text", "source")
+           .collect()}
+    assert got["s1"]["n_docs"] == 3 and got["s1"]["n_dup_rows"] == 2
+    assert abs(got["s1"]["dup_share"] - 0.666667) < 1e-6
+    assert got["s2"]["n_docs"] == 2 and got["s2"]["n_dup_rows"] == 2
+
+
+def test_embedding_dim_qa(spark):
+    from schema_validata_spark.operators.similarity import embedding_dim_qa
+    rows = [
+        (1, [1.0, 2.0]), (2, [float("nan"), 1.0]),
+        (3, [0.0, 0.0]), (4, [1.0, 2.0, 3.0]),
+        (5, None), (6, [None, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r for r in embedding_dim_qa(df).collect()}
+    d2 = got[2]
+    assert d2["n_vectors"] == 4 and d2["n_with_nan"] == 1
+    assert d2["n_with_null_elem"] == 1 and d2["n_zero_vectors"] == 1
+    assert got[3]["n_vectors"] == 1 and got[3]["n_zero_vectors"] == 0
+    assert got[None]["n_vectors"] == 1 and got[None]["n_with_nan"] == 0

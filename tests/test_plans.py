@@ -285,3 +285,72 @@ def test_duplicate_conversations_two_hash_aggs_no_sort(spark):
     assert plan.count("Exchange") == 2, plan
     assert "Sort [" not in plan, plan
     assert "xxhash64" in plan, plan
+
+
+def test_turn_latency_single_exchange(spark, tmp_path):
+    """turn_latency_stats windows and aggregates on the SAME key, so
+    the groupBy must reuse the window's hash partitioning: exactly ONE
+    Exchange in the whole plan, and no nested-loop anywhere."""
+    from schema_validata_spark.operators.sequence import turn_latency_stats
+    src = str(tmp_path / "ev")
+    spark.range(20_000).select(
+        (F.col("id") % 500).alias("conv"),
+        F.timestamp_seconds(F.col("id") * 3).alias("ts")) \
+        .write.parquet(src)
+    out = turn_latency_stats(spark.read.parquet(src), "conv", "ts")
+    plan = _tree(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_dup_share_text_never_shuffles(spark, tmp_path):
+    """duplicate_share_by_group fingerprints map-side: every Exchange
+    carries the 8-byte fp / group key, never the text column."""
+    from schema_validata_spark.operators.dedup import (
+        duplicate_share_by_group)
+    src = str(tmp_path / "docs")
+    spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 8).cast("string").alias("source"),
+        F.concat(F.lit("body "), F.col("id") % 100).alias("text")) \
+        .write.parquet(src)
+    out = duplicate_share_by_group(spark.read.parquet(src),
+                                   "text", "source")
+    plan = _tree(out)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, plan
+    for line in exchange_lines:
+        assert "text" not in line, line
+
+
+def test_ngram_diversity_shuffles_hashes_not_text(spark, tmp_path):
+    """ngram_diversity hashes n-grams inside the scan: Exchanges carry
+    (group, 8-byte hash) only — no text, no gram strings."""
+    from schema_validata_spark.functions.text import ngram_diversity
+    src = str(tmp_path / "docs")
+    spark.range(5_000).select(
+        (F.col("id") % 8).cast("string").alias("source"),
+        F.concat(F.lit("tok"), F.col("id") % 50, F.lit(" tok"),
+                 F.col("id") % 7, F.lit(" tok"), F.col("id") % 3)
+         .alias("text")) \
+        .write.parquet(src)
+    out = ngram_diversity(spark.read.parquet(src), "text", "source")
+    plan = _tree(out)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, plan
+    for line in exchange_lines:
+        assert "text" not in line, line
+
+
+def test_embedding_dim_qa_single_aggregate(spark, tmp_path):
+    """embedding_dim_qa is scan-side lambdas + ONE tiny-key hash
+    aggregate: one Exchange, no explode, no join."""
+    from schema_validata_spark.operators.similarity import embedding_dim_qa
+    src = str(tmp_path / "emb")
+    spark.range(2_000).select(
+        F.array(F.rand(1), F.rand(2), F.rand(3)).alias("embedding")) \
+        .write.parquet(src)
+    out = embedding_dim_qa(spark.read.parquet(src))
+    plan = _tree(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan and "Join" not in plan, plan

@@ -113,3 +113,51 @@ def test_turn_conformance_offset_start(spark):
     rows = [("a", 1), ("a", 2), ("a", 3)]
     assert "a" in _tc(spark, rows, start=0)
     assert _tc(spark, rows, start=1) == {}
+
+
+def test_turn_latency_stats(spark):
+    from schema_validata_spark.operators.sequence import turn_latency_stats
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("a", base), ("a", base + dt.timedelta(seconds=10)),
+        ("a", base + dt.timedelta(seconds=30)),   # gaps: 10, 20
+        ("b", base), ("b", None),                 # NULL ts excluded
+    ]
+    df = spark.createDataFrame(rows, "conv string, ts timestamp")
+    got = {r["conv"]: r
+           for r in turn_latency_stats(df, "conv", "ts").collect()}
+    a = got["a"]
+    assert a["n_events"] == 3 and a["n_gaps"] == 2
+    assert a["mean_gap_s"] == 15.0 and a["median_gap_s"] == 15.0
+    # exact interpolated p95 of [10, 20]: 10 + 0.95 * 10
+    assert a["p95_gap_s"] == 19.5 and a["max_gap_s"] == 20.0
+    b = got["b"]
+    assert b["n_events"] == 1 and b["n_gaps"] == 0
+    assert b["max_gap_s"] is None
+
+
+def test_turn_latency_tie_robust(spark):
+    """Deltas of a sorted multiset don't depend on tiebreak order:
+    the same rows under different partitioning give identical stats."""
+    from schema_validata_spark.operators.sequence import turn_latency_stats
+    base = dt.datetime(2024, 1, 1)
+    rows = [("a", base), ("a", base), ("a", base),
+            ("a", base + dt.timedelta(seconds=7))]
+    df = spark.createDataFrame(rows, "conv string, ts timestamp")
+    r1 = turn_latency_stats(df, "conv", "ts").collect()[0]
+    r2 = turn_latency_stats(df.repartition(7), "conv", "ts").collect()[0]
+    assert r1 == r2
+    assert r1["n_gaps"] == 3 and r1["max_gap_s"] == 7.0
+
+
+def test_transition_counts(spark):
+    from schema_validata_spark.operators.sequence import transition_counts
+    df = _events(spark)  # a: click,view,click,click; b: view
+    got = {(r["prev_value"], r["value"]): r["n"]
+           for r in transition_counts(
+               df, "user_id", ["ts", "event_id"], "event_type")
+           .collect()}
+    assert got[(None, "click")] == 1 and got[(None, "view")] == 1
+    assert got[("click", "view")] == 1 and got[("view", "click")] == 1
+    assert got[("click", "click")] == 1
+    assert sum(got.values()) == 5

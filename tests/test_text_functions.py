@@ -142,3 +142,17 @@ def test_fertility_stats_all_empty_group(spark):
     r = fertility_stats(df, "text", "lang").collect()[0]
     assert (r["n_docs"], r["n_words"]) == (2, 0)
     assert r["fertility"] is None and r["chars_per_token"] is None
+
+
+def test_ngram_diversity(spark):
+    from schema_validata_spark.functions.text import ngram_diversity
+    rows = [(1, "a b a b", "s1"), (2, "a", "s1"),      # short doc: no grams
+            (3, "x y", "s2"), (4, "", "s2"), (5, None, "s2")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {r["source"]: r
+           for r in ngram_diversity(df, "text", "source", n=2).collect()}
+    s1 = got["s1"]  # grams: "a b", "b a", "a b"
+    assert s1["n_ngrams"] == 3 and s1["n_distinct"] == 2
+    assert abs(s1["distinct_ratio"] - 0.666667) < 1e-6
+    assert got["s2"]["n_ngrams"] == 1 and got["s2"]["n_distinct"] == 1
