@@ -1259,6 +1259,68 @@ def q_embedding_dim_qa(spark, sf_dir):
             .orderBy(F.col("dim").asc_nulls_first()))
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Snapshot vocabulary movers (operators/drift.py:vocab_drift):
+    snapshot A = even docs, B = odd docs with ' driftmarker
+    driftmarker' appended to every 5th — the planted token plus the
+    even/odd content split must surface as the top-25 share deltas,
+    selected on the ROUNDED delta with token tiebreak so both engines
+    pick the same rows. Two wordcounts + vocab-sized outer join +
+    TakeOrderedAndProject."""
+    from schema_validata_spark.operators.drift import vocab_drift
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = (docs.where(F.col("doc_id") % 2 == 1)
+             .withColumn("text",
+                         F.when(F.col("doc_id") % 5 == 1,
+                                F.concat(F.col("text"),
+                                         F.lit(" driftmarker"
+                                               " driftmarker")))
+                          .otherwise(F.col("text"))))
+    return vocab_drift(a, b, "text", k=25)
+
+
+def q_template_openings(spark, sf_dir):
+    """Template-response detection (operators/boilerplate.py:
+    template_openings): every 4th doc gains a fixed support-letter
+    opening; groups of ≥20 docs sharing the same first-6-token
+    normalized prefix must surface with exemplar ids. Bounded group
+    key (≤200 chars), one hash aggregate."""
+    from schema_validata_spark.operators.boilerplate import (
+        template_openings)
+    docs = _t(spark, sf_dir, "documents")
+    opener = F.lit("Thank you for contacting support. We have received "
+                   "your request and ")
+    messy = (F.when(F.col("doc_id") % 4 == 0,
+                    F.concat(opener, F.col("text")))
+              .otherwise(F.col("text")))
+    return (template_openings(docs.select("doc_id",
+                                          messy.alias("text")),
+                              "text", "doc_id",
+                              k_tokens=6, min_docs=20)
+            .orderBy("prefix"))
+
+
+def q_derived_consistency(spark, sf_dir):
+    """Stored-vs-recomputed derived column audit (operators/
+    expectations.py:derived_mismatches): n_chars is corrupted (+7) for
+    every 23rd doc and NULLed for every 97th — exactly those rows must
+    surface with the stored and recomputed values (null-safe compare).
+    Map-only scan, violation-sized output."""
+    from schema_validata_spark.operators.expectations import (
+        derived_mismatches)
+    docs = _t(spark, sf_dir, "documents")
+    corrupted = (F.when(F.col("doc_id") % 97 == 0,
+                        F.lit(None).cast("bigint"))
+                  .when(F.col("doc_id") % 23 == 0,
+                        F.col("n_chars") + 7)
+                  .otherwise(F.col("n_chars")))
+    fixed = docs.withColumn("n_chars", corrupted)
+    return (derived_mismatches(fixed, "doc_id", "n_chars",
+                               F.length("text").cast("bigint"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -1350,6 +1412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_share_by_source": q_dup_share_by_source,
         "ngram_diversity": q_ngram_diversity,
         "embedding_dim_qa": q_embedding_dim_qa,
+        "vocab_drift": q_vocab_drift,
+        "template_openings": q_template_openings,
+        "derived_consistency": q_derived_consistency,
     }
 
 
@@ -2752,5 +2817,81 @@ def oracle_sql() -> dict[str, str]:
                                x -> x IS DISTINCT FROM 0.0)) = 0
                         THEN 1 ELSE 0 END)::bigint AS n_zero_vectors
         FROM c GROUP BY len(v) ORDER BY dim NULLS FIRST"""
+
+    sql["vocab_drift"] = r"""
+        WITH a AS (
+          SELECT text FROM documents WHERE doc_id % 2 = 0),
+        b AS (
+          SELECT CASE WHEN doc_id % 5 = 1
+                      THEN text || ' driftmarker driftmarker'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 2 = 1),
+        ca AS (
+          SELECT t AS token, count(*)::bigint AS n_a
+          FROM (SELECT unnest(regexp_split_to_array(
+                    lower(trim(text)), '\s+')) AS t
+                FROM a WHERE text IS NOT NULL
+                  AND length(trim(text)) > 0)
+          GROUP BY t),
+        cb AS (
+          SELECT t AS token, count(*)::bigint AS n_b
+          FROM (SELECT unnest(regexp_split_to_array(
+                    lower(trim(text)), '\s+')) AS t
+                FROM b WHERE text IS NOT NULL
+                  AND length(trim(text)) > 0)
+          GROUP BY t),
+        j AS (
+          SELECT coalesce(ca.token, cb.token) AS token,
+                 coalesce(n_a, 0)::bigint AS n_a,
+                 coalesce(n_b, 0)::bigint AS n_b
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+        SELECT token, n_a, n_b,
+               round(CASE WHEN ta > 0 THEN n_a / ta::double
+                          ELSE 0.0 END, 6) AS share_a,
+               round(CASE WHEN tb > 0 THEN n_b / tb::double
+                          ELSE 0.0 END, 6) AS share_b,
+               round(CASE WHEN tb > 0 THEN n_b / tb::double
+                          ELSE 0.0 END
+                     - CASE WHEN ta > 0 THEN n_a / ta::double
+                            ELSE 0.0 END, 6) AS delta
+        FROM j, tot
+        ORDER BY abs(round(CASE WHEN tb > 0 THEN n_b / tb::double
+                                ELSE 0.0 END
+                           - CASE WHEN ta > 0 THEN n_a / ta::double
+                                  ELSE 0.0 END, 6)) DESC, token ASC
+        LIMIT 25"""
+
+    sql["template_openings"] = r"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN 'Thank you for contacting support. We have '
+                           || 'received your request and ' || text
+                      ELSE text END AS text
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 substr(array_to_string(
+                     regexp_split_to_array(lower(trim(text)),
+                                           '\s+')[1:6], ' '),
+                     1, 200) AS prefix
+          FROM m WHERE text IS NOT NULL AND length(trim(text)) > 0)
+        SELECT prefix, count(*)::bigint AS n_docs,
+               min(doc_id) AS example_id
+        FROM p GROUP BY prefix HAVING count(*) >= 20
+        ORDER BY prefix"""
+
+    sql["derived_consistency"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 97 = 0 THEN NULL
+                      WHEN doc_id % 23 = 0 THEN n_chars + 7
+                      ELSE n_chars END AS stored,
+                 length(text)::bigint AS recomputed
+          FROM documents)
+        SELECT doc_id, stored, recomputed FROM m
+        WHERE stored IS DISTINCT FROM recomputed
+        ORDER BY doc_id"""
 
     return sql

@@ -86,3 +86,35 @@ def boilerplate_ratio(df: DataFrame, text_col: str, id_col: str,
                 F.when(F.col("n_ngrams") > 0,
                        F.round(F.col("n_boiler")
                                / F.col("n_ngrams"), 6))))
+
+
+def template_openings(df: DataFrame, text_col: str, id_col: str,
+                      k_tokens: int = 8, min_docs: int = 2,
+                      max_chars: int = 200) -> DataFrame:
+    """Documents sharing the same normalized OPENING — the first
+    ``k_tokens`` case-folded words (clipped to ``max_chars``) — in at
+    least ``min_docs`` documents: the template-response detector
+    (form-letter support replies, scripted assistant openings, scraped
+    page skeletons) that n-gram boilerplate misses when the shared
+    part is position-anchored rather than frequency-dominant.
+
+    Output per template: prefix (the shared opening, human-readable),
+    n_docs, example_id (min id — a stable exemplar). Empty/NULL texts
+    carry no opening.
+
+    SCALE: the prefix assembles inside the scan projection (split +
+    slice + concat_ws + substring — pure Column chain) and is BOUNDED
+    at ``max_chars`` bytes, so the group key can't smuggle a
+    pathological megabyte "token" into the shuffle; ONE hash aggregate
+    on that bounded key, output is template-count-sized (the ≥min_docs
+    filter truncates the unique tail)."""
+    c = F.col(text_col)
+    toks = F.split(F.lower(F.trim(c)), _WS)
+    prefix = F.substring(
+        F.concat_ws(" ", F.slice(toks, 1, k_tokens)), 1, max_chars)
+    return (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.col(id_col), prefix.alias("prefix"))
+              .groupBy("prefix")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                   F.min(id_col).alias("example_id"))
+              .where(F.col("n_docs") >= min_docs))

@@ -166,5 +166,58 @@ def drift_scores_pandas(observed_hist: DataFrame, baseline_hist: DataFrame):
                 "psi double, n_obs long, n_base long"))
 
 
+def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                k: int = 25) -> DataFrame:
+    """Top-``k`` vocabulary movers between two corpus snapshots: the
+    tokens whose share of all token occurrences changed the most from
+    snapshot A (baseline) to snapshot B (current) — the lexical twin
+    of the histogram ``drift_scores`` (a chi²/PSI number says THAT the
+    text column drifted; this says WHICH words did it: a spam wave, a
+    new boilerplate template, a language-mix shift).
+
+    Output: token, n_a, n_b, share_a, share_b, delta (share_b −
+    share_a, rounded) — selected by |delta| desc with token as the
+    deterministic tiebreak, so the same k rows surface in any engine.
+    Tokenization matches ``top_tokens`` (case-folded whitespace).
+
+    SCALE: TWO wordcount two-stage aggregates (map-side partial
+    collapse; the shuffles carry one row per (partition, distinct
+    token)) + a full outer join of the two VOCABULARY-sized count
+    frames on the token key; totals are single-row aggregates crossed
+    back in (broadcast by construction). The final top-k is
+    TakeOrderedAndProject over the joined vocabulary — per-task heaps,
+    no global sort. Corpus text never shuffles."""
+    def _counts(df, n_name):
+        c = F.col(text_col)
+        return (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+                  .select(F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                           .alias("token"))
+                  .groupBy("token")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias(n_name)))
+    ca, cb = _counts(df_a, "n_a"), _counts(df_b, "n_b")
+    ta = ca.agg(F.coalesce(F.sum("n_a"), F.lit(0)).alias("__ta"))
+    tb = cb.agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("__tb"))
+    joined = (ca.join(cb, on="token", how="full_outer")
+                .select("token",
+                        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                        F.coalesce("n_b", F.lit(0)).alias("n_b"))
+                .crossJoin(F.broadcast(ta))
+                .crossJoin(F.broadcast(tb)))
+    share_a = F.when(F.col("__ta") > 0,
+                     F.col("n_a") / F.col("__ta").cast("double")) \
+               .otherwise(F.lit(0.0))
+    share_b = F.when(F.col("__tb") > 0,
+                     F.col("n_b") / F.col("__tb").cast("double")) \
+               .otherwise(F.lit(0.0))
+    out = joined.select(
+        "token", "n_a", "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(share_b - share_a, 6).alias("delta"))
+    return (out.orderBy(F.abs(F.col("delta")).desc(),
+                        F.col("token").asc())
+               .limit(k))
+
+
 def drifted_partitions(scores: DataFrame, psi_threshold: float = 0.25) -> DataFrame:
     return scores.where(F.col("psi") > psi_threshold)

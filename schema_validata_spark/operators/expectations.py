@@ -196,6 +196,30 @@ def check_expectations(df: DataFrame,
                    .otherwise(F.lit("fail")))
 
 
+def derived_mismatches(df: DataFrame, id_col: str, stored_col: str,
+                       derived: Column,
+                       derived_name: str = "recomputed") -> DataFrame:
+    """Rows whose STORED derived column disagrees with the value
+    recomputed from its source columns (e.g. an ingest-time
+    ``n_chars`` vs ``length(text)``, a cached token count vs the
+    tokenizer) — the cross-field consistency check that catches stale
+    materialized columns after a backfill or a tokenizer change.
+
+    Comparison is null-safe: a NULL stored value against a non-NULL
+    recomputation (or vice versa) IS a mismatch; NULL vs NULL is
+    consistent. Output: id, stored value, recomputed value — the
+    violating rows only.
+
+    SCALE: map-only — the recomputation and the null-safe compare both
+    evaluate inside the scan projection; no shuffle, no UDF, output is
+    violation-sized."""
+    stored = F.col(stored_col)
+    return (df.withColumn(derived_name, derived)
+              .where(~stored.eqNullSafe(F.col(derived_name)))
+              .select(F.col(id_col), stored.alias("stored"),
+                      F.col(derived_name).alias(derived_name)))
+
+
 _GRAN_INTERVAL = {"hour": "interval 1 hour", "day": "interval 1 day",
                   "week": "interval 7 days", "month": "interval 1 month",
                   "minute": "interval 1 minute"}

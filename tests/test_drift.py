@@ -57,3 +57,28 @@ def test_drifted_partitions_filter(spark):
     flagged = drifted_partitions(scores).collect()
     assert all(r["psi"] > 0.25 for r in flagged)
     assert any(r["column_name"] == "role" for r in flagged)
+
+
+def test_vocab_drift(spark):
+    from schema_validata_spark.operators.drift import vocab_drift
+    a = spark.createDataFrame([("x x y",)], "text string")
+    b = spark.createDataFrame([("x y y z",)], "text string")
+    got = vocab_drift(a, b, "text", k=2).collect()
+    # deltas: x: 1/4 - 2/3 = -.416667, z: .25 - 0, y: .5 - 1/3 = .166667
+    assert [r["token"] for r in got] == ["x", "z"]
+    x = got[0]
+    assert x["n_a"] == 2 and x["n_b"] == 1
+    assert abs(x["delta"] - (-0.416667)) < 1e-6
+    z = got[1]
+    assert z["n_a"] == 0 and z["share_a"] == 0.0 and z["delta"] == 0.25
+
+
+def test_vocab_drift_empty_baseline(spark):
+    """Empty snapshot A: shares_a are 0.0, not NULL/NaN — every B
+    token is pure drift."""
+    from schema_validata_spark.operators.drift import vocab_drift
+    a = spark.createDataFrame([], "text string")
+    b = spark.createDataFrame([("new new",)], "text string")
+    got = vocab_drift(a, b, "text", k=5).collect()
+    assert len(got) == 1
+    assert got[0]["share_a"] == 0.0 and got[0]["delta"] == 1.0

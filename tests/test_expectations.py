@@ -269,3 +269,23 @@ def test_iqr_nan_heavy_column_reported_unmeasurable(spark):
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     out = iqr_outlier_stats(df, ["x"], exact=True).collect()[0]
     assert out["q3"] is None and out["n_outliers"] == 0
+
+
+def test_derived_mismatches_null_safe(spark):
+    from schema_validata_spark.operators.expectations import (
+        derived_mismatches)
+    rows = [
+        (1, "abc", 3),      # consistent
+        (2, "abcd", 3),     # stale stored value
+        (3, "ab", None),    # NULL stored vs 2 -> mismatch
+        (4, None, None),    # NULL vs NULL -> consistent
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars bigint")
+    got = {r["doc_id"]: r
+           for r in derived_mismatches(
+               df, "doc_id", "n_chars",
+               F.length("text").cast("bigint")).collect()}
+    assert set(got) == {2, 3}
+    assert got[2]["stored"] == 3 and got[2]["recomputed"] == 4
+    assert got[3]["stored"] is None and got[3]["recomputed"] == 2

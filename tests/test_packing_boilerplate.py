@@ -242,3 +242,36 @@ def test_padding_waste_rejects_bad_width(spark):
     from schema_validata_spark.operators.packing import padding_waste
     with pytest.raises(ValueError):
         padding_waste(spark.range(1), "id", 0)
+
+
+def test_template_openings(spark):
+    from schema_validata_spark.operators.boilerplate import (
+        template_openings)
+    rows = [
+        (1, "Thank you for your ORDER today friend"),
+        (2, "thank  you FOR your order yesterday pal"),   # same 5-prefix
+        (3, "completely different text here entirely now"),
+        (4, None), (5, ""),
+        (6, "short one"), (7, "short one"),               # < k tokens: whole text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["prefix"]: r
+           for r in template_openings(df, "text", "doc_id",
+                                      k_tokens=5, min_docs=2).collect()}
+    assert got["thank you for your order"]["n_docs"] == 2
+    assert got["thank you for your order"]["example_id"] == 1
+    assert got["short one"]["n_docs"] == 2
+    assert len(got) == 2  # the unique doc and empty/NULL never group
+
+
+def test_template_openings_bounded_key(spark):
+    """A pathological single 'token' longer than max_chars is clipped,
+    so the group key is bounded."""
+    from schema_validata_spark.operators.boilerplate import (
+        template_openings)
+    big = "x" * 10_000
+    df = spark.createDataFrame([(1, big), (2, big)],
+                               "doc_id long, text string")
+    got = template_openings(df, "text", "doc_id", k_tokens=3,
+                            min_docs=2, max_chars=64).collect()
+    assert len(got) == 1 and len(got[0]["prefix"]) == 64

@@ -354,3 +354,57 @@ def test_embedding_dim_qa_single_aggregate(spark, tmp_path):
     plan = _tree(out)
     assert plan.count("Exchange") == 1, plan
     assert "Generate" not in plan and "Join" not in plan, plan
+
+
+def test_vocab_drift_heap_topk_no_text_shuffle(spark, tmp_path):
+    """vocab_drift's top-k must be TakeOrderedAndProject (per-task
+    heaps, no global sort) and no Exchange may carry the text column —
+    only token counts shuffle."""
+    from schema_validata_spark.operators.drift import vocab_drift
+    src = str(tmp_path / "docs")
+    spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id") % 40, F.lit(" tok"),
+                 F.col("id") % 9).alias("text")).write.parquet(src)
+    docs = spark.read.parquet(src)
+    out = vocab_drift(docs.where(F.col("doc_id") % 2 == 0),
+                      docs.where(F.col("doc_id") % 2 == 1), "text")
+    plan = _tree(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    # no Exchange may carry text; partition-local SMJ sorts over the
+    # vocabulary-sized count frames are fine (and expected)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_derived_mismatches_map_only(spark, tmp_path):
+    """derived_mismatches is a pure scan-side filter: ZERO Exchanges."""
+    from schema_validata_spark.operators.expectations import (
+        derived_mismatches)
+    src = str(tmp_path / "docs")
+    spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.lit(5).cast("bigint").alias("n_chars")).write.parquet(src)
+    out = derived_mismatches(spark.read.parquet(src), "doc_id",
+                             "n_chars", F.length("text").cast("bigint"))
+    plan = _tree(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_template_openings_single_exchange(spark, tmp_path):
+    """template_openings: prefix assembles in the scan; ONE Exchange
+    (the groupBy on the bounded prefix key), no Generate/explode."""
+    from schema_validata_spark.operators.boilerplate import (
+        template_openings)
+    src = str(tmp_path / "docs")
+    spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("opening words here body "), F.col("id"))
+         .alias("text")).write.parquet(src)
+    out = template_openings(spark.read.parquet(src), "text", "doc_id",
+                            k_tokens=3, min_docs=2)
+    plan = _tree(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan, plan
