@@ -1321,6 +1321,37 @@ def q_derived_consistency(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_role_share(spark, sf_dir):
+    """Per-conversation focus-role share (operators/sequence.py:
+    role_share_stats) over the derived-role events fixture: how much
+    of each conversation is 'assistant' turns (NULL roles count in
+    totals, never in focus). ONE hash aggregate."""
+    from schema_validata_spark.operators.sequence import role_share_stats
+    return (role_share_stats(_event_role(spark, sf_dir),
+                             "user_id", "role", "assistant")
+            .orderBy("user_id"))
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Embedding centroid drift (operators/similarity.py:
+    embedding_centroid_drift): snapshot A = even vec_ids, B = odd with
+    dimension 1 shifted +0.5 on every 3rd — the shift must move the
+    centroid cosine off 1.0 identically in both engines. Two map-side
+    avg aggregates + a dims-sized join; vectors never shuffle."""
+    from schema_validata_spark.operators.similarity import (
+        embedding_centroid_drift)
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    shifted = F.concat(
+        F.array(F.element_at(vd, 1) + F.lit(0.5)),
+        F.slice(vd, 2, F.size(vd) - 1))
+    b = (emb.where(F.col("vec_id") % 2 == 1)
+            .select(F.when(F.col("vec_id") % 3 == 0, shifted)
+                     .otherwise(vd).alias("embedding")))
+    return embedding_centroid_drift(a, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -1415,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "template_openings": q_template_openings,
         "derived_consistency": q_derived_consistency,
+        "role_share": q_role_share,
+        "centroid_drift": q_centroid_drift,
     }
 
 
@@ -2893,5 +2926,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, stored, recomputed FROM m
         WHERE stored IS DISTINCT FROM recomputed
         ORDER BY doc_id"""
+
+    sql["role_share"] = """
+        WITH r AS (
+          SELECT user_id,
+                 CASE WHEN event_id % 97 = 0 THEN NULL
+                      WHEN event_type = 'signup' THEN 'system'
+                      WHEN event_type IN ('click', 'view') THEN 'user'
+                      ELSE 'assistant' END AS role
+          FROM events)
+        SELECT user_id, count(*)::bigint AS n_turns,
+               round(count(*)::double, 6) AS total_weight,
+               round(sum(CASE WHEN role = 'assistant' THEN 1.0
+                              ELSE 0.0 END)::double, 6)
+                 AS focus_weight,
+               CASE WHEN count(*) > 0 THEN
+                 round(sum(CASE WHEN role = 'assistant' THEN 1.0
+                                ELSE 0.0 END)::double
+                       / count(*)::double, 6) END AS focus_share
+        FROM r GROUP BY user_id ORDER BY user_id"""
+
+    sql["centroid_drift"] = """
+        WITH a AS (
+          SELECT embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+        b AS (
+          SELECT CASE WHEN vec_id % 3 = 0
+                      THEN [embedding[1]::DOUBLE + 0.5]
+                           || (embedding::DOUBLE[])[2:]
+                      ELSE embedding::DOUBLE[] END AS v
+          FROM embeddings
+          WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+        ca AS (
+          SELECT i AS dim, avg(v[i]) AS ca
+          FROM a, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+        cb AS (
+          SELECT i AS dim, avg(v[i]) AS cb
+          FROM b, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+        j AS (
+          SELECT coalesce(ca.ca, 0.0) AS ca, coalesce(cb.cb, 0.0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.dim = cb.dim)
+        SELECT count(*)::bigint AS n_dims,
+               round(sqrt(sum(ca * ca)), 4) AS norm_a,
+               round(sqrt(sum(cb * cb)), 4) AS norm_b,
+               CASE WHEN sqrt(sum(ca * ca)) > 0
+                     AND sqrt(sum(cb * cb)) > 0
+                    THEN round(sum(ca * cb) / (sqrt(sum(ca * ca))
+                                               * sqrt(sum(cb * cb))), 4)
+               END AS cosine
+        FROM j"""
 
     return sql

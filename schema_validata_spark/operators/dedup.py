@@ -450,17 +450,33 @@ def snapshot_fingerprints(df: DataFrame, text_col: str,
 
 
 def incremental_dedup(new_df: DataFrame, seen: DataFrame, text_col: str,
-                      fp_col: str = "fp") -> DataFrame:
+                      fp_col: str = "fp",
+                      new_fp_col: str | None = None) -> DataFrame:
     """Rows of ``new_df`` whose content fingerprint does NOT appear in
     ``seen`` (a ``snapshot_fingerprints`` frame) — the incremental
     ingest stage of a continuously-growing corpus.
 
+    ``new_fp_col``: name of an ALREADY-MATERIALIZED fingerprint column
+    on ``new_df`` to join on instead of recomputing it. This matters
+    at snapshot scale: bucketing information only survives on stored
+    columns, so a batch persisted with its fingerprint (bucketed on
+    it) joins co-located only if the plan reads THAT column — a
+    freshly derived expression would discard the bucketing. The column
+    is assumed equal to ``fingerprint(text_col)``; it is dropped from
+    the output like the derived one.
+
     SCALE: one left-anti join keyed on the 8-byte fingerprint. No
     forced hint — AQE broadcasts a modest seen set (map-only scan of
     the new batch); at snapshot scale (billions of fps) persist BOTH
-    sides bucketed by ``fp`` so the anti-join is a co-located
-    zero-shuffle merge. Within-batch duplicates are intentionally NOT
-    collapsed here (that is ``dedup_exact``'s job; compose them)."""
+    sides bucketed on the fingerprint into the same bucket count and
+    pass ``new_fp_col`` — the anti-join is then a ZERO-Exchange
+    co-located merge (plan-guard-tested). Within-batch duplicates are
+    intentionally NOT collapsed here (that is ``dedup_exact``'s job;
+    compose them)."""
+    if new_fp_col is not None:
+        seen_fp = seen.select(F.col(fp_col).alias(new_fp_col))
+        return (new_df.join(seen_fp, on=new_fp_col, how="left_anti")
+                      .drop(new_fp_col))
     fp = "__" + fp_col
     seen_fp = seen.select(F.col(fp_col).alias(fp))
     return (new_df.withColumn(fp, fingerprint(text_col))

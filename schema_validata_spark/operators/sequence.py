@@ -207,6 +207,40 @@ def transition_counts(df: DataFrame, part_col: str,
               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+def role_share_stats(df: DataFrame, part_col: str, role_col: str,
+                     focus_role: str,
+                     weight: Column | str | None = None) -> DataFrame:
+    """Per-conversation share of one role's mass — turn counts by
+    default, or any per-row weight (chars, tokens) — the SFT-value
+    screen: a 'conversation' that is 98% user (a form dump) or 0%
+    assistant (an abandoned session) is cut before training.
+
+    Output per partition: part, n_turns, total_weight, focus_weight,
+    focus_share (rounded; NULL when total_weight is 0). NULL roles
+    and NULL weights contribute to totals as 0 focus mass / 0 weight
+    respectively — they can never inflate the focus share.
+
+    SCALE: ONE hash aggregate on the conversation key; the weight and
+    the focus predicate evaluate in the scan projection. Map-side
+    partial combine makes the shuffle one row per (partition, conv)."""
+    w = (F.lit(1).cast("bigint") if weight is None
+         else (F.col(weight) if isinstance(weight, str) else weight))
+    w = F.coalesce(w.cast("double"), F.lit(0.0))
+    is_focus = F.col(role_col) == focus_role
+    agg = (df.groupBy(F.col(part_col))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+                  F.sum(w).alias("__tw"),
+                  F.sum(F.when(is_focus, w).otherwise(F.lit(0.0)))
+                   .alias("__fw")))
+    return agg.select(
+        part_col, "n_turns",
+        F.round(F.col("__tw"), 6).alias("total_weight"),
+        F.round(F.col("__fw"), 6).alias("focus_weight"),
+        F.when(F.col("__tw") > 0,
+               F.round(F.col("__fw") / F.col("__tw"), 6))
+         .alias("focus_share"))
+
+
 def turn_conformance(df: DataFrame, part_col: str, idx_col: str,
                      start: int = 0) -> DataFrame:
     """Conversations whose turn index is NOT a dense ``start..start+n-1``

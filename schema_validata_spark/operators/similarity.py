@@ -195,6 +195,50 @@ def embedding_dim_qa(df: DataFrame, vec_col: str = "embedding"
                     .alias("n_zero_vectors")))
 
 
+def embedding_centroid_drift(df_a: DataFrame, df_b: DataFrame,
+                             vec_col: str = "embedding") -> DataFrame:
+    """Centroid drift between two embedding snapshots: the cosine
+    between the per-dimension MEAN vectors of A and B, plus both
+    centroid norms and the dimension count — the one-number encoder
+    health check between corpus versions (a re-trained or mis-versioned
+    encoder moves the centroid; ingest drift barely does).
+
+    Output: ONE row (n_dims, norm_a, norm_b, cosine), rounded to 4
+    (stable under cross-partition float summation order). NULL
+    embeddings are excluded; dimensions present in only one snapshot
+    contribute 0 on the other side (mixed-dim corpora — see
+    ``embedding_dim_qa`` to find them first).
+
+    SCALE: per snapshot, posexplode to (dim, value) and ONE two-stage
+    avg aggregate — partial means collapse map-side, so the shuffle
+    carries (partition × n_dims) rows, NOT (rows × n_dims); then a
+    dims-sized join and a single-row aggregate. Vectors themselves
+    never shuffle."""
+    def _centroid(df, name):
+        v = F.col(vec_col)
+        return (df.where(v.isNotNull())
+                  .select(F.posexplode(v.cast("array<double>"))
+                           .alias("dim", "val"))
+                  .groupBy("dim")
+                  .agg(F.avg("val").alias(name)))
+    j = (_centroid(df_a, "ca").join(_centroid(df_b, "cb"),
+                                    on="dim", how="full_outer")
+         .select(F.coalesce("ca", F.lit(0.0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0.0)).alias("cb")))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum(F.col("ca") * F.col("cb")).alias("__dot"),
+        F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("__na"),
+        F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("__nb"))
+    return agg.select(
+        "n_dims",
+        F.round(F.col("__na"), 4).alias("norm_a"),
+        F.round(F.col("__nb"), 4).alias("norm_b"),
+        F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+               F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")),
+                       4)).alias("cosine"))
+
+
 def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding"
                          ) -> DataFrame:
     """Corpus-QA for an embedding column in ONE aggregate: vector

@@ -330,3 +330,25 @@ def test_embedding_dim_qa(spark):
     assert d2["n_with_null_elem"] == 1 and d2["n_zero_vectors"] == 1
     assert got[3]["n_vectors"] == 1 and got[3]["n_zero_vectors"] == 0
     assert got[None]["n_vectors"] == 1 and got[None]["n_with_nan"] == 0
+
+
+def test_embedding_centroid_drift(spark):
+    from schema_validata_spark.operators.similarity import (
+        embedding_centroid_drift)
+    a = spark.createDataFrame([( [1.0, 0.0],), ([1.0, 0.0],)],
+                              "embedding array<double>")
+    b = spark.createDataFrame([( [0.0, 1.0],), ([0.0, 1.0],), (None,)],
+                              "embedding array<double>")
+    r = embedding_centroid_drift(a, b).collect()[0]
+    # centroids (1,0) vs (0,1): orthogonal
+    assert r["n_dims"] == 2
+    assert r["norm_a"] == 1.0 and r["norm_b"] == 1.0
+    assert r["cosine"] == 0.0
+
+
+def test_embedding_centroid_drift_identical(spark):
+    from schema_validata_spark.operators.similarity import (
+        embedding_centroid_drift)
+    df = spark.createDataFrame([([3.0, 4.0],)], "embedding array<double>")
+    r = embedding_centroid_drift(df, df).collect()[0]
+    assert r["cosine"] == 1.0 and r["norm_a"] == 5.0

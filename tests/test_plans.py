@@ -408,3 +408,40 @@ def test_template_openings_single_exchange(spark, tmp_path):
     plan = _tree(out)
     assert plan.count("Exchange") == 1, plan
     assert "Generate" not in plan, plan
+
+
+def test_bucketed_incremental_dedup_zero_shuffle(spark, tmp_path):
+    """The dedup docstring's scale contract, proven in a plan: persist
+    the seen-fingerprint snapshot AND the new batch bucketed on the
+    fingerprint (same bucket count), join through incremental_dedup's
+    new_fp_col path, and the anti-join must be a co-located merge with
+    ZERO Exchanges — the shape a billion-fp snapshot needs, where a
+    shuffle of either side would dominate the job."""
+    from schema_validata_spark.functions.text import fingerprint
+    from schema_validata_spark.operators.dedup import (
+        incremental_dedup, snapshot_fingerprints)
+    spark.sql("DROP TABLE IF EXISTS __t_seen_b")
+    spark.sql("DROP TABLE IF EXISTS __t_new_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"))
+        seen = snapshot_fingerprints(
+            df.where(F.col("doc_id") % 3 == 0), "text")
+        seen.write.bucketBy(8, "fp").saveAsTable("__t_seen_b")
+        df.withColumn("fp", fingerprint("text")) \
+          .write.bucketBy(8, "fp").saveAsTable("__t_new_b")
+        out = incremental_dedup(spark.table("__t_new_b"),
+                                spark.table("__t_seen_b"), "text",
+                                new_fp_col="fp")
+        plan = _tree(out)
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        # semantics unchanged vs the derived-fp path
+        assert out.count() == df.where(F.col("doc_id") % 3 != 0).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS __t_seen_b")
+        spark.sql("DROP TABLE IF EXISTS __t_new_b")

@@ -161,3 +161,32 @@ def test_transition_counts(spark):
     assert got[("click", "view")] == 1 and got[("view", "click")] == 1
     assert got[("click", "click")] == 1
     assert sum(got.values()) == 5
+
+
+def test_role_share_stats(spark):
+    from schema_validata_spark.operators.sequence import role_share_stats
+    rows = [
+        ("c1", "user"), ("c1", "assistant"), ("c1", "assistant"),
+        ("c1", None),                       # NULL role: total, not focus
+        ("c2", "user"), ("c2", "user"),     # zero focus mass
+    ]
+    df = spark.createDataFrame(rows, "conv string, role string")
+    got = {r["conv"]: r
+           for r in role_share_stats(df, "conv", "role",
+                                     "assistant").collect()}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 4 and c1["total_weight"] == 4.0
+    assert c1["focus_weight"] == 2.0 and c1["focus_share"] == 0.5
+    assert got["c2"]["focus_share"] == 0.0
+
+
+def test_role_share_stats_weighted(spark):
+    """Weighted mode: NULL weights contribute 0, never NULL-poison."""
+    from schema_validata_spark.operators.sequence import role_share_stats
+    rows = [("c1", "assistant", 30), ("c1", "user", 10),
+            ("c1", "assistant", None)]
+    df = spark.createDataFrame(rows, "conv string, role string, w long")
+    r = role_share_stats(df, "conv", "role", "assistant",
+                         weight="w").collect()[0]
+    assert r["total_weight"] == 40.0 and r["focus_weight"] == 30.0
+    assert r["focus_share"] == 0.75
