@@ -521,6 +521,22 @@ def q_lsh_ann_topk(spark, sf_dir):
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """Trained-IVF ANN (operators/similarity.py: deterministic k-means
+    train → map-only assign → broadcast probe routing → exact cosine
+    top-k on probed clusters). Run in the EXACT mode (n_probe ==
+    n_clusters, every cluster probed) so the full train/assign/route/
+    score plumbing is hash-checkable against the brute-force SQL
+    oracle; approximate recall (n_probe < n_clusters) is pytest-covered
+    (tests/test_dedup_similarity.py)."""
+    from schema_validata_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id >= 10 AND vec_id < 18")
+    return ivf_topk(emb, queries, k=4, n_clusters=5, n_probe=5,
+                    n_iters=3).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
 def q_datetime_inference(spark, sf_dir):
     """SURVEY §2.2 infer_datetime_column / COMMON_DATETIMES coverage
     (functions/datetimes.py): orders dates rendered into 5 distinct
@@ -1417,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ivf_route": q_ivf_route,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "pack_shards": q_pack_shards,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -1818,6 +1835,30 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT query_id, neighbor_id, round(cos6, 4) AS cos
         FROM ranked WHERE rn <= 5"""
+
+    # Exact-mode IVF (all clusters probed) ≡ brute-force top-k: the
+    # oracle is the plain cross-join ranking — hash equality proves the
+    # train/assign/route plumbing loses no candidate.
+    sql["ivf_ann_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          cast(embedding as double[]) AS qv
+                   FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.qv, cast(c.embedding as double[]))
+                 / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(cast(c.embedding as double[]),
+                                                  cast(c.embedding as double[]))),
+                            1e-12), 6) AS cos6
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id != q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos6, row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY cos6 DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos6, 4) AS cos
+        FROM ranked WHERE rn <= 4"""
 
     sql["ivf_route"] = """
         WITH a AS (

@@ -162,6 +162,168 @@ def ivf_route(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("ivf_bucket", bucket)
 
 
+def _argmin_cluster_udf(centroids: "np.ndarray", n_out: int = 1):
+    """Arrow-vectorized pandas UDF: embedding → nearest-centroid id(s).
+
+    Squared-L2 argmin via ONE matmul per Arrow batch:
+    ``argmin(|v|² - 2·v·C + |c|²) = argmin(|c|² - 2·v·C)`` (the |v|²
+    term is constant per row). ``n_out == 1`` returns an int cluster
+    id; ``n_out > 1`` returns the ``n_out`` nearest cluster ids as
+    array<int> (the query-side probe list). Ties break on the lowest
+    cluster index (stable argsort). NULL vectors and vectors whose
+    dimension differs from the centroids' return NULL — the same
+    explicit exclusion contract as ``hyperplane_codes``."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    c_t = c.T.copy()                                     # (dim, k)
+    c_sq = (c * c).sum(axis=1)                           # (k,)
+    dim = c.shape[1]
+    n_out = min(n_out, c.shape[0])
+
+    def _nearest(v: pd.Series) -> pd.Series:
+        rows = [None] * len(v)
+        ok = [i for i, x in enumerate(v)
+              if x is not None and len(x) == dim]
+        if ok:
+            m = np.stack([np.asarray(v.iloc[i], dtype=np.float64)
+                          for i in ok])
+            scores = c_sq - 2.0 * (m @ c_t)              # (B, k)
+            if n_out == 1:
+                best = scores.argmin(axis=1)
+                for row, i in enumerate(ok):
+                    rows[i] = int(best[row])
+            else:
+                order = np.argsort(scores, axis=1, kind="stable")
+                for row, i in enumerate(ok):
+                    rows[i] = order[row, :n_out].tolist()
+        return pd.Series(rows)
+
+    if n_out == 1:
+        return pandas_udf("int")(_nearest)
+    return pandas_udf("array<int>")(_nearest)
+
+
+def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
+                        n_clusters: int = 8, n_iters: int = 5,
+                        seed: int = _LSH_SEED) -> list:
+    """Deterministic distributed k-means for IVF coarse quantization.
+
+    * **Init**: the ``n_clusters`` distinct vectors with the smallest
+      ``xxhash64(vector, seed)`` — a content-derived deterministic
+      sample (TakeOrdered, no full shuffle), independent of row order,
+      partitioning, and ids.
+    * **Lloyd step**: assign each vector to its nearest centroid with the
+      one-matmul-per-batch UDF, then recompute per-cluster means via
+      ``posexplode`` → two-stage avg: partial means collapse map-side,
+      so each iteration's shuffle carries (partitions × k × dim) rows —
+      the vectors themselves NEVER shuffle. The k×dim result is
+      collected (tiny) and re-broadcast through the next UDF's closure.
+    * **Determinism**: centroids are rounded to 6 decimals after every
+      iteration, so cross-partition float-summation order cannot leak
+      into assignments; argmin ties break on cluster index. Empty
+      clusters keep their previous centroid.
+
+    Returns the trained centroids as a list of ``n_clusters`` lists
+    (rounded) — small enough to persist in a manifest for reuse.
+    100 TB: ``n_iters`` corpus passes, each a scan + k×dim-sized
+    aggregate; train on a deterministic sample first if even that is
+    too hot."""
+    v = F.col(vec_col).cast("array<double>")
+    vecs = df.where(v.isNotNull()).select(v.alias("v"))
+
+    take = max(n_clusters * 4, 64)
+    cand = (vecs.select("v", F.xxhash64("v", F.lit(seed)).alias("h"))
+                .orderBy("h").limit(take).collect())
+    init, seen = [], set()
+    for r in cand:
+        key = tuple(r["v"])
+        if key not in seen:
+            seen.add(key)
+            init.append(list(r["v"]))
+        if len(init) == n_clusters:
+            break
+    if not init:
+        raise ValueError("train_ivf_centroids: no non-null vectors")
+    cent = np.round(np.asarray(init, dtype=np.float64), 6)
+    k, dim = cent.shape
+
+    for _ in range(n_iters):
+        assign = _argmin_cluster_udf(cent)
+        sums = (vecs.where(F.size("v") == dim)
+                    .withColumn("c", assign("v"))
+                    .select("c", F.posexplode("v").alias("dim", "val"))
+                    .groupBy("c", "dim").agg(F.avg("val").alias("m"))
+                    .collect())
+        nxt = cent.copy()                 # empty clusters keep centroid
+        for r in sums:
+            nxt[r["c"], r["dim"]] = r["m"]
+        cent = np.round(nxt, 6)
+    return [row.tolist() for row in cent]
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
+               out_col: str = "ivf_cluster") -> DataFrame:
+    """Adds the trained-IVF cluster id (map-only; no shuffle). Rows
+    with NULL or off-dimension vectors get NULL — route them through
+    ``embedding_dim_qa`` first."""
+    udf = _argmin_cluster_udf(np.asarray(centroids, dtype=np.float64))
+    return df.withColumn(
+        out_col, udf(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", k: int = 10,
+             n_clusters: int = 8, n_probe: int = 2,
+             n_iters: int = 5, centroids=None) -> DataFrame:
+    """Trained-IVF approximate top-k cosine search.
+
+    Train (or accept) ``n_clusters`` k-means centroids, assign every
+    corpus vector to its nearest centroid (map-only), compute each
+    query's ``n_probe`` nearest centroids, and scan ONLY the probed
+    clusters: the exploded (query × probe) frame — |queries|·n_probe
+    rows — is **broadcast** onto the bucketed corpus, so the corpus
+    never shuffles and un-probed clusters are filtered at the join.
+    Exact cosine + per-query top-k (ties on neighbor id) run on the
+    surviving candidates only, JVM-side.
+
+    ``n_probe >= n_clusters`` probes every cluster and is EXACT —
+    byte-identical to ``brute_force_topk`` (the oracle mode); smaller
+    ``n_probe`` trades recall for a 1/k-ish scan fraction. Output
+    (query_id, neighbor_id, cos)."""
+    cent = np.asarray(
+        centroids if centroids is not None
+        else train_ivf_centroids(corpus, vec_col, n_clusters, n_iters),
+        dtype=np.float64)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("v")),
+        cent, vec_col="v", out_col="__bkt").where(
+        F.col("__bkt").isNotNull())
+    n_probe = max(1, n_probe)
+    probe = _argmin_cluster_udf(cent, n_out=n_probe)
+    probes = probe(F.col("qv"))
+    if n_probe == 1:                      # int UDF → 1-element array
+        probes = F.array(probes)
+    q = (queries.select(F.col(qid_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+                .withColumn("__probes", probes)
+                .where(F.col("__probes").isNotNull())
+                .select("query_id", "qv",
+                        F.explode("__probes").alias("__bkt"))
+                .where(F.col("__bkt").isNotNull()))
+    scored = (c.join(F.broadcast(q), "__bkt")
+               .where(F.col("neighbor_id") != F.col("query_id"))
+               .select("query_id", "neighbor_id",
+                       F.round(cosine_expr(F.col("qv"), F.col("v")), 6)
+                        .alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= k).drop("rn"))
+
+
 def embedding_dim_qa(df: DataFrame, vec_col: str = "embedding"
                      ) -> DataFrame:
     """Embedding-shape QA grouped by vector DIMENSION: a healthy

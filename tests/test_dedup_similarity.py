@@ -352,3 +352,51 @@ def test_embedding_centroid_drift_identical(spark):
     df = spark.createDataFrame([([3.0, 4.0],)], "embedding array<double>")
     r = embedding_centroid_drift(df, df).collect()[0]
     assert r["cosine"] == 1.0 and r["norm_a"] == 5.0
+
+
+def test_ivf_train_deterministic_across_partitionings(vecs):
+    """k-means centroids are content-derived (hash-ordered init,
+    rounded Lloyd means): repartitioning must not move them."""
+    from schema_validata_spark.operators.similarity import train_ivf_centroids
+    a = train_ivf_centroids(vecs, n_clusters=3, n_iters=3)
+    b = train_ivf_centroids(vecs.repartition(5), n_clusters=3, n_iters=3)
+    assert a == b
+
+
+def test_ivf_exact_mode_matches_brute_force(vecs):
+    """n_probe == n_clusters probes every cluster → byte-identical to
+    the brute-force baseline (this is the oracle mode)."""
+    from schema_validata_spark.operators.similarity import (brute_force_topk,
+                                                            ivf_topk)
+    q = vecs.where("vec_id <= 3")
+    got = set(map(tuple, ivf_topk(vecs, q, k=3, n_clusters=3,
+                                  n_probe=3, n_iters=3).collect()))
+    want = set(map(tuple, brute_force_topk(vecs, q, k=3).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_ivf_single_probe_finds_tight_neighbor(vecs):
+    """With 3 axis-aligned clusters and n_probe=1, the near-identical
+    neighbor shares the query's cluster and must be found."""
+    from schema_validata_spark.operators.similarity import ivf_topk
+    got = ivf_topk(vecs, vecs.where("vec_id = 1"), k=2,
+                   n_clusters=3, n_probe=1, n_iters=4).collect()
+    assert 2 in [r["neighbor_id"] for r in got]
+
+
+def test_ivf_assign_null_and_mixed_dim(spark):
+    """NULL embeddings and off-dimension vectors get NULL cluster —
+    excluded, never crashing the matmul batch."""
+    from schema_validata_spark.operators.similarity import (ivf_assign,
+                                                            train_ivf_centroids)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, None),
+         (4, [1.0, 0.0]), (5, [0.1, 0.9, 0.0])],
+        "vec_id: long, embedding: array<double>")
+    cents = train_ivf_centroids(df.where("vec_id in (1,2,5)"),
+                                n_clusters=2, n_iters=2)
+    by_id = {r["vec_id"]: r["ivf_cluster"]
+             for r in ivf_assign(df, cents).collect()}
+    assert by_id[3] is None and by_id[4] is None
+    assert by_id[2] == by_id[5] is not None
+    assert by_id[1] is not None and by_id[1] != by_id[2]
