@@ -1065,6 +1065,42 @@ def _event_role(spark, sf_dir):
     return ev.select("user_id", "ts", role.alias("role"))
 
 
+def _event_transcript(spark, sf_dir):
+    """`_event_role` plus a text column (the raw props payload), the
+    shape sft-pair extraction and loss-mask spans need; every 89th
+    event's text is NULLed to exercise empty-turn handling."""
+    ev = _t(spark, sf_dir, "events")
+    role = (F.when(F.col("event_id") % 97 == 0, F.lit(None))
+             .when(F.col("event_type") == "signup", F.lit("system"))
+             .when(F.col("event_type").isin("click", "view"),
+                   F.lit("user"))
+             .otherwise(F.lit("assistant")))
+    text = F.when(F.col("event_id") % 89 != 0, F.col("props"))
+    return ev.select("user_id", "ts", role.alias("role"),
+                     text.alias("text"))
+
+
+def q_sft_pairs(spark, sf_dir):
+    """(prompt, response) SFT pair extraction (operators/sequence.py:
+    sft_pairs): assistant turns immediately preceded by a user turn,
+    one lag window over the conversation key."""
+    from schema_validata_spark.operators.sequence import sft_pairs
+    return (sft_pairs(_event_transcript(spark, sf_dir),
+                      "user_id", ["ts"], "role", "text")
+            .select("user_id", "ts", "prompt_text", "response_text"))
+
+
+def q_span_offsets(spark, sf_dir):
+    """Loss-mask char spans (operators/sequence.py: span_offsets):
+    [start, end) of each assistant turn when the conversation is
+    concatenated with a 1-char separator; only lengths shuffle."""
+    from schema_validata_spark.operators.sequence import span_offsets
+    return (span_offsets(_event_transcript(spark, sf_dir),
+                         "user_id", ["ts"], "text", role_col="role",
+                         roles={"assistant"}, sep_len=1)
+            .select("user_id", "ts", "role", "start_char", "end_char"))
+
+
 def q_role_conformance(spark, sf_dir):
     """Speaker-sequence automaton check (operators/sequence.py:
     role_conformance): allowed transitions system→user, user→assistant,
@@ -1448,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "line_dedup": q_line_dedup,
         "role_conformance": q_role_conformance,
+        "sft_pairs": q_sft_pairs,
+        "span_offsets": q_span_offsets,
         "duplicate_conversations": q_duplicate_conversations,
         "context_budget": q_context_budget,
         "vocab_stats": q_vocab_stats,
@@ -2646,6 +2684,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT m.doc_id, coalesce(r.t2, '') AS text
         FROM m LEFT JOIN rebuilt r USING (doc_id)
         ORDER BY m.doc_id"""
+
+    sql["sft_pairs"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 CASE WHEN event_id % 97 = 0 THEN NULL
+                      WHEN event_type = 'signup' THEN 'system'
+                      WHEN event_type IN ('click', 'view') THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 CASE WHEN event_id % 89 != 0 THEN props END AS text
+          FROM events),
+        l AS (
+          SELECT user_id, ts, role, text AS response_text,
+                 lag(role) OVER w AS prev_role,
+                 lag(text) OVER w AS prompt_text
+          FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        SELECT user_id, ts, prompt_text, response_text
+        FROM l WHERE role = 'assistant' AND prev_role = 'user'"""
+
+    sql["span_offsets"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 CASE WHEN event_id % 97 = 0 THEN NULL
+                      WHEN event_type = 'signup' THEN 'system'
+                      WHEN event_type IN ('click', 'view') THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 length(coalesce(
+                   CASE WHEN event_id % 89 != 0 THEN props END,
+                   ''))::bigint AS len
+          FROM events),
+        o AS (
+          SELECT user_id, ts, role,
+                 coalesce(sum(len + 1) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::bigint AS start_char,
+                 len
+          FROM r)
+        SELECT user_id, ts, role, start_char,
+               (start_char + len)::bigint AS end_char
+        FROM o WHERE role = 'assistant'"""
 
     sql["role_conformance"] = """
         WITH r AS (

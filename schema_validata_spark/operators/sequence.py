@@ -273,3 +273,78 @@ def turn_conformance(df: DataFrame, part_col: str, idx_col: str,
              & (F.col("min_idx") == start)
              & (F.col("max_idx") == start + F.col("n_turns") - 1))
     return agg.where(~dense)
+
+
+def sft_pairs(df: DataFrame, part_col: str, order_cols: list[str],
+              role_col: str, text_col: str,
+              user_role: str = "user",
+              assistant_role: str = "assistant") -> DataFrame:
+    """Extract (prompt, response) supervised-fine-tuning pairs from a
+    transcript: every ``assistant_role`` turn whose IMMEDIATELY
+    preceding turn (within ``part_col``, ordered by ``order_cols``) is
+    a ``user_role`` turn becomes one training example. Assistant turns
+    preceded by anything else (tool output, another assistant turn, a
+    NULL role, or nothing) are skipped — a pair with the wrong context
+    is worse than no pair.
+
+    Output: (part, prompt_text, response_text) plus the ordering
+    columns of the RESPONSE turn, so pairs keep a stable identity for
+    downstream dedup / decontamination / split assignment.
+
+    SCALE: ONE window over the conversation key — the same
+    single-shuffle contract as every op in this module. Text rides the
+    shuffle because text IS the output; at 10^12 turns, run AFTER
+    corpus-level filters (dedup, quality) so only surviving turns pay
+    it."""
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    out_order = [F.col(c) for c in order_cols]
+    return (df.select(F.col(part_col), *out_order,
+                      F.col(role_col).alias("__role"),
+                      F.col(text_col).alias("response_text"),
+                      F.lag(F.col(role_col)).over(w).alias("__prev_role"),
+                      F.lag(F.col(text_col)).over(w).alias("prompt_text"))
+              .where((F.col("__role") == assistant_role)
+                     & (F.col("__prev_role") == user_role))
+              .drop("__role", "__prev_role"))
+
+
+def span_offsets(df: DataFrame, part_col: str, order_cols: list[str],
+                 text_col: str, role_col: str | None = None,
+                 roles: set | None = None,
+                 sep_len: int = 1) -> DataFrame:
+    """Loss-mask spans: when a conversation's turns are concatenated in
+    order with a ``sep_len``-character separator, the [start_char,
+    end_char) offsets of each turn in the packed document — the spans a
+    trainer masks (or keeps) when only ``roles`` (e.g. assistant turns)
+    contribute loss. NULL text contributes 0 characters but still
+    consumes a separator slot, matching ``concat_ws`` on a NULL-free
+    join after coalescing to ''.
+
+    start = Σ (len(prev texts) + sep_len) over preceding turns (running
+    sum window, rows-between semantics); end = start + len(text).
+    ``roles``/``role_col`` filter AFTER offsets are computed, so masked
+    and kept turns share one coordinate system.
+
+    SCALE: only (part, order, role, length) shuffle — the text column
+    is dropped before the window, so the packed document's coordinates
+    cost 16-byte rows regardless of turn size. One window, one
+    shuffle."""
+    ln = F.length(F.coalesce(F.col(text_col), F.lit(""))) \
+          .cast("bigint").alias("__len")
+    keep = [F.col(part_col), *[F.col(c) for c in order_cols], ln]
+    if role_col is not None:
+        keep.append(F.col(role_col))
+    slim = df.select(*keep)
+    w = (Window.partitionBy(part_col)
+               .orderBy(*[F.col(c) for c in order_cols])
+               .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(F.col("__len") + sep_len).over(w),
+                       F.lit(0).cast("bigint"))
+    out = (slim.withColumn("start_char", start)
+               .withColumn("end_char",
+                           F.col("start_char") + F.col("__len"))
+               .drop("__len"))
+    if roles is not None and role_col is not None:
+        out = out.where(F.col(role_col).isin(*sorted(roles)))
+    return out

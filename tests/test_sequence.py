@@ -190,3 +190,54 @@ def test_role_share_stats_weighted(spark):
                          weight="w").collect()[0]
     assert r["total_weight"] == 40.0 and r["focus_weight"] == 30.0
     assert r["focus_share"] == 0.75
+
+
+TURNS = [
+    # conv, idx, role, text
+    ("c1", 0, "system", "be helpful"),
+    ("c1", 1, "user", "hi"),
+    ("c1", 2, "assistant", "hello!"),
+    ("c1", 3, "tool", "{}"),
+    ("c1", 4, "assistant", "done"),       # prev is tool → no pair
+    ("c2", 0, "assistant", "orphan"),     # first turn → no pair
+    ("c2", 1, "user", None),              # NULL prompt text
+    ("c2", 2, "assistant", "reply"),
+]
+
+
+def test_sft_pairs_prev_user_only(spark):
+    """Only assistant turns immediately preceded by a user turn pair
+    up; tool-interrupted and conversation-opening assistants don't."""
+    from schema_validata_spark.operators.sequence import sft_pairs
+    df = spark.createDataFrame(
+        TURNS, "conv string, idx int, role string, text string")
+    got = {(r["conv"], r["idx"]): (r["prompt_text"], r["response_text"])
+           for r in sft_pairs(df, "conv", ["idx"], "role", "text")
+           .collect()}
+    assert got == {("c1", 2): ("hi", "hello!"),
+                   ("c2", 2): (None, "reply")}
+
+
+def test_span_offsets_separator_accounting(spark):
+    """Offsets match python's '\\x1f'.join on coalesced texts; NULL
+    text is a 0-length span that still consumes its separator."""
+    from schema_validata_spark.operators.sequence import span_offsets
+    df = spark.createDataFrame(
+        TURNS, "conv string, idx int, role string, text string")
+    all_spans = span_offsets(df, "conv", ["idx"], "text",
+                             role_col="role", sep_len=1).collect()
+    by_conv = {}
+    for conv, idx, role, text in TURNS:
+        by_conv.setdefault(conv, []).append(text or "")
+    for r in all_spans:
+        doc = "\x1f".join(by_conv[r["conv"]])
+        want = by_conv[r["conv"]][r["idx"]]
+        assert doc[r["start_char"]:r["end_char"]] == want, r
+    kept = span_offsets(df, "conv", ["idx"], "text", role_col="role",
+                        roles={"assistant"}, sep_len=1).collect()
+    assert {(r["conv"], r["idx"]) for r in kept} == \
+        {("c1", 2), ("c1", 4), ("c2", 0), ("c2", 2)}
+    # masked and kept turns share one coordinate system
+    first = {(r["conv"], r["idx"]): r["start_char"] for r in all_spans}
+    for r in kept:
+        assert first[(r["conv"], r["idx"])] == r["start_char"]
