@@ -394,6 +394,21 @@ def q_contamination_pairs(spark, sf_dir):
                                shingle_k=5)
 
 
+def q_contamination_bloom(spark, sf_dir):
+    """Bloom-prescreened decontamination (operators/decontam.py:
+    contamination_pairs_bloom): the eval shingle set collapses to a
+    (slot, bit_or word) bitmap — bounded rows regardless of eval size —
+    probed by two broadcast joins before the exact hash join confirms.
+    Output byte-identical to `contamination_pairs`, so they share the
+    oracle; run here with a deliberately small bitmap so the
+    false-positive elimination path is what the hash check verifies."""
+    from schema_validata_spark.operators.decontam import (
+        contamination_pairs_bloom)
+    train = _t(spark, sf_dir, "documents")
+    return contamination_pairs_bloom(train, _eval_subset(spark, sf_dir),
+                                     shingle_k=5, m_bits=1 << 14)
+
+
 def q_decontaminated(spark, sf_dir):
     """Corpus minus contaminated docs (anti-join on the flagged set)."""
     train = _t(spark, sf_dir, "documents")
@@ -1449,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "transcript_split": q_transcript_split,
         "contamination_pairs": q_contamination_pairs,
+        "contamination_bloom": q_contamination_bloom,
         "decontaminated": q_decontaminated,
         "pii_summary": q_pii_summary,
         "repetition_stats": q_repetition_stats,
@@ -2049,6 +2065,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["contamination_pairs"] = \
         f"WITH {_sh5_ctes} SELECT train_id, eval_id, n_shared FROM cp"
+    # bloom prescreen is output-identical to the exact operator by
+    # construction (exact join eliminates FPs) — same oracle
+    sql["contamination_bloom"] = sql["contamination_pairs"]
 
     sql["decontaminated"] = f"""
         WITH {_sh5_ctes}

@@ -123,3 +123,74 @@ def novelty_stats(df: DataFrame, ref: DataFrame, text_col: str,
                          F.round(F.col("n_novel")
                                  / F.col("n_shingles").cast("double"),
                                  6)))
+
+
+def _bloom_positions(h, m_bits: int):
+    """Two independent bit positions for a 64-bit shingle hash:
+    re-hash the hash with distinct salt tuples (xxhash64 of (h, salt))
+    instead of multiply-shift — long multiplication overflows under
+    ANSI mode, re-hashing never does."""
+    p1 = F.pmod(F.xxhash64(h, F.lit(1)), F.lit(m_bits))
+    p2 = F.pmod(F.xxhash64(h, F.lit(2)), F.lit(m_bits))
+    return p1, p2
+
+
+def _bloom_bitmap(hashes: DataFrame, m_bits: int) -> DataFrame:
+    """Distributed bloom build: every hash sets 2 bits; bits pack into
+    (slot:long, word:long) rows via a ``bit_or`` hash aggregate — the
+    bitmap is at most ``m_bits/64`` rows no matter how many hashes
+    went in, so it broadcasts even when the eval hash set itself has
+    outgrown the broadcast threshold."""
+    p1, p2 = _bloom_positions(F.col("sh"), m_bits)
+    pos = (hashes.select(p1.alias("p"))
+                 .unionAll(hashes.select(p2.alias("p"))))
+    return (pos.select(F.shiftright("p", 6).alias("slot"),
+                       F.expr("shiftleft(1L, cast(p % 64 as int))")
+                        .alias("w"))
+               .groupBy("slot").agg(F.bit_or("w").alias("word")))
+
+
+def contamination_pairs_bloom(train: DataFrame, eval_set: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              shingle_k: int = 8, min_overlap: int = 1,
+                              m_bits: int = 1 << 23) -> DataFrame:
+    """``contamination_pairs`` with a bloom pre-screen — the shape that
+    survives when the EVAL side outgrows the broadcast threshold (a
+    10^8-hash protected set is GBs as join keys but ``m_bits/8`` bytes
+    as a bloom bitmap).
+
+    The train side's shingle hashes probe the bitmap with two
+    broadcast-sized (slot → word) joins; only rows whose BOTH bits are
+    set continue to the exact hash join, so bloom false positives are
+    eliminated and the output is byte-identical to
+    ``contamination_pairs`` (shared oracle). A probed slot absent from
+    the bitmap frame means bit unset — the join is ``left`` and NULL
+    words drop the row.
+
+    False-positive pass-through rate ≈ (n_eval_hashes / m_bits)²; the
+    default 8M bits (1 MiB bitmap) holds ~1M eval shingles at ~1.5%
+    — tune ``m_bits`` upward for bigger protected sets (cost is linear
+    bitmap size, not join size)."""
+    t = _shingle_hashes(train, text_col, id_col, "train_id", shingle_k)
+    e = _shingle_hashes(eval_set, text_col, id_col, "eval_id", shingle_k)
+    bitmap = _bloom_bitmap(e.select("sh").distinct(), m_bits)
+
+    p1, p2 = _bloom_positions(F.col("sh"), m_bits)
+    probed = t.withColumn("__p1", p1).withColumn("__p2", p2)
+    for i in ("__p1", "__p2"):
+        b = bitmap.select(F.col("slot").alias(f"{i}_slot"),
+                          F.col("word").alias(f"{i}_word"))
+        probed = (probed
+                  .withColumn(f"{i}_slot", F.shiftright(i, 6))
+                  .join(b, f"{i}_slot", "left")
+                  .where(F.col(f"{i}_word").isNotNull()
+                         & (F.col(f"{i}_word")
+                            .bitwiseAND(F.expr(
+                                f"shiftleft(1L, cast({i} % 64 as int))"
+                            )) != 0))
+                  .drop(i, f"{i}_slot", f"{i}_word"))
+    return (probed.join(e, "sh")
+                  .groupBy("train_id", "eval_id")
+                  .agg(F.count(F.lit(1)).alias("n_shared"))
+                  .where(F.col("n_shared") >= min_overlap))
