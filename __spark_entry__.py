@@ -144,6 +144,16 @@ def q_composite_duplicates(spark, sf_dir):
                 .distinct())
 
 
+def q_key_skew_stats(spark, sf_dir):
+    """Heavy-hitter shuffle-key diagnosis (operators/uniqueness.py:
+    key_skew_stats): top-15 user_id keys with share and
+    uniformity-relative skew ratio — the pre-flight check before
+    keying a join/agg on a candidate column."""
+    from schema_validata_spark.operators.uniqueness import key_skew_stats
+    return key_skew_stats(_t(spark, sf_dir, "events"), ["user_id"],
+                          top_n=15)
+
+
 def q_duplicate_totals(spark, sf_dir):
     """Aggregate duplicate stats (duplicate_keys / duplicate_rows,
     pandas keep=False semantics) for (user_id, event_type)."""
@@ -1424,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stats": q_profile_stats,
         "null_counts": q_null_counts,
         "composite_duplicates": q_composite_duplicates,
+        "key_skew_stats": q_key_skew_stats,
         "duplicate_totals": q_duplicate_totals,
         "value_errors_range": q_value_errors_range,
         "value_errors_allowed": q_value_errors_allowed,
@@ -1598,6 +1609,18 @@ def oracle_sql() -> dict[str, str]:
     sql["composite_duplicates"] = """
         SELECT user_id, event_type, count(*)::bigint AS dup_count
         FROM events GROUP BY user_id, event_type HAVING count(*) > 1"""
+
+    sql["key_skew_stats"] = """
+        WITH c AS (
+          SELECT user_id, count(*)::bigint AS n_rows
+          FROM events GROUP BY user_id),
+        s AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+        SELECT user_id, n_rows,
+               round(n_rows / total, 6) AS share,
+               round(n_rows * n_keys / total, 4) AS skew_ratio
+        FROM c, s
+        ORDER BY n_rows DESC, user_id ASC
+        LIMIT 15"""
 
     sql["duplicate_totals"] = """
         SELECT count(*)::bigint AS duplicate_keys,

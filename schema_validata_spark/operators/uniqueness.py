@@ -69,3 +69,46 @@ def composite_duplicates(df: DataFrame, key_cols: list[str],
                   .agg(F.sum("__c").alias("dup_count"))
                   .where(F.col("dup_count") > 1))
     return df.join(dup_keys, key_cols, "inner")
+
+
+def key_skew_stats(df: DataFrame, key_cols: list[str],
+                   top_n: int = 20, persist: bool = True) -> DataFrame:
+    """Heavy-hitter diagnosis for a prospective shuffle key: the
+    ``top_n`` heaviest key values with row count, share of all rows,
+    and the ratio to a perfectly-uniform key's share — the number that
+    says whether a ``groupBy``/``join`` on this key needs salting or
+    AQE skew handling BEFORE the job hot-spots a reducer at 10^12 rows
+    (north_rule: "partitioning / shuffle / skew handled explicitly").
+
+    skew_ratio = share × n_distinct_keys: 1.0 ⇒ uniform; ≥ the salt
+    count you'd need to spread the key. NULL keys group as NULL (a
+    common real hot key) and rank like any other value.
+
+    SCALE: one hash aggregate on the key (partial counts collapse
+    map-side — the aggregate itself cannot hot-spot), ONE single-row
+    summary aggregate over the counts frame, and a
+    TakeOrderedAndProject for the top-N (no global sort materializes).
+    Ties break on the key columns for determinism. The counts frame
+    feeds BOTH the top-N and the summary, so it is persisted
+    MEMORY_AND_DISK by default — (key, count) rows, orders of
+    magnitude under the raw data; ``persist=False`` trades a second
+    full input scan for zero cache footprint."""
+    keys = [qcol(c) for c in key_cols]
+    counts = (df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    if persist:
+        from pyspark import StorageLevel
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    summary = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"))
+    top = counts.orderBy(F.desc("n_rows"),
+                         *[qcol(c).asc_nulls_first() for c in key_cols]) \
+                .limit(top_n)
+    return (top.crossJoin(F.broadcast(summary))
+               .select(*[qcol(c) for c in key_cols], "n_rows",
+                       F.round(F.col("n_rows") / F.col("__total"), 6)
+                        .alias("share"),
+                       F.round(F.col("n_rows") * F.col("__n_keys")
+                               / F.col("__total"), 4)
+                        .alias("skew_ratio")))

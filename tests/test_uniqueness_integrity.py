@@ -83,3 +83,22 @@ def test_reconcile_keys_composite_and_arity(spark):
     assert got == {"only_a": 1, "only_b": 1, "both": 1}
     with _pt.raises(ValueError):
         reconcile_keys(a, ["k"], b, ["j", "t"])
+
+
+def test_key_skew_stats_finds_hot_key(spark):
+    """A mega-key corpus: the hot key must rank first with the right
+    share and a skew_ratio ≈ its count × n_keys / total; NULL keys
+    rank like values."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.uniqueness import key_skew_stats
+    hot = spark.range(900).select(F.lit("mega").alias("k"))
+    cold = spark.range(99).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"))
+    nulls = spark.range(1).select(F.lit(None).cast("string").alias("k"))
+    df = hot.union(cold).union(nulls)
+    rows = key_skew_stats(df, ["k"], top_n=3).collect()
+    assert rows[0]["k"] == "mega" and rows[0]["n_rows"] == 900
+    assert abs(rows[0]["share"] - 0.9) < 1e-6
+    # 101 distinct keys (99 cold + mega + NULL): 0.9 * 101
+    assert abs(rows[0]["skew_ratio"] - 90.9) < 1e-3
+    assert {r["n_rows"] for r in rows[1:]} == {1}
