@@ -1126,6 +1126,16 @@ def q_span_offsets(spark, sf_dir):
             .select("user_id", "ts", "role", "start_char", "end_char"))
 
 
+def q_assemble_conversations(spark, sf_dir):
+    """Turns → packed conversation documents (operators/sequence.py:
+    assemble_conversations): separator-joined turn texts in turn
+    order; the coordinate system span_offsets indexes into."""
+    from schema_validata_spark.operators.sequence import (
+        assemble_conversations)
+    return assemble_conversations(_event_transcript(spark, sf_dir),
+                                  "user_id", "ts", "text")
+
+
 def q_role_conformance(spark, sf_dir):
     """Speaker-sequence automaton check (operators/sequence.py:
     role_conformance): allowed transitions system→user, user→assistant,
@@ -1513,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_conformance": q_role_conformance,
         "sft_pairs": q_sft_pairs,
         "span_offsets": q_span_offsets,
+        "assemble_conversations": q_assemble_conversations,
         "duplicate_conversations": q_duplicate_conversations,
         "context_budget": q_context_budget,
         "vocab_stats": q_vocab_stats,
@@ -2766,6 +2777,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, ts, role, start_char,
                (start_char + len)::bigint AS end_char
         FROM o WHERE role = 'assistant'"""
+
+    sql["assemble_conversations"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 coalesce(CASE WHEN event_id % 89 != 0 THEN props END,
+                          '') AS text
+          FROM events)
+        SELECT user_id,
+               string_agg(text, chr(31) ORDER BY ts, text) AS doc,
+               count(*)::bigint AS n_turns,
+               length(string_agg(text, chr(31) ORDER BY ts, text))::bigint
+                 AS n_chars
+        FROM r GROUP BY user_id"""
 
     sql["role_conformance"] = """
         WITH r AS (

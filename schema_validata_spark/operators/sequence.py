@@ -348,3 +348,31 @@ def span_offsets(df: DataFrame, part_col: str, order_cols: list[str],
     if roles is not None and role_col is not None:
         out = out.where(F.col(role_col).isin(*sorted(roles)))
     return out
+
+
+def assemble_conversations(df: DataFrame, part_col: str, order_col: str,
+                           text_col: str, sep: str = "\x1f",
+                           doc_col: str = "doc") -> DataFrame:
+    """Turns → one packed training document per conversation: turn
+    texts joined in turn order with ``sep``, plus n_turns and n_chars.
+    NULL texts contribute '' but keep their separator slot, so
+    ``span_offsets`` (same sep_len) indexes EXACTLY into this document
+    — the two ops share one coordinate system by contract (tested).
+
+    Ordering is deterministic even under order-col ties: the struct
+    sort falls back to the text itself as tiebreak.
+
+    SCALE: text must ride the one groupBy shuffle — the document IS
+    the output (unlike ``conversation_fingerprints``, which collapses
+    to hashes). Per-group memory is conversation-sized, bounded by the
+    mega-conversation outlier, not the corpus; run AFTER turn-level
+    filters so only surviving text pays the shuffle."""
+    turn = F.struct(F.col(order_col).alias("o"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+    ordered = F.array_sort(F.collect_list(turn))
+    doc = F.array_join(F.transform(ordered, lambda s: s["t"]), sep)
+    return (df.groupBy(F.col(part_col))
+              .agg(doc.alias(doc_col),
+                   F.count(F.lit(1)).cast("bigint").alias("n_turns"))
+              .withColumn("n_chars",
+                          F.length(doc_col).cast("bigint")))

@@ -241,3 +241,24 @@ def test_span_offsets_separator_accounting(spark):
     first = {(r["conv"], r["idx"]): r["start_char"] for r in all_spans}
     for r in kept:
         assert first[(r["conv"], r["idx"])] == r["start_char"]
+
+
+def test_assemble_conversations_matches_span_offsets(spark):
+    """Cross-op contract: span_offsets (same sep_len) indexes EXACTLY
+    into the document assemble_conversations builds."""
+    from schema_validata_spark.operators.sequence import (
+        assemble_conversations, span_offsets)
+    df = spark.createDataFrame(
+        TURNS, "conv string, idx int, role string, text string")
+    docs = {r["conv"]: r for r in
+            assemble_conversations(df, "conv", "idx", "text").collect()}
+    assert docs["c1"]["n_turns"] == 5
+    assert docs["c1"]["doc"].split("\x1f")[1] == "hi"
+    spans = span_offsets(df, "conv", ["idx"], "text",
+                         role_col="role", sep_len=1).collect()
+    texts = {(c, i): t or "" for c, i, _, t in TURNS}
+    for r in spans:
+        doc = docs[r["conv"]]["doc"]
+        assert doc[r["start_char"]:r["end_char"]] == \
+            texts[(r["conv"], r["idx"])]
+        assert docs[r["conv"]]["n_chars"] == len(doc)
