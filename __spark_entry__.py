@@ -419,6 +419,19 @@ def q_contamination_bloom(spark, sf_dir):
                                      shingle_k=5, m_bits=1 << 14)
 
 
+def q_curation_report(spark, sf_dir):
+    """Whole-pipeline curation accounting (curation.py:
+    curation_report): every document attributed to duplicate /
+    low_quality / contaminated / kept:<split> with first-failing-stage
+    precedence — the oracle chains the dedup window, quality formula,
+    shingle contamination, and md5 split fragments into one SQL."""
+    from schema_validata_spark.curation import curation_report
+    return curation_report(
+        _t(spark, sf_dir, "documents"), _eval_subset(spark, sf_dir),
+        min_quality=0.4, shingle_k=5,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_decontaminated(spark, sf_dir):
     """Corpus minus contaminated docs (anti-join on the flagged set)."""
     train = _t(spark, sf_dir, "documents")
@@ -1486,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_split": q_transcript_split,
         "contamination_pairs": q_contamination_pairs,
         "contamination_bloom": q_contamination_bloom,
+        "curation_report": q_curation_report,
         "decontaminated": q_decontaminated,
         "pii_summary": q_pii_summary,
         "repetition_stats": q_repetition_stats,
@@ -2064,18 +2078,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents
         WHERE substr(md5(cast(doc_id as varchar)), 1, 8) < '{c30}'"""
 
-    c80, c90 = _hex_threshold(0.8), _hex_threshold(0.9)
-    sql["transcript_split"] = f"""
-        SELECT split, count(*)::bigint AS n_rows FROM (
-          SELECT CASE
-            WHEN substr(md5(cast(user_id as varchar)), 1, 8) < '{c80}'
-              THEN 'train'
-            WHEN substr(md5(cast(user_id as varchar)), 1, 8) < '{c90}'
-              THEN 'val'
-            ELSE 'test' END AS split
-          FROM events) s
-        GROUP BY split"""
-
     # 5-gram contamination: oracle joins on shingle STRINGS (Spark
     # joins on xxhash64 of the same strings — collision-free here).
     _sh5_ctes = """
@@ -2096,6 +2098,65 @@ def oracle_sql() -> dict[str, str]:
           SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
                  len(list_intersect(t.s, e.s))::bigint AS n_shared
           FROM sh t JOIN ev e ON len(list_intersect(t.s, e.s)) >= 1)"""
+
+    c80, c90 = _hex_threshold(0.8), _hex_threshold(0.9)
+    sql["transcript_split"] = f"""
+        SELECT split, count(*)::bigint AS n_rows FROM (
+          SELECT CASE
+            WHEN substr(md5(cast(user_id as varchar)), 1, 8) < '{c80}'
+              THEN 'train'
+            WHEN substr(md5(cast(user_id as varchar)), 1, 8) < '{c90}'
+              THEN 'val'
+            ELSE 'test' END AS split
+          FROM events) s
+        GROUP BY split"""
+
+    # Whole-pipeline accounting: dedup window + quality formula +
+    # shingle contamination + md5 split chained with the SAME
+    # first-failing-stage precedence as curation_report.
+    sql["curation_report"] = f"""
+        WITH {_sh5_ctes},
+        bad AS (SELECT DISTINCT train_id AS doc_id FROM cp),
+        rn AS (
+          SELECT doc_id, text, row_number() OVER
+                 (PARTITION BY {_NORM_TEXT} ORDER BY doc_id) AS rn
+          FROM documents),
+        m AS (
+          SELECT doc_id, text, rn,
+                 cast(length(text) as double) AS n_chars,
+                 cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END as double) AS n_tokens,
+                 cast(length(text) - length(regexp_replace(text,
+                      '[^\\w\\s]', '', 'g')) as double) AS n_punct,
+                 cast(len(list_intersect(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      [{stop}])) as double) AS n_stop
+          FROM rn),
+        st AS (
+          SELECT CASE
+            WHEN m.rn > 1 THEN 'duplicate'
+            WHEN (CASE WHEN m.text IS NULL OR length(trim(m.text)) = 0
+                  THEN 0.0
+                  ELSE round((least(n_chars / 500.0, 1.0)
+                    + (1.0 - least(n_punct / greatest(n_chars, 1.0)
+                                   * 5.0, 1.0))
+                    + least(n_stop / greatest(n_tokens, 1.0) * 10.0,
+                            1.0)) / 3.0, 6) END) < 0.4
+              THEN 'low_quality'
+            WHEN b.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'kept:' || CASE
+              WHEN substr(md5(cast(m.doc_id as varchar)), 1, 8) < '{c80}'
+                THEN 'train'
+              WHEN substr(md5(cast(m.doc_id as varchar)), 1, 8) < '{c90}'
+                THEN 'val'
+              ELSE 'test' END
+            END AS stage
+          FROM m LEFT JOIN bad b USING (doc_id))
+        SELECT stage, count(*)::bigint AS n_rows
+        FROM st GROUP BY stage"""
+
+
 
     sql["contamination_pairs"] = \
         f"WITH {_sh5_ctes} SELECT train_id, eval_id, n_shared FROM cp"

@@ -38,7 +38,9 @@ from .functions.text import (gopher_rules, pii_scan, pii_summary,
                              repetition_stats, top_tokens)
 from .operators.asof import asof_join
 from .operators.rangejoin import interval_join
-from .operators.decontam import contamination_pairs, decontaminate
+from .operators.decontam import (contamination_pairs,
+                                 contamination_pairs_bloom, decontaminate)
+from .curation import curate, curation_report
 from .operators.semistructured import (json_is_valid, json_payload_stats,
                                        json_payload_violations)
 from .operators.sequence import (consecutive_repeats, order_regressions,
