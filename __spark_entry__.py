@@ -659,6 +659,26 @@ def q_expectation_checks(spark, sf_dir):
                       "op", "threshold", "status")
 
 
+def q_group_expectation_checks(spark, sf_dir):
+    """Per-conversation contracts (operators/expectations.py:
+    check_group_expectations): every expectation for every group in
+    ONE hash aggregate; failures-only output."""
+    from schema_validata_spark.operators.expectations import (
+        Expectation, check_group_expectations)
+    events = _t(spark, sf_dir, "events")
+    exps = [
+        Expectation("turns_per_user_max", "count(*)", "<=", 40),
+        Expectation("value_sum_cap", "sum(value)", "<=", 900.0),
+        Expectation("error_free", """
+            sum(case when event_type = 'error' then 1 else 0 end)
+            """.strip(), "==", 0),
+    ]
+    out = check_group_expectations(events, ["user_id"], exps)
+    return out.select("user_id", "expectation",
+                      F.round("observed", 6).alias("observed"),
+                      "op", "threshold", "status")
+
+
 def q_freshness_daily(spark, sf_dir):
     """Per-day arrival stats with lag vs the global max event time
     (operators/expectations.py:freshness_stats) — one scan, bucket
@@ -1471,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "na_discovery": q_na_discovery,
         "conditional_violations": q_conditional_violations,
         "expectation_checks": q_expectation_checks,
+        "group_expectation_checks": q_group_expectation_checks,
         "freshness_daily": q_freshness_daily,
         "completeness_gaps": q_completeness_gaps,
         "iqr_outliers": q_iqr_outliers,
@@ -2281,6 +2302,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'value_max_cap', round(mx, 6), '<=', cast(400 as double),
                CASE WHEN coalesce(mx <= 400, false)
                     THEN 'pass' ELSE 'fail' END FROM a"""
+
+    sql["group_expectation_checks"] = """
+        WITH a AS (
+          SELECT user_id,
+                 cast(count(*) as double) AS n_turns,
+                 cast(sum(value) as double) AS vsum,
+                 cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                          END) as double) AS n_err
+          FROM events GROUP BY user_id),
+        u AS (
+          SELECT user_id, 'turns_per_user_max' AS expectation,
+                 round(n_turns, 6) AS observed, '<=' AS op,
+                 cast(40 as double) AS threshold,
+                 CASE WHEN coalesce(n_turns <= 40, false)
+                      THEN 'pass' ELSE 'fail' END AS status
+          FROM a
+          UNION ALL
+          SELECT user_id, 'value_sum_cap', round(vsum, 6), '<=',
+                 cast(900.0 as double),
+                 CASE WHEN coalesce(vsum <= 900.0, false)
+                      THEN 'pass' ELSE 'fail' END FROM a
+          UNION ALL
+          SELECT user_id, 'error_free', round(n_err, 6), '==',
+                 cast(0 as double),
+                 CASE WHEN coalesce(n_err = 0, false)
+                      THEN 'pass' ELSE 'fail' END FROM a)
+        SELECT * FROM u WHERE status = 'fail'"""
 
     sql["freshness_daily"] = """
         WITH per AS (

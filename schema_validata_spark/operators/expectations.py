@@ -196,6 +196,46 @@ def check_expectations(df: DataFrame,
                    .otherwise(F.lit("fail")))
 
 
+def check_group_expectations(df: DataFrame, group_cols: list[str],
+                             exps: list[Expectation],
+                             failures_only: bool = True) -> DataFrame:
+    """Per-GROUP expectations — the conversation-level contract check
+    (max turns per conversation, bounded tool-call share, time-span
+    caps) as ONE ``groupBy`` aggregate evaluating every expectation for
+    every group simultaneously. Returns ``(*group_cols, expectation,
+    observed, op, threshold, status)``; by default only failing rows
+    (violations-sized output — at 10^12 turns the pass rows are the
+    corpus, the failures are the report). NULL observed (empty/all-NULL
+    aggregate input) fails, same contract as ``check_expectations``.
+
+    SCALE: one hash aggregate on the group key (partial aggs collapse
+    map-side; skewed groups ride on AQE) + a stack pivot of the tiny
+    expectation alphabet. No window, no join, no second scan."""
+    if not exps:
+        raise ValueError("no expectations given")
+    aggs = [F.expr(e.agg_sql).cast("double").alias(f"e{i}")
+            for i, e in enumerate(exps)]
+    agged = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    stack = ", ".join(
+        "'{}', `e{}`, '{}', cast({} as double)".format(
+            e.name.replace("'", "''"), i, e.op, repr(float(e.threshold)))
+        for i, e in enumerate(exps))
+    out = agged.selectExpr(
+        *[f"`{c}`" for c in group_cols],
+        f"stack({len(exps)}, {stack})"
+        " as (expectation, observed, op, threshold)")
+    passed = (F.when(F.col("op") == "<=", F.col("observed") <= F.col("threshold"))
+               .when(F.col("op") == ">=", F.col("observed") >= F.col("threshold"))
+               .when(F.col("op") == "<", F.col("observed") < F.col("threshold"))
+               .when(F.col("op") == ">", F.col("observed") > F.col("threshold"))
+               .when(F.col("op") == "==", F.col("observed") == F.col("threshold"))
+               .otherwise(F.col("observed") != F.col("threshold")))
+    out = out.withColumn(
+        "status", F.when(F.coalesce(passed, F.lit(False)), F.lit("pass"))
+                   .otherwise(F.lit("fail")))
+    return out.where(F.col("status") == "fail") if failures_only else out
+
+
 def derived_mismatches(df: DataFrame, id_col: str, stored_col: str,
                        derived: Column,
                        derived_name: str = "recomputed") -> DataFrame:

@@ -289,3 +289,25 @@ def test_derived_mismatches_null_safe(spark):
     assert set(got) == {2, 3}
     assert got[2]["stored"] == 3 and got[2]["recomputed"] == 4
     assert got[3]["stored"] is None and got[3]["recomputed"] == 2
+
+
+def test_check_group_expectations_per_group(spark):
+    """Per-group contracts: failures only by default, NULL aggregate
+    observed fails, pass rows available with failures_only=False."""
+    from schema_validata_spark.operators.expectations import (
+        Expectation, check_group_expectations)
+    df = spark.createDataFrame(
+        [("c1", 1.0), ("c1", 2.0), ("c1", 3.0),
+         ("c2", 10.0), ("c3", None)],
+        "conv string, v double")
+    exps = [Expectation("max_turns", "count(*)", "<=", 2),
+            Expectation("v_cap", "max(v)", "<=", 5.0)]
+    fails = {(r["conv"], r["expectation"]) for r in
+             check_group_expectations(df, ["conv"], exps).collect()}
+    # c1: 3 turns > 2; c2: v=10 > 5; c3: max(NULL)=NULL → fails v_cap
+    assert fails == {("c1", "max_turns"), ("c2", "v_cap"),
+                     ("c3", "v_cap")}
+    both = check_group_expectations(df, ["conv"], exps,
+                                    failures_only=False)
+    assert both.count() == 6          # 3 groups × 2 expectations
+    assert both.where("status = 'pass'").count() == 3
