@@ -575,6 +575,27 @@ def q_ivf_ann_topk(spark, sf_dir):
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py: PQ codebooks
+    → byte codes → ADC scan via mapInPandas per-batch beam → exact
+    cosine rerank). Rows-only BY DESIGN: PQ is lossy (recall-only
+    error, never score error after rerank) so no SQL oracle can
+    reproduce the candidate set; the recall floor vs brute force is
+    pytest-enforced (tests/test_dedup_similarity.py, deterministic
+    0.92 at beam=100 on this fixture)."""
+    from schema_validata_spark.operators.similarity import (pq_topk,
+                                                            train_pq_codebooks)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nemb = emb.select("vec_id",
+                      F.transform(v, lambda x: x / n).alias("embedding"))
+    books = train_pq_codebooks(nemb, m=8, k=16, n_iters=3)
+    q = nemb.where("vec_id < 10")
+    return pq_topk(nemb, q, books, k=5, batch_k=100).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
 def q_datetime_inference(spark, sf_dir):
     """SURVEY §2.2 infer_datetime_column / COMMON_DATETIMES coverage
     (functions/datetimes.py): orders dates rendered into 5 distinct
@@ -1542,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ivf_route": q_ivf_route,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "pack_shards": q_pack_shards,
         "boilerplate_ngrams": q_boilerplate_ngrams,

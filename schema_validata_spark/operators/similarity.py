@@ -418,3 +418,164 @@ def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding"
         F.round(F.min("n"), 4).alias("min_norm"),
         F.round(F.max("n"), 4).alias("max_norm"),
         F.round(F.avg("n"), 4).alias("avg_norm"))
+
+
+def train_pq_codebooks(df: DataFrame, vec_col: str = "embedding",
+                       m: int = 8, k: int = 16, n_iters: int = 4,
+                       seed: int = _LSH_SEED) -> list:
+    """Product-quantization codebooks: the vector splits into ``m``
+    contiguous subspaces and each gets its own ``k``-centroid k-means
+    codebook — trained with the SAME deterministic Lloyd loop as
+    ``train_ivf_centroids`` (hash-ordered init, rounded means), run on
+    the ``slice()`` sub-vectors (JVM-side projection, no UDF in
+    training's data path beyond the shared assignment matmul).
+
+    PQ is the storage half of a 100 TB ANN store: a dim-64 float
+    vector (256 B) becomes ``m`` byte codes (8 B at m=8) — the
+    compressed corpus fits in memory where the raw one cannot, and ADC
+    scoring (``pq_topk``) never touches the raw vectors again. Train
+    on a deterministic sample at full scale; codebooks are
+    (m × k × dim/m) floats — manifest-sized.
+
+    Requires ``dim % m == 0`` (raises otherwise — padding would poison
+    distances silently)."""
+    v = F.col(vec_col).cast("array<double>")
+    first = df.where(v.isNotNull()).select(F.size(v).alias("d")) \
+              .limit(1).collect()
+    if not first:
+        raise ValueError("train_pq_codebooks: no non-null vectors")
+    dim = first[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.where(v.isNotNull() & (F.size(v) == dim)).select(
+            F.slice(v, s * dsub + 1, dsub).alias(vec_col))
+        books.append(train_ivf_centroids(sub, vec_col, n_clusters=k,
+                                         n_iters=n_iters,
+                                         seed=seed + s))
+    # a tiny/degenerate subspace can yield < k distinct codewords; pad
+    # with copies of the book's last centroid so the (m, k, dsub)
+    # array stays rectangular — the stable argmin tie-break means a
+    # duplicate codeword is never assigned, so padding is inert
+    kk = max(len(b) for b in books)
+    for b in books:
+        while len(b) < kk:
+            b.append(list(b[-1]))
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
+              code_col: str = "pq_codes") -> DataFrame:
+    """Adds the ``m``-byte PQ code array (map-only): per subspace, the
+    nearest-codeword index via the shared one-matmul-per-batch UDF
+    applied to the JVM ``slice()`` projection. NULL / off-dimension
+    vectors get NULL codes."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    out = df
+    parts = []
+    for s in range(m):
+        udf = _argmin_cluster_udf(np.asarray(codebooks[s]))
+        parts.append(udf(F.slice(v, s * dsub + 1, dsub)))
+    codes = F.array(*parts)
+    # any NULL element (bad slice) poisons the whole code
+    return out.withColumn(
+        code_col,
+        F.when(v.isNotNull() & (F.size(v) == m * dsub), codes))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "vec_id", k: int = 10,
+            batch_k: int | None = None,
+            rerank: bool = True) -> DataFrame:
+    """PQ ANN top-k via asymmetric distance computation: each query
+    precomputes an (m × k) lookup table of sub-distances to every
+    codeword; a corpus row's approximate distance is the sum of m
+    table lookups on its byte codes — NO raw vectors are read at scan
+    time.
+
+    SCALE SHAPE: queries are collected (query sets are small by
+    contract, same as ``brute_force_topk``'s broadcast) and shipped in
+    the ``mapInPandas`` closure with the LUTs; each Arrow batch emits
+    only its per-query top-``batch_k`` (default ``k``) candidates, so
+    the shuffle carries |queries| × k × n_batches rows, never the
+    corpus. A final per-query window takes the global top-k. With
+    ``rerank=True`` (default) the ≤ |queries|·k·n_batches candidate
+    ids join back to the raw vectors for EXACT cosine ordering —
+    PQ error affects recall only, never the reported scores.
+
+    Output (query_id, neighbor_id, cos) like the other top-k ops
+    (``rerank=False`` outputs (query_id, neighbor_id, adc_dist) —
+    approximate squared L2)."""
+    import pandas as _pd
+
+    books = np.asarray(codebooks, dtype=np.float64)   # (m, k, dsub)
+    m, kk, dsub = books.shape
+    batch_k = batch_k or k
+
+    qrows = (queries.select(F.col(qid_col).alias("q"),
+                            F.col(vec_col).cast("array<double>")
+                             .alias("v"))
+                    .where(F.col("v").isNotNull()).collect())
+    qids = [r["q"] for r in qrows]
+    luts = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        if len(qv) != m * dsub:
+            continue
+        sub = qv.reshape(m, 1, dsub)
+        luts.append(((books - sub) ** 2).sum(axis=2))  # (m, k)
+    luts = np.stack(luts) if luts else np.zeros((0, m, kk))
+    qarr = np.asarray(qids[:len(luts)])
+    rng_m = np.arange(m)
+
+    enc = pq_encode(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col).alias("__v")),
+                    codebooks, vec_col="__v") \
+        .where(F.col("pq_codes").isNotNull()) \
+        .select("neighbor_id", "pq_codes")
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qarr):
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy())       # (B, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            for qi in range(len(qarr)):
+                d = luts[qi][rng_m, codes].sum(axis=1)         # (B,)
+                n = min(batch_k + 1, len(d))
+                top = np.argpartition(d, n - 1)[:n]
+                yield _pd.DataFrame({
+                    "query_id": np.repeat(qarr[qi], len(top)),
+                    "neighbor_id": ids[top],
+                    "adc_dist": d[top]})
+
+    cand = enc.mapInPandas(
+        _scan, "query_id long, neighbor_id long, adc_dist double") \
+        .where(F.col("neighbor_id") != F.col("query_id"))
+
+    if not rerank:
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), F.asc("neighbor_id"))
+        return (cand.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= k).drop("rn")
+                    .select("query_id", "neighbor_id",
+                            F.round("adc_dist", 6).alias("adc_dist")))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = (cand.select("query_id", "neighbor_id").distinct()
+                  .join(F.broadcast(q), "query_id")
+                  .join(c, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(cosine_expr(F.col("qv"), F.col("cv")),
+                                  6).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= k).drop("rn"))

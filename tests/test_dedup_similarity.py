@@ -447,3 +447,58 @@ def test_contamination_bloom_prescreen_filters(spark):
                    for p in (r["p1"], r["p2"]))
     assert all(hits(r) for r in probes if r["train_id"] == 1)
     assert not any(hits(r) for r in probes if r["train_id"] == 2)
+
+
+def test_pq_train_encode_deterministic(vecs, spark):
+    """PQ codebooks are content-derived; codes are NULL for NULL or
+    off-dimension vectors; indivisible dim raises."""
+    from schema_validata_spark.operators.similarity import (pq_encode,
+                                                            train_pq_codebooks)
+    books = train_pq_codebooks(vecs, m=3, k=4, n_iters=3)
+    books2 = train_pq_codebooks(vecs.repartition(5), m=3, k=4, n_iters=3)
+    assert books == books2
+    assert len(books) == 3 and len(books[0]) <= 4
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["pq_codes"]
+           for r in pq_encode(df, books).collect()}
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None and len(got[1]) == 3
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(vecs, m=2, k=4)
+
+
+def test_pq_topk_finds_tight_neighbor(vecs):
+    """ADC + exact rerank must recover the near-identical neighbor on
+    the axis-cluster fixture."""
+    from schema_validata_spark.operators.similarity import (pq_topk,
+                                                            train_pq_codebooks)
+    books = train_pq_codebooks(vecs, m=3, k=4, n_iters=4)
+    got = pq_topk(vecs, vecs.where("vec_id = 1"), books, k=2,
+                  batch_k=4).collect()
+    assert 2 in [r["neighbor_id"] for r in got]
+
+
+def test_pq_recall_on_normalized_corpus(spark, sf_dir):
+    """Deterministic end-to-end recall floor vs brute force on the
+    L2-normalized driver fixture (ADC is an L2 machine — cosine and L2
+    rankings agree on the unit sphere)."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.similarity import (
+        brute_force_topk, pq_topk, train_pq_codebooks)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nemb = emb.select("vec_id",
+                      F.transform(v, lambda x: x / n).alias("embedding"))
+    books = train_pq_codebooks(nemb, m=8, k=16, n_iters=3)
+    q = nemb.where("vec_id < 10")
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          brute_force_topk(nemb, q, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in
+           pq_topk(nemb, q, books, k=5, batch_k=100).collect()}
+    # beam=100 of a 500-vector corpus: deterministic 0.92 measured;
+    # the beam (batch_k) is THE recall lever — document, don't hide
+    assert len(got & bf) / len(bf) >= 0.8
