@@ -12,8 +12,16 @@
   deterministic, no stored model.
 * **IVF-style partitioning** — coarse k-means-free variant: assign each
   vector to its max-|component| dimension bucket as a cheap routing key.
-  (A true trained IVF needs an external model; this keeps the Spark
-  plumbing — partition, route, local scan — with a deterministic router.)
+* **Trained IVF** — deterministic distributed k-means
+  (``train_ivf_centroids``), map-only assignment, broadcast n_probe
+  routing (``ivf_topk``); n_probe == n_clusters degenerates to exact
+  (the oracle mode).
+* **Product quantization** — per-subspace codebooks
+  (``train_pq_codebooks``), byte-code encoding (m bytes per vector —
+  the 100 TB store), ADC beam scan + exact rerank (``pq_topk``).
+* **Model persistence** — ``save_ann_model``/``load_ann_model``:
+  centroids + codebooks as one manifest-sized parquet table, so
+  assignments cannot drift between jobs that retrain independently.
 """
 
 from __future__ import annotations
@@ -579,3 +587,43 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
         F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") <= k).drop("rn"))
+
+
+def save_ann_model(spark, path: str, centroids=None, codebooks=None
+                   ) -> None:
+    """Persist trained ANN model parameters (IVF centroids and/or PQ
+    codebooks) as ONE parquet table of (kind, book, idx, vector) rows —
+    engine-neutral, manifest-sized (k·dim + m·k·dsub floats), readable
+    by any Spark job without Python-side pickling. Train once on a
+    snapshot, reuse across the fleet — retraining per job would make
+    bucket assignments drift between runs."""
+    rows = []
+    if centroids is not None:
+        rows += [("ivf", 0, i, list(map(float, c)))
+                 for i, c in enumerate(centroids)]
+    if codebooks is not None:
+        rows += [("pq", b, i, list(map(float, c)))
+                 for b, book in enumerate(codebooks)
+                 for i, c in enumerate(book)]
+    if not rows:
+        raise ValueError("nothing to save")
+    spark.createDataFrame(
+        rows, "kind string, book int, idx int, vector array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ann_model(spark, path: str) -> dict:
+    """Inverse of ``save_ann_model``: ``{'centroids': [...] | None,
+    'codebooks': [...] | None}`` with original ordering restored."""
+    rows = spark.read.parquet(path).collect()
+    cents = sorted(((r["idx"], r["vector"]) for r in rows
+                    if r["kind"] == "ivf"))
+    books: dict[int, list] = {}
+    for r in rows:
+        if r["kind"] == "pq":
+            books.setdefault(r["book"], []).append((r["idx"], r["vector"]))
+    return {
+        "centroids": [list(v) for _, v in cents] or None,
+        "codebooks": [[list(v) for _, v in sorted(books[b])]
+                      for b in sorted(books)] or None,
+    }

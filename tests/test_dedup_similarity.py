@@ -502,3 +502,23 @@ def test_pq_recall_on_normalized_corpus(spark, sf_dir):
     # beam=100 of a 500-vector corpus: deterministic 0.92 measured;
     # the beam (batch_k) is THE recall lever — document, don't hide
     assert len(got & bf) / len(bf) >= 0.8
+
+
+def test_ann_model_save_load_roundtrip(spark, tmp_path, vecs):
+    """IVF centroids + PQ codebooks survive a parquet round trip with
+    ordering intact, and a loaded model reproduces assignments."""
+    from schema_validata_spark.operators.similarity import (
+        ivf_assign, load_ann_model, save_ann_model, train_ivf_centroids,
+        train_pq_codebooks)
+    cents = train_ivf_centroids(vecs, n_clusters=3, n_iters=3)
+    books = train_pq_codebooks(vecs, m=3, k=4, n_iters=2)
+    p = str(tmp_path / "ann_model")
+    save_ann_model(spark, p, centroids=cents, codebooks=books)
+    m = load_ann_model(spark, p)
+    assert m["centroids"] == cents
+    assert m["codebooks"] == books
+    a = {r["vec_id"]: r["ivf_cluster"]
+         for r in ivf_assign(vecs, cents).collect()}
+    b = {r["vec_id"]: r["ivf_cluster"]
+         for r in ivf_assign(vecs, m["centroids"]).collect()}
+    assert a == b
