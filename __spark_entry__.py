@@ -596,6 +596,23 @@ def q_pq_ann_topk(spark, sf_dir):
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """Composed IVF×PQ ANN (operators/similarity.py: ivf_pq_topk) —
+    coarse routing over PQ byte codes, ADC beam per probed cluster,
+    exact rerank. Rows-only BY DESIGN (lossy index; recall floor
+    pytest-enforced, 0.88 full-probe on this fixture)."""
+    from schema_validata_spark.operators.similarity import ivf_pq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nemb = emb.select("vec_id",
+                      F.transform(v, lambda x: x / n).alias("embedding"))
+    q = nemb.where("vec_id < 10")
+    return ivf_pq_topk(nemb, q, k=5, n_clusters=5, n_probe=3, m=8,
+                       pq_k=16, batch_k=80).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
 def q_datetime_inference(spark, sf_dir):
     """SURVEY §2.2 infer_datetime_column / COMMON_DATETIMES coverage
     (functions/datetimes.py): orders dates rendered into 5 distinct
@@ -1564,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_route": q_ivf_route,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "pack_shards": q_pack_shards,
         "boilerplate_ngrams": q_boilerplate_ngrams,

@@ -627,3 +627,104 @@ def load_ann_model(spark, path: str) -> dict:
         "codebooks": [[list(v) for _, v in sorted(books[b])]
                       for b in sorted(books)] or None,
     }
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "vec_id", k: int = 10,
+                n_clusters: int = 8, n_probe: int = 2,
+                m: int = 8, pq_k: int = 16, n_iters: int = 3,
+                batch_k: int | None = None,
+                centroids=None, codebooks=None) -> DataFrame:
+    """The composed index — IVF coarse routing × PQ compressed scan
+    (the FAISS IVF-PQ shape): corpus rows carry (cluster, byte codes);
+    each query ADC-scans ONLY rows whose cluster is among its
+    ``n_probe`` nearest centroids, then the per-batch beam's union is
+    exactly-reranked like ``pq_topk``.
+
+    At 10^12 vectors this is the only shape that works: the scan reads
+    m bytes per row (PQ) and touches n_probe/n_clusters of the corpus
+    (IVF); raw vectors surface only for the ≤ queries×beam×batches
+    rerank join. Per-query cluster masks travel in the mapInPandas
+    closure (n_probe ints per query); a row outside every query's
+    probe set costs one numpy mask test, no scoring.
+
+    Output (query_id, neighbor_id, cos) — exact cosine on surviving
+    candidates, PQ/IVF error is recall-only."""
+    import pandas as _pd
+
+    cent = np.asarray(
+        centroids if centroids is not None
+        else train_ivf_centroids(corpus, vec_col, n_clusters, n_iters),
+        dtype=np.float64)
+    books = (codebooks if codebooks is not None
+             else train_pq_codebooks(corpus, vec_col, m=m, k=pq_k,
+                                     n_iters=n_iters))
+    barr = np.asarray(books, dtype=np.float64)         # (m, kk, dsub)
+    mm, kk, dsub = barr.shape
+    batch_k = batch_k or k
+    n_probe = max(1, min(n_probe, cent.shape[0]))
+
+    enc = pq_encode(
+        ivf_assign(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                 F.col(vec_col).cast("array<double>")
+                                  .alias("__v")),
+                   cent, vec_col="__v", out_col="__bkt"),
+        books, vec_col="__v") \
+        .where(F.col("pq_codes").isNotNull() & F.col("__bkt").isNotNull()) \
+        .select("neighbor_id", "__bkt", "pq_codes")
+
+    qrows = (queries.select(F.col(qid_col).alias("q"),
+                            F.col(vec_col).cast("array<double>")
+                             .alias("v"))
+                    .where(F.col("v").isNotNull()).collect())
+    qids, luts, probes = [], [], []
+    c_sq = (cent * cent).sum(axis=1)
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        if len(qv) != mm * dsub:
+            continue
+        qids.append(r["q"])
+        sub = qv.reshape(mm, 1, dsub)
+        luts.append(((barr - sub) ** 2).sum(axis=2))
+        d = c_sq - 2.0 * (cent @ qv)
+        probes.append(np.argsort(d, kind="stable")[:n_probe])
+    qarr = np.asarray(qids)
+    luts = np.stack(luts) if luts else np.zeros((0, mm, kk))
+    rng_m = np.arange(mm)
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qarr):
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy())
+            bkts = pdf["__bkt"].to_numpy()
+            ids = pdf["neighbor_id"].to_numpy()
+            for qi in range(len(qarr)):
+                mask = np.isin(bkts, probes[qi])
+                if not mask.any():
+                    continue
+                d = luts[qi][rng_m, codes[mask]].sum(axis=1)
+                n = min(batch_k + 1, len(d))
+                top = np.argpartition(d, n - 1)[:n]
+                sel = ids[mask][top]
+                yield _pd.DataFrame({
+                    "query_id": np.repeat(qarr[qi], len(sel)),
+                    "neighbor_id": sel})
+
+    cand = enc.mapInPandas(_scan, "query_id long, neighbor_id long") \
+              .where(F.col("neighbor_id") != F.col("query_id"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = (cand.distinct()
+                  .join(F.broadcast(q), "query_id")
+                  .join(c, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(cosine_expr(F.col("qv"), F.col("cv")),
+                                  6).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= k).drop("rn"))

@@ -522,3 +522,28 @@ def test_ann_model_save_load_roundtrip(spark, tmp_path, vecs):
     b = {r["vec_id"]: r["ivf_cluster"]
          for r in ivf_assign(vecs, m["centroids"]).collect()}
     assert a == b
+
+
+def test_ivf_pq_topk_recall_and_routing(spark, sf_dir, vecs):
+    """The composed IVF×PQ index: full-probe recall floor vs brute
+    force on the normalized fixture (PQ beam is then the only loss),
+    and single-probe routing still finds the tight neighbor."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.similarity import (
+        brute_force_topk, ivf_pq_topk)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nemb = emb.select("vec_id",
+                      F.transform(v, lambda x: x / n).alias("embedding"))
+    q = nemb.where("vec_id < 10")
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          brute_force_topk(nemb, q, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in
+           ivf_pq_topk(nemb, q, k=5, n_clusters=4, n_probe=4, m=8,
+                       pq_k=16, batch_k=100).collect()}
+    assert len(got & bf) / len(bf) >= 0.8     # measured 0.88, deterministic
+    tight = ivf_pq_topk(vecs, vecs.where("vec_id = 1"), k=2,
+                        n_clusters=3, n_probe=1, m=3, pq_k=4,
+                        batch_k=6).collect()
+    assert 2 in [r["neighbor_id"] for r in tight]
