@@ -1510,6 +1510,61 @@ def q_centroid_drift(spark, sf_dir):
     return embedding_centroid_drift(a, b)
 
 
+_WINNOW_BLOCK = ("this shared boilerplate paragraph is planted into "
+                 "every tenth document to exercise partial overlap "
+                 "detection")
+
+
+def _planted_docs(spark, sf_dir):
+    """Documents with a constant ~100-char paragraph appended to every
+    10th doc — the partial-containment fixture winnowing must catch
+    (whole-doc near-dup misses it: the docs stay mostly distinct)."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = (F.when(F.col("doc_id") % 10 == 0,
+                      F.concat(F.col("text"),
+                               F.lit(" " + _WINNOW_BLOCK)))
+                .otherwise(F.col("text")))
+    return docs.select("doc_id", planted.alias("text"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowed document fingerprints (operators/winnow.py:
+    winnow_fingerprints — Schleimer et al. SIGMOD'03 / MOSS): char
+    8-gram hashes, window-of-4 minima, distinct per doc. md5 hasher so
+    the DuckDB oracle replays the identical min-selection over the
+    same lexicographic hash order. Entire selection runs as one
+    transform/slice/array_min chain inside the scan projection."""
+    from schema_validata_spark.operators.winnow import winnow_fingerprints
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                               "text", "doc_id", k=8, window=4,
+                               hasher="md5").orderBy("doc_id", "fp")
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Partial-overlap candidate pairs (operators/winnow.py:
+    overlap_candidates) over the planted fixture: every 10th doc
+    shares an appended paragraph, so those pairs must surface with
+    >= 3 shared fingerprints; fingerprints in > 100 docs are capped
+    out (boilerplate guard) identically in both engines."""
+    from schema_validata_spark.operators.winnow import overlap_candidates
+    return overlap_candidates(_planted_docs(spark, sf_dir), "text",
+                              "doc_id", k=8, window=4, min_shared=3,
+                              max_docs_per_fp=100, hasher="md5") \
+        .orderBy("id_a", "id_b")
+
+
+def q_winnow_overlap_share(spark, sf_dir):
+    """Per-document recycled-text coverage (operators/winnow.py:
+    overlap_share): share of each doc's winnowed fingerprints that
+    appear in at least one other document — the 'how much of this page
+    is boilerplate' corpus metric, on the same planted fixture."""
+    from schema_validata_spark.operators.winnow import overlap_share
+    return overlap_share(_planted_docs(spark, sf_dir), "text",
+                         "doc_id", k=8, window=4,
+                         max_docs_per_fp=100, hasher="md5") \
+        .orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -1616,6 +1671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_consistency": q_derived_consistency,
         "role_share": q_role_share,
         "centroid_drift": q_centroid_drift,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
+        "winnow_overlap_share": q_winnow_overlap_share,
     }
 
 
@@ -3309,5 +3367,64 @@ def oracle_sql() -> dict[str, str]:
                                                * sqrt(sum(cb * cb))), 4)
                END AS cosine
         FROM j"""
+
+    def _winnow_fps_cte(source: str, k: int = 8, w: int = 4) -> str:
+        """CTE chain replaying operators/winnow.py's md5-mode selection
+        exactly: char k-gram md5s, window-of-w minima, distinct."""
+        return f"""
+        norm AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM ({source}) WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                                i -> md5(substring(t, i::INT, {k}))) AS grams
+          FROM norm WHERE length(t) >= 1),
+        fps AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(grams) - {w - 1}, 1) + 1),
+                   j -> list_min(list_slice(
+                          grams, j,
+                          j + least({w}, len(grams)) - 1))))) AS fp
+          FROM g)"""
+
+    _planted_src = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' {_WINNOW_BLOCK}'
+                    ELSE text END AS text
+        FROM documents"""
+
+    sql["winnow_fingerprints"] = f"""
+        WITH {_winnow_fps_cte("SELECT doc_id, text FROM documents")}
+        SELECT doc_id, fp FROM fps"""
+
+    sql["winnow_overlap"] = f"""
+        WITH {_winnow_fps_cte(_planted_src)},
+        capped AS (
+          SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+        f2 AS (SELECT fps.doc_id, fps.fp
+               FROM fps JOIN capped USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::bigint AS shared_fps
+        FROM f2 a JOIN f2 b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3"""
+
+    sql["winnow_overlap_share"] = f"""
+        WITH {_winnow_fps_cte(_planted_src)},
+        capped AS (
+          SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+        f2 AS (SELECT fps.doc_id, fps.fp
+               FROM fps JOIN capped USING (fp)),
+        sh AS (SELECT fp, count(*) > 1 AS shared FROM f2 GROUP BY fp)
+        SELECT f2.doc_id AS id, count(*)::bigint AS n_fps,
+               sum(CASE WHEN sh.shared THEN 1 ELSE 0 END)::bigint
+                 AS shared_fps,
+               round(sum(CASE WHEN sh.shared THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS overlap_share
+        FROM f2 JOIN sh USING (fp) GROUP BY 1"""
 
     return sql
