@@ -1510,6 +1510,21 @@ def q_centroid_drift(spark, sf_dir):
     return embedding_centroid_drift(a, b)
 
 
+def q_semantic_near_dup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs (operators/dedup.py:
+    semantic_near_duplicates): trained-k-means clusters as candidate
+    buckets + exact cosine verify. k-means is not SQL-expressible →
+    rows-only check; no-false-positives + recall >= 0.5 vs the
+    oracle-checked exact baseline are pytest-asserted
+    (tests/test_semantic_dedup.py)."""
+    from schema_validata_spark.operators.dedup import \
+        semantic_near_duplicates
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_near_duplicates(emb, threshold=0.45,
+                                     n_clusters=4, n_iters=4)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
 _WINNOW_BLOCK = ("this shared boilerplate paragraph is planted into "
                  "every tenth document to exercise partial overlap "
                  "detection")
@@ -1671,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_consistency": q_derived_consistency,
         "role_share": q_role_share,
         "centroid_drift": q_centroid_drift,
+        "semantic_near_dup": q_semantic_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
         "winnow_overlap_share": q_winnow_overlap_share,

@@ -712,3 +712,70 @@ def incremental_near_dedup(new_df: DataFrame, seen_sigs: DataFrame,
                          >= F.lit(threshold))
                   .select(F.col("__new_id").alias(id_col)).distinct())
     return new_df.join(dup_ids, on=id_col, how="left_anti")
+
+
+def semantic_near_duplicates(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.95,
+                             n_clusters: int = 16, n_iters: int = 5,
+                             centroids=None,
+                             max_bucket: int | None = 50_000,
+                             telemetry_out: dict | None = None
+                             ) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the trained-IVF k-means
+    (similarity.train_ivf_centroids — deterministic, content-derived
+    init), then compare pairs only WITHIN a cluster and keep exact
+    cosine >= ``threshold``. Output (id_a, id_b, cos).
+
+    vs ``embedding_near_duplicates_lsh``: hyperplane buckets are
+    data-oblivious (recall depends on random planes); k-means buckets
+    adapt to the corpus's actual density, which is what SemDeDup
+    exploits — semantic duplicates land in the same cluster because
+    the clusters ARE the semantic structure. The trade: pairs
+    straddling a cluster boundary are missed (the documented SemDeDup
+    approximation), and one train pass is needed (reuse ``centroids``
+    from a previous run / the ANN model manifest to skip it).
+
+    SCALE: train is n_iters scans with (partitions x k x dim)-sized
+    shuffles (vectors never shuffle); assignment is map-only; the
+    within-cluster self-join shuffles each vector ONCE keyed by its
+    cluster id. A degenerate mega-cluster costs O(k^2) pairs, so
+    ``max_bucket`` caps cluster size with the standard telemetry
+    (``_cap_buckets``); raise n_clusters rather than the cap for
+    balanced loads (SemDeDup runs k ~ sqrt(n))."""
+    from .similarity import cosine_expr, ivf_assign, train_ivf_centroids
+    e = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias("v")) \
+          .where(F.col("v").isNotNull())
+    if centroids is None:
+        centroids = train_ivf_centroids(e, "v", n_clusters=n_clusters,
+                                        n_iters=n_iters)
+    assigned = ivf_assign(e, centroids, "v", out_col="__c") \
+        .where(F.col("__c").isNotNull())
+    assigned = _cap_buckets(assigned, "__c", max_bucket, telemetry_out)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (a.join(b, (F.col("a.__c") == F.col("b.__c"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+                      .alias("cos"))
+             .where(F.col("cos") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.95,
+                   n_clusters: int = 16, n_iters: int = 5,
+                   centroids=None,
+                   max_bucket: int | None = 50_000,
+                   telemetry_out: dict | None = None) -> DataFrame:
+    """Remove semantic near-duplicates, keeping one representative per
+    connected component (min id — the ``dedup_keep_canonical``
+    contract): the full SemDeDup pass as one composition of tested
+    operators. Same approximation contract as
+    ``semantic_near_duplicates`` (cross-cluster pairs are missed)."""
+    pairs = semantic_near_duplicates(df, vec_col, id_col, threshold,
+                                     n_clusters, n_iters, centroids,
+                                     max_bucket, telemetry_out)
+    return dedup_keep_canonical(df, pairs, id_col)
