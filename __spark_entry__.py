@@ -1510,6 +1510,18 @@ def q_centroid_drift(spark, sf_dir):
     return embedding_centroid_drift(a, b)
 
 
+def q_unigram_scores(spark, sf_dir):
+    """Unigram-LM perplexity proxy (functions/text.py:
+    unigram_logprob_scores): per-doc mean negative log-prob under an
+    add-one-smoothed top-200 unigram model trained on the same corpus
+    (vocab deliberately small so the OOV path is oracle-exercised).
+    Wordcount + TakeOrderedAndProject vocab + broadcast-join scoring."""
+    from schema_validata_spark.functions.text import unigram_logprob_scores
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"),
+                                  "text", "doc_id",
+                                  vocab_size=200).orderBy("id")
+
+
 def q_semantic_near_dup(spark, sf_dir):
     """SemDeDup-style semantic near-dup pairs (operators/dedup.py:
     semantic_near_duplicates): trained-k-means clusters as candidate
@@ -1687,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_share": q_role_share,
         "centroid_drift": q_centroid_drift,
         "semantic_near_dup": q_semantic_near_dup,
+        "unigram_scores": q_unigram_scores,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
         "winnow_overlap_share": q_winnow_overlap_share,
@@ -3383,6 +3396,30 @@ def oracle_sql() -> dict[str, str]:
                                                * sqrt(sum(cb * cb))), 4)
                END AS cosine
         FROM j"""
+
+    sql["unigram_scores"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)),
+                                              '\s+')) AS token
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        counts AS (
+          SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY token),
+        tot AS (SELECT sum(n) AS N, count(*) AS D FROM counts),
+        prm AS (SELECT (N + least(200, D) + 1)::DOUBLE AS denom FROM tot),
+        vocab AS (
+          SELECT token, n FROM counts
+          ORDER BY n DESC, token ASC LIMIT 200),
+        lm AS (
+          SELECT token, round(ln((n + 1)::DOUBLE / denom), 8) AS logp
+          FROM vocab, prm),
+        oov AS (SELECT round(ln(1.0 / denom), 8) AS logp FROM prm)
+        SELECT t.doc_id AS id, count(*)::BIGINT AS n_tokens,
+               round(-sum(coalesce(lm.logp, oov.logp))
+                     / count(*)::DOUBLE, 4) AS avg_neg_logp
+        FROM toks t LEFT JOIN lm USING (token), oov
+        GROUP BY 1"""
 
     def _winnow_fps_cte(source: str, k: int = 8, w: int = 4) -> str:
         """CTE chain replaying operators/winnow.py's md5-mode selection

@@ -571,3 +571,89 @@ def fertility_stats(df, text_col: str, group_col: str) -> "DataFrame":
                                    / F.col("n_bpe_tokens")
                                       .cast("double"), 6))
                      .alias("chars_per_token")))
+
+
+# --- Unigram-LM quality scoring (perplexity proxy) -------------------------
+
+_OOV_SENTINEL = ""     # whitespace-split of trimmed text never yields ""
+
+
+def train_unigram_lm(df, text_col: str, vocab_size: int = 50_000):
+    """Train an add-one-smoothed unigram language model over the
+    corpus: (token, logp) for the top-``vocab_size`` tokens (by count
+    desc, token asc — deterministic cutoff) plus ONE out-of-vocabulary
+    sentinel row (token "" — unreachable by whitespace tokenization).
+
+    p(t) = (c_t + 1) / (N + V + 1) for in-vocab tokens,
+    p(OOV) = 1 / (N + V + 1), with N = total token occurrences and
+    V = min(vocab_size, distinct tokens). logp is ln(p) rounded to 8
+    decimals so the scores are engine-portable (libm last-ulp noise
+    cannot survive the rounding).
+
+    SCALE: one wordcount (two-stage hash agg, map-side collapse), one
+    1-row total aggregate, one TakeOrderedAndProject top-V — the model
+    frame is <= vocab_size+1 rows and persists like any manifest
+    table. The N/V scalars ride a 1-row collect (driver-safe)."""
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").alias("N"),
+                     F.count(F.lit(1)).alias("D")).first()
+    if tot["N"] is None:
+        raise ValueError("train_unigram_lm: corpus has no tokens")
+    big_n, v = int(tot["N"]), min(vocab_size, int(tot["D"]))
+    denom = float(big_n + v + 1)
+    vocab = counts.orderBy(F.col("n").desc(), F.col("token").asc()) \
+                  .limit(vocab_size)
+    lm = vocab.select(
+        "token",
+        F.round(F.log((F.col("n") + 1).cast("double") / F.lit(denom)), 8)
+         .alias("logp"))
+    import math
+    oov = df.sparkSession.createDataFrame(
+        [(_OOV_SENTINEL, round(math.log(1.0 / denom), 8))],
+        "token: string, logp: double")
+    return lm.unionByName(oov)
+
+
+def unigram_logprob_scores(df, text_col: str, id_col: str,
+                           lm=None, vocab_size: int = 50_000):
+    """Per-document mean negative log-probability under a unigram LM —
+    the cheap perplexity proxy (CCNet-style quality bucketing scores
+    documents under a reference LM; here the model is a unigram table
+    so the whole pass stays declarative — no external LM binary).
+    Lower = more typical of the training corpus; gibberish and
+    wrong-language docs score high. Output: (id, n_tokens,
+    avg_neg_logp). NULL/empty docs carry no tokens and emit no row.
+
+    ``lm`` defaults to self-scoring (train on ``df`` via
+    ``train_unigram_lm``); pass a persisted model frame to score
+    against a reference corpus instead (drift-robust mode).
+
+    SCALE: tokens explode map-side and join the vocab-sized LM frame
+    (AQE broadcasts it — no forced hint); the OOV logp rides a 1-row
+    broadcast cross join, so scoring is ONE scan + one per-doc
+    aggregate with map-side partial sums. Token strings shuffle only
+    as (id, partial-sum) aggregate state, never as rows."""
+    if lm is None:
+        lm = train_unigram_lm(df, text_col, vocab_size)
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    oov = (lm.where(F.col("token") == _OOV_SENTINEL)
+             .select(F.col("logp").alias("__oov_logp")))
+    voc = lm.where(F.col("token") != _OOV_SENTINEL)
+    scored = (toks.join(voc, "token", "left")
+                  .crossJoin(oov)
+                  .select("id", F.coalesce("logp", "__oov_logp")
+                                 .alias("__lp")))
+    return (scored.groupBy("id")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                       F.round(-F.sum("__lp")
+                               / F.count(F.lit(1)).cast("double"), 4)
+                        .alias("avg_neg_logp")))

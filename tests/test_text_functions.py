@@ -156,3 +156,59 @@ def test_ngram_diversity(spark):
     assert s1["n_ngrams"] == 3 and s1["n_distinct"] == 2
     assert abs(s1["distinct_ratio"] - 0.666667) < 1e-6
     assert got["s2"]["n_ngrams"] == 1 and got["s2"]["n_distinct"] == 1
+
+
+# --- unigram LM scoring ----------------------------------------------------
+
+def test_unigram_lm_hand_computed(spark):
+    import math
+    from schema_validata_spark.functions.text import (
+        train_unigram_lm, unigram_logprob_scores)
+    # corpus: "a a b" / "a c" -> N=5, tokens a:3 b:1 c:1, V=3
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")], ["id", "text"])
+    lm = {r.token: r.logp for r in
+          train_unigram_lm(df, "text", vocab_size=10).collect()}
+    denom = 5 + 3 + 1
+    assert lm["a"] == round(math.log(4 / denom), 8)
+    assert lm["b"] == round(math.log(2 / denom), 8)
+    assert lm[""] == round(math.log(1 / denom), 8)       # OOV sentinel
+    out = {r.id: r for r in
+           unigram_logprob_scores(df, "text", "id",
+                                  vocab_size=10).collect()}
+    exp1 = -(2 * lm["a"] + lm["b"]) / 3
+    assert out[1].n_tokens == 3
+    assert abs(out[1].avg_neg_logp - exp1) < 1e-3
+
+
+def test_unigram_oov_scores_higher(spark):
+    from schema_validata_spark.functions.text import (
+        train_unigram_lm, unigram_logprob_scores)
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)], ["id", "text"])
+    lm = train_unigram_lm(train, "text", vocab_size=100)
+    score = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zzyx qwfp vbnm")], ["id", "text"])
+    out = {r.id: r.avg_neg_logp for r in
+           unigram_logprob_scores(score, "text", "id", lm=lm).collect()}
+    assert out[2] > out[1]          # gibberish = all-OOV = worse score
+
+
+def test_unigram_vocab_cutoff_and_empty_docs(spark):
+    from schema_validata_spark.functions.text import (
+        train_unigram_lm, unigram_logprob_scores)
+    df = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, None), (3, "   ")], ["id", "text"])
+    # vocab_size=2 keeps x,y (count desc); z is OOV
+    lm = {r.token for r in
+          train_unigram_lm(df, "text", vocab_size=2).collect()}
+    assert lm == {"x", "y", ""}
+    out = unigram_logprob_scores(df, "text", "id", vocab_size=2).collect()
+    assert {r.id for r in out} == {1}     # NULL/blank docs emit no row
+
+
+def test_unigram_empty_corpus_raises(spark):
+    import pytest
+    from schema_validata_spark.functions.text import train_unigram_lm
+    df = spark.createDataFrame([(1, None)], "id: bigint, text: string")
+    with pytest.raises(ValueError):
+        train_unigram_lm(df, "text")
