@@ -136,3 +136,36 @@ def test_no_text_in_exchange_plan(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line
+
+
+# --- property: the SIGMOD'03 winnowing guarantee ---------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+                max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lead_a=st.lists(_WORD, min_size=0, max_size=8),
+       lead_b=st.lists(_WORD, min_size=0, max_size=8),
+       shared=st.lists(_WORD, min_size=4, max_size=10),
+       k=st.integers(min_value=4, max_value=10),
+       w=st.integers(min_value=2, max_value=6))
+def test_property_shared_block_always_yields_shared_fp(spark, lead_a,
+                                                       lead_b, shared,
+                                                       k, w):
+    """Any substring match of >= w+k-1 normalized chars must produce at
+    least one identical fingerprint in both docs — for EVERY (k, w) and
+    arbitrary surrounding context (the winnowing guarantee)."""
+    block = " ".join(shared)
+    if len(block) < w + k - 1:
+        return                      # block too short for the guarantee
+    rows = [(1, (" ".join(lead_a) + " " + block).strip()),
+            (2, (" ".join(lead_b) + " " + block).strip())]
+    fps = winnow_fingerprints(_docs(spark, rows), "text", "id",
+                              k=k, window=w)
+    a = {r.fp for r in fps.where(F.col("id") == 1).collect()}
+    b = {r.fp for r in fps.where(F.col("id") == 2).collect()}
+    assert a & b, (rows, k, w)
