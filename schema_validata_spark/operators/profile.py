@@ -95,22 +95,43 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
     zero = F.lit(0)
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("total")]
     names: list[str] = []
+    # Pre-project the MULTI-USE per-row derivations (NA flag ~12 refs,
+    # safe_double 5 refs, bool-word probe 3 refs) so the aggregate
+    # consumes attribute references: HashAggregate codegen does not
+    # subexpression-eliminate across aggregate functions, so restating
+    # safe_double(c) in five aggregate expressions re-parses the cell
+    # five times per row (measured ~2x on the flagship's 4-string-col
+    # table). Single-use features (length, rlike, HLL, shape screens)
+    # stay inline on the raw column.
+    proj: list[F.Column] = [qcol(f.name) for f in df.schema.fields]
+    for i, f in enumerate(df.schema.fields):
+        if f.dataType.simpleString() != "string":
+            continue
+        c = qcol(f.name)
+        # O(1) byte gate before the lower(trim()) allocation — an
+        # ungated lower+trim copies every multi-KB document cell
+        # twice per row; same documented ~150-byte padding bound as
+        # is_na_expr/safe_double (a bool drowned in >145 bytes of
+        # whitespace is not classified)
+        lt = F.lower(F.trim(c))
+        bw = (F.octet_length(c) <= 150) & lt.isin("true", "false")
+        proj.extend([
+            is_na_expr(c, na_values, na_patterns).alias(f"__na_{i}"),
+            safe_double(c).alias(f"__d_{i}"),
+            bw.alias(f"__bw_{i}"),
+            F.when(bw, (lt == "true").cast("int")).alias(f"__b_{i}"),
+        ])
+    src = df.select(*proj)
     for i, f in enumerate(df.schema.fields):
         c = qcol(f.name)
         kind = f.dataType.simpleString()
         names.append(f.name)
         if kind == "string":
-            na = is_na_expr(c, na_values, na_patterns)
+            na = F.col(f"__na_{i}")
             nn = ~na
-            d = safe_double(c)
-            # O(1) byte gate before the lower(trim()) allocation — an
-            # ungated lower+trim copies every multi-KB document cell
-            # twice per row; same documented ~150-byte padding bound as
-            # is_na_expr/safe_double (a bool drowned in >145 bytes of
-            # whitespace is not classified)
-            lt = F.lower(F.trim(c))
-            bool_word = (F.octet_length(c) <= 150) & lt.isin("true", "false")
-            b = F.when(bool_word, (lt == "true").cast("int"))
+            d = F.col(f"__d_{i}")
+            bool_word = F.col(f"__bw_{i}")
+            b = F.col(f"__b_{i}")
 
             def g(e):
                 return F.when(nn, e)
@@ -210,9 +231,8 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
                         .alias("approx_distinct"))
         keys = _WIDE_KEYS + (["approx_distinct"] if want_hll else [])
         aggs.extend(col.alias(f"{i}__{k}") for k, col in zip(keys, per))
-    src = df
     if content_out is not None:
-        src = df.withColumn("__rh", F.xxhash64(
+        src = src.withColumn("__rh", F.xxhash64(
             F.struct(*[qcol(f.name) for f in df.schema.fields])))
         aggs.append(F.expr("bit_xor(__rh)").alias("__rh_xor"))
         aggs.append(F.sum(F.pmod(F.col("__rh"), F.lit(1 << 20)))
