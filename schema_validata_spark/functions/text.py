@@ -218,14 +218,25 @@ def clean_text(col: Column | str) -> Column:
 
 def shingles_from_tokens(toks_col: Column | str, k: int = 3) -> Column:
     """Word k-shingles from an ALREADY-TOKENIZED array column (same
-    semantics as ``shingles``, without re-splitting the text)."""
+    semantics as ``shingles``, without re-splitting the text).
+
+    The token array is LET-BOUND (functions/exprs.py): the lambda
+    reads it per shingle, and an unbound expression argument (e.g. the
+    split built by ``shingles``) would re-evaluate per element —
+    O(len²) per row on long documents (measured 260 s vs ~1 s for
+    3-shingles over 20k × 400-word docs)."""
+    from .exprs import let_col
     toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                   for j in range(k)])))
+
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.concat_ws(" ", t))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int"))
+                       for j in range(k)])))
+
+    return let_col(toks, body)
 
 
 def top_tokens(df, text_col: str, k: int = 20) -> "DataFrame":
@@ -475,14 +486,20 @@ def ngram_diversity(df, text_col: str, group_col: str,
     never n-gram text; TWO-stage hash aggregate — (group, hash)
     partials collapse map-side, then one group-keyed aggregate over
     the vocabulary-sized frame. No sort, no window."""
+    from .exprs import let_col
     c = F.col(text_col)
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
-    sz = F.size(toks)
-    idx = F.sequence(F.lit(0), sz - n)
-    grams = F.when(sz >= n, F.transform(idx, lambda i: F.xxhash64(
-        F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                           for j in range(n)])))) \
-             .otherwise(F.array().cast("array<bigint>"))
+
+    def gram_hashes(t: Column) -> Column:
+        # t is the LET-BOUND token array (see shingles_from_tokens —
+        # an unbound split here re-evaluates per element, O(len²))
+        sz = F.size(t)
+        idx = F.sequence(F.lit(0), sz - n)
+        return F.when(sz >= n, F.transform(idx, lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int"))
+                               for j in range(n)])))) \
+                .otherwise(F.array().cast("array<bigint>"))
+
+    grams = let_col(F.split(F.lower(F.trim(c)), r"\s+"), gram_hashes)
     pairs = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
                .select(F.col(group_col),
                        F.explode(grams).alias("__g")))

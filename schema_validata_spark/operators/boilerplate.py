@@ -33,15 +33,21 @@ _WS = r"\s+"
 
 def _ngram_col(text_col: str, n: int):
     """Array of space-joined word n-grams of ``text_col`` (NULL when
-    the text is NULL/blank or shorter than ``n`` words)."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
-    ok = (F.col(text_col).isNotNull()
-          & (F.length(F.trim(F.col(text_col))) > 0)
-          & (F.size(words) >= n))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "))
-    return F.when(ok, grams)
+    the text is NULL/blank or shorter than ``n`` words). The word
+    array is let-bound (functions/exprs.py) — an unbound split inside
+    the transform lambda re-evaluates per element, O(len²) per row."""
+    from ..functions.exprs import let_col
+
+    def body(words):
+        ok = (F.col(text_col).isNotNull()
+              & (F.length(F.trim(F.col(text_col))) > 0)
+              & (F.size(words) >= n))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "))
+        return F.when(ok, grams)
+
+    return let_col(F.split(F.lower(F.trim(F.col(text_col))), _WS), body)
 
 
 def boilerplate_ngrams(df: DataFrame, text_col: str, id_col: str,

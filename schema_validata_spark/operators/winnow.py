@@ -42,24 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.exprs import let_col as _let
 from .dedup import _cap_buckets
-
-
-def _let(value: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``value`` ONCE per
-    row and pass it to ``body`` as a bound lambda variable.
-
-    Catalyst inlines aliased subexpressions at every reference and
-    higher-order-function lambdas are outside whole-stage-codegen
-    subexpression elimination — so an expression like "min over each
-    slice of grams" that mentions ``grams`` three times re-evaluates
-    the full gram array (itself O(len) hashes) at each mention,
-    turning the chain O(len²) per row. Wrapping the value in a
-    single-element array and ``transform``-ing it binds the evaluated
-    result to a lambda variable; every reference in ``body`` is then
-    an O(1) variable read. (Measured: the un-bound winnow chain on 500
-    ~300-char docs ran minutes; let-bound it is sub-second.)"""
-    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def _winnow_expr(text: Column, k: int, window: int, hasher: str) -> Column:
