@@ -212,3 +212,24 @@ def test_unigram_empty_corpus_raises(spark):
     df = spark.createDataFrame([(1, None)], "id: bigint, text: string")
     with pytest.raises(ValueError):
         train_unigram_lm(df, "text")
+
+
+def test_long_doc_shingle_paths_are_linear(spark):
+    """Regression guard for the O(len^2) HOF trap (functions/exprs.py
+    let_col): on 2k x 400-word docs the un-bound forms took ~26s+ PER
+    OP (re-evaluating the split per element); the let-bound forms run
+    in well under a second each. A generous wall-clock bound catches a
+    reintroduction without being host-noise flaky."""
+    import time
+    from pyspark.sql import functions as F
+    from schema_validata_spark.functions.text import (ngram_diversity,
+                                                      shingles)
+    from schema_validata_spark.operators.boilerplate import _ngram_col
+    doc = " ".join(f"w{i % 977}x{i % 31}" for i in range(400))
+    df = spark.range(2000).select(F.lit("g").alias("src"),
+                                  F.lit(doc).alias("text"))
+    t0 = time.time()
+    df.select(F.sum(F.size(shingles("text", 3)))).collect()
+    df.select(F.sum(F.size(_ngram_col("text", 3)))).collect()
+    ngram_diversity(df, "text", "src").collect()
+    assert time.time() - t0 < 20.0
