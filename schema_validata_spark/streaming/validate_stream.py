@@ -261,3 +261,72 @@ def stream_role_conformance(stream_df: DataFrame,
             .applyInPandasWithState(fn, ROLE_OUT_SCHEMA,
                                     ROLE_STATE_SCHEMA, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def stream_drift_scores(stream_df: DataFrame, col: str,
+                        baseline_hist: DataFrame,
+                        lo: float, hi: float, n_buckets: int = 20,
+                        ts_col: str = "ts",
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming distribution drift: chi-square + PSI of ``col``
+    against a BASELINE histogram, per tumbling event-time window —
+    the continuous twin of batch ``drift_scores`` (an encoder/source
+    regression shows up in the window it happens, not at the next
+    batch audit).
+
+    Structured Streaming allows ONE stateful aggregation per query, so
+    the batch shape (histogram agg → join → totals agg → score agg)
+    cannot run as-is. Restructured: the bucket ids are a FIXED domain
+    (width_bucket → 0..n_buckets+1), so the windowed histogram is one
+    WIDE aggregate (one conditional count per bucket) and the
+    chi²/PSI arithmetic against the baseline becomes a map-only
+    projection with the baseline proportions baked in as literals
+    (the baseline frame is histogram-sized; collapsing it driver-side
+    is a manifest-scale collect, same class as the ANN model load).
+    Late rows are handled by the watermark; complete windows emit once
+    in append mode.
+
+    ``baseline_hist`` is any (bucket, count) frame — e.g. the batch
+    ``numeric_histogram`` output of a reference snapshot (its
+    ``partition_key`` collapses here). Scores match the batch
+    ``drift_scores`` formula term-for-term (EPS-guarded PSI, baseline
+    scaled to the observed window total)."""
+    from ..operators.drift import EPS
+    base_rows = (baseline_hist.groupBy(F.col("bucket").cast("int")
+                                        .alias("b"))
+                              .agg(F.sum("count").alias("n")).collect())
+    base = {int(r["b"]): int(r["n"]) for r in base_rows}
+    tb = float(sum(base.values()))
+    if tb <= 0:
+        raise ValueError("stream_drift_scores: empty baseline histogram")
+    buckets = list(range(0, n_buckets + 2))   # width_bucket range incl.
+    pb = {i: base.get(i, 0) / tb for i in buckets}
+
+    b = F.width_bucket(F.col(col).cast("double"), F.lit(float(lo)),
+                       F.lit(float(hi)), F.lit(n_buckets))
+    wdf = (stream_df.where(F.col(col).isNotNull())
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*[F.count(F.when(b == i, 1)).alias(f"o{i}")
+                  for i in buckets]))
+
+    total = sum((F.col(f"o{i}") for i in buckets), F.lit(0)) \
+        .cast("double")
+    chi2 = F.lit(0.0)
+    psi = F.lit(0.0)
+    for i in buckets:
+        o = F.col(f"o{i}").cast("double")
+        e = F.lit(pb[i]) * total
+        if pb[i] > 0:
+            chi2 = chi2 + F.pow(o - e, 2) / e
+        po = o / F.greatest(total, F.lit(1.0))
+        psi = psi + (po - F.lit(pb[i])) * F.log(
+            (po + F.lit(EPS)) / F.lit(pb[i] + EPS))
+    return wdf.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.lit(col).alias("column_name"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(psi, 6).alias("psi"),
+        total.cast("bigint").alias("n_obs"))

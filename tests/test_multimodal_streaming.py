@@ -249,3 +249,69 @@ def test_stream_dedup_null_text_passthrough(spark, tmp_path):
     got = sorted(r[0] for r in
                  spark.sql("SELECT conv_id FROM dedup_null_mem").collect())
     assert got == ["c1", "c2", "c3", "c4"]    # all three null-text rows kept
+
+
+def test_stream_drift_scores_match_batch(spark, tmp_path):
+    """Windowed streaming drift must reproduce the batch drift_scores
+    chi2/PSI on the same rows vs the same baseline (one 24h window =
+    the whole fixture), and a shifted stream must score drifted."""
+    from schema_validata_spark.operators.drift import (drift_scores,
+                                                       numeric_histogram)
+    from schema_validata_spark.streaming.validate_stream import \
+        stream_drift_scores
+
+    t = gen_transcripts(spark, 4000, seed=42) \
+        .select("ts", F.length("text").cast("double").alias("tlen"))
+    baseline = numeric_histogram(
+        t.withColumn("pk", F.lit("all")), "tlen", "pk", 0.0, 400.0, 10)
+
+    src = str(tmp_path / "drift_src")
+    t.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = stream_drift_scores(stream, "tlen", baseline, 0.0, 400.0,
+                              n_buckets=10, ts_col="ts",
+                              window="36500 days", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("drift_mem")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM drift_mem").collect()
+    assert len(rows) == 1
+    got = rows[0]
+    assert got.n_obs == 4000
+
+    observed = numeric_histogram(
+        t.withColumn("pk", F.lit("all")), "tlen", "pk", 0.0, 400.0, 10)
+    batch = drift_scores(observed, baseline, by_partition=False).collect()[0]
+    # identical data vs itself: both engines near-zero and equal
+    assert abs(got.chi2 - batch["chi2"]) < 1e-3
+    assert abs(got.psi - batch["psi"]) < 1e-3
+
+    # shifted stream: batch and stream agree on a real drift too
+    t2 = t.withColumn("tlen", F.col("tlen") * 1.5)
+    src2 = str(tmp_path / "drift_src2")
+    t2.write.parquet(src2)
+    stream2 = spark.readStream.schema(t2.schema).parquet(src2)
+    out2 = stream_drift_scores(stream2, "tlen", baseline, 0.0, 400.0,
+                               n_buckets=10, ts_col="ts",
+                               window="36500 days", watermark="1 hour")
+    q2 = (out2.writeStream.format("memory").queryName("drift_mem2")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got2 = spark.sql("SELECT * FROM drift_mem2").collect()[0]
+    obs2 = numeric_histogram(
+        t2.withColumn("pk", F.lit("all")), "tlen", "pk", 0.0, 400.0, 10)
+    batch2 = drift_scores(obs2, baseline, by_partition=False).collect()[0]
+    assert got2.psi > got.psi and got2.chi2 > got.chi2
+    assert abs(got2.chi2 - batch2["chi2"]) / max(batch2["chi2"], 1.0) < 1e-3
+    assert abs(got2.psi - batch2["psi"]) < 1e-3
+
+
+def test_stream_drift_empty_baseline_raises(spark):
+    from schema_validata_spark.streaming.validate_stream import \
+        stream_drift_scores
+    empty = spark.createDataFrame([], "bucket: string, count: bigint")
+    df = spark.createDataFrame([(1.0,)], "v: double")
+    import pytest as pt
+    with pt.raises(ValueError):
+        stream_drift_scores(df, "v", empty, 0.0, 1.0)
