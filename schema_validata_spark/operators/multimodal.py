@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-Image decode is REAL for PNG (VERDICT r2 #4): a stdlib decoder (zlib +
-struct — signature, per-chunk CRC verification, IHDR parse, IDAT
-inflate, scanline unfilter) produces an 8-dim feature
-``[width, height, bit_depth, channels, mean_c0..mean_c3]`` with no
-image-library dependency. Other formats (JPEG/WebP/audio) land a
+Decode is REAL for PNG (VERDICT r2 #4) and PCM WAV: stdlib decoders —
+PNG via zlib + struct (signature, per-chunk CRC verification, IHDR
+parse, IDAT inflate, scanline unfilter) → ``[width, height,
+bit_depth, channels, mean_c0..mean_c3]``; WAV via struct over the
+RIFF chunk walk (fmt parse, 8/16-bit PCM stats) → ``[sample_rate,
+channels, bits, n_frames, duration_s, rms, peak, 0]`` — no
+image/audio-library dependency. Other formats (JPEG/WebP/MP3) land a
 per-payload error in the ``error`` column — the container ships no
 codec libraries; dropping in PIL/librosa later extends the same
 one-function seam. The deterministic fake decoder remains for
@@ -169,6 +171,54 @@ def decode_png(data: bytes) -> list[float]:
             + [float(means[i]) if i < channels else 0.0 for i in range(4)])
 
 
+def decode_wav(data: bytes) -> list[float]:
+    """Stdlib WAV (RIFF/WAVE, PCM) decode → 8-dim feature
+    ``[sample_rate, channels, bits, n_frames, duration_s, rms, peak,
+    0.0]`` with rms/peak normalized to [0, 1]. Same no-new-dependency
+    contract as ``decode_png``: struct-parse the fmt chunk, numpy over
+    the PCM data chunk. Raises on non-PCM encodings, truncated chunks,
+    and malformed headers — callers route errors, never crash."""
+    import struct
+
+    import numpy as np
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, sz = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + sz + (sz & 1)          # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, block_align, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_fmt}) unsupported")
+    if channels < 1 or rate < 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported PCM layout ({channels}ch/{bits}bit)")
+    if bits == 8:                          # 8-bit WAV is unsigned
+        x = np.frombuffer(pcm, dtype=np.uint8).astype("float64") - 128.0
+        full = 128.0
+    else:
+        x = np.frombuffer(pcm[:len(pcm) - (len(pcm) % 2)],
+                          dtype="<i2").astype("float64")
+        full = 32768.0
+    n_frames = len(x) // channels
+    if n_frames == 0:
+        raise ValueError("empty data chunk")
+    rms = float(np.sqrt(np.mean(x * x)) / full)
+    peak = float(np.max(np.abs(x)) / full)
+    return [float(rate), float(channels), float(bits), float(n_frames),
+            float(n_frames) / rate, rms, peak, 0.0]
+
+
 def decode_image_batch(payloads, fake: bool = False
                        ) -> list[tuple[list[float] | None, str | None]]:
     """Decode a batch of image blobs → ``[(feature, error)]`` pairs,
@@ -197,15 +247,20 @@ def decode_image_batch(payloads, fake: bool = False
             out.append((None, "null payload"))
             continue
         b = bytes(p)
-        if b[:8] != _PNG_SIG:
-            out.append((None, "unsupported format (stdlib decoder handles "
-                              "PNG only; JPEG/WebP/audio need a codec "
+        if b[:8] == _PNG_SIG:
+            try:
+                out.append((decode_png(b), None))
+            except Exception as e:  # corrupt blob → error, not a crash
+                out.append((None, f"corrupt PNG: {e}"))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            try:
+                out.append((decode_wav(b), None))
+            except Exception as e:
+                out.append((None, f"corrupt WAV: {e}"))
+        else:
+            out.append((None, "unsupported format (stdlib decoders handle "
+                              "PNG and PCM WAV; JPEG/WebP/MP3 need a codec "
                               "library not present in this environment)"))
-            continue
-        try:
-            out.append((decode_png(b), None))
-        except Exception as e:  # corrupt blob → error channel, not a crash
-            out.append((None, f"corrupt PNG: {e}"))
     return out
 
 

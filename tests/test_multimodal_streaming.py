@@ -315,3 +315,66 @@ def test_stream_drift_empty_baseline_raises(spark):
     import pytest as pt
     with pt.raises(ValueError):
         stream_drift_scores(df, "v", empty, 0.0, 1.0)
+
+
+def _encode_wav(rate=8000, channels=1, bits=16, samples=None):
+    """Minimal PCM WAV encoder for tests (stdlib struct only)."""
+    import struct
+    if samples is None:
+        samples = [0, 8000, -8000, 16000, -16000, 0]
+    if bits == 16:
+        pcm = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        pcm = bytes((s + 128) & 0xFF for s in samples)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_real_path(spark):
+    from schema_validata_spark.operators.multimodal import (decode_wav,
+                                                            extract_features,
+                                                            gen_media)
+    import math
+    blob = _encode_wav(rate=8000, samples=[0, 16384, -16384, 0])
+    feat = decode_wav(blob)
+    rate, ch, bits, n, dur, rms, peak = feat[:7]
+    assert (rate, ch, bits, n) == (8000.0, 1.0, 16.0, 4.0)
+    assert abs(dur - 4 / 8000) < 1e-9
+    assert abs(peak - 0.5) < 1e-3
+    assert abs(rms - math.sqrt(2 * 0.5 ** 2 / 4)) < 1e-3
+    # through the mapInPandas path alongside non-WAV blobs
+    m = gen_media(spark, 3)
+    wav_df = spark.createDataFrame(
+        [(42, "audio", "audio/wav", 0, 0, 500, bytearray(blob))],
+        gen_media(spark, 1).schema)
+    rows = extract_features(m.unionByName(wav_df),
+                            fake_decode=False).collect()
+    by_id = {r.media_id: r for r in rows}
+    assert by_id[42].error is None
+    assert by_id[42].feature[:4] == [8000.0, 1.0, 16.0, 4.0]
+    assert all(r.error is not None for i, r in by_id.items() if i != 42)
+
+
+def test_decode_wav_poison_blobs(spark):
+    import pytest as pt
+    from schema_validata_spark.operators.multimodal import (
+        decode_image_batch, decode_wav)
+    good = _encode_wav()
+    # truncated data chunk / non-PCM format / empty data
+    with pt.raises(ValueError):
+        decode_wav(good[:-3])
+    import struct
+    nonpcm = bytearray(good)
+    nonpcm[20:22] = struct.pack("<H", 3)       # IEEE float format
+    with pt.raises(ValueError):
+        decode_wav(bytes(nonpcm))
+    # batch path: errors routed, never raised
+    out = decode_image_batch([good, good[:-3], bytes(nonpcm), None])
+    assert out[0][1] is None and out[0][0][0] == 8000.0
+    assert "corrupt WAV" in out[1][1]
+    assert "corrupt WAV" in out[2][1]
+    assert out[3][1] == "null payload"
