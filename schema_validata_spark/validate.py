@@ -182,7 +182,12 @@ class ValidationResult:
         """Reference-shaped nested result dict
         (src/schema_validata.py:2678-2700). Row-level errors are
         materialized through the same columnar ``to_json`` round-trip as
-        the reference (:2595-2602), capped for driver safety."""
+        the reference (:2595-2602), capped for driver safety.
+
+        WARNING: ``max_value_errors=None`` collects EVERY violation row
+        to the driver — on a corpus-scale run that is an unbounded
+        driver-OOM footgun. Keep the cap and page with
+        ``self.violations`` (a DataFrame) if you need the full set."""
         value_errors: dict[str, dict] = {}
         if self.violations is not None:
             rows = (self.violations.limit(max_value_errors).collect()

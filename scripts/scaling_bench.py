@@ -8,8 +8,9 @@ memory bandwidth, unlike real N→4N executor clusters).
 Each level runs in its own subprocess (own JVM) with a JIT warm-up lap
 (bench.py) and best-of-N in-process laps.
 
-Usage: python scripts/scaling_bench.py [n_turns]   (default 8_000_000)
-Writes BENCH/scaling_run.json; curate numbers into BENCH/BASELINE.md.
+Usage: python scripts/scaling_bench.py [n_turns] [out_name]
+(defaults 8_000_000, scaling_run.json)
+Writes BENCH/<out_name>; curate numbers into BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -61,28 +62,39 @@ def calibration(n: int) -> float:
 
 def main():
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    r8 = run_level(8, n_turns)
-    r32 = run_level(32, n_turns)
-    c8, c32 = calibration(8), calibration(32)
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "scaling_run.json"
+    # N and 4N parallelism levels (default 8→32). local[2]→local[8]
+    # measures the UNSTARVED regime on this single box: 32 threads
+    # share one memory subsystem (the pure-compute probe itself only
+    # scales ~0.6-0.7 at 8→32), whereas on a real N→4N executor
+    # cluster each added executor brings its own memory bandwidth —
+    # the low pair is the closer analog of that.
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    if hi != 4 * lo:
+        raise SystemExit("levels must be N and 4N")
+    r8 = run_level(lo, n_turns)
+    r32 = run_level(hi, n_turns)
+    c8, c32 = calibration(lo), calibration(hi)
     tp8 = r8["validated_turns_per_sec"]
     tp32 = r32["validated_turns_per_sec"]
     eff = round((tp32 / tp8) / 4.0, 3)
     ceiling = round((c8 / c32) / 4.0, 3)
     result = {
         "n_turns": n_turns,
-        "turns_per_sec_local8": tp8,
-        "turns_per_sec_local32": tp32,
-        "wall_s_local8": r8["queries"]["validate_transcripts"],
-        "wall_s_local32": r32["queries"]["validate_transcripts"],
+        f"turns_per_sec_local{lo}": tp8,
+        f"turns_per_sec_local{hi}": tp32,
+        f"wall_s_local{lo}": r8["queries"]["validate_transcripts"],
+        f"wall_s_local{hi}": r32["queries"]["validate_transcripts"],
         "scaling_efficiency_raw": eff,
         "host_pure_compute_ceiling": ceiling,
         "scaling_efficiency_relative_to_ceiling":
             round(eff / ceiling, 3) if ceiling else None,
-        "calibration_wall_s": {"local8": c8, "local32": c32},
+        "calibration_wall_s": {f"local{lo}": c8, f"local{hi}": c32},
         "target": 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
