@@ -320,6 +320,49 @@ def q_drift_scores_arrow(spark, sf_dir):
                      F.col("n_base").cast("bigint").alias("n_base"))
 
 
+_KS_EDGES = [1.0, 2.0, 5.0, 10.0, 20.0, 35.0, 50.0, 75.0,
+             100.0, 150.0, 200.0, 300.0, 400.0]
+
+
+def q_ks_drift(spark, sf_dir):
+    """Kolmogorov–Smirnov numeric drift per day vs the first day's
+    value distribution on a fixed edge grid (operators/drift.py:
+    ks_drift) — one hash aggregate, raw values never shuffle."""
+    from schema_validata_spark.operators.drift import ks_drift
+    df = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    out = ks_drift(df, "value", "day", _KS_EDGES, "2024-01-01")
+    return out.orderBy("partition_key")
+
+
+def q_benford_digits(spark, sf_dir):
+    """Leading-digit (Benford) conformance of events.value
+    (operators/statqa.py) — a synthetic-data tripwire next to the
+    range/null profile; one ≤9-row aggregate."""
+    from schema_validata_spark.operators.statqa import benford_digits
+    return benford_digits(_t(spark, sf_dir, "events"), "value")
+
+
+def q_column_entropy(spark, sf_dir):
+    """Shannon-entropy + cardinality profile of documents.lang /
+    documents.source (operators/statqa.py) — catches a column whose
+    information content collapsed while every rule stayed green."""
+    from schema_validata_spark.operators.statqa import column_entropy
+    out = column_entropy(_t(spark, sf_dir, "documents"),
+                         ["lang", "source"])
+    return out.orderBy("column_name")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking with character offsets
+    (functions/chunking.py) — map-only sequence+posexplode+substr,
+    zero shuffles (the orderBy here is oracle-compare convenience)."""
+    from schema_validata_spark.functions.chunking import chunk_documents
+    out = chunk_documents(_t(spark, sf_dir, "documents"), "text",
+                          "doc_id", chunk_size=200, overlap=50)
+    return out.orderBy("doc_id", "chunk_idx")
+
+
 def q_length_percentiles(spark, sf_dir):
     """North-star 'length percentiles' stat: exact interpolated
     percentile here (oracle-checkable); percentile_approx is the
@@ -1631,6 +1674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": q_text_length_histogram,
         "drift_scores": q_drift_scores,
         "drift_scores_arrow": q_drift_scores_arrow,
+        "ks_drift": q_ks_drift,
+        "benford_digits": q_benford_digits,
+        "column_entropy": q_column_entropy,
+        "chunk_documents": q_chunk_documents,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2044,6 +2091,75 @@ def oracle_sql() -> dict[str, str]:
         FROM terms GROUP BY partition_key"""
     sql["drift_scores"] = _drift_sql
     sql["drift_scores_arrow"] = _drift_sql
+
+    _ks_les = ",\n               ".join(
+        f"sum(CASE WHEN value <= {e} THEN 1 ELSE 0 END)::bigint AS le_{i}"
+        for i, e in enumerate(_KS_EDGES))
+    _ks_diffs = ", ".join(
+        f"abs(c.le_{i} / c.n_rows::double - b.le_{i} / b.n_rows::double)"
+        for i in range(len(_KS_EDGES)))
+    sql["ks_drift"] = f"""
+        WITH c AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS partition_key,
+               count(*)::bigint AS n_rows,
+               {_ks_les}
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        b AS (SELECT * FROM c WHERE partition_key = '2024-01-01')
+        SELECT c.partition_key, c.n_rows,
+               round(greatest({_ks_diffs}), 6) AS ks_stat
+        FROM c, b ORDER BY c.partition_key"""
+
+    sql["benford_digits"] = """
+        WITH c AS (
+          SELECT floor(abs(value) / power(10, floor(log10(abs(value)))))::int
+                   AS digit,
+                 count(*)::bigint AS n
+          FROM events WHERE value IS NOT NULL AND abs(value) > 0
+          GROUP BY 1),
+        t AS (SELECT coalesce(sum(n), 0)::double AS total FROM c)
+        SELECT digit, n,
+               round(n / total, 6) AS share,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+               round(CASE WHEN log10(1.0 + 1.0 / digit) * total > 0
+                          THEN pow(n - log10(1.0 + 1.0 / digit) * total, 2)
+                               / (log10(1.0 + 1.0 / digit) * total)
+                          ELSE 0.0 END, 6) AS chi2_term
+        FROM c, t ORDER BY digit"""
+
+    sql["column_entropy"] = """
+        WITH pairs AS (
+          SELECT 'lang' AS column_name,
+                 coalesce(lang, '__null__') AS value FROM documents
+          UNION ALL
+          SELECT 'source', coalesce(source, '__null__') FROM documents),
+        c AS (SELECT column_name, value, count(*)::bigint AS n
+              FROM pairs GROUP BY 1, 2),
+        t AS (SELECT column_name, sum(n)::bigint AS n_rows,
+                     count(*)::bigint AS n_distinct,
+                     max(n) AS top FROM c GROUP BY 1)
+        SELECT c.column_name, t.n_rows, t.n_distinct,
+               round(sum(-(c.n / t.n_rows::double)
+                         * log2(c.n / t.n_rows::double)), 6) AS entropy_bits,
+               round(CASE WHEN t.n_distinct > 1
+                          THEN sum(-(c.n / t.n_rows::double)
+                                   * log2(c.n / t.n_rows::double))
+                               / log2(t.n_distinct)
+                          ELSE 0.0 END, 6) AS norm_entropy,
+               round(t.top / t.n_rows::double, 6) AS top_share
+        FROM c JOIN t USING (column_name)
+        GROUP BY c.column_name, t.n_rows, t.n_distinct, t.top"""
+
+    sql["chunk_documents"] = """
+        WITH s AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                        150)) AS start_off
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, (start_off // 150)::int AS chunk_idx,
+               start_off::bigint AS start_off,
+               least(start_off + 200, length(text))::bigint AS end_off,
+               substr(text, (start_off + 1)::int, 200) AS chunk
+        FROM s ORDER BY doc_id, chunk_idx"""
 
     sql["length_percentiles"] = """
         SELECT lang,

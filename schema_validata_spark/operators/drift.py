@@ -221,3 +221,50 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str,
 
 def drifted_partitions(scores: DataFrame, psi_threshold: float = 0.25) -> DataFrame:
     return scores.where(F.col("psi") > psi_threshold)
+
+
+def ks_drift(df: DataFrame, value_col: str, partition_col: str,
+             edges: list[float], baseline_key: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per partition on a
+    FIXED edge grid — the numeric complement of chi²/PSI (which need
+    binned mass; KS compares cumulative distributions directly and is
+    sensitive to location shifts that leave bin mass nearly unchanged).
+
+    For each partition p and each grid edge e the empirical CDF is
+    ``count(value <= e) / count(*)``; the reported statistic is
+    ``max_e |CDF_p(e) − CDF_baseline(e)|``. The grid is supplied by the
+    caller (e.g. baseline percentiles), which is what makes the result
+    deterministic and engine-independent — the classical exact KS over
+    all observed values would require a global sort of the raw data.
+
+    Output: (partition_key, n_rows, ks_stat) — ks_stat rounded to 6dp.
+    Partitions are compared against the row whose key equals
+    ``baseline_key``; if that partition is absent the result is empty
+    (nothing to compare against), mirroring drift_scores' join form.
+
+    SCALE: one hash aggregate — the shuffle carries one row per
+    partition_key with len(edges)+1 longs (counts are map-side
+    combined), then a broadcast of the single baseline row back across
+    the #partitions-sized frame. The raw values never shuffle; cost is
+    one scan regardless of edge count."""
+    if not edges:
+        raise ValueError("ks_drift needs at least one grid edge")
+    v = qcol(value_col).cast("double")
+    aggs = [F.sum(F.when(v <= F.lit(float(e)), 1).otherwise(0))
+             .cast("bigint").alias(f"__le_{i}")
+            for i, e in enumerate(edges)]
+    counts = (df.where(v.isNotNull())
+                .groupBy(qcol(partition_col).cast("string")
+                         .alias("partition_key"))
+                .agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    base = (counts.where(F.col("partition_key") == F.lit(baseline_key))
+                  .select(*[F.col(f"__le_{i}").alias(f"__ble_{i}")
+                            for i in range(len(edges))],
+                          F.col("n_rows").alias("__bn")))
+    j = counts.crossJoin(F.broadcast(base))
+    diffs = [F.abs(F.col(f"__le_{i}") / F.col("n_rows")
+                   - F.col(f"__ble_{i}") / F.col("__bn"))
+             for i in range(len(edges))]
+    ks = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    return j.select("partition_key", "n_rows",
+                    F.round(ks, 6).alias("ks_stat"))

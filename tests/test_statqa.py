@@ -1,0 +1,167 @@
+"""Unit tests for the statistical QA screens (operators/statqa.py,
+ks_drift in operators/drift.py) and sliding-window chunking
+(functions/chunking.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from schema_validata_spark.functions.chunking import chunk_documents
+from schema_validata_spark.operators.drift import ks_drift
+from schema_validata_spark.operators.statqa import (benford_digits,
+                                                    column_entropy)
+
+
+# ---------------------------------------------------------------- ks_drift
+
+def _ks_frame(spark):
+    rows = []
+    # baseline partition: values 1..100
+    rows += [Row(p="base", v=float(i)) for i in range(1, 101)]
+    # identical partition: same values -> KS 0
+    rows += [Row(p="same", v=float(i)) for i in range(1, 101)]
+    # shifted partition: values 51..150 -> KS well above 0
+    rows += [Row(p="shift", v=float(i + 50)) for i in range(1, 101)]
+    return spark.createDataFrame(rows)
+
+
+def test_ks_drift_identical_zero_shifted_positive(spark):
+    df = _ks_frame(spark)
+    edges = [10.0, 25.0, 50.0, 75.0, 100.0, 125.0]
+    out = {r["partition_key"]: r for r in
+           ks_drift(df, "v", "p", edges, "base").collect()}
+    assert out["base"]["ks_stat"] == 0.0
+    assert out["same"]["ks_stat"] == 0.0
+    # at edge 50: base CDF 0.5, shift CDF 0 -> KS >= 0.5
+    assert out["shift"]["ks_stat"] >= 0.5
+    assert all(r["n_rows"] == 100 for r in out.values())
+
+
+def test_ks_drift_missing_baseline_empty(spark):
+    df = _ks_frame(spark)
+    assert ks_drift(df, "v", "p", [50.0], "nope").count() == 0
+
+
+def test_ks_drift_requires_edges(spark):
+    with pytest.raises(ValueError):
+        ks_drift(_ks_frame(spark), "v", "p", [], "base")
+
+
+def test_ks_drift_plan_shape(spark):
+    """Raw rows shuffle only as per-partition count rows (two tiny hash
+    aggregates — the main one and the baseline branch, whose
+    ``p = baseline`` filter is pushed below its aggregate so an Iceberg
+    scan would prune to one partition); the join back is a broadcast of
+    the 1-row baseline, never a SortMergeJoin."""
+    df = _ks_frame(spark)
+    plan = ks_drift(df, "v", "p", [10.0, 50.0], "base") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastExchange" in plan
+    # baseline filter sits below the aggregate, next to the scan
+    assert "= base" in plan.split("BroadcastExchange")[1]
+
+
+# ---------------------------------------------------------- benford_digits
+
+def test_benford_digit_extraction_and_shares(spark):
+    vals = [1.0, 19.5, 0.02, 250.0, 2.0, 3.14, 0.0, None, -45.0]
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    # zero and NULL excluded; digits: 1,1,2,2,2,3,4 -> 7 rows total
+    assert {d: r["n"] for d, r in out.items()} == {1: 2, 2: 3, 3: 1, 4: 1}
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+    # benford_share column matches log10(1 + 1/d)
+    for d, r in out.items():
+        assert abs(r["benford_share"] - math.log10(1 + 1 / d)) < 1e-6
+        assert r["chi2_term"] >= 0.0
+
+
+def test_benford_near_benford_sample_low_chi2(spark):
+    # log-uniform values follow Benford closely by construction
+    n = 20000
+    df = spark.range(n).select(
+        F.pow(F.lit(10.0), (F.col("id") % 997) / 997.0 * 3.0).alias("v"))
+    rows = benford_digits(df, "v").collect()
+    assert len(rows) == 9
+    chi2 = sum(r["chi2_term"] for r in rows)
+    # 8 dof; a true Benford sample stays far below the uniform-digit
+    # alternative (which lands in the thousands at n=20k)
+    assert chi2 < 100.0, chi2
+
+
+# ---------------------------------------------------------- column_entropy
+
+def test_column_entropy_basics(spark):
+    rows = [Row(a="x", b="u", c=None) for _ in range(4)] + \
+           [Row(a="x", b="v", c="z") for _ in range(4)]
+    df = spark.createDataFrame(rows)
+    out = {r["column_name"]: r for r in
+           column_entropy(df, ["a", "b", "c"]).collect()}
+    # constant column: zero entropy, top_share 1
+    assert out["a"]["n_distinct"] == 1
+    assert out["a"]["entropy_bits"] == 0.0
+    assert out["a"]["norm_entropy"] == 0.0
+    assert out["a"]["top_share"] == 1.0
+    # 50/50 split: exactly 1 bit, norm 1
+    assert out["b"]["entropy_bits"] == 1.0
+    assert out["b"]["norm_entropy"] == 1.0
+    # NULL counts as its own category
+    assert out["c"]["n_distinct"] == 2
+    assert out["c"]["n_rows"] == 8
+
+
+# --------------------------------------------------------- chunk_documents
+
+def test_chunk_offsets_and_reconstruction(spark):
+    texts = ["abcdefghij" * 7,   # 70 chars
+             "short",
+             "x" * 20,           # exactly chunk_size
+             ""]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    out = chunk_documents(df, "text", "doc_id", chunk_size=20, overlap=5)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    step = 15
+    for i, t in enumerate(texts):
+        chunks = by_doc[i]
+        # start offsets are the arithmetic progression 0, step, ...
+        for j, r in enumerate(chunks):
+            assert r["chunk_idx"] == j
+            assert r["start_off"] == j * step
+            assert r["end_off"] == min(j * step + 20, len(t))
+            assert r["chunk"] == t[r["start_off"]:r["end_off"]]
+            assert len(r["chunk"]) == r["end_off"] - r["start_off"]
+        # consecutive chunks share exactly `overlap` chars (full chunks)
+        for a, b in zip(chunks, chunks[1:]):
+            if a["end_off"] - a["start_off"] == 20:
+                assert t[b["start_off"]:b["start_off"] + 5] == \
+                    a["chunk"][-5:][:max(0, a["end_off"] - b["start_off"])] \
+                    or a["end_off"] <= b["start_off"] + 5
+        # reconstruction: concatenating each chunk's non-overlapping
+        # prefix plus the final chunk's tail yields the document
+        rebuilt = "".join(c["chunk"][:step] for c in chunks[:-1])
+        rebuilt += chunks[-1]["chunk"]
+        assert rebuilt == t
+    # empty doc yields a single empty chunk at offset 0
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk"] == ""
+
+
+def test_chunk_param_validation(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_size=10, overlap=10)
+
+
+def test_chunk_is_map_only(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="abcdef" * 100)])
+    plan = chunk_documents(df, "text", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
