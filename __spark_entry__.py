@@ -363,6 +363,34 @@ def q_chunk_documents(spark, sf_dir):
     return out.orderBy("doc_id", "chunk_idx")
 
 
+def q_schema_diff(spark, sf_dir):
+    """Schema-evolution diff (operators/schema_evolution.py) — pure
+    metadata (catalog-call only, zero data scanned at any table size);
+    events as the old snapshot, orders as the new."""
+    from schema_validata_spark.operators.schema_evolution import schema_diff
+    return schema_diff(spark, _t(spark, sf_dir, "events"),
+                       _t(spark, sf_dir, "orders")).orderBy("column_name")
+
+
+def q_numeric_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations in ONE single-row aggregate
+    (operators/statqa.py) — the relationship profile next to the
+    per-column stats; rows never shuffle."""
+    from schema_validata_spark.operators.statqa import numeric_correlations
+    return numeric_correlations(_t(spark, sf_dir, "events"),
+                                ["value", "user_id", "event_id"])
+
+
+def q_value_masks(spark, sf_dir):
+    """Top-k value-format masks per column (operators/statqa.py) —
+    scan-side regexp_replace chain + one bounded-key aggregate +
+    WindowGroupLimit top-k."""
+    from schema_validata_spark.operators.statqa import value_masks
+    out = value_masks(_t(spark, sf_dir, "events"),
+                      ["event_type", "props"], k=8)
+    return out.orderBy("column_name", F.desc("n"), "mask")
+
+
 def q_length_percentiles(spark, sf_dir):
     """North-star 'length percentiles' stat: exact interpolated
     percentile here (oracle-checkable); percentile_approx is the
@@ -1678,6 +1706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "column_entropy": q_column_entropy,
         "chunk_documents": q_chunk_documents,
+        "schema_diff": q_schema_diff,
+        "numeric_correlations": q_numeric_correlations,
+        "value_masks": q_value_masks,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2148,6 +2179,53 @@ def oracle_sql() -> dict[str, str]:
                round(t.top / t.n_rows::double, 6) AS top_share
         FROM c JOIN t USING (column_name)
         GROUP BY c.column_name, t.n_rows, t.n_distinct, t.top"""
+
+    sql["schema_diff"] = """
+        WITH a AS (SELECT column_name, lower(column_type) AS type_a
+                   FROM (DESCRIBE SELECT * FROM events)),
+             b AS (SELECT column_name, lower(column_type) AS type_b
+                   FROM (DESCRIBE SELECT * FROM orders))
+        SELECT coalesce(a.column_name, b.column_name) AS column_name,
+               type_a, type_b,
+               CASE WHEN a.column_name IS NULL THEN 'added'
+                    WHEN b.column_name IS NULL THEN 'removed'
+                    WHEN type_a <> type_b THEN 'type_changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL JOIN b ON a.column_name = b.column_name
+        ORDER BY 1"""
+
+    _corr_pairs = [("value", "user_id"), ("value", "event_id"),
+                   ("user_id", "event_id")]
+    sql["numeric_correlations"] = """
+        WITH w AS (SELECT
+            """ + ",\n            ".join(
+        f"corr({a}, {b}) AS r_{i}, "
+        f"count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END)"
+        f"::bigint AS n_{i}"
+        for i, (a, b) in enumerate(_corr_pairs)) + """
+          FROM events)
+        """ + "\n        UNION ALL\n        ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(r_{i}, 6) AS pearson_r, n_{i} AS n_pairs FROM w"
+        for i, (a, b) in enumerate(_corr_pairs))
+
+    _mask = ("regexp_replace(regexp_replace(regexp_replace("
+             "substr({c}, 1, 24), '[A-Z]', 'A', 'g'), "
+             "'[a-z]', 'a', 'g'), '[0-9]', '9', 'g')")
+    sql["value_masks"] = f"""
+        WITH u AS (
+          SELECT 'event_type' AS column_name,
+                 {_mask.format(c='event_type')} AS mask
+          FROM events WHERE event_type IS NOT NULL
+          UNION ALL
+          SELECT 'props', {_mask.format(c='props')}
+          FROM events WHERE props IS NOT NULL),
+        c AS (SELECT column_name, mask, count(*)::bigint AS n
+              FROM u GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY column_name
+                        ORDER BY n DESC, mask ASC) AS rk FROM c)
+        SELECT column_name, mask, n FROM r WHERE rk <= 8
+        ORDER BY column_name, n DESC, mask"""
 
     sql["chunk_documents"] = """
         WITH s AS (

@@ -13,6 +13,8 @@ cardinality-sized — never row-sized. No UDFs, no collects.
 
 from __future__ import annotations
 
+from itertools import combinations
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.colref import qcol
@@ -108,3 +110,103 @@ def column_entropy(df: DataFrame, cols: list[str],
                         .alias("norm_entropy"),
                        F.round(F.max("__top") / F.max("__total"), 6)
                         .alias("top_share")))
+
+
+def numeric_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns — the
+    relationship profile next to the per-column stats: a correlation
+    that jumps (two columns suddenly identical after an upstream bug)
+    or collapses (a derived column decoupled from its source) is
+    invisible to every single-column rule.
+
+    NULL handling matches SQL ``corr``: a row is skipped for a pair
+    when EITHER side is NULL (pairwise deletion), which is what both
+    Spark and DuckDB implement natively.
+
+    Output: one row per unordered pair (col_a < col_b in the given
+    list order): col_a, col_b, pearson_r (6dp; NULL when a side is
+    constant — zero variance has no defined correlation), n_pairs.
+
+    SCALE: ONE single-row aggregate computes every pair's co-moments
+    in one scan (k·(k−1)/2 corr + count expressions, all map-side
+    partial); the row is then unpivoted driver-free via explode of a
+    literal-sized array. Raw rows never shuffle; cost is one scan
+    regardless of pair count."""
+    pairs = list(combinations(cols, 2))
+    if not pairs:
+        raise ValueError("numeric_correlations needs at least two columns")
+    # Pearson from covar/stddev over the PAIRWISE-complete subset rather
+    # than F.corr: under ANSI mode corr raises DIVIDE_BY_ZERO on a
+    # zero-variance side, where the defined answer is NULL (and the
+    # per-column stddev would be the wrong denominator when the other
+    # side has NULLs).
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        ca, cb = qcol(a).cast("double"), qcol(b).cast("double")
+        both = ca.isNotNull() & cb.isNotNull()
+        pa, pb = F.when(both, ca), F.when(both, cb)
+        aggs += [F.covar_pop(pa, pb).alias(f"__cov_{i}"),
+                 F.stddev_pop(pa).alias(f"__sa_{i}"),
+                 F.stddev_pop(pb).alias(f"__sb_{i}"),
+                 F.count(F.when(both, 1)).cast("bigint").alias(f"__n_{i}")]
+    wide = df.agg(*aggs)
+
+    def _r(i):
+        sa, sb = F.col(f"__sa_{i}"), F.col(f"__sb_{i}")
+        return F.when((sa > 0) & (sb > 0),
+                      F.col(f"__cov_{i}") / (sa * sb))
+
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.round(_r(i), 6).alias("pearson_r"),
+                 F.col(f"__n_{i}").alias("n_pairs"))
+        for i, (a, b) in enumerate(pairs)])).alias("p")
+    return wide.select(rows).select("p.col_a", "p.col_b", "p.pearson_r",
+                                    "p.n_pairs")
+
+
+MASK_CLASSES = [("[A-Z]", "A"), ("[a-z]", "a"), ("[0-9]", "9")]
+
+
+def value_masks(df: DataFrame, cols: list[str], k: int = 10,
+                max_chars: int = 24) -> DataFrame:
+    """Top-``k`` value-format masks per column: every uppercase letter
+    maps to ``A``, lowercase to ``a``, digit to ``9`` (other
+    characters pass through), and the column's values collapse to
+    their format signatures — the classic profiling move that shows
+    '999-999-9999 (98%), 9999999999 (2%)' for a phone column, i.e.
+    WHICH formats a free-text rule is actually facing. ASCII classes
+    by contract (matches the reference's regex dialect); masks clip
+    to ``max_chars`` so a long-text column cannot blow up the key.
+    NULLs are excluded (they have no format).
+
+    Output: column_name, mask, n — the k most frequent masks per
+    column, count-desc with mask-asc tiebreak (engine-portable).
+
+    SCALE: masks compute in the scan projection (regexp_replace
+    chain, whole-stage codegen); ONE hash aggregate keyed by
+    (column, clipped-mask) — bounded-width keys, map-side combined —
+    then the per-column top-k is a WindowGroupLimit (map-side partial
+    top-k) over the mask-vocabulary-sized count frame. Raw values
+    never shuffle."""
+    from .selection import top_k_per_group
+
+    def mask(c):
+        m = qcol(c).cast("string").substr(1, max_chars)
+        for pat, rep in MASK_CLASSES:
+            m = F.regexp_replace(m, pat, rep)
+        return m
+
+    frames = []
+    for c in cols:
+        frames.append(df.where(qcol(c).isNotNull())
+                        .select(F.lit(c).alias("column_name"),
+                                mask(c).alias("mask")))
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    counts = (u.groupBy("column_name", "mask")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    top = top_k_per_group(counts, ["column_name"], "n", k,
+                          tiebreak_cols=["mask"])
+    return top.select("column_name", "mask", "n")

@@ -165,3 +165,93 @@ def test_chunk_is_map_only(spark):
     plan = chunk_documents(df, "text", "doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ----------------------------------------------------- numeric_correlations
+
+def test_numeric_correlations_known_values(spark):
+    from schema_validata_spark.operators.statqa import numeric_correlations
+    rows = [Row(a=float(i), b=float(2 * i + 3), c=float(-i), d=1.0,
+                e=None if i % 2 else float(i))
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows,
+                               "a double, b double, c double, d double, "
+                               "e double")
+    out = {(r["col_a"], r["col_b"]): r for r in
+           numeric_correlations(df, ["a", "b", "c", "d", "e"]).collect()}
+    assert len(out) == 10
+    assert out[("a", "b")]["pearson_r"] == 1.0     # perfect linear
+    assert out[("a", "c")]["pearson_r"] == -1.0    # perfect inverse
+    assert out[("a", "d")]["pearson_r"] is None    # constant side: undefined
+    # pairwise deletion: e is NULL on odd i -> 10 pairs
+    assert out[("a", "e")]["n_pairs"] == 10
+    assert out[("a", "b")]["n_pairs"] == 20
+
+
+def test_numeric_correlations_needs_two(spark):
+    from schema_validata_spark.operators.statqa import numeric_correlations
+    df = spark.createDataFrame([Row(a=1.0)])
+    with pytest.raises(ValueError):
+        numeric_correlations(df, ["a"])
+
+
+def test_numeric_correlations_single_scan_no_shuffle_of_rows(spark):
+    from schema_validata_spark.operators.statqa import numeric_correlations
+    df = spark.range(100).select(
+        (F.col("id") * 1.0).alias("a"), (F.col("id") * 2.0).alias("b"),
+        (F.col("id") % 7 * 1.0).alias("c"))
+    plan = numeric_correlations(df, ["a", "b", "c"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # single-row aggregate -> SinglePartition exchange only, no hash shuffle
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+# ------------------------------------------------------------- value_masks
+
+def test_value_masks_formats_and_topk(spark):
+    from schema_validata_spark.operators.statqa import value_masks
+    rows = ([Row(phone="555-123-4567", code=None)] * 5
+            + [Row(phone="5551234567", code="AB12")] * 2
+            + [Row(phone=None, code="xy-9")] * 3)
+    df = spark.createDataFrame(rows, "phone string, code string")
+    out = value_masks(df, ["phone", "code"], k=1).collect()
+    top = {r["column_name"]: r for r in out}
+    assert top["phone"]["mask"] == "999-999-9999"
+    assert top["phone"]["n"] == 5
+    assert top["code"]["mask"] == "aa-9"          # NULLs excluded
+    assert top["code"]["n"] == 3
+
+
+def test_value_masks_clips_long_values(spark):
+    from schema_validata_spark.operators.statqa import value_masks
+    df = spark.createDataFrame([Row(t="x" * 500)])
+    r = value_masks(df, ["t"], k=1, max_chars=24).collect()[0]
+    assert r["mask"] == "a" * 24
+
+
+# ------------------------------------------------------------- schema_diff
+
+def test_schema_diff_statuses(spark):
+    from schema_validata_spark.operators.schema_evolution import schema_diff
+    a = spark.createDataFrame(
+        [], "id bigint, name string, score double, gone int")
+    b = spark.createDataFrame(
+        [], "id bigint, name string, score string, fresh timestamp")
+    out = {r["column_name"]: r for r in schema_diff(spark, a, b).collect()}
+    assert out["id"]["status"] == "unchanged"
+    assert out["gone"]["status"] == "removed" and out["gone"]["type_b"] is None
+    assert out["fresh"]["status"] == "added"
+    assert out["fresh"]["type_b"] == "timestamp"
+    assert out["score"]["status"] == "type_changed"
+    assert (out["score"]["type_a"], out["score"]["type_b"]) == \
+        ("double", "varchar")
+    assert out["name"]["type_a"] == "varchar"
+
+
+def test_schema_diff_canonical_complex_types(spark):
+    from schema_validata_spark.operators.schema_evolution import \
+        canonical_type
+    from pyspark.sql import types as T
+    assert canonical_type(T.ArrayType(T.FloatType())) == "float[]"
+    assert canonical_type(T.DecimalType(12, 2)) == "decimal(12,2)"
+    assert canonical_type(T.BinaryType()) == "blob"
