@@ -1,0 +1,67 @@
+"""End-to-end `spark-submit --py-files` drive of the production job
+entrypoint (scripts/run_validation_job.py) — the north_rule's stated
+deployment shape. The package ships as a zip built fresh from the repo
+(exactly the documented `zip -r` + `--py-files` recipe), the job runs
+in its own JVM/driver, writes report artifacts, and exits 3 on seeded
+violations. Slow (~1 min: fresh JVM + session); one test on purpose.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this host")
+def test_spark_submit_py_files_job(spark, tmp_path):
+    from schema_validata_spark.datagen import gen_conversations, \
+        gen_transcripts
+
+    tdir, cdir, out = (str(tmp_path / d) for d in ("t", "c", "out"))
+    gen_transcripts(spark, 4000, seed=7).write.parquet(tdir)
+    gen_conversations(spark, 4000, seed=7).write.parquet(cdir)
+
+    # the documented packaging step: the package zip, built from source
+    zip_path = str(tmp_path / "schema_validata_spark.zip")
+    pkg = os.path.join(REPO, "schema_validata_spark")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+
+    env = {k: v for k, v in os.environ.items()}
+    # the job must resolve the package from --py-files, not the repo cwd
+    env["PYTHONPATH"] = ""
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.driver.memory=2g",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_validation_job.py"),
+         "--transcripts", tdir, "--conversations", cdir,
+         "--out", out, "--name", "transcripts"],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        env=env)
+
+    # seeded violations -> deliberate non-zero business exit
+    assert proc.returncode == 3, (proc.returncode, proc.stdout[-2000:],
+                                  proc.stderr[-2000:])
+    payload = [ln for ln in proc.stdout.splitlines()
+               if ln.startswith("{")]
+    assert payload, proc.stdout[-2000:]
+    report = json.loads(payload[-1])
+    assert report["passed"] is False
+    assert report["uid"]
+    for p in report["artifacts"].values():
+        assert os.path.exists(p), p
