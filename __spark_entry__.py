@@ -391,6 +391,28 @@ def q_value_masks(spark, sf_dir):
     return out.orderBy("column_name", F.desc("n"), "mask")
 
 
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association between orders.o_orderstatus and
+    o_orderpriority (operators/statqa.py) — contingency-sized shuffle,
+    raw rows never move."""
+    from schema_validata_spark.operators.statqa import cramers_v
+    return cramers_v(_t(spark, sf_dir, "orders"),
+                     "o_orderstatus", "o_orderpriority")
+
+
+def q_null_patterns(spark, sf_dir):
+    """Row-level NULL co-occurrence patterns (operators/statqa.py).
+    The fixtures carry no NULLs, so nullable columns are derived
+    identically in both engines (nullif / thresholds) to exercise
+    multiple patterns."""
+    from schema_validata_spark.operators.statqa import null_patterns
+    d = _t(spark, sf_dir, "events").select(
+        F.expr("nullif(event_type, 'click')").alias("et"),
+        F.when(F.col("value") <= 100, F.col("value")).alias("val"),
+        F.col("props"))
+    return null_patterns(d, ["et", "val", "props"], k=10)
+
+
 def q_length_percentiles(spark, sf_dir):
     """North-star 'length percentiles' stat: exact interpolated
     percentile here (oracle-checkable); percentile_approx is the
@@ -1709,6 +1731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_diff": q_schema_diff,
         "numeric_correlations": q_numeric_correlations,
         "value_masks": q_value_masks,
+        "cramers_v": q_cramers_v,
+        "null_patterns": q_null_patterns,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2226,6 +2250,59 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY n DESC, mask ASC) AS rk FROM c)
         SELECT column_name, mask, n FROM r WHERE rk <= 8
         ORDER BY column_name, n DESC, mask"""
+
+    sql["cramers_v"] = """
+        WITH cells AS (
+          SELECT coalesce(o_orderstatus, '__null__') AS a,
+                 coalesce(o_orderpriority, '__null__') AS b,
+                 count(*)::bigint AS n_ij
+          FROM orders GROUP BY 1, 2),
+        rm AS (SELECT a, sum(n_ij) AS n_a FROM cells GROUP BY 1),
+        cm AS (SELECT b, sum(n_ij) AS n_b FROM cells GROUP BY 1),
+        tot AS (SELECT sum(n_ij)::double AS n,
+                       count(DISTINCT a)::bigint AS r_levels,
+                       count(DISTINCT b)::bigint AS c_levels FROM cells)
+        SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+               tot.n::bigint AS n_rows, tot.r_levels, tot.c_levels,
+               -- observed cells only: zero cells contribute e each and
+               -- sum(e) over the full grid is n, so fold them in as
+               -- chi2 = sum_obs[(n_ij-e)^2/e] - sum_obs(e) + n
+               round(greatest(sum(pow(n_ij - n_a * n_b / tot.n, 2)
+                                  / (n_a * n_b / tot.n))
+                              - sum(n_a * n_b / tot.n) + tot.n,
+                              0.0), 4) AS chi2,
+               round(CASE WHEN least(tot.r_levels, tot.c_levels) > 1
+                     THEN sqrt(greatest(
+                               sum(pow(n_ij - n_a * n_b / tot.n, 2)
+                                   / (n_a * n_b / tot.n))
+                               - sum(n_a * n_b / tot.n) + tot.n, 0.0)
+                               / (tot.n
+                                  * (least(tot.r_levels,
+                                           tot.c_levels) - 1)))
+                     ELSE 0.0 END, 6) AS cramers_v
+        FROM cells JOIN rm USING (a) JOIN cm USING (b), tot
+        GROUP BY tot.n, tot.r_levels, tot.c_levels"""
+
+    sql["null_patterns"] = """
+        WITH d AS (
+          SELECT nullif(event_type, 'click') AS et,
+                 CASE WHEN value <= 100 THEN value END AS val,
+                 props
+          FROM events),
+        c AS (
+          SELECT concat(CASE WHEN et IS NULL THEN '1' ELSE '0' END,
+                        CASE WHEN val IS NULL THEN '1' ELSE '0' END,
+                        CASE WHEN props IS NULL THEN '1' ELSE '0' END)
+                   AS pattern,
+                 concat_ws(',', CASE WHEN et IS NULL THEN 'et' END,
+                                CASE WHEN val IS NULL THEN 'val' END,
+                                CASE WHEN props IS NULL THEN 'props' END)
+                   AS null_cols,
+                 count(*)::bigint AS n
+          FROM d GROUP BY 1, 2),
+        t AS (SELECT sum(n)::double AS tt FROM c)
+        SELECT pattern, null_cols, n, round(n / tt, 6) AS share
+        FROM c, t ORDER BY n DESC, pattern ASC LIMIT 10"""
 
     sql["chunk_documents"] = """
         WITH s AS (

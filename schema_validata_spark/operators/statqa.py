@@ -210,3 +210,91 @@ def value_masks(df: DataFrame, cols: list[str], k: int = 10,
     top = top_k_per_group(counts, ["column_name"], "n", k,
                           tiebreak_cols=["mask"])
     return top.select("column_name", "mask", "n")
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str,
+              null_token: str = "__null__") -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    categorical twin of ``numeric_correlations``: V = sqrt(chi² /
+    (n·(min(R,C)−1))) over the contingency table, 0 (independent) to 1
+    (one column determines the other). A pair whose V jumps to 1.0
+    (a join key accidentally copied into another column) or collapses
+    to 0 (a derived label decoupled from its source) passes every
+    single-column rule. NULL is a first-class category.
+
+    Output (one row): col_a, col_b, n_rows, r_levels, c_levels,
+    chi2 (4dp), cramers_v (6dp; 0.0 when either side has one level —
+    association is undefined, reported as none).
+
+    SCALE: ONE (a,b)-keyed hash aggregate builds the contingency table
+    (shuffle is contingency-sized, map-side combined; raw rows never
+    shuffle); marginals/totals are aggregates OF that small frame,
+    joined back category-sized (AQE broadcasts them), and the final
+    reduce is over contingency cells."""
+    a = F.coalesce(qcol(col_a).cast("string"), F.lit(null_token))
+    b = F.coalesce(qcol(col_b).cast("string"), F.lit(null_token))
+    cells = (df.groupBy(a.alias("a"), b.alias("b"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_ij")))
+    rm = cells.groupBy("a").agg(F.sum("n_ij").alias("n_a"))
+    cm = cells.groupBy("b").agg(F.sum("n_ij").alias("n_b"))
+    tot = cells.agg(F.sum("n_ij").cast("double").alias("__n"),
+                    F.count_distinct(F.col("a")).cast("bigint")
+                     .alias("r_levels"),
+                    F.count_distinct(F.col("b")).cast("bigint")
+                     .alias("c_levels"))
+    j = (cells.join(rm, "a").join(cm, "b").crossJoin(F.broadcast(tot)))
+    e = F.col("n_a") * F.col("n_b") / F.col("__n")
+    chi_term = F.pow(F.col("n_ij") - e, 2) / e
+    # the contingency frame holds only OBSERVED cells; a structural
+    # zero cell contributes (0−e)²/e = e, and Σe over the full R×C
+    # grid is n — so the zero-cell mass folds in without materializing
+    # the grid: chi² = Σ_obs[(n_ij−e)²/e] − Σ_obs e + n
+    agg = j.agg((F.sum(chi_term) - F.sum(e) + F.max("__n")).alias("chi2"),
+                F.max("__n").alias("__n"),
+                F.max("r_levels").alias("r_levels"),
+                F.max("c_levels").alias("c_levels"))
+    mindim = F.least(F.col("r_levels"), F.col("c_levels")) - F.lit(1)
+    # clamp at 0: under exact independence the folded sum is 0 up to
+    # float error, and a −1e-12 residue must not become sqrt(NaN)
+    chi2 = F.greatest(F.col("chi2"), F.lit(0.0))
+    v = F.when(mindim > 0,
+               F.sqrt(chi2 / (F.col("__n") * mindim))) \
+         .otherwise(F.lit(0.0))
+    return agg.select(F.lit(col_a).alias("col_a"),
+                      F.lit(col_b).alias("col_b"),
+                      F.col("__n").cast("bigint").alias("n_rows"),
+                      "r_levels", "c_levels",
+                      F.round(chi2, 4).alias("chi2"),
+                      F.round(v, 6).alias("cramers_v"))
+
+
+def null_patterns(df: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
+    """Top-``k`` row-level NULL co-occurrence patterns: which columns
+    are missing TOGETHER. Per-column null counts (the profile stat)
+    can't distinguish 'two columns each 10% null independently' from
+    'the same 10% of rows lost both' — the pattern distribution can,
+    and a new pattern appearing between snapshots points at the
+    specific upstream writer that broke.
+
+    Output: pattern ('1' = NULL, '0' = present, one char per column in
+    the given order), null_cols (comma-joined names, '' for complete
+    rows), n, share (of all rows, 6dp) — top-k by n desc, pattern asc.
+
+    SCALE: the pattern assembles in the scan projection (a concat of
+    per-column null flags — bounded width len(cols)); ONE hash
+    aggregate keyed by it (≤2^len(cols) keys in theory, few in
+    practice, map-side combined), a single-row total broadcast back,
+    and a heap top-k. Raw rows never shuffle."""
+    pat = F.concat(*[F.when(qcol(c).isNull(), F.lit("1"))
+                      .otherwise(F.lit("0")) for c in cols])
+    names = F.concat_ws(",", *[
+        F.when(qcol(c).isNull(), F.lit(c)) for c in cols])
+    counts = (df.groupBy(pat.alias("pattern"), names.alias("null_cols"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = counts.agg(F.coalesce(F.sum("n"), F.lit(0)).cast("double")
+                        .alias("__t"))
+    out = (counts.crossJoin(F.broadcast(total))
+                 .select("pattern", "null_cols", "n",
+                         F.round(F.col("n") / F.col("__t"), 6)
+                          .alias("share")))
+    return out.orderBy(F.desc("n"), F.asc("pattern")).limit(k)

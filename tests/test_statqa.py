@@ -255,3 +255,59 @@ def test_schema_diff_canonical_complex_types(spark):
     assert canonical_type(T.ArrayType(T.FloatType())) == "float[]"
     assert canonical_type(T.DecimalType(12, 2)) == "decimal(12,2)"
     assert canonical_type(T.BinaryType()) == "blob"
+
+
+# --------------------------------------------------------------- cramers_v
+
+def test_cramers_v_perfect_and_independent(spark):
+    from schema_validata_spark.operators.statqa import cramers_v
+    # perfect association: b = f(a)
+    perfect = spark.createDataFrame(
+        [Row(a=x, b=x.upper()) for x in ["p", "q", "r"] * 20])
+    r = cramers_v(perfect, "a", "b").collect()[0]
+    assert r["cramers_v"] == 1.0
+    assert (r["r_levels"], r["c_levels"]) == (3, 3)
+    # independence: balanced cross product -> chi2 0
+    indep = spark.createDataFrame(
+        [Row(a=x, b=y) for x in ["p", "q"] for y in ["u", "v"]
+         for _ in range(10)])
+    r = cramers_v(indep, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_cramers_v_single_level_and_nulls(spark):
+    from schema_validata_spark.operators.statqa import cramers_v
+    df = spark.createDataFrame(
+        [Row(a="only", b=None), Row(a="only", b="x")] * 5)
+    r = cramers_v(df, "a", "b").collect()[0]
+    # one-level side: association undefined, reported 0; NULL is a level
+    assert r["r_levels"] == 1 and r["c_levels"] == 2
+    assert r["cramers_v"] == 0.0
+    assert r["n_rows"] == 10
+
+
+# ------------------------------------------------------------ null_patterns
+
+def test_null_patterns_counts_and_shares(spark):
+    from schema_validata_spark.operators.statqa import null_patterns
+    rows = ([Row(a=1, b="x", c=1.0)] * 4          # 000
+            + [Row(a=None, b="x", c=1.0)] * 3     # 100
+            + [Row(a=None, b=None, c=1.0)] * 2    # 110
+            + [Row(a=None, b=None, c=None)] * 1)  # 111
+    df = spark.createDataFrame(rows, "a int, b string, c double")
+    out = {r["pattern"]: r for r in
+           null_patterns(df, ["a", "b", "c"]).collect()}
+    assert out["000"]["n"] == 4 and out["000"]["null_cols"] == ""
+    assert out["100"]["n"] == 3 and out["100"]["null_cols"] == "a"
+    assert out["110"]["null_cols"] == "a,b"
+    assert out["111"]["n"] == 1 and out["111"]["null_cols"] == "a,b,c"
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_null_patterns_topk_ordering(spark):
+    from schema_validata_spark.operators.statqa import null_patterns
+    rows = [Row(a=1 if i % 2 else None) for i in range(10)]
+    df = spark.createDataFrame(rows, "a int")
+    out = null_patterns(df, ["a"], k=1).collect()
+    # tie at 5/5 -> pattern asc tiebreak keeps '0'
+    assert len(out) == 1 and out[0]["pattern"] == "0"
