@@ -413,6 +413,96 @@ def q_null_patterns(spark, sf_dir):
     return null_patterns(d, ["et", "val", "props"], k=10)
 
 
+def _snapshot_fixture(spark, sf_dir):
+    """Deterministic old/new snapshot pair derived from documents:
+    doc_id%41==3 removed, %37==7 text edited, %43==5 cloned in under a
+    shifted id (added). Derived identically in the oracle SQL."""
+    old = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    new = (old.where(did % 41 != 3)
+              .withColumn("text",
+                          F.when(did % 37 == 7,
+                                 F.concat(F.col("text"), F.lit(" v2")))
+                           .otherwise(F.col("text")))
+              .unionByName(
+                  old.where(did % 43 == 5)
+                     .withColumn("doc_id", did + F.lit(1000001))))
+    return old, new
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level snapshot diff keyed by the stable row address
+    (operators/snapshot.py:snapshot_diff) — the north-rule 'per-turn
+    text equality under stable key' invariant as an operator. Digest
+    projection + ONE full-outer key join; the oracle compares RAW
+    values, certifying the md5-digest shortcut."""
+    from schema_validata_spark.operators.snapshot import snapshot_diff
+    old, new = _snapshot_fixture(spark, sf_dir)
+    return (snapshot_diff(old, new, ["doc_id"],
+                          compare_cols=["text", "lang", "source"])
+            .orderBy("doc_id", "change"))
+
+
+def q_snapshot_diff_summary(spark, sf_dir):
+    """Change-type counts for the same snapshot pair (operators/
+    snapshot.py:snapshot_diff_summary) — includes the 'unchanged'
+    row the diff listing omits."""
+    from schema_validata_spark.operators.snapshot import (
+        snapshot_diff_summary)
+    old, new = _snapshot_fixture(spark, sf_dir)
+    return (snapshot_diff_summary(old, new, ["doc_id"],
+                                  compare_cols=["text", "lang", "source"])
+            .orderBy("change"))
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Staged-filter survival funnel (operators/selection.py:
+    filter_funnel): per-stage standalone and cumulative survivor
+    counts from ONE aggregate over one scan."""
+    from schema_validata_spark.operators.selection import filter_funnel
+    docs = _t(spark, sf_dir, "documents")
+    return filter_funnel(docs, [
+        ("long_enough", F.length("text") >= 200),
+        ("english", F.col("lang") == "en"),
+        ("id_even", F.col("doc_id") % 2 == 0),
+    ])
+
+
+def q_turn_echo(spark, sf_dir):
+    """Consecutive-turn token-set Jaccard (operators/sequence.py:
+    turn_echo) over per-user event sequences (event_type + props as
+    the turn text, event_id as the stable order) — the parroting /
+    retry-loop detector. One keyed window, array exprs only."""
+    from schema_validata_spark.operators.sequence import turn_echo
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("user_id", "event_id",
+                  F.concat_ws(" ", F.col("event_type"),
+                              F.col("props")).alias("turn_text")))
+    return (turn_echo(ev, "user_id", ["event_id"], "turn_text")
+            .orderBy("user_id", "event_id"))
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Outlier-robust moments (operators/statqa.py:winsorized_stats):
+    raw vs p01/p99-winsorized mean and population σ of events.value —
+    two single-row aggregates, exact interpolated percentiles."""
+    from schema_validata_spark.operators.statqa import winsorized_stats
+    return winsorized_stats(_t(spark, sf_dir, "events"), "value",
+                            0.01, 0.99)
+
+
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile) histogram of events.value (operators/
+    statqa.py:equidepth_histogram): 8 ~equal-mass bins with exact
+    percentile edges; bucket id evaluates in the scan against the
+    broadcast edge vector, ONE ≤8-key aggregate."""
+    from schema_validata_spark.operators.statqa import (
+        equidepth_histogram)
+    return equidepth_histogram(_t(spark, sf_dir, "events"), "value",
+                               bins=8)
+
+
 def q_length_percentiles(spark, sf_dir):
     """North-star 'length percentiles' stat: exact interpolated
     percentile here (oracle-checkable); percentile_approx is the
@@ -1733,6 +1823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_masks": q_value_masks,
         "cramers_v": q_cramers_v,
         "null_patterns": q_null_patterns,
+        "snapshot_diff": q_snapshot_diff,
+        "snapshot_diff_summary": q_snapshot_diff_summary,
+        "filter_funnel": q_filter_funnel,
+        "turn_echo": q_turn_echo,
+        "winsorized_stats": q_winsorized_stats,
+        "equidepth_histogram": q_equidepth_histogram,
         "similarity_topk": q_similarity_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
@@ -2303,6 +2399,139 @@ def oracle_sql() -> dict[str, str]:
         t AS (SELECT sum(n)::double AS tt FROM c)
         SELECT pattern, null_cols, n, round(n / tt, 6) AS share
         FROM c, t ORDER BY n DESC, pattern ASC LIMIT 10"""
+
+    _SNAPSHOT_CTE = """
+        old AS (SELECT doc_id, text, lang, source FROM documents),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 37 = 7 THEN text || ' v2'
+                      ELSE text END AS text,
+                 lang, source
+          FROM documents WHERE doc_id % 41 <> 3
+          UNION ALL
+          SELECT doc_id + 1000001, text, lang, source
+          FROM documents WHERE doc_id % 43 = 5),
+        j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN (o.text IS DISTINCT FROM n.text)
+                        OR (o.lang IS DISTINCT FROM n.lang)
+                        OR (o.source IS DISTINCT FROM n.source)
+                      THEN 'changed' END AS change,
+                 CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                       AND ((o.text IS DISTINCT FROM n.text)
+                         OR (o.lang IS DISTINCT FROM n.lang)
+                         OR (o.source IS DISTINCT FROM n.source))
+                 THEN concat_ws(',',
+                   CASE WHEN o.text IS DISTINCT FROM n.text
+                        THEN 'text' END,
+                   CASE WHEN o.lang IS DISTINCT FROM n.lang
+                        THEN 'lang' END,
+                   CASE WHEN o.source IS DISTINCT FROM n.source
+                        THEN 'source' END) END AS changed_cols
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)"""
+
+    sql["snapshot_diff"] = f"""
+        WITH {_SNAPSHOT_CTE}
+        SELECT doc_id, change, changed_cols FROM j
+        WHERE change IS NOT NULL
+        ORDER BY doc_id, change"""
+
+    sql["snapshot_diff_summary"] = f"""
+        WITH {_SNAPSHOT_CTE}
+        SELECT coalesce(change, 'unchanged') AS change,
+               count(*)::bigint AS n
+        FROM j GROUP BY 1 ORDER BY change"""
+
+    sql["filter_funnel"] = """
+        WITH a AS (
+          SELECT count(*)::double AS total,
+                 count(*) FILTER (length(text) >= 200)::bigint AS p0,
+                 count(*) FILTER (lang = 'en')::bigint AS p1,
+                 count(*) FILTER (doc_id % 2 = 0)::bigint AS p2,
+                 count(*) FILTER (length(text) >= 200)::bigint AS c0,
+                 count(*) FILTER (length(text) >= 200
+                                  AND lang = 'en')::bigint AS c1,
+                 count(*) FILTER (length(text) >= 200 AND lang = 'en'
+                                  AND doc_id % 2 = 0)::bigint AS c2
+          FROM documents)
+        SELECT * FROM (
+          SELECT 1::int AS stage_idx, 'long_enough' AS stage,
+                 p0 AS n_pass, c0 AS n_cum,
+                 CASE WHEN total > 0 THEN round(c0 / total, 6) END
+                   AS share_cum FROM a
+          UNION ALL
+          SELECT 2, 'english', p1, c1,
+                 CASE WHEN total > 0 THEN round(c1 / total, 6) END FROM a
+          UNION ALL
+          SELECT 3, 'id_even', p2, c2,
+                 CASE WHEN total > 0 THEN round(c2 / total, 6) END FROM a)
+        ORDER BY stage_idx"""
+
+    sql["turn_echo"] = """
+        WITH t AS (
+          SELECT user_id, event_id,
+                 concat_ws(' ', event_type, props) AS turn_text
+          FROM events WHERE user_id IS NOT NULL),
+        lagged AS (
+          SELECT user_id, event_id,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(turn_text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS cur,
+                 lag(turn_text) OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS prev_text
+          FROM t),
+        sets AS (
+          SELECT user_id, event_id, cur,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(prev_text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS prev
+          FROM lagged WHERE prev_text IS NOT NULL)
+        SELECT user_id, event_id,
+               round(CASE WHEN len(cur) + len(prev)
+                               - len(list_intersect(cur, prev)) > 0
+                     THEN len(list_intersect(cur, prev))::double
+                          / (len(cur) + len(prev)
+                             - len(list_intersect(cur, prev)))
+                     ELSE 0.0 END, 6) AS echo_jaccard
+        FROM sets WHERE len(cur) >= 1
+        ORDER BY user_id, event_id"""
+
+    sql["winsorized_stats"] = """
+        WITH b AS (
+          SELECT quantile_cont(value, 0.01) AS lo,
+                 quantile_cont(value, 0.99) AS hi
+          FROM events)
+        SELECT count(value)::bigint AS n,
+               round(max(lo), 6) AS p_lo, round(max(hi), 6) AS p_hi,
+               round(avg(value), 6) AS mean_raw,
+               round(stddev_pop(value), 6) AS std_raw,
+               round(avg(least(greatest(value, lo), hi)), 6)
+                 AS mean_wins,
+               round(stddev_pop(least(greatest(value, lo), hi)), 6)
+                 AS std_wins
+        FROM events, b"""
+
+    sql["equidepth_histogram"] = """
+        WITH e AS (
+          SELECT quantile_cont(value,
+                   [0.0, 0.125, 0.25, 0.375, 0.5,
+                    0.625, 0.75, 0.875, 1.0]) AS edges
+          FROM events),
+        b AS (
+          SELECT greatest(least(
+                   len(list_filter(e.edges[1:8], t -> t < value)),
+                   8), 1) AS bin
+          FROM events, e WHERE value IS NOT NULL),
+        c AS (
+          SELECT bin, count(*)::bigint AS n FROM b GROUP BY 1),
+        t AS (SELECT sum(n)::double AS tt FROM c)
+        SELECT bin::int AS bin,
+               round(e.edges[bin], 6) AS lo,
+               round(e.edges[bin + 1], 6) AS hi,
+               n, round(n / tt, 6) AS share
+        FROM c, e, t ORDER BY bin"""
 
     sql["chunk_documents"] = """
         WITH s AS (

@@ -58,3 +58,46 @@ def group_percent_rank(df: DataFrame, group_col: str, value_col: str,
     w = (Window.partitionBy(group_col)
          .orderBy(F.col(value_col).asc(), F.col(tiebreak_col).asc()))
     return df.withColumn(pct_col, F.round(F.percent_rank().over(w), 6))
+
+
+def filter_funnel(df: DataFrame,
+                  stages: list[tuple[str, Column]]) -> DataFrame:
+    """Survival funnel of a staged filter pipeline: for each named
+    predicate, how many rows pass it ALONE and how many survive it AND
+    every earlier stage — the where-did-my-corpus-go report every
+    curation pipeline owes its operator (a bare ``df.where(a & b & c)``
+    can't say which stage ate 40% of the data).
+
+    Output: ``stage_idx (1-based), stage, n_pass, n_cum, share_cum``
+    (cumulative survivors / total rows, 6dp; share_cum is NULL on an
+    empty input rather than a division error). Rows where a predicate
+    evaluates NULL count as NOT passing (SQL filter semantics).
+
+    SCALE: every stage is a conditional count in ONE aggregate over a
+    single scan — 2·k+1 counters, map-side combined; no per-stage scan,
+    no shuffle of row data, and the output is k rows. Predicates are
+    Column expressions, so they stay inside whole-stage codegen."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__total")]
+    cum: Column | None = None
+    for i, (_, pred) in enumerate(stages):
+        aggs.append(F.count(F.when(pred, 1)).cast("bigint")
+                     .alias(f"__p{i}"))
+        cum = pred if cum is None else (cum & pred)
+        aggs.append(F.count(F.when(cum, 1)).cast("bigint")
+                     .alias(f"__c{i}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        "{}, '{}', `__p{}`, `__c{}`".format(
+            i + 1, name.replace("'", "''"), i, i)
+        for i, (name, _) in enumerate(stages))
+    return (one.selectExpr(
+                "__total",
+                f"stack({len(stages)}, {stack}) as "
+                "(stage_idx, stage, n_pass, n_cum)")
+               .select(F.col("stage_idx").cast("int"),
+                       "stage", "n_pass", "n_cum",
+                       F.when(F.col("__total") > 0,
+                              F.round(F.col("n_cum") / F.col("__total"), 6))
+                        .alias("share_cum")))

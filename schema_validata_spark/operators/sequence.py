@@ -376,3 +376,49 @@ def assemble_conversations(df: DataFrame, part_col: str, order_col: str,
                    F.count(F.lit(1)).cast("bigint").alias("n_turns"))
               .withColumn("n_chars",
                           F.length(doc_col).cast("bigint")))
+
+
+def turn_echo(df: DataFrame, part_col: str, order_cols: list[str],
+              text_col: str, min_tokens: int = 1) -> DataFrame:
+    """Token-set Jaccard between each turn and its PREDECESSOR within a
+    conversation — the echo/parroting detector (an assistant restating
+    the user's message verbatim, a tool result pasted back unchanged,
+    a retry loop emitting the same turn twice scores ≈1.0; healthy
+    dialogue scores low). Works on any per-turn text column.
+
+    Tokenization: lowercase, split on non-alphanumeric runs, empty
+    tokens dropped, DISTINCT per turn (set semantics). Turns whose own
+    token set is smaller than ``min_tokens``, and first turns (no
+    predecessor), emit no row.
+
+    Output: part, *order_cols, echo_jaccard (6dp; 0.0 when the union is
+    empty — two empty-token turns are 'no echo', not a 0/0 NaN).
+
+    SCALE: ONE keyed window (lag of the text over the conversation key
+    — one shuffle in which each text row travels once, unavoidable for
+    neighbor comparison) and pure array expressions in the projection
+    (split / array_distinct / array_intersect — no UDF, no explode, no
+    second shuffle). Conversations are the partition unit, so skew is
+    bounded by the longest conversation, not the corpus."""
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+
+    def toks(c):
+        return F.array_distinct(
+            F.filter(F.split(F.lower(c), "[^a-z0-9]+"),
+                     lambda x: x != ""))
+
+    cur = toks(F.col(text_col))
+    prev = F.lag(F.col(text_col)).over(w)
+    pt = toks(prev)
+    inter = F.size(F.array_intersect(cur, pt))
+    union = F.size(cur) + F.size(pt) - inter
+    jac = F.when(F.col("__u") > 0, F.col("__i") / F.col("__u")) \
+           .otherwise(F.lit(0.0))
+    return (df.select(F.col(part_col), *[F.col(c) for c in order_cols],
+                      cur.alias("__cur"), prev.alias("__prev"),
+                      inter.alias("__i"), union.alias("__u"))
+              .where(F.col("__prev").isNotNull()
+                     & (F.size("__cur") >= min_tokens))
+              .select(part_col, *order_cols,
+                      F.round(jac, 6).alias("echo_jaccard")))

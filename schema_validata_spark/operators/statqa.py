@@ -298,3 +298,98 @@ def null_patterns(df: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
                          F.round(F.col("n") / F.col("__t"), 6)
                           .alias("share")))
     return out.orderBy(F.desc("n"), F.asc("pattern")).limit(k)
+
+
+def winsorized_stats(df: DataFrame, value_col: str,
+                     lower_p: float = 0.01,
+                     upper_p: float = 0.99) -> DataFrame:
+    """Outlier-robust location/scale of a numeric column: mean and
+    population-σ AFTER clamping values to the exact [p_lower, p_upper]
+    percentile band, alongside the raw moments — the gap between the
+    two pairs quantifies how much of the column's apparent variance is
+    tail mass (a handful of sentinel 9999s can double a raw σ while
+    the winsorized σ doesn't move; the IQR rule flags the rows, this
+    summarizes the damage).
+
+    Output (one row): n (non-null count), p_lo, p_hi (the clamp bounds,
+    6dp), mean_raw, std_raw, mean_wins, std_wins (6dp; std is the
+    POPULATION σ — stddev_pop — matching the oracle's replay).
+
+    SCALE: two aggregates over the same scan subtree — the percentile
+    pair, then the moments with the clamp folded in as expressions.
+    Exact interpolated ``percentile`` keeps it oracle-checkable; at
+    extreme cardinality swap in percentile_approx (sketch, one pass).
+    Both shuffles move single-row aggregate frames, never row data."""
+    v = qcol(value_col).cast("double")
+    bounds = df.agg(
+        F.percentile(v, F.lit(float(lower_p))).alias("__lo"),
+        F.percentile(v, F.lit(float(upper_p))).alias("__hi"))
+    # guard NULLs explicitly: greatest()/least() SKIP NULL arguments in
+    # Spark, so an unguarded clamp would turn NULL into p_lo and pull
+    # it into the winsorized moments
+    w = F.when(v.isNotNull(),
+               F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+    return (df.crossJoin(F.broadcast(bounds))
+              .agg(F.count(v).cast("bigint").alias("n"),
+                   F.round(F.max("__lo"), 6).alias("p_lo"),
+                   F.round(F.max("__hi"), 6).alias("p_hi"),
+                   F.round(F.avg(v), 6).alias("mean_raw"),
+                   F.round(F.stddev_pop(v), 6).alias("std_raw"),
+                   F.round(F.avg(w), 6).alias("mean_wins"),
+                   F.round(F.stddev_pop(w), 6).alias("std_wins")))
+
+
+def equidepth_histogram(df: DataFrame, value_col: str,
+                        bins: int = 10) -> DataFrame:
+    """Equi-DEPTH (quantile) histogram: ``bins`` buckets holding ~equal
+    row counts, with exact interpolated percentile edges — where the
+    equi-WIDTH histogram (drift.py:numeric_histogram) wastes 90% of its
+    buckets on a heavy tail, the equi-depth one puts resolution where
+    the mass is, and its edge VECTOR is itself the compact distribution
+    fingerprint two snapshots can be compared on.
+
+    Buckets: bin i ∈ [1, bins] covers (edge_{i-1}, edge_i], the first
+    bin closed below (exactly-minimum values land in bin 1). Duplicate
+    edges from heavy point masses yield empty interior bins (their mass
+    sits in the FIRST bin sharing the edge value — strictly-below edge
+    counting) — reported, not
+    hidden, since vanishing interior bins are exactly how a collapsed
+    distribution looks. NULLs are excluded; empty input → empty output.
+
+    Output: bin (1-based int), lo, hi (6dp), n, share (6dp).
+
+    SCALE: one exact-percentile aggregate produces the (bins+1)-row
+    edge frame (swap percentile_approx in for sketch-grade speed); the
+    bucket id is a broadcast-joined CASE expression evaluated in the
+    scan, then ONE hash aggregate on ≤ ``bins`` keys. Raw rows never
+    shuffle."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    v = qcol(value_col).cast("double")
+    qs = [i / bins for i in range(bins + 1)]
+    edges = df.agg(F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+                    .alias("__e"))
+    # bucket = count of edges strictly below v, clamped to [1, bins]:
+    # upper-inclusive bins with the first bin absorbing the minimum
+    idx = F.aggregate(
+        F.slice(F.col("__e"), 1, bins),           # edges 0..bins-1
+        F.lit(0),
+        lambda acc, e: acc + F.when(v > e, 1).otherwise(0))
+    bucket = F.greatest(F.least(idx, F.lit(bins)), F.lit(1))
+    counts = (df.where(v.isNotNull())
+                .crossJoin(F.broadcast(edges))
+                .groupBy(bucket.alias("bin"),
+                         F.element_at("__e", bucket)
+                          .alias("__lo"),
+                         F.element_at("__e", bucket + 1)
+                          .alias("__hi"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = counts.agg(F.sum("n").cast("double").alias("__t"))
+    return (counts.crossJoin(F.broadcast(total))
+                  .select(F.col("bin").cast("int"),
+                          F.round("__lo", 6).alias("lo"),
+                          F.round("__hi", 6).alias("hi"),
+                          "n",
+                          F.round(F.col("n") / F.col("__t"), 6)
+                           .alias("share"))
+                  .orderBy("bin"))
