@@ -2515,9 +2515,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["equidepth_histogram"] = """
         WITH e AS (
-          SELECT quantile_cont(value,
+          -- edges rounded to 6dp before bucketing, matching the Spark
+          -- operator: exact interpolation differs in the last ulp
+          -- across engines, which flips ties at value==edge
+          SELECT list_transform(quantile_cont(value,
                    [0.0, 0.125, 0.25, 0.375, 0.5,
-                    0.625, 0.75, 0.875, 1.0]) AS edges
+                    0.625, 0.75, 0.875, 1.0]),
+                 t -> round(t, 6)) AS edges
           FROM events),
         b AS (
           SELECT greatest(least(

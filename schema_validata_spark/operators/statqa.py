@@ -358,6 +358,16 @@ def equidepth_histogram(df: DataFrame, value_col: str,
 
     Output: bin (1-based int), lo, hi (6dp), n, share (6dp).
 
+    Edges are rounded to 6dp BEFORE bucketing: exact linear
+    interpolation is arithmetic-order-sensitive in floating point
+    (lower + (upper-lower)*frac vs lower*(1-frac) + upper*frac differ
+    in the last ulp), so two engines' "exact" percentiles can disagree
+    by 1 ulp at an edge that coincides with a data value and silently
+    move its ties between bins. Rounding pins the edge vector to a
+    representation both this operator and any replay (the DuckDB
+    oracle, a baseline snapshot from another engine) compute
+    identically.
+
     SCALE: one exact-percentile aggregate produces the (bins+1)-row
     edge frame (swap percentile_approx in for sketch-grade speed); the
     bucket id is a broadcast-joined CASE expression evaluated in the
@@ -367,8 +377,9 @@ def equidepth_histogram(df: DataFrame, value_col: str,
         raise ValueError("bins must be >= 1")
     v = qcol(value_col).cast("double")
     qs = [i / bins for i in range(bins + 1)]
-    edges = df.agg(F.percentile(v, F.array(*[F.lit(q) for q in qs]))
-                    .alias("__e"))
+    edges = df.agg(F.transform(
+        F.percentile(v, F.array(*[F.lit(q) for q in qs])),
+        lambda e: F.round(e, 6)).alias("__e"))
     # bucket = count of edges strictly below v, clamped to [1, bins]:
     # upper-inclusive bins with the first bin absorbing the minimum
     idx = F.aggregate(
