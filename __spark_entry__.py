@@ -335,6 +335,39 @@ def q_ks_drift(spark, sf_dir):
     return out.orderBy("partition_key")
 
 
+def q_wasserstein_drift(spark, sf_dir):
+    """Grid-approximated Wasserstein-1 (earth-mover) drift per day vs
+    the first day's value distribution (operators/drift.py:
+    wasserstein_drift) — magnitude-in-units complement of ks_drift;
+    identical one-hash-aggregate profile, raw values never shuffle."""
+    from schema_validata_spark.operators.drift import wasserstein_drift
+    df = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    out = wasserstein_drift(df, "value", "day", _KS_EDGES, "2024-01-01")
+    return out.orderBy("partition_key")
+
+
+def q_json_key_profile(spark, sf_dir):
+    """Top-level key-set discovery over the events JSON payload column
+    (operators/semistructured.py:json_key_profile) — occurrence count
+    and share-of-object-rows per key; one bounded-vocabulary hash
+    aggregate, payload text never shuffles."""
+    from schema_validata_spark.operators.semistructured import (
+        json_key_profile)
+    return json_key_profile(_t(spark, sf_dir, "events"), "props")
+
+
+def q_key_locality(spark, sf_dir):
+    """Physical-locality audit of events.user_id against day
+    partitions (operators/uniqueness.py:key_locality) — single-row
+    partition-pruning effectiveness summary; only distinct
+    (key, partition) pairs shuffle."""
+    from schema_validata_spark.operators.uniqueness import key_locality
+    df = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    return key_locality(df, "user_id", "day")
+
+
 def q_benford_digits(spark, sf_dir):
     """Leading-digit (Benford) conformance of events.value
     (operators/statqa.py) — a synthetic-data tripwire next to the
@@ -1815,6 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_scores": q_drift_scores,
         "drift_scores_arrow": q_drift_scores_arrow,
         "ks_drift": q_ks_drift,
+        "wasserstein_drift": q_wasserstein_drift,
+        "json_key_profile": q_json_key_profile,
+        "key_locality": q_key_locality,
         "benford_digits": q_benford_digits,
         "column_entropy": q_column_entropy,
         "chunk_documents": q_chunk_documents,
@@ -2259,6 +2295,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.partition_key, c.n_rows,
                round(greatest({_ks_diffs}), 6) AS ks_stat
         FROM c, b ORDER BY c.partition_key"""
+
+    _w1_terms = "\n               + ".join(
+        f"abs(c.le_{i} / c.n_rows::double - b.le_{i} / b.n_rows::double)"
+        f" * {_KS_EDGES[i + 1] - _KS_EDGES[i]}"
+        for i in range(len(_KS_EDGES) - 1))
+    sql["wasserstein_drift"] = f"""
+        WITH c AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS partition_key,
+               count(*)::bigint AS n_rows,
+               {_ks_les}
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        b AS (SELECT * FROM c WHERE partition_key = '2024-01-01')
+        SELECT c.partition_key, c.n_rows,
+               round({_w1_terms}, 6) AS w1
+        FROM c, b ORDER BY c.partition_key"""
+
+    sql["json_key_profile"] = """
+        -- object-only universe: scalars/arrays/malformed/NULL excluded
+        -- from numerator AND denominator, matching Spark's
+        -- json_object_keys NULL-for-non-object contract; json_valid
+        -- guards json_type, which RAISES on malformed input
+        WITH o AS (
+          SELECT CASE WHEN json_valid(props)
+                       AND json_type(props::JSON) = 'OBJECT'
+                      THEN json_keys(props) END AS ks
+          FROM events),
+        obj AS (SELECT ks FROM o WHERE ks IS NOT NULL),
+        t AS (SELECT count(*)::double AS n_obj FROM obj),
+        e AS (SELECT unnest(ks) AS key FROM obj),
+        g AS (SELECT key, count(*)::bigint AS n_rows FROM e GROUP BY 1)
+        SELECT key, n_rows, round(n_rows / t.n_obj, 6) AS share
+        FROM g, t ORDER BY n_rows DESC, key"""
+
+    sql["key_locality"] = """
+        WITH pairs AS (
+          SELECT DISTINCT user_id AS k,
+                 strftime(ts, '%Y-%m-%d') AS p
+          FROM events),
+        pk AS (SELECT k, count(*)::bigint AS nparts
+               FROM pairs GROUP BY 1)
+        SELECT count(*)::bigint AS n_keys,
+               round(avg(nparts), 6) AS avg_parts_per_key,
+               max(nparts)::bigint AS max_parts_per_key,
+               round(avg(CASE WHEN nparts = 1 THEN 1.0 ELSE 0.0 END), 6)
+                 AS pct_single_part
+        FROM pk"""
 
     sql["benford_digits"] = """
         WITH c AS (

@@ -86,3 +86,49 @@ def json_payload_violations(df: DataFrame, json_col: str, id_col: str,
     return (df.select(F.col(id_col), reasons.alias("__r"))
               .where(F.size("__r") > 0)
               .select(id_col, F.explode("__r").alias("reason")))
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema-on-read KEY-SET profile of a JSON payload column: every
+    key observed at the top level of object payloads, with its
+    occurrence count and share of object rows — the discovery step
+    that tells you WHICH keys exist (and how consistently) before
+    json_payload_stats/violations can check any specific one, and the
+    frame a schema-evolution diff of semi-structured payloads runs on
+    (two snapshots' key profiles full-join like schema_diff).
+
+    Row universe: payloads that parse as a JSON OBJECT (scalars,
+    arrays, malformed text, and NULLs are excluded from both numerator
+    and denominator — ``json_object_keys`` returns NULL for all of
+    them, the engine-portable definition). An empty object ``{}``
+    counts in the denominator and contributes no keys. ``n_rows``
+    counts key OCCURRENCES (a duplicated key inside one object — legal
+    JSON — counts twice).
+
+    Output: (key, n_rows, share) — share of object rows, 6dp;
+    descending by count, key-tiebroken.
+
+    SCALE: key extraction is a JVM-side expression in the scan
+    (payload text never leaves the stage); ``posexplode_outer`` emits
+    only the short key strings, which hash-aggregate on the bounded
+    key vocabulary. The object-row denominator is recovered FROM the
+    aggregated frame (Σ first-key flags + Σ empty-object flags), so
+    the raw table is scanned exactly ONCE — no second counting job,
+    no persist."""
+    keys = F.json_object_keys(F.col(json_col))
+    ex = (df.where(keys.isNotNull())
+            .select(F.posexplode_outer(keys).alias("pos", "key")))
+    g = (ex.groupBy("key")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+                 .alias("__firsts"),
+                F.sum(F.when(F.col("pos").isNull(), 1).otherwise(0))
+                 .alias("__empties")))
+    total = g.agg(F.sum(F.col("__firsts") + F.col("__empties"))
+                   .cast("double").alias("__n_obj"))
+    return (g.where(F.col("key").isNotNull())
+             .crossJoin(F.broadcast(total))
+             .select("key", "n_rows",
+                     F.round(F.col("n_rows") / F.col("__n_obj"), 6)
+                      .alias("share"))
+             .orderBy(F.desc("n_rows"), "key"))

@@ -112,3 +112,40 @@ def key_skew_stats(df: DataFrame, key_cols: list[str],
                        F.round(F.col("n_rows") * F.col("__n_keys")
                                / F.col("__total"), 4)
                         .alias("skew_ratio")))
+
+
+def key_locality(df: DataFrame, key_col: str,
+                 partition_col: str) -> DataFrame:
+    """Physical-locality audit of an access key against the table's
+    partition layout: how many partitions does each key's data
+    straddle? The one-row answer to "will a point lookup / per-key job
+    on ``key_col`` prune partitions, or scan the world?" — the
+    complement of key_skew_stats (which asks if the key hot-spots a
+    SHUFFLE; this asks if the key respects the SCAN layout). At 10^12
+    turns the difference between conv_ids confined to one ts_date
+    partition and conv_ids smeared across hundreds is the difference
+    between a pruned read and a full-table scan per conversation —
+    exactly what an Iceberg sort-order / partition-spec review needs a
+    number for.
+
+    Output (single row): n_keys, avg_parts_per_key (6dp),
+    max_parts_per_key, pct_single_part (share of keys living entirely
+    in one partition, 6dp). NULL keys and NULL partitions participate
+    as ordinary values (a NULL partition IS a layout fact).
+
+    SCALE: ONE distinct-pair aggregate — the shuffle carries only
+    (key, partition) pairs, map-side pre-deduplicated, nothing from
+    the row payload — then a per-key count and a single-row rollup
+    over the #keys-sized frame. No raw-row shuffle, no window, no
+    sort."""
+    pairs = (df.select(qcol(key_col).alias("__k"),
+                       qcol(partition_col).cast("string").alias("__p"))
+               .distinct())
+    per_key = pairs.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nparts"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.avg("__nparts"), 6).alias("avg_parts_per_key"),
+        F.max("__nparts").cast("bigint").alias("max_parts_per_key"),
+        F.round(F.avg((F.col("__nparts") == 1).cast("double")), 6)
+         .alias("pct_single_part"))
