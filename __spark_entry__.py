@@ -357,6 +357,22 @@ def q_json_key_profile(spark, sf_dir):
     return json_key_profile(_t(spark, sf_dir, "events"), "props")
 
 
+def q_distinct_sketch_estimates(spark, sf_dir):
+    """Table-level distinct counts recovered from per-day-partition
+    mergeable HLL sketches (operators/sketches.py) — the incremental
+    resume path for distinct stats: only changed partitions ever
+    re-sketch, the union runs on the metadata-sized sketch frame.
+    Oracle-exact here because both tracked columns sit in the
+    sketch's sparse (exact) regime at gate scale (≤150 ≪ 2^12);
+    the >2^lg_k approximate regime is pytest-bounded instead."""
+    from schema_validata_spark.operators.sketches import (
+        partition_sketches, union_estimates)
+    df = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    return union_estimates(
+        partition_sketches(df, ["user_id", "event_type"], "day"))
+
+
 def q_key_locality(spark, sf_dir):
     """Physical-locality audit of events.user_id against day
     partitions (operators/uniqueness.py:key_locality) — single-row
@@ -1851,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "json_key_profile": q_json_key_profile,
         "key_locality": q_key_locality,
+        "distinct_sketch_estimates": q_distinct_sketch_estimates,
         "benford_digits": q_benford_digits,
         "column_entropy": q_column_entropy,
         "chunk_documents": q_chunk_documents,
@@ -2327,6 +2344,21 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT key, count(*)::bigint AS n_rows FROM e GROUP BY 1)
         SELECT key, n_rows, round(n_rows / t.n_obj, 6) AS share
         FROM g, t ORDER BY n_rows DESC, key"""
+
+    sql["distinct_sketch_estimates"] = """
+        -- exact replay is legitimate: both columns are in the HLL
+        -- sparse (exact) regime at gate cardinalities (<= 150 << 2^12)
+        SELECT column_name, n_distinct_est, n_rows FROM (
+          SELECT 'event_type' AS column_name,
+                 count(DISTINCT event_type)::bigint AS n_distinct_est,
+                 count(*)::bigint AS n_rows
+          FROM events
+          UNION ALL
+          SELECT 'user_id',
+                 count(DISTINCT user_id)::bigint,
+                 count(*)::bigint
+          FROM events)
+        ORDER BY column_name"""
 
     sql["key_locality"] = """
         WITH pairs AS (
