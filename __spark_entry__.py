@@ -363,8 +363,9 @@ def q_distinct_sketch_estimates(spark, sf_dir):
     resume path for distinct stats: only changed partitions ever
     re-sketch, the union runs on the metadata-sized sketch frame.
     Oracle-exact here because both tracked columns sit in the
-    sketch's sparse (exact) regime at gate scale (≤150 ≪ 2^12);
-    the >2^lg_k approximate regime is pytest-bounded instead."""
+    sketch's coupon (exact) regime at gate scale (≤150 distinct;
+    exact through ~384 at lg_k=12); the approximate dense regime is
+    pytest-bounded instead."""
     from schema_validata_spark.operators.sketches import (
         partition_sketches, union_estimates)
     df = _t(spark, sf_dir, "events").withColumn(
@@ -2347,7 +2348,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["distinct_sketch_estimates"] = """
         -- exact replay is legitimate: both columns are in the HLL
-        -- sparse (exact) regime at gate cardinalities (<= 150 << 2^12)
+        -- coupon (exact) regime at gate cardinalities (<= 150
+        -- distinct; lg_k=12 sketches are exact through ~384)
         SELECT column_name, n_distinct_est, n_rows FROM (
           SELECT 'event_type' AS column_name,
                  count(DISTINCT event_type)::bigint AS n_distinct_est,

@@ -14,10 +14,12 @@ grouping-invariant, so incremental results equal a full recompute by
 construction (merge-invariance is pytest-asserted).
 
 Accuracy contract (Apache DataSketches HLL, Spark 3.5+ built-ins):
-EXACT while a column's cardinality keeps the sketch in sparse
-coupon mode (≲ 2^lg_k values; the `distinct_sketch_estimates` oracle
-relies on this — 150 distinct user_ids at lg_k=12 estimate exactly),
-~1–2% relative error above it (pytest-bounded at 10k true distinct).
+EXACT while a column's cardinality keeps the sketch in its coupon
+(sparse) mode — empirically, at lg_k=12 estimates are exact through
+384 distinct and approximate from 512 (the `distinct_sketch_estimates`
+oracle relies on the exact regime: ≤150 distinct user_ids at gate
+scale) — and ~1–2% relative error once the dense HLL array takes over
+(pytest-bounded at 10k true distinct).
 
 SCALE: a sketch frame is (#partitions × #columns) rows of ≤ ~2^lg_k
 bytes each — metadata-sized next to the data. Sketch aggregation is
@@ -29,11 +31,18 @@ whole-file every run).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..functions.colref import qcol
 
 SKETCH_COLUMNS = ["partition_key", "column_name", "sketch", "n_rows"]
+
+SKETCH_SCHEMA = T.StructType([
+    T.StructField("partition_key", T.StringType(), True),
+    T.StructField("column_name", T.StringType(), False),
+    T.StructField("sketch", T.BinaryType(), True),
+    T.StructField("n_rows", T.LongType(), True),
+])
 
 
 def partition_sketches(df: DataFrame, cols: list[str],
