@@ -445,3 +445,92 @@ def test_bucketed_incremental_dedup_zero_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS __t_seen_b")
         spark.sql("DROP TABLE IF EXISTS __t_new_b")
+
+
+def test_wasserstein_drift_single_exchange_no_row_shuffle(spark, tmp_path):
+    """wasserstein_drift carries one row per partition_key of grid
+    counts through ONE Exchange (plus the single-row baseline
+    broadcast); the raw value column never shuffles."""
+    from schema_validata_spark.operators.drift import wasserstein_drift
+    src = str(tmp_path / "wv")
+    spark.range(20_000).select(
+        (F.col("id") % 9).cast("string").alias("day"),
+        (F.col("id") % 100).cast("double").alias("v")) \
+        .write.parquet(src)
+    out = wasserstein_drift(spark.read.parquet(src), "v", "day",
+                            [0.0, 25.0, 50.0, 75.0, 100.0], "0")
+    plan = _tree(out)
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange" in l and "Broadcast" not in l
+                and "SinglePartition" not in l]
+    assert len(shuffles) <= 2, plan     # counts agg + baseline replay
+    # the single-row baseline joins as a BROADCAST nested loop (the
+    # intended shape); a non-broadcast cartesian would be a bug
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line:
+            assert "Broadcast" in line, line
+    # raw values shuffle nowhere: every Exchange carries grid counts
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "v#" not in line, line
+
+
+def test_json_key_profile_payload_never_shuffles(spark, tmp_path):
+    """json_key_profile extracts keys in the scan: every Exchange line
+    carries the short key strings, never the payload column."""
+    from schema_validata_spark.operators.semistructured import (
+        json_key_profile)
+    src = str(tmp_path / "jp")
+    spark.range(5_000).select(
+        F.concat(F.lit('{"k'), (F.col("id") % 6).cast("string"),
+                 F.lit('": 1}')).alias("props")) \
+        .write.parquet(src)
+    out = json_key_profile(spark.read.parquet(src), "props")
+    plan = _tree(out)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, plan
+    for line in exchange_lines:
+        assert "props" not in line, line
+
+
+def test_key_locality_shuffles_pairs_only(spark, tmp_path):
+    """key_locality shuffles only the projected (key, partition)
+    pairs: no payload column in any Exchange, no sort, no join."""
+    from schema_validata_spark.operators.uniqueness import key_locality
+    src = str(tmp_path / "kl")
+    spark.range(20_000).select(
+        (F.col("id") % 300).alias("uid"),
+        (F.col("id") % 9).cast("string").alias("day"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("blob")) \
+        .write.parquet(src)
+    out = key_locality(spark.read.parquet(src), "uid", "day")
+    plan = _tree(out)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "blob" not in line, line
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+    # column pruning: the payload column never leaves the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "blob" not in read, read
+
+
+def test_partition_sketches_map_side_combined(spark, tmp_path):
+    """partition_sketches is ONE hash aggregate: sketch partials merge
+    map-side, so the single shuffle carries (#partitions x #cols)
+    sketch blobs, and untracked columns are pruned at the scan."""
+    from schema_validata_spark.operators.sketches import partition_sketches
+    src = str(tmp_path / "sk")
+    spark.range(20_000).select(
+        (F.col("id") % 7).cast("string").alias("day"),
+        (F.col("id") % 40).alias("uid"),
+        F.concat(F.lit("text-"), F.col("id")).alias("blob")) \
+        .write.parquet(src)
+    out = partition_sketches(spark.read.parquet(src), ["uid"], "day")
+    plan = _tree(out)
+    assert plan.count("ObjectHashAggregate") == 2, plan  # partial+final
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange" in l and "Broadcast" not in l]
+    assert len(shuffles) == 1, plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "blob" not in read, read
