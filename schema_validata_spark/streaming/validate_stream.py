@@ -330,3 +330,46 @@ def stream_drift_scores(stream_df: DataFrame, col: str,
         F.round(chi2, 6).alias("chi2"),
         F.round(psi, 6).alias("psi"),
         total.cast("bigint").alias("n_obs"))
+
+
+def stream_distinct_estimates(stream_df: DataFrame, col: str,
+                              ts_col: str = "ts",
+                              window: str = "1 hour",
+                              watermark: str = "2 hours",
+                              lg_k: int = 12) -> DataFrame:
+    """Per-window distinct-count sketching: how many distinct values of
+    ``col`` (conv_ids, users, tool names) arrived in each event-time
+    window — the continuous twin of operators/sketches.py, and the
+    live tripwire for key-space anomalies (a window whose distinct
+    conv_id count collapses while n_rows holds is a stuck producer
+    replaying one conversation; a distinct explosion is an id-format
+    regression).
+
+    Emits the BINARY sketch alongside the estimate, so downstream
+    batch jobs can ``hll_union_agg`` completed windows into any larger
+    horizon (hourly → daily → table-level) without touching the
+    stream's raw data — the same merge-invariance contract as the
+    batch sketch frame. Accuracy: exact through the coupon regime
+    (~384 at lg_k=12), ~1–2% beyond.
+
+    Output (append mode, one row per complete window): window_start,
+    window_end, n_rows, n_distinct_est, sketch.
+
+    SCALE: ONE stateful windowed aggregate whose state per window is a
+    single bounded sketch (≤ ~2^lg_k bytes) + a counter, merged
+    incrementally as microbatches arrive; the watermark bounds the
+    number of live windows, so state is (live windows × sketch size)
+    regardless of row rate. NULLs are not coupons (not distinct
+    values) but DO count in n_rows."""
+    sk = F.hll_sketch_agg(F.col(col), F.lit(lg_k))
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 sk.alias("sketch"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_rows",
+                    F.hll_sketch_estimate(F.col("sketch"))
+                     .cast("bigint").alias("n_distinct_est"),
+                    "sketch"))

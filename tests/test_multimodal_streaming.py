@@ -378,3 +378,44 @@ def test_decode_wav_poison_blobs(spark):
     assert "corrupt WAV" in out[1][1]
     assert "corrupt WAV" in out[2][1]
     assert out[3][1] == "null payload"
+
+
+def test_stream_distinct_estimates_windows_and_merge(spark, tmp_path):
+    """Per-window distinct estimates are exact in the coupon regime,
+    NULLs count rows but not coupons, and the emitted sketches union
+    across windows to the whole-stream distinct count."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from schema_validata_spark.streaming.validate_stream import (
+        stream_distinct_estimates)
+    h0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h1 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    rows = ([("c%d" % (i % 5), h0 + dt.timedelta(minutes=i % 30))
+             for i in range(40)]                      # 5 distinct in w0
+            + [("c%d" % (3 + i % 4), h1 + dt.timedelta(minutes=i % 30))
+               for i in range(20)]                    # c3..c6 in w1
+            + [(None, h0)]                            # NULL: row, no coupon
+            # sentinel advances the watermark past w1's end so append
+            # mode emits it; its own window never closes and is absent
+            + [("sentinel", h1 + dt.timedelta(hours=1, minutes=1))])
+    src = str(tmp_path / "sde")
+    spark.createDataFrame(rows, "conv_id string, ts timestamp") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("conv_id string, ts timestamp") \
+        .parquet(src)
+    out = stream_distinct_estimates(stream, "conv_id", window="1 hour",
+                                    watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("sde_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window_start"]: r for r in
+           spark.sql("SELECT * FROM sde_mem").collect()}
+    assert got[h0]["n_distinct_est"] == 5
+    assert got[h0]["n_rows"] == 41          # NULL row counted
+    assert got[h1]["n_distinct_est"] == 4
+    # window sketches merge to the whole-stream distinct (c0..c6 = 7)
+    assert h1 + dt.timedelta(hours=1) not in got   # sentinel window open
+    merged = (spark.sql("SELECT sketch FROM sde_mem")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")))
+              .collect()[0][0])
+    assert merged == 7
