@@ -357,6 +357,20 @@ def q_json_key_profile(spark, sf_dir):
     return json_key_profile(_t(spark, sf_dir, "events"), "props")
 
 
+def q_tool_arg_conformance(spark, sf_dir):
+    """Per-tool JSON argument contracts over events — event_type
+    stands in for the tool name, props for its argument payload
+    (operators/semistructured.py:tool_arg_conformance): 'purchase'
+    requires a key the fixture payloads lack ('amount'), so the
+    missing path is exercised; uncontracted tools report NULL
+    contract columns. One bounded-vocabulary hash aggregate."""
+    from schema_validata_spark.operators.semistructured import (
+        tool_arg_conformance)
+    return tool_arg_conformance(
+        _t(spark, sf_dir, "events"), "event_type", "props",
+        {"click": ["k"], "purchase": ["k", "amount"]})
+
+
 def q_distinct_sketch_estimates(spark, sf_dir):
     """Table-level distinct counts recovered from per-day-partition
     mergeable HLL sketches (operators/sketches.py) — the incremental
@@ -1869,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_profile": q_json_key_profile,
         "key_locality": q_key_locality,
         "distinct_sketch_estimates": q_distinct_sketch_estimates,
+        "tool_arg_conformance": q_tool_arg_conformance,
         "benford_digits": q_benford_digits,
         "column_entropy": q_column_entropy,
         "chunk_documents": q_chunk_documents,
@@ -2345,6 +2360,44 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT key, count(*)::bigint AS n_rows FROM e GROUP BY 1)
         SELECT key, n_rows, round(n_rows / t.n_obj, 6) AS share
         FROM g, t ORDER BY n_rows DESC, key"""
+
+    sql["tool_arg_conformance"] = """
+        -- per-tool contracts: click requires k; purchase requires
+        -- k AND amount (absent in fixture payloads -> all missing);
+        -- other tools are uncontracted (NULL contract columns).
+        -- json_valid guards extraction, which RAISES on malformed
+        WITH f AS (
+          SELECT event_type AS tool,
+                 CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                      THEN 1 ELSE 0 END AS pf,
+                 CASE event_type
+                   WHEN 'click' THEN
+                     CASE WHEN (props IS NULL OR json_valid(props))
+                           AND (CASE WHEN props IS NOT NULL
+                                      AND json_valid(props)
+                                 THEN json_extract_string(props, '$.k')
+                                 END IS NULL)
+                          THEN 1 ELSE 0 END
+                   WHEN 'purchase' THEN
+                     CASE WHEN (props IS NULL OR json_valid(props))
+                           AND ((CASE WHEN props IS NOT NULL
+                                       AND json_valid(props)
+                                  THEN json_extract_string(props, '$.k')
+                                  END IS NULL)
+                             OR (CASE WHEN props IS NOT NULL
+                                       AND json_valid(props)
+                                  THEN json_extract_string(props,
+                                                           '$.amount')
+                                  END IS NULL))
+                          THEN 1 ELSE 0 END
+                   ELSE NULL END AS miss
+          FROM events)
+        SELECT tool, count(*)::bigint AS n_calls,
+               CASE WHEN tool IN ('click', 'purchase')
+                    THEN sum(pf) END::bigint AS n_parse_fail,
+               sum(miss)::bigint AS n_missing,
+               round(sum(miss) / count(*)::double, 6) AS missing_share
+        FROM f GROUP BY tool ORDER BY tool"""
 
     sql["distinct_sketch_estimates"] = """
         -- exact replay is legitimate: both columns are in the HLL

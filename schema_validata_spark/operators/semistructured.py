@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.colref import qcol
+
 
 def json_is_valid(col: Column | str) -> Column:
     """Boolean Column: the string parses as a JSON document.
@@ -132,3 +134,58 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
                      F.round(F.col("n_rows") / F.col("__n_obj"), 6)
                       .alias("share"))
              .orderBy(F.desc("n_rows"), "key"))
+
+
+def tool_arg_conformance(df: DataFrame, tool_col: str, json_col: str,
+                         required: dict[str, list[str]]) -> DataFrame:
+    """Per-TOOL JSON argument conformance: each tool name carries its
+    own required-key contract (``{"search": ["query"], "calc":
+    ["expr", "precision"]}``) — the transcript-native generalization
+    of ``json_payload_violations``'s single global key list, because a
+    tool-call column's schema is keyed by WHICH tool was called.
+
+    Per tool in ``required``, one output row:
+      n_calls        rows naming the tool
+      n_parse_fail   payload present but unparseable
+      n_missing      parseable (or NULL) payload lacking ≥1 required
+                     key — a NULL payload misses every key
+      missing_share  n_missing / n_calls, 6dp
+
+    Tools observed in the data but absent from ``required`` are
+    reported with zero-contract columns NULL (they appear, so coverage
+    gaps are visible, but nothing is asserted about them). Tools in
+    ``required`` but absent from the data emit nothing — count
+    presence with filter_funnel / expectations if required.
+
+    SCALE: key probes are ``get_json_object`` expressions in the scan
+    gated per-tool by a CASE on ``tool_col``; ONE hash aggregate on
+    the (bounded) tool vocabulary. Payload text never shuffles."""
+    if not required:
+        raise ValueError("tool_arg_conformance needs at least one "
+                         "tool contract")
+    c = F.col(json_col)
+    t = qcol(tool_col)
+    valid = json_is_valid(c)
+    parse_fail = (c.isNotNull() & ~valid).cast("int")
+    # per-tool missing flag: CASE over the contract map
+    missing: Column = F.lit(None).cast("int")
+    for tool, keys in required.items():
+        probe = F.lit(False)
+        for k in keys:
+            probe = probe | F.get_json_object(c, f"$.{k}").isNull()
+        # unparseable payloads are counted by parse_fail, not missing
+        missing = F.when(t == F.lit(tool),
+                         ((c.isNull() | valid) & probe).cast("int")) \
+                   .otherwise(missing)
+    has_contract = t.isin(list(required))
+    return (df.groupBy(t.alias("tool"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_calls"),
+                   F.when(F.max(has_contract.cast("int")) == 1,
+                          F.sum(parse_fail)).cast("bigint")
+                    .alias("n_parse_fail"),
+                   F.sum(missing).cast("bigint").alias("n_missing"))
+              .select("tool", "n_calls", "n_parse_fail",
+                      "n_missing",
+                      F.round(F.col("n_missing") / F.col("n_calls"), 6)
+                       .alias("missing_share"))
+              .orderBy("tool"))

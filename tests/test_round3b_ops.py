@@ -126,3 +126,41 @@ def test_key_locality_null_key_and_partition_participate(spark):
     assert out["n_keys"] == 2                  # NULL key is a key
     assert out["max_parts_per_key"] == 2       # NULL key spans d1,d2
     assert out["pct_single_part"] == pytest.approx(0.5)
+
+
+# ----------------------------------------------------- tool_arg_conformance
+
+def test_tool_arg_conformance_per_tool_contracts(spark):
+    from schema_validata_spark.operators.semistructured import (
+        tool_arg_conformance)
+    rows = [
+        Row(tool="search", args='{"query": "x"}'),       # ok
+        Row(tool="search", args='{"q": "x"}'),           # missing query
+        Row(tool="search", args=None),                   # NULL misses all
+        Row(tool="search", args='{{{'),                  # parse fail
+        Row(tool="calc", args='{"expr": "1+1", "precision": 2}'),  # ok
+        Row(tool="calc", args='{"expr": "1+1"}'),        # missing precision
+        Row(tool="browse", args='{"url": "u"}'),         # no contract
+    ]
+    req = {"search": ["query"], "calc": ["expr", "precision"]}
+    out = {r["tool"]: r for r in tool_arg_conformance(
+        spark.createDataFrame(rows), "tool", "args", req).collect()}
+    s = out["search"]
+    assert (s["n_calls"], s["n_parse_fail"], s["n_missing"]) == (4, 1, 2)
+    assert s["missing_share"] == 0.5
+    c = out["calc"]
+    assert (c["n_calls"], c["n_parse_fail"], c["n_missing"]) == (2, 0, 1)
+    # observed-but-uncontracted tool: visible, nothing asserted
+    b = out["browse"]
+    assert b["n_calls"] == 1
+    assert b["n_parse_fail"] is None and b["n_missing"] is None
+    assert b["missing_share"] is None
+
+
+def test_tool_arg_conformance_empty_contract_rejected(spark):
+    import pytest as _pt
+    from schema_validata_spark.operators.semistructured import (
+        tool_arg_conformance)
+    df = spark.createDataFrame([Row(tool="t", args="{}")])
+    with _pt.raises(ValueError):
+        tool_arg_conformance(df, "tool", "args", {})
