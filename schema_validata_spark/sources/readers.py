@@ -190,17 +190,13 @@ def _detect_dir_encoding(path: str) -> str:
 
 def read_spreadsheet(spark: SparkSession, path: str,
                      sheet_name: str | None = None, **kw):
-    """Dispatch CSV vs XLSX by extension (reference
-    read_csv_or_excel_to_df :862-953). Legacy binary ``.xls`` is the
-    one reference format this engine does not read (the stdlib OOXML
-    reader is zip/XML only) — it fails fast with a conversion hint
-    rather than parsing garbage as CSV."""
+    """Dispatch CSV vs Excel by extension (reference
+    read_csv_or_excel_to_df :862-953). Both OOXML ``.xlsx`` and legacy
+    binary ``.xls`` (BIFF8, via the stdlib OLE2 reader in
+    sources/xls.py) route through the workbook path; pre-Excel-97
+    BIFF5/7 and encrypted workbooks fail fast with a clear error."""
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".xls":
-        raise ValueError(
-            f"{path}: legacy binary .xls (OLE2/BIFF) workbooks are not "
-            "supported — re-save as .xlsx (OOXML) and retry")
-    if ext in (".xlsx", ".xlsm"):
+    if ext in (".xlsx", ".xlsm", ".xls"):
         return read_xlsx_validated(spark, path, sheet_name=sheet_name, **kw)
     return read_csv_validated(spark, path, **kw)
 

@@ -110,14 +110,16 @@ def read_xlsx(path: str) -> dict[str, list[list]]:
     """{sheet_name: rows} in workbook order; each row a list padded with
     None for gap cells, trailing all-None rows dropped.
 
-    Legacy binary ``.xls`` (OLE2/BIFF) workbooks are detected by magic
-    bytes — regardless of file extension — and rejected with a clear
-    error instead of an opaque zipfile failure."""
+    Legacy binary ``.xls`` (OLE2/BIFF8) workbooks are detected by magic
+    bytes — regardless of file extension — and routed through the
+    stdlib BIFF8 reader (sources/xls.py), so every consumer (data-dict
+    loader, spreadsheet ingest) reads both formats through this one
+    chokepoint, matching the reference's ext dispatch
+    (src/schema_validata.py:862-953)."""
     with open(path, "rb") as f:
         if f.read(8) == _OLE2_MAGIC:
-            raise ValueError(
-                f"{path}: legacy binary .xls (OLE2/BIFF) workbooks are "
-                "not supported — re-save as .xlsx (OOXML) and retry")
+            from .xls import read_xls
+            return read_xls(path)
     with zipfile.ZipFile(path) as z:
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         try:

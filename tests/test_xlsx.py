@@ -439,18 +439,18 @@ def test_validate_dotted_headers_end_to_end(spark, tmp_path):
     assert any(c == "price.usd" for _, c in errs)    # 999 > 100
 
 
-def test_legacy_xls_rejected_with_clear_error(spark, tmp_path):
-    """VERDICT r2 #6: the reference accepts legacy binary .xls; this
-    engine's OOXML reader cannot — the failure must be a clear
-    conversion hint, never a CSV mis-parse or an opaque zipfile error."""
+def test_corrupt_xls_rejected_with_clear_error(spark, tmp_path):
+    """Legacy .xls now reads for real (sources/xls.py, see
+    tests/test_xls.py) — but garbage with the OLE2 magic must still be
+    a clear ValueError, never a CSV mis-parse or opaque struct error."""
     from schema_validata_spark.sources.readers import read_spreadsheet
-    # extension dispatch: .xls fails fast before any read
     p = tmp_path / "old_book.xls"
     p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 64)
-    with pytest.raises(ValueError, match=r"\.xls .*not supported"):
+    with pytest.raises(ValueError, match="truncated OLE2"):
         read_spreadsheet(spark, str(p))
-    # magic-byte detection: an OLE2 workbook mis-named .xlsx too
+    # magic-byte detection routes an OLE2 workbook mis-named .xlsx to
+    # the BIFF reader too — same clear failure
     p2 = tmp_path / "renamed.xlsx"
     p2.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 64)
-    with pytest.raises(ValueError, match="OLE2/BIFF"):
+    with pytest.raises(ValueError, match="truncated OLE2"):
         read_xlsx(str(p2))
