@@ -388,6 +388,25 @@ def q_distinct_sketch_estimates(spark, sf_dir):
         partition_sketches(df, ["user_id", "event_type"], "day"))
 
 
+def q_quantile_sketch_merge(spark, sf_dir):
+    """Table-level quantiles recovered from per-day-partition
+    mergeable quantile summaries (operators/sketches.py
+    quantile_summaries + merge_quantile_estimates) — the
+    order-statistics complement of the HLL resume path: only changed
+    partitions re-summarize, the flat merge runs on the
+    metadata-sized summary frame with a deterministic n/(2k) rank
+    bound. The oracle replays the SAME summarize+merge algorithm in
+    DuckDB (quantile_cont per day → weighted cumulative pick), so
+    this checks the Spark implementation against an independent SQL
+    one rather than pretending the estimate is exact."""
+    from schema_validata_spark.operators.sketches import (
+        merge_quantile_estimates, quantile_summaries)
+    df = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    summ = quantile_summaries(df, ["value"], "day", k=32)
+    return merge_quantile_estimates(summ, [0.25, 0.5, 0.75, 0.95])
+
+
 def q_key_locality(spark, sf_dir):
     """Physical-locality audit of events.user_id against day
     partitions (operators/uniqueness.py:key_locality) — single-row
@@ -1883,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_profile": q_json_key_profile,
         "key_locality": q_key_locality,
         "distinct_sketch_estimates": q_distinct_sketch_estimates,
+        "quantile_sketch_merge": q_quantile_sketch_merge,
         "tool_arg_conformance": q_tool_arg_conformance,
         "benford_digits": q_benford_digits,
         "column_entropy": q_column_entropy,
@@ -2414,6 +2434,39 @@ def oracle_sql() -> dict[str, str]:
                  count(*)::bigint
           FROM events)
         ORDER BY column_name"""
+
+    _qfracs = ", ".join(f"{(i + 0.5) / 32!r}" for i in range(32))
+    sql["quantile_sketch_merge"] = f"""
+        -- independent replay of the mergeable-quantile-summary
+        -- algorithm (operators/sketches.py): per-day exact order
+        -- statistics at (i+0.5)/32 pinned to 6dp, each carrying
+        -- weight n_day/32, merged by cumulative-weight pick
+        WITH summ AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS pk,
+                 count(value)::bigint AS n_vals,
+                 quantile_cont(value, [{_qfracs}]) AS qs
+          FROM events GROUP BY 1 HAVING count(value) > 0),
+        expl AS (
+          SELECT round(u.q, 6) AS value,
+                 n_vals::double / len(qs) AS w
+          FROM summ, unnest(qs) AS u(q)),
+        cum AS (
+          SELECT value,
+                 sum(w) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cumw,
+                 sum(w) OVER () AS total
+          FROM expl)
+        SELECT 'value' AS column_name,
+               min(CASE WHEN cumw >= 0.25 * total - 1e-9
+                        THEN value END) AS q_25,
+               min(CASE WHEN cumw >= 0.50 * total - 1e-9
+                        THEN value END) AS q_50,
+               min(CASE WHEN cumw >= 0.75 * total - 1e-9
+                        THEN value END) AS q_75,
+               min(CASE WHEN cumw >= 0.95 * total - 1e-9
+                        THEN value END) AS q_95
+        FROM cum"""
 
     sql["key_locality"] = """
         WITH pairs AS (

@@ -127,3 +127,97 @@ def save_sketches(sketches: DataFrame, path: str) -> None:
 
 def load_sketches(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ------------------------------------------------------------------
+# Mergeable QUANTILE summaries — the order-statistics complement of
+# the HLL layer above.  No reference counterpart (the reference's
+# length stats recompute whole-file, src/schema_validata.py:1150-1320).
+# ------------------------------------------------------------------
+
+def quantile_summaries(df: DataFrame, cols: list[str],
+                       partition_col: str, k: int = 128) -> DataFrame:
+    """Per-(partition, column) quantile summary: the k exact order
+    statistics at fractions (i+0.5)/k plus the non-null count.  Like
+    the HLL frame, this is what you persist beside the resume manifest
+    — re-summarize only changed partitions, then
+    ``merge_quantile_estimates`` recovers table-level quantiles with a
+    DETERMINISTIC rank-error bound without rescanning unchanged data.
+
+    Error contract: one partition's summary answers rank queries
+    within n_i/(2k); a FLAT merge of per-partition summaries (never a
+    re-compressed merge tree) answers within Σ n_i/(2k) = n/(2k) —
+    0.4% rank error at the default k=128.  Exact when a partition has
+    ≤ k values only in the sense of interpolation, so the merged
+    estimate is approximate by design; the `quantile_sketch_merge`
+    oracle replays the SAME summarize+merge algorithm in DuckDB rather
+    than pretending exactness.
+
+    Summaries are pinned to 6 decimal places (like the equi-depth
+    histogram edges) so Spark-vs-oracle float noise cannot move a
+    value across a merge-order boundary.
+
+    SCALE: ONE hash aggregate keyed by partition (percentile partials
+    sort only within each partition's map-side group); the output is
+    (#partitions × #cols) rows of k doubles — metadata-sized."""
+    if not cols:
+        raise ValueError("quantile_summaries needs at least one column")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    fracs = F.array(*[F.lit((i + 0.5) / k) for i in range(k)])
+    aggs = []
+    for i, c in enumerate(cols):
+        v = qcol(c).cast("double")
+        aggs.append(F.transform(F.percentile(v, fracs),
+                                lambda x: F.round(x, 6))
+                    .alias(f"__q_{i}"))
+        aggs.append(F.count(v).cast("bigint").alias(f"__n_{i}"))
+    wide = (df.groupBy(qcol(partition_col).cast("string")
+                       .alias("partition_key"))
+              .agg(*aggs))
+    pairs = [F.struct(F.lit(c).alias("column_name"),
+                      F.col(f"__q_{i}").alias("qs"),
+                      F.col(f"__n_{i}").alias("n_vals"))
+             for i, c in enumerate(cols)]
+    return (wide.select("partition_key",
+                        F.explode(F.array(*pairs)).alias("__p"))
+                .select("partition_key",
+                        F.col("__p.column_name").alias("column_name"),
+                        F.col("__p.qs").alias("qs"),
+                        F.col("__p.n_vals").alias("n_vals"))
+                .where(F.col("n_vals") > 0))
+
+
+def merge_quantile_estimates(summaries: DataFrame,
+                             fractions: list[float]) -> DataFrame:
+    """Collapse a quantile-summary frame (any subset of partitions) to
+    table-level quantile estimates: for each requested fraction f, the
+    smallest summary value whose cumulative weight reaches f·n, where
+    each of a partition's k order statistics carries weight n_i/k.
+
+    Deterministic: ties in value contribute the same value whichever
+    tied row crosses the threshold, and summaries are already pinned
+    to 6dp, so the estimate is reproducible across engines — the
+    DuckDB oracle replays this merge exactly.
+
+    SCALE: explode + window over the metadata-sized summary frame
+    only (#partitions × #cols × k rows); the data is never rescanned."""
+    from pyspark.sql import Window
+
+    exploded = summaries.select(
+        "column_name",
+        F.explode("qs").alias("value"),
+        (F.col("n_vals").cast("double") / F.size("qs")).alias("w"))
+    win = (Window.partitionBy("column_name").orderBy("value")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("column_name")
+    cum = exploded.select(
+        "column_name", "value",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(tot).alias("total"))
+    picks = [F.min(F.when(F.col("cumw") >= F.lit(f) * F.col("total")
+                          - F.lit(1e-9),
+                          F.col("value"))).alias(f"q_{int(f * 100):02d}")
+             for f in fractions]
+    return (cum.groupBy("column_name").agg(*picks)
+               .orderBy("column_name"))

@@ -74,3 +74,76 @@ def test_empty_cols_rejected(spark):
     df = spark.createDataFrame([Row(day="d1", uid=1)])
     with pytest.raises(ValueError):
         partition_sketches(df, [], "day")
+
+
+# ---------------------------------------------------------- quantiles
+
+
+def _qdata(spark, n=50000, parts=10):
+    from pyspark.sql import functions as F
+    return spark.range(n).select(
+        (F.col("id") % parts).cast("string").alias("p"),
+        F.col("id").cast("double").alias("x"),
+        # heavy-tailed second column so interpolation actually matters
+        (F.pow(F.col("id") % 1000, 2.0)).alias("y"))
+
+
+def test_quantile_merge_rank_error_bound(spark):
+    """Flat merge of per-partition summaries answers quantiles within
+    the documented n/(2k) rank bound (asserted at 2x slack)."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.sketches import (
+        merge_quantile_estimates, quantile_summaries)
+
+    n, k = 50000, 64
+    df = _qdata(spark, n)
+    est = merge_quantile_estimates(
+        quantile_summaries(df, ["x"], "p", k=k),
+        [0.25, 0.5, 0.75, 0.95]).collect()[0]
+    # x is exactly 0..n-1, so a value IS its rank
+    for frac, col in [(0.25, "q_25"), (0.5, "q_50"),
+                      (0.75, "q_75"), (0.95, "q_95")]:
+        rank_err = abs(est[col] - frac * (n - 1))
+        assert rank_err <= n / k, (frac, est[col], rank_err)
+
+
+def test_quantile_incremental_equals_full(spark):
+    """Resume property: recompute ONLY changed partitions, splice via
+    incremental_update → merged estimates identical to a full
+    recompute under the same partitioning."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.sketches import (
+        incremental_update, merge_quantile_estimates, quantile_summaries)
+
+    df = _qdata(spark)
+    full = quantile_summaries(df, ["x", "y"], "p", k=32)
+    fresh = quantile_summaries(
+        df.where(F.col("p").isin("2", "7")), ["x", "y"], "p", k=32)
+    spliced = incremental_update(full, fresh, ["2", "7"])
+    a = sorted(map(tuple, merge_quantile_estimates(
+        spliced, [0.5, 0.9]).collect()))
+    b = sorted(map(tuple, merge_quantile_estimates(
+        full, [0.5, 0.9]).collect()))
+    assert a == b
+
+
+def test_quantile_summary_null_and_empty_partitions(spark):
+    """NULL values don't weight the merge; an all-NULL partition
+    contributes no summary row at all."""
+    from pyspark.sql import functions as F
+
+    from schema_validata_spark.operators.sketches import (
+        merge_quantile_estimates, quantile_summaries)
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("p"),
+        F.when(F.col("id") % 4 == 3, F.lit(None))
+         .otherwise(F.col("id").cast("double")).alias("x"))
+    s = quantile_summaries(df, ["x"], "p", k=16)
+    assert s.where(F.col("partition_key") == "3").count() == 0
+    est = merge_quantile_estimates(s, [0.5]).collect()[0]
+    # median of the non-null values only (uniform 0..999 minus the
+    # 3-mod residue class) stays near 500, never dragged by NULL rows
+    assert 400 <= est["q_50"] <= 600
