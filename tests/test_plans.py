@@ -534,3 +534,43 @@ def test_partition_sketches_map_side_combined(spark, tmp_path):
     assert len(shuffles) == 1, plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "blob" not in read, read
+
+
+def test_quantile_summaries_single_agg_pruned_scan(spark, tmp_path):
+    """quantile_summaries is ONE aggregate keyed by partition — the
+    shuffle carries percentile partials, never rows — and untracked
+    columns (the document text) are pruned at the scan."""
+    from schema_validata_spark.operators.sketches import quantile_summaries
+    src = str(tmp_path / "qs")
+    spark.range(20_000).select(
+        (F.col("id") % 7).cast("string").alias("day"),
+        (F.col("id") % 997).cast("double").alias("v"),
+        F.concat(F.lit("text-"), F.col("id")).alias("blob")) \
+        .write.parquet(src)
+    out = quantile_summaries(spark.read.parquet(src), ["v"], "day", k=16)
+    plan = _tree(out)
+    shuffles = [l for l in plan.splitlines()
+                if "Exchange" in l and "Broadcast" not in l]
+    assert len(shuffles) == 1, plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "blob" not in read, read
+
+
+def test_quantile_merge_runs_on_summary_frame_only(spark, tmp_path):
+    """merge_quantile_estimates never rescans data: its plan reads the
+    (metadata-sized) summary frame alone, and the window + final agg
+    shuffle summary rows only."""
+    from schema_validata_spark.operators.sketches import (
+        merge_quantile_estimates, quantile_summaries)
+    src = str(tmp_path / "qm")
+    spark.range(20_000).select(
+        (F.col("id") % 7).cast("string").alias("day"),
+        (F.col("id") % 997).cast("double").alias("v")) \
+        .write.parquet(src)
+    summ_path = str(tmp_path / "summ")
+    quantile_summaries(spark.read.parquet(src), ["v"], "day",
+                       k=16).write.parquet(summ_path)
+    est = merge_quantile_estimates(spark.read.parquet(summ_path), [0.5])
+    plan = _tree(est)
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 1 and "summ" in scans[0], plan
