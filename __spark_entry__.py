@@ -1631,6 +1631,17 @@ def q_tool_transitions(spark, sf_dir):
                      F.col("value").asc()))
 
 
+def q_tool_chain_ngrams(spark, sf_dir):
+    """Frequent 3-step tool-call chains per user session
+    (operators/sequence.py:sequence_ngrams) — workflow mining over the
+    event stream: one keyed window (two lags) + one hash aggregate on
+    the bounded gram alphabet; grams never cross a user boundary."""
+    from schema_validata_spark.operators.sequence import sequence_ngrams
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return sequence_ngrams(ev, "user_id", ["ts", "event_id"],
+                           "event_type", n=3)
+
+
 def q_dup_share_by_source(spark, sf_dir):
     """Per-source duplication pressure (operators/dedup.py:
     duplicate_share_by_group): every 9th doc is cloned under an
@@ -1977,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility_stats": q_fertility,
         "turn_latency": q_turn_latency,
         "tool_transitions": q_tool_transitions,
+        "tool_chain_ngrams": q_tool_chain_ngrams,
         "dup_share_by_source": q_dup_share_by_source,
         "ngram_diversity": q_ngram_diversity,
         "embedding_dim_qa": q_embedding_dim_qa,
@@ -3927,6 +3939,18 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(gap, 0.95), 3) AS p95_gap_s,
                round(max(gap), 3) AS max_gap_s
         FROM g GROUP BY user_id ORDER BY user_id"""
+
+    sql["tool_chain_ngrams"] = """
+        WITH seq AS (
+          SELECT event_type,
+                 lag(event_type, 2) OVER w AS g0,
+                 lag(event_type, 1) OVER w AS g1,
+                 row_number() OVER w AS rn
+          FROM events WHERE user_id IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT [g0, g1, event_type] AS gram,
+               count(*)::bigint AS n_occurrences
+        FROM seq WHERE rn >= 3 GROUP BY 1"""
 
     sql["tool_transitions"] = """
         WITH t AS (

@@ -207,6 +207,45 @@ def transition_counts(df: DataFrame, part_col: str,
               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
 
 
+def sequence_ngrams(df: DataFrame, part_col: str,
+                    order_cols: list[str], value_col: str,
+                    n: int = 3, min_count: int = 1) -> DataFrame:
+    """Frequent label-sequence n-grams within partitions — the n-ary
+    generalization of ``transition_counts``: every length-n window of
+    the ordered label sequence per partition (tool-call chains,
+    speaker-flow motifs), counted corpus-wide. The workflow-mining
+    primitive: 'which 3-step tool chains dominate this corpus'.
+
+    A gram never crosses a partition boundary (enforced by row
+    position, not lag-NULL sniffing, so genuinely-NULL labels inside a
+    gram are preserved rather than mistaken for sequence starts).
+
+    Output: gram (array of n labels), n_occurrences (bigint).
+
+    SCALE: ONE keyed window (n-1 lags share the same frame and sort) +
+    ONE hash aggregate on the bounded gram alphabet — partial counts
+    collapse map-side, so the post-window shuffle carries at most
+    |alphabet|^n rows per task, never the corpus. For unbounded label
+    vocabularies pass a bucketed/hashed label, or raise ``min_count``
+    and filter AFTER the aggregate (the filter cannot push below the
+    count, but the frame it scans is alphabet-sized)."""
+    if n < 2:
+        raise ValueError("sequence_ngrams needs n >= 2")
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    lags = [F.lag(F.col(value_col), n - 1 - i).over(w)
+            for i in range(n - 1)] + [F.col(value_col)]
+    rn = F.row_number().over(w)
+    grams = (df.select(F.array(*lags).alias("gram"), rn.alias("__rn"))
+               .where(F.col("__rn") >= n))
+    out = (grams.groupBy("gram")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("n_occurrences")))
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    return out
+
+
 def role_share_stats(df: DataFrame, part_col: str, role_col: str,
                      focus_role: str,
                      weight: Column | str | None = None) -> DataFrame:

@@ -262,3 +262,44 @@ def test_assemble_conversations_matches_span_offsets(spark):
         assert doc[r["start_char"]:r["end_char"]] == \
             texts[(r["conv"], r["idx"])]
         assert docs[r["conv"]]["n_chars"] == len(doc)
+
+
+def test_sequence_ngrams_respect_partition_boundaries(spark):
+    from schema_validata_spark.operators.sequence import sequence_ngrams
+    rows = [("a", 1, "x"), ("a", 2, "y"), ("a", 3, "z"),
+            ("b", 1, "z"), ("b", 2, "x")]
+    df = spark.createDataFrame(rows, ["conv", "idx", "tool"])
+    got = {tuple(r["gram"]): r["n_occurrences"]
+           for r in sequence_ngrams(df, "conv", ["idx"], "tool",
+                                    n=3).collect()}
+    # only conv a has 3 turns; no gram spans a->b
+    assert got == {("x", "y", "z"): 1}
+    bi = {tuple(r["gram"]): r["n_occurrences"]
+          for r in sequence_ngrams(df, "conv", ["idx"], "tool",
+                                   n=2).collect()}
+    assert bi == {("x", "y"): 1, ("y", "z"): 1, ("z", "x"): 1}
+    assert ("z", "z") not in bi  # a's last -> b's first never pairs
+
+
+def test_sequence_ngrams_null_labels_inside_grams(spark):
+    """A NULL label is part of the sequence, not a partition start —
+    position-based gating keeps it inside grams."""
+    from schema_validata_spark.operators.sequence import sequence_ngrams
+    rows = [("a", 1, "x"), ("a", 2, None), ("a", 3, "y")]
+    df = spark.createDataFrame(rows, ["conv", "idx", "tool"])
+    got = {tuple(r["gram"]) for r in
+           sequence_ngrams(df, "conv", ["idx"], "tool", n=2).collect()}
+    assert got == {("x", None), (None, "y")}
+
+
+def test_sequence_ngrams_min_count_and_validation(spark):
+    import pytest
+
+    from schema_validata_spark.operators.sequence import sequence_ngrams
+    rows = [("a", i, "t" if i % 2 else "u") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["conv", "idx", "tool"])
+    out = sequence_ngrams(df, "conv", ["idx"], "tool", n=2,
+                          min_count=3).collect()
+    assert all(r["n_occurrences"] >= 3 for r in out) and out
+    with pytest.raises(ValueError, match="n >= 2"):
+        sequence_ngrams(df, "conv", ["idx"], "tool", n=1)
