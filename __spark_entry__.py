@@ -1114,6 +1114,17 @@ def q_top_tokens(spark, sf_dir):
     return top_tokens(_t(spark, sf_dir, "documents"), "text", 20)
 
 
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source TF-IDF distinctive vocabulary
+    (functions/text.py:distinctive_terms): explode + two map-side-
+    combined hash aggs + a vocabulary-sized per-group rank window —
+    corpus text never shuffles, only (group, token) pairs do. Scores
+    pinned to 6dp before ranking so the top-k is engine-stable."""
+    from schema_validata_spark.functions.text import distinctive_terms
+    return distinctive_terms(_t(spark, sf_dir, "documents"),
+                             "text", "source", k=10)
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher-style per-document quality-filter verdicts
     (functions/text.py:gopher_rules): word count / mean word length /
@@ -1953,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_conformance": q_turn_conformance,
         "source_share_caps": q_source_share_caps,
         "top_tokens": q_top_tokens,
+        "distinctive_terms": q_distinctive_terms,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -3322,6 +3334,34 @@ def oracle_sql() -> dict[str, str]:
                round(max(nm), 4) AS max_norm,
                round(avg(nm), 4) AS avg_norm
         FROM n"""
+
+    sql["distinctive_terms"] = r"""
+        WITH toks AS (
+          SELECT source AS "group",
+                 unnest(regexp_split_to_array(lower(trim(text)),
+                                              '\s+')) AS token
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0
+            AND source IS NOT NULL),
+        tf AS (
+          SELECT "group", token, count(*)::bigint AS tf
+          FROM toks GROUP BY "group", token),
+        dfreq AS (
+          SELECT token, count(*)::bigint AS n_groups_with_token
+          FROM tf GROUP BY token),
+        n AS (SELECT count(DISTINCT "group")::double AS nn FROM tf),
+        scored AS (
+          SELECT tf."group", tf.token, tf.tf, dfreq.n_groups_with_token,
+                 round(tf.tf * ln(n.nn / dfreq.n_groups_with_token), 6)
+                   AS score
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY "group"
+                      ORDER BY score DESC, token ASC) AS rank
+          FROM scored)
+        SELECT "group", token, tf, n_groups_with_token, score,
+               rank::int AS rank
+        FROM ranked WHERE rank <= 10"""
 
     sql["top_tokens"] = r"""
         SELECT token, count(*)::bigint AS n

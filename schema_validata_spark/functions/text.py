@@ -674,3 +674,52 @@ def unigram_logprob_scores(df, text_col: str, id_col: str,
                        F.round(-F.sum("__lp")
                                / F.count(F.lit(1)).cast("double"), 4)
                         .alias("avg_neg_logp")))
+
+
+def distinctive_terms(df, text_col: str, group_col: str,
+                      k: int = 10) -> "DataFrame":
+    """TF-IDF distinctive vocabulary per group: for each group (source,
+    language, split), the ``k`` tokens most over-represented there —
+    score = tf(group, token) · ln(N_groups / df(token)), the standard
+    'what makes this slice different' probe for corpus mixing and
+    contamination triage (a token present in every group scores 0).
+
+    Tokenization matches ``top_tokens`` (case-folded whitespace split,
+    empty/NULL texts carry nothing). Rank is deterministic across
+    engines: scores are pinned to 6dp BEFORE the per-group ordering
+    (rounded score desc, token asc), so float ulp noise cannot reorder
+    the top-k between Spark and an independent SQL replay.
+
+    Output: group, token, tf, n_groups_with_token, score, rank (1..k).
+
+    SCALE: explode + TWO map-side-combined hash aggs (per-(group,
+    token) tf, then per-token group-df over the already-distinct tf
+    frame); the group count N broadcasts as a 1-row frame; the final
+    window ranks the vocabulary-sized tf frame per group — corpus text
+    never shuffles, only (group, token) pairs do."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0)
+                     & F.col(group_col).isNotNull())
+              .select(F.col(group_col).alias("group"),
+                      F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    tf = toks.groupBy("group", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups_with_token"))
+    n_groups = tf.select("group").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (tf.join(dfreq, "token")
+                .crossJoin(F.broadcast(n_groups))
+                .withColumn("score", F.round(
+                    F.col("tf") * F.log(F.col("__n") /
+                                        F.col("n_groups_with_token")), 6))
+                .drop("__n"))
+    w = Window.partitionBy("group").orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("group", "token", "tf", "n_groups_with_token",
+                          "score", "rank"))

@@ -233,3 +233,28 @@ def test_long_doc_shingle_paths_are_linear(spark):
     df.select(F.sum(F.size(_ngram_col("text", 3)))).collect()
     ngram_diversity(df, "text", "src").collect()
     assert time.time() - t0 < 20.0
+
+
+def test_distinctive_terms_hand_computed(spark):
+    import math
+    from schema_validata_spark.functions.text import distinctive_terms
+    df = spark.createDataFrame(
+        [("A", "apple apple banana"), ("A", "apple common"),
+         ("B", "cherry common"), ("B", "cherry cherry"),
+         (None, "ghost ghost"), ("A", None), ("B", "   ")],
+        "src: string, text: string")
+    out = distinctive_terms(df, "text", "src", k=3).collect()
+    rows = {(r["group"], r["rank"]): r for r in out}
+    # NULL group and NULL/blank texts contribute nothing
+    assert all(r["group"] in ("A", "B") for r in out)
+    assert not any(r["token"] == "ghost" for r in out)
+    a1 = rows[("A", 1)]
+    assert a1["token"] == "apple" and a1["tf"] == 3
+    assert a1["n_groups_with_token"] == 1
+    assert abs(a1["score"] - round(3 * math.log(2), 6)) < 1e-9
+    assert rows[("A", 2)]["token"] == "banana"
+    # token present in every group scores 0
+    common = [r for r in out if r["token"] == "common"]
+    assert common and all(r["score"] == 0.0 for r in common)
+    b = sorted([r for r in out if r["group"] == "B"], key=lambda r: r["rank"])
+    assert b[0]["token"] == "cherry" and b[0]["tf"] == 3
