@@ -1125,6 +1125,35 @@ def q_distinctive_terms(spark, sf_dir):
                              "text", "source", k=10)
 
 
+def q_length_gini(spark, sf_dir):
+    """Per-source contribution inequality (operators/statqa.py:
+    gini_coefficient): doc-length Gini via the rank identity — the
+    window shuffles only (group, value) pairs, then one hash agg;
+    audit spine left-joined null-safely so no group can vanish."""
+    from schema_validata_spark.operators.statqa import gini_coefficient
+    return gini_coefficient(_t(spark, sf_dir, "documents"),
+                            "n_chars", "source")
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf-law fit per language slice (functions/text.py:zipf_slope):
+    OLS of ln(freq) on ln(rank) over the top-300 tokens via
+    covar_pop/var_pop — catches templated or generator-collapsed
+    slices whose frequency curve bends away from slope −1."""
+    from schema_validata_spark.functions.text import zipf_slope
+    return zipf_slope(_t(spark, sf_dir, "documents"),
+                      "text", "lang", top_v=300)
+
+
+def q_turn_balance(spark, sf_dir):
+    """Prompt/response mass balance per conversation
+    (operators/sequence.py:turn_balance_stats) over the derived-role
+    events transcript: ONE hash aggregate on the conversation key."""
+    from schema_validata_spark.operators.sequence import turn_balance_stats
+    return turn_balance_stats(_event_transcript(spark, sf_dir),
+                              "user_id", "role", "text")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher-style per-document quality-filter verdicts
     (functions/text.py:gopher_rules): word count / mean word length /
@@ -1965,6 +1994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_share_caps": q_source_share_caps,
         "top_tokens": q_top_tokens,
         "distinctive_terms": q_distinctive_terms,
+        "length_gini": q_length_gini,
+        "zipf_slope": q_zipf_slope,
+        "turn_balance": q_turn_balance,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -3362,6 +3394,90 @@ def oracle_sql() -> dict[str, str]:
         SELECT "group", token, tf, n_groups_with_token, score,
                rank::int AS rank
         FROM ranked WHERE rank <= 10"""
+
+    sql["length_gini"] = r"""
+        WITH base AS (
+          SELECT source AS "group", n_chars::double AS v
+          FROM documents),
+        neg AS (
+          SELECT "group",
+                 count(CASE WHEN v < 0 THEN 1 END)::bigint AS n_negative
+          FROM base GROUP BY "group"),
+        vals AS (
+          SELECT "group" AS g, v,
+                 row_number() OVER (PARTITION BY "group"
+                                    ORDER BY v ASC)::double AS i
+          FROM base WHERE v IS NOT NULL AND v >= 0),
+        agg AS (
+          SELECT g, count(*)::bigint AS n, sum(v) AS t, sum(i * v) AS iw
+          FROM vals GROUP BY g)
+        SELECT neg."group", COALESCE(agg.n, 0)::bigint AS n,
+               neg.n_negative, round(agg.t, 6) AS total,
+               CASE WHEN agg.t > 0 THEN
+                 round((2.0 * agg.iw - (agg.n + 1) * agg.t)
+                       / (agg.n * agg.t), 6) END AS gini
+        FROM neg LEFT JOIN agg ON neg."group" IS NOT DISTINCT FROM agg.g"""
+
+    sql["zipf_slope"] = r"""
+        WITH toks AS (
+          SELECT lang AS "group",
+                 unnest(regexp_split_to_array(lower(trim(text)),
+                                              '\s+')) AS token
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0
+            AND lang IS NOT NULL),
+        tf AS (
+          SELECT "group", token, count(*)::bigint AS tf
+          FROM toks GROUP BY "group", token),
+        ranked AS (
+          SELECT "group", tf,
+                 row_number() OVER (PARTITION BY "group"
+                     ORDER BY tf DESC, token ASC) AS r
+          FROM tf),
+        pts AS (
+          SELECT "group", ln(r::double) AS x, ln(tf::double) AS y
+          FROM ranked WHERE r <= 300),
+        agg AS (
+          SELECT "group", count(*)::bigint AS n_tokens,
+                 covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+                 var_pop(y) AS vy, avg(x) AS mx, avg(y) AS my
+          FROM pts GROUP BY "group")
+        SELECT "group", n_tokens,
+               CASE WHEN vx > 0 THEN round(cxy / vx, 6) END AS slope,
+               CASE WHEN vx > 0 THEN
+                 round(my - (cxy / vx) * mx, 6) END AS intercept,
+               CASE WHEN vx > 0 AND vy > 0 THEN
+                 round(cxy * cxy / (vx * vy), 6) END AS r2
+        FROM agg"""
+
+    sql["turn_balance"] = """
+        WITH r AS (
+          SELECT user_id,
+                 CASE WHEN event_id % 97 = 0 THEN NULL
+                      WHEN event_type = 'signup' THEN 'system'
+                      WHEN event_type IN ('click', 'view') THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 CASE WHEN event_id % 89 != 0 THEN props END AS text
+          FROM events),
+        agg AS (
+          SELECT user_id,
+                 count(CASE WHEN role = 'user' THEN 1 END)::bigint
+                   AS n_prompt_turns,
+                 count(CASE WHEN role = 'assistant' THEN 1 END)::bigint
+                   AS n_response_turns,
+                 sum(CASE WHEN role = 'user'
+                          THEN coalesce(length(text), 0) ELSE 0 END)::bigint
+                   AS prompt_chars,
+                 sum(CASE WHEN role = 'assistant'
+                          THEN coalesce(length(text), 0) ELSE 0 END)::bigint
+                   AS response_chars
+          FROM r GROUP BY user_id)
+        SELECT user_id, n_prompt_turns, n_response_turns,
+               prompt_chars, response_chars,
+               CASE WHEN prompt_chars > 0 THEN
+                 round(response_chars::double / prompt_chars, 6)
+               END AS response_ratio
+        FROM agg"""
 
     sql["top_tokens"] = r"""
         SELECT token, count(*)::bigint AS n

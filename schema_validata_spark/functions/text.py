@@ -723,3 +723,61 @@ def distinctive_terms(df, text_col: str, group_col: str,
                   .where(F.col("rank") <= k)
                   .select("group", "token", "tf", "n_groups_with_token",
                           "score", "rank"))
+
+
+def zipf_slope(df, text_col: str, group_col: str,
+               top_v: int = 500) -> "DataFrame":
+    """Zipf-law fit per corpus slice: OLS of ln(freq) on ln(rank) over
+    the ``top_v`` most frequent tokens — a healthy natural-language
+    slice sits near slope −1 with high r²; templated/boilerplate or
+    synthetic slices bend the curve (slope far from −1, low r²). The
+    screen catches generator collapse and log-dump contamination that
+    per-document quality rules miss.
+
+    Tokenization matches ``top_tokens``. Frequency ranks pin ties by
+    token asc, but tied frequencies contribute identical y values so
+    the fit itself is tiebreak-invariant within a tied block's x-sum.
+    Slope/intercept/r² via covar_pop/var_pop (identical replay in any
+    SQL engine), rounded to 6dp.
+
+    Output per group: group, n_tokens (≤ top_v), slope, intercept, r2
+    (slope/r2 NULL when fewer than 2 distinct ranks).
+
+    SCALE: explode + one map-side-combined (group, token) count, then
+    a vocabulary-sized rank window per group and ONE moment aggregate —
+    corpus text never shuffles."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0)
+                     & F.col(group_col).isNotNull())
+              .select(F.col(group_col).alias("group"),
+                      F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    tf = toks.groupBy("group", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    w = Window.partitionBy("group").orderBy(
+        F.col("tf").desc(), F.col("token").asc())
+    ranked = (tf.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= top_v)
+                .select("group",
+                        F.log(F.col("rank").cast("double")).alias("__x"),
+                        F.log(F.col("tf").cast("double")).alias("__y")))
+    agg = (ranked.groupBy("group")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                      F.covar_pop("__x", "__y").alias("__cxy"),
+                      F.var_pop("__x").alias("__vx"),
+                      F.var_pop("__y").alias("__vy"),
+                      F.avg("__x").alias("__mx"),
+                      F.avg("__y").alias("__my")))
+    slope = F.col("__cxy") / F.col("__vx")
+    return agg.select(
+        "group", "n_tokens",
+        F.when(F.col("__vx") > 0, F.round(slope, 6)).alias("slope"),
+        F.when(F.col("__vx") > 0,
+               F.round(F.col("__my") - slope * F.col("__mx"), 6))
+         .alias("intercept"),
+        F.when((F.col("__vx") > 0) & (F.col("__vy") > 0),
+               F.round(F.col("__cxy") * F.col("__cxy")
+                       / (F.col("__vx") * F.col("__vy")), 6))
+         .alias("r2"))

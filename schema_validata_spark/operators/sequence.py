@@ -461,3 +461,43 @@ def turn_echo(df: DataFrame, part_col: str, order_cols: list[str],
                      & (F.size("__cur") >= min_tokens))
               .select(part_col, *order_cols,
                       F.round(jac, 6).alias("echo_jaccard")))
+
+
+def turn_balance_stats(df: DataFrame, part_col: str, role_col: str,
+                       text_col: str, prompt_role: str = "user",
+                       response_role: str = "assistant") -> DataFrame:
+    """Prompt/response mass balance per conversation — the SFT-shape
+    screen ``role_share_stats`` doesn't capture: a conversation can
+    have a healthy assistant turn SHARE yet carry almost no assistant
+    text (one-word answers), or the inverse (wall-of-text answers to
+    empty prompts). Both are cut or downweighted before training.
+
+    Output per conversation: part, n_prompt_turns, n_response_turns,
+    prompt_chars, response_chars, response_ratio
+    (response_chars / prompt_chars, 6dp, NULL when prompt_chars = 0).
+    NULL-text turns count as turns with 0 chars; NULL/other roles
+    count in neither side.
+
+    SCALE: ONE hash aggregate on the conversation key; role predicates
+    and lengths evaluate in the scan projection, map-side combine makes
+    the shuffle one row per conversation."""
+    chars = F.coalesce(F.length(F.col(text_col)).cast("bigint"),
+                       F.lit(0).cast("bigint"))
+    is_p = F.col(role_col) == prompt_role
+    is_r = F.col(role_col) == response_role
+    agg = (df.groupBy(F.col(part_col))
+             .agg(F.count(F.when(is_p, 1)).cast("bigint")
+                   .alias("n_prompt_turns"),
+                  F.count(F.when(is_r, 1)).cast("bigint")
+                   .alias("n_response_turns"),
+                  F.sum(F.when(is_p, chars).otherwise(F.lit(0)))
+                   .cast("bigint").alias("prompt_chars"),
+                  F.sum(F.when(is_r, chars).otherwise(F.lit(0)))
+                   .cast("bigint").alias("response_chars")))
+    return agg.select(
+        part_col, "n_prompt_turns", "n_response_turns",
+        "prompt_chars", "response_chars",
+        F.when(F.col("prompt_chars") > 0,
+               F.round(F.col("response_chars").cast("double")
+                       / F.col("prompt_chars"), 6))
+         .alias("response_ratio"))

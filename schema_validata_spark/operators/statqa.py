@@ -404,3 +404,62 @@ def equidepth_histogram(df: DataFrame, value_col: str,
                           F.round(F.col("n") / F.col("__t"), 6)
                            .alias("share"))
                   .orderBy("bin"))
+
+
+def gini_coefficient(df: DataFrame, value_col: str,
+                     group_col: str | None = None) -> DataFrame:
+    """Contribution-inequality screen: the Gini coefficient of a
+    non-negative numeric column per group — 0 when every row
+    contributes equally, →1 when one row carries everything. The
+    corpus-curation use: doc-length Gini per source finds slices where
+    a handful of mega-documents dominate the token mass (a dedup or
+    share-cap pass will behave very differently there than the doc
+    COUNT suggests).
+
+    Uses the rank identity G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)
+    over values sorted ascending. Tied values make Σ i·x_(i) invariant
+    to the tiebreak (equal x across the tied block), so any consistent
+    row_number is exact — no tie pinning needed. NULLs are excluded;
+    negative values raise the formula's preconditions, so they are
+    excluded too and counted in the output for audit. A group whose
+    total is 0 yields NULL gini.
+
+    Output per group: group, n, n_negative, total, gini (6dp). Every
+    group present in the input appears — a NULL group is a group (the
+    audit frame is the join spine, left-joined NULL-SAFELY to the
+    eligible-row aggregate, so neither a NULL group key nor an
+    all-excluded group can silently vanish); a group with no eligible
+    rows reports n = 0 and NULL total/gini.
+
+    SCALE: the rank window shuffles ONLY (group, value) pairs — never
+    row payloads — and sorts per group; the follow-up is one hash
+    aggregate. At extreme per-group cardinality swap the exact rank
+    for a bucketed approximation; exact keeps this oracle-checkable."""
+    from pyspark.sql import Window
+
+    v = qcol(value_col).cast("double")
+    g = (F.lit("__all__") if group_col is None else
+         qcol(group_col).cast("string")).alias("group")
+    neg = (df.select(g, v.alias("__v"))
+             .groupBy("group")
+             .agg(F.count(F.when(F.col("__v") < 0, 1))
+                   .cast("bigint").alias("n_negative")))
+    vals = (df.select(g.alias("__g"), v.alias("__v"))
+              .where(F.col("__v").isNotNull() & (F.col("__v") >= 0)))
+    w = Window.partitionBy("__g").orderBy(F.col("__v").asc())
+    ranked = vals.withColumn("__i", F.row_number().over(w).cast("double"))
+    agg = (ranked.groupBy("__g")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("__n"),
+                      F.sum("__v").alias("__t"),
+                      F.sum(F.col("__i") * F.col("__v")).alias("__iw")))
+    return (neg.join(agg, F.col("group").eqNullSafe(F.col("__g")), "left")
+               .select("group",
+                       F.coalesce(F.col("__n"), F.lit(0).cast("bigint"))
+                        .alias("n"),
+                       "n_negative",
+                       F.round(F.col("__t"), 6).alias("total"),
+                       F.when(F.col("__t") > 0, F.round(
+                           (2.0 * F.col("__iw")
+                            - (F.col("__n") + 1) * F.col("__t"))
+                           / (F.col("__n") * F.col("__t")), 6))
+                        .alias("gini")))

@@ -303,3 +303,22 @@ def test_sequence_ngrams_min_count_and_validation(spark):
     assert all(r["n_occurrences"] >= 3 for r in out) and out
     with pytest.raises(ValueError, match="n >= 2"):
         sequence_ngrams(df, "conv", ["idx"], "tool", n=1)
+
+
+def test_turn_balance_hand_computed(spark):
+    from schema_validata_spark.operators.sequence import turn_balance_stats
+    rows = [("c1", "user", "hi"), ("c1", "user", "yo!"),
+            ("c1", "assistant", "hello"), ("c1", "assistant", None),
+            ("c1", "system", "x"), ("c1", None, "zz"),
+            ("c2", "assistant", "wall of text")]
+    df = spark.createDataFrame(rows, "conv: string, role: string, text: string")
+    out = {r["conv"]: r for r in
+           turn_balance_stats(df, "conv", "role", "text").collect()}
+    c1 = out["c1"]
+    assert c1["n_prompt_turns"] == 2 and c1["n_response_turns"] == 2
+    assert c1["prompt_chars"] == 5 and c1["response_chars"] == 5
+    assert c1["response_ratio"] == 1.0
+    # no prompt mass -> NULL ratio, conversation still reported
+    c2 = out["c2"]
+    assert c2["n_prompt_turns"] == 0 and c2["response_chars"] == 12
+    assert c2["response_ratio"] is None

@@ -311,3 +311,71 @@ def test_null_patterns_topk_ordering(spark):
     out = null_patterns(df, ["a"], k=1).collect()
     # tie at 5/5 -> pattern asc tiebreak keeps '0'
     assert len(out) == 1 and out[0]["pattern"] == "0"
+
+
+# ------------------------------------------------------- gini_coefficient
+
+def test_gini_hand_computed(spark):
+    from schema_validata_spark.operators.statqa import gini_coefficient
+    rows = ([("A", 1.0)] * 4
+            + [("B", 0.0)] * 3 + [("B", 10.0)]
+            + [("C", 5.0), ("C", -3.0)]
+            + [("Z", 0.0), ("Z", 0.0)]
+            + [(None, 2.0), (None, 2.0)]
+            + [("E", None), ("E", -1.0)])
+    df = spark.createDataFrame(rows, "src: string, v: double")
+    out = {r["group"]: r for r in
+           gini_coefficient(df, "v", "src").collect()}
+    assert out["A"]["gini"] == 0.0 and out["A"]["n"] == 4
+    # sorted B: 0,0,0,10 -> G = (2*40 - 5*10) / (4*10) = 0.75
+    assert out["B"]["gini"] == 0.75
+    # negative excluded but audited; single eligible value -> gini 0
+    assert out["C"]["n"] == 1 and out["C"]["n_negative"] == 1
+    assert out["C"]["gini"] == 0.0 and out["C"]["total"] == 5.0
+    # all-zero group: total 0 -> NULL gini, not a div-by-zero
+    assert out["Z"]["gini"] is None and out["Z"]["total"] == 0.0
+    # NULL group key is a group, not silently dropped
+    assert out[None]["n"] == 2 and out[None]["gini"] == 0.0
+    # group with no eligible rows still appears
+    assert out["E"]["n"] == 0 and out["E"]["n_negative"] == 1
+    assert out["E"]["gini"] is None
+
+
+def test_gini_global_and_concentration(spark):
+    from schema_validata_spark.operators.statqa import gini_coefficient
+    df = spark.createDataFrame(
+        [(float(0 if i else 1000),) for i in range(100)], "v: double")
+    out = gini_coefficient(df, "v").collect()
+    assert len(out) == 1 and out[0]["group"] == "__all__"
+    assert out[0]["gini"] == 0.99  # one row carries everything: (n-1)/n
+
+
+# ------------------------------------------------------------- zipf_slope
+
+def test_zipf_slope_exact_fit(spark):
+    import math
+    from schema_validata_spark.functions.text import zipf_slope
+    # freqs 6/3/2 = 6/rank exactly -> slope -1, r2 1, intercept ln 6
+    doc = " ".join(["a"] * 6 + ["b"] * 3 + ["c"] * 2)
+    df = spark.createDataFrame(
+        [("g", doc), ("mono", "x x x x"), (None, "skip me"),
+         ("g", None), ("g", "   ")],
+        "src: string, text: string")
+    out = {r["group"]: r for r in zipf_slope(df, "text", "src").collect()}
+    assert set(out) == {"g", "mono"}
+    g = out["g"]
+    assert g["n_tokens"] == 3
+    assert abs(g["slope"] - (-1.0)) < 1e-6
+    assert abs(g["r2"] - 1.0) < 1e-6
+    assert abs(g["intercept"] - round(math.log(6), 6)) < 1e-6
+    # single token type: no x-variance -> NULLs, not a crash
+    m = out["mono"]
+    assert m["n_tokens"] == 1 and m["slope"] is None and m["r2"] is None
+
+
+def test_zipf_top_v_truncates(spark):
+    from schema_validata_spark.functions.text import zipf_slope
+    doc = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([("g", doc)], "src: string, text: string")
+    out = zipf_slope(df, "text", "src", top_v=10).collect()
+    assert out[0]["n_tokens"] == 10
