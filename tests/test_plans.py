@@ -574,3 +574,48 @@ def test_quantile_merge_runs_on_summary_frame_only(spark, tmp_path):
     plan = _tree(est)
     scans = [l for l in plan.splitlines() if "Scan parquet" in l]
     assert len(scans) == 1 and "summ" in scans[0], plan
+
+
+def test_distinctive_terms_text_never_shuffles(spark):
+    """distinctive_terms' shuffles carry (group, token) pairs — the
+    raw text column must never be a shuffle key (it's consumed by the
+    map-side explode)."""
+    from schema_validata_spark.functions.text import distinctive_terms
+    df = spark.createDataFrame([("s1", "a b c"), ("s2", "b c d")],
+                               "src: string, text: string")
+    plan = _tree(distinctive_terms(df, "text", "src", k=5))
+    ex = [l for l in plan.splitlines()
+          if "Exchange hashpartitioning" in l]
+    assert ex, plan
+    for line in ex:
+        assert "text" not in line, line
+
+
+def test_zipf_slope_text_never_shuffles(spark):
+    from schema_validata_spark.functions.text import zipf_slope
+    df = spark.createDataFrame([("s1", "a a b"), ("s2", "b c d")],
+                               "src: string, text: string")
+    plan = _tree(zipf_slope(df, "text", "src"))
+    ex = [l for l in plan.splitlines()
+          if "Exchange hashpartitioning" in l]
+    assert ex, plan
+    for line in ex:
+        assert "text" not in line, line
+
+
+def test_gini_prunes_untouched_columns(spark, tmp_path):
+    """gini_coefficient reads only (group, value) from the source —
+    a wide payload column must not reach the scan (column pruning),
+    and no shuffle may carry it."""
+    from schema_validata_spark.operators.statqa import gini_coefficient
+    path = str(tmp_path / "gini_docs")
+    spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("src"),
+        (F.col("id") * 2.0).alias("v"),
+        F.lit("payloadpayload").alias("blob")).write.parquet(path)
+    out = gini_coefficient(spark.read.parquet(path), "v", "src")
+    plan = _plan(out)
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads, plan
+    assert all("blob" not in l for l in reads), reads
+    assert out.count() == 3
