@@ -464,6 +464,25 @@ def q_numeric_correlations(spark, sf_dir):
                                 ["value", "user_id", "event_id"])
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Pairwise Spearman rank correlations (operators/statqa.py:
+    spearman_correlations): fractional ranks from DISTINCT-VALUE
+    frames (vocab-sized windows, never a row-sized global sort) +
+    hash join-back, one moment aggregate per pair."""
+    from schema_validata_spark.operators.statqa import spearman_correlations
+    return spearman_correlations(_t(spark, sf_dir, "events"),
+                                 ["value", "user_id", "event_id"])
+
+
+def q_lang_purity(spark, sf_dir):
+    """Slice purity (operators/statqa.py:majority_share): majority
+    language + share per source — one (group, value) hash agg, rank
+    window + rollup over the vocabulary-sized count frame."""
+    from schema_validata_spark.operators.statqa import majority_share
+    return majority_share(_t(spark, sf_dir, "documents"),
+                          "source", "lang")
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -1997,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_gini": q_length_gini,
         "zipf_slope": q_zipf_slope,
         "turn_balance": q_turn_balance,
+        "spearman_corr": q_spearman_corr,
+        "lang_purity": q_lang_purity,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -3478,6 +3499,75 @@ def oracle_sql() -> dict[str, str]:
                  round(response_chars::double / prompt_chars, 6)
                END AS response_ratio
         FROM agg"""
+
+    sql["spearman_corr"] = """
+        SELECT 'value' AS col_a, 'user_id' AS col_b,
+               CASE WHEN stddev_pop(ra) > 0 AND stddev_pop(rb) > 0 THEN
+                 round(covar_pop(ra, rb)
+                       / (stddev_pop(ra) * stddev_pop(rb)), 6) END
+                 AS spearman_rho,
+               count(*)::bigint AS n_pairs
+        FROM (
+          SELECT rank() OVER (ORDER BY value) +
+                   (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS ra,
+                 rank() OVER (ORDER BY user_id) +
+                   (count(*) OVER (PARTITION BY user_id) - 1) / 2.0 AS rb
+          FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL)
+        UNION ALL
+        SELECT 'value' AS col_a, 'event_id' AS col_b,
+               CASE WHEN stddev_pop(ra) > 0 AND stddev_pop(rb) > 0 THEN
+                 round(covar_pop(ra, rb)
+                       / (stddev_pop(ra) * stddev_pop(rb)), 6) END
+                 AS spearman_rho,
+               count(*)::bigint AS n_pairs
+        FROM (
+          SELECT rank() OVER (ORDER BY value) +
+                   (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS ra,
+                 rank() OVER (ORDER BY event_id) +
+                   (count(*) OVER (PARTITION BY event_id) - 1) / 2.0 AS rb
+          FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL)
+        UNION ALL
+        SELECT 'user_id' AS col_a, 'event_id' AS col_b,
+               CASE WHEN stddev_pop(ra) > 0 AND stddev_pop(rb) > 0 THEN
+                 round(covar_pop(ra, rb)
+                       / (stddev_pop(ra) * stddev_pop(rb)), 6) END
+                 AS spearman_rho,
+               count(*)::bigint AS n_pairs
+        FROM (
+          SELECT rank() OVER (ORDER BY user_id) +
+                   (count(*) OVER (PARTITION BY user_id) - 1) / 2.0 AS ra,
+                 rank() OVER (ORDER BY event_id) +
+                   (count(*) OVER (PARTITION BY event_id) - 1) / 2.0 AS rb
+          FROM events
+          WHERE user_id IS NOT NULL AND event_id IS NOT NULL)"""
+
+    sql["lang_purity"] = """
+        WITH counts AS (
+          SELECT source AS "group", lang AS v, count(*)::bigint AS c
+          FROM documents GROUP BY source, lang),
+        nn AS (
+          SELECT "group",
+                 sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END)::bigint
+                   AS n_values,
+                 sum(CASE WHEN v IS NULL THEN c ELSE 0 END)::bigint
+                   AS n_null,
+                 count(CASE WHEN v IS NOT NULL THEN 1 END)::bigint
+                   AS n_distinct
+          FROM counts GROUP BY "group"),
+        top AS (
+          SELECT "group", v AS top_value, c AS top_count,
+                 row_number() OVER (PARTITION BY "group"
+                     ORDER BY c DESC, v ASC) AS rk
+          FROM counts WHERE v IS NOT NULL)
+        SELECT nn."group", nn.n_values, nn.n_null, nn.n_distinct,
+               t.top_value, t.top_count,
+               CASE WHEN nn.n_values > 0 THEN
+                 round(t.top_count::double / nn.n_values, 6)
+               END AS top_share
+        FROM nn LEFT JOIN (SELECT * FROM top WHERE rk = 1) t
+          ON nn."group" IS NOT DISTINCT FROM t."group\""""
 
     sql["top_tokens"] = r"""
         SELECT token, count(*)::bigint AS n

@@ -463,3 +463,112 @@ def gini_coefficient(df: DataFrame, value_col: str,
                             - (F.col("__n") + 1) * F.col("__t"))
                            / (F.col("__n") * F.col("__t")), 6))
                         .alias("gini")))
+
+
+def spearman_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Spearman rank correlation — the robust twin of
+    ``numeric_correlations``: Pearson on AVERAGE ranks, so it sees
+    monotone-nonlinear coupling Pearson underreports and is immune to
+    the heavy tails that dominate raw co-moments (one sentinel 9999
+    can fake or hide a Pearson relationship; it moves a rank by one).
+
+    Ranks are fractional (tied values share the mean of their rank
+    block — the textbook definition), which makes the statistic
+    tiebreak-free and engine-portable by construction. Each pair uses
+    its PAIRWISE-complete subset (rows where both sides are non-null),
+    matching SQL corr semantics and ``numeric_correlations``.
+
+    Output: one row per unordered pair: col_a, col_b, spearman_rho
+    (6dp; NULL when a side is constant), n_pairs.
+
+    SCALE: ranks come from a DISTINCT-VALUE frame, not a row sort —
+    per side: one (value → count) hash agg, a window over the
+    distinct-value frame (vocab-sized) turning cumulative counts into
+    average ranks, and a hash join back on the value. Raw rows shuffle
+    once per pair side as join probes; nothing row-sized is ever
+    globally sorted. Cost is per pair — keep ``cols`` to the QA set."""
+    from functools import reduce
+    from pyspark.sql import Window
+
+    pairs = list(combinations(cols, 2))
+    if not pairs:
+        raise ValueError("spearman_correlations needs at least two columns")
+
+    def _ranks(frame, side):
+        cnt = (frame.groupBy(side)
+                    .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+        w = (Window.orderBy(F.col(side).asc())
+                   .rowsBetween(Window.unboundedPreceding, 0))
+        return cnt.select(side,
+                          (F.sum("__c").over(w) - F.col("__c")
+                           + (F.col("__c") + 1.0) / 2.0).alias(f"__r{side}"))
+
+    outs = []
+    for a, b in pairs:
+        ca, cb = qcol(a).cast("double"), qcol(b).cast("double")
+        both = (df.where(ca.isNotNull() & cb.isNotNull())
+                  .select(ca.alias("__a"), cb.alias("__b")))
+        ranked = (both.join(_ranks(both, "__a"), "__a")
+                      .join(_ranks(both, "__b"), "__b"))
+        agg = ranked.agg(
+            F.covar_pop("__r__a", "__r__b").alias("__cov"),
+            F.stddev_pop("__r__a").alias("__sa"),
+            F.stddev_pop("__r__b").alias("__sb"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        rho = F.when((F.col("__sa") > 0) & (F.col("__sb") > 0),
+                     F.round(F.col("__cov")
+                             / (F.col("__sa") * F.col("__sb")), 6))
+        outs.append(agg.select(F.lit(a).alias("col_a"),
+                               F.lit(b).alias("col_b"),
+                               rho.alias("spearman_rho"), "n_pairs"))
+    return reduce(DataFrame.unionByName, outs)
+
+
+def majority_share(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Slice-purity screen: per group, the most common value of a
+    categorical column and its share — the 'is this source really one
+    language / one format' check (a source whose majority-lang share
+    is 0.55 is a mixed crawl, whatever its label says). Ties pin
+    deterministically to the lexicographically smallest value.
+
+    Output per group: group, n_values (non-null), n_null, n_distinct,
+    top_value, top_count, top_share (6dp; NULL when n_values = 0).
+    Groups whose values are all NULL still appear (NULL top_value).
+
+    SCALE: one (group, value) hash agg, then a rank window + rollup
+    over that vocabulary-sized frame — raw rows never shuffle beyond
+    the first map-side-combined aggregate; NULL group keys survive
+    (groupBy keeps them and no equi-join sits behind them)."""
+    from pyspark.sql import Window
+
+    g = qcol(group_col).alias("group")
+    v = qcol(value_col)
+    counts = (df.groupBy(g, v.alias("__v"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    w = Window.partitionBy("group").orderBy(
+        F.col("__v").isNull().asc(),  # NULL value block ranks last
+        F.col("__c").desc(), F.col("__v").asc())
+    ranked = counts.withColumn("__rk", F.row_number().over(w))
+    return (ranked.groupBy("group")
+                  .agg(F.sum(F.when(F.col("__v").isNotNull(), F.col("__c"))
+                              .otherwise(F.lit(0))).cast("bigint")
+                        .alias("n_values"),
+                       F.sum(F.when(F.col("__v").isNull(), F.col("__c"))
+                              .otherwise(F.lit(0))).cast("bigint")
+                        .alias("n_null"),
+                       F.count(F.when(F.col("__v").isNotNull(), 1))
+                        .cast("bigint").alias("n_distinct"),
+                       F.max(F.when((F.col("__rk") == 1)
+                                    & F.col("__v").isNotNull(),
+                                    F.col("__v"))).alias("top_value"),
+                       F.max(F.when((F.col("__rk") == 1)
+                                    & F.col("__v").isNotNull(),
+                                    F.col("__c"))).cast("bigint")
+                        .alias("top_count"))
+                  .select("group", "n_values", "n_null", "n_distinct",
+                          "top_value", "top_count",
+                          F.when(F.col("n_values") > 0,
+                                 F.round(F.col("top_count").cast("double")
+                                         / F.col("n_values"), 6))
+                           .alias("top_share")))

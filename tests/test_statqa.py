@@ -379,3 +379,55 @@ def test_zipf_top_v_truncates(spark):
     df = spark.createDataFrame([("g", doc)], "src: string, text: string")
     out = zipf_slope(df, "text", "src", top_v=10).collect()
     assert out[0]["n_tokens"] == 10
+
+
+# ------------------------------------------------- spearman_correlations
+
+def test_spearman_monotone_and_ties(spark):
+    from schema_validata_spark.operators.statqa import spearman_correlations
+    rows = [(1.0, 1.0, 5.0), (2.0, 8.0, 5.0), (3.0, 27.0, 5.0),
+            (4.0, 64.0, 5.0), (5.0, 125.0, 5.0)]
+    df = spark.createDataFrame(rows, "x: double, y: double, k: double")
+    out = {(r["col_a"], r["col_b"]): r for r in
+           spearman_correlations(df, ["x", "y", "k"]).collect()}
+    # perfectly monotone nonlinear: Spearman 1 (Pearson would be ~0.9)
+    assert out[("x", "y")]["spearman_rho"] == 1.0
+    assert out[("x", "y")]["n_pairs"] == 5
+    # constant side: undefined -> NULL
+    assert out[("x", "k")]["spearman_rho"] is None
+
+
+def test_spearman_fractional_ranks_exact(spark):
+    from schema_validata_spark.operators.statqa import spearman_correlations
+    # x has a tied block; textbook fractional-rank rho = 0.948683
+    rows = [(1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0),
+            (None, 99.0), (7.0, None)]
+    df = spark.createDataFrame(rows, "x: double, y: double")
+    out = spearman_correlations(df, ["x", "y"]).collect()[0]
+    assert out["n_pairs"] == 4            # pairwise NULL deletion
+    assert out["spearman_rho"] == 0.948683
+
+
+# --------------------------------------------------------- majority_share
+
+def test_majority_share_hand_computed(spark):
+    from schema_validata_spark.operators.statqa import majority_share
+    rows = [("A", "en"), ("A", "en"), ("A", "fr"), ("A", None),
+            ("B", "y"), ("B", "x"),
+            ("C", None), ("C", None),
+            (None, "en")]
+    df = spark.createDataFrame(rows, "src: string, lang: string")
+    out = {r["group"]: r for r in
+           majority_share(df, "src", "lang").collect()}
+    a = out["A"]
+    assert (a["n_values"], a["n_null"], a["n_distinct"]) == (3, 1, 2)
+    assert a["top_value"] == "en" and a["top_count"] == 2
+    assert a["top_share"] == 0.666667
+    # tie pins to the lexicographically smallest value
+    assert out["B"]["top_value"] == "x"
+    # all-NULL group still appears, with NULL top
+    c = out["C"]
+    assert c["n_values"] == 0 and c["n_null"] == 2
+    assert c["top_value"] is None and c["top_share"] is None
+    # NULL group key is a group
+    assert out[None]["top_value"] == "en"
