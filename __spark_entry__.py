@@ -483,6 +483,22 @@ def q_lang_purity(spark, sf_dir):
                           "source", "lang")
 
 
+def q_sketch_overlap(spark, sf_dir):
+    """Snapshot value-universe overlap at metadata cost
+    (operators/sketches.py:sketch_overlap): per-column HLL sketches of
+    two event halves, unioned + inclusion-exclusion into Jaccard /
+    containment — gate cardinalities sit in the sketches' sparse
+    (exact) regime, so the DuckDB exact-distinct replay matches."""
+    from schema_validata_spark.operators.sketches import (partition_sketches,
+                                                          sketch_overlap)
+    ev = _t(spark, sf_dir, "events")
+    sa = partition_sketches(ev.where(F.col("event_id") % 2 == 0),
+                            ["user_id", "event_type"], "event_type")
+    sb = partition_sketches(ev.where(F.col("event_id") % 2 == 1),
+                            ["user_id", "event_type"], "event_type")
+    return sketch_overlap(sa, sb)
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2018,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_balance": q_turn_balance,
         "spearman_corr": q_spearman_corr,
         "lang_purity": q_lang_purity,
+        "sketch_overlap": q_sketch_overlap,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -3568,6 +3585,34 @@ def oracle_sql() -> dict[str, str]:
                END AS top_share
         FROM nn LEFT JOIN (SELECT * FROM top WHERE rk = 1) t
           ON nn."group" IS NOT DISTINCT FROM t."group\""""
+
+    sql["sketch_overlap"] = """
+        WITH per AS (
+          SELECT 'event_type' AS column_name,
+                 count(DISTINCT CASE WHEN event_id % 2 = 0
+                                     THEN event_type END)::bigint AS est_a,
+                 count(DISTINCT CASE WHEN event_id % 2 = 1
+                                     THEN event_type END)::bigint AS est_b,
+                 count(DISTINCT event_type)::bigint AS est_union
+          FROM events
+          UNION ALL
+          SELECT 'user_id',
+                 count(DISTINCT CASE WHEN event_id % 2 = 0
+                                     THEN user_id END)::bigint,
+                 count(DISTINCT CASE WHEN event_id % 2 = 1
+                                     THEN user_id END)::bigint,
+                 count(DISTINCT user_id)::bigint
+          FROM events),
+        w AS (
+          SELECT *, greatest(est_a + est_b - est_union, 0)::bigint AS inter
+          FROM per)
+        SELECT column_name, est_a, est_b, est_union,
+               inter AS est_intersection,
+               CASE WHEN est_union > 0 THEN
+                 round(inter::double / est_union, 6) END AS jaccard,
+               CASE WHEN est_a > 0 THEN
+                 round(inter::double / est_a, 6) END AS containment_a
+        FROM w ORDER BY column_name"""
 
     sql["top_tokens"] = r"""
         SELECT token, count(*)::bigint AS n

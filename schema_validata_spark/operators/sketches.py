@@ -129,6 +129,62 @@ def load_sketches(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def sketch_overlap(sketches_a: DataFrame,
+                   sketches_b: DataFrame) -> DataFrame:
+    """Value-universe overlap between two snapshots at metadata cost:
+    per column, |A|, |B|, |A∪B| from the persisted sketch frames
+    (``hll_union_agg`` + a two-sketch ``hll_union``), then
+    inclusion–exclusion gives the intersection, Jaccard, and
+    containment — 'did the id universe shift between yesterday's run
+    and today's' WITHOUT rescanning either snapshot's data. Estimates
+    are exact while both columns stay in the sketches' sparse regime
+    (the oracle gate), ~1–2% after.
+
+    A column tracked in only one frame is treated as EMPTY on the
+    other side (est 0, intersection 0) and kept visible rather than
+    dropped — a silently untracked column is itself a finding.
+
+    Output per column: column_name, est_a, est_b, est_union,
+    est_intersection (clamped ≥ 0 — inclusion–exclusion on estimates
+    can go fractionally negative), jaccard (6dp, NULL when the union
+    is empty), containment_a (share of A's values also in B).
+
+    SCALE: aggregates two metadata-sized sketch frames and joins the
+    per-column single rows — original data is never scanned."""
+    ua = (sketches_a.groupBy("column_name")
+                    .agg(F.hll_union_agg("sketch").alias("__sa")))
+    ub = (sketches_b.groupBy("column_name")
+                    .agg(F.hll_union_agg("sketch").alias("__sb")))
+    j = ua.join(ub, "column_name", "full_outer")
+    ea = F.coalesce(F.hll_sketch_estimate(F.col("__sa")), F.lit(0))           .cast("bigint")
+    eb = F.coalesce(F.hll_sketch_estimate(F.col("__sb")), F.lit(0))           .cast("bigint")
+    eu = (F.when(F.col("__sa").isNotNull() & F.col("__sb").isNotNull(),
+                 F.hll_sketch_estimate(
+                     F.hll_union("__sa", "__sb", True)))
+           .when(F.col("__sa").isNotNull(),
+                 F.hll_sketch_estimate(F.col("__sa")))
+           .otherwise(F.hll_sketch_estimate(F.col("__sb")))
+           .cast("bigint"))
+    out = j.select("column_name", ea.alias("est_a"), eb.alias("est_b"),
+                   eu.alias("est_union"))
+    inter = F.greatest(F.col("est_a") + F.col("est_b")
+                       - F.col("est_union"), F.lit(0).cast("bigint"))
+    return (out.withColumn("est_intersection", inter)
+               .select("column_name", "est_a", "est_b", "est_union",
+                       "est_intersection",
+                       F.when(F.col("est_union") > 0,
+                              F.round(F.col("est_intersection")
+                                      .cast("double")
+                                      / F.col("est_union"), 6))
+                        .alias("jaccard"),
+                       F.when(F.col("est_a") > 0,
+                              F.round(F.col("est_intersection")
+                                      .cast("double")
+                                      / F.col("est_a"), 6))
+                        .alias("containment_a"))
+               .orderBy("column_name"))
+
+
 # ------------------------------------------------------------------
 # Mergeable QUANTILE summaries — the order-statistics complement of
 # the HLL layer above.  No reference counterpart (the reference's

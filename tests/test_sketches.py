@@ -147,3 +147,63 @@ def test_quantile_summary_null_and_empty_partitions(spark):
     # median of the non-null values only (uniform 0..999 minus the
     # 3-mod residue class) stays near 500, never dragged by NULL rows
     assert 400 <= est["q_50"] <= 600
+
+
+# ---------------------------------------------------------- sketch_overlap
+
+def test_sketch_overlap_exact_in_sparse_regime(spark):
+    from schema_validata_spark.operators.sketches import (partition_sketches,
+                                                          sketch_overlap)
+    a = spark.createDataFrame(
+        [(i, f"u{i % 10}", "p0") for i in range(40)],
+        "id: bigint, uid: string, part: string")
+    # b shares u0..u4, adds u10..u14 -> |A|=10 |B|=10 |A∪B|=15 ∩=5
+    b = spark.createDataFrame(
+        [(i, f"u{i % 5}", "p0") for i in range(20)]
+        + [(100 + i, f"u{10 + i}", "p1") for i in range(5)],
+        "id: bigint, uid: string, part: string")
+    sa = partition_sketches(a, ["uid"], "part")
+    sb = partition_sketches(b, ["uid"], "part")
+    out = sketch_overlap(sa, sb).collect()[0]
+    assert (out["est_a"], out["est_b"], out["est_union"]) == (10, 10, 15)
+    assert out["est_intersection"] == 5
+    assert out["jaccard"] == round(5 / 15, 6)
+    assert out["containment_a"] == 0.5
+
+
+def test_sketch_overlap_identical_disjoint_and_missing(spark):
+    from schema_validata_spark.operators.sketches import (partition_sketches,
+                                                          sketch_overlap)
+    a = spark.createDataFrame([(i, f"v{i}", f"w{i}", "p") for i in range(8)],
+                              "id: bigint, x: string, y: string, part: string")
+    b = spark.createDataFrame([(i, f"v{i}", "p") for i in range(8)],
+                              "id: bigint, x: string, part: string")
+    c = spark.createDataFrame([(i, f"z{i}", "p") for i in range(8)],
+                              "id: bigint, x: string, part: string")
+    sa = partition_sketches(a, ["x", "y"], "part")
+    sb = partition_sketches(b, ["x"], "part")
+    sc = partition_sketches(c, ["x"], "part")
+    # identical universes -> J = 1; column tracked only in A stays
+    # visible with an empty B side
+    out = {r["column_name"]: r for r in sketch_overlap(sa, sb).collect()}
+    assert out["x"]["jaccard"] == 1.0 and out["x"]["containment_a"] == 1.0
+    assert out["y"]["est_b"] == 0 and out["y"]["est_intersection"] == 0
+    assert out["y"]["jaccard"] == 0.0 and out["y"]["est_union"] == 8
+    # disjoint -> J = 0
+    dis = {r["column_name"]: r for r in sketch_overlap(sb, sc).collect()}
+    assert dis["x"]["jaccard"] == 0.0 and dis["x"]["est_union"] == 16
+
+
+def test_sketch_overlap_merge_invariant(spark):
+    """Overlap computed from per-partition sketch frames equals the
+    overlap from pre-unioned single-partition frames — the resume
+    story's guarantee carried through to the overlap layer."""
+    from schema_validata_spark.operators.sketches import (partition_sketches,
+                                                          sketch_overlap)
+    rows = [(i, f"u{i % 30}", f"p{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id: bigint, uid: string, part: string")
+    flat = df.withColumn("part", F.lit("all"))
+    s_parts = partition_sketches(df, ["uid"], "part")
+    s_flat = partition_sketches(flat, ["uid"], "part")
+    r1 = sketch_overlap(s_parts, s_flat).collect()[0]
+    assert r1["jaccard"] == 1.0 and r1["est_a"] == r1["est_b"] == 30
