@@ -407,6 +407,24 @@ def q_quantile_sketch_merge(spark, sf_dir):
     return merge_quantile_estimates(summ, [0.25, 0.5, 0.75, 0.95])
 
 
+def q_summary_drift(spark, sf_dir):
+    """W1 distribution drift from persisted quantile-summary frames
+    alone (operators/sketches.py:summary_drift): per-day k=32
+    summaries of the two event halves, probed at 8 fractions — 'did
+    the value distribution move since the baseline' with zero data
+    rescan. The oracle replays the identical summarize+merge+gap
+    algorithm in DuckDB."""
+    from schema_validata_spark.operators.sketches import (quantile_summaries,
+                                                          summary_drift)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    sa = quantile_summaries(ev.where(F.col("event_id") % 2 == 0),
+                            ["value"], "day", k=32)
+    sb = quantile_summaries(ev.where(F.col("event_id") % 2 == 1),
+                            ["value"], "day", k=32)
+    return summary_drift(sa, sb, probes=8)
+
+
 def q_key_locality(spark, sf_dir):
     """Physical-locality audit of events.user_id against day
     partitions (operators/uniqueness.py:key_locality) — single-row
@@ -2035,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "lang_purity": q_lang_purity,
         "sketch_overlap": q_sketch_overlap,
+        "summary_drift": q_summary_drift,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2561,6 +2580,58 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cumw >= 0.95 * total - 1e-9
                         THEN value END) AS q_95
         FROM cum"""
+
+    sql["summary_drift"] = f"""
+        -- replay of summary_drift (operators/sketches.py): per-day
+        -- k=32 summaries of each event half, cumulative-weight probe
+        -- picks at 8 fractions, mean/max |gap|
+        WITH fr AS (SELECT * FROM (VALUES (0, 0.0625), (1, 0.1875), (2, 0.3125), (3, 0.4375), (4, 0.5625), (5, 0.6875), (6, 0.8125), (7, 0.9375)) AS t(fidx, f)),
+        summa AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS pk,
+                 count(value)::bigint AS n_vals,
+                 quantile_cont(value, [{_qfracs}]) AS qs
+          FROM events WHERE event_id % 2 = 0
+          GROUP BY 1 HAVING count(value) > 0),
+        summb AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS pk,
+                 count(value)::bigint AS n_vals,
+                 quantile_cont(value, [{_qfracs}]) AS qs
+          FROM events WHERE event_id % 2 = 1
+          GROUP BY 1 HAVING count(value) > 0),
+        expla AS (
+          SELECT round(u.q, 6) AS value, n_vals::double / len(qs) AS w
+          FROM summa, unnest(qs) AS u(q)),
+        explb AS (
+          SELECT round(u.q, 6) AS value, n_vals::double / len(qs) AS w
+          FROM summb, unnest(qs) AS u(q)),
+        cuma AS (
+          SELECT value,
+                 sum(w) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cumw,
+                 sum(w) OVER () AS total
+          FROM expla),
+        cumb AS (
+          SELECT value,
+                 sum(w) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cumw,
+                 sum(w) OVER () AS total
+          FROM explb),
+        qa AS (
+          SELECT fidx, min(CASE WHEN cumw >= f * total - 1e-9
+                                THEN value END) AS q
+          FROM cuma, fr GROUP BY fidx, f),
+        qb AS (
+          SELECT fidx, min(CASE WHEN cumw >= f * total - 1e-9
+                                THEN value END) AS q
+          FROM cumb, fr GROUP BY fidx, f)
+        SELECT 'value' AS column_name,
+               (SELECT sum(n_vals) FROM summa)::bigint AS n_a,
+               (SELECT sum(n_vals) FROM summb)::bigint AS n_b,
+               round(avg(abs(qa.q - qb.q)), 6) AS w1_est,
+               round(max(abs(qa.q - qb.q)), 6) AS max_q_gap
+        FROM qa JOIN qb USING (fidx)"""
 
     sql["key_locality"] = """
         WITH pairs AS (

@@ -277,3 +277,88 @@ def merge_quantile_estimates(summaries: DataFrame,
              for f in fractions]
     return (cum.groupBy("column_name").agg(*picks)
                .orderBy("column_name"))
+
+
+def _summary_quantiles_long(summaries: DataFrame,
+                            fractions: list[float]) -> DataFrame:
+    """(column_name, fidx, q): the merge-quantile pick at each probe
+    fraction, long form — same cumulative-weight algorithm as
+    ``merge_quantile_estimates`` (kept verbatim so both layers stay
+    oracle-replayable)."""
+    from pyspark.sql import Window
+
+    exploded = summaries.select(
+        "column_name",
+        F.explode("qs").alias("value"),
+        (F.col("n_vals").cast("double") / F.size("qs")).alias("w"))
+    win = (Window.partitionBy("column_name").orderBy("value")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("column_name")
+    cum = exploded.select(
+        "column_name", "value",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(tot).alias("total"))
+    picks = [F.min(F.when(F.col("cumw") >= F.lit(f) * F.col("total")
+                          - F.lit(1e-9),
+                          F.col("value"))).alias(f"__p{i}")
+             for i, f in enumerate(fractions)]
+    wide = cum.groupBy("column_name").agg(*picks)
+    longs = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("fidx"), F.col(f"__p{i}").alias("q"))
+        for i in range(len(fractions))])).alias("__e")
+    return (wide.select("column_name", longs)
+                .select("column_name", F.col("__e.fidx").alias("fidx"),
+                        F.col("__e.q").alias("q")))
+
+
+def summary_drift(summaries_a: DataFrame, summaries_b: DataFrame,
+                  probes: int = 20) -> DataFrame:
+    """Distribution drift between two snapshots at metadata cost: the
+    W1 (earth-mover) distance estimated from the persisted
+    quantile-summary frames alone — W1 = ∫|Q_a(p) − Q_b(p)|dp,
+    approximated as the mean |quantile gap| over ``probes`` evenly
+    spaced fractions ((i+0.5)/probes), plus the worst single gap.
+    This is the "did the value distribution move since the baseline
+    run" check WITHOUT rescanning either snapshot — the drift twin of
+    ``sketch_overlap``, riding the same resume-layer artifacts that
+    ``quantile_summaries`` already persists beside the manifest.
+
+    Columns summarized in only one frame stay visible (counts shown,
+    NULL drift) rather than silently dropping.
+
+    Accuracy: each side's probe quantile carries the merge layer's
+    n/(2k) rank-error bound; gaps inherit it. Values are 6dp-pinned
+    upstream and the pick algorithm is the deterministic one the
+    DuckDB oracle replays, so the estimate is engine-portable.
+
+    Output per column: column_name, n_a, n_b, w1_est, max_q_gap (6dp).
+
+    SCALE: windows + joins over the metadata-sized summary frames
+    only ((#partitions × #cols × k) rows); data is never rescanned."""
+    if probes < 2:
+        raise ValueError("probes must be >= 2")
+    fractions = [(i + 0.5) / probes for i in range(probes)]
+    qa = _summary_quantiles_long(summaries_a, fractions)
+    qb = _summary_quantiles_long(summaries_b, fractions)
+    gap = F.abs(F.col("__qa") - F.col("__qb"))
+    drift = (qa.select("column_name", "fidx", F.col("q").alias("__qa"))
+               .join(qb.select("column_name", "fidx",
+                               F.col("q").alias("__qb")),
+                     ["column_name", "fidx"])
+               .groupBy("column_name")
+               .agg(F.round(F.avg(gap), 6).alias("w1_est"),
+                    F.round(F.max(gap), 6).alias("max_q_gap")))
+    na = (summaries_a.groupBy("column_name")
+                     .agg(F.sum("n_vals").cast("bigint").alias("n_a")))
+    nb = (summaries_b.groupBy("column_name")
+                     .agg(F.sum("n_vals").cast("bigint").alias("n_b")))
+    spine = (na.join(nb, "column_name", "full_outer")
+               .select("column_name",
+                       F.coalesce("n_a", F.lit(0)).cast("bigint")
+                        .alias("n_a"),
+                       F.coalesce("n_b", F.lit(0)).cast("bigint")
+                        .alias("n_b")))
+    return (spine.join(drift, "column_name", "left")
+                 .select("column_name", "n_a", "n_b",
+                         "w1_est", "max_q_gap")
+                 .orderBy("column_name"))

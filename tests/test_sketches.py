@@ -207,3 +207,33 @@ def test_sketch_overlap_merge_invariant(spark):
     s_flat = partition_sketches(flat, ["uid"], "part")
     r1 = sketch_overlap(s_parts, s_flat).collect()[0]
     assert r1["jaccard"] == 1.0 and r1["est_a"] == r1["est_b"] == 30
+
+
+# ---------------------------------------------------------- summary_drift
+
+def test_summary_drift_shift_and_identity(spark):
+    from schema_validata_spark.operators.sketches import (quantile_summaries,
+                                                          summary_drift)
+    a = spark.createDataFrame([(float(i), f"p{i % 2}") for i in range(100)],
+                              "v: double, part: string")
+    b = a.select((F.col("v") + 100.0).alias("v"), "part")
+    sa = quantile_summaries(a, ["v"], "part", k=8)
+    sb = quantile_summaries(b, ["v"], "part", k=8)
+    out = summary_drift(sa, sb, probes=4).collect()[0]
+    # a pure +100 location shift moves EVERY quantile by exactly 100
+    assert out["w1_est"] == 100.0 and out["max_q_gap"] == 100.0
+    assert out["n_a"] == 100 and out["n_b"] == 100
+    same = summary_drift(sa, sa, probes=4).collect()[0]
+    assert same["w1_est"] == 0.0 and same["max_q_gap"] == 0.0
+
+
+def test_summary_drift_one_sided_column_stays_visible(spark):
+    from schema_validata_spark.operators.sketches import (quantile_summaries,
+                                                          summary_drift)
+    a = spark.createDataFrame([(1.0, 2.0, "p")], "x: double, y: double, part: string")
+    b = spark.createDataFrame([(1.0, "p")], "x: double, part: string")
+    sa = quantile_summaries(a, ["x", "y"], "part", k=4)
+    sb = quantile_summaries(b, ["x"], "part", k=4)
+    out = {r["column_name"]: r for r in summary_drift(sa, sb).collect()}
+    assert out["y"]["n_b"] == 0 and out["y"]["w1_est"] is None
+    assert out["x"]["w1_est"] == 0.0
