@@ -517,6 +517,16 @@ def q_sketch_overlap(spark, sf_dir):
     return sketch_overlap(sa, sb)
 
 
+def q_variance_explained(spark, sf_dir):
+    """One-way variance decomposition (operators/statqa.py:
+    variance_explained): eta-squared + ANOVA F of events.value by
+    event_type — one map-side-combined hash agg, arithmetic over the
+    #groups-sized frame."""
+    from schema_validata_spark.operators.statqa import variance_explained
+    return variance_explained(_t(spark, sf_dir, "events"),
+                              "value", "event_type")
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2054,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_purity": q_lang_purity,
         "sketch_overlap": q_sketch_overlap,
         "summary_drift": q_summary_drift,
+        "variance_explained": q_variance_explained,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2632,6 +2643,32 @@ def oracle_sql() -> dict[str, str]:
                round(avg(abs(qa.q - qb.q)), 6) AS w1_est,
                round(max(abs(qa.q - qb.q)), 6) AS max_q_gap
         FROM qa JOIN qb USING (fidx)"""
+
+    sql["variance_explained"] = """
+        WITH per AS (
+          SELECT event_type AS g, count(*)::double AS n,
+                 sum(value) AS s, sum(value * value) AS ss
+          FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        tot AS (
+          SELECT sum(n) AS nn, sum(s) AS stot, sum(ss) AS sstot,
+                 sum(s * s / n) AS sb,
+                 count(*)::bigint AS n_groups
+          FROM per),
+        c AS (
+          SELECT nn, n_groups,
+                 sstot - stot * stot / nn AS sst,
+                 sb - stot * stot / nn AS ssb
+          FROM tot)
+        SELECT nn::bigint AS n, n_groups,
+               round(sst, 2) AS ss_total,
+               round(ssb, 2) AS ss_between,
+               CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS eta_sq,
+               CASE WHEN n_groups > 1 AND nn > n_groups
+                         AND (sst - ssb) > 0 THEN
+                 round((ssb / (n_groups - 1))
+                       / ((sst - ssb) / (nn - n_groups)), 6)
+               END AS f_stat
+        FROM c"""
 
     sql["key_locality"] = """
         WITH pairs AS (

@@ -431,3 +431,34 @@ def test_majority_share_hand_computed(spark):
     assert c["top_value"] is None and c["top_share"] is None
     # NULL group key is a group
     assert out[None]["top_value"] == "en"
+
+
+# ----------------------------------------------------- variance_explained
+
+def test_variance_explained_hand_computed(spark):
+    from schema_validata_spark.operators.statqa import variance_explained
+    # groups fully determine the value -> eta^2 = 1, F undefined (ssw=0)
+    df1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)],
+        "g: string, v: double")
+    r1 = variance_explained(df1, "v", "g").collect()[0]
+    assert r1["eta_sq"] == 1.0 and r1["f_stat"] is None
+    assert r1["n"] == 4 and r1["n_groups"] == 2
+    # textbook two-group case: g means 2 and 4, grand 3
+    # SST = (1+9+1+9) - 36... values a:[1,3] b:[3,5]
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 3.0), ("b", 5.0), ("b", None),
+         (None, 2.0), (None, 4.0)],
+        "g: string, v: double")
+    r2 = variance_explained(df2, "v", "g").collect()[0]
+    # NULL group is a group (mean 3); NULL value excluded
+    assert r2["n"] == 6 and r2["n_groups"] == 3
+    # SST = sum(x^2) - S^2/N = (1+9+9+25+4+16) - 18^2/6 = 64 - 54 = 10
+    # SSB = (4^2/2 + 8^2/2 + 6^2/2) - 54 = 58 - 54 = 4
+    assert r2["ss_total"] == 10.0 and r2["ss_between"] == 4.0
+    assert r2["eta_sq"] == 0.4
+    # F = (4/2) / (6/3) = 1.0
+    assert r2["f_stat"] == 1.0
+    # constant column -> NULL eta
+    df3 = spark.createDataFrame([("a", 7.0), ("b", 7.0)], "g: string, v: double")
+    assert variance_explained(df3, "v", "g").collect()[0]["eta_sq"] is None
