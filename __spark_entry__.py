@@ -527,6 +527,16 @@ def q_variance_explained(spark, sf_dir):
                               "value", "event_type")
 
 
+def q_pooled_embeddings(spark, sf_dir):
+    """Group-level mean-pooled embeddings (operators/similarity.py:
+    pool_embeddings): per-label centroid vectors, 6dp-pinned — the
+    lift from chunk vectors to slice vectors the ANN/drift layer then
+    consumes; shuffle carries (#groups x dims) partial means, raw
+    vectors never shuffle."""
+    from schema_validata_spark.operators.similarity import pool_embeddings
+    return pool_embeddings(_t(spark, sf_dir, "embeddings"), "label")
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2065,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_overlap": q_sketch_overlap,
         "summary_drift": q_summary_drift,
         "variance_explained": q_variance_explained,
+        "pooled_embeddings": q_pooled_embeddings,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2669,6 +2680,20 @@ def oracle_sql() -> dict[str, str]:
                        / ((sst - ssb) / (nn - n_groups)), 6)
                END AS f_stat
         FROM c"""
+
+    sql["pooled_embeddings"] = """
+        WITH ex AS (
+          SELECT label AS "group", t.i AS dim,
+                 embedding[t.i + 1]::double AS val
+          FROM embeddings, unnest(range(len(embedding))) AS t(i)
+          WHERE embedding IS NOT NULL),
+        per AS (
+          SELECT "group", dim, round(avg(val), 6) AS m,
+                 count(*)::bigint AS c
+          FROM ex GROUP BY "group", dim)
+        SELECT "group", max(c)::bigint AS n_vectors,
+               list(m ORDER BY dim ASC) AS embedding
+        FROM per GROUP BY "group\""""
 
     sql["key_locality"] = """
         WITH pairs AS (

@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.colref import qcol
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -728,3 +730,40 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") <= k).drop("rn"))
+
+
+def pool_embeddings(df: DataFrame, group_col: str,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Group-level embedding by per-dimension MEAN pooling — the
+    standard way to lift turn/chunk vectors to a conversation,
+    document-set, or source-level vector that the rest of this module
+    (brute-force / IVF / PQ top-k, centroid drift, near-dup buckets)
+    can then consume unchanged. Slice-level semantic comparison
+    ('is source X drifting toward source Y') runs on the pooled
+    frame at #groups cost instead of corpus cost.
+
+    Pooled components are pinned to 6dp so the pooled frame is
+    engine-portable and stable across partitionings. NULL vectors are
+    excluded; with MIXED dimensionalities inside a group, each
+    dimension averages over the vectors that HAVE it (run
+    ``embedding_dim_qa`` first — mixed dims usually mean a bad encoder
+    version). Output: group, n_vectors, <vec_col> (array<double>).
+
+    SCALE: posexplode to (group, dim, value) and ONE two-stage avg —
+    partial means collapse map-side, so the shuffle carries
+    (#groups × n_dims) rows, NOT (rows × n_dims); reassembly sorts the
+    dims-sized struct list per group. Raw vectors never shuffle."""
+    v = F.col(vec_col)
+    per = (df.where(v.isNotNull())
+             .select(qcol(group_col).alias("group"),
+                     F.posexplode(v.cast("array<double>"))
+                      .alias("dim", "val"))
+             .groupBy("group", "dim")
+             .agg(F.round(F.avg("val"), 6).alias("__m"),
+                  F.count(F.lit(1)).cast("bigint").alias("__c")))
+    return (per.groupBy("group")
+               .agg(F.max("__c").alias("n_vectors"),
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("dim", "__m"))),
+                        lambda s: s["__m"]).alias(vec_col)))

@@ -547,3 +547,36 @@ def test_ivf_pq_topk_recall_and_routing(spark, sf_dir, vecs):
                         n_clusters=3, n_probe=1, m=3, pq_k=4,
                         batch_k=6).collect()
     assert 2 in [r["neighbor_id"] for r in tight]
+
+
+# ---------------------------------------------------------- pool_embeddings
+
+def test_pool_embeddings_hand_computed(spark):
+    from schema_validata_spark.operators.similarity import pool_embeddings
+    rows = [("A", [1.0, 2.0]), ("A", [3.0, 4.0]),
+            ("B", [10.0, 0.0]), ("B", None),
+            ("C", [1.0, 2.0, 3.0]), ("C", [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "g: string, embedding: array<double>")
+    out = {r["group"]: r for r in pool_embeddings(df, "g").collect()}
+    assert out["A"]["embedding"] == [2.0, 3.0]
+    assert out["A"]["n_vectors"] == 2
+    # NULL vector excluded
+    assert out["B"]["embedding"] == [10.0, 0.0]
+    assert out["B"]["n_vectors"] == 1
+    # mixed dims: dim 2 averages over the one vector that has it
+    assert out["C"]["embedding"] == [2.0, 3.0, 3.0]
+
+
+def test_pool_embeddings_feeds_topk(spark):
+    """Pooled frame plugs straight into brute_force_topk."""
+    from schema_validata_spark.operators.similarity import (brute_force_topk,
+                                                            pool_embeddings)
+    rows = [(f"g{i % 3}", [float(i % 3 == 0), float(i % 3 == 1),
+                           float(i % 3 == 2)]) for i in range(9)]
+    df = spark.createDataFrame(rows, "g: string, embedding: array<double>")
+    pooled = pool_embeddings(df, "g").withColumnRenamed("group", "id")
+    q = spark.createDataFrame([("q0", [1.0, 0.0, 0.0])],
+                              "id: string, embedding: array<double>")
+    top = brute_force_topk(pooled, q, id_col="id", qid_col="id",
+                           k=1).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == "g0"
