@@ -537,6 +537,16 @@ def q_pooled_embeddings(spark, sf_dir):
     return pool_embeddings(_t(spark, sf_dir, "embeddings"), "label")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """Release-readiness k-anonymity screen (operators/uniqueness.py:
+    k_anonymity): quasi-identifier class sizes over (source, lang) —
+    one map-side-combined hash agg + a single-row rollup of the
+    classes-sized frame."""
+    from schema_validata_spark.operators.uniqueness import k_anonymity
+    return k_anonymity(_t(spark, sf_dir, "documents"),
+                       ["source", "lang"], k=20)
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2076,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_drift": q_summary_drift,
         "variance_explained": q_variance_explained,
         "pooled_embeddings": q_pooled_embeddings,
+        "k_anonymity": q_k_anonymity,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2694,6 +2705,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT "group", max(c)::bigint AS n_vectors,
                list(m ORDER BY dim ASC) AS embedding
         FROM per GROUP BY "group\""""
+
+    sql["k_anonymity"] = """
+        WITH classes AS (
+          SELECT source, lang, count(*)::bigint AS n
+          FROM documents GROUP BY source, lang)
+        SELECT coalesce(sum(n), 0)::bigint AS n_rows,
+               count(*)::bigint AS n_classes,
+               min(n)::bigint AS min_class_size,
+               count(CASE WHEN n < 20 THEN 1 END)::bigint
+                 AS n_violating_classes,
+               coalesce(sum(CASE WHEN n < 20 THEN n ELSE 0 END), 0)::bigint
+                 AS n_violating_rows,
+               CASE WHEN sum(n) > 0 THEN
+                 round(sum(CASE WHEN n < 20 THEN n ELSE 0 END)::double
+                       / sum(n), 6) END AS violating_row_share,
+               20::bigint AS k
+        FROM classes"""
 
     sql["key_locality"] = """
         WITH pairs AS (

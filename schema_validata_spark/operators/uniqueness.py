@@ -149,3 +149,52 @@ def key_locality(df: DataFrame, key_col: str,
         F.max("__nparts").cast("bigint").alias("max_parts_per_key"),
         F.round(F.avg((F.col("__nparts") == 1).cast("double")), 6)
          .alias("pct_single_part"))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity screen over a quasi-identifier combination — the
+    release-readiness check for transcript/corpus exports: a row whose
+    (e.g. source, lang, date) combination is shared by fewer than k
+    rows is re-identifiable by joining on those attributes alone, even
+    after the PII scan scrubbed direct identifiers. NULL is a value
+    here (NULL-lang rows group together — groupBy semantics), since an
+    attacker sees the missing attribute too.
+
+    Output (one row): n_rows, n_classes, min_class_size,
+    n_violating_classes (size < k), n_violating_rows,
+    violating_row_share (6dp; NULL on empty input), k.
+
+    SCALE: ONE map-side-combined hash agg on the quasi-identifier
+    combo, then a single-row rollup of the classes-sized count frame —
+    the same shape as duplicate_stats; rows never shuffle. For the
+    row-level listing join the class frame back with a plain equi-join
+    on the combo (violations-sized output)."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi column")
+    classes = (df.groupBy(*[qcol(c) for c in quasi_cols])
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    bad = F.col("__n") < k
+    return classes.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("__n").alias("min_class_size"),
+        F.count(F.when(bad, 1)).cast("bigint").alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(bad, F.col("__n")).otherwise(F.lit(0))),
+                   F.lit(0)).cast("bigint").alias("n_violating_rows"),
+        F.when(F.sum("__n") > 0,
+               F.round(F.sum(F.when(bad, F.col("__n")).otherwise(F.lit(0)))
+                       .cast("double") / F.sum("__n"), 6))
+         .alias("violating_row_share"),
+        F.lit(int(k)).cast("bigint").alias("k"))
+
+
+def k_anonymity_classes(df: DataFrame, quasi_cols: list[str],
+                        k: int = 5) -> DataFrame:
+    """The listing twin of ``k_anonymity``: every quasi-identifier
+    class with fewer than k rows (the classes a suppression /
+    generalization pass must treat before release), with its size.
+    Violations-sized output; same single hash agg."""
+    classes = (df.groupBy(*[qcol(c) for c in quasi_cols])
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("class_size")))
+    return classes.where(F.col("class_size") < k)

@@ -102,3 +102,23 @@ def test_key_skew_stats_finds_hot_key(spark):
     # 101 distinct keys (99 cold + mega + NULL): 0.9 * 101
     assert abs(rows[0]["skew_ratio"] - 90.9) < 1e-3
     assert {r["n_rows"] for r in rows[1:]} == {1}
+
+
+def test_k_anonymity_hand_computed(spark):
+    from schema_validata_spark.operators.uniqueness import (k_anonymity,
+                                                            k_anonymity_classes)
+    rows = ([("us", "en")] * 5 + [("fr", "fr")] * 2
+            + [("de", None)] * 1 + [(None, None)] * 3)
+    df = spark.createDataFrame(rows, "src: string, lang: string")
+    out = k_anonymity(df, ["src", "lang"], k=3).collect()[0]
+    assert out["n_rows"] == 11 and out["n_classes"] == 4
+    assert out["min_class_size"] == 1
+    # classes under k=3: (fr,fr)=2 and (de,NULL)=1 -> 3 rows
+    assert out["n_violating_classes"] == 2
+    assert out["n_violating_rows"] == 3
+    assert out["violating_row_share"] == round(3 / 11, 6)
+    listing = {(r["src"], r["lang"]): r["class_size"]
+               for r in k_anonymity_classes(df, ["src", "lang"], k=3).collect()}
+    assert listing == {("fr", "fr"): 2, ("de", None): 1}
+    # NULL quasi values group together (the attacker sees them too)
+    assert out["n_rows"] - sum(listing.values()) == 8
