@@ -547,6 +547,29 @@ def q_k_anonymity(spark, sf_dir):
                        ["source", "lang"], k=20)
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity privacy screen (operators/uniqueness.py:
+    l_diversity): distinct user_ids per (event_type, day) class —
+    classes large enough to be k-anonymous can still be uniform in the
+    sensitive attribute; one (quasi, sensitive) hash agg pre-collapses
+    duplicates map-side."""
+    from schema_validata_spark.operators.uniqueness import l_diversity
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    return l_diversity(ev, ["event_type", "day"], "user_id", l=3)
+
+
+def q_terminal_turns(spark, sf_dir):
+    """Truncated-conversation screen (operators/sequence.py:
+    terminal_turns): conversations whose FINAL turn role is not
+    'assistant' (or is NULL) over the derived-role events transcript —
+    one hash aggregate, max-of-struct picks the last turn map-side."""
+    from schema_validata_spark.operators.sequence import terminal_turns
+    return (terminal_turns(_event_role(spark, sf_dir), "user_id",
+                           ["ts"], "role")
+            .withColumnRenamed("last_order", "last_ts"))
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2087,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_explained": q_variance_explained,
         "pooled_embeddings": q_pooled_embeddings,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "terminal_turns": q_terminal_turns,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2722,6 +2747,47 @@ def oracle_sql() -> dict[str, str]:
                        / sum(n), 6) END AS violating_row_share,
                20::bigint AS k
         FROM classes"""
+
+    sql["l_diversity"] = """
+        WITH pairs AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id,
+                 count(*)::bigint AS n
+          FROM events GROUP BY event_type, day, user_id),
+        classes AS (
+          SELECT event_type, day, sum(n)::bigint AS rows_,
+                 count(CASE WHEN user_id IS NOT NULL THEN 1 END)::bigint
+                   AS div
+          FROM pairs GROUP BY event_type, day)
+        SELECT count(*)::bigint AS n_classes,
+               count(CASE WHEN div < 3 THEN 1 END)::bigint
+                 AS n_violating_classes,
+               coalesce(sum(CASE WHEN div < 3 THEN rows_ ELSE 0 END),
+                        0)::bigint AS n_violating_rows,
+               CASE WHEN sum(rows_) > 0 THEN
+                 round(sum(CASE WHEN div < 3 THEN rows_ ELSE 0 END)::double
+                       / sum(rows_), 6) END AS violating_row_share,
+               min(div)::bigint AS min_diversity,
+               3::bigint AS l
+        FROM classes"""
+
+    sql["terminal_turns"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 CASE WHEN event_id % 97 = 0 THEN NULL
+                      WHEN event_type = 'signup' THEN 'system'
+                      WHEN event_type IN ('click', 'view') THEN 'user'
+                      ELSE 'assistant' END AS role
+          FROM events),
+        l AS (
+          SELECT user_id, ts, role,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_turns
+          FROM r)
+        SELECT user_id, n_turns::bigint AS n_turns,
+               role AS last_role, ts AS last_ts
+        FROM l
+        WHERE rn = 1 AND (role IS NULL OR role <> 'assistant')"""
 
     sql["key_locality"] = """
         WITH pairs AS (

@@ -501,3 +501,34 @@ def turn_balance_stats(df: DataFrame, part_col: str, role_col: str,
                F.round(F.col("response_chars").cast("double")
                        / F.col("prompt_chars"), 6))
          .alias("response_ratio"))
+
+
+def terminal_turns(df: DataFrame, part_col: str, order_cols: list[str],
+                   role_col: str,
+                   allowed_last: set[str] = frozenset({"assistant"})
+                   ) -> DataFrame:
+    """Conversations that end mid-exchange — the truncation screen for
+    SFT exports: a transcript whose LAST turn is a user question or a
+    dangling tool call teaches the model to stop answering. Dual of
+    ``role_conformance``'s first_roles check, applied to the terminal
+    position.
+
+    Output (violating conversations only): part, n_turns, last_role
+    (NULL when the final turn's role is NULL — also a violation),
+    last_order (the first order column's value at the final turn — the
+    truncation point). Caller supplies a TOTAL, non-NULL order, same
+    contract as every op in this module.
+
+    SCALE: ONE hash aggregate — max of (order..., role) structs picks
+    the final turn map-side; no window, no sort. Output is
+    violations-sized."""
+    last = F.max(F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(role_col).alias("__r"))).alias("__last")
+    agg = (df.groupBy(F.col(part_col))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns"), last))
+    last_role = F.col("__last.__r")
+    return (agg.where(last_role.isNull()
+                      | ~last_role.isin(*sorted(allowed_last)))
+               .select(part_col, "n_turns", last_role.alias("last_role"),
+                       F.col("__last.__o0").alias("last_order")))

@@ -198,3 +198,42 @@ def k_anonymity_classes(df: DataFrame, quasi_cols: list[str],
     classes = (df.groupBy(*[qcol(c) for c in quasi_cols])
                  .agg(F.count(F.lit(1)).cast("bigint").alias("class_size")))
     return classes.where(F.col("class_size") < k)
+
+
+def l_diversity(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str, l: int = 2) -> DataFrame:
+    """l-diversity companion to ``k_anonymity``: a quasi-identifier
+    class can be large (k-anonymous) yet still leak — if every row in
+    it shares ONE sensitive value, membership alone reveals the
+    secret. Per class, count distinct non-NULL sensitive values;
+    classes with fewer than l are violations.
+
+    Output (one row): n_classes, n_violating_classes,
+    n_violating_rows, violating_row_share (6dp; NULL on empty input),
+    min_diversity, l. A class whose sensitive values are all NULL has
+    diversity 0 (it reveals 'the secret is missing' — still uniform).
+
+    SCALE: ONE hash agg on (quasi..., sensitive) pre-collapses
+    duplicates map-side, then a classes-keyed rollup and a single-row
+    summary — the distinct count never materializes per row."""
+    if not quasi_cols:
+        raise ValueError("l_diversity needs at least one quasi column")
+    qs = [qcol(c) for c in quasi_cols]
+    pairs = (df.groupBy(*qs, qcol(sensitive_col).alias("__s"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    classes = (pairs.groupBy(*quasi_cols)
+                    .agg(F.sum("__n").cast("bigint").alias("__rows"),
+                         F.count(F.when(F.col("__s").isNotNull(), 1))
+                          .cast("bigint").alias("__div")))
+    bad = F.col("__div") < l
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.count(F.when(bad, 1)).cast("bigint").alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(bad, F.col("__rows")).otherwise(F.lit(0))),
+                   F.lit(0)).cast("bigint").alias("n_violating_rows"),
+        F.when(F.sum("__rows") > 0,
+               F.round(F.sum(F.when(bad, F.col("__rows"))
+                              .otherwise(F.lit(0))).cast("double")
+                       / F.sum("__rows"), 6)).alias("violating_row_share"),
+        F.min("__div").alias("min_diversity"),
+        F.lit(int(l)).cast("bigint").alias("l"))

@@ -322,3 +322,23 @@ def test_turn_balance_hand_computed(spark):
     c2 = out["c2"]
     assert c2["n_prompt_turns"] == 0 and c2["response_chars"] == 12
     assert c2["response_ratio"] is None
+
+
+def test_terminal_turns_hand_computed(spark):
+    from schema_validata_spark.operators.sequence import terminal_turns
+    rows = [("c1", 1, "user"), ("c1", 2, "assistant"),      # ok
+            ("c2", 1, "user"), ("c2", 2, "user"),           # ends on user
+            ("c3", 1, "assistant"), ("c3", 2, None),        # NULL last role
+            ("c4", 1, "tool")]                              # ends on tool
+    df = spark.createDataFrame(rows, "conv: string, idx: int, role: string")
+    out = {r["conv"]: r for r in
+           terminal_turns(df, "conv", ["idx"], "role").collect()}
+    assert set(out) == {"c2", "c3", "c4"}
+    assert out["c2"]["last_role"] == "user" and out["c2"]["last_order"] == 2
+    assert out["c3"]["last_role"] is None
+    assert out["c4"]["n_turns"] == 1
+    # widening the allowed set clears the tool ending
+    out2 = {r["conv"] for r in
+            terminal_turns(df, "conv", ["idx"], "role",
+                           allowed_last={"assistant", "tool"}).collect()}
+    assert out2 == {"c2", "c3"}

@@ -122,3 +122,20 @@ def test_k_anonymity_hand_computed(spark):
     assert listing == {("fr", "fr"): 2, ("de", None): 1}
     # NULL quasi values group together (the attacker sees them too)
     assert out["n_rows"] - sum(listing.values()) == 8
+
+
+def test_l_diversity_hand_computed(spark):
+    from schema_validata_spark.operators.uniqueness import l_diversity
+    # class (us,en): secrets a,a,b -> diversity 2 (ok at l=2)
+    # class (fr,fr): secrets a,a   -> diversity 1 (violates)
+    # class (de,de): secrets NULL,NULL -> diversity 0 (violates)
+    rows = [("us", "en", "a"), ("us", "en", "a"), ("us", "en", "b"),
+            ("fr", "fr", "a"), ("fr", "fr", "a"),
+            ("de", "de", None), ("de", "de", None)]
+    df = spark.createDataFrame(rows, "src: string, lang: string, s: string")
+    out = l_diversity(df, ["src", "lang"], "s", l=2).collect()[0]
+    assert out["n_classes"] == 3
+    assert out["n_violating_classes"] == 2
+    assert out["n_violating_rows"] == 4
+    assert out["violating_row_share"] == round(4 / 7, 6)
+    assert out["min_diversity"] == 0 and out["l"] == 2
