@@ -570,6 +570,16 @@ def q_terminal_turns(spark, sf_dir):
             .withColumnRenamed("last_order", "last_ts"))
 
 
+def q_position_profile(spark, sf_dir):
+    """Turn-position text-mass curve (operators/sequence.py:
+    position_profile) over the derived-role events transcript: ONE
+    keyed window + ONE hash agg on the bucket-sized key — the
+    context-truncation/sampling-window signal."""
+    from schema_validata_spark.operators.sequence import position_profile
+    return position_profile(_event_transcript(spark, sf_dir),
+                            "user_id", ["ts"], "text", max_bucket=10)
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2112,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "terminal_turns": q_terminal_turns,
+        "position_profile": q_position_profile,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2788,6 +2799,25 @@ def oracle_sql() -> dict[str, str]:
                role AS last_role, ts AS last_ts
         FROM l
         WHERE rn = 1 AND (role IS NULL OR role <> 'assistant')"""
+
+    sql["position_profile"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 CASE WHEN event_id % 89 != 0 THEN props END AS text
+          FROM events),
+        p AS (
+          SELECT least(row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts), 10) AS position,
+                 length(text) AS c,
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0
+                      THEN 1 ELSE 0 END AS e
+          FROM r)
+        SELECT position::int AS position, count(*)::bigint AS n_turns,
+               sum(e)::bigint AS n_empty,
+               round(avg(c), 6) AS mean_chars,
+               max(c)::bigint AS max_chars,
+               (position = 10)::int AS position_capped
+        FROM p GROUP BY position ORDER BY position"""
 
     sql["key_locality"] = """
         WITH pairs AS (

@@ -342,3 +342,27 @@ def test_terminal_turns_hand_computed(spark):
             terminal_turns(df, "conv", ["idx"], "role",
                            allowed_last={"assistant", "tool"}).collect()}
     assert out2 == {"c2", "c3"}
+
+
+def test_position_profile_hand_computed(spark):
+    from schema_validata_spark.operators.sequence import position_profile
+    rows = [("c1", 1, "aaaa"), ("c1", 2, "bb"), ("c1", 3, "c"),
+            ("c1", 4, "dd"),
+            ("c2", 1, "eeee"), ("c2", 2, None),
+            ("c3", 1, "  ")]
+    df = spark.createDataFrame(rows, "conv: string, idx: int, text: string")
+    out = {r["position"]: r for r in
+           position_profile(df, "conv", ["idx"], "text",
+                            max_bucket=3).collect()}
+    p1 = out[1]
+    assert p1["n_turns"] == 3 and p1["n_empty"] == 1
+    # mean over non-NULL texts: (4 + 4 + 2)/3 (blank "  " has length 2)
+    assert p1["mean_chars"] == round(10 / 3, 6)
+    p2 = out[2]
+    assert p2["n_turns"] == 2 and p2["n_empty"] == 1
+    assert p2["mean_chars"] == 2.0        # NULL text excluded from mean
+    # positions 3 and 4 collapse into the capped bucket
+    p3 = out[3]
+    assert p3["n_turns"] == 2 and p3["position_capped"] == 1
+    assert p3["mean_chars"] == 1.5 and p3["max_chars"] == 2
+    assert out[1]["position_capped"] == 0
