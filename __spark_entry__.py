@@ -580,6 +580,17 @@ def q_position_profile(spark, sf_dir):
                             "user_id", ["ts"], "text", max_bucket=10)
 
 
+def q_uncertainty_coeff(spark, sf_dir):
+    """Theil's U between documents.source and documents.lang
+    (operators/statqa.py:uncertainty_coefficient) — the asymmetric
+    association cramers_v can't express: does source determine lang
+    more than lang determines source; one (x, y) hash agg, entropies
+    over the vocab-squared frame."""
+    from schema_validata_spark.operators.statqa import uncertainty_coefficient
+    return uncertainty_coefficient(_t(spark, sf_dir, "documents"),
+                                   "source", "lang")
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2123,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "terminal_turns": q_terminal_turns,
         "position_profile": q_position_profile,
+        "uncertainty_coeff": q_uncertainty_coeff,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2818,6 +2830,35 @@ def oracle_sql() -> dict[str, str]:
                max(c)::bigint AS max_chars,
                (position = 10)::int AS position_capped
         FROM p GROUP BY position ORDER BY position"""
+
+    sql["uncertainty_coeff"] = """
+        WITH joint AS (
+          SELECT coalesce(source, '__null__') AS x,
+                 coalesce(lang, '__null__') AS y,
+                 count(*)::double AS c
+          FROM documents GROUP BY 1, 2),
+        mx AS (SELECT x, sum(c) AS cx FROM joint GROUP BY x),
+        my AS (SELECT y, sum(c) AS cy FROM joint GROUP BY y),
+        tot AS (SELECT sum(c) AS n FROM joint),
+        j AS (
+          SELECT joint.c, mx.cx, my.cy, tot.n
+          FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+        e AS (
+          SELECT max(n) AS nn,
+                 -sum((c / n) * log2(cx / n)) AS hx,
+                 -sum((c / n) * log2(cy / n)) AS hy,
+                 -sum((c / n) * log2(c / cx)) AS hyx,
+                 -sum((c / n) * log2(c / cy)) AS hxy
+          FROM j)
+        SELECT nn::bigint AS n,
+               round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+               round(hyx, 6) AS h_y_given_x,
+               round(hxy, 6) AS h_x_given_y,
+               CASE WHEN hy > 1e-12 THEN round((hy - hyx) / hy, 6) END
+                 AS u_y_given_x,
+               CASE WHEN hx > 1e-12 THEN round((hx - hxy) / hx, 6) END
+                 AS u_x_given_y
+        FROM e"""
 
     sql["key_locality"] = """
         WITH pairs AS (

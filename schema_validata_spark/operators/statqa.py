@@ -620,3 +620,55 @@ def variance_explained(df: DataFrame, value_col: str,
         F.round(ssb, 2).alias("ss_between"),
         F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
         F.round(f_stat, 6).alias("f_stat"))
+
+
+def uncertainty_coefficient(df: DataFrame, x_col: str, y_col: str,
+                            null_token: str = "__null__") -> DataFrame:
+    """Theil's uncertainty coefficient between two categorical columns
+    — the ASYMMETRIC association ``cramers_v`` can't express:
+    U(Y|X) = (H(Y) − H(Y|X)) / H(Y) is the fraction of Y's entropy
+    that knowing X removes. Direction matters in data QA: source may
+    fully determine lang (U(lang|source)=1) while lang barely narrows
+    source — a derived column's U against its driver dropping from 1
+    is the decoupling tripwire, and the reverse direction staying low
+    is what proves it's a derivation, not a 1:1 alias.
+
+    NULL is a category (``null_token``), matching ``column_entropy``
+    — a null-flood is association-relevant. Output (one row): n,
+    h_x, h_y, h_y_given_x, h_x_given_y, u_y_given_x, u_x_given_y
+    (bits, 6dp; U is NULL when the conditioned entropy is 0 —
+    a constant column has nothing to explain).
+
+    SCALE: ONE map-side-combined hash agg builds the (x, y) joint
+    count frame; marginals and entropies are joins/aggregates over
+    that vocabulary²-sized frame. Rows shuffle once."""
+    x = F.coalesce(qcol(x_col).cast("string"), F.lit(null_token))
+    y = F.coalesce(qcol(y_col).cast("string"), F.lit(null_token))
+    joint = (df.groupBy(x.alias("__x"), y.alias("__y"))
+               .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+    mx = joint.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = joint.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = joint.agg(F.sum("__c").alias("__n"))
+    j = (joint.join(mx, "__x").join(my, "__y")
+              .crossJoin(F.broadcast(tot)))
+    p = F.col("__c") / F.col("__n")
+    agg = j.agg(
+        F.max("__n").alias("__N"),
+        (-F.sum(p * F.log2(F.col("__cx") / F.col("__n")))).alias("__hx"),
+        (-F.sum(p * F.log2(F.col("__cy") / F.col("__n")))).alias("__hy"),
+        (-F.sum(p * F.log2(F.col("__c") / F.col("__cx"))))
+         .alias("__hy_x"),
+        (-F.sum(p * F.log2(F.col("__c") / F.col("__cy"))))
+         .alias("__hx_y"))
+    return agg.select(
+        F.col("__N").cast("bigint").alias("n"),
+        F.round("__hx", 6).alias("h_x"),
+        F.round("__hy", 6).alias("h_y"),
+        F.round("__hy_x", 6).alias("h_y_given_x"),
+        F.round("__hx_y", 6).alias("h_x_given_y"),
+        F.when(F.col("__hy") > 1e-12,
+               F.round((F.col("__hy") - F.col("__hy_x")) / F.col("__hy"),
+                       6)).alias("u_y_given_x"),
+        F.when(F.col("__hx") > 1e-12,
+               F.round((F.col("__hx") - F.col("__hx_y")) / F.col("__hx"),
+                       6)).alias("u_x_given_y"))

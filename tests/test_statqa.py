@@ -462,3 +462,38 @@ def test_variance_explained_hand_computed(spark):
     # constant column -> NULL eta
     df3 = spark.createDataFrame([("a", 7.0), ("b", 7.0)], "g: string, v: double")
     assert variance_explained(df3, "v", "g").collect()[0]["eta_sq"] is None
+
+
+# ---------------------------------------------- uncertainty_coefficient
+
+def test_uncertainty_coefficient_directions(spark):
+    from schema_validata_spark.operators.statqa import uncertainty_coefficient
+    # x fully determines y (y = x mod 2 label), y does NOT determine x
+    rows = [("a", "even"), ("b", "odd"), ("c", "even"), ("d", "odd"),
+            ("a", "even"), ("b", "odd"), ("c", "even"), ("d", "odd")]
+    df = spark.createDataFrame(rows, "x: string, y: string")
+    r = uncertainty_coefficient(df, "x", "y").collect()[0]
+    assert r["n"] == 8
+    assert r["u_y_given_x"] == 1.0          # knowing x removes all of H(Y)
+    assert 0.0 < r["u_x_given_y"] < 1.0     # knowing y only halves H(X)
+    assert r["h_x"] == 2.0 and r["h_y"] == 1.0
+    assert r["h_y_given_x"] == 0.0
+    # independence -> both directions ~0
+    rows2 = [(a, b) for a in "ab" for b in "cd" for _ in range(5)]
+    df2 = spark.createDataFrame(rows2, "x: string, y: string")
+    r2 = uncertainty_coefficient(df2, "x", "y").collect()[0]
+    assert r2["u_y_given_x"] == 0.0 and r2["u_x_given_y"] == 0.0
+    # constant y -> H(Y)=0 -> U(Y|X) NULL (nothing to explain), and a
+    # constant conditioner removes nothing of H(X) -> U(X|Y) = 0
+    df3 = spark.createDataFrame([("a", "k"), ("b", "k")], "x: string, y: string")
+    r3 = uncertainty_coefficient(df3, "x", "y").collect()[0]
+    assert r3["u_y_given_x"] is None and r3["u_x_given_y"] == 0.0
+
+
+def test_uncertainty_coefficient_null_category(spark):
+    from schema_validata_spark.operators.statqa import uncertainty_coefficient
+    df = spark.createDataFrame([("a", None), ("a", None), ("b", "v"),
+                                ("b", "v")], "x: string, y: string")
+    r = uncertainty_coefficient(df, "x", "y").collect()[0]
+    # NULL is a category: x fully determines y (NULL vs v)
+    assert r["u_y_given_x"] == 1.0 and r["n"] == 4
