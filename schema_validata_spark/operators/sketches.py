@@ -333,32 +333,59 @@ def summary_drift(summaries_a: DataFrame, summaries_b: DataFrame,
 
     Output per column: column_name, n_a, n_b, w1_est, max_q_gap (6dp).
 
-    SCALE: windows + joins over the metadata-sized summary frames
-    only ((#partitions × #cols × k) rows); data is never rescanned."""
+    Shape note: the two sides are combined by UNION + pivot, not a
+    join — the frames often share lineage (two filters of one saved
+    table, or two windows of one stream), and a self-join of
+    window-bearing plans trips Spark's conflicting-attribute
+    resolution; the union is also one shuffle cheaper.
+
+    SCALE: windows + one hash agg over the metadata-sized summary
+    frames only ((#partitions × #cols × k) rows); data is never
+    rescanned."""
     if probes < 2:
         raise ValueError("probes must be >= 2")
     fractions = [(i + 0.5) / probes for i in range(probes)]
-    qa = _summary_quantiles_long(summaries_a, fractions)
-    qb = _summary_quantiles_long(summaries_b, fractions)
-    gap = F.abs(F.col("__qa") - F.col("__qb"))
-    drift = (qa.select("column_name", "fidx", F.col("q").alias("__qa"))
-               .join(qb.select("column_name", "fidx",
-                               F.col("q").alias("__qb")),
-                     ["column_name", "fidx"])
-               .groupBy("column_name")
-               .agg(F.round(F.avg(gap), 6).alias("w1_est"),
-                    F.round(F.max(gap), 6).alias("max_q_gap")))
-    na = (summaries_a.groupBy("column_name")
-                     .agg(F.sum("n_vals").cast("bigint").alias("n_a")))
-    nb = (summaries_b.groupBy("column_name")
-                     .agg(F.sum("n_vals").cast("bigint").alias("n_b")))
-    spine = (na.join(nb, "column_name", "full_outer")
-               .select("column_name",
-                       F.coalesce("n_a", F.lit(0)).cast("bigint")
-                        .alias("n_a"),
-                       F.coalesce("n_b", F.lit(0)).cast("bigint")
-                        .alias("n_b")))
-    return (spine.join(drift, "column_name", "left")
-                 .select("column_name", "n_a", "n_b",
-                         "w1_est", "max_q_gap")
-                 .orderBy("column_name"))
+
+    def _side(summ, tag):
+        return (_summary_quantiles_long(summ, fractions)
+                .select("column_name", "fidx", "q",
+                        F.lit(tag).alias("__side")))
+
+    both = _side(summaries_a, "a").unionByName(_side(summaries_b, "b"))
+    per_probe = (both.groupBy("column_name", "fidx")
+                     .agg(F.max(F.when(F.col("__side") == "a",
+                                       F.col("q"))).alias("__qa"),
+                          F.max(F.when(F.col("__side") == "b",
+                                       F.col("q"))).alias("__qb")))
+    gap = F.abs(F.col("__qa") - F.col("__qb"))  # NULL if a side missing
+    drift = (per_probe.groupBy("column_name")
+                      .agg(F.round(F.avg(gap), 6).alias("w1_est"),
+                           F.round(F.max(gap), 6).alias("max_q_gap")))
+    counts = (summaries_a.select("column_name", "n_vals",
+                                 F.lit("a").alias("__side"))
+              .unionByName(summaries_b.select("column_name", "n_vals",
+                                              F.lit("b").alias("__side")))
+              .groupBy("column_name")
+              .agg(F.coalesce(F.sum(F.when(F.col("__side") == "a",
+                                           F.col("n_vals"))), F.lit(0))
+                    .cast("bigint").alias("n_a"),
+                   F.coalesce(F.sum(F.when(F.col("__side") == "b",
+                                           F.col("n_vals"))), F.lit(0))
+                    .cast("bigint").alias("n_b")))
+    # final combine is ALSO a union-pivot: counts and drift both trace
+    # back to the same input frames, so a join would reintroduce the
+    # shared-lineage ambiguity the union shape exists to avoid
+    c2 = counts.select("column_name", "n_a", "n_b",
+                       F.lit(None).cast("double").alias("w1_est"),
+                       F.lit(None).cast("double").alias("max_q_gap"))
+    d2 = drift.select("column_name",
+                      F.lit(None).cast("bigint").alias("n_a"),
+                      F.lit(None).cast("bigint").alias("n_b"),
+                      "w1_est", "max_q_gap")
+    return (c2.unionByName(d2)
+              .groupBy("column_name")
+              .agg(F.max("n_a").alias("n_a"),
+                   F.max("n_b").alias("n_b"),
+                   F.max("w1_est").alias("w1_est"),
+                   F.max("max_q_gap").alias("max_q_gap"))
+              .orderBy("column_name"))

@@ -373,3 +373,67 @@ def stream_distinct_estimates(stream_df: DataFrame, col: str,
                     F.hll_sketch_estimate(F.col("sketch"))
                      .cast("bigint").alias("n_distinct_est"),
                     "sketch"))
+
+
+def stream_quantile_summaries(stream_df: DataFrame, cols: list[str],
+                              ts_col: str = "ts",
+                              window: str = "1 hour",
+                              watermark: str = "2 hours",
+                              k: int = 32,
+                              accuracy: int = 10000) -> DataFrame:
+    """Per-window mergeable quantile summaries — the streaming twin of
+    ``operators/sketches.py:quantile_summaries``: each completed
+    event-time window emits k order statistics at (i+0.5)/k (6dp-
+    pinned) plus the non-null count, in EXACTLY the frame shape the
+    batch merge layer consumes. Completed windows therefore feed
+    ``merge_quantile_estimates`` (hourly → daily → table quantiles)
+    and ``summary_drift`` (did this hour's latency distribution move
+    against yesterday's baseline) without re-reading the stream.
+
+    Approximation contract: streaming cannot sort a window exactly at
+    bounded state, so this uses ``percentile_approx`` (Greenwald-
+    Khanna, rank error ≤ n/accuracy per window — EXACT while a
+    window holds ≤ accuracy rows); that error simply adds to the merge
+    layer's n/(2k) bound. Unlike the batch layer's interpolated
+    ``percentile``, GK returns actual data elements.
+
+    Output (append mode, one row per complete window per column):
+    window_start, window_end, partition_key (the window start as a
+    string — the merge layer's partition identity), column_name, qs,
+    n_vals. Windows where a column is all-NULL emit no row for it
+    (matching the batch layer's n_vals > 0 filter).
+
+    SCALE: ONE stateful windowed aggregate; per-window state is the
+    GK summary (O(accuracy · log n) compressed tuples) + counters,
+    bounded regardless of row rate; the watermark bounds live
+    windows. The post-aggregation melt is a projection."""
+    if not cols:
+        raise ValueError("stream_quantile_summaries needs >= 1 column")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    fracs = F.array(*[F.lit((i + 0.5) / k) for i in range(k)])
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        aggs.append(F.transform(
+            F.percentile_approx(v, fracs, F.lit(accuracy)),
+            lambda x: F.round(x, 6)).alias(f"__q_{i}"))
+        aggs.append(F.count(v).cast("bigint").alias(f"__n_{i}"))
+    grouped = (stream_df
+               .withWatermark(ts_col, watermark)
+               .groupBy(F.window(F.col(ts_col), window).alias("w"))
+               .agg(*aggs))
+    pairs = [F.struct(F.lit(c).alias("column_name"),
+                      F.col(f"__q_{i}").alias("qs"),
+                      F.col(f"__n_{i}").alias("n_vals"))
+             for i, c in enumerate(cols)]
+    return (grouped.select(F.col("w.start").alias("window_start"),
+                           F.col("w.end").alias("window_end"),
+                           F.explode(F.array(*pairs)).alias("__p"))
+                   .select("window_start", "window_end",
+                           F.col("window_start").cast("string")
+                            .alias("partition_key"),
+                           F.col("__p.column_name").alias("column_name"),
+                           F.col("__p.qs").alias("qs"),
+                           F.col("__p.n_vals").alias("n_vals"))
+                   .where(F.col("n_vals") > 0))

@@ -419,3 +419,50 @@ def test_stream_distinct_estimates_windows_and_merge(spark, tmp_path):
               .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")))
               .collect()[0][0])
     assert merged == 7
+
+
+def test_stream_quantile_summaries_feed_merge_and_drift(spark, tmp_path):
+    """Per-window quantile summaries emit in the batch merge layer's
+    frame shape: completed windows merge to whole-stream quantiles and
+    diff through summary_drift (a +100 shift between windows reads as
+    W1 = 100 exactly, since GK returns actual elements)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from schema_validata_spark.streaming.validate_stream import (
+        stream_quantile_summaries)
+    from schema_validata_spark.operators.sketches import (
+        merge_quantile_estimates, summary_drift)
+    h0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h1 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    rows = ([(float(i), h0 + dt.timedelta(minutes=i % 30))
+             for i in range(100)]                     # w0: 0..99
+            + [(float(i) + 100.0, h1 + dt.timedelta(minutes=i % 30))
+               for i in range(100)]                   # w1: 100..199
+            + [(None, h0)]                            # NULL: not counted
+            + [(0.0, h1 + dt.timedelta(hours=1, minutes=1))])  # sentinel
+    src = str(tmp_path / "sqs")
+    spark.createDataFrame(rows, "v double, ts timestamp") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("v double, ts timestamp").parquet(src)
+    out = stream_quantile_summaries(stream, ["v"], window="1 hour",
+                                    watermark="0 seconds", k=8)
+    q = (out.writeStream.format("memory").queryName("sqs_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sqs_mem")
+    rows_out = {r["window_start"]: r for r in got.collect()}
+    assert set(rows_out) == {h0, h1}            # sentinel window still open
+    assert rows_out[h0]["n_vals"] == 100        # NULL not counted
+    assert len(rows_out[h0]["qs"]) == 8
+    # the emitted frame IS the batch merge layer's shape
+    merged = merge_quantile_estimates(
+        got.select("partition_key", "column_name", "qs", "n_vals"),
+        [0.5]).collect()[0]
+    assert 90.0 <= merged["q_50"] <= 110.0      # median of 0..199
+    drift = summary_drift(
+        got.where(F.col("window_start") == h0)
+           .select("column_name", "qs", "n_vals"),
+        got.where(F.col("window_start") == h1)
+           .select("column_name", "qs", "n_vals"),
+        probes=4).collect()[0]
+    assert drift["w1_est"] == 100.0 and drift["max_q_gap"] == 100.0
