@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--no-verify-content", action="store_true",
                     help="trust the manifest without per-partition content "
                          "fingerprints (immutable inputs)")
+    ap.add_argument("--sketch-cols",
+                    help="comma-separated columns to maintain mergeable "
+                         "HLL distinct sketches for (persisted at "
+                         "<manifest>_sketches, reused on resume)")
     ap.add_argument("--name", default="transcripts")
     args = ap.parse_args(argv)
 
@@ -101,10 +105,13 @@ def main(argv=None):
     paths = write_report(result, args.out, out_name=args.name)
 
     if args.partition_col and args.manifest:
+        sketch_cols = ([c.strip() for c in args.sketch_cols.split(",")
+                        if c.strip()] if args.sketch_cols else None)
         pv = validate_partitioned(spark, df, rules, args.partition_col,
                                   args.manifest, dims=dims,
                                   snapshot_id=args.snapshot_id,
-                                  verify_content=not args.no_verify_content)
+                                  verify_content=not args.no_verify_content,
+                                  sketch_cols=sketch_cols)
         pv.write.mode("overwrite").parquet(
             f"{args.out}/{args.name}_partition_verdicts.parquet")
 

@@ -24,7 +24,8 @@ def test_spark_submit_py_files_job(spark, tmp_path):
     from schema_validata_spark.datagen import gen_conversations, \
         gen_transcripts
 
-    tdir, cdir, out = (str(tmp_path / d) for d in ("t", "c", "out"))
+    tdir, cdir, out, mdir = (str(tmp_path / d)
+                             for d in ("t", "c", "out", "manifest"))
     gen_transcripts(spark, 4000, seed=7).write.parquet(tdir)
     gen_conversations(spark, 4000, seed=7).write.parquet(cdir)
 
@@ -50,7 +51,9 @@ def test_spark_submit_py_files_job(spark, tmp_path):
          "--py-files", zip_path,
          os.path.join(REPO, "scripts", "run_validation_job.py"),
          "--transcripts", tdir, "--conversations", cdir,
-         "--out", out, "--name", "transcripts"],
+         "--out", out, "--name", "transcripts",
+         "--partition-col", "ts_date", "--manifest", mdir,
+         "--sketch-cols", "conv_id,role"],
         capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
         env=env)
 
@@ -65,3 +68,9 @@ def test_spark_submit_py_files_job(spark, tmp_path):
     assert report["uid"]
     for p in report["artifacts"].values():
         assert os.path.exists(p), p
+    # the resumable path ran: partition verdicts + manifest + the
+    # mergeable sketch frame persisted beside it
+    assert os.path.exists(os.path.join(
+        out, "transcripts_partition_verdicts.parquet"))
+    assert os.path.exists(mdir)
+    assert os.path.exists(mdir + "_sketches")
