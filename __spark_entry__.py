@@ -591,6 +591,17 @@ def q_uncertainty_coeff(spark, sf_dir):
                                    "source", "lang")
 
 
+def q_slice_similarity(spark, sf_dir):
+    """Slice-level content-overlap matrix (operators/dedup.py:
+    slice_similarity): MinHash signatures per language slice via
+    engine-portable salted-md5 mins (map-side combinable, duplicate
+    shingles never shuffle), pairwise compared on the #groups-sized
+    signature frame."""
+    from schema_validata_spark.operators.dedup import slice_similarity
+    return slice_similarity(_t(spark, sf_dir, "documents"),
+                            "text", "lang", k=24)
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2135,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terminal_turns": q_terminal_turns,
         "position_profile": q_position_profile,
         "uncertainty_coeff": q_uncertainty_coeff,
+        "slice_similarity": q_slice_similarity,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2859,6 +2871,55 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN hx > 1e-12 THEN round((hx - hxy) / hx, 6) END
                  AS u_x_given_y
         FROM e"""
+
+    sql["slice_similarity"] = """
+        WITH toks AS (
+          SELECT lang AS g,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0
+            AND lang IS NOT NULL),
+        sh AS (
+          SELECT g, unnest(
+                   CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                   ELSE list_transform(range(1, len(w) - 1),
+                        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+                   END) AS s
+          FROM toks),
+        sig AS (
+          SELECT g,
+                 [min(substr(md5(concat('0:', s)), 1, 16)),
+                 min(substr(md5(concat('1:', s)), 1, 16)),
+                 min(substr(md5(concat('2:', s)), 1, 16)),
+                 min(substr(md5(concat('3:', s)), 1, 16)),
+                 min(substr(md5(concat('4:', s)), 1, 16)),
+                 min(substr(md5(concat('5:', s)), 1, 16)),
+                 min(substr(md5(concat('6:', s)), 1, 16)),
+                 min(substr(md5(concat('7:', s)), 1, 16)),
+                 min(substr(md5(concat('8:', s)), 1, 16)),
+                 min(substr(md5(concat('9:', s)), 1, 16)),
+                 min(substr(md5(concat('10:', s)), 1, 16)),
+                 min(substr(md5(concat('11:', s)), 1, 16)),
+                 min(substr(md5(concat('12:', s)), 1, 16)),
+                 min(substr(md5(concat('13:', s)), 1, 16)),
+                 min(substr(md5(concat('14:', s)), 1, 16)),
+                 min(substr(md5(concat('15:', s)), 1, 16)),
+                 min(substr(md5(concat('16:', s)), 1, 16)),
+                 min(substr(md5(concat('17:', s)), 1, 16)),
+                 min(substr(md5(concat('18:', s)), 1, 16)),
+                 min(substr(md5(concat('19:', s)), 1, 16)),
+                 min(substr(md5(concat('20:', s)), 1, 16)),
+                 min(substr(md5(concat('21:', s)), 1, 16)),
+                 min(substr(md5(concat('22:', s)), 1, 16)),
+                 min(substr(md5(concat('23:', s)), 1, 16))] AS sig
+          FROM sh GROUP BY g)
+        SELECT a.g AS group_a, b.g AS group_b,
+               len(list_filter(range(1, 25), i -> a.sig[i] = b.sig[i]))
+                 ::bigint AS n_matches,
+               round(len(list_filter(range(1, 25),
+                                     i -> a.sig[i] = b.sig[i]))::double
+                     / 24.0, 6) AS est_jaccard
+        FROM sig a JOIN sig b ON a.g < b.g"""
 
     sql["key_locality"] = """
         WITH pairs AS (

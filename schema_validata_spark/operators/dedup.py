@@ -779,3 +779,62 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                                      n_clusters, n_iters, centroids,
                                      max_bucket, telemetry_out)
     return dedup_keep_canonical(df, pairs, id_col)
+
+
+def slice_similarity(df: DataFrame, text_col: str, group_col: str,
+                     k: int = 24, shingle_k: int = 3) -> DataFrame:
+    """Content-overlap matrix BETWEEN corpus slices: an estimated
+    shingle-set Jaccard for every pair of groups (sources, dumps,
+    snapshot labels) via MinHash signatures — 'are these two crawls
+    substantially the same corpus' at aggregate cost, where doc-level
+    dedup would need the full cross product. Routing/licensing triage:
+    a new source whose slice-Jaccard against an existing one is 0.8
+    is a re-crawl, not new data.
+
+    The signature is ENGINE-PORTABLE by construction: component i is
+    min over the slice's shingles of the 16-hex-char prefix of
+    md5(i || ':' || shingle) — salted md5 replaces the usual
+    (a·h+b) mod p permutations (no 128-bit modmul in SQL), and min of
+    fixed-length hex strings is min of the underlying numbers, so a
+    plain SQL engine replays it byte-identically. E[matches/k] is the
+    true Jaccard; the ±1/√k spread is the documented accuracy.
+
+    NULL/blank texts and NULL groups carry nothing; a slice with no
+    shingles emits no signature (absent from all pairs). Output per
+    unordered pair: group_a < group_b, n_matches, est_jaccard (6dp).
+
+    SCALE: shingle explode is map-side; the ONE hash agg carries k
+    16-char mins per group (min partials combine map-side — duplicate
+    shingles never shuffle); the pairwise compare is a self-join of
+    the #groups-sized signature frame. Corpus text never shuffles.
+    Cost scales with k md5 evaluations per shingle occurrence — keep
+    k ≤ ~64; beyond that, sketch the shingle set once and permute."""
+    from ..functions.text import shingles
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = F.col(text_col)
+    sh = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0)
+                   & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("group"),
+                    F.explode(shingles(text_col, shingle_k)).alias("s")))
+    mins = [F.min(F.substring(F.md5(F.concat(F.lit(f"{i}:"),
+                                             F.col("s"))), 1, 16))
+             .alias(f"__m{i}") for i in range(k)]
+    sig = (sh.groupBy("group").agg(*mins)
+             .select("group", F.array(*[F.col(f"__m{i}")
+                                        for i in range(k)]).alias("__sig")))
+    a = sig.select(F.col("group").alias("group_a"),
+                   F.col("__sig").alias("__sa"))
+    b = sig.select(F.col("group").alias("group_b"),
+                   F.col("__sig").alias("__sb"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    matches = F.aggregate(
+        F.zip_with("__sa", "__sb",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return pairs.select(
+        "group_a", "group_b",
+        matches.cast("bigint").alias("n_matches"),
+        F.round(matches.cast("double") / F.lit(float(k)), 6)
+         .alias("est_jaccard"))

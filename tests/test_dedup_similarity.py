@@ -580,3 +580,44 @@ def test_pool_embeddings_feeds_topk(spark):
     top = brute_force_topk(pooled, q, id_col="id", qid_col="id",
                            k=1).collect()
     assert len(top) == 1 and top[0]["neighbor_id"] == "g0"
+
+
+# --------------------------------------------------------- slice_similarity
+
+def test_slice_similarity_identical_disjoint_and_estimate(spark):
+    from schema_validata_spark.operators.dedup import slice_similarity
+    base = " ".join(f"w{i}" for i in range(60))
+    other = " ".join(f"z{i}" for i in range(60))
+    # half of C's shingles overlap A's (same first 30 tokens run)
+    half = " ".join([f"w{i}" for i in range(30)]
+                    + [f"q{i}" for i in range(30)])
+    df = spark.createDataFrame(
+        [("A", base), ("B", base), ("D", other), ("C", half),
+         ("A", None), (None, base), ("E", "   ")],
+        "src: string, text: string")
+    out = {(r["group_a"], r["group_b"]): r for r in
+           slice_similarity(df, "text", "src", k=32).collect()}
+    # identical slices: every signature component matches
+    assert out[("A", "B")]["est_jaccard"] == 1.0
+    assert out[("A", "B")]["n_matches"] == 32
+    # disjoint vocabularies: no component matches
+    assert out[("A", "D")]["est_jaccard"] == 0.0
+    # ~28/86 true shingle Jaccard: estimate lands in a wide sane band
+    est = out[("A", "C")]["est_jaccard"]
+    assert 0.05 <= est <= 0.65
+    # NULL text / NULL group / blank-only slices carry nothing
+    assert not any("E" in p or None in p for p in out)
+    # all pairs among {A,B,C,D} present, ordered a < b
+    assert len(out) == 6 and all(pa < pb for pa, pb in out)
+
+
+def test_slice_similarity_partition_invariant(spark):
+    from schema_validata_spark.operators.dedup import slice_similarity
+    rows = [(f"s{i % 3}", f"doc {i} common tokens run " * 3 + f"tail{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "src: string, text: string")
+    r1 = sorted(map(tuple, slice_similarity(df, "text", "src", k=16)
+                    .collect()))
+    r2 = sorted(map(tuple, slice_similarity(df.repartition(7), "text",
+                                            "src", k=16).collect()))
+    assert r1 == r2
