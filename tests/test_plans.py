@@ -619,3 +619,51 @@ def test_gini_prunes_untouched_columns(spark, tmp_path):
     assert reads, plan
     assert all("blob" not in l for l in reads), reads
     assert out.count() == 3
+
+
+# --------------------------------------------------------------- plan_audit
+
+def test_plan_audit_counts_known_structures(spark, tmp_path):
+    from schema_validata_spark.plans import plan_audit
+    path = str(tmp_path / "audit_src")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("g"),
+        F.lit("wide").alias("extra")).write.parquet(path)
+    df = spark.read.parquet(path)
+    # one hash agg: exactly one exchange, no sort/join/python
+    agg = df.groupBy("g").count()
+    a = plan_audit(agg)
+    assert a.n_exchanges == 1 and a.n_sorts == 0
+    assert a.n_nested_loop_joins == 0 and a.n_python_evals == 0
+    assert not a.has_global_sort
+    assert a.n_scans == 1 and a.scan_widths == [1]   # pruned to g
+    # a global orderBy shows up as a range exchange + sort (order by a
+    # non-presorted column: Range is already ordered by id, and Catalyst
+    # would eliminate that sort entirely)
+    srt = plan_audit(df.orderBy("g"))
+    assert srt.has_global_sort and srt.n_sorts >= 1
+    # crossJoin is a nested-loop join
+    cj = plan_audit(df.crossJoin(spark.range(2)))
+    assert cj.n_nested_loop_joins >= 1
+    # a row-at-a-time python UDF is the flagged slow path
+    from pyspark.sql.functions import udf
+    slow = df.select(udf(lambda x: x + 1, "long")(F.col("id")))
+    assert plan_audit(slow).n_python_evals >= 1
+
+
+def test_assert_scalable_gates_and_reports(spark):
+    import pytest
+    from schema_validata_spark.plans import assert_scalable
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("g"))
+    ok = assert_scalable(df.groupBy("g").count(), max_exchanges=1)
+    assert ok.n_exchanges == 1
+    with pytest.raises(ValueError, match="global-sort"):
+        assert_scalable(df.orderBy("g"))
+    with pytest.raises(ValueError, match="exchanges > budget"):
+        assert_scalable(df.groupBy("g").count(), max_exchanges=0)
+    with pytest.raises(ValueError, match="nested-loop"):
+        assert_scalable(df.crossJoin(df.select(F.col("id").alias("i2"))))
+    # the engine's own flagship ops pass their documented budgets
+    from schema_validata_spark.operators.statqa import variance_explained
+    assert_scalable(variance_explained(df, "id", "g"), max_exchanges=2)
