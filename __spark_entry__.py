@@ -602,6 +602,31 @@ def q_slice_similarity(spark, sf_dir):
                             "text", "lang", k=24)
 
 
+def q_relationship_audit(spark, sf_dir):
+    """Join-cardinality contract audit (operators/integrity.py:
+    relationship_audit) between customer and orders on custkey:
+    classify the realized relationship + orphans both ways + the
+    worst fan-out a join would hit; two (key, count) hash aggs and a
+    key-sized full-outer join."""
+    from schema_validata_spark.operators.integrity import relationship_audit
+    return relationship_audit(_t(spark, sf_dir, "customer"),
+                              _t(spark, sf_dir, "orders"),
+                              "c_custkey", "o_custkey")
+
+
+def q_seasonal_volume(spark, sf_dir):
+    """Seasonality-aware volume screen (operators/expectations.py:
+    seasonal_volume_anomalies): each day scored against ITS weekday's
+    median+MAD — all post-scan math runs on the bucket-sized frame."""
+    from schema_validata_spark.operators.expectations import (
+        seasonal_volume_anomalies)
+    return (seasonal_volume_anomalies(_t(spark, sf_dir, "events"), "ts")
+            .select(F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+                    "dow", "row_count", "dow_median", "dow_mad",
+                    "deviation", F.col("is_anomaly").cast("int")
+                     .alias("is_anomaly")))
+
+
 def q_value_masks(spark, sf_dir):
     """Top-k value-format masks per column (operators/statqa.py) —
     scan-side regexp_replace chain + one bounded-key aggregate +
@@ -2147,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_profile": q_position_profile,
         "uncertainty_coeff": q_uncertainty_coeff,
         "slice_similarity": q_slice_similarity,
+        "relationship_audit": q_relationship_audit,
+        "seasonal_volume": q_seasonal_volume,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "minhash_near_duplicates": q_minhash_near_duplicates,
@@ -2920,6 +2947,76 @@ def oracle_sql() -> dict[str, str]:
                                      i -> a.sig[i] = b.sig[i]))::double
                      / 24.0, 6) AS est_jaccard
         FROM sig a JOIN sig b ON a.g < b.g"""
+
+    sql["relationship_audit"] = """
+        WITH ca AS (
+          SELECT c_custkey AS k, count(*)::bigint AS na
+          FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        cb AS (
+          SELECT o_custkey AS k, count(*)::bigint AS nb
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        j AS (SELECT ca.na, cb.nb
+              FROM ca FULL OUTER JOIN cb ON ca.k = cb.k),
+        agg AS (
+          SELECT count(CASE WHEN na IS NOT NULL THEN 1 END)::bigint
+                   AS n_keys_a,
+                 count(CASE WHEN nb IS NOT NULL THEN 1 END)::bigint
+                   AS n_keys_b,
+                 count(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                            THEN 1 END)::bigint AS n_matched_keys,
+                 count(CASE WHEN nb IS NULL THEN 1 END)::bigint
+                   AS orphan_keys_a,
+                 count(CASE WHEN na IS NULL THEN 1 END)::bigint
+                   AS orphan_keys_b,
+                 coalesce(max(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                                   THEN na END), 0)::bigint
+                   AS max_rows_per_key_a,
+                 coalesce(max(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                                   THEN nb END), 0)::bigint
+                   AS max_rows_per_key_b,
+                 coalesce(max(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                                   THEN na * nb END), 0)::bigint
+                   AS worst_fanout
+          FROM j)
+        SELECT n_keys_a, n_keys_b, n_matched_keys,
+               orphan_keys_a, orphan_keys_b,
+               max_rows_per_key_a, max_rows_per_key_b,
+               (SELECT count(*) FROM customer
+                WHERE c_custkey IS NULL)::bigint AS null_rows_a,
+               (SELECT count(*) FROM orders
+                WHERE o_custkey IS NULL)::bigint AS null_rows_b,
+               CASE WHEN n_matched_keys = 0 THEN 'disjoint'
+                    WHEN max_rows_per_key_a <= 1
+                         AND max_rows_per_key_b <= 1 THEN 'one_to_one'
+                    WHEN max_rows_per_key_a <= 1 THEN 'one_to_many'
+                    WHEN max_rows_per_key_b <= 1 THEN 'many_to_one'
+                    ELSE 'many_to_many' END AS relationship,
+               worst_fanout
+        FROM agg"""
+
+    sql["seasonal_volume"] = """
+        WITH per AS (
+          SELECT date_trunc('day', ts) AS b,
+                 (isodow(date_trunc('day', ts)) - 1)::int AS dow,
+                 count(*)::bigint AS row_count
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        med AS (
+          SELECT dow, quantile_cont(row_count, 0.5) AS dow_median
+          FROM per GROUP BY dow),
+        j AS (SELECT per.*, med.dow_median
+              FROM per JOIN med USING (dow)),
+        mad AS (
+          SELECT dow, quantile_cont(abs(row_count - dow_median), 0.5)
+                   AS dow_mad
+          FROM j GROUP BY dow)
+        SELECT strftime(j.b, '%Y-%m-%d') AS day, j.dow, j.row_count,
+               round(j.dow_median, 6) AS dow_median,
+               round(mad.dow_mad, 6) AS dow_mad,
+               round(abs(j.row_count - j.dow_median)
+                     / greatest(mad.dow_mad, 1.0), 6) AS deviation,
+               (abs(j.row_count - j.dow_median)
+                / greatest(mad.dow_mad, 1.0) > 3.0)::int AS is_anomaly
+        FROM j JOIN mad USING (dow)"""
 
     sql["key_locality"] = """
         WITH pairs AS (

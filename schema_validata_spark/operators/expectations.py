@@ -397,3 +397,46 @@ def volume_anomalies(df: DataFrame, ts_col: str,
 def _q(c: str) -> str:
     """Backtick-quote a column name for embedding in a SQL fragment."""
     return "`" + c.replace("`", "``") + "`"
+
+
+def seasonal_volume_anomalies(df: DataFrame, ts_col: str,
+                              granularity: str = "day",
+                              k: float = 3.0) -> DataFrame:
+    """Seasonality-aware volume anomaly screen: ``volume_anomalies``
+    compares every bucket against ONE global median, so a weekly
+    corpus (quiet weekends, busy Mondays) flags every Sunday forever
+    and a genuinely broken Monday hides inside the global spread.
+    This variant groups buckets by day-of-week and scores each bucket
+    against ITS weekday's median + MAD — 'is this Monday normal for a
+    Monday'.
+
+    Output per bucket: bucket, dow (0 = Monday … 6 = Sunday),
+    row_count, dow_median, dow_mad, deviation
+    (|n − median| / max(MAD, 1), 6dp), is_anomaly (deviation > k).
+    Weekdays observed once have MAD 0 — the max(MAD, 1) floor keeps
+    them sane rather than division-by-zero dramatic.
+
+    SCALE: one scan produces the bucket-count frame; every later step
+    (two per-dow percentile aggregates, the joins back) runs on that
+    TINY frame — buckets per dow, never row data."""
+    if granularity not in _GRAN_INTERVAL:
+        raise ValueError(f"granularity {granularity!r} not supported")
+    bucket = F.date_trunc(granularity, qcol(ts_col))
+    per = (df.where(qcol(ts_col).isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("row_count"))
+             .withColumn("dow", F.weekday(F.col("bucket")).cast("int")))
+    med = per.groupBy("dow").agg(
+        F.expr("percentile(row_count, 0.5)").alias("dow_median"))
+    j = per.join(med, "dow")
+    mad = j.groupBy("dow").agg(
+        F.expr("percentile(abs(row_count - dow_median), 0.5)")
+         .alias("dow_mad"))
+    dev = (F.abs(F.col("row_count") - F.col("dow_median"))
+           / F.greatest(F.col("dow_mad"), F.lit(1.0)))
+    return (j.join(mad, "dow")
+             .select("bucket", "dow", "row_count",
+                     F.round("dow_median", 6).alias("dow_median"),
+                     F.round("dow_mad", 6).alias("dow_mad"),
+                     F.round(dev, 6).alias("deviation"),
+                     (dev > F.lit(float(k))).alias("is_anomaly")))

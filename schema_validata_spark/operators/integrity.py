@@ -121,3 +121,71 @@ def fd_check(df: DataFrame,
              .cast("bigint").alias("n_rows_in_violating_keys"))
         out = summ if out is None else out.unionByName(summ)
     return out
+
+
+def relationship_audit(df_a: DataFrame, df_b: DataFrame,
+                       key_a: str, key_b: str | None = None) -> DataFrame:
+    """Join-cardinality audit between two tables on a key: BEFORE a
+    pipeline joins them, classify the actual relationship the data
+    exhibits (one_to_one / one_to_many / many_to_one / many_to_many)
+    and count the orphans BOTH ways — ``referential_violations`` lists
+    one direction's rows; this is the schema-level contract check that
+    catches a fan-out join (N:M where the pipeline assumed 1:N
+    silently multiplies rows) and dim/fact drift in one number.
+
+    NULL keys never join (SQL semantics): they are excluded from the
+    relationship and counted separately. Output (one row):
+    n_keys_a, n_keys_b (distinct non-null), n_matched_keys,
+    orphan_keys_a, orphan_keys_b, max_rows_per_key_a,
+    max_rows_per_key_b, null_rows_a, null_rows_b, relationship,
+    worst_fanout (max matched-pair multiplicity = max_a·max_b upper
+    bound realized per key — the row-explosion factor a join can hit).
+
+    SCALE: one hash agg per side collapses to (key, count) frames
+    (map-side combined — rows never shuffle twice), then a full-outer
+    join of the two KEY-sized frames and a single-row rollup. No raw
+    cross join is ever built."""
+    kb = key_b or key_a
+    ca = (df_a.where(F.col(key_a).isNotNull())
+              .groupBy(F.col(key_a).alias("__k"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("__na")))
+    cb = (df_b.where(F.col(kb).isNotNull())
+              .groupBy(F.col(kb).alias("__k"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("__nb")))
+    nulls_a = df_a.where(F.col(key_a).isNull()) \
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("null_rows_a"))
+    nulls_b = df_b.where(F.col(kb).isNull()) \
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("null_rows_b"))
+    j = ca.join(cb, "__k", "full_outer")
+    matched = F.col("__na").isNotNull() & F.col("__nb").isNotNull()
+    agg = j.agg(
+        F.count(F.when(F.col("__na").isNotNull(), 1)).cast("bigint")
+         .alias("n_keys_a"),
+        F.count(F.when(F.col("__nb").isNotNull(), 1)).cast("bigint")
+         .alias("n_keys_b"),
+        F.count(F.when(matched, 1)).cast("bigint").alias("n_matched_keys"),
+        F.count(F.when(F.col("__nb").isNull(), 1)).cast("bigint")
+         .alias("orphan_keys_a"),
+        F.count(F.when(F.col("__na").isNull(), 1)).cast("bigint")
+         .alias("orphan_keys_b"),
+        F.coalesce(F.max(F.when(matched, F.col("__na"))), F.lit(0))
+         .cast("bigint").alias("max_rows_per_key_a"),
+        F.coalesce(F.max(F.when(matched, F.col("__nb"))), F.lit(0))
+         .cast("bigint").alias("max_rows_per_key_b"),
+        F.coalesce(F.max(F.when(matched, F.col("__na") * F.col("__nb"))),
+                   F.lit(0)).cast("bigint").alias("worst_fanout"))
+    rel = (F.when(F.col("n_matched_keys") == 0, F.lit("disjoint"))
+            .when((F.col("max_rows_per_key_a") <= 1)
+                  & (F.col("max_rows_per_key_b") <= 1),
+                  F.lit("one_to_one"))
+            .when(F.col("max_rows_per_key_a") <= 1, F.lit("one_to_many"))
+            .when(F.col("max_rows_per_key_b") <= 1, F.lit("many_to_one"))
+            .otherwise(F.lit("many_to_many")))
+    return (agg.crossJoin(F.broadcast(nulls_a))
+               .crossJoin(F.broadcast(nulls_b))
+               .withColumn("relationship", rel)
+               .select("n_keys_a", "n_keys_b", "n_matched_keys",
+                       "orphan_keys_a", "orphan_keys_b",
+                       "max_rows_per_key_a", "max_rows_per_key_b",
+                       "null_rows_a", "null_rows_b",
+                       "relationship", "worst_fanout"))

@@ -311,3 +311,32 @@ def test_check_group_expectations_per_group(spark):
                                     failures_only=False)
     assert both.count() == 6          # 3 groups × 2 expectations
     assert both.where("status = 'pass'").count() == 3
+
+
+def test_seasonal_volume_anomalies_dow_baseline(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.expectations import (
+        seasonal_volume_anomalies, volume_anomalies)
+    # 4 weeks: weekdays carry 100 rows/day, weekends 10 — plus ONE
+    # broken Monday at 10 rows (normal for a weekend, wrong for Monday)
+    start = dt.date(2024, 1, 1)  # a Monday
+    rows = []
+    for d in range(28):
+        day = start + dt.timedelta(days=d)
+        n = 10 if day.weekday() >= 5 else 100
+        if d == 21:                     # the fourth Monday breaks
+            n = 10
+        rows += [(dt.datetime.combine(day, dt.time(9, 0)),)] * n
+    df = spark.createDataFrame(rows, "ts: timestamp")
+    out = seasonal_volume_anomalies(df, "ts", k=3.0)
+    flagged = [r for r in out.collect() if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["bucket"].date() == start + dt.timedelta(days=21)
+    assert flagged[0]["dow"] == 0 and flagged[0]["dow_median"] == 100.0
+    # the global-median screen cannot isolate it: weekends sit exactly
+    # as far from the global median as the broken Monday does
+    glob = volume_anomalies(df, "ts", k=3.0)
+    g_flagged = {r["bucket"].date() for r in glob.collect()
+                 if r["is_anomaly"]}
+    assert g_flagged != {start + dt.timedelta(days=21)}

@@ -139,3 +139,32 @@ def test_l_diversity_hand_computed(spark):
     assert out["n_violating_rows"] == 4
     assert out["violating_row_share"] == round(4 / 7, 6)
     assert out["min_diversity"] == 0 and out["l"] == 2
+
+
+def test_relationship_audit_classifications(spark):
+    from schema_validata_spark.operators.integrity import relationship_audit
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (None, "n")],
+        "k: int, payload: string")
+    b = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (2, "r"), (4, "s")], "k: int, d: string")
+    out = relationship_audit(a, b, "k").collect()[0]
+    assert out["n_keys_a"] == 3 and out["n_keys_b"] == 3
+    assert out["n_matched_keys"] == 2          # keys 1 and 2
+    assert out["orphan_keys_a"] == 1           # key 3
+    assert out["orphan_keys_b"] == 1           # key 4
+    assert out["null_rows_a"] == 1 and out["null_rows_b"] == 0
+    # key 1: 2 rows in a x 1 in b; key 2: 1 x 2 -> N:M overall
+    assert out["relationship"] == "many_to_many"
+    assert out["worst_fanout"] == 2
+    # clean 1:N case
+    dim = spark.createDataFrame([(1, "d1"), (2, "d2")], "k: int, d: string")
+    fact = spark.createDataFrame([(1, 10), (1, 11), (2, 12)],
+                                 "k: int, v: int")
+    r = relationship_audit(dim, fact, "k").collect()[0]
+    assert r["relationship"] == "one_to_many"
+    assert r["orphan_keys_a"] == 0 and r["orphan_keys_b"] == 0
+    # disjoint key spaces
+    d = relationship_audit(dim, spark.createDataFrame([(9, 1)],
+                           "k: int, v: int"), "k").collect()[0]
+    assert d["relationship"] == "disjoint" and d["worst_fanout"] == 0
