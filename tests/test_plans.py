@@ -667,3 +667,45 @@ def test_assert_scalable_gates_and_reports(spark):
     # the engine's own flagship ops pass their documented budgets
     from schema_validata_spark.operators.statqa import variance_explained
     assert_scalable(variance_explained(df, "id", "g"), max_exchanges=2)
+
+
+def test_flagship_queries_within_scale_budgets(spark, sf_dir):
+    """The plan-audit gate applied to REAL registered queries: each
+    named query must stay inside its documented plan budget. Budgets
+    carry headroom for AQE variation; 'global sort' is allowed only
+    where the query deliberately orderBys an aggregate-sized frame for
+    oracle determinism, and 'nested loop' only where a 1-row broadcast
+    crossJoin (which prints as BroadcastNestedLoopJoin) is the
+    documented pattern."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from schema_validata_spark.plans import assert_scalable
+
+    budgets = {
+        # map-only / single-agg ops: at most a couple of exchanges,
+        # no sort, no join surprises, no Python anywhere
+        "dedup_exact":        dict(max_exchanges=2),
+        "token_counts":       dict(max_exchanges=2),
+        "quality_scores":     dict(max_exchanges=2),
+        "k_anonymity":        dict(max_exchanges=3),
+        "variance_explained": dict(max_exchanges=3),
+        "turn_balance":       dict(max_exchanges=2),
+        "l_diversity":        dict(max_exchanges=3),
+        # aggregate-sized outputs ordered for oracle determinism
+        "sketch_overlap":     dict(max_exchanges=6, allow_global_sort=True),
+        "lang_purity":        dict(max_exchanges=4),
+        "position_profile":   dict(max_exchanges=3,
+                                   allow_global_sort=True),
+        # 1-row broadcast crossJoins print as BroadcastNestedLoopJoin
+        "uncertainty_coeff":  dict(max_exchanges=10,
+                                   allow_nested_loop=True),
+        "distinctive_terms":  dict(max_exchanges=6,
+                                   allow_nested_loop=True),
+    }
+    qs = entry.queries()
+    for name, budget in budgets.items():
+        df = qs[name](spark, sf_dir)
+        audit = assert_scalable(df, **budget)
+        # nothing here may ever hit the row-at-a-time Python path
+        assert audit.n_python_evals == 0, name
