@@ -95,7 +95,14 @@ def assert_scalable(df: DataFrame, *, max_exchanges: int | None = None,
 
     Defaults forbid the three 100×-killers outright — global sorts,
     nested-loop joins, row-at-a-time Python — and let the caller cap
-    shuffle count and scan width per query."""
+    shuffle count and scan width per query.
+
+    Two deliberate patterns need their flag relaxed: a crossJoin of a
+    broadcast 1-row stats frame PRINTS as BroadcastNestedLoopJoin
+    (cardinality is invisible statically — pass allow_nested_loop
+    when that is the documented shape), and a final orderBy of an
+    aggregate-sized frame for deterministic output is a global sort
+    of metadata, not of data (pass allow_global_sort)."""
     a = plan_audit(df)
     problems = []
     if max_exchanges is not None and a.n_exchanges > max_exchanges:
