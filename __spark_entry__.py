@@ -808,6 +808,43 @@ def q_dedup_near(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup resolution (operators/dedup.py:
+    dedup_keep_best): keep the LONGEST member (n_chars, doc_id
+    tiebreak) of each n-gram-Jaccard near-dup cluster instead of the
+    min-id canonical — the curation-grade keep rule; clusters-sized
+    window + one id-keyed anti-join, text never shuffles."""
+    from schema_validata_spark.operators.dedup import dedup_keep_best
+    df = _t(spark, sf_dir, "documents")
+    kept = dedup_keep_best(df, _ngram_pairs(spark, sf_dir), "doc_id",
+                           "n_chars")
+    return kept.select("doc_id")
+
+
+def q_per_group_sample(spark, sf_dir):
+    """Deterministic exact-n per-group sampling (functions/sampling.py:
+    sample_n_per_group): the 10 smallest-md5 doc_ids per source — a
+    fixed-size eval slice per slice; row_number ≤ n rewrites to
+    WindowGroupLimit (task-side heaps), decision depends only on
+    md5(doc_id), never on partitioning."""
+    from schema_validata_spark.functions.sampling import sample_n_per_group
+    df = _t(spark, sf_dir, "documents")
+    return sample_n_per_group(df, "doc_id", "source", 10) \
+        .select("doc_id", "source")
+
+
+def q_embedding_dispersion(spark, sf_dir):
+    """Per-slice semantic dispersion (operators/similarity.py:
+    embedding_dispersion): cosine of each vector to its label's
+    mean-pooled centroid → (n_vectors, mean_cos, min_cos, n_low) per
+    label; centroid frame is #groups-sized (AQE-broadcast join back),
+    raw vectors never shuffle."""
+    from schema_validata_spark.operators.similarity import (
+        embedding_dispersion)
+    return embedding_dispersion(_t(spark, sf_dir, "embeddings"), "label",
+                                low_cos=0.5)
+
+
 def q_quality_topk_per_lang(spark, sf_dir):
     """Per-group top-k quality filtering (operators/selection.py):
     top-3 docs per lang by C4-style quality score, doc_id tiebreak.
@@ -2136,6 +2173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_near": q_dedup_near,
+        "dedup_keep_best": q_dedup_keep_best,
+        "per_group_sample": q_per_group_sample,
+        "embedding_dispersion": q_embedding_dispersion,
         "quality_topk_per_lang": q_quality_topk_per_lang,
         "deterministic_sample": q_deterministic_sample,
         "transcript_split": q_transcript_split,
@@ -3464,6 +3504,50 @@ def oracle_sql() -> dict[str, str]:
         WITH RECURSIVE {_cc_ctes}
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster_id)"""
+
+    sql["dedup_keep_best"] = f"""
+        WITH RECURSIVE {_cc_ctes},
+        ranked AS (
+          SELECT cl.id,
+                 row_number() OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY d.n_chars DESC NULLS LAST, cl.id ASC) AS rn
+          FROM cl JOIN documents d ON d.doc_id = cl.id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)"""
+
+    sql["per_group_sample"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(cast(doc_id as varchar)), 1, 8)
+                            ASC, doc_id ASC) AS rn
+          FROM documents)
+        WHERE rn <= 10"""
+
+    sql["embedding_dispersion"] = """
+        WITH ex AS (
+          SELECT label AS grp, vec_id, t.i AS dim,
+                 embedding[t.i + 1]::double AS val
+          FROM embeddings, unnest(range(len(embedding))) AS t(i)
+          WHERE embedding IS NOT NULL),
+        cent AS (
+          SELECT grp, dim, round(avg(val), 6) AS m
+          FROM ex GROUP BY grp, dim),
+        percos AS (
+          SELECT ex.grp, ex.vec_id,
+                 round(sum(ex.val * cent.m)
+                       / greatest(sqrt(sum(ex.val * ex.val))
+                                  * sqrt(sum(cent.m * cent.m)), 1e-12),
+                       6) AS cos
+          FROM ex JOIN cent ON ex.grp = cent.grp AND ex.dim = cent.dim
+          GROUP BY ex.grp, ex.vec_id)
+        SELECT grp AS "group", count(*)::bigint AS n_vectors,
+               round(avg(cos), 6) AS mean_cos,
+               round(min(cos), 6) AS min_cos,
+               count(CASE WHEN cos < 0.5 THEN 1 END)::bigint AS n_low
+        FROM percos GROUP BY grp"""
 
     sql["quality_topk_per_lang"] = f"""
         WITH m AS (

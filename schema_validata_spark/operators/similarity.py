@@ -767,3 +767,42 @@ def pool_embeddings(df: DataFrame, group_col: str,
                         F.array_sort(F.collect_list(
                             F.struct("dim", "__m"))),
                         lambda s: s["__m"]).alias(vec_col)))
+
+
+def embedding_dispersion(df: DataFrame, group_col: str,
+                         vec_col: str = "embedding",
+                         low_cos: float = 0.5) -> DataFrame:
+    """Per-slice semantic DISPERSION: cosine of every vector to its
+    group's mean-pooled centroid, aggregated to (n_vectors, mean_cos,
+    min_cos, n_low). High mean_cos = a tight, redundant slice (near-dup
+    candidates, low marginal value per doc); low mean_cos / high n_low
+    = a heterogeneous or contaminated slice. Together with
+    ``pool_embeddings`` (where a slice sits) this says how WIDE it is —
+    the two numbers mixture design actually needs per source.
+
+    ``n_low`` counts vectors with cosine < ``low_cos`` (outliers /
+    probable mislabels). NULL vectors are excluded; a NULL group is a
+    real group (null-safe join back). Cosines are 6dp-pinned before
+    aggregation so the frame is engine-portable.
+
+    SCALE: two scans of the vector column — one for the centroid (the
+    ``pool_embeddings`` plan: shuffle carries #groups × dims partial
+    means), one for the cosines; the centroid frame is #groups-sized so
+    the join back is AQE-broadcast, and the final aggregate is one
+    map-side-combined hash agg. Raw vectors never shuffle."""
+    cent = pool_embeddings(df, group_col, vec_col).select(
+        F.col("group").alias("__g"),
+        F.col(vec_col).cast("array<double>").alias("__c"))
+    rows = (df.where(F.col(vec_col).isNotNull())
+              .select(qcol(group_col).alias("group"),
+                      F.col(vec_col).cast("array<double>").alias("__v")))
+    cos = F.round(cosine_expr(F.col("__v"), F.col("__c")), 6)
+    return (rows.join(cent, F.col("group").eqNullSafe(F.col("__g")))
+                .select("group", cos.alias("__cos"))
+                .groupBy("group")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                     F.round(F.avg("__cos"), 6).alias("mean_cos"),
+                     F.round(F.min("__cos"), 6).alias("min_cos"),
+                     F.sum(F.when(F.col("__cos") < F.lit(float(low_cos)),
+                                  1).otherwise(0))
+                      .cast("bigint").alias("n_low")))
