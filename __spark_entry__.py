@@ -922,6 +922,37 @@ def q_consecutive_repeats(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type", "prev_value")
 
 
+def q_loop_runs(spark, sf_dir):
+    """Cycle (loop) detection (operators/sequence.py:loop_runs): the
+    'agent stuck in a loop' screen — per (user, period ≤ 3), the
+    longest run of event_types equal to the value `period` rows back,
+    reported when it covers ≥3 cycle traversals. One window pass
+    computes all lags (values ride that single exchange); only matched
+    (part, rn, period) rows re-shuffle for the islands window."""
+    from schema_validata_spark.operators.sequence import loop_runs
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return loop_runs(ev, "user_id", ["ts", "event_id"], "event_type",
+                     max_period=3, min_repeats=3)
+
+
+def q_conversation_outliers(spark, sf_dir):
+    """Multivariate robust outlier screen (operators/statqa.py:
+    robust_outliers): per-user (n_events, n_types, avg_value) features
+    scored against each FEATURE's median+MAD; entities flag per
+    dimension, named — 'which conversations are abnormal and in what
+    way'. Exact percentiles here (oracle mode); production default is
+    the single-pass percentile_approx sketch."""
+    from schema_validata_spark.operators.statqa import robust_outliers
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+        F.round(F.avg("value"), 6).alias("avg_value"))
+    return robust_outliers(feats, "user_id",
+                           ["n_events", "n_types", "avg_value"],
+                           k=3.0, exact=True)
+
+
 def q_session_stats(spark, sf_dir):
     """Sessionization (30-min gap running-sum window) aggregated to a
     histogram: how many users have N sessions. Counts are tie-robust
@@ -2186,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_summary": q_pii_summary,
         "repetition_stats": q_repetition_stats,
         "consecutive_repeats": q_consecutive_repeats,
+        "loop_runs": q_loop_runs,
+        "conversation_outliers": q_conversation_outliers,
         "session_stats": q_session_stats,
         "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -3727,6 +3760,75 @@ def oracle_sql() -> dict[str, str]:
                    AS prev_value
           FROM events) t
         WHERE event_type = prev_value"""
+
+    sql["loop_runs"] = """
+        -- gaps-and-islands replay of the period-p cycle detector:
+        -- per period, runs of rows equal to the value p back
+        WITH base AS (
+          SELECT user_id, event_type AS v,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE user_id IS NOT NULL),
+        m AS (
+          SELECT user_id, rn, 1 AS period,
+                 v = lag(v, 1) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS ok FROM base
+          UNION ALL
+          SELECT user_id, rn, 2,
+                 v = lag(v, 2) OVER (PARTITION BY user_id ORDER BY rn)
+            FROM base
+          UNION ALL
+          SELECT user_id, rn, 3,
+                 v = lag(v, 3) OVER (PARTITION BY user_id ORDER BY rn)
+            FROM base),
+        mm AS (SELECT user_id, rn, period FROM m WHERE ok),
+        isl AS (
+          SELECT user_id, period,
+                 rn - row_number() OVER (
+                   PARTITION BY user_id, period ORDER BY rn) AS grp
+          FROM mm),
+        runs AS (
+          SELECT user_id, period, count(*)::bigint AS run_len
+          FROM isl GROUP BY user_id, period, grp),
+        agg AS (
+          SELECT user_id, period,
+                 max(run_len) AS max_run,
+                 count(CASE WHEN run_len // period + 1 >= 3
+                            THEN 1 END)::bigint AS n_loops
+          FROM runs GROUP BY user_id, period)
+        SELECT user_id, period::int AS period,
+               max_run::bigint AS max_run,
+               (max_run // period + 1)::bigint AS n_repeats, n_loops
+        FROM agg WHERE max_run // period + 1 >= 3"""
+
+    sql["conversation_outliers"] = """
+        WITH feats AS (
+          SELECT user_id AS id,
+                 count(*)::double AS n_events,
+                 count(DISTINCT event_type)::double AS n_types,
+                 round(avg(value), 6) AS avg_value
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        melted AS (
+          SELECT id, 'n_events' AS feature, n_events AS value FROM feats
+          UNION ALL
+          SELECT id, 'n_types', n_types FROM feats
+          UNION ALL
+          SELECT id, 'avg_value', avg_value FROM feats),
+        nn AS (SELECT * FROM melted WHERE value IS NOT NULL),
+        med AS (SELECT feature, median(value) AS median_val
+                FROM nn GROUP BY feature),
+        j AS (SELECT nn.*, med.median_val FROM nn
+              JOIN med USING (feature)),
+        md AS (SELECT feature, median(abs(value - median_val)) AS mad
+               FROM j GROUP BY feature)
+        SELECT id, feature, round(value, 6) AS value,
+               round(median_val, 6) AS median_val,
+               round(md.mad, 6) AS mad,
+               round(abs(value - median_val)
+                     / greatest(md.mad, 1e-9), 6) AS deviation
+        FROM j JOIN md USING (feature)
+        WHERE round(abs(value - median_val)
+                    / greatest(md.mad, 1e-9), 6) > 3.0"""
 
     sql["session_stats"] = """
         WITH g AS (

@@ -567,3 +567,73 @@ def position_profile(df: DataFrame, part_col: str, order_cols: list[str],
               .withColumn("position_capped",
                           (F.col("position") == max_bucket).cast("int"))
               .orderBy("position"))
+
+
+def loop_runs(df: DataFrame, part_col: str, order_cols: list[str],
+              value_col: str, *, max_period: int = 3,
+              min_repeats: int = 3) -> DataFrame:
+    """Cycle (loop) detection over per-partition value sequences — the
+    'agent stuck in a loop' screen: a period-``p`` loop is a maximal
+    run of consecutive rows whose value equals the value ``p`` rows
+    earlier (period 1 = the same value repeated, AAAA; period 2 = an
+    alternation, ABABAB; period 3 = ABCABCABC …). ``consecutive_repeats``
+    only sees period 1; real agent loops (retry → error → retry …) are
+    usually period ≥ 2 in the tool/event sequence.
+
+    For each (partition, period) whose LONGEST run represents at least
+    ``min_repeats`` traversals of the cycle, emits one row:
+    ``(part, period, max_run, n_repeats, n_loops)`` where ``max_run``
+    is the matched-comparison count of the longest run (it covers
+    ``max_run + period`` rows), ``n_repeats = floor(max_run/period)+1``
+    full cycle traversals, and ``n_loops`` counts distinct runs in the
+    partition meeting the threshold at that period.
+
+    Caveats (documented contracts): NULL values never match (SQL
+    equality), so NULL-heavy columns (e.g. ``tool`` on non-tool turns)
+    should be pre-filtered to the rows of interest; a constant run is a
+    degenerate cycle of EVERY period ≤ its length, so it reports at
+    each — read period-1 rows first. ``order_cols`` must be a total
+    order (id tiebreak) or lag is nondeterministic under retries.
+
+    SCALE: one window shuffle on the partition key computes all
+    ``max_period`` lags in a single pass (the value column rides this
+    one exchange — neighbor equality requires co-location); after the
+    lag projection the value is dropped, the period explode carries
+    only (part, rn, matched), and the islands window re-shuffles only
+    MATCHED rows on (part, period). Final output is one hash agg on
+    runs, bounded by #partitions × max_period rows."""
+    if max_period < 1:
+        raise ValueError("max_period must be >= 1")
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    # lags must be materialized in a projection BEFORE the generator
+    # (window expressions are not allowed inside explode); all
+    # max_period lags + row_number evaluate in ONE window pass
+    lagged = df.select(
+        F.col(part_col), F.row_number().over(w).alias("__rn"),
+        *[(F.col(value_col) == F.lag(value_col, p).over(w))
+          .alias(f"__m{p}") for p in range(1, max_period + 1)])
+    probes = F.array(*[
+        F.struct(F.lit(p).alias("period"), F.col(f"__m{p}").alias("m"))
+        for p in range(1, max_period + 1)])
+    long = (lagged.select(part_col, "__rn", F.explode(probes).alias("pm"))
+                  .select(part_col, "__rn",
+                          F.col("pm.period").alias("period"), "pm.m")
+                  .where(F.col("m")))
+    w2 = Window.partitionBy(part_col, "period").orderBy("__rn")
+    runs = (long.withColumn("__grp",
+                            F.col("__rn") - F.row_number().over(w2))
+                .groupBy(part_col, "period", "__grp")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("run_len")))
+    reps = (F.floor(F.col("run_len") / F.col("period")) + 1).cast("bigint")
+    per = (runs.withColumn("__reps", reps)
+               .groupBy(part_col, "period")
+               .agg(F.max("run_len").cast("bigint").alias("max_run"),
+                    F.sum(F.when(F.col("__reps") >= int(min_repeats), 1)
+                           .otherwise(0)).cast("bigint").alias("n_loops")))
+    n_repeats = (F.floor(F.col("max_run") / F.col("period")) + 1) \
+        .cast("bigint")
+    return (per.withColumn("n_repeats", n_repeats)
+               .where(F.col("n_repeats") >= int(min_repeats))
+               .select(part_col, F.col("period").cast("int").alias("period"),
+                       "max_run", "n_repeats", "n_loops"))

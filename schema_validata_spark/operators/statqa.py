@@ -672,3 +672,55 @@ def uncertainty_coefficient(df: DataFrame, x_col: str, y_col: str,
         F.when(F.col("__hx") > 1e-12,
                F.round((F.col("__hx") - F.col("__hx_y")) / F.col("__hx"),
                        6)).alias("u_x_given_y"))
+
+
+def robust_outliers(df: DataFrame, id_col: str, feature_cols: list[str],
+                    *, k: float = 5.0, mad_floor: float = 1e-9,
+                    exact: bool = False) -> DataFrame:
+    """Multivariate robust outlier screen: every feature of every
+    entity scored against that FEATURE's own median + MAD, emitting the
+    (entity, feature) pairs whose deviation exceeds ``k`` — the
+    conversation-level generalization of ``volume_anomalies``'s
+    single-series screen ('which conversations are abnormal, and in
+    which dimension': a 40k-turn conversation flags on n_turns, a
+    wall-of-text one on char mass — each with the feature named, not a
+    single opaque score). Input is an ALREADY-AGGREGATED per-entity
+    feature frame (one row per entity), so the screen composes with any
+    upstream hash agg.
+
+    Output: (id, feature, value, median_val, mad, deviation) where
+    deviation = |value − median| / max(MAD, ``mad_floor``), 6dp-pinned,
+    sorted-free. NULL feature values are skipped (no row). A
+    zero-MAD feature (most entities identical) flags ANY differing
+    entity — the desired behavior for 'this column should be constant',
+    tune ``mad_floor`` up to damp it.
+
+    SCALE: the melt is a scan-side stack (#entities × #features narrow
+    rows); per-feature median/MAD default to ``percentile_approx``
+    sketches (single-pass, mergeable, no per-group value buffering) —
+    ``exact=True`` switches to exact percentiles for oracle replay at
+    test scale. The stats frame is #features-sized and broadcast back;
+    one hash agg + two broadcast joins total, no window, no collect."""
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    pfun = "percentile" if exact else "percentile_approx"
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)"
+                      for c in feature_cols)
+    melted = (df.select(qcol(id_col).alias("id"),
+                        F.expr(f"stack({len(feature_cols)}, {pairs})")
+                         .alias("feature", "value"))
+                .where(F.col("value").isNotNull()))
+    med = (melted.groupBy("feature")
+                 .agg(F.expr(f"{pfun}(value, 0.5)").alias("median_val")))
+    j = melted.join(F.broadcast(med), "feature")
+    mad = (j.groupBy("feature")
+            .agg(F.expr(f"{pfun}(abs(value - median_val), 0.5)")
+                  .alias("mad")))
+    dev = (F.abs(F.col("value") - F.col("median_val"))
+           / F.greatest(F.col("mad"), F.lit(float(mad_floor))))
+    return (j.join(F.broadcast(mad), "feature")
+             .withColumn("deviation", F.round(dev, 6))
+             .where(F.col("deviation") > F.lit(float(k)))
+             .select("id", "feature", F.round("value", 6).alias("value"),
+                     F.round("median_val", 6).alias("median_val"),
+                     F.round("mad", 6).alias("mad"), "deviation"))
