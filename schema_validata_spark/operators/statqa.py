@@ -700,7 +700,11 @@ def robust_outliers(df: DataFrame, id_col: str, feature_cols: list[str],
     sketches (single-pass, mergeable, no per-group value buffering) —
     ``exact=True`` switches to exact percentiles for oracle replay at
     test scale. The stats frame is #features-sized and broadcast back;
-    one hash agg + two broadcast joins total, no window, no collect."""
+    no window, no collect. The melted frame appears in four plan
+    branches, but its exchange subtree is identical in each, so AQE
+    exchange reuse computes the upstream input ONCE at runtime
+    (ReusedExchange — plan-guard tested); callers may still persist a
+    costly upstream feature frame themselves for explicitness."""
     if not feature_cols:
         raise ValueError("feature_cols must be non-empty")
     pfun = "percentile" if exact else "percentile_approx"

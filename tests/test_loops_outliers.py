@@ -109,3 +109,38 @@ def test_empty_features_raise(spark):
     with pytest.raises(ValueError):
         robust_outliers(_feats(spark, [Row(id="a", x=1.0, y=1.0)]),
                         "id", [])
+
+
+# --------------------------------------------------------------- plan guards
+
+def test_loop_runs_plan_single_exchange(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from schema_validata_spark.plans import plan_audit
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id").isNotNull())
+    a = plan_audit(loop_runs(ev, "user_id", ["ts", "event_id"],
+                             "event_type"))
+    # the islands window + both aggs reuse the part-key partitioning:
+    # ONE exchange total, window sorts only (no global sort)
+    assert a.n_exchanges == 1
+    assert a.n_range_exchanges == 0
+    assert a.n_nested_loop_joins == 0 and a.n_python_evals == 0
+    assert max(a.scan_widths) <= 4  # part + 2 order cols + value
+
+
+def test_robust_outliers_plan_reuses_input_exchange(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from schema_validata_spark.plans import plan_audit
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id").isNotNull())
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"))
+    ro = robust_outliers(feats, "user_id", ["n_events"], k=3.0)
+    a = plan_audit(ro)
+    assert a.n_range_exchanges == 0  # never a global sort
+    assert a.n_nested_loop_joins == 0 and a.n_python_evals == 0
+    # the four melted-frame branches dedupe at runtime via AQE
+    # exchange reuse: the upstream agg computes once
+    ro.collect()
+    plan = ro._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1
