@@ -1337,6 +1337,28 @@ def q_validate_events(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")))
 
 
+def q_violation_budgets(spark, sf_dir):
+    """Error-budget verdicts (operators/expectations.py:
+    violation_rate_gate): each (column, error_type) check passes while
+    its violation RATE stays within budget — rate-tolerant gating over
+    the engine's own violations frame ('≤5% unknown event types OK,
+    any value overflow beyond 0.1% fails'); listed-but-clean checks
+    report zero-filled. One hash agg on the violations frame + a
+    full-outer join against the #budgets-row literal frame."""
+    from schema_validata_spark.operators.expectations import (
+        violation_rate_gate)
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    result = validate(spark, events, _events_rules(),
+                      dataset_name="events",
+                      dims={"customer": customer}, key_cols=["event_id"])
+    return violation_rate_gate(
+        result.violations, events.count(),
+        {("event_type", "Unallowed Value"): 0.05,
+         ("value", "Exceeds Maximum Allowed Value (400)"): 0.001,
+         ("event_id", "Null Value"): 0.0})
+
+
 def q_top_tokens(spark, sf_dir):
     """Corpus vocabulary head (functions/text.py:top_tokens): wordcount
     two-stage agg + TakeOrderedAndProject top-k — the shuffle carries
@@ -2219,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consecutive_repeats": q_consecutive_repeats,
         "loop_runs": q_loop_runs,
         "conversation_outliers": q_conversation_outliers,
+        "violation_budgets": q_violation_budgets,
         "session_stats": q_session_stats,
         "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2489,6 +2512,44 @@ def oracle_sql() -> dict[str, str]:
                count(*)::bigint
         FROM events WHERE value > 400.0
         HAVING count(*) > 0"""
+
+    sql["violation_budgets"] = """
+        -- replay the two observed events checks (the only combos the
+        -- engine emits on this fixture — proven by validate_events'
+        -- exact row match), full-outer the budget list so clean listed
+        -- checks zero-fill, then gate rate <= budget
+        WITH total AS (SELECT count(*)::bigint AS n_rows FROM events),
+        counts AS (
+          SELECT 'event_type' AS column_name,
+                 'Unallowed Value' AS error_type,
+                 count(*)::bigint AS n FROM events
+          WHERE event_type IS NOT NULL
+            AND trim(event_type) NOT IN
+                ('click', 'view', 'purchase', 'signup')
+          UNION ALL
+          SELECT 'value', 'Exceeds Maximum Allowed Value (400)',
+                 count(*)::bigint
+          FROM events WHERE value > 400.0),
+        b(column_name, error_type, budget) AS (
+          -- DOUBLE casts: bare VALUES would infer DECIMAL and render
+          -- budgets as '0.050' vs Spark's double '0.05'
+          SELECT * FROM (VALUES
+            ('event_type', 'Unallowed Value', 0.05::double),
+            ('value', 'Exceeds Maximum Allowed Value (400)',
+             0.001::double),
+            ('event_id', 'Null Value', 0.0::double)) v),
+        m AS (
+          SELECT coalesce(c.column_name, b.column_name) AS column_name,
+                 coalesce(c.error_type, b.error_type) AS error_type,
+                 coalesce(c.n, 0)::bigint AS n_violations,
+                 coalesce(b.budget, 0.0) AS budget
+          FROM counts c FULL OUTER JOIN b
+            ON c.column_name = b.column_name
+           AND c.error_type = b.error_type)
+        SELECT column_name, error_type, n_violations, t.n_rows,
+               round(n_violations::double / t.n_rows, 6) AS rate, budget,
+               n_violations::double / t.n_rows <= budget AS passed
+        FROM m, total t"""
 
     sql["datetime_inference"] = """
         WITH r AS (

@@ -440,3 +440,53 @@ def seasonal_volume_anomalies(df: DataFrame, ts_col: str,
                      F.round("dow_mad", 6).alias("dow_mad"),
                      F.round(dev, 6).alias("deviation"),
                      (dev > F.lit(float(k))).alias("is_anomaly")))
+
+
+def violation_rate_gate(violations: DataFrame, total_rows: int,
+                        budgets: dict[tuple[str, str], float], *,
+                        default_budget: float = 0.0,
+                        column_col: str = "column_name",
+                        type_col: str = "error_type") -> DataFrame:
+    """Rate-tolerant verdicts over a violations frame — the error-budget
+    layer between 'list every bad row' (``value_errors``) and 'fail the
+    dataset on any of them' (the reference's all-or-nothing verdict,
+    src/schema_validata.py:2045-2154): each (column, error_type) check
+    passes while its violation RATE stays within its budget ('≤0.1%
+    nulls tolerated, ≤5% unknown event types'). This is how production
+    DQ gates actually run — a 10^12-turn corpus always has SOME dirty
+    rows; the decision is whether the rate regressed.
+
+    ``budgets`` maps (column, error_type) → max tolerated violation
+    fraction. Listed checks are ALWAYS reported, zero-filled when
+    clean — a gate must show its passing checks ran, not just its
+    failures. Observed combos not listed get ``default_budget`` (0.0 =
+    strict: any violation fails, the reference's semantics). ``passed``
+    compares the unrounded rate; the reported rate is 6dp-pinned.
+
+    SCALE: the violations frame is already ≪ corpus (the engine's
+    listing output); this adds one hash agg on it + a full-outer join
+    against a #budgets-row literal frame. ``total_rows`` is a scalar
+    the caller already has (``validate()`` counts rows in its profile
+    pass) — no new scan of row data."""
+    if total_rows <= 0:
+        raise ValueError("total_rows must be positive")
+    spark = violations.sparkSession
+    counts = (violations.groupBy(column_col, type_col)
+                        .agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("n_violations")))
+    listed = spark.createDataFrame(
+        [(c, t, float(b)) for (c, t), b in budgets.items()],
+        schema=f"`{column_col}` string, `{type_col}` string, budget double")
+    merged = (counts.join(listed, [column_col, type_col], "full_outer")
+                    .select(column_col, type_col,
+                            F.coalesce("n_violations", F.lit(0))
+                             .cast("bigint").alias("n_violations"),
+                            F.coalesce("budget",
+                                       F.lit(float(default_budget)))
+                             .alias("budget")))
+    rate = F.col("n_violations") / F.lit(float(total_rows))
+    return merged.select(
+        column_col, type_col, "n_violations",
+        F.lit(int(total_rows)).cast("bigint").alias("n_rows"),
+        F.round(rate, 6).alias("rate"), "budget",
+        (rate <= F.col("budget")).alias("passed"))

@@ -1,0 +1,53 @@
+"""Error-budget (rate-tolerant) verdicts over a violations frame."""
+
+import pytest
+from pyspark.sql import Row
+
+from schema_validata_spark.operators.expectations import violation_rate_gate
+
+
+def _viol(spark, rows):
+    return spark.createDataFrame(
+        [Row(column_name=c, error_type=t) for c, t in rows],
+        "column_name string, error_type string")
+
+
+def _gate(spark, rows, total, budgets, **kw):
+    out = violation_rate_gate(_viol(spark, rows), total, budgets, **kw)
+    return {(r["column_name"], r["error_type"]):
+            (r["n_violations"], r["rate"], r["budget"], r["passed"])
+            for r in out.collect()}
+
+
+def test_within_budget_passes_over_budget_fails(spark):
+    rows = [("a", "Null Value")] * 5 + [("b", "Unallowed Value")] * 20
+    got = _gate(spark, rows, 100,
+                {("a", "Null Value"): 0.05,
+                 ("b", "Unallowed Value"): 0.10})
+    assert got[("a", "Null Value")] == (5, 0.05, 0.05, True)   # == budget
+    assert got[("b", "Unallowed Value")] == (20, 0.2, 0.10, False)
+
+
+def test_listed_clean_check_reports_zero_filled(spark):
+    got = _gate(spark, [("a", "Null Value")], 10,
+                {("a", "Null Value"): 0.5,
+                 ("c", "Duplicate Value"): 0.1})
+    assert got[("c", "Duplicate Value")] == (0, 0.0, 0.1, True)
+
+
+def test_unlisted_observed_combo_gets_default_budget(spark):
+    got = _gate(spark, [("x", "Invalid Pattern")], 1000, {})
+    assert got[("x", "Invalid Pattern")] == (1, 0.001, 0.0, False)
+    got = _gate(spark, [("x", "Invalid Pattern")], 1000, {},
+                default_budget=0.01)
+    assert got[("x", "Invalid Pattern")][3] is True
+
+
+def test_bad_total_raises(spark):
+    with pytest.raises(ValueError):
+        violation_rate_gate(_viol(spark, []), 0, {})
+
+
+def test_empty_violations_reports_only_listed(spark):
+    got = _gate(spark, [], 50, {("a", "Null Value"): 0.0})
+    assert got == {("a", "Null Value"): (0, 0.0, 0.0, True)}
