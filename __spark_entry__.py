@@ -233,6 +233,26 @@ def q_partition_verdicts(spark, sf_dir):
     return partition_verdicts(df, rules, "l_returnflag")
 
 
+def q_partition_rate_verdicts(spark, sf_dir):
+    """Per-partition verdicts with error budgets (validate.py:
+    partition_rate_verdicts): the same one-aggregate north-rule gate,
+    but a partition fails only when a check's violation RATE exceeds
+    its budget — production tolerance semantics where huge partitions
+    aren't failed by the absolute counts tiny ones shrug off."""
+    from schema_validata_spark.validate import partition_rate_verdicts
+    df = _t(spark, sf_dir, "lineitem")
+    rules = Rules(name="LINEITEM_SCHEMA", fields=[
+        FieldRule("l_quantity", data_type="Float", range_max=_QTY_MAX),
+        FieldRule("l_discount", data_type="Float", range_max=0.05),
+        FieldRule("l_tax", data_type="Float", range_min=0.02),
+    ])
+    return partition_rate_verdicts(
+        df, rules, "l_returnflag",
+        {("l_quantity", "range_max"): 0.5,
+         ("l_discount", "range_max"): 0.0001,
+         ("l_tax", "range_min"): 0.30})
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by 64-bit content fingerprint — keep min-id per group
     (operators/dedup.py). One shuffle on 8-byte hashes."""
@@ -2242,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_runs": q_loop_runs,
         "conversation_outliers": q_conversation_outliers,
         "violation_budgets": q_violation_budgets,
+        "partition_rate_verdicts": q_partition_rate_verdicts,
         "session_stats": q_session_stats,
         "order_regressions": q_order_regressions,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2499,6 +2520,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT partition_key, 'l_tax', 'range_min', c_tax::bigint,
                CASE WHEN c_tax > 0 THEN 'fail' ELSE 'pass' END
         FROM checks"""
+
+    sql["partition_rate_verdicts"] = f"""
+        WITH checks AS (
+          SELECT l_returnflag AS partition_key,
+                 count(*)::bigint AS n_rows,
+                 count(*) FILTER (WHERE l_quantity > {_QTY_MAX})::bigint
+                   AS c_qty,
+                 count(*) FILTER (WHERE l_discount > 0.05)::bigint
+                   AS c_disc,
+                 count(*) FILTER (WHERE l_tax < 0.02)::bigint AS c_tax
+          FROM lineitem GROUP BY l_returnflag),
+        u AS (
+          SELECT partition_key, 'l_quantity' AS column_name,
+                 'range_max' AS "check", c_qty AS violation_count,
+                 n_rows, 0.5::double AS budget FROM checks
+          UNION ALL
+          SELECT partition_key, 'l_discount', 'range_max', c_disc,
+                 n_rows, 0.0001::double FROM checks
+          UNION ALL
+          SELECT partition_key, 'l_tax', 'range_min', c_tax,
+                 n_rows, 0.30::double FROM checks)
+        SELECT partition_key, column_name, "check", violation_count,
+               n_rows,
+               round(violation_count::double / n_rows, 6) AS rate,
+               budget,
+               CASE WHEN violation_count::double / n_rows <= budget
+                    THEN 'pass' ELSE 'fail' END AS status
+        FROM u"""
 
     sql["validate_events"] = """
         SELECT 'event_type' AS column_name, 'Unallowed Value' AS error_type,

@@ -616,6 +616,51 @@ def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
                    .otherwise(F.lit("pass")))
 
 
+def partition_rate_verdicts(df: DataFrame, rules: Rules, partition_col: str,
+                            budgets: dict[tuple[str, str], float], *,
+                            dims: dict[str, DataFrame] | None = None,
+                            default_budget: float = 0.0) -> DataFrame:
+    """Per-partition verdicts with ERROR BUDGETS: ``partition_verdicts``'
+    counts re-judged as violation RATES against per-(column, check)
+    budgets — the north-rule per-partition gate with production
+    tolerance semantics ('a partition may carry ≤0.1% bad values before
+    it fails') instead of the reference's any-violation-fails. A huge
+    partition no longer fails on the same absolute count a tiny one
+    shrugs off.
+
+    ``budgets`` maps (column_name, check) → max tolerated fraction of
+    the PARTITION's rows; checks not listed get ``default_budget``
+    (0.0 = strict, identical verdicts to ``partition_verdicts``).
+    Output adds (n_rows, rate, budget) and ``status`` becomes the
+    budget comparison (rate 6dp-pinned for display, compared unrounded).
+
+    SCALE: re-uses the single ``partition_verdicts`` aggregate; adds
+    one count-only scan pruned to the partition column for the totals
+    frame (#partitions rows, AQE-broadcast join) and a left join
+    against the #budgets-row literal frame. Row data never re-shuffles.
+    """
+    base = partition_verdicts(df, rules, partition_col, dims) \
+        .drop("status")
+    totals = (df.groupBy(qcol(partition_col).cast("string")
+                         .alias("partition_key"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    spark = df.sparkSession
+    listed = spark.createDataFrame(
+        [(c, k, float(b)) for (c, k), b in budgets.items()],
+        schema="column_name string, check string, budget double")
+    rate = F.col("violation_count") / F.col("n_rows")
+    return (base.join(totals, "partition_key")
+                .join(F.broadcast(listed), ["column_name", "check"], "left")
+                .withColumn("budget",
+                            F.coalesce("budget",
+                                       F.lit(float(default_budget))))
+                .select("partition_key", "column_name", "check",
+                        "violation_count", "n_rows",
+                        F.round(rate, 6).alias("rate"), "budget",
+                        F.when(rate <= F.col("budget"), F.lit("pass"))
+                         .otherwise(F.lit("fail")).alias("status")))
+
+
 def validate_partitioned(spark: SparkSession, df: DataFrame, rules: Rules,
                          partition_col: str, manifest_path: str,
                          run_id: str | None = None,

@@ -51,3 +51,47 @@ def test_bad_total_raises(spark):
 def test_empty_violations_reports_only_listed(spark):
     got = _gate(spark, [], 50, {("a", "Null Value"): 0.0})
     assert got == {("a", "Null Value"): (0, 0.0, 0.0, True)}
+
+
+# ----------------------------------------------------- partition_rate_verdicts
+
+def _pv_frame(spark):
+    rows = []
+    # partition A: 10 rows, 1 over-range -> rate 0.1
+    rows += [Row(p="A", x=float(1 + (1 if i == 0 else 0) * 100))
+             for i in range(10)]
+    # partition B: 100 rows, 1 over-range -> rate 0.01
+    rows += [Row(p="B", x=float(1 + (1 if i == 0 else 0) * 100))
+             for i in range(100)]
+    return spark.createDataFrame(rows, "p string, x double")
+
+
+def _pv_rules():
+    from schema_validata_spark.rules import FieldRule, Rules
+    return Rules(name="T", fields=[
+        FieldRule("x", data_type="Float", range_max=50.0)])
+
+
+def test_rate_verdicts_scale_with_partition_size(spark):
+    from schema_validata_spark.validate import partition_rate_verdicts
+    out = {r["partition_key"]: (r["rate"], r["status"])
+           for r in partition_rate_verdicts(
+               _pv_frame(spark), _pv_rules(), "p",
+               {("x", "range_max"): 0.05}).collect()}
+    # same absolute count (1), opposite verdicts by partition size
+    assert out["A"] == (0.1, "fail")
+    assert out["B"] == (0.01, "pass")
+
+
+def test_default_budget_matches_strict_partition_verdicts(spark):
+    from schema_validata_spark.validate import (partition_rate_verdicts,
+                                                partition_verdicts)
+    df, rules = _pv_frame(spark), _pv_rules()
+    strict = {(r["partition_key"], r["column_name"], r["check"]):
+              r["status"]
+              for r in partition_verdicts(df, rules, "p").collect()}
+    rated = {(r["partition_key"], r["column_name"], r["check"]):
+             r["status"]
+             for r in partition_rate_verdicts(df, rules, "p",
+                                              {}).collect()}
+    assert strict == rated and len(strict) == 2
