@@ -1802,6 +1802,28 @@ def q_role_conformance(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_conversation_forks(spark, sf_dir):
+    """Conversation fork detection (operators/dedup.py:
+    conversation_forks): dialogues sharing an identical first-3-turn
+    prefix — same-seed re-rolls / truncated re-exports that
+    whole-dialogue dedup cannot see. Every 5th user's first 3 events
+    are re-keyed as a truncation fork; each must group with its
+    original. Turn text md5s scan-side; only 32-char hashes shuffle."""
+    from pyspark.sql import Window
+    from schema_validata_spark.operators.dedup import conversation_forks
+    ev = _t(spark, sf_dir, "events") \
+        .where(F.col("user_id").isNotNull()) \
+        .select("user_id", "ts", "event_id", "props")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clones = (ev.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("user_id") % 5 == 0) & (F.col("__rn") <= 3))
+                .drop("__rn")
+                .withColumn("user_id", F.col("user_id") + F.lit(200000)))
+    corpus = ev.unionByName(clones)
+    return conversation_forks(corpus, "user_id", ["ts", "event_id"],
+                              "props", k=3, min_group=2)
+
+
 def q_duplicate_conversations(spark, sf_dir):
     """Whole-dialogue dedup (operators/dedup.py:
     duplicate_conversations): conversations = events grouped by
@@ -2318,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_offsets": q_span_offsets,
         "assemble_conversations": q_assemble_conversations,
         "duplicate_conversations": q_duplicate_conversations,
+        "conversation_forks": q_conversation_forks,
         "context_budget": q_context_budget,
         "vocab_stats": q_vocab_stats,
         "novelty_stats": q_novelty,
@@ -4845,6 +4868,37 @@ def oracle_sql() -> dict[str, str]:
             OR sum(CASE WHEN NOT is_first AND bad = 1 THEN 1 ELSE 0
                    END) > 0
         ORDER BY user_id"""
+
+    sql["conversation_forks"] = """
+        WITH ev AS (
+          SELECT user_id, ts, event_id, props FROM events
+          WHERE user_id IS NOT NULL),
+        rn0 AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM ev),
+        corpus AS (
+          SELECT user_id, ts, event_id, props FROM ev
+          UNION ALL
+          SELECT user_id + 200000, ts, event_id, props FROM rn0
+          WHERE user_id % 5 = 0 AND rn <= 3),
+        t AS (
+          SELECT user_id,
+                 md5(coalesce(props, chr(30))) AS th,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM corpus),
+        pre AS (
+          SELECT user_id,
+                 md5(string_agg(th, chr(31) ORDER BY rn)) AS prefix_key,
+                 max(n)::bigint AS n_turns
+          FROM t WHERE rn <= 3 GROUP BY user_id)
+        SELECT prefix_key, count(*)::bigint AS n_conversations,
+               min(user_id) AS example_conv,
+               min(n_turns)::bigint AS min_turns,
+               max(n_turns)::bigint AS max_turns
+        FROM pre GROUP BY prefix_key HAVING count(*) >= 2"""
 
     sql["duplicate_conversations"] = """
         WITH corpus AS (

@@ -677,6 +677,55 @@ def duplicate_conversations(df: DataFrame, conv_col: str,
                .select("example_conv", "n_convs", "n_turns"))
 
 
+def conversation_forks(df: DataFrame, conv_col: str,
+                       order_cols: list[str], text_col: str, *,
+                       k: int = 3, min_group: int = 2) -> DataFrame:
+    """Groups of conversations sharing an IDENTICAL first-``k``-turn
+    prefix — forks. Whole-dialogue dedup (``duplicate_conversations``)
+    only sees full-sequence matches; the common transcript-corpus
+    redundancy is SAME SEED, DIFFERENT ROLLOUT: one system+user prompt
+    resampled into many continuations, or a truncated re-export of a
+    longer original. Those share the opening turns and diverge after —
+    exactly what a k-prefix key groups. Output per group:
+    ``(prefix_key, n_conversations, example_conv, min_turns,
+    max_turns)``; min≠max exposes divergence/truncation, min==max
+    suggests re-rolls of equal length (or whole dups — which also
+    appear here, since a full dup shares every prefix).
+
+    Conversations shorter than ``k`` key on the prefix they have, so a
+    2-turn conversation can group with another 2-turn one but never
+    with a ≥k-turn prefix (different element counts hash apart).
+
+    SCALE: each turn's text collapses to md5 IN THE SCAN (engine-
+    portable, unlike xxhash64), so the one window shuffle carries
+    (conv, order, 32-char hash) — text never moves; the per-conv
+    prefix agg rides the window's partitioning (no extra exchange) and
+    the group agg is one pass over #conversations narrow rows."""
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    th = F.md5(F.coalesce(F.col(text_col), F.lit("\x1e")))
+    base = df.select(F.col(conv_col),
+                     *[F.col(c) for c in order_cols], th.alias("__th"))
+    pre = (base.withColumn("__rn", F.row_number().over(w))
+               .withColumn("__n", F.count(F.lit(1)).over(
+                   Window.partitionBy(conv_col)))
+               .where(F.col("__rn") <= int(k))
+               .groupBy(conv_col)
+               .agg(F.md5(F.concat_ws("\x1f", F.transform(
+                        F.array_sort(F.collect_list(F.struct(
+                            F.col("__rn").alias("o"),
+                            F.col("__th").alias("h")))),
+                        lambda s: s["h"]))).alias("prefix_key"),
+                    F.max("__n").cast("bigint").alias("n_turns")))
+    return (pre.groupBy("prefix_key")
+               .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("n_conversations"),
+                    F.min(conv_col).alias("example_conv"),
+                    F.min("n_turns").alias("min_turns"),
+                    F.max("n_turns").alias("max_turns"))
+               .where(F.col("n_conversations") >= int(min_group)))
+
+
 def snapshot_minhash_signatures(df: DataFrame, text_col: str,
                                 id_col: str, num_hashes: int = 32,
                                 shingle_k: int = 3) -> DataFrame:

@@ -134,3 +134,63 @@ def test_dispersion_null_vectors_excluded_null_group_kept(spark):
     out = {r["group"]: r["n_vectors"]
            for r in embedding_dispersion(df, "label").collect()}
     assert out == {None: 2}  # NULL group real; NULL vector excluded
+
+
+# ---------------------------------------------------------- conversation_forks
+
+def _conv(spark, convs):
+    """convs: dict conv_id -> list of turn texts."""
+    rows = [Row(conv=c, idx=i, text=t)
+            for c, turns in convs.items() for i, t in enumerate(turns)]
+    return spark.createDataFrame(rows, "conv string, idx int, text string")
+
+
+def _forks(spark, convs, **kw):
+    from schema_validata_spark.operators.dedup import conversation_forks
+    out = conversation_forks(_conv(spark, convs), "conv", ["idx"],
+                             "text", **kw)
+    return {r["example_conv"]:
+            (r["n_conversations"], r["min_turns"], r["max_turns"])
+            for r in out.collect()}
+
+
+def test_forks_group_shared_prefix_divergent_tail(spark):
+    got = _forks(spark, {
+        "a": ["sys", "hi", "q1", "ans-long", "followup"],
+        "b": ["sys", "hi", "q1", "different-answer"],
+        "c": ["sys", "hi", "OTHER", "x"],
+        "d": ["unrelated", "turns", "here"],
+    }, k=3)
+    # a+b share the 3-prefix and diverge after; c differs at turn 3
+    assert got == {"a": (2, 4, 5)}
+
+
+def test_short_conversations_group_only_with_same_length_prefix(spark):
+    got = _forks(spark, {
+        "a": ["sys", "hi"],
+        "b": ["sys", "hi"],
+        "c": ["sys", "hi", "more"],   # 3-turn prefix: hashes apart
+    }, k=3)
+    assert got == {"a": (2, 2, 2)}
+
+
+def test_null_turn_participates_in_prefix_identity(spark):
+    got = _forks(spark, {
+        "a": ["sys", None, "q"],
+        "b": ["sys", None, "q"],
+        "c": ["sys", "", "q"],        # empty != NULL
+    }, k=3)
+    assert got == {"a": (2, 3, 3)}
+
+
+def test_min_group_threshold_and_partition_invariance(spark):
+    convs = {f"c{i}": ["seed", "prompt", f"rollout-{i}"] for i in range(6)}
+    convs["solo"] = ["own", "thing", "entirely"]
+    df = _conv(spark, convs)
+    from schema_validata_spark.operators.dedup import conversation_forks
+    a = sorted(map(tuple, conversation_forks(
+        df, "conv", ["idx"], "text", k=2, min_group=6).collect()))
+    b = sorted(map(tuple, conversation_forks(
+        df.repartition(5), "conv", ["idx"], "text",
+        k=2, min_group=6).collect()))
+    assert a == b and len(a) == 1 and a[0][1] == 6
