@@ -163,6 +163,62 @@ def stream_partition_verdicts(stream_df: DataFrame, rules: Rules,
                  F.when(F.col("violation_count") > 0, "fail").otherwise("pass"))
 
 
+def stream_rate_verdicts(stream_df: DataFrame, rules: Rules,
+                         budgets: dict[tuple[str, str], float],
+                         ts_col: str = "ts",
+                         window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         default_budget: float = 0.0) -> DataFrame:
+    """``stream_partition_verdicts`` with ERROR BUDGETS — the streaming
+    twin of ``validate.partition_rate_verdicts``: each window's checks
+    pass while their violation RATE (violations / window rows) stays
+    within the per-(column, check) budget, so a high-traffic window is
+    not failed by the absolute count a quiet one tolerates. The window
+    row count rides the SAME watermarked aggregate (one extra count
+    expression — no second stateful operator, state stays bounded by
+    the watermark horizon exactly as before).
+
+    ``budgets`` and ``default_budget`` behave as in the batch gate
+    (0.0 default = strict, identical verdicts to
+    ``stream_partition_verdicts``)."""
+    specs = _specs_from_rules(stream_df, rules)
+    aggs, names = [], []
+    for i, sp in enumerate(specs):
+        cond, _ = _check_condition(stream_df, sp)
+        aggs.append(F.count(F.when(cond, 1)).alias(f"v{i}"))
+        names.append((f"v{i}", sp.column, sp.check))
+    for j, cr in enumerate(getattr(rules, "conditional", None) or []):
+        from ..operators.expectations import conditional_violation_expr
+        aggs.append(F.count(F.when(conditional_violation_expr(cr), 1))
+                    .alias(f"cv{j}"))
+        names.append((f"cv{j}", cr.name, "conditional"))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("__n_rows"))
+    wdf = (stream_df.withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*aggs))
+    stack_expr = ", ".join(f"'{col}', '{chk}', cast(`{a}` as bigint)"
+                           for a, col, chk in names)
+    long = wdf.selectExpr(
+        "w.start as window_start", "w.end as window_end",
+        "__n_rows as n_rows",
+        f"stack({len(names)}, {stack_expr})"
+        " as (column_name, check, violation_count)")
+    budget = F.lit(float(default_budget))
+    for (c, k), b in budgets.items():
+        budget = F.when((F.col("column_name") == c)
+                        & (F.col("check") == k),
+                        F.lit(float(b))).otherwise(budget)
+    rate = F.col("violation_count") / F.col("n_rows")
+    return (long.withColumn("budget", budget)
+                .withColumn("rate", F.round(rate, 6))
+                .withColumn("status",
+                            F.when(rate <= F.col("budget"), "pass")
+                             .otherwise("fail"))
+                .select("window_start", "window_end", "column_name",
+                        "check", "violation_count", "n_rows", "rate",
+                        "budget", "status"))
+
+
 def stream_dedup(stream_df: DataFrame, key_cols: list[str] | None = None,
                  text_col: str | None = None, ts_col: str = "ts",
                  watermark: str = "1 hour") -> DataFrame:

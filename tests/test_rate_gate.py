@@ -95,3 +95,58 @@ def test_default_budget_matches_strict_partition_verdicts(spark):
              for r in partition_rate_verdicts(df, rules, "p",
                                               {}).collect()}
     assert strict == rated and len(strict) == 2
+
+
+# --------------------------------------------------------- stream_rate_verdicts
+
+def test_stream_rate_verdicts_budget_flips_verdict(spark, tmp_path):
+    from schema_validata_spark.datagen import (gen_transcripts,
+                                               transcript_rules)
+    from schema_validata_spark.streaming import (stream_partition_verdicts,
+                                                 stream_rate_verdicts)
+    t = gen_transcripts(spark, 3000, seed=42)
+    src = str(tmp_path / "rate_stream_src")
+    t.write.parquet(src)
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    rules = transcript_rules()
+
+    # strict baseline: find a check that fails in some window
+    out0 = stream_partition_verdicts(stream, rules, ts_col="ts",
+                                     window="24 hours")
+    q0 = (out0.writeStream.format("memory").queryName("rate_strict_mem")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q0.awaitTermination(120)
+    strict = spark.sql("SELECT * FROM rate_strict_mem").collect()
+    failing = [r for r in strict if r["status"] == "fail"]
+    assert failing
+
+    # a generous 50% budget on every failing check flips it to pass;
+    # strict (empty budgets) matches the baseline verdicts exactly
+    budgets = {(r["column_name"], r["check"]): 0.5 for r in failing}
+    out1 = stream_rate_verdicts(stream, rules, budgets, ts_col="ts",
+                                window="24 hours")
+    q1 = (out1.writeStream.format("memory").queryName("rate_budget_mem")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    rated = spark.sql("SELECT * FROM rate_budget_mem").collect()
+    by_key = {(r["window_start"], r["column_name"], r["check"]): r
+              for r in rated}
+    assert by_key  # same aggregate shape
+    for r in failing:
+        k = (r["window_start"], r["column_name"], r["check"])
+        assert by_key[k]["status"] == "pass"          # budget absorbs it
+        assert by_key[k]["rate"] <= 0.5
+        assert by_key[k]["n_rows"] > 0
+
+    out2 = stream_rate_verdicts(stream, rules, {}, ts_col="ts",
+                                window="24 hours")
+    q2 = (out2.writeStream.format("memory").queryName("rate_strict2_mem")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    strict2 = {(r["window_start"], r["column_name"], r["check"]):
+               r["status"]
+               for r in spark.sql("SELECT * FROM rate_strict2_mem")
+                             .collect()}
+    base = {(r["window_start"], r["column_name"], r["check"]): r["status"]
+            for r in strict}
+    assert strict2 == base
