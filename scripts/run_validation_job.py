@@ -45,6 +45,14 @@ def main(argv=None):
                     help="comma-separated columns to maintain mergeable "
                          "HLL distinct sketches for (persisted at "
                          "<manifest>_sketches, reused on resume)")
+    ap.add_argument("--budgets",
+                    help="error budgets as inline JSON or a JSON file: "
+                         '{"column:check": max_rate, "default": rate}. '
+                         "Requires --partition-col. Writes "
+                         "<name>_partition_rate_verdicts.parquet and the "
+                         "job exit gate becomes the budgeted verdicts "
+                         "(all pass -> 0) instead of the strict "
+                         "any-violation fail.")
     ap.add_argument("--name", default="transcripts")
     args = ap.parse_args(argv)
 
@@ -115,8 +123,35 @@ def main(argv=None):
         pv.write.mode("overwrite").parquet(
             f"{args.out}/{args.name}_partition_verdicts.parquet")
 
-    ok = result.passed()
+    budget_gate = None
+    if args.budgets:
+        if not args.partition_col:
+            raise SystemExit("--budgets requires --partition-col")
+        from pyspark.sql import functions as F
+        from schema_validata_spark.validate import partition_rate_verdicts
+        spec = (json.load(open(args.budgets))
+                if os.path.exists(args.budgets)
+                else json.loads(args.budgets))
+        default = float(spec.pop("default", 0.0))
+        budgets = {}
+        for key, rate in spec.items():
+            col, sep, chk = key.partition(":")
+            if not sep:
+                raise SystemExit(
+                    f"budget key {key!r} must be 'column:check'")
+            budgets[(col, chk)] = float(rate)
+        prv = partition_rate_verdicts(df, rules, args.partition_col,
+                                      budgets, dims=dims,
+                                      default_budget=default)
+        prv_path = f"{args.out}/{args.name}_partition_rate_verdicts.parquet"
+        prv.write.mode("overwrite").parquet(prv_path)
+        budget_gate = (spark.read.parquet(prv_path)
+                       .where(F.col("status") == "fail").count() == 0)
+
+    ok = budget_gate if budget_gate is not None else result.passed()
     print(json.dumps({"passed": ok, "uid": result.uid,
+                      "strict_passed": result.passed(),
+                      "budget_gate": budget_gate,
                       "artifacts": paths}))
     spark.stop()
     sys.exit(0 if ok else 3)

@@ -53,7 +53,10 @@ def test_spark_submit_py_files_job(spark, tmp_path):
          "--transcripts", tdir, "--conversations", cdir,
          "--out", out, "--name", "transcripts",
          "--partition-col", "ts_date", "--manifest", mdir,
-         "--sketch-cols", "conv_id,role"],
+         "--sketch-cols", "conv_id,role",
+         # budgets: tolerate ALL text-length violations, stay strict on
+         # everything else -> the budget gate still fails (exit 3)
+         "--budgets", '{"text:length": 1.0}'],
         capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
         env=env)
 
@@ -74,3 +77,13 @@ def test_spark_submit_py_files_job(spark, tmp_path):
         out, "transcripts_partition_verdicts.parquet"))
     assert os.path.exists(mdir)
     assert os.path.exists(mdir + "_sketches")
+    # the budgeted gate ran: rate-verdict artifact written, the
+    # budgeted check passes everywhere while stricter ones still fail
+    assert report["budget_gate"] is False
+    assert report["strict_passed"] is False
+    prv = spark.read.parquet(os.path.join(
+        out, "transcripts_partition_rate_verdicts.parquet")).collect()
+    text_len = [r for r in prv if (r["column_name"], r["check"])
+                == ("text", "length")]
+    assert text_len and all(r["status"] == "pass" for r in text_len)
+    assert any(r["status"] == "fail" for r in prv)
