@@ -3702,17 +3702,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT grp, dim, round(avg(val), 6) AS m
           FROM ex GROUP BY grp, dim),
         percos AS (
+          -- integer-scaled cosines: exact, order-independent sums
+          -- (a float avg of 6dp decimals flips rounding boundaries)
           SELECT ex.grp, ex.vec_id,
-                 round(sum(ex.val * cent.m)
+                 cast(round(sum(ex.val * cent.m)
                        / greatest(sqrt(sum(ex.val * ex.val))
-                                  * sqrt(sum(cent.m * cent.m)), 1e-12),
-                       6) AS cos
+                                  * sqrt(sum(cent.m * cent.m)), 1e-12)
+                       * 1000000) AS bigint) AS ci
           FROM ex JOIN cent ON ex.grp = cent.grp AND ex.dim = cent.dim
           GROUP BY ex.grp, ex.vec_id)
         SELECT grp AS "group", count(*)::bigint AS n_vectors,
-               round(avg(cos), 6) AS mean_cos,
-               round(min(cos), 6) AS min_cos,
-               count(CASE WHEN cos < 0.5 THEN 1 END)::bigint AS n_low
+               round(sum(ci)::double / (count(*) * 1000000.0), 6)
+                 AS mean_cos,
+               round(min(ci) / 1000000.0, 6) AS min_cos,
+               count(CASE WHEN ci < 500000 THEN 1 END)::bigint AS n_low
         FROM percos GROUP BY grp"""
 
     sql["quality_topk_per_lang"] = f"""

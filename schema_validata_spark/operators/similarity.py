@@ -782,8 +782,12 @@ def embedding_dispersion(df: DataFrame, group_col: str,
 
     ``n_low`` counts vectors with cosine < ``low_cos`` (outliers /
     probable mislabels). NULL vectors are excluded; a NULL group is a
-    real group (null-safe join back). Cosines are 6dp-pinned before
-    aggregation so the frame is engine-portable.
+    real group (null-safe join back). Cosines are INTEGER-SCALED at
+    1e-6 before aggregation so the sums are exact and order-independent
+    — a float avg of 6dp-pinned values lands exactly ON a 7th-decimal
+    rounding boundary whenever the group size divides the decimal sum,
+    and summation-order noise (AQE partials vs DuckDB) then flips the
+    6dp rounding; exact integer sums cannot.
 
     SCALE: two scans of the vector column — one for the centroid (the
     ``pool_embeddings`` plan: shuffle carries #groups × dims partial
@@ -796,13 +800,21 @@ def embedding_dispersion(df: DataFrame, group_col: str,
     rows = (df.where(F.col(vec_col).isNotNull())
               .select(qcol(group_col).alias("group"),
                       F.col(vec_col).cast("array<double>").alias("__v")))
-    cos = F.round(cosine_expr(F.col("__v"), F.col("__c")), 6)
+    ci = F.round(cosine_expr(F.col("__v"), F.col("__c"))
+                 * F.lit(1000000.0)).cast("bigint")
+    low_ci = int(round(float(low_cos) * 1e6))
     return (rows.join(cent, F.col("group").eqNullSafe(F.col("__g")))
-                .select("group", cos.alias("__cos"))
+                .select("group", ci.alias("__ci"))
                 .groupBy("group")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-                     F.round(F.avg("__cos"), 6).alias("mean_cos"),
-                     F.round(F.min("__cos"), 6).alias("min_cos"),
-                     F.sum(F.when(F.col("__cos") < F.lit(float(low_cos)),
-                                  1).otherwise(0))
-                      .cast("bigint").alias("n_low")))
+                     F.sum("__ci").alias("__s"),
+                     F.min("__ci").alias("__m"),
+                     F.sum(F.when(F.col("__ci") < F.lit(low_ci), 1)
+                            .otherwise(0)).cast("bigint").alias("n_low"))
+                .select("group", "n_vectors",
+                        F.round(F.col("__s")
+                                / (F.col("n_vectors") * F.lit(1000000.0)),
+                                6).alias("mean_cos"),
+                        F.round(F.col("__m") / F.lit(1000000.0), 6)
+                         .alias("min_cos"),
+                        "n_low"))
