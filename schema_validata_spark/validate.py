@@ -642,14 +642,17 @@ def partition_rate_verdicts(df: DataFrame, rules: Rules, partition_col: str,
     base = partition_verdicts(df, rules, partition_col, dims) \
         .drop("status")
     totals = (df.groupBy(qcol(partition_col).cast("string")
-                         .alias("partition_key"))
+                         .alias("__pk"))
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
     spark = df.sparkSession
     listed = spark.createDataFrame(
         [(c, k, float(b)) for (c, k), b in budgets.items()],
         schema="column_name string, check string, budget double")
     rate = F.col("violation_count") / F.col("n_rows")
-    return (base.join(totals, "partition_key")
+    # null-safe totals join: a NULL partition key is a real partition
+    # and must keep its verdicts (the cap_group_share r2 lesson)
+    return (base.join(totals,
+                      F.col("partition_key").eqNullSafe(F.col("__pk")))
                 .join(F.broadcast(listed), ["column_name", "check"], "left")
                 .withColumn("budget",
                             F.coalesce("budget",

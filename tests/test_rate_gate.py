@@ -150,3 +150,16 @@ def test_stream_rate_verdicts_budget_flips_verdict(spark, tmp_path):
     base = {(r["window_start"], r["column_name"], r["check"]): r["status"]
             for r in strict}
     assert strict2 == base
+
+
+def test_rate_verdicts_null_partition_survives(spark):
+    from schema_validata_spark.validate import partition_rate_verdicts
+    rows = [Row(p=None, x=100.0)] * 4 + [Row(p=None, x=1.0)] * 6 \
+        + [Row(p="A", x=1.0)] * 10
+    df = spark.createDataFrame(rows, "p string, x double")
+    out = {r["partition_key"]: (r["n_rows"], r["rate"], r["status"])
+           for r in partition_rate_verdicts(
+               df, _pv_rules(), "p", {("x", "range_max"): 0.5}).collect()}
+    # NULL partition keeps its verdict (null-safe totals join)
+    assert out[None] == (10, 0.4, "pass")
+    assert out["A"] == (10, 0.0, "pass")
