@@ -557,6 +557,18 @@ def q_pooled_embeddings(spark, sf_dir):
     return pool_embeddings(_t(spark, sf_dir, "embeddings"), "label")
 
 
+def q_centroid_matrix(spark, sf_dir):
+    """Pairwise slice-centroid cosine matrix (operators/similarity.py:
+    centroid_similarity_matrix): which labels say the same things
+    semantically — the embedding companion of slice_similarity's
+    content-overlap matrix (catches paraphrased redundancy content
+    hashing cannot). Self-join of the #groups-sized centroid frame."""
+    from schema_validata_spark.operators.similarity import (
+        centroid_similarity_matrix)
+    return centroid_similarity_matrix(_t(spark, sf_dir, "embeddings"),
+                                      "label")
+
+
 def q_k_anonymity(spark, sf_dir):
     """Release-readiness k-anonymity screen (operators/uniqueness.py:
     k_anonymity): quasi-identifier class sizes over (source, lang) —
@@ -2305,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_drift": q_summary_drift,
         "variance_explained": q_variance_explained,
         "pooled_embeddings": q_pooled_embeddings,
+        "centroid_matrix": q_centroid_matrix,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
         "terminal_turns": q_terminal_turns,
@@ -2998,6 +3011,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT "group", max(c)::bigint AS n_vectors,
                list(m ORDER BY dim ASC) AS embedding
         FROM per GROUP BY "group\""""
+
+    sql["centroid_matrix"] = """
+        WITH ex AS (
+          SELECT label AS g, t.i AS dim,
+                 embedding[t.i + 1]::double AS val
+          FROM embeddings, unnest(range(len(embedding))) AS t(i)
+          WHERE embedding IS NOT NULL),
+        per AS (
+          SELECT g, dim, round(avg(val), 6) AS m
+          FROM ex GROUP BY g, dim),
+        pairs AS (
+          -- per-dim 1:1 join, so the joined sums ARE the dots/norms
+          SELECT pa.g AS ga, pb.g AS gb,
+                 sum(pa.m * pb.m) AS dot,
+                 sqrt(sum(pa.m * pa.m)) AS na,
+                 sqrt(sum(pb.m * pb.m)) AS nb
+          FROM per pa JOIN per pb ON pa.dim = pb.dim
+           AND ((pa.g IS NULL AND pb.g IS NOT NULL) OR pa.g < pb.g)
+          GROUP BY pa.g, pb.g)
+        SELECT ga AS group_a, gb AS group_b,
+               round(dot / greatest(na * nb, 1e-12), 6) AS cos
+        FROM pairs"""
 
     sql["k_anonymity"] = """
         WITH classes AS (

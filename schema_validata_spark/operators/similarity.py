@@ -818,3 +818,36 @@ def embedding_dispersion(df: DataFrame, group_col: str,
                         F.round(F.col("__m") / F.lit(1000000.0), 6)
                          .alias("min_cos"),
                         "n_low"))
+
+
+def centroid_similarity_matrix(df: DataFrame, group_col: str,
+                               vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine between slice CENTROIDS — the semantic
+    slice-distance matrix ('which sources say the same things'), the
+    embedding companion of ``slice_similarity``'s shingle-content
+    matrix: content overlap catches shared text, centroid cosine
+    catches paraphrased/translated redundancy content hashing cannot.
+    Output: one (group_a, group_b, cos) row per unordered pair,
+    group_a < group_b lexicographically; read with
+    ``embedding_dispersion`` (a tight pair of WIDE slices means less
+    than a tight pair of tight ones).
+
+    SCALE: centroids come from the ``pool_embeddings`` plan (shuffle
+    carries #groups × dims partial means, raw vectors never move); the
+    pairwise compare is a self-join of the #groups-sized centroid frame
+    — #groups² tiny rows, AQE-broadcast. Cosines are 6dp-pinned from
+    identical 6dp-decimal centroid inputs in any engine (single values,
+    not means — no exact-boundary alignment class here)."""
+    cent = pool_embeddings(df, group_col, vec_col).select(
+        F.col("group").alias("ga"),
+        F.col(vec_col).cast("array<double>").alias("va"))
+    other = cent.select(F.col("ga").alias("gb"), F.col("va").alias("vb"))
+    # NULL sorts first explicitly: a plain ga < gb would silently drop
+    # the NULL-label slice from every pair (NULL comparisons are NULL)
+    lt = (F.col("ga").isNull() & F.col("gb").isNotNull()) \
+        | (F.col("ga") < F.col("gb"))
+    return (cent.join(other, lt)
+                .select(F.col("ga").alias("group_a"),
+                        F.col("gb").alias("group_b"),
+                        F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+                         .alias("cos")))

@@ -194,3 +194,34 @@ def test_min_group_threshold_and_partition_invariance(spark):
         df.repartition(5), "conv", ["idx"], "text",
         k=2, min_group=6).collect()))
     assert a == b and len(a) == 1 and a[0][1] == 6
+
+
+# ------------------------------------------------- centroid_similarity_matrix
+
+def test_centroid_matrix_hand_computed(spark):
+    from schema_validata_spark.operators.similarity import (
+        centroid_similarity_matrix)
+    rows = (
+        [Row(vec_id=i, label="x1", embedding=[1.0, 0.0]) for i in range(3)]
+        + [Row(vec_id=9, label="x2", embedding=[2.0, 0.0])]   # same dir
+        + [Row(vec_id=5, label="y", embedding=[0.0, 1.0])])   # orthogonal
+    out = {(r["group_a"], r["group_b"]): r["cos"]
+           for r in centroid_similarity_matrix(
+               spark.createDataFrame(rows), "label").collect()}
+    assert out[("x1", "x2")] == pytest.approx(1.0)
+    assert out[("x1", "y")] == pytest.approx(0.0, abs=1e-6)
+    assert out[("x2", "y")] == pytest.approx(0.0, abs=1e-6)
+    assert len(out) == 3  # unordered pairs only
+
+
+def test_centroid_matrix_null_label_slice_pairs(spark):
+    from schema_validata_spark.operators.similarity import (
+        centroid_similarity_matrix)
+    rows = [Row(vec_id=1, label=None, embedding=[1.0, 0.0]),
+            Row(vec_id=2, label="a", embedding=[1.0, 0.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>")
+    out = centroid_similarity_matrix(df, "label").collect()
+    assert len(out) == 1
+    assert out[0]["group_a"] is None and out[0]["group_b"] == "a"
+    assert out[0]["cos"] == pytest.approx(1.0)
