@@ -2216,6 +2216,66 @@ def q_winnow_overlap_share(spark, sf_dir):
         .orderBy("id")
 
 
+def q_fd_violations(spark, sf_dir):
+    """Row-level functional-dependency drill-down (operators/
+    integrity.py:fd_violations): list the l_orderkey keys that break
+    l_orderkey -> l_returnflag, one row per (key, flag value) with the
+    majority-vote survivor marked — one (det, dep) hash aggregate, a
+    key-level window over the aggregated frame only."""
+    from schema_validata_spark.operators.integrity import fd_violations
+    return (fd_violations(_t(spark, sf_dir, "lineitem"),
+                          ["l_orderkey"], "l_returnflag")
+            .orderBy("l_orderkey", "dep_value"))
+
+
+def q_candidate_keys(spark, sf_dir):
+    """Candidate-key discovery (operators/integrity.py:candidate_keys):
+    does (l_orderkey, l_linenumber) identify lineitem rows, does
+    l_orderkey alone, does l_comment — the probe run before writing a
+    unique_value rule into the data dictionary."""
+    from schema_validata_spark.operators.integrity import candidate_keys
+    return (candidate_keys(_t(spark, sf_dir, "lineitem"),
+                           [("line_pk", ["l_orderkey", "l_linenumber"]),
+                            ("orderkey_only", ["l_orderkey"]),
+                            ("shipdate_only", ["l_shipdate"])])
+            .orderBy("key_name"))
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Near-duplicate cluster-size histogram (operators/dedup.py:
+    dup_cluster_sizes): connected components over the same n-gram
+    Jaccard pair graph as near_dup_clusters, rolled up to
+    (cluster_size, n_clusters, n_docs) — the dup-mass shape report."""
+    from schema_validata_spark.operators.dedup import dup_cluster_sizes
+    return (dup_cluster_sizes(_ngram_pairs(spark, sf_dir), "id_a", "id_b")
+            .orderBy("cluster_size"))
+
+
+def q_quality_trend(spark, sf_dir):
+    """Per-slice weekly metric trend (operators/statqa.py:
+    quality_trend): weekly bucket averages of events.value per
+    event_type and an OLS slope per week — the longitudinal companion
+    to the snapshot drift checks."""
+    from schema_validata_spark.operators.statqa import quality_trend
+    return (quality_trend(_t(spark, sf_dir, "events"),
+                          "event_type", "ts", "value")
+            .orderBy("group"))
+
+
+def q_compression_signals(spark, sf_dir):
+    """zlib compressibility QA (operators/compression.py:
+    compression_signals): per-document compressed/uncompressed ratio
+    with too_repetitive / suspicious_entropy verdicts — Arrow-batched
+    pandas UDF (zlib is Python-side), map-only. DuckDB has no zlib,
+    so this is a rows-only check by design (deterministic: zlib at a
+    fixed level is stable; the repo's pytest asserts the verdicts)."""
+    from schema_validata_spark.operators.compression import \
+        compression_signals
+    return (compression_signals(_t(spark, sf_dir, "documents"),
+                                "doc_id", "text")
+            .orderBy("id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2376,6 +2436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap": q_winnow_overlap,
         "winnow_overlap_share": q_winnow_overlap_share,
+        "fd_violations": q_fd_violations,
+        "candidate_keys": q_candidate_keys,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "quality_trend": q_quality_trend,
+        "compression_signals": q_compression_signals,
     }
 
 
@@ -5364,5 +5429,78 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CASE WHEN sh.shared THEN 1 ELSE 0 END)::DOUBLE
                      / count(*), 6) AS overlap_share
         FROM f2 JOIN sh USING (fp) GROUP BY 1"""
+
+    sql["fd_violations"] = """
+        WITH per AS (
+          SELECT l_orderkey, CAST(l_returnflag AS VARCHAR) AS dep_value,
+                 count(*)::bigint AS n_rows
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+          GROUP BY l_orderkey, l_returnflag),
+        w AS (
+          SELECT *,
+                 count(*) OVER (PARTITION BY l_orderkey)::bigint
+                   AS n_distinct_vals,
+                 -- struct max = lexicographic (n_rows, dep_value):
+                 -- greatest count wins, ties by greatest value —
+                 -- identical to Spark's max(struct(n_rows, dep_value))
+                 max(struct_pack(n := n_rows, d := dep_value))
+                   OVER (PARTITION BY l_orderkey) AS best
+          FROM per)
+        SELECT l_orderkey, dep_value, n_rows, n_distinct_vals,
+               (n_rows = best.n AND dep_value = best.d) AS is_majority
+        FROM w WHERE n_distinct_vals > 1
+        ORDER BY l_orderkey, dep_value"""
+
+    def _ck_sql(name: str, cols: list[str]) -> str:
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        keys = ", ".join(cols)
+        return f"""
+          SELECT '{name}' AS key_name,
+                 (SELECT count(*) FROM lineitem)::bigint AS n_rows,
+                 (SELECT count(*) FROM lineitem
+                   WHERE NOT ({nn}))::bigint AS n_null_rows,
+                 count(*)::bigint AS n_distinct,
+                 sum(n - 1)::bigint AS n_extra_rows,
+                 (sum(n - 1) = 0 AND (SELECT count(*) FROM lineitem
+                                       WHERE NOT ({nn})) = 0) AS is_unique
+          FROM (SELECT {keys}, count(*) AS n FROM lineitem
+                WHERE {nn} GROUP BY {keys})"""
+
+    sql["candidate_keys"] = (
+        "SELECT * FROM ("
+        + _ck_sql("line_pk", ["l_orderkey", "l_linenumber"])
+        + " UNION ALL "
+        + _ck_sql("orderkey_only", ["l_orderkey"])
+        + " UNION ALL "
+        + _ck_sql("shipdate_only", ["l_shipdate"])
+        + ") ORDER BY key_name")
+
+    sql["dup_cluster_sizes"] = (
+        f"WITH RECURSIVE {_cc_ctes}, "
+        "sizes AS (SELECT cluster_id, count(*)::bigint AS cluster_size "
+        "FROM cl GROUP BY cluster_id) "
+        "SELECT cluster_size, count(*)::bigint AS n_clusters, "
+        "sum(cluster_size)::bigint AS n_docs "
+        "FROM sizes GROUP BY cluster_size ORDER BY cluster_size")
+
+    sql["quality_trend"] = """
+        WITH per AS (
+          SELECT CAST(event_type AS VARCHAR) AS "group",
+                 date_trunc('week', ts) AS wk,
+                 round(avg(value), 6) AS a
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY 1, 2
+          HAVING round(avg(value), 6) IS NOT NULL)
+        SELECT "group", count(*)::bigint AS n_buckets,
+               min(CAST(wk AS DATE)) AS first_week,
+               max(CAST(wk AS DATE)) AS last_week,
+               round(avg(a), 6) AS overall_avg,
+               round(regr_slope(a, epoch(wk) / 604800.0), 6)
+                 AS slope_per_week
+        FROM per GROUP BY "group" ORDER BY "group" """
+
+    # compression_signals: rows-only by design — zlib has no DuckDB
+    # counterpart; determinism + verdicts covered by
+    # tests/test_round3d_ops.py.
 
     return sql

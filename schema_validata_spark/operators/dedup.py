@@ -918,3 +918,25 @@ def slice_similarity(df: DataFrame, text_col: str, group_col: str,
         matches.cast("bigint").alias("n_matches"),
         F.round(matches.cast("double") / F.lit(float(k)), 6)
          .alias("est_jaccard"))
+
+
+def dup_cluster_sizes(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b",
+                      max_iter: int = 25) -> DataFrame:
+    """Cluster-size histogram of the near-duplicate graph: resolve
+    ``pairs`` into connected components (``near_dup_clusters``) and
+    report ``(cluster_size, n_clusters, n_docs)`` — the shape report a
+    corpus owner reads before dedup ("how much of the dup mass is
+    thousands of 2-doc pairs vs one 50k-doc boilerplate blob?"), and
+    the input to choosing keep-per-cluster policies.
+
+    SCALE: rides ``near_dup_clusters`` (only (id, label) pairs
+    shuffle), then two tiny hash aggregates — cluster frame → per-
+    cluster size → size histogram. Output is bounded by the number of
+    DISTINCT sizes, a few dozen rows at any corpus scale."""
+    cl = near_dup_clusters(pairs, id_a, id_b, max_iter=max_iter)
+    sizes = (cl.groupBy("cluster_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                      F.sum("cluster_size").cast("bigint").alias("n_docs")))

@@ -189,3 +189,108 @@ def relationship_audit(df_a: DataFrame, df_b: DataFrame,
                        "max_rows_per_key_a", "max_rows_per_key_b",
                        "null_rows_a", "null_rows_b",
                        "relationship", "worst_fanout"))
+
+
+def fd_violations(df: DataFrame, det_cols: list[str], dep_col: str,
+                  max_keys: int | None = None) -> DataFrame:
+    """Row-level companion to ``fd_check``: LIST the determinant keys
+    that break ``det_cols -> dep_col``, one output row per (key,
+    dependent value) under a violating key — the drill-down a data
+    owner needs after the summary says "173 orders carry two return
+    flags" (reference analog: the value_errors sheets that accompany
+    every pass/fail verdict, src/schema_validata.py get_rows_with_
+    condition_issues style listing vs aggregate verdicts).
+
+    Output: ``det_cols..., dep_value (string), n_rows, n_distinct_vals,
+    is_majority`` — ``is_majority`` marks the value that would survive a
+    majority-vote repair (ties broken by greatest value, deterministic
+    across shuffles/retries).
+
+    NULL dependent values assert nothing (ignored, as in ``fd_check``);
+    an entirely-NULL determinant groups under the NULL key.
+
+    SCALE: one two-stage hash aggregate on (det, dep) — raw rows
+    collapse map-side, the dependent value travels as a string — then a
+    key-level window over the AGGREGATED frame (bounded by distinct
+    (det, dep) combos, not rows). ``max_keys`` bounds the listing the
+    same way the report path caps value errors (greatest n_rows keys
+    win; ties by key, deterministic)."""
+    from pyspark.sql import Window
+
+    dets = [qcol(c) for c in det_cols]
+    per = (df.where(qcol(dep_col).isNotNull())
+             .groupBy(*dets, qcol(dep_col).cast("string").alias("dep_value"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    w = Window.partitionBy(*[qcol(c) for c in det_cols])
+    per = (per.withColumn("n_distinct_vals",
+                          F.count(F.lit(1)).over(w).cast("bigint"))
+              .withColumn("__best",
+                          F.max(F.struct(F.col("n_rows"),
+                                         F.col("dep_value"))).over(w))
+              .where(F.col("n_distinct_vals") > 1)
+              .withColumn("is_majority",
+                          (F.col("n_rows") == F.col("__best.n_rows"))
+                          & (F.col("dep_value") == F.col("__best.dep_value")))
+              .drop("__best"))
+    if max_keys is not None:
+        key_rows = (per.groupBy(*[qcol(c) for c in det_cols])
+                       .agg(F.sum("n_rows").alias("__kn")))
+        kw = Window.orderBy(F.col("__kn").desc(),
+                            *[qcol(c).asc_nulls_first() for c in det_cols])
+        keep = (key_rows.withColumn("__rk", F.row_number().over(kw))
+                        .where(F.col("__rk") <= max_keys)
+                        .drop("__kn", "__rk"))
+        cond = None
+        for c in det_cols:
+            eq = per[f"`{c}`"].eqNullSafe(keep[f"`{c}`"])
+            cond = eq if cond is None else cond & eq
+        per = per.join(keep, cond, "left_semi")
+    return per
+
+
+def candidate_keys(df: DataFrame,
+                   key_sets: list[tuple[str, list[str]]]) -> DataFrame:
+    """Candidate-key discovery: for each named column set, does it
+    uniquely identify rows? The rule-authoring probe that precedes a
+    ``unique_value`` constraint (reference: the data dictionary's
+    unique_value column, src/schema_validata.py:1344 area) — run it
+    over plausible keys BEFORE writing the dictionary.
+
+    Output one row per candidate: ``key_name, n_rows, n_null_rows
+    (any key column NULL), n_distinct (non-null tuples), n_extra_rows
+    (non-null rows minus distinct = rows a unique constraint would
+    flag), is_unique (no duplicates AND no NULL keys)``.
+
+    SCALE: per candidate, one two-stage hash aggregate on the key tuple
+    (map-side partial counts; only (key, count) shuffles) and a one-row
+    rollup; candidates union. At cluster scale callers persist ``df``
+    once across the list — same contract as ``fd_check``."""
+    if not key_sets:
+        raise ValueError("key_sets must be non-empty")
+    out = None
+    for name, cols in key_sets:
+        nn = None
+        for c in cols:
+            x = qcol(c).isNotNull()
+            nn = x if nn is None else nn & x
+        totals = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__total"),
+            F.sum(F.when(~nn, 1).otherwise(0)).cast("bigint")
+             .alias("__nulls"))
+        per_key = (df.where(nn)
+                     .groupBy(*[qcol(c) for c in cols])
+                     .agg(F.count(F.lit(1)).alias("__n")))
+        dk = per_key.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__distinct"),
+            F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).cast("bigint")
+             .alias("__extra"))
+        row = (totals.crossJoin(F.broadcast(dk))
+               .select(F.lit(name).alias("key_name"),
+                       F.col("__total").alias("n_rows"),
+                       F.col("__nulls").alias("n_null_rows"),
+                       F.col("__distinct").alias("n_distinct"),
+                       F.col("__extra").alias("n_extra_rows"),
+                       ((F.col("__extra") == 0) & (F.col("__nulls") == 0))
+                       .alias("is_unique")))
+        out = row if out is None else out.unionByName(row)
+    return out

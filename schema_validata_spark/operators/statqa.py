@@ -728,3 +728,45 @@ def robust_outliers(df: DataFrame, id_col: str, feature_cols: list[str],
              .select("id", "feature", F.round("value", 6).alias("value"),
                      F.round("median_val", 6).alias("median_val"),
                      F.round("mad", 6).alias("mad"), "deviation"))
+
+
+def quality_trend(df: DataFrame, group_col: str, ts_col: str,
+                  value_col: str) -> DataFrame:
+    """Per-slice metric TREND over weekly buckets: is a source's
+    quality signal (score, length, rating, latency) drifting over
+    time, and how fast? The longitudinal companion to the snapshot
+    drift checks — drift says "this week differs from baseline",
+    trend says "it has been sliding 0.4/week for a month".
+
+    Per group: weekly bucket averages (date_trunc to Monday, UTC
+    session timezone), then an OLS slope of bucket-average vs
+    bucket-index (units: value per week) via ``regr_slope`` — each
+    bucket weighs equally, so one huge week cannot masquerade as a
+    trend. Buckets with only NULL values drop (no average exists);
+    NULL group keeps its own trend row; NULL ts rows are excluded
+    (no bucket).
+
+    Output: ``group (string), n_buckets, first_week (date),
+    last_week (date), overall_avg, slope_per_week`` — slope is NULL
+    when fewer than 2 buckets exist (regression undefined).
+
+    SCALE: two-stage — raw rows collapse map-side into (group, week)
+    partial sums (one shuffle keyed by a LOW-cardinality composite,
+    weeks × groups rows), then a per-group regression over the tiny
+    bucket frame. Bucket averages are rounded to 6dp BEFORE the
+    regression so the slope is reproducible across partitionings and
+    engines (float sum order)."""
+    wk = F.date_trunc("week", qcol(ts_col))
+    per = (df.where(qcol(ts_col).isNotNull())
+             .groupBy(qcol(group_col).cast("string").alias("group"),
+                      wk.alias("__wk"))
+             .agg(F.round(F.avg(qcol(value_col)), 6).alias("__avg"))
+             .where(F.col("__avg").isNotNull()))
+    idx = (F.unix_timestamp(F.col("__wk")) / F.lit(604800.0))
+    return (per.groupBy("group")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                    F.min(F.col("__wk").cast("date")).alias("first_week"),
+                    F.max(F.col("__wk").cast("date")).alias("last_week"),
+                    F.round(F.avg("__avg"), 6).alias("overall_avg"),
+                    F.round(F.regr_slope(F.col("__avg"), idx), 6)
+                     .alias("slope_per_week")))

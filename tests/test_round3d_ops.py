@@ -1,0 +1,115 @@
+"""Round-3d additions: FD violation listing, candidate-key discovery,
+dup-cluster-size histogram, per-slice quality trend, compression QA."""
+
+import datetime as dt
+
+import pytest
+
+from schema_validata_spark.operators.compression import compression_signals
+from schema_validata_spark.operators.dedup import dup_cluster_sizes
+from schema_validata_spark.operators.integrity import (candidate_keys,
+                                                       fd_violations)
+from schema_validata_spark.operators.statqa import quality_trend
+
+
+def test_fd_violations_lists_breaking_keys(spark):
+    df = spark.createDataFrame(
+        [("o1", "A"), ("o1", "A"), ("o1", "B"),      # violating: A(2), B(1)
+         ("o2", "C"), ("o2", "C"),                   # clean
+         ("o3", None), ("o3", "D"),                  # NULL asserts nothing
+         (None, "E"), (None, "F")],                  # NULL key can violate
+        "k string, v string")
+    out = {(r["k"], r["dep_value"]): r
+           for r in fd_violations(df, ["k"], "v").collect()}
+    # o2 is clean, o3 has a single non-null value -> absent
+    assert set(out) == {("o1", "A"), ("o1", "B"), (None, "E"), (None, "F")}
+    assert out[("o1", "A")]["n_rows"] == 2
+    assert out[("o1", "A")]["is_majority"] is True
+    assert out[("o1", "B")]["is_majority"] is False
+    assert out[("o1", "A")]["n_distinct_vals"] == 2
+    # ties break by greatest value: F beats E at 1 row each
+    assert out[(None, "F")]["is_majority"] is True
+    assert out[(None, "E")]["is_majority"] is False
+
+
+def test_fd_violations_max_keys_keeps_heaviest(spark):
+    rows = ([("big", f"v{i % 3}") for i in range(9)]
+            + [("small", "x"), ("small", "y")])
+    df = spark.createDataFrame(rows, "k string, v string")
+    capped = fd_violations(df, ["k"], "v", max_keys=1).collect()
+    assert {r["k"] for r in capped} == {"big"}
+    full = fd_violations(df, ["k"], "v").collect()
+    assert {r["k"] for r in full} == {"big", "small"}
+
+
+def test_candidate_keys_classification(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", None), (4, "b", "y")],
+        "id bigint, g string, s string")
+    out = {r["key_name"]: r for r in candidate_keys(
+        df, [("pk", ["id"]), ("grp", ["g"]), ("pair", ["g", "s"])]
+    ).collect()}
+    assert out["pk"]["is_unique"] is True
+    assert out["pk"]["n_distinct"] == 4 and out["pk"]["n_extra_rows"] == 0
+    assert out["grp"]["is_unique"] is False
+    assert out["grp"]["n_extra_rows"] == 2          # 4 rows, 2 distinct
+    # NULL component rows are counted and veto uniqueness
+    assert out["pair"]["n_null_rows"] == 1
+    assert out["pair"]["n_distinct"] == 3
+    assert out["pair"]["is_unique"] is False
+
+
+def test_dup_cluster_sizes_histogram(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),            # chain -> cluster of 3
+         (10, 11),                  # pair  -> cluster of 2
+         (20, 21)],                 # pair  -> cluster of 2
+        "id_a bigint, id_b bigint")
+    out = {r["cluster_size"]: r for r in dup_cluster_sizes(pairs).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 2 and out[2]["n_docs"] == 4
+
+
+def test_quality_trend_exact_slope(spark):
+    base = dt.datetime(2026, 1, 5)        # a Monday
+    rows = []
+    for w in range(4):                     # group 'up': avg = 10 + 2*w
+        for v in (10.0 + 2 * w - 1, 10.0 + 2 * w + 1):
+            rows.append(("up", base + dt.timedelta(weeks=w), v))
+    rows.append(("flat", base, 5.0))       # single bucket -> NULL slope
+    rows.append(("flat", base, 7.0))
+    rows.append(("up", None, 999.0))       # NULL ts excluded
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["group"]: r for r in quality_trend(df, "g", "ts", "v").collect()}
+    assert out["up"]["n_buckets"] == 4
+    assert out["up"]["slope_per_week"] == pytest.approx(2.0, abs=1e-6)
+    assert out["up"]["first_week"] == dt.date(2026, 1, 5)
+    assert out["up"]["last_week"] == dt.date(2026, 1, 26)
+    assert out["flat"]["n_buckets"] == 1
+    assert out["flat"]["slope_per_week"] is None
+    assert out["flat"]["overall_avg"] == pytest.approx(6.0)
+
+
+def test_compression_signals_verdicts(spark):
+    import random
+    rng = random.Random(7)
+    noisy = "".join(chr(rng.randrange(0x21, 0x7f)) for _ in range(4000))
+    df = spark.createDataFrame(
+        [(1, "ab" * 4000),   # highly repetitive
+         (2, noisy),         # high-entropy
+         (3, None),
+         (4, "")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in
+           compression_signals(df, "doc_id", "text",
+                               max_ratio=0.8).collect()}
+    assert out[1]["verdict"] == "too_repetitive"
+    assert out[1]["ratio"] < 0.05
+    assert out[2]["verdict"] == "suspicious_entropy"
+    assert out[3]["verdict"] == "missing"
+    assert out[3]["n_bytes"] is None
+    assert out[4]["verdict"] == "empty"
+    # determinism: zlib at a fixed level is stable across runs
+    again = {r["id"]: r["n_compressed"]
+             for r in compression_signals(df, "doc_id", "text").collect()}
+    assert again[1] == out[1]["n_compressed"]
