@@ -261,23 +261,29 @@ def candidate_keys(df: DataFrame,
     (non-null rows minus distinct = rows a unique constraint would
     flag), is_unique (no duplicates AND no NULL keys)``.
 
-    SCALE: per candidate, one two-stage hash aggregate on the key tuple
-    (map-side partial counts; only (key, count) shuffles) and a one-row
-    rollup; candidates union. At cluster scale callers persist ``df``
-    once across the list — same contract as ``fd_check``."""
+    SCALE: the row total and EVERY candidate's null count ride ONE
+    shared aggregate scan; each candidate then needs exactly one
+    two-stage hash aggregate on its key tuple (map-side partial
+    counts; only (key, count) shuffles) and a one-row rollup —
+    1 + len(key_sets) scans total. At cluster scale callers persist
+    ``df`` once across the list — same contract as ``fd_check``."""
     if not key_sets:
         raise ValueError("key_sets must be non-empty")
-    out = None
-    for name, cols in key_sets:
+
+    def _nn(cols: list[str]):
         nn = None
         for c in cols:
             x = qcol(c).isNotNull()
             nn = x if nn is None else nn & x
-        totals = df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("__total"),
-            F.sum(F.when(~nn, 1).otherwise(0)).cast("bigint")
-             .alias("__nulls"))
-        per_key = (df.where(nn)
+        return nn
+
+    totals = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__total"),
+        *[F.sum(F.when(~_nn(cols), 1).otherwise(0)).cast("bigint")
+           .alias(f"__nulls_{i}") for i, (_, cols) in enumerate(key_sets)])
+    out = None
+    for i, (name, cols) in enumerate(key_sets):
+        per_key = (df.where(_nn(cols))
                      .groupBy(*[qcol(c) for c in cols])
                      .agg(F.count(F.lit(1)).alias("__n")))
         dk = per_key.agg(
@@ -287,10 +293,11 @@ def candidate_keys(df: DataFrame,
         row = (totals.crossJoin(F.broadcast(dk))
                .select(F.lit(name).alias("key_name"),
                        F.col("__total").alias("n_rows"),
-                       F.col("__nulls").alias("n_null_rows"),
+                       F.col(f"__nulls_{i}").alias("n_null_rows"),
                        F.col("__distinct").alias("n_distinct"),
                        F.col("__extra").alias("n_extra_rows"),
-                       ((F.col("__extra") == 0) & (F.col("__nulls") == 0))
+                       ((F.col("__extra") == 0)
+                        & (F.col(f"__nulls_{i}") == 0))
                        .alias("is_unique")))
         out = row if out is None else out.unionByName(row)
     return out
