@@ -113,3 +113,58 @@ def test_compression_signals_verdicts(spark):
     again = {r["id"]: r["n_compressed"]
              for r in compression_signals(df, "doc_id", "text").collect()}
     assert again[1] == out[1]["n_compressed"]
+
+
+def _tree(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fd_violations_plan_shape(spark, tmp_path):
+    """fd_violations aggregates on (det, dep) then windows on det:
+    exactly TWO Exchanges — and both carry the aggregated frame's
+    short columns, never raw rows twice."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.integrity import fd_violations
+    src = str(tmp_path / "fd")
+    spark.range(20_000).select(
+        (F.col("id") % 500).alias("k"),
+        (F.col("id") % 7).cast("string").alias("v")) \
+        .write.parquet(src)
+    out = fd_violations(spark.read.parquet(src), ["k"], "v")
+    plan = _tree(out)
+    assert plan.count("Exchange") == 2, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_quality_trend_plan_shape(spark, tmp_path):
+    """quality_trend is two chained hash aggregates — (group, week)
+    then (group): two Exchanges, no window, no join."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.statqa import quality_trend
+    src = str(tmp_path / "qt")
+    spark.range(20_000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        (F.col("id") % 11).cast("double").alias("v")) \
+        .write.parquet(src)
+    out = quality_trend(spark.read.parquet(src), "g", "ts", "v")
+    plan = _tree(out)
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_compression_signals_map_only(spark, tmp_path):
+    """compression_signals is a map-only pandas-UDF pass: ZERO
+    Exchanges — the text column never shuffles."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.compression import \
+        compression_signals
+    src = str(tmp_path / "cz")
+    spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id")).alias("text")) \
+        .write.parquet(src)
+    out = compression_signals(spark.read.parquet(src), "doc_id", "text")
+    plan = _tree(out)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "Python" in plan, plan
