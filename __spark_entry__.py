@@ -2276,6 +2276,19 @@ def q_compression_signals(spark, sf_dir):
             .orderBy("id"))
 
 
+def q_mask_stability(spark, sf_dir):
+    """Cross-partition format-mask stability (operators/statqa.py:
+    mask_stability): per ts-day partition, the dominant A/a/9 value
+    mask of event_type and props, rolled up to a per-column stability
+    verdict — the format-drift screen that catches an exporter
+    switching ID/date shapes in one partition."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.statqa import mask_stability
+    ev = _t(spark, sf_dir, "events").withColumn("__pday", F.to_date("ts"))
+    return (mask_stability(ev, ["event_type", "props"], "__pday")
+            .orderBy("column_name"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2441,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "quality_trend": q_quality_trend,
         "compression_signals": q_compression_signals,
+        "mask_stability": q_mask_stability,
     }
 
 
@@ -5502,5 +5516,34 @@ def oracle_sql() -> dict[str, str]:
     # compression_signals: rows-only by design — zlib has no DuckDB
     # counterpart; determinism + verdicts covered by
     # tests/test_round3d_ops.py.
+
+    _msk = ("regexp_replace(regexp_replace(regexp_replace("
+            "substr({c}, 1, 24), '[A-Z]', 'A', 'g'), "
+            "'[a-z]', 'a', 'g'), '[0-9]', '9', 'g')")
+    sql["mask_stability"] = f"""
+        WITH u AS (
+          SELECT CAST(ts AS DATE) AS p, 'event_type' AS column_name,
+                 {_msk.format(c='event_type')} AS mask
+          FROM events WHERE event_type IS NOT NULL
+          UNION ALL
+          SELECT CAST(ts AS DATE), 'props', {_msk.format(c='props')}
+          FROM events WHERE props IS NOT NULL),
+        c AS (SELECT p, column_name, mask, count(*)::bigint AS n
+              FROM u GROUP BY 1, 2, 3),
+        -- struct max = lexicographic (n, mask): greatest count wins,
+        -- ties by greatest mask — same as Spark's max(struct(n, mask))
+        d AS (SELECT p, column_name,
+                     max(struct_pack(n := n, m := mask)) AS best
+              FROM c GROUP BY 1, 2),
+        pd AS (SELECT column_name, best.m AS dom, count(*)::bigint AS np
+               FROM d GROUP BY 1, 2),
+        s AS (SELECT column_name, sum(np)::bigint AS n_partitions,
+                     count(*)::bigint AS n_dominant_masks,
+                     max(struct_pack(np := np, m := dom)) AS top
+              FROM pd GROUP BY 1)
+        SELECT column_name, n_partitions, n_dominant_masks,
+               top.m AS top_mask, top.np AS n_conforming,
+               (n_dominant_masks = 1) AS stable
+        FROM s ORDER BY column_name"""
 
     return sql

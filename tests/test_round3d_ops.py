@@ -168,3 +168,54 @@ def test_compression_signals_map_only(spark, tmp_path):
     plan = _tree(out)
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan or "Python" in plan, plan
+
+
+def test_mask_stability_flags_format_flip(spark):
+    from schema_validata_spark.operators.statqa import mask_stability
+    rows = ([("p1", "AB-1234", "x1")] * 5          # stable id format
+            + [("p2", "AB-5678", "x2")] * 5
+            + [("p3", "12345678", "x3")] * 5)      # p3 flipped format
+    df = spark.createDataFrame(rows, "p string, uid string, other string")
+    out = {r["column_name"]: r
+           for r in mask_stability(df, ["uid", "other"], "p").collect()}
+    uid = out["uid"]
+    assert uid["n_partitions"] == 3
+    assert uid["n_dominant_masks"] == 2
+    assert uid["stable"] is False
+    assert uid["top_mask"] == "AA-9999"            # 2 of 3 partitions
+    assert uid["n_conforming"] == 2
+    assert out["other"]["stable"] is True
+    assert out["other"]["top_mask"] == "a9"
+
+
+def test_mask_stability_null_partition_and_ties(spark):
+    from schema_validata_spark.operators.statqa import mask_stability
+    # NULL partition is a real partition; within-partition dominance
+    # ties break by GREATEST mask
+    rows = [(None, "aa"), (None, "99"),            # tie -> 'aa' > '99'
+            ("p", "bb")]
+    df = spark.createDataFrame(rows, "p string, c string")
+    out = mask_stability(df, ["c"], "p").collect()[0]
+    assert out["n_partitions"] == 2
+    # dominants: NULL->'aa', p->'aa' -> stable
+    assert out["n_dominant_masks"] == 1 and out["stable"] is True
+    assert out["top_mask"] == "aa" and out["n_conforming"] == 2
+
+
+def test_mask_stability_plan_one_raw_shuffle(spark, tmp_path):
+    """The only Exchange touching raw-row volume carries the
+    (partition, column, clipped-mask) key — text/values never
+    shuffle; later aggregates run on the mask-vocabulary frame."""
+    from pyspark.sql import functions as F
+    from schema_validata_spark.operators.statqa import mask_stability
+    src = str(tmp_path / "ms")
+    spark.range(10_000).select(
+        (F.col("id") % 7).cast("string").alias("p"),
+        F.concat(F.lit("v"), F.col("id") % 50).alias("c")) \
+        .write.parquet(src)
+    out = mask_stability(spark.read.parquet(src), ["c"], "p")
+    plan = _tree(out)
+    # counts -> dominant -> per-dominant -> summary; only the first
+    # exchange sees raw-row volume, and it carries the clipped mask key
+    assert plan.count("Exchange") == 4, plan
+    assert "NestedLoop" not in plan and "Join" not in plan, plan
