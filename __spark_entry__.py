@@ -2289,6 +2289,44 @@ def q_mask_stability(spark, sf_dir):
             .orderBy("column_name"))
 
 
+def q_fd_repair(spark, sf_dir):
+    """Majority-vote FD repair (operators/integrity.py:fd_repair):
+    coerce l_returnflag to its order's majority flag (the same
+    deterministic winner fd_violations marks), was_repaired naming
+    the changed rows; dependent rides as its native type, join-back
+    keyed on the determinant."""
+    from schema_validata_spark.operators.integrity import fd_repair
+    return (fd_repair(_t(spark, sf_dir, "lineitem"),
+                      ["l_orderkey"], "l_returnflag")
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    "was_repaired")
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+def q_verdict_flips(spark, sf_dir):
+    """Verdict release-diff (validate.py:verdict_flips): which
+    (partition, column, check) verdicts CHANGE when the strict
+    per-partition gate is re-judged under error budgets — the same
+    rules as partition_verdicts vs partition_rate_verdicts, joined
+    full-outer on the verdict keys; unchanged verdicts emit nothing."""
+    from schema_validata_spark.validate import (partition_rate_verdicts,
+                                                verdict_flips)
+    df = _t(spark, sf_dir, "lineitem")
+    rules = Rules(name="LINEITEM_SCHEMA", fields=[
+        FieldRule("l_quantity", data_type="Float", range_max=_QTY_MAX),
+        FieldRule("l_discount", data_type="Float", range_max=0.05),
+        FieldRule("l_tax", data_type="Float", range_min=0.02),
+    ])
+    strict = partition_verdicts(df, rules, "l_returnflag")
+    budgeted = partition_rate_verdicts(
+        df, rules, "l_returnflag",
+        {("l_quantity", "range_max"): 0.5,
+         ("l_discount", "range_max"): 0.0001,
+         ("l_tax", "range_min"): 0.30})
+    return (verdict_flips(strict, budgeted)
+            .orderBy("partition_key", "column_name", "check"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2455,6 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trend": q_quality_trend,
         "compression_signals": q_compression_signals,
         "mask_stability": q_mask_stability,
+        "fd_repair": q_fd_repair,
+        "verdict_flips": q_verdict_flips,
     }
 
 
@@ -5545,5 +5585,60 @@ def oracle_sql() -> dict[str, str]:
                top.m AS top_mask, top.np AS n_conforming,
                (n_dominant_masks = 1) AS stable
         FROM s ORDER BY column_name"""
+
+    sql["fd_repair"] = """
+        WITH per AS (
+          SELECT l_orderkey, l_returnflag AS v, count(*)::bigint AS n
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+          GROUP BY 1, 2),
+        m AS (
+          -- struct max = (count, value) lexicographic: majority wins,
+          -- ties by greatest value — Spark's max(struct(n, dep))
+          SELECT l_orderkey, max(struct_pack(n := n, v := v)) AS best
+          FROM per GROUP BY 1)
+        SELECT l.l_orderkey, l.l_linenumber,
+               CASE WHEN l.l_returnflag IS NULL THEN NULL
+                    ELSE coalesce(m.best.v, l.l_returnflag)
+               END AS l_returnflag,
+               (l.l_returnflag IS NOT NULL AND m.best.v IS NOT NULL
+                AND l.l_returnflag <> m.best.v) AS was_repaired
+        FROM lineitem l LEFT JOIN m
+          ON l.l_orderkey IS NOT DISTINCT FROM m.l_orderkey
+        ORDER BY l.l_orderkey, l.l_linenumber"""
+
+    sql["verdict_flips"] = f"""
+        WITH checks AS (
+          SELECT l_returnflag AS pk, count(*)::bigint AS n_rows,
+                 count(*) FILTER (WHERE l_quantity > {_QTY_MAX})::bigint
+                   AS c_qty,
+                 count(*) FILTER (WHERE l_discount > 0.05)::bigint
+                   AS c_disc,
+                 count(*) FILTER (WHERE l_tax < 0.02)::bigint AS c_tax
+          FROM lineitem GROUP BY l_returnflag),
+        u AS (
+          SELECT pk, 'l_quantity' AS column_name, 'range_max' AS chk,
+                 c_qty AS vc, n_rows, 0.5::double AS budget FROM checks
+          UNION ALL
+          SELECT pk, 'l_discount', 'range_max', c_disc, n_rows,
+                 0.0001::double FROM checks
+          UNION ALL
+          SELECT pk, 'l_tax', 'range_min', c_tax, n_rows,
+                 0.30::double FROM checks),
+        j AS (
+          SELECT pk, column_name, chk, vc,
+                 CASE WHEN vc > 0 THEN 'fail' ELSE 'pass' END
+                   AS status_before,
+                 CASE WHEN vc::double / n_rows <= budget
+                      THEN 'pass' ELSE 'fail' END AS status_after
+          FROM u)
+        SELECT pk AS partition_key, column_name, chk AS "check",
+               status_before, status_after,
+               vc AS count_before, vc AS count_after,
+               CASE WHEN status_before = 'pass' AND status_after = 'fail'
+                      THEN 'regressed'
+                    WHEN status_before = 'fail' AND status_after = 'pass'
+                      THEN 'fixed' END AS flip
+        FROM j WHERE status_before <> status_after
+        ORDER BY partition_key, column_name, chk"""
 
     return sql

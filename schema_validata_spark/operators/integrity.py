@@ -301,3 +301,47 @@ def candidate_keys(df: DataFrame,
                        .alias("is_unique")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def fd_repair(df: DataFrame, det_cols: list[str], dep_col: str) -> DataFrame:
+    """Majority-vote REPAIR for a broken functional dependency: every
+    row's ``dep_col`` is coerced to its determinant key's majority
+    value (ties by greatest value — the same deterministic winner
+    ``fd_violations`` marks ``is_majority``), with a ``was_repaired``
+    flag naming the rows that changed. The act-on-it companion to
+    ``fd_violations``'s listing: "every order carries ONE return flag
+    afterwards".
+
+    NULL dependents assert nothing and are NEVER repaired (they stay
+    NULL — they are the null check's business); keys whose dependents
+    are all NULL have no majority and keep their rows untouched; NULL
+    determinant keys repair within the NULL key like any other.
+
+    SCALE: one (det, dep) two-stage hash aggregate builds the
+    #keys-sized majority frame; the join back is keyed on the
+    determinant (null-safe) and AQE chooses broadcast when the frame
+    fits — raw rows shuffle at most once, the dependent column rides
+    as its native type (no string round-trip)."""
+    dets = [qcol(c) for c in det_cols]
+    per = (df.where(qcol(dep_col).isNotNull())
+             .groupBy(*dets, qcol(dep_col).alias("__dep"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    maj = (per.groupBy(*[qcol(c).alias(f"__mk{i}")
+                         for i, c in enumerate(det_cols)])
+              .agg(F.max(F.struct(F.col("__n"), F.col("__dep")))
+                    .alias("__best"))
+              .select(*[F.col(f"__mk{i}") for i in range(len(det_cols))],
+                      F.col("__best.__dep").alias("__maj")))
+    cond = None
+    for i, c in enumerate(det_cols):
+        eq = qcol(c).eqNullSafe(F.col(f"__mk{i}"))
+        cond = eq if cond is None else cond & eq
+    dep = qcol(dep_col)
+    repaired = F.when(dep.isNull(), dep) \
+                .otherwise(F.coalesce(F.col("__maj"), dep))
+    was = dep.isNotNull() & F.col("__maj").isNotNull() \
+        & ~dep.eqNullSafe(F.col("__maj"))
+    out_cols = [repaired.alias(dep_col) if c == dep_col else qcol(c)
+                for c in df.columns]
+    return (df.join(maj, cond, "left")
+              .select(*out_cols, was.alias("was_repaired")))

@@ -897,3 +897,57 @@ def _maintain_sketches(spark: SparkSession, df: DataFrame,
              r["n_rows"]) for r in cached_rows + fresh_rows]
     (spark.createDataFrame(data, SKETCH_SCHEMA)
           .write.mode("overwrite").parquet(path))
+
+
+def verdict_flips(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Which per-partition verdicts CHANGED between two runs? The
+    release-diff over any two verdict frames (``partition_verdicts``,
+    ``partition_rate_verdicts``, or a manifest replay): "did the new
+    export regress a partition, did the budget change fix one, did a
+    check appear or vanish" — the question an on-call reads before
+    the row-level listings.
+
+    Inputs need ``(partition_key, column_name, check, status,
+    violation_count)``; extra columns are ignored. Output: one row
+    per (partition, column, check) whose status DIFFERS —
+    ``status_before/status_after, count_before/count_after`` and
+    ``flip`` in {regressed (pass→fail), fixed (fail→pass),
+    new_check (absent before), removed_check (absent after)}.
+    Identical verdicts emit nothing (empty diff = clean release).
+
+    NULL partition keys join null-safely (a NULL partition's verdict
+    is diffable like any other).
+
+    SCALE: both inputs are verdict frames — #partitions × #checks
+    rows, already thousands of times smaller than the data — so the
+    full-outer join is trivially AQE-broadcastable; nothing here ever
+    touches raw rows."""
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("partition_key").alias(f"__pk_{tag}"),
+            F.col("column_name").alias(f"__c_{tag}"),
+            F.col("check").alias(f"__k_{tag}"),
+            F.col("status").alias(f"status_{tag}"),
+            F.col("violation_count").cast("bigint").alias(f"count_{tag}"))
+
+    b, a = _side(before, "before"), _side(after, "after")
+    cond = (b["__pk_before"].eqNullSafe(a["__pk_after"])
+            & b["__c_before"].eqNullSafe(a["__c_after"])
+            & b["__k_before"].eqNullSafe(a["__k_after"]))
+    j = b.join(a, cond, "full_outer")
+    flip = (F.when(F.col("status_before").isNull(), F.lit("new_check"))
+             .when(F.col("status_after").isNull(), F.lit("removed_check"))
+             .when((F.col("status_before") == "pass")
+                   & (F.col("status_after") == "fail"), F.lit("regressed"))
+             .when((F.col("status_before") == "fail")
+                   & (F.col("status_after") == "pass"), F.lit("fixed")))
+    return (j.where(~F.col("status_before").eqNullSafe(
+                        F.col("status_after")))
+             .select(F.coalesce("__pk_before", "__pk_after")
+                      .alias("partition_key"),
+                     F.coalesce("__c_before", "__c_after")
+                      .alias("column_name"),
+                     F.coalesce("__k_before", "__k_after").alias("check"),
+                     "status_before", "status_after",
+                     "count_before", "count_after",
+                     flip.alias("flip")))

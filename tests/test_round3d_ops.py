@@ -219,3 +219,54 @@ def test_mask_stability_plan_one_raw_shuffle(spark, tmp_path):
     # exchange sees raw-row volume, and it carries the clipped mask key
     assert plan.count("Exchange") == 4, plan
     assert "NestedLoop" not in plan and "Join" not in plan, plan
+
+
+def test_fd_repair_majority_vote(spark):
+    from schema_validata_spark.operators.integrity import fd_repair
+    df = spark.createDataFrame(
+        [("o1", 1, "A"), ("o1", 2, "A"), ("o1", 3, "B"),  # B -> A
+         ("o2", 1, "C"),                                   # clean
+         ("o3", 1, None), ("o3", 2, "D"),                  # NULL stays NULL
+         ("o4", 1, None),                                  # all-NULL key
+         (None, 1, "E"), (None, 2, "F"), (None, 3, "F")],  # NULL key: E -> F
+        "k string, i int, v string")
+    out = {(r["k"], r["i"]): (r["v"], r["was_repaired"])
+           for r in fd_repair(df, ["k"], "v").collect()}
+    assert out[("o1", 3)] == ("A", True)
+    assert out[("o1", 1)] == ("A", False)
+    assert out[("o2", 1)] == ("C", False)
+    assert out[("o3", 1)] == (None, False)      # NULL dep never repaired
+    assert out[("o3", 2)] == ("D", False)
+    assert out[("o4", 1)] == (None, False)      # no majority -> untouched
+    assert out[(None, 1)] == ("F", True)        # NULL key repairs too
+    assert len(out) == 10                       # row count preserved
+
+
+def test_verdict_flips_classification(spark):
+    from schema_validata_spark.validate import verdict_flips
+    schema = ("partition_key string, column_name string, check string, "
+              "violation_count bigint, status string")
+    before = spark.createDataFrame(
+        [("p1", "c", "range_max", 0, "pass"),    # regresses
+         ("p2", "c", "range_max", 5, "fail"),    # gets fixed
+         ("p3", "c", "range_max", 0, "pass"),    # unchanged -> absent
+         ("p4", "c", "allow_null", 1, "fail"),   # removed check
+         (None, "c", "range_max", 2, "fail")],   # NULL partition, fixed
+        schema)
+    after = spark.createDataFrame(
+        [("p1", "c", "range_max", 3, "fail"),
+         ("p2", "c", "range_max", 0, "pass"),
+         ("p3", "c", "range_max", 0, "pass"),
+         ("p5", "c", "length", 9, "fail"),       # new check
+         (None, "c", "range_max", 0, "pass")],
+        schema)
+    out = {(r["partition_key"], r["check"]): r
+           for r in verdict_flips(before, after).collect()}
+    assert len(out) == 5                         # p3 unchanged is absent
+    assert out[("p1", "range_max")]["flip"] == "regressed"
+    assert out[("p1", "range_max")]["count_after"] == 3
+    assert out[("p2", "range_max")]["flip"] == "fixed"
+    assert out[("p4", "allow_null")]["flip"] == "removed_check"
+    assert out[("p4", "allow_null")]["status_after"] is None
+    assert out[("p5", "length")]["flip"] == "new_check"
+    assert out[(None, "range_max")]["flip"] == "fixed"
