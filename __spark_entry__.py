@@ -2327,6 +2327,18 @@ def q_verdict_flips(spark, sf_dir):
             .orderBy("partition_key", "column_name", "check"))
 
 
+def q_whitespace_stats(spark, sf_dir):
+    """Whitespace-hygiene profile (functions/text.py:whitespace_stats):
+    per column, values with leading/trailing whitespace, embedded
+    newlines, double spaces, tabs, and trim-changes — the quantified
+    version of the reference's silent newline scrub
+    (src/schema_validata.py remove_pd_df_newlines). ONE aggregate."""
+    from schema_validata_spark.functions.text import whitespace_stats
+    return (whitespace_stats(_t(spark, sf_dir, "documents"),
+                             ["text", "lang", "source"])
+            .orderBy("column_name"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2495,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_stability": q_mask_stability,
         "fd_repair": q_fd_repair,
         "verdict_flips": q_verdict_flips,
+        "whitespace_stats": q_whitespace_stats,
     }
 
 
@@ -5640,5 +5653,28 @@ def oracle_sql() -> dict[str, str]:
                       THEN 'fixed' END AS flip
         FROM j WHERE status_before <> status_after
         ORDER BY partition_key, column_name, chk"""
+
+    def _ws_sql(col: str) -> str:
+        return f"""
+          SELECT '{col}' AS column_name,
+                 count(v)::bigint AS n_values,
+                 count(*) FILTER (WHERE regexp_matches(v,
+                   '^[ \t\n\r\f]'))::bigint AS n_leading_ws,
+                 count(*) FILTER (WHERE regexp_matches(v,
+                   '[ \t\n\r\f]$'))::bigint AS n_trailing_ws,
+                 count(*) FILTER (WHERE regexp_matches(v,
+                   '[\n\r]'))::bigint AS n_embedded_newlines,
+                 count(*) FILTER (WHERE v LIKE '%  %')::bigint
+                   AS n_multi_spaces,
+                 count(*) FILTER (WHERE contains(v, chr(9)))::bigint
+                   AS n_tabs,
+                 count(*) FILTER (WHERE trim(v, ' ') <> v)::bigint
+                   AS n_trim_changed
+          FROM (SELECT CAST({col} AS VARCHAR) AS v FROM documents)"""
+
+    sql["whitespace_stats"] = (
+        "SELECT * FROM (" + _ws_sql("text") + " UNION ALL "
+        + _ws_sql("lang") + " UNION ALL " + _ws_sql("source")
+        + ") ORDER BY column_name")
 
     return sql

@@ -781,3 +781,64 @@ def zipf_slope(df, text_col: str, group_col: str,
                F.round(F.col("__cxy") * F.col("__cxy")
                        / (F.col("__vx") * F.col("__vy")), 6))
          .alias("r2"))
+
+
+def whitespace_stats(df, cols: list[str]) -> "DataFrame":
+    """Whitespace-hygiene profile per column: counts of values with
+    leading/trailing whitespace, embedded newlines, runs of multiple
+    spaces, and tabs — plus how many values CHANGE under trim. The
+    quantified version of the reference's silent newline scrub
+    (src/schema_validata.py remove_pd_df_newlines, ~:1011): before an
+    engine strips whitespace, a validator should say how much there is
+    and where, because trailing-space keys break joins and embedded
+    newlines break CSV round-trips.
+
+    Output per column: ``column_name, n_values (non-null),
+    n_leading_ws, n_trailing_ws, n_embedded_newlines,
+    n_multi_spaces, n_tabs, n_trim_changed``.
+
+    SCALE: every counter is a single-pass rlike/comparison inside ONE
+    global aggregate (whole-stage codegen, no Python, no shuffle of
+    values — only the final one-row-per-column partials)."""
+    from pyspark.sql import functions as F
+
+    from .colref import qcol
+
+    out = None
+    aggs = []
+    for c in cols:
+        s = qcol(c).cast("string")
+        nn = s.isNotNull()
+
+        def g(e):
+            return F.coalesce(F.sum(F.when(nn & e, 1).otherwise(0)),
+                              F.lit(0)).cast("bigint")
+        aggs.append(F.struct(
+            F.coalesce(F.sum(nn.cast("int")), F.lit(0)).cast("bigint")
+             .alias("n_values"),
+            # explicit class, not \s: Java's \s includes \x0B,
+            # RE2's (DuckDB) does not — pin the vocabulary so both
+            # engines count identically
+            g(s.rlike(r"^[ \t\n\r\f]")).alias("n_leading_ws"),
+            g(s.rlike(r"[ \t\n\r\f]$")).alias("n_trailing_ws"),
+            g(s.contains("\n") | s.contains("\r"))
+             .alias("n_embedded_newlines"),
+            g(s.rlike("  ")).alias("n_multi_spaces"),
+            g(s.contains("\t")).alias("n_tabs"),
+            g(F.trim(s) != s).alias("n_trim_changed"),
+        ).alias(f"__s_{c}"))
+    one = df.agg(*aggs)
+    # ONE aggregate, then explode the per-column structs on the
+    # 1-row frame — a union of N projections would replant the
+    # aggregate subtree (and the scan) once per column
+    fields = ["n_values", "n_leading_ws", "n_trailing_ws",
+              "n_embedded_newlines", "n_multi_spaces", "n_tabs",
+              "n_trim_changed"]
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 *[F.col(f"`__s_{c}`.{fld}").alias(fld)
+                   for fld in fields])
+        for c in cols])
+    out = (one.select(F.explode(rows).alias("__r"))
+              .select("__r.*"))
+    return out

@@ -270,3 +270,42 @@ def test_verdict_flips_classification(spark):
     assert out[("p4", "allow_null")]["status_after"] is None
     assert out[("p5", "length")]["flip"] == "new_check"
     assert out[(None, "range_max")]["flip"] == "fixed"
+
+
+def test_whitespace_stats_counts(spark):
+    from schema_validata_spark.functions.text import whitespace_stats
+    df = spark.createDataFrame(
+        [(" lead", "x"), ("trail ", "x"), ("em\nbed", None),
+         ("two  sp", "x"), ("tab\there", "x"), ("clean", "x"),
+         (None, "x"), ("\tboth \n", "x")],
+        "a string, b string")
+    out = {r["column_name"]: r
+           for r in whitespace_stats(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert a["n_values"] == 7                       # NULL excluded
+    assert a["n_leading_ws"] == 2                   # ' lead', '\tboth \n'
+    assert a["n_trailing_ws"] == 2                  # 'trail ', '\tboth \n'
+    assert a["n_embedded_newlines"] == 2            # 'em\nbed', '\tboth \n'
+    assert a["n_multi_spaces"] == 1
+    assert a["n_tabs"] == 2
+    # trim strips ASCII spaces only: ' lead', 'trail ' change;
+    # '\tboth \n' does NOT (its outermost chars are \t and \n)
+    assert a["n_trim_changed"] == 2
+    assert out["b"]["n_values"] == 7
+    assert out["b"]["n_leading_ws"] == 0
+
+
+def test_whitespace_stats_single_aggregate_plan(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from schema_validata_spark.functions.text import whitespace_stats
+    src = str(tmp_path / "ws")
+    spark.range(5_000).select(
+        F.concat(F.lit("v "), F.col("id")).alias("a"),
+        F.concat(F.col("id"), F.lit(" ")).alias("b")) \
+        .write.parquet(src)
+    out = whitespace_stats(spark.read.parquet(src), ["a", "b"])
+    plan = _tree(out)
+    # one global aggregate: a single single-partition Exchange; the
+    # per-column explode runs on the 1-row frame (no replanted scans)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
