@@ -45,6 +45,11 @@ def main(argv=None):
                     help="comma-separated columns to maintain mergeable "
                          "HLL distinct sketches for (persisted at "
                          "<manifest>_sketches, reused on resume)")
+    ap.add_argument("--mask-cols",
+                    help="comma-separated string columns: also write "
+                         "<name>_mask_stability.parquet — per-partition "
+                         "dominant value-mask stability (format-drift "
+                         "screen; requires --partition-col)")
     ap.add_argument("--budgets",
                     help="error budgets as inline JSON or a JSON file: "
                          '{"column:check": max_rate, "default": rate}. '
@@ -122,6 +127,15 @@ def main(argv=None):
                                   sketch_cols=sketch_cols)
         pv.write.mode("overwrite").parquet(
             f"{args.out}/{args.name}_partition_verdicts.parquet")
+
+    if args.mask_cols:
+        if not args.partition_col:
+            raise SystemExit("--mask-cols requires --partition-col")
+        from schema_validata_spark.operators.statqa import mask_stability
+        mcols = [c.strip() for c in args.mask_cols.split(",") if c.strip()]
+        ms = mask_stability(df, mcols, args.partition_col)
+        ms.write.mode("overwrite").parquet(
+            f"{args.out}/{args.name}_mask_stability.parquet")
 
     budget_gate = None
     if args.budgets:

@@ -54,6 +54,7 @@ def test_spark_submit_py_files_job(spark, tmp_path):
          "--out", out, "--name", "transcripts",
          "--partition-col", "ts_date", "--manifest", mdir,
          "--sketch-cols", "conv_id,role",
+         "--mask-cols", "conv_id,role",
          # budgets: tolerate ALL text-length violations, stay strict on
          # everything else -> the budget gate still fails (exit 3)
          "--budgets", '{"text:length": 1.0}'],
@@ -77,6 +78,11 @@ def test_spark_submit_py_files_job(spark, tmp_path):
         out, "transcripts_partition_verdicts.parquet"))
     assert os.path.exists(mdir)
     assert os.path.exists(mdir + "_sketches")
+    # the format-drift screen ran: per-column stability artifact
+    ms = spark.read.parquet(os.path.join(
+        out, "transcripts_mask_stability.parquet")).collect()
+    assert {r["column_name"] for r in ms} == {"conv_id", "role"}
+    assert all(r["n_partitions"] > 0 for r in ms)
     # the budgeted gate ran: rate-verdict artifact written, the
     # budgeted check passes everywhere while stricter ones still fail
     assert report["budget_gate"] is False
