@@ -5550,21 +5550,37 @@ def oracle_sql() -> dict[str, str]:
         "sum(cluster_size)::bigint AS n_docs "
         "FROM sizes GROUP BY cluster_size ORDER BY cluster_size")
 
+    # Exact-integer OLS replay (statqa.quality_trend): micro-unit
+    # bigint moment sums, one double division, integer micro rounding
+    # — regr_slope's float accumulation order flips the 6th decimal
+    # between engines (observed in the round-3 driver battery).
     sql["quality_trend"] = """
         WITH per AS (
           SELECT CAST(event_type AS VARCHAR) AS "group",
                  date_trunc('week', ts) AS wk,
-                 round(avg(value), 6) AS a
+                 round(round(avg(value), 6) * 1000000.0)::bigint AS y,
+                 floor(epoch(date_trunc('week', ts)) / 604800)::bigint
+                   AS x
           FROM events WHERE ts IS NOT NULL
           GROUP BY 1, 2
-          HAVING round(avg(value), 6) IS NOT NULL)
-        SELECT "group", count(*)::bigint AS n_buckets,
-               min(CAST(wk AS DATE)) AS first_week,
-               max(CAST(wk AS DATE)) AS last_week,
-               round(avg(a), 6) AS overall_avg,
-               round(regr_slope(a, epoch(wk) / 604800.0), 6)
-                 AS slope_per_week
-        FROM per GROUP BY "group" ORDER BY "group" """
+          HAVING round(avg(value), 6) IS NOT NULL),
+        g AS (
+          SELECT "group", count(*)::bigint AS n_buckets,
+                 min(CAST(wk AS DATE)) AS first_week,
+                 max(CAST(wk AS DATE)) AS last_week,
+                 sum(x)::bigint AS sx, sum(x * x)::bigint AS sxx,
+                 sum(y)::bigint AS sy, sum(x * y)::bigint AS sxy
+          FROM per GROUP BY "group")
+        SELECT "group", n_buckets, first_week, last_week,
+               round(sy::double / n_buckets::double) / 1000000.0
+                 AS overall_avg,
+               CASE WHEN n_buckets >= 2
+                         AND n_buckets * sxx - sx * sx <> 0
+                 THEN round((n_buckets * sxy - sx * sy)::double
+                            / (n_buckets * sxx - sx * sx)::double)
+                      / 1000000.0
+               END AS slope_per_week
+        FROM g ORDER BY "group" """
 
     # compression_signals: rows-only by design — zlib has no DuckDB
     # counterpart; determinism + verdicts covered by

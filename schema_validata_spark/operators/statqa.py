@@ -753,23 +753,53 @@ def quality_trend(df: DataFrame, group_col: str, ts_col: str,
     SCALE: two-stage — raw rows collapse map-side into (group, week)
     partial sums (one shuffle keyed by a LOW-cardinality composite,
     weeks × groups rows), then a per-group regression over the tiny
-    bucket frame. Bucket averages are rounded to 6dp BEFORE the
-    regression so the slope is reproducible across partitionings and
-    engines (float sum order)."""
+    bucket frame.
+
+    ENGINE-PORTABLE ARITHMETIC: bucket averages are rounded to 6dp,
+    converted to exact integer micro-units, and the OLS moments
+    (Σx, Σx², Σy, Σxy with x = integer week index) are summed as
+    BIGINTs — exact, order-independent, overflow-safe to ~10-year
+    spans (|Σxy| ≤ weeks·weekidx·|y|µ ≈ 5e13 « 2^63). Only the final
+    num/den division happens in doubles (one IEEE-exact operation on
+    identical inputs), then rounds in integer micro-space — so any
+    engine replaying the formula produces the bit-identical slope.
+    ``regr_slope`` was abandoned here deliberately: its float
+    accumulation order differs per engine and flips the 6th decimal
+    (observed in round-3 driver runs)."""
     wk = F.date_trunc("week", qcol(ts_col))
     per = (df.where(qcol(ts_col).isNotNull())
              .groupBy(qcol(group_col).cast("string").alias("group"),
                       wk.alias("__wk"))
              .agg(F.round(F.avg(qcol(value_col)), 6).alias("__avg"))
-             .where(F.col("__avg").isNotNull()))
-    idx = (F.unix_timestamp(F.col("__wk")) / F.lit(604800.0))
-    return (per.groupBy("group")
-               .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-                    F.min(F.col("__wk").cast("date")).alias("first_week"),
-                    F.max(F.col("__wk").cast("date")).alias("last_week"),
-                    F.round(F.avg("__avg"), 6).alias("overall_avg"),
-                    F.round(F.regr_slope(F.col("__avg"), idx), 6)
-                     .alias("slope_per_week")))
+             .where(F.col("__avg").isNotNull())
+             .select("group", "__wk",
+                     F.round(F.col("__avg") * F.lit(1000000.0), 0)
+                      .cast("bigint").alias("__y"),
+                     # Monday-truncated epochs are a constant offset
+                     # from week multiples, so floor(epoch/604800) is
+                     # a clean integer index (slope is shift-invariant)
+                     F.floor(F.unix_timestamp(F.col("__wk"))
+                             / F.lit(604800)).cast("bigint").alias("__x")))
+    g = (per.groupBy("group")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                 F.min(F.col("__wk").cast("date")).alias("first_week"),
+                 F.max(F.col("__wk").cast("date")).alias("last_week"),
+                 F.sum("__x").alias("__sx"),
+                 F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+                 F.sum("__y").alias("__sy"),
+                 F.sum(F.col("__x") * F.col("__y")).alias("__sxy")))
+    n = F.col("n_buckets")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (n >= 2) & (den != 0),
+        F.round(num.cast("double") / den.cast("double"), 0)
+        / F.lit(1000000.0))
+    overall = (F.round(F.col("__sy").cast("double") / n.cast("double"), 0)
+               / F.lit(1000000.0))
+    return g.select("group", "n_buckets", "first_week", "last_week",
+                    overall.alias("overall_avg"),
+                    slope.alias("slope_per_week"))
 
 
 def mask_stability(df: DataFrame, cols: list[str], partition_col: str,

@@ -87,21 +87,30 @@ def test_quality_trend_matches_duckdb(spark, rows):
     con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
     want = con.execute("""
         WITH per AS (
-          SELECT g, date_trunc('week', ts) AS wk, round(avg(v), 6) AS a
+          SELECT g, date_trunc('week', ts) AS wk,
+                 round(round(avg(v), 6) * 1000000.0)::bigint AS y,
+                 floor(epoch(date_trunc('week', ts)) / 604800)::bigint
+                   AS x
           FROM t WHERE ts IS NOT NULL GROUP BY 1, 2
-          HAVING round(avg(v), 6) IS NOT NULL)
-        SELECT g, count(*)::bigint,
-               min(CAST(wk AS DATE)), max(CAST(wk AS DATE)),
-               round(avg(a), 6),
-               round(regr_slope(a, epoch(wk) / 604800.0), 6)
-        FROM per GROUP BY g""").fetchall()
+          HAVING round(avg(v), 6) IS NOT NULL),
+        gg AS (
+          SELECT g, count(*)::bigint AS n,
+                 min(CAST(wk AS DATE)) AS fw, max(CAST(wk AS DATE)) AS lw,
+                 sum(x)::bigint AS sx, sum(x * x)::bigint AS sxx,
+                 sum(y)::bigint AS sy, sum(x * y)::bigint AS sxy
+          FROM per GROUP BY g)
+        SELECT g, n, fw, lw,
+               round(sy::double / n::double) / 1000000.0,
+               CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                 THEN round((n * sxy - sx * sy)::double
+                            / (n * sxx - sx * sx)::double) / 1000000.0
+               END
+        FROM gg""").fetchall()
     assert len(want) == len(got)
     for g, nb, fw, lw, avg, slope in want:
         r = got[g]
         assert r["n_buckets"] == nb
         assert r["first_week"] == fw and r["last_week"] == lw
-        assert r["overall_avg"] == pytest.approx(avg, abs=2e-6)
-        if slope is None:
-            assert r["slope_per_week"] is None
-        else:
-            assert r["slope_per_week"] == pytest.approx(slope, abs=2e-6)
+        # exact-integer replay: both engines must agree bit-identically
+        assert r["overall_avg"] == avg
+        assert r["slope_per_week"] == slope
