@@ -2339,6 +2339,74 @@ def q_whitespace_stats(spark, sf_dir):
             .orderBy("column_name"))
 
 
+def q_fuzzy_value_pairs(spark, sf_dir):
+    """Blocked-Levenshtein entity screen (operators/dedup.py:
+    fuzzy_duplicate_values): near-miss variants of customer names
+    within 1 edit, paired inside a 15-char prefix block over the
+    DISTINCT-value frame — the vocabulary cleanup pass the
+    reference's allowed-value checks assume has already happened."""
+    from schema_validata_spark.operators.dedup import fuzzy_duplicate_values
+    return (fuzzy_duplicate_values(_t(spark, sf_dir, "customer"),
+                                   "c_name", max_dist=1, prefix_len=15)
+            .orderBy("value_a", "value_b"))
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Inter-rater agreement (statqa.cohens_kappa): κ between two
+    derived raters (event_id parity) labeling shared items
+    (event_id div 2) with event_type — exact-integer po/pe/κ."""
+    from schema_validata_spark.operators.statqa import cohens_kappa
+    df = (_t(spark, sf_dir, "events")
+          .select(F.floor(F.col("event_id") / 2).cast("bigint")
+                   .alias("item"),
+                  (F.col("event_id") % 2).cast("int").alias("rater"),
+                  F.col("event_type").alias("label")))
+    return cohens_kappa(df, "item", "rater", "label", 0, 1)
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Panel agreement (statqa.fleiss_kappa): κ over 4-rating items
+    derived from events (item = event_id div 4), labels =
+    event_type; exact bigint moments, fixed-expression doubles."""
+    from schema_validata_spark.operators.statqa import fleiss_kappa
+    df = (_t(spark, sf_dir, "events")
+          .select(F.floor(F.col("event_id") / 4).cast("bigint")
+                   .alias("item"),
+                  (F.col("event_id") % 4).cast("int").alias("rater"),
+                  F.col("event_type").alias("label")))
+    return fleiss_kappa(df, "item", "rater", "label", 4)
+
+
+def q_simpsons_flips(spark, sf_dir):
+    """Simpson's-paradox screen (statqa.simpsons_flips): per-returnflag
+    OLS slope of extendedprice on quantity vs the pooled slope, exact
+    decimal moments, flip = strict sign reversal."""
+    from schema_validata_spark.operators.statqa import simpsons_flips
+    return (simpsons_flips(_t(spark, sf_dir, "lineitem"),
+                           "l_quantity", "l_extendedprice",
+                           "l_returnflag")
+            .orderBy("group"))
+
+
+def q_rate_significance(spark, sf_dir):
+    """Two-proportion z-test per slice (statqa.rate_significance):
+    which sources have a statistically different short-document rate
+    (n_chars < 500) than the rest of the corpus."""
+    from schema_validata_spark.operators.statqa import rate_significance
+    return (rate_significance(_t(spark, sf_dir, "documents"),
+                              F.col("n_chars") < 500, "source")
+            .orderBy("group"))
+
+
+def q_volume_changepoint(spark, sf_dir):
+    """CUSUM mean-shift on daily event volume
+    (expectations.volume_changepoint): when did the feed's level
+    change — exact bigint bucket moments, micro-quantized argmax."""
+    from schema_validata_spark.operators.expectations import \
+        volume_changepoint
+    return volume_changepoint(_t(spark, sf_dir, "events"), "ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2508,6 +2576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_repair": q_fd_repair,
         "verdict_flips": q_verdict_flips,
         "whitespace_stats": q_whitespace_stats,
+        "fuzzy_value_pairs": q_fuzzy_value_pairs,
+        "cohens_kappa": q_cohens_kappa,
+        "fleiss_kappa": q_fleiss_kappa,
+        "simpsons_flips": q_simpsons_flips,
+        "rate_significance": q_rate_significance,
+        "volume_changepoint": q_volume_changepoint,
     }
 
 
@@ -5692,5 +5766,228 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (" + _ws_sql("text") + " UNION ALL "
         + _ws_sql("lang") + " UNION ALL " + _ws_sql("source")
         + ") ORDER BY column_name")
+
+    sql["fuzzy_value_pairs"] = """
+        WITH vals AS (
+          SELECT lower(trim(c_name)) AS v, count(*)::bigint AS n
+          FROM customer
+          WHERE c_name IS NOT NULL AND length(lower(trim(c_name))) > 0
+          GROUP BY 1),
+        blocked AS (SELECT v, n, substr(v, 1, 15) AS blk FROM vals),
+        ok AS (SELECT blk FROM blocked
+               GROUP BY blk HAVING count(*) <= 5000),
+        b2 AS (SELECT blocked.* FROM blocked JOIN ok USING (blk))
+        SELECT a.v AS value_a, b.v AS value_b,
+               a.n AS n_rows_a, b.n AS n_rows_b,
+               levenshtein(a.v, b.v)::int AS dist
+        FROM b2 a JOIN b2 b USING (blk)
+        WHERE a.v < b.v AND abs(length(a.v) - length(b.v)) <= 1
+          AND levenshtein(a.v, b.v) <= 1
+        ORDER BY value_a, value_b"""
+
+    # cohens_kappa / fleiss_kappa: exact-integer agreement replay —
+    # every ratio is bigint/bigint with one double division, micro-
+    # rounded (the quality_trend portability scheme)
+    sql["cohens_kappa"] = """
+        WITH base AS (
+          SELECT (event_id // 2)::bigint AS item,
+                 (event_id % 2)::int AS rater, event_type AS label
+          FROM events WHERE event_type IS NOT NULL),
+        a AS (SELECT item, max(label) AS la FROM base
+              WHERE rater = 0 GROUP BY item),
+        b AS (SELECT item, max(label) AS lb FROM base
+              WHERE rater = 1 GROUP BY item),
+        j AS (SELECT la, lb FROM a JOIN b USING (item)),
+        tot AS (SELECT count(*)::bigint AS n_items,
+                       coalesce(sum(CASE WHEN la = lb THEN 1 ELSE 0
+                                    END), 0)::bigint AS n_agree
+                FROM j),
+        ma AS (SELECT la AS k, count(*)::bigint AS na FROM j GROUP BY 1),
+        mb AS (SELECT lb AS k, count(*)::bigint AS nb FROM j GROUP BY 1),
+        prod AS (SELECT coalesce(sum(na * nb), 0)::bigint AS s
+                 FROM ma JOIN mb USING (k))
+        SELECT n_items, n_agree,
+          CASE WHEN n_items > 0 THEN
+            round(1000000.0 * n_agree::double / n_items::double)
+            / 1000000.0 END AS po,
+          CASE WHEN n_items > 0 THEN
+            round(1000000.0 * s::double / (n_items * n_items)::double)
+            / 1000000.0 END AS pe,
+          CASE WHEN n_items > 0
+                    AND n_items * n_items - s <> 0 THEN
+            round(1000000.0 * (n_items * n_agree - s)::double
+                  / (n_items * n_items - s)::double)
+            / 1000000.0 END AS kappa
+        FROM tot, prod"""
+
+    sql["fleiss_kappa"] = """
+        WITH base AS (
+          SELECT (event_id // 4)::bigint AS item, event_type AS label
+          FROM events WHERE event_type IS NOT NULL),
+        cell AS (SELECT item, label, count(*)::bigint AS c
+                 FROM base GROUP BY 1, 2),
+        per AS (SELECT item, sum(c)::bigint AS nr,
+                       sum(c * (c - 1))::bigint AS s1
+                FROM cell GROUP BY item),
+        kept AS (SELECT item, s1 FROM per WHERE nr = 4),
+        excl AS (SELECT count(*)::bigint AS n_items_excluded
+                 FROM per WHERE nr <> 4),
+        tot AS (SELECT count(*)::bigint AS n_items,
+                       coalesce(sum(s1), 0)::bigint AS bigs
+                FROM kept),
+        tj AS (SELECT label, sum(c)::double AS t
+               FROM cell JOIN kept USING (item) GROUP BY label),
+        sq AS (SELECT coalesce(sum(t * t), 0.0) AS t2 FROM tj)
+        -- fixed-expression doubles over exact integers; operation
+        -- order mirrors the Spark build exactly
+        SELECT n_items, n_items_excluded,
+          CASE WHEN n_items > 0 THEN
+            round(1000000.0 * (bigs::double
+                  / (n_items::double * 4.0 * (4.0 - 1.0))))
+            / 1000000.0 END AS p_bar,
+          CASE WHEN n_items > 0 THEN
+            round(1000000.0 * (t2
+                  / (n_items::double * 4.0 * n_items::double * 4.0)))
+            / 1000000.0 END AS p_e,
+          CASE WHEN n_items > 0 AND
+                    t2 / (n_items::double * 4.0 * n_items::double * 4.0)
+                      <> 1.0 THEN
+            round(1000000.0 *
+              ((bigs::double / (n_items::double * 4.0 * (4.0 - 1.0))
+                - t2 / (n_items::double * 4.0 * n_items::double * 4.0))
+               / (1.0 - t2 / (n_items::double * 4.0
+                              * n_items::double * 4.0))))
+            / 1000000.0 END AS kappa
+        FROM tot, excl, sq"""
+
+    # simpsons_flips: DECIMAL(18,6) moments are exact in both engines
+    # (the cross-product fits precision 38 without rounding)
+    sql["simpsons_flips"] = """
+        WITH src AS (
+          SELECT CAST(l_returnflag AS VARCHAR) AS "group",
+                 -- DECIMAL(19,6): INT128-backed in DuckDB so the
+                 -- cross-product multiplies without int64 overflow;
+                 -- the VALUES are identical to Spark's (18,6) build
+                 CASE WHEN l_quantity IS NOT NULL
+                           AND l_extendedprice IS NOT NULL
+                   THEN CAST(l_quantity AS DECIMAL(19,6)) END AS x,
+                 CASE WHEN l_quantity IS NOT NULL
+                           AND l_extendedprice IS NOT NULL
+                   THEN CAST(l_extendedprice AS DECIMAL(19,6)) END AS y
+          FROM lineitem),
+        per AS (
+          SELECT "group", count(x)::bigint AS n_pairs,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM src GROUP BY "group"),
+        tot AS (
+          SELECT coalesce(sum(n_pairs), 0)::bigint AS tn,
+                 sum(sx) AS tsx, sum(sy) AS tsy,
+                 sum(sxy) AS tsxy, sum(sxx) AS tsxx
+          FROM per),
+        pooled AS (
+          SELECT CASE WHEN tn >= 2 AND
+                   tn::double * tsxx::double - tsx::double * tsx::double
+                     <> 0 THEN
+              round(1000000.0 *
+                (tn::double * tsxy::double - tsx::double * tsy::double)
+                / (tn::double * tsxx::double - tsx::double * tsx::double)
+                ) / 1000000.0 END AS pooled_slope
+          FROM tot),
+        scored AS (
+          SELECT "group", n_pairs,
+            CASE WHEN n_pairs >= 2 AND
+              n_pairs::double * sxx::double - sx::double * sx::double
+                <> 0 THEN
+              round(1000000.0 *
+                (n_pairs::double * sxy::double - sx::double * sy::double)
+                / (n_pairs::double * sxx::double - sx::double
+                   * sx::double)) / 1000000.0 END AS slope
+          FROM per)
+        SELECT "group", n_pairs, slope, pooled_slope,
+               (slope IS NOT NULL AND pooled_slope IS NOT NULL
+                AND sign(slope) * sign(pooled_slope) < 0) AS flipped
+        FROM scored, pooled ORDER BY "group" """
+
+    sql["rate_significance"] = """
+        WITH per AS (
+          SELECT CAST(source AS VARCHAR) AS "group",
+                 count(*)::bigint AS n,
+                 sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0
+                     END)::bigint AS k
+          FROM documents WHERE (n_chars < 500) IS NOT NULL
+          GROUP BY 1),
+        tot AS (SELECT coalesce(sum(n), 0)::bigint AS tn,
+                       coalesce(sum(k), 0)::bigint AS tk FROM per),
+        sc AS (
+          SELECT "group", n, k, tn, tk,
+                 k::double / n::double AS p1,
+                 (tk - k)::double / (tn - n)::double AS p2,
+                 tk::double / tn::double AS pool,
+                 (tn - n)::double AS n2
+          FROM per, tot)
+        SELECT "group", n, k,
+          round(1000000.0 * p1) / 1000000.0 AS rate,
+          CASE WHEN n2 > 0 THEN round(1000000.0 * p2) / 1000000.0
+            END AS rest_rate,
+          CASE WHEN n2 > 0 AND pool > 0 AND pool < 1 THEN
+            round(1000000.0 * ((p1 - p2)
+              / sqrt(pool * (1.0 - pool)
+                     * (1.0 / n::double + 1.0 / n2))))
+            / 1000000.0 END AS z,
+          CASE WHEN n2 > 0 AND pool > 0 AND pool < 1 THEN
+            abs((p1 - p2) / sqrt(pool * (1.0 - pool)
+                * (1.0 / n::double + 1.0 / n2))) >= 3.0
+            END AS significant
+        FROM sc ORDER BY "group" """
+
+    sql["volume_changepoint"] = """
+        WITH per AS (
+          -- DuckDB's date_trunc('day') yields DATE; Spark keeps
+          -- TIMESTAMP - align the bucket type
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                 count(*)::bigint AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        tot AS (SELECT count(*)::bigint AS n_buckets,
+                       coalesce(sum(c), 0)::bigint AS sy,
+                       coalesce(sum(c * c), 0)::bigint AS syy
+                FROM per),
+        w AS (SELECT bucket, c,
+                     sum(c) OVER (ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING)::bigint
+                       AS cum,
+                     row_number() OVER (ORDER BY bucket)::bigint AS t
+              FROM per),
+        cand AS (
+          SELECT w.bucket, w.cum, w.t,
+                 round(1000000.0 * abs(w.cum::double
+                   - w.t::double * (tot.sy::double
+                                    / tot.n_buckets::double)))::bigint
+                   AS am
+          FROM w, tot WHERE w.t < tot.n_buckets),
+        best AS (SELECT * FROM cand
+                 ORDER BY am DESC, epoch(bucket) ASC LIMIT 1)
+        SELECT tot.n_buckets,
+          CASE WHEN ok THEN best.bucket END AS change_point,
+          CASE WHEN ok THEN round(1000000.0 *
+            (best.cum::double / best.t::double)) / 1000000.0
+            END AS pre_mean,
+          CASE WHEN ok THEN round(1000000.0 *
+            ((tot.sy - best.cum)::double
+             / (tot.n_buckets - best.t)::double)) / 1000000.0
+            END AS post_mean,
+          CASE WHEN ok THEN round(1000000.0 * stat) / 1000000.0
+            END AS cusum_stat,
+          CASE WHEN ok THEN
+            round(1000000.0 * stat) / 1000000.0 >= 1.5
+            END AS shifted
+        FROM tot LEFT JOIN best ON true,
+        LATERAL (SELECT
+          sqrt((tot.syy::double - tot.sy::double * tot.sy::double
+                / tot.n_buckets::double) / tot.n_buckets::double)
+            AS sd) s1,
+        LATERAL (SELECT (best.am::double / 1000000.0)
+                 / (s1.sd * sqrt(tot.n_buckets::double)) AS stat) s2,
+        LATERAL (SELECT (best.am IS NOT NULL AND s1.sd > 0) AS ok) s3"""
 
     return sql

@@ -940,3 +940,58 @@ def dup_cluster_sizes(pairs: DataFrame, id_a: str = "id_a",
     return (sizes.groupBy("cluster_size")
                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
                       F.sum("cluster_size").cast("bigint").alias("n_docs")))
+
+
+def fuzzy_duplicate_values(df: DataFrame, value_col: str,
+                           max_dist: int = 1, prefix_len: int = 2,
+                           max_block: int | None = 5000,
+                           telemetry_out: dict | None = None) -> DataFrame:
+    """Blocked Levenshtein near-duplicate detection over a SHORT-STRING
+    column's DISTINCT values — the classic entity-resolution screen
+    ("Acme Corp" vs "Acme Corp." vs "Acme  Corp") that hash dedup and
+    shingle MinHash both miss, because one edit changes every shingle
+    of a short string. The reference's allowed-value/regex checks
+    assume a clean vocabulary; this operator FINDS the near-miss
+    variants that should have been one value.
+
+    Semantics: values are normalized (lower + trim), deduplicated, and
+    paired within a blocking key (the first ``prefix_len`` normalized
+    characters). A pair is emitted when its edit distance is ≤
+    ``max_dist``. Output: ``value_a < value_b`` (binary order), their
+    row counts, and ``dist`` (0 = rows differing only in case/outer
+    whitespace). RECALL CONTRACT: pairs whose first ``prefix_len``
+    characters differ are never compared (prefix blocking), and blocks
+    larger than ``max_block`` distinct values are dropped with
+    telemetry (see ``_cap_buckets``) — standard blocking trade-offs,
+    both deterministic and replayable by any engine.
+
+    SCALE: everything happens on the DISTINCT-value frame (vocabulary-
+    sized, not corpus-sized — one hash aggregate collapses the rows
+    map-side). The self-join is an equi-join on the block key (never a
+    cartesian), a length-band filter (|len_a − len_b| ≤ max_dist, a
+    Levenshtein lower bound) prunes before the DP runs, and the DP
+    itself uses Spark's thresholded ``levenshtein(l, r, max_dist)``
+    (banded, early-exit). Short strings only — for document-length
+    text use the MinHash/SimHash family above."""
+    norm = F.lower(F.trim(F.col(value_col)))
+    vals = (df.where(F.col(value_col).isNotNull())
+              .select(norm.alias("__v"))
+              .where(F.length("__v") > 0)
+              .groupBy("__v")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    blocked = vals.select(
+        "__v", "__n", F.substring("__v", 1, prefix_len).alias("__blk"))
+    blocked = _cap_buckets(blocked, "__blk", max_block, telemetry_out)
+    a = blocked.select(F.col("__blk"), F.col("__v").alias("value_a"),
+                       F.col("__n").alias("n_rows_a"))
+    b = blocked.select(F.col("__blk"), F.col("__v").alias("value_b"),
+                       F.col("__n").alias("n_rows_b"))
+    d = F.levenshtein(F.col("value_a"), F.col("value_b"),
+                      int(max_dist))  # -1 when the band is exceeded
+    return (a.join(b, "__blk")
+             .where(F.col("value_a") < F.col("value_b"))
+             .where(F.abs(F.length("value_a") - F.length("value_b"))
+                    <= max_dist)
+             .select("value_a", "value_b", "n_rows_a", "n_rows_b",
+                     d.alias("dist"))
+             .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))

@@ -490,3 +490,84 @@ def violation_rate_gate(violations: DataFrame, total_rows: int,
         F.lit(int(total_rows)).cast("bigint").alias("n_rows"),
         F.round(rate, 6).alias("rate"), "budget",
         (rate <= F.col("budget")).alias("passed"))
+
+
+def volume_changepoint(df: DataFrame, ts_col: str,
+                       granularity: str = "day",
+                       threshold: float = 1.5) -> DataFrame:
+    """CUSUM mean-shift detection on time-bucket row volume: WHEN did
+    the feed's level change? ``volume_anomalies`` flags individual
+    outlier buckets; a pipeline that silently halved its intake emits
+    no single outlier — every post-change day is "normal" for the new
+    level. The classic CUSUM statistic finds exactly that step.
+
+    S_t = Σ_{i≤t}(c_i − mean) peaks at the step boundary; the reported
+    statistic is max|S_t| / (sd·√n) (Brownian-bridge scaled — under a
+    stable level it concentrates below ~1.36 at 5% / 1.63 at 1%;
+    default threshold 1.5 sits between). Output (one row):
+    ``n_buckets, change_point`` (the LAST bucket of the pre-shift
+    segment, earliest on ties), ``pre_mean, post_mean, cusum_stat,
+    shifted``. NULLs when fewer than 2 buckets (no interior split) or
+    sd = 0 (constant counts — nothing can have shifted).
+
+    ENGINE-PORTABLE: bucket counts and their moment sums are exact
+    BIGINTs; S_t, sd, and the statistic are fixed-expression doubles
+    over them, quantized in integer micro-space before the argmax so
+    tie-breaking (earliest bucket) is deterministic and replayable.
+
+    SCALE: ONE scan reduces rows to the bucket-count frame; the
+    cumulative window and argmax run on that TINY frame (one row per
+    day/hour — a deliberate single-partition window over metadata,
+    same contract as the drift/summary layers; row data never enters
+    a window)."""
+    if granularity not in _GRAN_INTERVAL:
+        raise ValueError(f"granularity {granularity!r} not supported")
+    from pyspark.sql import Window
+    bucket = F.date_trunc(granularity, qcol(ts_col))
+    per = (df.where(qcol(ts_col).isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                  F.coalesce(F.sum("__c"), F.lit(0)).alias("__sy"),
+                  F.coalesce(F.sum(F.col("__c") * F.col("__c")),
+                             F.lit(0)).alias("__syy"))
+    ww = Window.orderBy("bucket")
+    cum = F.sum("__c").over(ww.rowsBetween(Window.unboundedPreceding, 0))
+    t = F.row_number().over(ww)
+    j = (per.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_buckets", "__sy", "__syy",
+                    cum.alias("__cum"), t.alias("__t")))
+    n = F.col("n_buckets").cast("double")
+    mean = F.col("__sy").cast("double") / n
+    s_t = F.col("__cum").cast("double") - F.col("__t").cast("double") * mean
+    abs_micro = F.round(F.lit(1000000.0) * F.abs(s_t), 0).cast("bigint")
+    # interior split points only (t = n has an empty post segment)
+    cand = j.where(F.col("__t") < F.col("n_buckets"))
+    best = cand.agg(F.max(F.struct(
+        abs_micro.alias("am"),
+        (-F.unix_timestamp(F.col("bucket"))).alias("negep"),
+        F.col("bucket").alias("bucket"),
+        F.col("__cum").alias("cum"),
+        F.col("__t").alias("t"))).alias("__best"))
+    out = tot.crossJoin(best)
+    b = F.col("__best")
+    var = (F.col("__syy").cast("double")
+           - F.col("__sy").cast("double") * F.col("__sy").cast("double") / n) / n
+    sd = F.sqrt(var)
+    micro = F.lit(1000000.0)
+
+    def _r6(xpr):
+        return F.round(micro * xpr, 0) / micro
+
+    stat = (b["am"].cast("double") / micro) / (sd * F.sqrt(n))
+    ok = b.isNotNull() & (sd > 0)
+    pre = b["cum"].cast("double") / b["t"].cast("double")
+    post = ((F.col("__sy") - b["cum"]).cast("double")
+            / (F.col("n_buckets") - b["t"]).cast("double"))
+    return out.select(
+        "n_buckets",
+        F.when(ok, b["bucket"]).alias("change_point"),
+        F.when(ok, _r6(pre)).alias("pre_mean"),
+        F.when(ok, _r6(post)).alias("post_mean"),
+        F.when(ok, _r6(stat)).alias("cusum_stat"),
+        F.when(ok, _r6(stat) >= F.lit(float(threshold))).alias("shifted"))

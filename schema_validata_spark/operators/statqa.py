@@ -861,3 +861,255 @@ def mask_stability(df: DataFrame, cols: list[str], partition_col: str,
         F.col("__top.__dom").alias("top_mask"),
         F.col("__top.__np").alias("n_conforming"),
         (F.col("n_dominant_masks") == 1).alias("stable"))
+
+
+def cohens_kappa(df: DataFrame, item_col: str, rater_col: str,
+                 label_col: str, rater_a, rater_b) -> DataFrame:
+    """Inter-rater agreement (Cohen's κ) between two named raters over
+    the items BOTH rated — the labeled-data QA stat raw agreement
+    can't replace: two raters who both answer "ok" 95% of the time
+    agree 90%+ by chance alone; κ discounts exactly that.
+
+    Input shape: one row per (item, rater) with a label; rows with a
+    NULL label are unrated (excluded). If a rater labeled the same
+    item more than once, the GREATEST label wins (deterministic under
+    shuffle retries). Items rated by only one of the two raters drop
+    (no agreement is defined there).
+
+    Output (one row): ``n_items, n_agree, po, pe, kappa`` — observed
+    agreement, chance agreement from the two raters' marginal label
+    distributions, and κ = (po − pe)/(1 − pe); κ is NULL when pe = 1
+    (both raters constant — agreement is all chance, κ undefined).
+
+    ENGINE-PORTABLE ARITHMETIC: po, pe, κ are ratios of exact BIGINT
+    counts — κ = (n·agree − Σ_k na_k·nb_k) / (n² − Σ_k na_k·nb_k) —
+    rounded in integer micro-space after one double division each, so
+    any engine replaying the formula agrees bit-identically (same
+    scheme as ``quality_trend``).
+
+    SCALE: two per-rater hash aggregates keyed by item, one item-keyed
+    equi-join, then ONE count aggregate; the marginal product Σna·nb
+    runs on label-vocabulary-sized frames. Labels shuffle as strings
+    once; no windows, no collects beyond the 1-row result."""
+    base = df.where(qcol(label_col).isNotNull())
+
+    def _side(rater, out):
+        return (base.where(qcol(rater_col) == F.lit(rater))
+                    .groupBy(qcol(item_col).alias("__i"))
+                    .agg(F.max(qcol(label_col).cast("string")).alias(out)))
+
+    j = _side(rater_a, "__la").join(_side(rater_b, "__lb"), "__i")
+    tot = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(F.col("__la") == F.col("__lb"), 1).otherwise(0))
+         .cast("bigint").alias("n_agree"))
+    # marginal product Σ_k na_k · nb_k from the SAME joined frame
+    ma = j.groupBy(F.col("__la").alias("__k")) \
+          .agg(F.count(F.lit(1)).cast("bigint").alias("__na"))
+    mb = j.groupBy(F.col("__lb").alias("__k")) \
+          .agg(F.count(F.lit(1)).cast("bigint").alias("__nb"))
+    prod = (ma.join(mb, "__k")
+              .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")),
+                              F.lit(0)).cast("bigint").alias("__s")))
+    n = F.col("n_items")
+    s = F.col("__s")
+    micro = F.lit(1000000.0)
+
+    def _r6(num, den):
+        return F.round(micro * num.cast("double") / den.cast("double"), 0) \
+               / micro
+
+    num_k = n * F.col("n_agree") - s
+    den_k = n * n - s
+    return (tot.crossJoin(prod)  # two 1-row frames
+               .select("n_items", "n_agree",
+                       F.when(n > 0, _r6(F.col("n_agree"), n)).alias("po"),
+                       F.when(n > 0, _r6(s, n * n)).alias("pe"),
+                       F.when((n > 0) & (den_k != 0), _r6(num_k, den_k))
+                        .alias("kappa")))
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, rater_col: str,
+                 label_col: str, n_raters: int) -> DataFrame:
+    """Multi-rater agreement (Fleiss' κ) over items with EXACTLY
+    ``n_raters`` ratings — the panel generalization of Cohen's κ for
+    consensus-labeled data (e.g. 5 annotators per document). Items
+    with a different rating count are excluded (Fleiss assumes a
+    constant panel size) and reported in ``n_items_excluded``; one
+    rating per (item, rater) row, NULL labels unrated.
+
+    Output (one row): ``n_items, n_items_excluded, p_bar (mean
+    per-item agreement), p_e (chance agreement from pooled label
+    shares), kappa``; κ is NULL when p_e = 1.
+
+    ARITHMETIC: P̄ = S1 / (N·n·(n−1)) with S1 = Σ_ij n_ij(n_ij−1) and
+    P_e = Σ_j T_j² / (N·n)² — all moments are exact BIGINT sums, then
+    a FIXED-expression double formula (identical operand values +
+    operation order ⇒ bit-identical across engines; the hazard is
+    order-varying float accumulation, which exact integer sums
+    remove). Overflow: T_j ≤ N·n, T_j² ≤ (N·n)² — N·n beyond ~3×10⁹
+    would overflow the square's int64, so T_j is summed as DOUBLE of
+    exact integers after the per-label aggregate (exact to 2^53).
+
+    SCALE: one (item, label) hash aggregate (map-side combined), one
+    item-sized agg for panel filtering, label-vocab-sized marginals;
+    1-row output."""
+    base = df.where(qcol(label_col).isNotNull())
+    cell = (base.groupBy(qcol(item_col).alias("__i"),
+                         qcol(label_col).cast("string").alias("__k"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__c")))
+    per_item = (cell.groupBy("__i")
+                    .agg(F.sum("__c").alias("__nr"),
+                         F.sum(F.col("__c") * (F.col("__c") - 1))
+                          .alias("__s1")))
+    kept = per_item.where(F.col("__nr") == n_raters)
+    excl = per_item.where(F.col("__nr") != n_raters) \
+                   .agg(F.count(F.lit(1)).cast("bigint")
+                         .alias("n_items_excluded"))
+    tot = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                   F.coalesce(F.sum("__s1"), F.lit(0)).cast("bigint")
+                    .alias("__S1"))
+    tj = (cell.join(kept.select("__i"), "__i")
+              .groupBy("__k")
+              .agg(F.sum("__c").cast("double").alias("__t")))
+    sq = tj.agg(F.coalesce(F.sum(F.col("__t") * F.col("__t")),
+                           F.lit(0.0)).alias("__T2"))
+    n_i = F.col("n_items").cast("double")
+    nr = F.lit(float(n_raters))
+    p_bar = F.col("__S1").cast("double") / (n_i * nr * (nr - 1))
+    p_e = F.col("__T2") / (n_i * nr * n_i * nr)
+    micro = F.lit(1000000.0)
+
+    def _r6(x):
+        return F.round(micro * x, 0) / micro
+
+    kappa = F.when(p_e != 1.0, _r6((p_bar - p_e) / (1.0 - p_e)))
+    ok = (F.col("n_items") > 0) & (F.lit(n_raters) >= 2)
+    return (tot.crossJoin(excl).crossJoin(sq)  # three 1-row frames
+               .select("n_items", "n_items_excluded",
+                       F.when(ok, _r6(p_bar)).alias("p_bar"),
+                       F.when(ok, _r6(p_e)).alias("p_e"),
+                       F.when(ok, kappa).alias("kappa")))
+
+
+def simpsons_flips(df: DataFrame, x_col: str, y_col: str,
+                   group_col: str) -> DataFrame:
+    """Simpson's-paradox screen: does the x→y relationship REVERSE
+    inside any slice of ``group_col`` relative to the pooled data?
+    The aggregation hazard every per-slice quality report walks into —
+    "discount raises spend overall" can be "discount lowers spend in
+    every segment" when segment sizes confound; a report that never
+    checks will ship the wrong sign.
+
+    Per group: n, the OLS slope of y on x, the pooled slope, and
+    ``flipped`` (both slopes defined and of strictly opposite sign —
+    zero slopes never flip). NULL x or y rows drop pairwise; a NULL
+    group is a real slice.
+
+    ENGINE-PORTABLE ARITHMETIC: x/y are quantized to DECIMAL(18,6), so
+    the moment sums Σx, Σy, Σxy, Σx² are EXACT and order-independent
+    (decimal addition is exact; double summation order is the
+    cross-engine hazard); each slope divides the exact moments as
+    doubles (fixed expression), rounding in integer micro-space.
+    DECIMAL(18,6) — not wider — because the cross-product must fit
+    precision 38 WITHOUT rounding in every engine (18+18+1 = 37;
+    (28,10)² would silently round in Spark and overflow DuckDB).
+    Value contract: |x|, |y| < 10^12 and 6dp input resolution.
+
+    SCALE: ONE hash aggregate over the row data produces the
+    groups-sized moment frame; the POOLED moments re-aggregate that
+    tiny frame (sums of exact decimal sums — still exact, no second
+    scan, no rollup double-shuffle) and broadcast back. Row data moves
+    exactly once."""
+    x = qcol(x_col).cast("double")
+    y = qcol(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    xd = F.when(both, x).cast("decimal(18,6)")
+    yd = F.when(both, y).cast("decimal(18,6)")
+    per = (df.select(qcol(group_col).cast("string").alias("group"),
+                     xd.alias("__xd"), yd.alias("__yd"))
+             .groupBy("group")
+             .agg(F.count(F.col("__xd")).cast("bigint").alias("n_pairs"),
+                  F.sum("__xd").alias("__sx"), F.sum("__yd").alias("__sy"),
+                  F.sum(F.col("__xd") * F.col("__yd")).alias("__sxy"),
+                  F.sum(F.col("__xd") * F.col("__xd")).alias("__sxx")))
+
+    def _slope(n_c, sx, sy, sxy, sxx):
+        n = n_c.cast("double")
+        num = n * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+        den = n * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+        return F.when((n_c >= 2) & (den != 0),
+                      F.round(F.lit(1000000.0) * num / den, 0)
+                      / F.lit(1000000.0))
+
+    tot = per.agg(F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("__tn"),
+                  F.sum("__sx").alias("__tsx"), F.sum("__sy").alias("__tsy"),
+                  F.sum("__sxy").alias("__tsxy"),
+                  F.sum("__sxx").alias("__tsxx"))
+    pooled = tot.select(
+        _slope(F.col("__tn"), F.col("__tsx"), F.col("__tsy"),
+               F.col("__tsxy"), F.col("__tsxx")).alias("pooled_slope"))
+    slope = _slope(F.col("n_pairs"), F.col("__sx"), F.col("__sy"),
+                   F.col("__sxy"), F.col("__sxx"))
+    flipped = (F.col("slope").isNotNull()
+               & F.col("pooled_slope").isNotNull()
+               & (F.signum(F.col("slope"))
+                  * F.signum(F.col("pooled_slope")) < 0))
+    return (per.select("group", "n_pairs", slope.alias("slope"))
+               .crossJoin(F.broadcast(pooled))
+               .select("group", "n_pairs", "slope", "pooled_slope",
+                       flipped.alias("flipped")))
+
+
+def rate_significance(df: DataFrame, flag: "F.Column", group_col: str,
+                      z_crit: float = 3.0) -> DataFrame:
+    """Which slices have a STATISTICALLY different incidence of a
+    predicate (violation, low-quality, PII hit) than the rest of the
+    corpus? Raw per-slice rates mislead twice: a tiny slice's extreme
+    rate is noise, and a huge slice's 0.2% excess is real. The
+    two-proportion pooled z-test scores both correctly.
+
+    Per group: n (predicate-evaluable rows), k (predicate-true), the
+    slice rate, the COMPLEMENT'S rate (everything outside the slice),
+    z = (p₁ − p₂)/√(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the pooled rate, and
+    ``significant`` (|z| ≥ z_crit; default 3.0 ≈ α 0.0027 two-sided —
+    multiple-comparison headroom across many slices). z is NULL when
+    the complement is empty or the pooled rate is degenerate (0 or 1:
+    no variance, nothing to test). Rows where the predicate is NULL
+    are excluded from n; a NULL group is a real slice.
+
+    ENGINE-PORTABLE: n, k are exact BIGINTs; every rate and z is a
+    fixed-expression double over those integers, rounded in integer
+    micro-space — bit-replayable in any SQL engine.
+
+    SCALE: ONE hash aggregate to the groups-sized frame; totals come
+    from re-aggregating THAT frame (no second scan) and broadcast
+    back. Row data shuffles once, as (group, two ints) partials."""
+    evaluable = flag.isNotNull()
+    per = (df.where(evaluable)
+             .groupBy(qcol(group_col).cast("string").alias("group"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.sum(F.when(flag, 1).otherwise(0)).cast("bigint")
+                   .alias("k")))
+    tot = per.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__N"),
+                  F.coalesce(F.sum("k"), F.lit(0)).alias("__K"))
+    j = per.crossJoin(F.broadcast(tot))
+    micro = F.lit(1000000.0)
+
+    def _r6(xpr):
+        return F.round(micro * xpr, 0) / micro
+
+    n1 = F.col("n").cast("double")
+    k1 = F.col("k").cast("double")
+    n2 = (F.col("__N") - F.col("n")).cast("double")
+    k2 = (F.col("__K") - F.col("k")).cast("double")
+    p1, p2 = k1 / n1, k2 / n2
+    pool = (F.col("__K").cast("double")) / (F.col("__N").cast("double"))
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / n1 + 1.0 / n2))
+    z = F.when((n2 > 0) & (pool > 0) & (pool < 1), (p1 - p2) / se)
+    return j.select(
+        "group", "n", "k", _r6(p1).alias("rate"),
+        F.when(n2 > 0, _r6(p2)).alias("rest_rate"),
+        _r6(z).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) >= F.lit(float(z_crit)))
+         .alias("significant"))
