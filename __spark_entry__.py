@@ -2407,6 +2407,42 @@ def q_volume_changepoint(spark, sf_dir):
     return volume_changepoint(_t(spark, sf_dir, "events"), "ts")
 
 
+def q_weighted_k_sample(spark, sf_dir):
+    """Exact-k weighted sampling without replacement
+    (functions/sampling.py:weighted_k_sample, Efraimidis–Spirakis):
+    100 documents, length-proportional, deterministic across engines
+    and partitionings via the md5-derived uniform draw."""
+    from schema_validata_spark.functions.sampling import weighted_k_sample
+    return (weighted_k_sample(_t(spark, sf_dir, "documents"),
+                              "doc_id", "n_chars", 100)
+            .orderBy("doc_id"))
+
+
+def q_null_rate_by_slice(spark, sf_dir):
+    """Per-(slice, column) null-rate significance screen
+    (statqa.null_rate_by_slice): derived nullable columns over events
+    (value gated at > 50, props gated at length > 120), scored per
+    event_type against the rest of the corpus."""
+    from schema_validata_spark.operators.statqa import null_rate_by_slice
+    df = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") > 50, F.col("value")).alias("v_hi"),
+        F.when(F.length("props") > 120, F.col("props"))
+         .alias("props_long"))
+    return (null_rate_by_slice(df, ["v_hi", "props_long"], "event_type")
+            .orderBy("group", "column_name"))
+
+
+def q_last_digit_uniformity(spark, sf_dir):
+    """Last-digit uniformity screen (statqa.last_digit_uniformity)
+    over order totals — hand-rounded or binned values light up here
+    while passing Benford/range/null checks."""
+    from schema_validata_spark.operators.statqa import last_digit_uniformity
+    return (last_digit_uniformity(_t(spark, sf_dir, "orders"),
+                                  "o_totalprice")
+            .orderBy("digit"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2582,6 +2618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpsons_flips": q_simpsons_flips,
         "rate_significance": q_rate_significance,
         "volume_changepoint": q_volume_changepoint,
+        "weighted_k_sample": q_weighted_k_sample,
+        "null_rate_by_slice": q_null_rate_by_slice,
+        "last_digit_uniformity": q_last_digit_uniformity,
     }
 
 
@@ -5989,5 +6028,82 @@ def oracle_sql() -> dict[str, str]:
         LATERAL (SELECT (best.am::double / 1000000.0)
                  / (s1.sd * sqrt(tot.n_buckets::double)) AS stat) s2,
         LATERAL (SELECT (best.am IS NOT NULL AND s1.sd > 0) AS ok) s3"""
+
+    # weighted_k_sample: Efraimidis–Spirakis replay — same md5 draw,
+    # same 9dp-quantized ln(u)/w score, same key tiebreak
+    sql["weighted_k_sample"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT d.*,
+                 round(1000000000.0 * ln(
+                   ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                     )::DOUBLE + 0.5) / 4294967296.0)
+                   / n_chars::DOUBLE) / 1000000000.0 AS score
+          FROM documents d
+          WHERE n_chars IS NOT NULL AND n_chars > 0)
+        ORDER BY score DESC, doc_id ASC LIMIT 100"""
+
+    sql["null_rate_by_slice"] = """
+        WITH src AS (
+          SELECT event_type,
+                 CASE WHEN value > 50 THEN value END AS v_hi,
+                 CASE WHEN length(props) > 120 THEN props
+                   END AS props_long
+          FROM events),
+        per AS (
+          SELECT CAST(event_type AS VARCHAR) AS "group",
+                 'v_hi' AS column_name, count(*)::bigint AS n,
+                 sum(CASE WHEN v_hi IS NULL THEN 1 ELSE 0
+                     END)::bigint AS n_null
+          FROM src GROUP BY 1
+          UNION ALL
+          SELECT CAST(event_type AS VARCHAR), 'props_long',
+                 count(*)::bigint,
+                 sum(CASE WHEN props_long IS NULL THEN 1 ELSE 0
+                     END)::bigint
+          FROM src GROUP BY 1),
+        tot AS (SELECT column_name, sum(n)::bigint AS tn,
+                       sum(n_null)::bigint AS tk
+                FROM per GROUP BY column_name),
+        sc AS (
+          SELECT "group", per.column_name, n, n_null,
+                 n_null::double / n::double AS p1,
+                 (tk - n_null)::double / (tn - n)::double AS p2,
+                 tk::double / tn::double AS pool,
+                 (tn - n)::double AS n2
+          FROM per JOIN tot ON per.column_name = tot.column_name)
+        SELECT "group", column_name, n, n_null,
+          round(1000000.0 * p1) / 1000000.0 AS rate,
+          CASE WHEN n2 > 0 THEN round(1000000.0 * p2) / 1000000.0
+            END AS rest_rate,
+          CASE WHEN n2 > 0 AND pool > 0 AND pool < 1 THEN
+            round(1000000.0 * ((p1 - p2)
+              / sqrt(pool * (1.0 - pool)
+                     * (1.0 / n::double + 1.0 / n2))))
+            / 1000000.0 END AS z,
+          CASE WHEN n2 > 0 AND pool > 0 AND pool < 1 THEN
+            abs((p1 - p2) / sqrt(pool * (1.0 - pool)
+                * (1.0 / n::double + 1.0 / n2))) >= 3.0
+            END AS significant
+        FROM sc ORDER BY "group", column_name"""
+
+    sql["last_digit_uniformity"] = """
+        WITH counts AS (
+          SELECT (CAST(floor(abs(o_totalprice)) AS BIGINT) % 10)::int
+                   AS digit,
+                 count(*)::bigint AS n
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND abs(o_totalprice) >= 10.0
+          GROUP BY 1),
+        tot AS (SELECT coalesce(sum(n), 0)::bigint AS t FROM counts)
+        SELECT digit, n,
+          round(1000000.0 * (n::double / t::double)) / 1000000.0
+            AS share,
+          0.1 AS uniform_share,
+          round(1000000.0 * ((n::double - t::double / 10.0)
+                             * (n::double - t::double / 10.0)
+                             / (t::double / 10.0))) / 1000000.0
+            AS chi2_term
+        FROM counts, tot ORDER BY digit"""
 
     return sql

@@ -326,3 +326,33 @@ def deterministic_topk_sample(df: DataFrame, key_col: str, k: int,
               .orderBy(F.col("__h").asc(), F.col(key_col).asc())
               .limit(int(k))
               .drop("__h"))
+
+
+def weighted_k_sample(df: DataFrame, key_col: str, weight_col: str,
+                      k: int, salt: str = "") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, exactly
+    ``k`` rows (Efraimidis–Spirakis A-ES): each row draws a uniform
+    u from its key hash and scores ln(u)/w — the k LARGEST scores are
+    a weight-proportional sample, the "give me 10k docs, long ones
+    proportionally more often, same 10k every run" request that
+    Bernoulli ``weighted_sample`` (random size) and ``topk_sample``
+    (no weights) sit either side of.
+
+    u = (hash32 + 0.5) / 2³² from the same md5 scheme as every sampler
+    here (same key ⇒ same draw on any engine/partitioning); rows with
+    NULL or non-positive weight never sample. Scores are quantized to
+    9dp with a key-ascending tiebreak, so the selected SET is stable
+    even across engines whose ``ln`` differs in the last ulp (a flip
+    would need a score within 5×10⁻¹⁰ of a boundary AND at the k-th
+    rank — measure-zero, and the tiebreak pins exact ties).
+
+    SCALE: one md5 + one log per row, map-only; the top-k rewrites to
+    TakeOrderedAndProject (per-task k-row heaps, no global sort, no
+    full shuffle — the same plan contract as ``topk_sample``)."""
+    u = ((F.conv(stable_hash_hex(key_col, salt), 16, 10).cast("bigint")
+          .cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.lit(1e9) * F.log(u) / w, 0) / F.lit(1e9)
+    return (df.where(w.isNotNull() & (w > 0))
+              .orderBy(score.desc(), F.col(key_col).asc())
+              .limit(int(k)))

@@ -1113,3 +1113,100 @@ def rate_significance(df: DataFrame, flag: "F.Column", group_col: str,
         _r6(z).alias("z"),
         F.when(z.isNotNull(), F.abs(z) >= F.lit(float(z_crit)))
          .alias("significant"))
+
+
+def null_rate_by_slice(df: DataFrame, cols: list[str], group_col: str,
+                       z_crit: float = 3.0) -> DataFrame:
+    """Per-(slice, column) COMPLETENESS screen: which slice's null
+    rate for which column is statistically different from the rest of
+    the corpus? The one-crawl-source-stopped-sending-a-field bug —
+    the corpus null rate barely moves (profile passes), the slice is
+    100% null. Scored with the same pooled two-proportion z-test as
+    ``rate_significance``, per column, in ONE pass.
+
+    Output per (group, column_name): n, n_null, rate, rest_rate, z,
+    significant (|unrounded z| ≥ z_crit; NULL when the complement is
+    empty or the pooled rate is 0/1). A NULL group is a real slice.
+
+    ENGINE-PORTABLE: counts are exact BIGINTs, rates/z fixed-
+    expression doubles, micro-rounded.
+
+    SCALE: the row is melted scan-side to (column_name, is_null) —
+    len(cols)× map-side rows but the shuffle keys are only
+    (#groups × #cols) after the map-side combine; column totals
+    re-aggregate THAT frame (no second scan) and join back
+    vocab-sized. Raw values never shuffle (only null bits)."""
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 qcol(c).isNull().cast("int").alias("isn"))
+        for c in cols])).alias("p")
+    per = (df.select(qcol(group_col).cast("string").alias("group"), pairs)
+             .select("group", "p.column_name", "p.isn")
+             .groupBy("group", "column_name")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.sum("isn").cast("bigint").alias("n_null")))
+    tot = (per.groupBy("column_name")
+              .agg(F.sum("n").cast("bigint").alias("__N"),
+                   F.sum("n_null").cast("bigint").alias("__K")))
+    j = per.join(tot, "column_name")
+    micro = F.lit(1000000.0)
+
+    def _r6(xpr):
+        return F.round(micro * xpr, 0) / micro
+
+    n1 = F.col("n").cast("double")
+    k1 = F.col("n_null").cast("double")
+    n2 = (F.col("__N") - F.col("n")).cast("double")
+    k2 = (F.col("__K") - F.col("n_null")).cast("double")
+    p1, p2 = k1 / n1, k2 / n2
+    pool = F.col("__K").cast("double") / F.col("__N").cast("double")
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / n1 + 1.0 / n2))
+    z = F.when((n2 > 0) & (pool > 0) & (pool < 1), (p1 - p2) / se)
+    return j.select(
+        "group", "column_name", "n", "n_null", _r6(p1).alias("rate"),
+        F.when(n2 > 0, _r6(p2)).alias("rest_rate"),
+        _r6(z).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) >= F.lit(float(z_crit)))
+         .alias("significant"))
+
+
+def last_digit_uniformity(df: DataFrame, value_col: str,
+                          min_magnitude: float = 10.0) -> DataFrame:
+    """LAST-digit distribution of a numeric column's integer part vs
+    uniform — the complement of ``benford_digits``: first digits of
+    natural data follow Benford, last digits should be NOISE (uniform
+    1/10). Hand-rounded prices, binned synthetic values, or a
+    generator that only emits .0/.5 endings light up here while
+    passing Benford, range, and null checks.
+
+    Values with |v| < ``min_magnitude`` are excluded (a 1-digit
+    value's last digit IS its first digit — Benford-skewed by
+    nature, not evidence of tampering); NULLs excluded. Output
+    (≤10 rows): digit, n, share, uniform_share (0.1), chi2_term
+    ((n−E)²/E, E = total/10; the 9-dof chi-square sums over rows).
+
+    ENGINE-PORTABLE: counts exact BIGINTs; share and chi2 are fixed-
+    expression doubles micro-rounded. SCALE: one hash aggregate on a
+    1-of-10 int key, map-side combined; a 1-row total broadcast back
+    over the ≤10-row frame."""
+    v = F.abs(qcol(value_col).cast("double"))
+    digit = F.pmod(F.floor(v), F.lit(10)).cast("int")
+    counts = (df.where(qcol(value_col).isNotNull()
+                       & (v >= float(min_magnitude)))
+                .groupBy(digit.alias("digit"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = counts.agg(F.coalesce(F.sum("n"), F.lit(0))
+                        .cast("bigint").alias("__total"))
+    j = counts.crossJoin(F.broadcast(total))
+    micro = F.lit(1000000.0)
+
+    def _r6(xpr):
+        return F.round(micro * xpr, 0) / micro
+
+    tot_d = F.col("__total").cast("double")
+    exp = tot_d / 10.0
+    dev = F.col("n").cast("double") - exp
+    return (j.select("digit", "n",
+                     _r6(F.col("n").cast("double") / tot_d).alias("share"),
+                     F.lit(0.1).alias("uniform_share"),
+                     _r6(dev * dev / exp).alias("chi2_term")))
