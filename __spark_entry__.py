@@ -2443,6 +2443,49 @@ def q_last_digit_uniformity(spark, sf_dir):
             .orderBy("digit"))
 
 
+def q_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U rank-sum two-sample screen
+    (statqa.mann_whitney): does the `value` distribution differ
+    between click and purchase events? Tie-corrected normal
+    approximation; rank sums in the exact integer domain
+    (2·R_a as DECIMAL) so the z replays bit-identically."""
+    from schema_validata_spark.operators.statqa import mann_whitney
+    return mann_whitney(_t(spark, sf_dir, "events"), "value",
+                        "event_type", "click", "purchase")
+
+
+def q_rater_confusion(spark, sf_dir):
+    """Per-class confusion matrix between two raters
+    (statqa.rater_confusion): rater a = order status as labeled,
+    rater b = a re-label that flips every 7th order to 'F' and skips
+    every 3rd order entirely — exact-count shares per cell."""
+    from schema_validata_spark.operators.statqa import rater_confusion
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(F.col("o_orderkey").alias("item"),
+                 F.lit("a").alias("rater"),
+                 F.col("o_orderstatus").alias("lab"))
+    b = (o.where(F.col("o_orderkey") % 3 != 0)
+          .select(F.col("o_orderkey").alias("item"),
+                  F.lit("b").alias("rater"),
+                  F.when(F.col("o_orderkey") % 7 == 0, F.lit("F"))
+                   .otherwise(F.col("o_orderstatus")).alias("lab")))
+    return (rater_confusion(a.unionByName(b), "item", "rater", "lab",
+                            "a", "b")
+            .orderBy("label_a", "label_b"))
+
+
+def q_volume_autocorrelation(spark, sf_dir):
+    """Lag-k autocorrelation of daily event volume
+    (expectations.volume_autocorrelation): the periodicity detector
+    behind the volume screens — missing days count as zero volume;
+    moments are exact DECIMAL sums over one scan."""
+    from schema_validata_spark.operators.expectations import \
+        volume_autocorrelation
+    return (volume_autocorrelation(_t(spark, sf_dir, "events"), "ts",
+                                   granularity="day", max_lag=7)
+            .orderBy("lag"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2621,6 +2664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_k_sample": q_weighted_k_sample,
         "null_rate_by_slice": q_null_rate_by_slice,
         "last_digit_uniformity": q_last_digit_uniformity,
+        "mann_whitney": q_mann_whitney,
+        "rater_confusion": q_rater_confusion,
+        "volume_autocorrelation": q_volume_autocorrelation,
     }
 
 
@@ -6105,5 +6151,134 @@ def oracle_sql() -> dict[str, str]:
                              / (t::double / 10.0))) / 1000000.0
             AS chi2_term
         FROM counts, tot ORDER BY digit"""
+
+    sql["mann_whitney"] = """
+        WITH base AS (
+          SELECT CAST(value AS DOUBLE) AS v,
+                 CAST(event_type AS VARCHAR) AS s
+          FROM events
+          WHERE value IS NOT NULL
+            AND NOT isnan(CAST(value AS DOUBLE))
+            AND CAST(event_type AS VARCHAR) IN ('click', 'purchase')),
+        cnt AS (
+          SELECT v,
+                 sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END)::bigint
+                   AS ca,
+                 sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END)::bigint
+                   AS cb
+          FROM base GROUP BY v),
+        rk AS (
+          SELECT ca, cb, (ca + cb) AS c,
+                 (sum(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (ca + cb)) AS cum
+          FROM cnt),
+        agg AS (
+          SELECT coalesce(sum(ca), 0)::bigint AS n_a,
+                 coalesce(sum(cb), 0)::bigint AS n_b,
+                 coalesce(sum(ca * (2 * cum + c + 1)), 0) AS r2a,
+                 coalesce(sum(c * c * c - c), 0) AS ties
+          FROM rk),
+        d AS (
+          SELECT n_a, n_b,
+                 n_a::double AS na, n_b::double AS nb,
+                 (n_a + n_b)::double AS n,
+                 r2a::double AS r2ad, ties::double AS tiesd
+          FROM agg),
+        u AS (
+          SELECT *,
+                 (r2ad - na * (na + 1.0)) / 2.0 AS ua,
+                 na * nb / 2.0 AS mu,
+                 (na * nb / 12.0)
+                   * ((n + 1.0) - tiesd / (n * (n - 1.0))) AS var
+          FROM d)
+        SELECT n_a, n_b,
+          CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(1000000.0 * ua) / 1000000.0 END AS u_a,
+          CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(1000000.0 * (na * nb - ua)) / 1000000.0
+            END AS u_b,
+          CASE WHEN n_a > 0
+            THEN round(1000000.0 * ((r2ad / 2.0) / na)) / 1000000.0
+            END AS mean_rank_a,
+          CASE WHEN n_b > 0
+            THEN round(1000000.0 * ((n * (n + 1.0) / 2.0 - r2ad / 2.0)
+                                    / nb)) / 1000000.0
+            END AS mean_rank_b,
+          CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+            THEN round(1000000.0 * ((ua - mu) / sqrt(var))) / 1000000.0
+            END AS z,
+          CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+            THEN abs((ua - mu) / sqrt(var)) >= 3.0 END AS significant
+        FROM u"""
+
+    sql["rater_confusion"] = """
+        WITH a AS (
+          SELECT o_orderkey AS item,
+                 max(CAST(o_orderstatus AS VARCHAR)) AS label_a
+          FROM orders GROUP BY 1),
+        b AS (
+          SELECT o_orderkey AS item,
+                 max(CASE WHEN o_orderkey % 7 = 0 THEN 'F'
+                     ELSE CAST(o_orderstatus AS VARCHAR) END) AS label_b
+          FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+        j AS (SELECT label_a, label_b FROM a JOIN b USING (item)),
+        cells AS (SELECT label_a, label_b, count(*)::bigint AS n
+                  FROM j GROUP BY 1, 2),
+        rt AS (SELECT label_a, sum(n)::bigint AS rt
+               FROM cells GROUP BY 1),
+        ct AS (SELECT label_b, sum(n)::bigint AS ct
+               FROM cells GROUP BY 1),
+        g AS (SELECT coalesce(sum(n), 0)::bigint AS gt FROM cells)
+        SELECT label_a, label_b, n,
+          round(1000000.0 * n::double / gt::double) / 1000000.0
+            AS share,
+          round(1000000.0 * n::double / rt::double) / 1000000.0
+            AS row_share,
+          round(1000000.0 * n::double / ct::double) / 1000000.0
+            AS col_share,
+          label_a = label_b AS agree
+        FROM cells JOIN rt USING (label_a) JOIN ct USING (label_b), g
+        ORDER BY label_a, label_b"""
+
+    sql["volume_autocorrelation"] = """
+        WITH obs AS (
+          SELECT date_trunc('day', ts) AS bucket, count(*)::bigint AS n
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM obs),
+        rng AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+            AS bucket
+          FROM bounds WHERE lo IS NOT NULL),
+        filled AS (
+          SELECT rng.bucket, coalesce(obs.n, 0)::bigint AS n
+          FROM rng LEFT JOIN obs ON rng.bucket = obs.bucket),
+        lags AS (SELECT unnest(range(1, 8))::int AS lag),
+        pairs AS (
+          SELECT l.lag, a.n AS x, b.n AS y
+          FROM lags l
+          JOIN filled a ON TRUE
+          JOIN filled b
+            ON b.bucket = a.bucket + to_days(l.lag)),
+        stats AS (
+          SELECT lag, count(*)::bigint AS np,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pairs GROUP BY lag)
+        SELECT l.lag, coalesce(np, 0)::bigint AS n_pairs,
+          CASE WHEN np >= 2
+                AND (np::double * sxx::double - sx::double * sx::double)
+                    > 0
+                AND (np::double * syy::double - sy::double * sy::double)
+                    > 0
+            THEN round(1000000.0
+              * ((np::double * sxy::double - sx::double * sy::double)
+                 / sqrt((np::double * sxx::double
+                         - sx::double * sx::double)
+                        * (np::double * syy::double
+                           - sy::double * sy::double)))) / 1000000.0
+            END AS acf
+        FROM lags l LEFT JOIN stats ON l.lag = stats.lag
+        ORDER BY l.lag"""
 
     return sql

@@ -296,15 +296,25 @@ def completeness_gaps(df: DataFrame, ts_col: str,
     if granularity not in _GRAN_INTERVAL:
         raise ValueError(f"granularity {granularity!r} not supported")
     bucket = F.date_trunc(granularity, qcol(ts_col))
-    obs = (df.where(qcol(ts_col).isNotNull())
+    # explicit bucket.isNotNull() + an __n-referencing min/max keep the
+    # two consumers' scan→partial-agg→Exchange subtrees byte-identical,
+    # so the row data is scanned ONCE (ReusedExchange) — same shape as
+    # volume_autocorrelation
+    obs = (df.where(qcol(ts_col).isNotNull() & bucket.isNotNull())
              .groupBy(bucket.alias("bucket"))
              .agg(F.count(F.lit(1)).alias("n")))
-    rng = (obs.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    guard = F.when(F.col("n") > 0, F.col("bucket"))
+    rng = (obs.agg(F.min(guard).alias("lo"), F.max(guard).alias("hi"))
               .where(F.col("lo").isNotNull())
               .select(F.explode(F.expr(
                   f"sequence(lo, hi, {_GRAN_INTERVAL[granularity]})"))
                   .alias("bucket")))
-    return rng.join(obs, "bucket", "left_anti").select("bucket")
+    # the always-true n >= 1 conjunct keeps `n` alive on the anti-join
+    # side so its aggregate stays identical to rng's (exchange reuse)
+    o = obs.select(F.col("bucket").alias("__ob"), "n")
+    return (rng.join(o, (F.col("bucket") == F.col("__ob"))
+                     & (F.col("n") >= 1), "left_anti")
+               .select("bucket"))
 
 
 def iqr_outlier_stats(df: DataFrame, cols: list[str], k: float = 1.5,
@@ -571,3 +581,103 @@ def volume_changepoint(df: DataFrame, ts_col: str,
         F.when(ok, _r6(post)).alias("post_mean"),
         F.when(ok, _r6(stat)).alias("cusum_stat"),
         F.when(ok, _r6(stat) >= F.lit(float(threshold))).alias("shifted"))
+
+
+def volume_autocorrelation(df: DataFrame, ts_col: str,
+                           granularity: str = "day",
+                           max_lag: int = 7) -> DataFrame:
+    """Lag-k autocorrelation of the per-bucket row-volume series — the
+    periodicity detector behind the volume screens: a strong lag-7
+    spike on daily buckets says the feed is weekly-seasonal (so use
+    ``seasonal_volume_anomalies``, not the flat ``volume_anomalies``);
+    a strong lag-1 says volume shocks persist and yesterday predicts
+    today (so a level CUSUM beats per-bucket outlier checks). Missing
+    buckets between the observed min and max COUNT AS ZERO volume —
+    an empty day is a real value of the series, not a hole to skip.
+
+    Output per lag 1..``max_lag``: ``lag``, ``n_pairs`` (bucket pairs
+    (t, t+lag) inside the range), ``acf`` (Pearson r of the two
+    shifted copies; NULL when fewer than 2 pairs or either side is
+    constant). Empty input yields n_pairs = 0 rows.
+
+    ENGINE-PORTABLE: volumes are exact BIGINTs; per-lag moments are
+    exact DECIMAL(38,0) sums (Σx, Σy, Σxy, Σx², Σy²) and the r is one
+    fixed expression over them, micro-rounded (6dp) — no incremental
+    covar/stddev whose float order could differ between engines.
+
+    SCALE: row data is scanned ONCE into the bucket aggregate; the
+    gap-fill (sequence + left join), the lead window, and the 1-row
+    moment aggregate all run on the BUCKET frame (metadata-sized:
+    days/hours of corpus span, never rows). The single-partition
+    window is over that tiny frame only."""
+    from pyspark.sql import Window
+
+    if granularity not in _GRAN_INTERVAL:
+        raise ValueError(f"granularity {granularity!r} not supported")
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    bucket = F.date_trunc(granularity, qcol(ts_col))
+    # the explicit bucket.isNotNull() matches the null-filter the left
+    # join infers on its build side, keeping both consumers' scan
+    # subtrees byte-identical (a prerequisite for exchange reuse)
+    obs = (df.where(qcol(ts_col).isNotNull() & bucket.isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    # the min/max references __n (always > 0) so Catalyst cannot prune
+    # the count and collapse this branch into a second direct scan —
+    # both consumers of `obs` then share ONE scan via ReusedExchange
+    guard = F.when(F.col("__n") > 0, F.col("bucket"))
+    rng = (obs.agg(F.min(guard).alias("lo"), F.max(guard).alias("hi"))
+              .where(F.col("lo").isNotNull())
+              .select(F.explode(F.expr(
+                  f"sequence(lo, hi, {_GRAN_INTERVAL[granularity]})"))
+                  .alias("bucket")))
+    filled = (rng.join(obs, "bucket", "left")
+                 .select("bucket",
+                         F.coalesce(F.col("__n"), F.lit(0))
+                          .cast("bigint").alias("__n")))
+    w = Window.orderBy("bucket")
+    lags = list(range(1, int(max_lag) + 1))
+    wide = filled.select(
+        "__n", *[F.lead("__n", L).over(w).alias(f"__y{L}") for L in lags])
+    dec = "decimal(38,0)"
+    aggs = []
+    for L in lags:
+        y = F.col(f"__y{L}")
+        x = F.when(y.isNotNull(), F.col("__n"))
+        aggs += [
+            F.coalesce(F.count(y), F.lit(0)).cast("bigint").alias(f"n_{L}"),
+            F.coalesce(F.sum(x.cast(dec)), F.lit(0)).cast(dec)
+             .alias(f"sx_{L}"),
+            F.coalesce(F.sum(y.cast(dec)), F.lit(0)).cast(dec)
+             .alias(f"sy_{L}"),
+            F.coalesce(F.sum(x.cast(dec) * y.cast(dec)), F.lit(0)).cast(dec)
+             .alias(f"sxy_{L}"),
+            F.coalesce(F.sum(x.cast(dec) * x.cast(dec)), F.lit(0)).cast(dec)
+             .alias(f"sxx_{L}"),
+            F.coalesce(F.sum(y.cast(dec) * y.cast(dec)), F.lit(0)).cast(dec)
+             .alias(f"syy_{L}"),
+        ]
+    one = wide.agg(*aggs)
+    micro = F.lit(1000000.0)
+    cols = []
+    for L in lags:
+        n = F.col(f"n_{L}").cast("double")
+        sx = F.col(f"sx_{L}").cast("double")
+        sy = F.col(f"sy_{L}").cast("double")
+        sxy = F.col(f"sxy_{L}").cast("double")
+        sxx = F.col(f"sxx_{L}").cast("double")
+        syy = F.col(f"syy_{L}").cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when((F.col(f"n_{L}") >= 2) & (vx > 0) & (vy > 0),
+                   F.round(micro * ((n * sxy - sx * sy)
+                                    / F.sqrt(vx * vy)), 0) / micro)
+        cols += [F.col(f"n_{L}").alias(f"np_{L}"), r.alias(f"r_{L}")]
+    # one stack over the single aggregate row — the whole lineage
+    # (scan → bucket agg → fill → window → moments) runs exactly once
+    row = one.select(*cols)
+    parts = ", ".join(
+        f"cast({L} as int), `np_{L}`, `r_{L}`" for L in lags)
+    return row.selectExpr(
+        f"stack({len(lags)}, {parts}) as (lag, n_pairs, acf)")

@@ -1210,3 +1210,150 @@ def last_digit_uniformity(df: DataFrame, value_col: str,
                      _r6(F.col("n").cast("double") / tot_d).alias("share"),
                      F.lit(0.1).alias("uniform_share"),
                      _r6(dev * dev / exp).alias("chi2_term")))
+
+
+def mann_whitney(df: DataFrame, value_col: str, side_col: str,
+                 side_a, side_b, z_crit: float = 3.0) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample screen: does a
+    numeric column's DISTRIBUTION differ between two named slices?
+    The nonparametric twin of a means test — a latency column whose
+    median doubled for one tool, or a quality score one source
+    systematically undercuts, lights up here even when heavy tails
+    make the means (and any t-style statistic) meaningless. Unlike
+    ``ks_drift`` this needs no caller-fixed edge grid and yields a
+    calibrated z.
+
+    Rows with a NULL/NaN value or a side other than ``side_a`` /
+    ``side_b`` are excluded. Ties get textbook average ranks, and the
+    normal approximation uses the tie-corrected variance
+    Var = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+
+    Output (one row): ``n_a, n_b, u_a, u_b, mean_rank_a,
+    mean_rank_b, z, significant`` — z is NULL when either side is
+    empty or every value is tied (zero variance); ``significant``
+    compares the UNROUNDED |z| to ``z_crit``.
+
+    ENGINE-PORTABLE: rank sums are computed in the EXACT integer
+    domain — 2·R_a = Σ_v c_a(v)·(2·cum_less(v) + c(v) + 1) as
+    DECIMAL(38,0) (average ranks are halves, so doubling makes every
+    term an integer); the tie term Σ(c³−c) likewise. u/z are fixed-
+    expression doubles over those integers, micro-rounded (6dp) —
+    bit-replayable in any SQL engine.
+
+    SCALE: row data shuffles ONCE as (value → two counts) hash-agg
+    partials (map-side combined); the rank window runs over the
+    DISTINCT-VALUE frame (vocab-sized — same contract as
+    ``spearman_correlations``: quantize a continuous column first at
+    extreme cardinality), then ONE 1-row aggregate. No row sort, no
+    UDFs, no collects."""
+    from pyspark.sql import Window
+
+    v = qcol(value_col).cast("double")
+    s = qcol(side_col).cast("string")
+    sa, sb = str(side_a), str(side_b)
+    base = (df.where(v.isNotNull() & ~F.isnan(v) & s.isin([sa, sb]))
+              .select(v.alias("__v"), s.alias("__s")))
+    cnt = (base.groupBy("__v")
+               .agg(F.sum(F.when(F.col("__s") == sa, 1).otherwise(0))
+                     .cast("bigint").alias("__ca"),
+                    F.sum(F.when(F.col("__s") == sb, 1).otherwise(0))
+                     .cast("bigint").alias("__cb")))
+    c = (F.col("__ca") + F.col("__cb")).cast("bigint")
+    w = (Window.orderBy(F.col("__v").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = cnt.select(
+        "__ca", "__cb", c.alias("__c"),
+        (F.sum(c).over(w) - c).cast("bigint").alias("__cum"))
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum(F.col("__ca").cast(dec)
+                         * (2 * F.col("__cum") + F.col("__c") + 1)
+                          .cast(dec)),
+                   F.lit(0)).cast(dec).alias("__r2a"),
+        F.coalesce(F.sum(F.col("__c").cast(dec) * F.col("__c")
+                         * F.col("__c") - F.col("__c")),
+                   F.lit(0)).cast(dec).alias("__ties"))
+    micro = F.lit(1000000.0)
+
+    def _r6(xpr):
+        return F.round(micro * xpr, 0) / micro
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    # 2·U_a = 2·R_a − n_a(n_a+1); U_b = n_a·n_b − U_a
+    u_a = (F.col("__r2a").cast("double")
+           - na * (na + 1.0)) / 2.0
+    u_b = na * nb - u_a
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    mu = na * nb / 2.0
+    var = (na * nb / 12.0) * ((n + 1.0)
+                              - F.col("__ties").cast("double")
+                              / (n * (n - 1.0)))
+    z = F.when(both & (var > 0), (u_a - mu) / F.sqrt(var))
+    return agg.select(
+        "n_a", "n_b",
+        F.when(both, _r6(u_a)).alias("u_a"),
+        F.when(both, _r6(u_b)).alias("u_b"),
+        F.when(F.col("n_a") > 0,
+               _r6((F.col("__r2a").cast("double") / 2.0) / na))
+         .alias("mean_rank_a"),
+        F.when(F.col("n_b") > 0,
+               _r6((n * (n + 1.0) / 2.0
+                    - F.col("__r2a").cast("double") / 2.0) / nb))
+         .alias("mean_rank_b"),
+        _r6(z).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) >= F.lit(float(z_crit)))
+         .alias("significant"))
+
+
+def rater_confusion(df: DataFrame, item_col: str, rater_col: str,
+                    label_col: str, rater_a, rater_b) -> DataFrame:
+    """Per-class confusion matrix between two named raters — the
+    drill-down behind ``cohens_kappa``: κ says agreement is poor,
+    this says WHERE ('rater B calls 40% of A's `unsafe` items `ok`').
+    Same input shape as the kappa family: one row per (item, rater,
+    label); NULL labels are unrated; if a rater labeled an item more
+    than once the GREATEST label wins (deterministic under retries);
+    items only one rater touched drop.
+
+    Output per observed (label_a, label_b) cell: ``n``, ``share``
+    (of all co-rated items), ``row_share`` (of rater A's label_a
+    items — P(B=y | A=x)), ``col_share``, ``agree``.
+
+    ENGINE-PORTABLE: every share is one division of exact BIGINTs,
+    micro-rounded. SCALE: two item-keyed per-rater aggregates, one
+    item equi-join, ONE (label,label) hash aggregate; the marginal
+    join-backs run on label-vocabulary-sized frames."""
+    base = df.where(qcol(label_col).isNotNull())
+
+    def _side(rater, out):
+        return (base.where(qcol(rater_col) == F.lit(str(rater)))
+                    .groupBy(qcol(item_col).alias("__i"))
+                    .agg(F.max(qcol(label_col).cast("string")).alias(out)))
+
+    j = _side(rater_a, "label_a").join(_side(rater_b, "label_b"), "__i")
+    cells = (j.groupBy("label_a", "label_b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    rows_t = (cells.groupBy("label_a")
+                   .agg(F.sum("n").cast("bigint").alias("__rt")))
+    cols_t = (cells.groupBy("label_b")
+                   .agg(F.sum("n").cast("bigint").alias("__ct")))
+    grand = cells.agg(F.coalesce(F.sum("n"), F.lit(0))
+                       .cast("bigint").alias("__g"))
+    micro = F.lit(1000000.0)
+
+    def _r6(num, den):
+        return F.round(micro * num.cast("double") / den.cast("double"), 0) \
+               / micro
+
+    return (cells.join(rows_t, "label_a").join(cols_t, "label_b")
+                 .crossJoin(F.broadcast(grand))
+                 .select("label_a", "label_b", "n",
+                         _r6(F.col("n"), F.col("__g")).alias("share"),
+                         _r6(F.col("n"), F.col("__rt")).alias("row_share"),
+                         _r6(F.col("n"), F.col("__ct")).alias("col_share"),
+                         (F.col("label_a") == F.col("label_b"))
+                          .alias("agree")))
