@@ -340,6 +340,24 @@ def q_drift_scores_arrow(spark, sf_dir):
                      F.col("n_base").cast("bigint").alias("n_base"))
 
 
+def q_jsd_drift(spark, sf_dir):
+    """Jensen–Shannon divergence per (event_type) partition vs the
+    global baseline histogram (operators/drift.py:jsd_drift) — the
+    BOUNDED [0,1]-bits drift score the chi²/PSI pair lacks: one
+    threshold works across columns, and zero bins are exact (no
+    epsilon). Same histogram frames as drift_scores."""
+    from schema_validata_spark.operators.drift import jsd_drift
+    df = _t(spark, sf_dir, "events")
+    obs = numeric_histogram(df, "value", "event_type", 0.0, 500.0, 20)
+    base = obs.groupBy("column_name", "bucket").agg(
+        F.sum("count").alias("count")).withColumn(
+        "partition_key", F.lit("__all__"))
+    sc = jsd_drift(obs, base, by_partition=True)
+    return sc.select("partition_key", "column_name", "jsd",
+                     F.col("n_obs").cast("bigint").alias("n_obs"),
+                     F.col("n_base").cast("bigint").alias("n_base"))
+
+
 _KS_EDGES = [1.0, 2.0, 5.0, 10.0, 20.0, 35.0, 50.0, 75.0,
              100.0, 150.0, 200.0, 300.0, 400.0]
 
@@ -2527,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_scores_arrow": q_drift_scores_arrow,
         "ks_drift": q_ks_drift,
         "wasserstein_drift": q_wasserstein_drift,
+        "jsd_drift": q_jsd_drift,
         "json_key_profile": q_json_key_profile,
         "key_locality": q_key_locality,
         "distinct_sketch_estimates": q_distinct_sketch_estimates,
@@ -3074,6 +3093,38 @@ def oracle_sql() -> dict[str, str]:
         FROM terms GROUP BY partition_key"""
     sql["drift_scores"] = _drift_sql
     sql["drift_scores_arrow"] = _drift_sql
+
+    # JSD with the same restricted-baseline join semantics as
+    # drift_scores: baseline mass is summed over buckets present in the
+    # partition (base is built from obs, so every obs bucket has a base
+    # row and the Spark full-outer join degenerates to this inner join).
+    sql["jsd_drift"] = """
+        WITH obs AS (
+          SELECT event_type AS partition_key,
+                 CASE WHEN value < 0 THEN 0
+                      WHEN value >= 500 THEN 21
+                      ELSE floor(value / 25.0) + 1 END AS bucket,
+                 count(*) AS o
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2),
+        base AS (SELECT bucket, sum(o) AS b FROM obs GROUP BY bucket),
+        j AS (SELECT o.partition_key, o.bucket, o.o, b.b
+              FROM obs o JOIN base b USING (bucket)),
+        tot AS (SELECT partition_key, sum(o) AS t_o, sum(b) AS t_b
+                FROM j GROUP BY partition_key),
+        terms AS (
+          SELECT j.partition_key,
+                 j.o / t.t_o::double AS p,
+                 j.b / t.t_b::double AS q,
+                 t.t_o, t.t_b
+          FROM j JOIN tot t USING (partition_key))
+        SELECT partition_key, 'value' AS column_name,
+               round(sum(CASE WHEN p > 0 THEN p / 2.0 * log2(p / ((p + q) / 2.0))
+                              ELSE 0 END
+                       + CASE WHEN q > 0 THEN q / 2.0 * log2(q / ((p + q) / 2.0))
+                              ELSE 0 END), 6) AS jsd,
+               max(t_o)::bigint AS n_obs, max(t_b)::bigint AS n_base
+        FROM terms GROUP BY partition_key"""
 
     _ks_les = ",\n               ".join(
         f"sum(CASE WHEN value <= {e} THEN 1 ELSE 0 END)::bigint AS le_{i}"

@@ -327,3 +327,54 @@ def wasserstein_drift(df: DataFrame, value_col: str, partition_col: str,
         w1 = w1 + s
     return j.select("partition_key", "n_rows",
                     F.round(w1, 6).alias("w1"))
+
+
+def jsd_drift(observed_hist: DataFrame, baseline_hist: DataFrame,
+              by_partition: bool = True) -> DataFrame:
+    """Jensen–Shannon divergence per (partition?, column) over the same
+    ``(partition_key, column_name, bucket, count)`` histogram shape as
+    ``drift_scores`` — the BOUNDED drift score the chi²/PSI pair lacks:
+    JSD lives in [0, 1] bits regardless of bucket count or totals, so
+    one threshold works across columns (chi² grows with n; PSI needs an
+    epsilon and explodes on empty bins). Zero bins are exact here —
+    0·log(0) = 0 by continuity, no epsilon — which also makes JSD the
+    right score when snapshots have disjoint category support.
+
+    Output: (partition_key?, column_name, jsd, n_obs, n_base); jsd is
+    NULL when either side's total is 0. Base-2 logs: 0 = identical
+    distributions, 1 = disjoint support.
+
+    ENGINE-PORTABLE: shares are single divisions of exact BIGINT
+    counts; each bucket's term is one fixed log2 expression (p=0 and
+    q=0 branches handled by CASE, not epsilon), and the final sum is
+    rounded to 6dp. SCALE: one full-outer join on (column, bucket
+    [, partition]) + two hash aggregates — histogram-frame-sized
+    (buckets × columns × partitions), never row data."""
+    keys = (["column_name", "bucket"]
+            + (["partition_key"] if by_partition else []))
+    obs = (observed_hist.groupBy(*keys)
+           .agg(F.sum("count").cast("bigint").alias("o")))
+    base = (baseline_hist.groupBy("column_name", "bucket")
+            .agg(F.sum("count").cast("bigint").alias("b")))
+    j = (obs.join(base, ["column_name", "bucket"], "full_outer")
+            .fillna(0, subset=["o", "b"]))
+    gcols = ((["partition_key"] if by_partition else [])
+             + ["column_name"])
+    if by_partition:
+        j = j.fillna("__all__", subset=["partition_key"])
+    totals = j.groupBy(*gcols).agg(
+        F.sum("o").cast("bigint").alias("to"),
+        F.sum("b").cast("bigint").alias("tb"))
+    j = j.join(totals, gcols)
+    p = F.col("o").cast("double") / F.col("to").cast("double")
+    q = F.col("b").cast("double") / F.col("tb").cast("double")
+    m = (p + q) / 2.0
+    term = (F.when(F.col("o") > 0, p / 2.0 * F.log2(p / m))
+             .otherwise(F.lit(0.0))
+            + F.when(F.col("b") > 0, q / 2.0 * F.log2(q / m))
+               .otherwise(F.lit(0.0)))
+    term = F.when((F.col("to") > 0) & (F.col("tb") > 0), term)
+    return (j.groupBy(*gcols)
+             .agg(F.round(F.sum(term), 6).alias("jsd"),
+                  F.max("to").alias("n_obs"),
+                  F.max("tb").alias("n_base")))

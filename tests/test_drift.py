@@ -82,3 +82,55 @@ def test_vocab_drift_empty_baseline(spark):
     got = vocab_drift(a, b, "text", k=5).collect()
     assert len(got) == 1
     assert got[0]["share_a"] == 0.0 and got[0]["delta"] == 1.0
+
+
+def test_jsd_zero_against_self(spark):
+    from schema_validata_spark.operators.drift import jsd_drift
+    t = gen_transcripts(spark, 6000, seed=42)
+    h = _hists(spark, t).cache()
+    got = jsd_drift(h, h, by_partition=False).collect()
+    assert got and all(abs(r["jsd"]) < 1e-9 for r in got)
+    # by_partition=True compares each partition to the POOLED baseline,
+    # so self-comparison is only bounded, not zero
+    got_p = jsd_drift(h, h, by_partition=True).collect()
+    assert got_p and all(0.0 <= r["jsd"] <= 1.0 for r in got_p)
+    h.unpersist()
+
+
+def test_jsd_bounded_and_flags_shifted_column(spark):
+    from schema_validata_spark.operators.drift import jsd_drift
+    base = gen_transcripts(spark, 6000, seed=42)
+    shifted = base.withColumn(
+        "role", F.when(F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                              F.lit(3)) == 0,
+                       F.lit("operator")).otherwise(F.col("role")))
+    got = {r["column_name"]: r["jsd"]
+           for r in jsd_drift(_hists(spark, shifted), _hists(spark, base),
+                              by_partition=False).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got["role"] > 0.01
+    assert got["text_length"] < got["role"]
+
+
+def test_jsd_disjoint_support_is_one_bit(spark):
+    """Disjoint category supports -> JSD = 1 exactly (no epsilon
+    smearing), the property chi2/PSI lack."""
+    from schema_validata_spark.operators.drift import jsd_drift
+    mk = lambda b: spark.createDataFrame(
+        [("p1", "c", b, 10)],
+        "partition_key string, column_name string, bucket string, count long")
+    got = jsd_drift(mk("A"), mk("B"), by_partition=False).collect()
+    assert len(got) == 1 and abs(got[0]["jsd"] - 1.0) < 1e-9
+    # hand-check a half-overlap case: p=(.5,.5) on {A,B}, q=(1) on {A}
+    # restricted-baseline semantics keep all baseline mass (A in both)
+    obs = spark.createDataFrame(
+        [("p1", "c", "A", 5), ("p1", "c", "B", 5)],
+        "partition_key string, column_name string, bucket string, count long")
+    got2 = jsd_drift(obs, mk("A"), by_partition=True).collect()
+    # p=(.5,.5), q=(1,0): m=(.75,.25);
+    # jsd = .25*log2(.5/.75)+ .25*log2(.5/.25) + .5*log2(1/.75)
+    import math
+    exp = (0.25 * math.log2(0.5 / 0.75) + 0.25 * math.log2(0.5 / 0.25)
+           + 0.5 * math.log2(1 / 0.75))
+    assert len(got2) == 1 and abs(got2[0]["jsd"] - round(exp, 6)) < 1e-9
+    assert got2[0]["n_obs"] == 10 and got2[0]["n_base"] == 10
