@@ -358,6 +358,41 @@ def q_jsd_drift(spark, sf_dir):
                      F.col("n_base").cast("bigint").alias("n_base"))
 
 
+def q_latest_per_key(spark, sf_dir):
+    """Snapshot compaction — the latest event per user by (ts,
+    event_id) via a single max-over-ordering-struct hash aggregate
+    (operators/selection.py:latest_per_key); deliberately NOT the
+    row_number window plan, which would sort-shuffle every row."""
+    from schema_validata_spark.operators.selection import latest_per_key
+    df = _t(spark, sf_dir, "events")
+    return latest_per_key(df, ["user_id"], "ts",
+                          tiebreak_cols=["event_id"])
+
+
+def q_pairwise_lift(spark, sf_dir):
+    """Presence-based co-occurrence lift / PMI between event types
+    within a user's history (operators/statqa.py:pairwise_lift) —
+    distinct-pair reduction first, so the self-join runs over the
+    groups × vocabulary presence frame, never raw rows."""
+    from schema_validata_spark.operators.statqa import pairwise_lift
+    df = _t(spark, sf_dir, "events")
+    return pairwise_lift(df, "user_id", "event_type")
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_stats(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user
+    (operators/sequence.py:funnel_stats): exact in-order replay via a
+    JVM array fold after filtering to the step vocabulary — one
+    group-keyed shuffle of matching events only."""
+    from schema_validata_spark.operators.sequence import funnel_stats
+    df = _t(spark, sf_dir, "events")
+    return funnel_stats(df, "user_id", "ts", "event_type",
+                        _FUNNEL_STEPS)
+
+
 _KS_EDGES = [1.0, 2.0, 5.0, 10.0, 20.0, 35.0, 50.0, 75.0,
              100.0, 150.0, 200.0, 300.0, 400.0]
 
@@ -2546,6 +2581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "wasserstein_drift": q_wasserstein_drift,
         "jsd_drift": q_jsd_drift,
+        "latest_per_key": q_latest_per_key,
+        "pairwise_lift": q_pairwise_lift,
+        "funnel_stats": q_funnel_stats,
         "json_key_profile": q_json_key_profile,
         "key_locality": q_key_locality,
         "distinct_sketch_estimates": q_distinct_sketch_estimates,
@@ -3093,6 +3131,78 @@ def oracle_sql() -> dict[str, str]:
         FROM terms GROUP BY partition_key"""
     sql["drift_scores"] = _drift_sql
     sql["drift_scores_arrow"] = _drift_sql
+
+    # Struct-max ordering replay: ts DESC with NULLs losing (struct
+    # comparison sorts NULL fields first, so max prefers non-NULL),
+    # then greatest event_id on ties.
+    sql["latest_per_key"] = """
+        SELECT user_id, ts, event_id, event_type, value, props
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY ts DESC NULLS LAST, event_id DESC) = 1"""
+
+    sql["pairwise_lift"] = """
+        WITH pres AS (
+          SELECT DISTINCT user_id AS g, event_type AS v
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        n AS (SELECT count(DISTINCT g) AS ng FROM pres),
+        s AS (SELECT v, count(*) AS c FROM pres GROUP BY v),
+        p AS (SELECT a.v AS va, b.v AS vb, count(*) AS nab
+              FROM pres a JOIN pres b ON a.g = b.g AND a.v < b.v
+              GROUP BY 1, 2)
+        SELECT p.va AS value_a, p.vb AS value_b,
+               sa.c::bigint AS n_a, sb.c::bigint AS n_b,
+               p.nab::bigint AS n_ab, n.ng::bigint AS n_groups,
+               round(p.nab / n.ng::double, 6) AS support,
+               round(p.nab * n.ng / (sa.c::double * sb.c), 6) AS lift,
+               round(log2(p.nab * n.ng / (sa.c::double * sb.c)), 6)
+                 AS pmi
+        FROM p, n
+        JOIN s sa ON sa.v = p.va
+        JOIN s sb ON sb.v = p.vb
+        WHERE p.nab >= 1"""
+
+    # Iterative conditional-min replay of the array fold: t_k is the
+    # min ts of step-k events at ts >= t_{k-1} (same-instant
+    # progression in step order == the fold's (ts, idx) sort).
+    _fsteps = _FUNNEL_STEPS
+    _fu = """
+        WITH e AS (
+          SELECT user_id AS g, ts, event_type AS s FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IN ({inlist})),
+        t1 AS (SELECT g, min(ts) AS t FROM e
+               WHERE s = '{s1}' GROUP BY g),
+        t2 AS (SELECT e.g, min(e.ts) AS t FROM e JOIN t1 USING (g)
+               WHERE e.s = '{s2}' AND e.ts >= t1.t GROUP BY e.g),
+        t3 AS (SELECT e.g, min(e.ts) AS t FROM e JOIN t2 USING (g)
+               WHERE e.s = '{s3}' AND e.ts >= t2.t GROUP BY e.g),
+        c AS (SELECT (SELECT count(DISTINCT g) FROM e) AS ng,
+                     (SELECT count(*) FROM t1) AS n1,
+                     (SELECT count(*) FROM t2) AS n2,
+                     (SELECT count(*) FROM t3) AS n3)
+        SELECT * FROM (
+          SELECT 1 AS step_idx, '{s1}' AS step, n1::bigint AS n_reached,
+                 ng::bigint AS n_groups,
+                 CASE WHEN ng > 0 THEN round(n1 / ng::double, 6) END
+                   AS share_prev,
+                 CASE WHEN n1 > 0 THEN round(n1 / n1::double, 6) END
+                   AS share_first
+          FROM c
+          UNION ALL
+          SELECT 2, '{s2}', n2::bigint, ng::bigint,
+                 CASE WHEN n1 > 0 THEN round(n2 / n1::double, 6) END,
+                 CASE WHEN n1 > 0 THEN round(n2 / n1::double, 6) END
+          FROM c
+          UNION ALL
+          SELECT 3, '{s3}', n3::bigint, ng::bigint,
+                 CASE WHEN n2 > 0 THEN round(n3 / n2::double, 6) END,
+                 CASE WHEN n1 > 0 THEN round(n3 / n1::double, 6) END
+          FROM c)""".format(inlist=", ".join(f"'{s}'" for s in _fsteps),
+                            s1=_fsteps[0], s2=_fsteps[1], s3=_fsteps[2])
+    sql["funnel_stats"] = _fu
 
     # JSD with the same restricted-baseline join semantics as
     # drift_scores: baseline mass is summed over buckets present in the

@@ -101,3 +101,39 @@ def filter_funnel(df: DataFrame,
                        F.when(F.col("__total") > 0,
                               F.round(F.col("n_cum") / F.col("__total"), 6))
                         .alias("share_cum")))
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
+                   tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Snapshot compaction: keep exactly the LATEST row per key by
+    ``ts_col`` — the CDC / upsert-log / mutable-dimension collapse
+    every warehouse needs before a log table can be joined as a
+    dimension (reference analogue: the data dictionary's "one row per
+    field" assumption, src/schema_validata.py:1058-1118, enforced here
+    over a row-versioned table instead of a spreadsheet).
+
+    Determinism: ties on ``ts_col`` resolve by GREATEST
+    ``tiebreak_cols`` (pass the row id); with no tiebreak, full-struct
+    ordering over the remaining columns still makes the answer
+    shuffle/retry-stable (document-ordering, not arrival-ordering).
+    NULL timestamps lose to any non-NULL timestamp (struct comparison
+    sorts NULL fields first), and an all-NULL-ts key keeps one row
+    deterministically rather than disappearing.
+
+    SCALE: ONE hash aggregate — max over an ordering struct
+    (ts, tiebreaks..., payload...) with map-side partial combine, so
+    the shuffle carries one candidate row per key per map task. This
+    deliberately beats the textbook row_number()-over-window plan,
+    which sort-shuffles EVERY row; at 10^12 rows the aggregate moves
+    ~#keys rows instead. Payload columns must be orderable (no maps).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    ties = [c for c in (tiebreak_cols or [])]
+    rest = [c for c in df.columns
+            if c not in key_cols and c != ts_col and c not in ties]
+    ordered = [ts_col] + ties + rest
+    packed = F.max(F.struct(*[F.col(c).alias(c) for c in ordered]))
+    out = df.groupBy(*key_cols).agg(packed.alias("__top"))
+    return out.select(*key_cols,
+                      *[F.col(f"__top.{c}").alias(c) for c in ordered])

@@ -637,3 +637,70 @@ def loop_runs(df: DataFrame, part_col: str, order_cols: list[str],
                .where(F.col("n_repeats") >= int(min_repeats))
                .select(part_col, F.col("period").cast("int").alias("period"),
                        "max_run", "n_repeats", "n_loops"))
+
+
+def funnel_stats(df: DataFrame, part_col: str, ts_col: str,
+                 step_col: str, steps: list[str]) -> DataFrame:
+    """Ordered-step conversion funnel: how many groups (conversations /
+    users / sessions) reach step k of ``steps`` IN ORDER — step k
+    counts only at a timestamp ≥ the time step k−1 was first reached
+    (re-orderings don't count; 'purchase before any view' is not a
+    funnel hit). The agent-pipeline question "how many conversations
+    get from tool-call to tool-result to final answer, and where do
+    they fall off".
+
+    Semantics (exact, not min-ts-monotone approximation): events are
+    replayed per group in (ts, step_idx) order and a depth counter
+    advances when the NEXT expected step appears; equal timestamps
+    admit same-instant progression in step order (deterministic).
+    NULL group/ts rows and events outside ``steps`` are ignored.
+
+    Output: one row per step — step_idx (1-based), step, n_reached,
+    n_groups (groups with ≥1 funnel event), share_prev
+    (n_k / n_{k−1}; n_1 / n_groups for the first step), share_first
+    (n_k / n_1), 6dp, NULL on zero denominators.
+
+    SCALE: events filter to the step vocabulary BEFORE the one
+    group-keyed shuffle; the per-group state is a sorted
+    (ts, step_idx) array of MATCHING events only, folded JVM-side by
+    ``aggregate`` (no Python, no window over raw rows); everything
+    after is a ≤(k+1)-row histogram joined to a k-row step frame."""
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    idx = F.lit(None).cast("int")
+    for i in range(len(steps) - 1, -1, -1):
+        idx = F.when(F.col(step_col) == steps[i], i).otherwise(idx)
+    evs = (df.where(F.col(part_col).isNotNull()
+                    & F.col(ts_col).isNotNull()
+                    & F.col(step_col).isin(list(steps)))
+             .select(F.col(part_col).alias("__g"),
+                     F.struct(F.col(ts_col).alias("ts"),
+                              idx.alias("idx")).alias("__e")))
+    depth = F.aggregate(
+        F.sort_array(F.collect_list("__e")), F.lit(0),
+        lambda acc, e: F.when(e["idx"] == acc, acc + 1).otherwise(acc))
+    hist = (evs.groupBy("__g").agg(depth.alias("__d"))
+               .groupBy("__d")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    spark = df.sparkSession
+    sdf = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx int, step string")
+    reached = (sdf.join(hist, hist["__d"] >= sdf["step_idx"], "left")
+                  .groupBy("step_idx", "step")
+                  .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint")
+                        .alias("n_reached")))
+    totals = hist.groupBy().agg(F.sum("__n").cast("bigint")
+                                 .alias("n_groups"))
+    w = Window.orderBy("step_idx")
+    out = (reached.crossJoin(totals)
+                  .withColumn("__prev", F.lag("n_reached").over(w))
+                  .withColumn("__first", F.first("n_reached").over(w)))
+    share = lambda num, den: F.when(den > 0, F.round(
+        num.cast("double") / den, 6))
+    return out.select(
+        "step_idx", "step", "n_reached", "n_groups",
+        share(F.col("n_reached"),
+              F.coalesce(F.col("__prev"), F.col("n_groups")))
+        .alias("share_prev"),
+        share(F.col("n_reached"), F.col("__first")).alias("share_first"))

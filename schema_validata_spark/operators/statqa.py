@@ -1357,3 +1357,56 @@ def rater_confusion(df: DataFrame, item_col: str, rater_col: str,
                          _r6(F.col("n"), F.col("__ct")).alias("col_share"),
                          (F.col("label_a") == F.col("label_b"))
                           .alias("agree")))
+
+
+def pairwise_lift(df: DataFrame, group_col: str, value_col: str,
+                  min_pairs: int = 1) -> DataFrame:
+    """Co-occurrence lift / PMI between categorical values that appear
+    within the same group — "which tools show up together in a
+    conversation", "which error codes co-fire in a session": the
+    association screen behind market-basket QA and tool-use profiling.
+    Presence-based (a value counted once per group, multiplicity
+    ignored), symmetric pairs emitted once with value_a < value_b.
+
+    Per pair: n_a / n_b (groups containing each), n_ab (groups
+    containing both), n_groups (groups with any non-NULL value),
+    support = n_ab/n_groups, lift = n_ab·n_groups/(n_a·n_b)
+    (1 = independent), pmi = log2(lift) — all 6dp. NULL groups and
+    NULL values are excluded from the universe.
+
+    SCALE: raw rows reduce to DISTINCT (group, value) pairs in one
+    map-side-combined aggregate FIRST, so the self-join runs over the
+    presence frame (≤ groups × vocabulary), shuffled on the group key
+    both sides — the pair blowup is Σ k·(k−1)/2 with k bounded by the
+    VOCABULARY, not group row count. Totals ride tiny vocabulary-sized
+    aggregates + a 1-row cross join; ``min_pairs`` prunes the long
+    tail before the stats join."""
+    g, v = qcol(group_col), qcol(value_col)
+    pres = (df.where(g.isNotNull() & v.isNotNull())
+              .select(g.alias("__g"), v.alias("__v"))
+              .distinct())
+    n_groups = pres.groupBy().agg(
+        F.count_distinct(F.col("__g")).cast("bigint").alias("n_groups"))
+    singles = pres.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                       & (F.col("a.__v") < F.col("b.__v")))
+              .groupBy(F.col("a.__v").alias("value_a"),
+                       F.col("b.__v").alias("value_b"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+              .where(F.col("n_ab") >= int(min_pairs)))
+    out = (pairs
+           .join(singles.withColumnRenamed("__n", "n_a"),
+                 pairs["value_a"] == singles["__v"]).drop("__v")
+           .join(singles.withColumnRenamed("__n", "n_b"),
+                 F.col("value_b") == singles["__v"]).drop("__v")
+           .crossJoin(n_groups))
+    lift = (F.col("n_ab").cast("double") * F.col("n_groups")
+            / (F.col("n_a").cast("double") * F.col("n_b")))
+    return out.select(
+        "value_a", "value_b", "n_a", "n_b", "n_ab", "n_groups",
+        F.round(F.col("n_ab").cast("double") / F.col("n_groups"), 6)
+         .alias("support"),
+        F.round(lift, 6).alias("lift"),
+        F.round(F.log2(lift), 6).alias("pmi"))
