@@ -2539,6 +2539,35 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (sequence.cohort_retention):
+    users grouped by first-event day, re-counted per 7-day window —
+    distinct (user, day) reduction first, so raw rows shuffle once."""
+    from schema_validata_spark.operators.sequence import cohort_retention
+    return (cohort_retention(_t(spark, sf_dir, "events"), "user_id",
+                             "ts", period_days=7)
+            .orderBy("cohort", "period_k"))
+
+
+def q_interarrival_stats(spark, sf_dir):
+    """Per-user inter-event gap stats + Goh–Barabási burstiness
+    (sequence.interarrival_stats): exact BIGINT/DECIMAL microsecond
+    moments off one lag window — the cron-vs-human timing screen."""
+    from schema_validata_spark.operators.sequence import interarrival_stats
+    return (interarrival_stats(_t(spark, sf_dir, "events"), "user_id",
+                               "ts")
+            .orderBy("user_id"))
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Full-vocabulary Zipf OLS per language slice (statqa.zipf_fit):
+    micro-quantized exact-integer moments over the wordcount frame —
+    the engine-portable counterpart of the top-300 `zipf_slope`."""
+    from schema_validata_spark.operators.statqa import zipf_fit
+    return (zipf_fit(_t(spark, sf_dir, "documents"), "text", "lang")
+            .orderBy("group"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -2724,6 +2753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "rater_confusion": q_rater_confusion,
         "volume_autocorrelation": q_volume_autocorrelation,
+        "cohort_retention": q_cohort_retention,
+        "interarrival_stats": q_interarrival_stats,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -6441,5 +6473,109 @@ def oracle_sql() -> dict[str, str]:
             END AS acf
         FROM lags l LEFT JOIN stats ON l.lag = stats.lag
         ORDER BY l.lag"""
+
+    sql["cohort_retention"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        f AS (SELECT u, min(d) AS c FROM act GROUP BY u),
+        per AS (
+          SELECT DISTINCT act.u, f.c,
+                 CAST(floor(date_diff('day', f.c, act.d) / 7.0) AS INT)
+                   AS period_k
+          FROM act JOIN f ON act.u = f.u),
+        counts AS (SELECT c, period_k, count(*)::bigint AS n_active
+                   FROM per GROUP BY 1, 2),
+        sizes AS (SELECT c, n_active AS cohort_size FROM counts
+                  WHERE period_k = 0)
+        SELECT strftime(counts.c, '%Y-%m-%d') AS cohort,
+               counts.period_k, counts.n_active, sizes.cohort_size,
+               round(counts.n_active / sizes.cohort_size::double, 6)
+                 AS retention
+        FROM counts JOIN sizes USING (c)
+        ORDER BY cohort, period_k"""
+
+    # Exact microsecond gap moments: Σgap as bigint, Σgap² exact via
+    # hugeint products summed as DECIMAL(38,0) — mirrors the Spark
+    # operator's BIGINT/DECIMAL arithmetic bit-for-bit.
+    sql["interarrival_stats"] = """
+        WITH e AS (
+          SELECT user_id AS u, epoch_us(ts) AS m FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        g AS (SELECT u,
+                     m - lag(m) OVER (PARTITION BY u ORDER BY m) AS gap
+              FROM e),
+        a AS (SELECT u, count(*)::bigint AS n_events,
+                     count(gap)::bigint AS n_gaps,
+                     sum(gap)::bigint AS s,
+                     sum(CAST(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)
+                              AS DECIMAL(38,0))) AS ss,
+                     max(gap) AS mx
+              FROM g GROUP BY u),
+        d AS (SELECT *,
+                s::double / n_gaps::double AS mean,
+                CASE WHEN n_gaps >= 2 THEN
+                  sqrt(greatest((n_gaps::double * ss::double
+                                 - s::double * s::double)
+                                / (n_gaps::double
+                                   * (n_gaps - 1)::double), 0.0))
+                END AS std
+              FROM a)
+        SELECT u AS user_id, n_events, n_gaps,
+          CASE WHEN n_gaps >= 1
+            THEN round(mean / 1000000.0, 6) END AS mean_gap_s,
+          CASE WHEN n_gaps >= 2
+            THEN round(std / 1000000.0, 6) END AS std_gap_s,
+          CASE WHEN n_gaps >= 1
+            THEN round(mx::double / 1000000.0, 6) END AS max_gap_s,
+          CASE WHEN n_gaps >= 2 AND mean <> 0
+            THEN round(std / mean, 6) END AS cv,
+          CASE WHEN n_gaps >= 2 AND (std + mean) <> 0
+            THEN round((std - mean) / (std + mean), 6) END AS burstiness
+        FROM d ORDER BY user_id"""
+
+    # Micro-quantized OLS replay of statqa.zipf_fit: ln(rank)/ln(count)
+    # pinned to integer micro-units, moments exact (hugeint products
+    # summed as DECIMAL(38,0)), doubles only in the final combination.
+    sql["zipf_fit"] = """
+        WITH toks AS (
+          SELECT lang AS grp,
+                 unnest(regexp_split_to_array(lower(trim(text)),
+                                              '\\s+')) AS tok
+          FROM documents
+          WHERE lang IS NOT NULL AND text IS NOT NULL
+            AND length(trim(text)) > 0),
+        counts AS (SELECT grp, tok, count(*)::bigint AS n
+                   FROM toks GROUP BY 1, 2),
+        ranked AS (SELECT grp, n, tok,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY n DESC, tok ASC) AS r
+                   FROM counts),
+        mu AS (SELECT grp, n,
+                 CAST(round(ln(r::double) * 1000000.0) AS HUGEINT) AS x,
+                 CAST(round(ln(n::double) * 1000000.0) AS HUGEINT) AS y
+               FROM ranked),
+        m AS (SELECT grp, count(*)::bigint AS n_tokens,
+                     sum(n)::bigint AS total_tokens,
+                     sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                     sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                     sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                     sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                     sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+              FROM mu GROUP BY grp),
+        dd AS (SELECT *,
+                 n_tokens::double * sxy::double
+                   - sx::double * sy::double AS num,
+                 n_tokens::double * sxx::double
+                   - sx::double * sx::double AS den_x,
+                 n_tokens::double * syy::double
+                   - sy::double * sy::double AS den_y
+               FROM m)
+        SELECT grp AS "group", n_tokens, total_tokens,
+          CASE WHEN n_tokens >= 2 AND den_x <> 0
+            THEN round(num / den_x, 6) END AS zipf_slope,
+          CASE WHEN n_tokens >= 2 AND den_x <> 0 AND den_y <> 0
+            THEN round(num * num / (den_x * den_y), 6) END AS r2
+        FROM dd ORDER BY "group" """
 
     return sql

@@ -704,3 +704,114 @@ def funnel_stats(df: DataFrame, part_col: str, ts_col: str,
               F.coalesce(F.col("__prev"), F.col("n_groups")))
         .alias("share_prev"),
         share(F.col("n_reached"), F.col("__first")).alias("share_first"))
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     period_days: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by the day of their FIRST
+    event (cohort), counted again in each later ``period_days`` window
+    — "of the users who arrived in week W, how many were still active
+    k weeks on". The canonical engagement / dataset-liveness screen,
+    and a volume-anomaly complement (a cohort whose retention cliff
+    is a release date is a product signal; one whose cohort is a
+    backfill date is a data bug).
+
+    Per (cohort, period_k): n_active (distinct users), cohort_size
+    (n_active at k = 0 — every user is active in their own first
+    period by construction), retention = n_active / cohort_size (6dp).
+    NULL user/ts rows are excluded. Day resolution (to_date) before
+    any arithmetic, so intra-day timing never splits a cohort.
+
+    SCALE: raw events reduce map-side to DISTINCT (user, day) FIRST
+    (the only full-data shuffle, keyed by that composite); first-day
+    and the join back both run on the reduced frame keyed by user; the
+    retention rollup is a (cohorts × periods)-sized aggregate. No
+    window over raw rows, no driver collect."""
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    u, t = F.col(user_col), F.col(ts_col)
+    act = (df.where(u.isNotNull() & t.isNotNull())
+             .select(u.alias("__u"), F.to_date(t).alias("__d"))
+             .distinct())
+    first = act.groupBy("__u").agg(F.min("__d").alias("__c"))
+    k = F.floor(F.datediff(F.col("__d"), F.col("__c"))
+                / F.lit(int(period_days))).cast("int")
+    per = (act.join(first, "__u")
+              .select("__u", "__c", k.alias("period_k"))
+              .distinct())
+    counts = (per.groupBy("__c", "period_k")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_active")))
+    sizes = (counts.where(F.col("period_k") == 0)
+                   .select(F.col("__c").alias("__c2"),
+                           F.col("n_active").alias("cohort_size")))
+    return (counts.join(sizes, counts["__c"] == sizes["__c2"])
+                  .select(F.date_format("__c", "yyyy-MM-dd")
+                           .alias("cohort"),
+                          "period_k", "n_active", "cohort_size",
+                          F.round(F.col("n_active").cast("double")
+                                  / F.col("cohort_size"), 6)
+                           .alias("retention")))
+
+
+def interarrival_stats(df: DataFrame, part_col: str, ts_col: str
+                       ) -> DataFrame:
+    """Per-key inter-event gap statistics + burstiness: mean / std /
+    max of the gaps between consecutive events, the coefficient of
+    variation, and the burstiness score B = (σ−µ)/(σ+µ) (Goh & 
+    Barabási 2008: −1 = periodic heartbeat, 0 = Poisson, →1 = bursty)
+    — the "is this user a cron job / scraper / human" screen, and the
+    timestamp-quality complement of freshness checks (a producer whose
+    gaps collapse to 0 is double-emitting; one whose B jumps is
+    batching).
+
+    Per key: n_events, n_gaps, mean_gap_s / std_gap_s (sample σ) /
+    max_gap_s in seconds (6dp), cv, burstiness — NULL when fewer than
+    2 gaps (σ undefined → cv/B undefined; mean/max still emitted from
+    1 gap). NULL ts rows are excluded; equal timestamps yield 0 gaps
+    between them (gap multiset of a sorted sequence is tie-order
+    independent, so the answer is deterministic under shuffle retries).
+
+    SCALE: one key-partitioned sort window (lag) — the same shuffle
+    shape as sessionize — then ONE hash aggregate.
+    ENGINE-PORTABLE ARITHMETIC: gaps are exact BIGINT microseconds
+    (unix_micros); Σgap sums as BIGINT and Σgap² as DECIMAL(38,0)
+    (a 30-day gap squared is ~7e24, past int64), so the moments are
+    order-independent and exact; mean/σ derive in doubles at the end
+    (IEEE-deterministic on identical inputs) and round to 6dp."""
+    p, t = F.col(part_col), F.col(ts_col)
+    w = Window.partitionBy(part_col).orderBy("__m")
+    # NTZ timestamps refuse unix_micros directly; the ltz hop is a
+    # no-op for ltz input and gap DIFFERENCES are timezone-invariant
+    gaps = (df.where(p.isNotNull() & t.isNotNull())
+              .select(part_col,
+                      F.unix_micros(t.cast("timestamp_ltz"))
+                       .alias("__m"))
+              .withColumn("__gap",
+                          F.col("__m") - F.lag("__m").over(w)))
+    g = (gaps.groupBy(part_col)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                  F.count("__gap").cast("bigint").alias("n_gaps"),
+                  F.sum("__gap").alias("__s"),
+                  F.sum(F.col("__gap").cast("decimal(38,0)")
+                        * F.col("__gap").cast("decimal(38,0)"))
+                   .alias("__ss"),
+                  F.max("__gap").alias("__mx")))
+    n = F.col("n_gaps")
+    mean = F.col("__s").cast("double") / n.cast("double")
+    var = ((n.cast("double") * F.col("__ss").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double"))
+           / (n.cast("double") * (n - 1).cast("double")))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    micro = F.lit(1000000.0)
+    mean_s, std_s = mean / micro, std / micro
+    return g.select(
+        part_col, "n_events", "n_gaps",
+        F.when(n >= 1, F.round(mean_s, 6)).alias("mean_gap_s"),
+        F.when(n >= 2, F.round(std_s, 6)).alias("std_gap_s"),
+        F.when(n >= 1, F.round(F.col("__mx").cast("double") / micro, 6))
+         .alias("max_gap_s"),
+        F.when((n >= 2) & (mean != 0), F.round(std / mean, 6))
+         .alias("cv"),
+        F.when((n >= 2) & ((std + mean) != 0),
+               F.round((std - mean) / (std + mean), 6))
+         .alias("burstiness"))

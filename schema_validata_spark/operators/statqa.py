@@ -1410,3 +1410,68 @@ def pairwise_lift(df: DataFrame, group_col: str, value_col: str,
          .alias("support"),
         F.round(lift, 6).alias("lift"),
         F.round(F.log2(lift), 6).alias("pmi"))
+
+
+def zipf_fit(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Zipf-law fit per corpus slice: OLS slope of log(token count) vs
+    log(rank) over the slice's full vocabulary — natural text sits
+    near −1 (Zipf 1949); template/boilerplate output flattens toward 0
+    and hyper-repetitive machine text steepens past −1.5, so the slope
+    is a cheap generated-vs-organic screen per source/lang slice, with
+    r² saying how law-like the curve is at all.
+
+    Tokenization matches ``top_tokens`` (case-folded whitespace split);
+    NULL/empty texts and NULL groups are excluded. Output per group:
+    ``group, n_tokens`` (vocabulary size), ``total_tokens``,
+    ``zipf_slope``, ``r2`` (6dp) — slope/r² NULL when the vocabulary
+    has < 2 tokens or all counts tie (zero x-variance: slope
+    undefined... the degenerate all-ranks-distinct x still fits).
+
+    SCALE: classic wordcount reduction FIRST (map-side combined
+    (group, token) hash agg — the only full-data shuffle), then a
+    rank window + ONE moments aggregate over the vocabulary-sized
+    frame. ENGINE-PORTABLE ARITHMETIC: ln(rank)/ln(count) are pinned
+    to exact integer micro-units (BIGINT) per vocabulary row, moments
+    (Σx, Σy, Σxx, Σxy, Σyy) sum as DECIMAL(38,0) — exact and
+    order-independent (Σxy ≤ V·4.3e14, inside 38 digits at V = 10^9)
+    — and only the final num/den combination runs in doubles."""
+    from pyspark.sql import Window
+
+    t, g = qcol(text_col), qcol(group_col)
+    counts = (df.where(g.isNotNull() & t.isNotNull()
+                       & (F.length(F.trim(t)) > 0))
+                .select(g.cast("string").alias("group"),
+                        F.explode(F.split(F.lower(F.trim(t)), r"\s+"))
+                         .alias("__tok"))
+                .groupBy("group", "__tok")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    w = Window.partitionBy("group").orderBy(F.col("__n").desc(),
+                                            F.col("__tok").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    xm = F.round(F.log(F.col("__r").cast("double")) * 1e6, 0) \
+          .cast("decimal(38,0)")
+    ym = F.round(F.log(F.col("__n").cast("double")) * 1e6, 0) \
+          .cast("decimal(38,0)")
+    m = (ranked.select("group", "__n", xm.alias("__x"), ym.alias("__y"))
+               .groupBy("group")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                    F.sum("__n").cast("bigint").alias("total_tokens"),
+                    F.sum("__x").alias("__sx"),
+                    F.sum("__y").alias("__sy"),
+                    F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+                    F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+                    F.sum(F.col("__y") * F.col("__y")).alias("__syy")))
+    n = F.col("n_tokens").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope = F.when((F.col("n_tokens") >= 2) & (den_x != 0),
+                   F.round(num / den_x, 6))
+    r2 = F.when((F.col("n_tokens") >= 2) & (den_x != 0) & (den_y != 0),
+                F.round(num * num / (den_x * den_y), 6))
+    return m.select("group", "n_tokens", "total_tokens",
+                    slope.alias("zipf_slope"), r2.alias("r2"))
