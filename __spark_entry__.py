@@ -2539,6 +2539,37 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_burst_stats(spark, sf_dir):
+    """Sliding-window burst screen (sequence.burst_stats): peak 6-hour
+    trailing event rate per user, flagged at >= 4 — the retry-storm
+    detector daily volume checks miss; one RANGE window + one reused
+    exchange."""
+    from schema_validata_spark.operators.sequence import burst_stats
+    return (burst_stats(_t(spark, sf_dir, "events"), "user_id", "ts",
+                        window_s=21600, threshold=4)
+            .orderBy("user_id"))
+
+
+def q_wilson_rates(spark, sf_dir):
+    """Per-event-type incidence of value > 50 with Wilson 95% score
+    intervals (statqa.wilson_rates) — the error-bar companion of
+    rate_significance; exact bigint counts, pinned double formula."""
+    from schema_validata_spark.operators.statqa import wilson_rates
+    return (wilson_rates(_t(spark, sf_dir, "events"),
+                         F.col("value") > 50, "event_type")
+            .orderBy("group"))
+
+
+def q_moment_stats(spark, sf_dir):
+    """Per-event-type shape moments (statqa.moment_stats): skewness +
+    excess kurtosis from exact DECIMAL(38,0) quantized power sums —
+    the unit-mismatch / sentinel-tail screen; one hash aggregate."""
+    from schema_validata_spark.operators.statqa import moment_stats
+    return (moment_stats(_t(spark, sf_dir, "events"), "value",
+                         "event_type")
+            .orderBy("group"))
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention matrix (sequence.cohort_retention):
     users grouped by first-event day, re-counted per 7-day window —
@@ -2756,6 +2787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "interarrival_stats": q_interarrival_stats,
         "zipf_fit": q_zipf_fit,
+        "burst_stats": q_burst_stats,
+        "wilson_rates": q_wilson_rates,
+        "moment_stats": q_moment_stats,
     }
 
 
@@ -6577,5 +6611,81 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN n_tokens >= 2 AND den_x <> 0 AND den_y <> 0
             THEN round(num * num / (den_x * den_y), 6) END AS r2
         FROM dd ORDER BY "group" """
+
+    sql["burst_stats"] = """
+        WITH e AS (
+          SELECT user_id AS u, epoch_us(ts) AS m FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        c AS (SELECT u, count(*) OVER (PARTITION BY u ORDER BY m
+                RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+                AS w
+              FROM e)
+        SELECT u AS user_id, count(*)::bigint AS n_events,
+               max(w)::bigint AS peak_window_count,
+               sum(CASE WHEN w >= 4 THEN 1 ELSE 0 END)::bigint
+                 AS n_over,
+               sum(CASE WHEN w >= 4 THEN 1 ELSE 0 END) > 0
+                 AS over_limit
+        FROM c GROUP BY u ORDER BY user_id"""
+
+    # Pinned-op-order Wilson replay: p, denom, center, half computed
+    # exactly as the Spark expression tree evaluates them.
+    sql["wilson_rates"] = """
+        WITH a AS (
+          SELECT event_type AS grp, count(*)::bigint AS n,
+                 sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::bigint
+                   AS k
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        d AS (SELECT grp, n, k,
+                k::double / n::double AS p,
+                1.0 + 1.959964 * 1.959964 / n::double AS denom
+              FROM a),
+        e AS (SELECT *,
+                (p + 1.959964 * 1.959964 / (2.0 * n::double)) / denom
+                  AS center,
+                (1.959964 * sqrt(p * (1.0 - p) / n::double
+                   + 1.959964 * 1.959964
+                     / (4.0 * n::double * n::double))) / denom AS half
+              FROM d)
+        SELECT grp AS "group", n, k, round(p, 6) AS rate,
+               round(center - half, 6) AS wilson_lo,
+               round(center + half, 6) AS wilson_hi
+        FROM e ORDER BY "group" """
+
+    # Quantized power sums exact via HUGEINT products -> DECIMAL(38,0),
+    # then the same binomial central-moment expansion in doubles.
+    sql["moment_stats"] = """
+        WITH q AS (
+          SELECT event_type AS grp,
+                 CAST(round(value / 0.001) AS HUGEINT) AS qv
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        a AS (SELECT grp, count(*)::bigint AS n,
+                sum(CAST(qv AS DECIMAL(38,0))) AS s1,
+                sum(CAST(qv * qv AS DECIMAL(38,0))) AS s2,
+                sum(CAST(qv * qv * qv AS DECIMAL(38,0))) AS s3,
+                sum(CAST(qv * qv * qv * qv AS DECIMAL(38,0))) AS s4
+              FROM q GROUP BY grp),
+        d AS (SELECT grp, n, s1::double / n::double AS m,
+                s2::double AS s2d, s3::double AS s3d,
+                s4::double AS s4d, n::double AS nd
+              FROM a),
+        e AS (SELECT *,
+                s2d / nd - m * m AS m2,
+                s3d / nd - 3.0 * m * s2d / nd + 2.0 * m * m * m AS m3,
+                s4d / nd - 4.0 * m * s3d / nd
+                  + 6.0 * m * m * s2d / nd - 3.0 * m * m * m * m AS m4
+              FROM d)
+        SELECT grp AS "group", n,
+               round(m * 0.001, 6) AS mean,
+               round(sqrt(greatest(m2, 0.0)) * 0.001, 6) AS std,
+               CASE WHEN n >= 2 AND m2 > 0
+                 THEN round(m3 / pow(m2, 1.5), 6) END AS skewness,
+               CASE WHEN n >= 2 AND m2 > 0
+                 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+                 AS ex_kurtosis
+        FROM e ORDER BY "group" """
 
     return sql

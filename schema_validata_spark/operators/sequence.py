@@ -815,3 +815,47 @@ def interarrival_stats(df: DataFrame, part_col: str, ts_col: str
         F.when((n >= 2) & ((std + mean) != 0),
                F.round((std - mean) / (std + mean), 6))
          .alias("burstiness"))
+
+
+def burst_stats(df: DataFrame, part_col: str, ts_col: str,
+                window_s: float, threshold: int) -> DataFrame:
+    """Sliding-window rate screen per key: the peak number of events
+    any trailing ``window_s``-second window ever held, and how many
+    events sat in an over-``threshold`` window — the runaway-agent /
+    retry-storm / scraper detector that per-day volume checks miss
+    (1,000 calls in one minute and 1,000 calls in one day are the
+    same daily count).
+
+    Per key: ``n_events``, ``peak_window_count`` (max trailing-window
+    size, >= 1 by construction), ``n_over`` (events whose trailing
+    window reached ``threshold``), ``over_limit``. The trailing window
+    is inclusive on both ends: events exactly ``window_s`` apart share
+    a window. NULL key/ts rows are excluded. Equal timestamps land in
+    the same RANGE frame regardless of tie order, so every output is
+    deterministic under shuffle retries.
+
+    SCALE: ONE exchange on the key — the RANGE window's sort-partition
+    is reused by the per-key aggregate; the frame streams per
+    partition (Spark keeps only the live window buffered). No
+    row-data second shuffle, no collect."""
+    if window_s <= 0:
+        raise ValueError("window_s must be > 0")
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    p, t = F.col(part_col), F.col(ts_col)
+    micros = int(round(float(window_s) * 1_000_000))
+    w = (Window.partitionBy(part_col).orderBy("__m")
+               .rangeBetween(-micros, 0))
+    c = F.count(F.lit(1)).over(w)
+    return (df.where(p.isNotNull() & t.isNotNull())
+              .select(part_col,
+                      F.unix_micros(t.cast("timestamp_ltz"))
+                       .alias("__m"))
+              .withColumn("__c", c)
+              .groupBy(part_col)
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                   F.max("__c").cast("bigint")
+                    .alias("peak_window_count"),
+                   F.sum(F.when(F.col("__c") >= threshold, 1)
+                          .otherwise(0)).cast("bigint").alias("n_over"))
+              .withColumn("over_limit", F.col("n_over") > 0))

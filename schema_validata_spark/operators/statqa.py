@@ -1475,3 +1475,101 @@ def zipf_fit(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
                 F.round(num * num / (den_x * den_y), 6))
     return m.select("group", "n_tokens", "total_tokens",
                     slope.alias("zipf_slope"), r2.alias("r2"))
+
+
+def wilson_rates(df: DataFrame, flag: "F.Column", group_col: str,
+                 z: float = 1.959964) -> DataFrame:
+    """Per-slice incidence rate with a Wilson score interval — the
+    error-bar companion of ``rate_significance``: instead of testing
+    each slice against the rest, it reports how precisely each slice's
+    own rate is known (a 50% error rate over 4 calls and over 40,000
+    calls print the same point estimate; only the interval separates
+    "noise" from "broken tool"). Wilson 1927 — the interval that stays
+    inside [0, 1] and behaves at small n, unlike the normal approx.
+
+    ``flag`` is a boolean Column (the "hit"); NULL flags and NULL
+    groups are excluded. Output per group: n, k, rate, wilson_lo,
+    wilson_hi (6dp).
+
+    SCALE: ONE map-side-combined hash aggregate keyed by the slice —
+    shuffle rows are (group, n, k) partials. The interval is a fixed
+    double expression over exact BIGINT counts, evaluated in a pinned
+    operation order both engines replay bit-identically."""
+    g = qcol(group_col)
+    flagged = df.where(g.isNotNull() & flag.isNotNull())
+    agg = (flagged.groupBy(g.cast("string").alias("group"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                       F.sum(F.when(flag, 1).otherwise(0))
+                        .cast("bigint").alias("k")))
+    zz = F.lit(float(z))
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + zz * zz / n
+    center = (p + zz * zz / (F.lit(2.0) * n)) / denom
+    half = (zz * F.sqrt(p * (F.lit(1.0) - p) / n
+                        + zz * zz / (F.lit(4.0) * n * n))) / denom
+    return agg.select(
+        "group", "n", "k",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"))
+
+
+def moment_stats(df: DataFrame, value_col: str, group_col: str,
+                 unit: float = 0.001) -> DataFrame:
+    """Per-slice shape moments — skewness and excess kurtosis alongside
+    mean/σ: the unit-mismatch / sentinel / generator-collapse screen
+    that range+null+σ checks miss (a column whose tail is hand-rounded
+     9999s shows kurtosis exploding while min/max look plausible; mixed
+    cm-and-m units show bimodal negative kurtosis).
+
+    Values are quantized to ``unit`` (default 1e-3) BEFORE any
+    aggregation, and the four raw power sums accumulate as exact
+    DECIMAL(38,0) — order-independent and engine-portable; doubles
+    appear only in the fixed final expression (binomial expansion of
+    the central moments), so a DuckDB replay matches bit-for-bit.
+    OVERFLOW CONTRACT: Σq⁴ needs n·(|v|/unit)⁴ < 10³⁸ — at 10¹² rows
+    and unit=1e-3 that bounds |v| ≤ ~3,000; pass a coarser ``unit``
+    for wider-ranged columns (the quantization error is O(unit)).
+
+    Output per group: n, mean, std (population σ, original units),
+    skewness g1 = m3/m2^1.5, ex_kurtosis g2 = m4/m2²−3 (6dp);
+    g1/g2 NULL when n < 2 or the slice is constant (m2 = 0).
+    NULL values/groups are excluded.
+
+    SCALE: ONE map-side-combined hash aggregate keyed by the slice —
+    shuffle rows are (group, 4 decimal partials). Nothing else."""
+    if unit <= 0:
+        raise ValueError("unit must be > 0")
+    g, v = qcol(group_col), qcol(value_col).cast("double")
+    q = F.round(v / F.lit(float(unit)), 0).cast("decimal(38,0)")
+    base = (df.where(g.isNotNull() & v.isNotNull())
+              .select(g.cast("string").alias("group"), q.alias("__q")))
+    agg = base.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__q").alias("__s1"),
+        F.sum(F.col("__q") * F.col("__q")).alias("__s2"),
+        F.sum(F.col("__q") * F.col("__q") * F.col("__q")).alias("__s3"),
+        F.sum(F.col("__q") * F.col("__q") * F.col("__q")
+              * F.col("__q")).alias("__s4"))
+    n = F.col("n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    s3 = F.col("__s3").cast("double")
+    s4 = F.col("__s4").cast("double")
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3.0) * m * s2 / n + F.lit(2.0) * m * m * m
+    m4 = (s4 / n - F.lit(4.0) * m * s3 / n
+          + F.lit(6.0) * m * m * s2 / n
+          - F.lit(3.0) * m * m * m * m)
+    u = F.lit(float(unit))
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    return agg.select(
+        "group", "n",
+        F.round(m * u, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(m2, F.lit(0.0))) * u, 6).alias("std"),
+        F.when(ok, F.round(m3 / F.pow(m2, F.lit(1.5)), 6))
+         .alias("skewness"),
+        F.when(ok, F.round(m4 / (m2 * m2) - F.lit(3.0), 6))
+         .alias("ex_kurtosis"))
