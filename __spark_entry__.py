@@ -2539,6 +2539,30 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert per funnel hop (sequence.funnel_latency): the
+    HOW LONG companion of funnel_stats — same exact in-order fold,
+    the state array carries first-reach timestamps; exact BIGINT
+    microsecond sums, exact interpolated percentiles."""
+    from schema_validata_spark.operators.sequence import funnel_latency
+    return (funnel_latency(_t(spark, sf_dir, "events"), "user_id",
+                           "ts", "event_type", _FUNNEL_STEPS)
+            .orderBy("step_idx"))
+
+
+def q_completeness_trend(spark, sf_dir):
+    """Per-day column completeness z-screen
+    (expectations.completeness_trend) over events.value/props/user_id
+    — WHEN a column's null rate broke vs its overall rate; one wide
+    bucket aggregate, totals via a window on the tiny long frame."""
+    from schema_validata_spark.operators.expectations import \
+        completeness_trend
+    return (completeness_trend(_t(spark, sf_dir, "events"), "ts",
+                               ["user_id", "value", "props"],
+                               granularity="day", z_threshold=3.0)
+            .orderBy("bucket", "column_name"))
+
+
 def q_burst_stats(spark, sf_dir):
     """Sliding-window burst screen (sequence.burst_stats): peak 6-hour
     trailing event rate per user, flagged at >= 4 — the retry-storm
@@ -2790,6 +2814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_stats": q_burst_stats,
         "wilson_rates": q_wilson_rates,
         "moment_stats": q_moment_stats,
+        "funnel_latency": q_funnel_latency,
+        "completeness_trend": q_completeness_trend,
     }
 
 
@@ -6687,5 +6713,82 @@ def oracle_sql() -> dict[str, str]:
                  THEN round(m4 / (m2 * m2) - 3.0, 6) END
                  AS ex_kurtosis
         FROM e ORDER BY "group" """
+
+    # Same conditional-min replay as the funnel oracle: reach time of
+    # step k is the min ts of step-k events at ts >= reach_{k-1}, which
+    # equals the fold's first-advance time under (ts, idx) ordering.
+    sql["funnel_latency"] = """
+        WITH e AS (
+          SELECT user_id AS g, ts, event_type AS s FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IN ('{s1}', '{s2}', '{s3}')),
+        t1 AS (SELECT g, min(ts) AS t FROM e
+               WHERE s = '{s1}' GROUP BY g),
+        t2 AS (SELECT e.g, min(e.ts) AS t FROM e JOIN t1 USING (g)
+               WHERE e.s = '{s2}' AND e.ts >= t1.t GROUP BY e.g),
+        t3 AS (SELECT e.g, min(e.ts) AS t FROM e JOIN t2 USING (g)
+               WHERE e.s = '{s3}' AND e.ts >= t2.t GROUP BY e.g),
+        l2 AS (SELECT epoch_us(t2.t) - epoch_us(t1.t) AS lat
+               FROM t2 JOIN t1 USING (g)),
+        l3 AS (SELECT epoch_us(t3.t) - epoch_us(t2.t) AS lat
+               FROM t3 JOIN t2 USING (g))
+        SELECT * FROM (
+          SELECT 2 AS step_idx, '{s1}' AS from_step, '{s2}' AS step,
+                 count(*)::bigint AS n_converted,
+                 round(sum(lat)::double / count(*)::double
+                       / 1000000.0, 6) AS mean_s,
+                 round(quantile_cont(lat, 0.5) / 1000000.0, 6)
+                   AS p50_s,
+                 round(quantile_cont(lat, 0.95) / 1000000.0, 6)
+                   AS p95_s,
+                 round(max(lat)::double / 1000000.0, 6) AS max_s
+          FROM l2 HAVING count(*) > 0
+          UNION ALL
+          SELECT 3, '{s2}', '{s3}', count(*)::bigint,
+                 round(sum(lat)::double / count(*)::double
+                       / 1000000.0, 6),
+                 round(quantile_cont(lat, 0.5) / 1000000.0, 6),
+                 round(quantile_cont(lat, 0.95) / 1000000.0, 6),
+                 round(max(lat)::double / 1000000.0, 6)
+          FROM l3 HAVING count(*) > 0)
+        ORDER BY step_idx""".format(s1=_FUNNEL_STEPS[0],
+                                    s2=_FUNNEL_STEPS[1],
+                                    s3=_FUNNEL_STEPS[2])
+
+    sql["completeness_trend"] = """
+        WITH per AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+                 count(*)::bigint AS n,
+                 sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   ::bigint AS n0,
+                 sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   ::bigint AS n1,
+                 sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                   ::bigint AS n2
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        lng AS (
+          SELECT bucket, n, 'user_id' AS column_name, n0 AS n_null
+          FROM per
+          UNION ALL SELECT bucket, n, 'value', n1 FROM per
+          UNION ALL SELECT bucket, n, 'props', n2 FROM per),
+        j AS (SELECT *,
+                sum(n) OVER (PARTITION BY column_name) AS tn,
+                sum(n_null) OVER (PARTITION BY column_name) AS tk
+              FROM lng),
+        d AS (SELECT *, n_null::double / n::double AS rate,
+                tk::double / tn::double AS p0
+              FROM j),
+        e AS (SELECT *,
+                sqrt(p0 * (1.0 - p0) / n::double) AS den
+              FROM d)
+        SELECT bucket, column_name, n, n_null,
+               round(rate, 6) AS null_rate,
+               round(p0, 6) AS overall_rate,
+               CASE WHEN den > 0
+                 THEN round((rate - p0) / den, 6) END AS z,
+               coalesce(abs(CASE WHEN den > 0
+                   THEN round((rate - p0) / den, 6) END) >= 3.0,
+                 FALSE) AS flagged
+        FROM e ORDER BY bucket, column_name"""
 
     return sql

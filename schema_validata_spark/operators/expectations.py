@@ -681,3 +681,66 @@ def volume_autocorrelation(df: DataFrame, ts_col: str,
         f"cast({L} as int), `np_{L}`, `r_{L}`" for L in lags)
     return row.selectExpr(
         f"stack({len(lags)}, {parts}) as (lag, n_pairs, acf)")
+
+
+def completeness_trend(df: DataFrame, ts_col: str, cols: list[str],
+                       granularity: str = "day",
+                       z_threshold: float = 3.0) -> DataFrame:
+    """Per-time-bucket column completeness: the null rate of each
+    column in each arrival bucket, z-scored against the column's
+    overall rate — the "source stopped sending a field on day X"
+    screen. ``null_rate_by_slice`` finds WHICH slice differs;
+    this finds WHEN a column's completeness broke, which is usually a
+    deploy or upstream schema change, not a data property.
+
+    Per (bucket, column): n (bucket rows), n_null, null_rate,
+    overall_rate (6dp), z (one-proportion z of the bucket against the
+    column's overall rate; NULL when the overall rate is degenerate
+    0/1), flagged (|z| >= z_threshold). NULL-ts rows are excluded
+    everywhere (they have no bucket; their nulls show up in the plain
+    null-count profile instead).
+
+    SCALE: row data is scanned and shuffled ONCE — a wide hash
+    aggregate keyed by bucket (shuffle rows = one (bucket,
+    1+len(cols) counters) partial per map task), exploded to long form
+    AFTER aggregation; the per-column totals are an unbounded window
+    over the (buckets × cols)-sized long frame, so no second scan and
+    no join. Exact BIGINT counts, pinned-order double z."""
+    if granularity not in _GRAN_INTERVAL:
+        raise ValueError(f"granularity {granularity!r} not supported")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH"}.get(granularity)
+    if fmt is None:
+        raise ValueError("completeness_trend supports day/hour buckets")
+    t = qcol(ts_col)
+    bucket = F.date_format(F.date_trunc(granularity, t), fmt)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.when(qcol(c).isNull(), 1).otherwise(0))
+                     .cast("bigint").alias(f"__null_{i}"))
+    per = (df.where(t.isNotNull())
+             .groupBy(bucket.alias("bucket")).agg(*aggs))
+    arr = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"__null_{i}").alias("n_null"))
+        for i, c in enumerate(cols)])
+    long = (per.select("bucket", F.col("__n").alias("n"),
+                       F.explode(arr).alias("e"))
+               .select("bucket", "n", "e.column_name", "e.n_null"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("column_name")
+    j = (long.withColumn("__tn", F.sum("n").over(w))
+             .withColumn("__tk", F.sum("n_null").over(w)))
+    nd = F.col("n").cast("double")
+    rate = F.col("n_null").cast("double") / nd
+    p0 = F.col("__tk").cast("double") / F.col("__tn").cast("double")
+    den = F.sqrt(p0 * (F.lit(1.0) - p0) / nd)
+    z = F.when(den > 0, F.round((rate - p0) / den, 6))
+    return j.select(
+        "bucket", "column_name", "n", "n_null",
+        F.round(rate, 6).alias("null_rate"),
+        F.round(p0, 6).alias("overall_rate"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False))
+         .alias("flagged"))

@@ -859,3 +859,74 @@ def burst_stats(df: DataFrame, part_col: str, ts_col: str,
                    F.sum(F.when(F.col("__c") >= threshold, 1)
                           .otherwise(0)).cast("bigint").alias("n_over"))
               .withColumn("over_limit", F.col("n_over") > 0))
+
+
+def funnel_latency(df: DataFrame, part_col: str, ts_col: str,
+                   step_col: str, steps: list[str]) -> DataFrame:
+    """Time-to-convert distribution per funnel transition — the HOW
+    LONG companion of ``funnel_stats``'s HOW MANY: for every group
+    that advanced from step k−1 to step k (same exact in-order replay
+    semantics), the latency between the two reach times, summarized
+    as n / mean / p50 / p95 / max seconds. Finds the slow hop in an
+    agent pipeline (tool-call → tool-result fast, tool-result →
+    final-answer is the stall) that conversion shares can't see.
+
+    Output: one row per transition k = 2..len(steps) — step_idx
+    (1-based index of the DESTINATION step), from_step, step,
+    n_converted, mean_s / p50_s / p95_s / max_s (6dp). Groups that
+    never reached step k contribute nothing to row k.
+
+    SCALE: same single group-keyed shuffle of vocabulary-filtered
+    events as funnel_stats; the fold carries the array of first-reach
+    timestamps (≤ len(steps) entries) instead of a depth counter;
+    everything downstream is a groups-sized frame aggregated to
+    len(steps)−1 rows. Latency sums are exact BIGINT microseconds;
+    percentiles are exact interpolation (oracle-checkable; swap in
+    percentile_approx at extreme group counts)."""
+    if not steps or len(set(steps)) != len(steps) or len(steps) < 2:
+        raise ValueError("steps must be >= 2 distinct step names")
+    idx = F.lit(None).cast("int")
+    for i in range(len(steps) - 1, -1, -1):
+        idx = F.when(F.col(step_col) == steps[i], i).otherwise(idx)
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    evs = (df.where(F.col(part_col).isNotNull()
+                    & F.col(ts_col).isNotNull()
+                    & F.col(step_col).isin(list(steps)))
+             .select(F.col(part_col).alias("__g"),
+                     F.struct(F.col(ts_col).alias("ts"),
+                              idx.alias("idx")).alias("__e")))
+    reach = F.aggregate(
+        F.sort_array(F.collect_list("__e")),
+        F.array().cast(f"array<{ts_type}>"),
+        lambda acc, e: F.when(e["idx"] == F.size(acc),
+                              F.array_append(acc, e["ts"]))
+                        .otherwise(acc))
+    g = evs.groupBy("__g").agg(reach.alias("__r"))
+
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp_ltz"))
+
+    trans = F.array(*[
+        F.struct(F.lit(k).alias("step_idx"),
+                 F.lit(steps[k - 2]).alias("from_step"),
+                 F.lit(steps[k - 1]).alias("step"),
+                 F.when(F.size(F.col("__r")) >= k,
+                        _us(F.element_at("__r", k))
+                        - _us(F.element_at("__r", k - 1))).alias("lat"))
+        for k in range(2, len(steps) + 1)])
+    long = (g.select(F.explode(trans).alias("t"))
+             .select("t.step_idx", "t.from_step", "t.step", "t.lat")
+             .where(F.col("lat").isNotNull()))
+    micro = F.lit(1000000.0)
+    n = F.count(F.lit(1)).cast("bigint")
+    return (long.groupBy("step_idx", "from_step", "step")
+                .agg(n.alias("n_converted"),
+                     F.round(F.sum("lat").cast("double")
+                             / n.cast("double") / micro, 6)
+                      .alias("mean_s"),
+                     F.round(F.percentile("lat", F.lit(0.5)) / micro, 6)
+                      .alias("p50_s"),
+                     F.round(F.percentile("lat", F.lit(0.95)) / micro,
+                             6).alias("p95_s"),
+                     F.round(F.max("lat").cast("double") / micro, 6)
+                      .alias("max_s")))

@@ -90,3 +90,45 @@ class TableIO:
             return str(row[0][0]) if row else None
         except Exception:
             return None
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   n_buckets: int, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite",
+                   file_format: str = "parquet") -> None:
+    """Persist a table hash-bucketed on its join/aggregation key so
+    later equi-joins and groupBys on that key read co-located buckets
+    and SKIP the shuffle entirely — the storage-side half of the 100 TB
+    join story (the other half, runtime broadcast/AQE, is automatic).
+    Two fact tables bucketed with the SAME (cols, n_buckets) sort-merge
+    join with zero Exchange; adding ``sort_cols`` lets Spark skip the
+    per-bucket sort too when each bucket is a single file.
+
+    Spark's bucketing requires a managed table (saveAsTable) — plain
+    ``.parquet(path)`` silently drops bucket metadata. At 100 TB pick
+    n_buckets so one bucket ≈ a few executor-memory-sized partitions
+    (e.g. 4,096 buckets for a 10 TB fact table); the Iceberg analog is
+    a ``bucket(N, col)`` partition transform on the same key.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = (df.write.mode(mode).format(file_format)
+           .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: list[str], how: str = "inner") -> DataFrame:
+    """Join two tables previously written by ``write_bucketed`` on
+    their shared bucket key. When both sides were bucketed with the
+    same key and bucket count this plans as a zero-Exchange sort-merge
+    join (guarded by tests/test_round3k_ops.py); otherwise it's an
+    ordinary join and AQE decides. Broadcast is deliberately not
+    forced — if one side is small the optimizer will broadcast anyway,
+    and at fact×fact scale the bucket co-location IS the plan."""
+    return spark.read.table(left_table).join(
+        spark.read.table(right_table), on=on, how=how)
