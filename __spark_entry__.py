@@ -2539,6 +2539,36 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_welch_t(spark, sf_dir):
+    """Per-event-type Welch's t vs the rest of the corpus
+    (statqa.welch_t): mean-shift screen with exact quantized
+    DECIMAL(38,0) (n, Σq, Σq²) per slice; the rest side is
+    total − slice in the exact integer domain."""
+    from schema_validata_spark.operators.statqa import welch_t
+    return (welch_t(_t(spark, sf_dir, "events"), "value", "event_type")
+            .orderBy("group"))
+
+
+def q_mad_location(spark, sf_dir):
+    """Robust per-source location screen over document lengths
+    (statqa.mad_location): slice medians vs the global median in
+    global-MAD units — one rollup percentile aggregate + the
+    inherently-second MAD pass."""
+    from schema_validata_spark.operators.statqa import mad_location
+    return (mad_location(_t(spark, sf_dir, "documents"), "n_chars",
+                         "source")
+            .orderBy("group"))
+
+
+def q_user_mix(spark, sf_dir):
+    """Daily new-vs-returning user mix (sequence.user_mix): the
+    growth/backfill dashboard behind cohort_retention, off the same
+    DISTINCT (user, day) reduction."""
+    from schema_validata_spark.operators.sequence import user_mix
+    return (user_mix(_t(spark, sf_dir, "events"), "user_id", "ts")
+            .orderBy("bucket"))
+
+
 def q_funnel_latency(spark, sf_dir):
     """Time-to-convert per funnel hop (sequence.funnel_latency): the
     HOW LONG companion of funnel_stats — same exact in-order fold,
@@ -2816,6 +2846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moment_stats": q_moment_stats,
         "funnel_latency": q_funnel_latency,
         "completeness_trend": q_completeness_trend,
+        "welch_t": q_welch_t,
+        "mad_location": q_mad_location,
+        "user_mix": q_user_mix,
     }
 
 
@@ -6790,5 +6823,80 @@ def oracle_sql() -> dict[str, str]:
                    THEN round((rate - p0) / den, 6) END) >= 3.0,
                  FALSE) AS flagged
         FROM e ORDER BY bucket, column_name"""
+
+    # Exact quantized Welch replay: per-slice (n, Σq, Σq²) as
+    # DECIMAL(38,0); the rest side = totals − slice, still exact.
+    sql["welch_t"] = """
+        WITH per AS (
+          SELECT event_type AS grp, count(*)::bigint AS n,
+                 sum(CAST(CAST(round(value / 0.001) AS HUGEINT)
+                          AS DECIMAL(38,0))) AS s,
+                 sum(CAST(CAST(round(value / 0.001) AS HUGEINT)
+                          * CAST(round(value / 0.001) AS HUGEINT)
+                          AS DECIMAL(38,0))) AS ss
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        tot AS (SELECT sum(n)::bigint AS tn, sum(s) AS ts_,
+                       sum(ss) AS tss FROM per),
+        d AS (SELECT grp, n, (tn - n)::bigint AS n_out,
+                n::double AS na, (tn - n)::double AS nb,
+                s::double AS sa, (ts_ - s)::double AS sb,
+                ss::double AS ssa, (tss - ss)::double AS ssb
+              FROM per, tot),
+        e AS (SELECT *, sa / na AS ma, sb / nb AS mb,
+                (na * ssa - sa * sa) / (na * (na - 1.0)) AS va,
+                (nb * ssb - sb * sb) / (nb * (nb - 1.0)) AS vb
+              FROM d),
+        f AS (SELECT *, va / na + vb / nb AS se2 FROM e),
+        g2 AS (SELECT *, (ma - mb) / sqrt(se2) AS t,
+                (se2 * se2)
+                  / (va * va / (na * na * (na - 1.0))
+                     + vb * vb / (nb * nb * (nb - 1.0))) AS dof,
+                (n >= 2 AND n_out >= 2 AND se2 > 0) AS ok
+               FROM f)
+        SELECT grp AS "group", n AS n_in, n_out,
+          round(ma * 0.001, 6) AS mean_in,
+          CASE WHEN nb > 0 THEN round(mb * 0.001, 6) END AS mean_out,
+          CASE WHEN ok THEN round(t, 6) END AS t,
+          CASE WHEN ok THEN round(dof, 6) END AS dof,
+          coalesce(abs(CASE WHEN ok THEN round(t, 6) END)
+                   >= 1.959964, FALSE) AS significant
+        FROM g2 ORDER BY "group" """
+
+    sql["mad_location"] = """
+        WITH base AS (
+          SELECT source AS grp, n_chars::double AS v FROM documents
+          WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        med AS (SELECT grp, count(*)::bigint AS n,
+                       quantile_cont(v, 0.5) AS m
+                FROM base GROUP BY grp),
+        gm AS (SELECT quantile_cont(v, 0.5) AS gmed FROM base),
+        mad AS (SELECT quantile_cont(abs(v - gmed), 0.5) AS gmad
+                FROM base, gm)
+        SELECT grp AS "group", n, round(m, 6) AS median,
+               round(gmed, 6) AS global_median,
+               round(gmad, 6) AS global_mad,
+               CASE WHEN gmad > 0
+                 THEN round((m - gmed) / (1.4826 * gmad), 6) END
+                 AS robust_z,
+               coalesce(abs(CASE WHEN gmad > 0
+                   THEN round((m - gmed) / (1.4826 * gmad), 6) END)
+                 >= 3.5, FALSE) AS flagged
+        FROM med, gm, mad ORDER BY "group" """
+
+    sql["user_mix"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        f AS (SELECT u, min(d) AS fd FROM act GROUP BY u),
+        mix AS (SELECT act.d, count(*)::bigint AS n_active,
+                  sum(CASE WHEN act.d = f.fd THEN 1 ELSE 0 END)
+                    ::bigint AS n_new
+                FROM act JOIN f ON act.u = f.u GROUP BY act.d)
+        SELECT strftime(d, '%Y-%m-%d') AS bucket, n_active, n_new,
+               (n_active - n_new)::bigint AS n_returning,
+               round(n_new::double / n_active::double, 6) AS share_new
+        FROM mix ORDER BY bucket"""
 
     return sql

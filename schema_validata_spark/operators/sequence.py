@@ -930,3 +930,38 @@ def funnel_latency(df: DataFrame, part_col: str, ts_col: str,
                              6).alias("p95_s"),
                      F.round(F.max("lat").cast("double") / micro, 6)
                       .alias("max_s")))
+
+
+def user_mix(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Daily new-vs-returning mix: per day, how many distinct users
+    were active, how many were seen for the FIRST time that day, and
+    the returning remainder — the growth/backfill dashboard behind
+    ``cohort_retention`` (a day whose share_new spikes to 1.0 is a
+    backfill or an id-rotation bug, not a launch).
+
+    Per day: ``bucket`` (yyyy-MM-dd), n_active, n_new, n_returning,
+    share_new (6dp). NULL user/ts rows excluded; day resolution
+    (to_date) before any arithmetic.
+
+    SCALE: the same DISTINCT (user, day) reduction as
+    cohort_retention is the only full-data shuffle; first-day is a
+    user-keyed aggregate of the reduced frame; the mix rollup is
+    day-count-sized. No window over raw rows, no collect."""
+    u, t = F.col(user_col), F.col(ts_col)
+    act = (df.where(u.isNotNull() & t.isNotNull())
+             .select(u.alias("__u"), F.to_date(t).alias("__d"))
+             .distinct())
+    first = act.groupBy("__u").agg(F.min("__d").alias("__f"))
+    mix = (act.join(first, "__u")
+              .groupBy("__d")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"),
+                   F.sum(F.when(F.col("__d") == F.col("__f"), 1)
+                          .otherwise(0)).cast("bigint").alias("n_new")))
+    return mix.select(
+        F.date_format("__d", "yyyy-MM-dd").alias("bucket"),
+        "n_active", "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("bigint")
+         .alias("n_returning"),
+        F.round(F.col("n_new").cast("double")
+                / F.col("n_active").cast("double"), 6)
+         .alias("share_new"))

@@ -1573,3 +1573,116 @@ def moment_stats(df: DataFrame, value_col: str, group_col: str,
          .alias("skewness"),
         F.when(ok, F.round(m4 / (m2 * m2) - F.lit(3.0), 6))
          .alias("ex_kurtosis"))
+
+
+def welch_t(df: DataFrame, value_col: str, group_col: str,
+            unit: float = 0.001, t_threshold: float = 1.959964
+            ) -> DataFrame:
+    """Per-slice Welch's t: does this slice's MEAN differ from the
+    rest of the corpus? The location complement of ``mann_whitney``
+    (which sees distribution shape) and ``rate_significance`` (which
+    sees proportions) — unequal variances welcome, no pooled-σ
+    assumption, so a small noisy slice against a huge stable rest is
+    scored correctly.
+
+    Per group: n_in, n_out, mean_in, mean_out (original units, 6dp),
+    t (6dp), dof (Welch–Satterthwaite, 6dp), significant (|t| >=
+    ``t_threshold``, the z≈1.96 normal proxy — at transcript-scale n
+    the t and normal quantiles coincide). NULL when either side has
+    < 2 values or both variances are zero. NULL values/groups are
+    excluded.
+
+    SCALE + EXACTNESS: values quantized to ``unit`` (same overflow
+    contract as ``moment_stats``: n·(|v|/unit)² < 10³⁸); one hash
+    aggregate keyed by the slice produces exact DECIMAL(38,0)
+    (n, Σq, Σq²) per group; corpus totals re-aggregate THAT tiny frame
+    through a single-row cross-broadcast, so the "rest" side is
+    total − group in the exact integer domain. Doubles only in the
+    pinned final expression."""
+    if unit <= 0:
+        raise ValueError("unit must be > 0")
+    g, v = qcol(group_col), qcol(value_col).cast("double")
+    q = F.round(v / F.lit(float(unit)), 0).cast("decimal(38,0)")
+    per = (df.where(g.isNotNull() & v.isNotNull())
+             .select(g.cast("string").alias("group"), q.alias("__q"))
+             .groupBy("group")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_in"),
+                  F.sum("__q").alias("__s"),
+                  F.sum(F.col("__q") * F.col("__q")).alias("__ss")))
+    tot = per.groupBy().agg(F.sum("n_in").cast("bigint").alias("__tn"),
+                            F.sum("__s").alias("__ts"),
+                            F.sum("__ss").alias("__tss"))
+    j = per.crossJoin(F.broadcast(tot))
+    na = F.col("n_in").cast("double")
+    nb = (F.col("__tn") - F.col("n_in")).cast("double")
+    sa, sb = F.col("__s").cast("double"), \
+        (F.col("__ts") - F.col("__s")).cast("double")
+    ssa, ssb = F.col("__ss").cast("double"), \
+        (F.col("__tss") - F.col("__ss")).cast("double")
+    ma, mb = sa / na, sb / nb
+    # sample variances from exact sums: (n·Σq² − (Σq)²) / (n·(n−1))
+    va = (na * ssa - sa * sa) / (na * (na - F.lit(1.0)))
+    vb = (nb * ssb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (va * va / (na * na * (na - F.lit(1.0)))
+                         + vb * vb / (nb * nb * (nb - F.lit(1.0))))
+    u = F.lit(float(unit))
+    ok = (F.col("n_in") >= 2) & ((F.col("__tn") - F.col("n_in")) >= 2) \
+        & (se2 > 0)
+    t6 = F.when(ok, F.round(t, 6))
+    return j.select(
+        "group", "n_in",
+        (F.col("__tn") - F.col("n_in")).cast("bigint").alias("n_out"),
+        F.round(ma * u, 6).alias("mean_in"),
+        F.when(nb > 0, F.round(mb * u, 6)).alias("mean_out"),
+        t6.alias("t"),
+        F.when(ok, F.round(dof, 6)).alias("dof"),
+        F.coalesce(F.abs(t6) >= F.lit(float(t_threshold)), F.lit(False))
+         .alias("significant"))
+
+
+def mad_location(df: DataFrame, value_col: str, group_col: str,
+                 z_threshold: float = 3.5) -> DataFrame:
+    """Robust per-slice location screen: each slice's MEDIAN scored
+    against the global median in global-MAD units (z = (med_g −
+    med)/(1.4826·MAD), Iglewicz–Hoaglin) — the mean-based ``welch_t``
+    lights up on a handful of sentinel 9999s; this doesn't, so the
+    PAIR separates "slice really sits elsewhere" from "slice has
+    outliers".
+
+    Per group: n, median (6dp), global_median, global_mad (6dp),
+    robust_z (6dp; NULL when MAD = 0), flagged (|z| >=
+    ``z_threshold``, default 3.5 per Iglewicz–Hoaglin). NULL
+    values/groups excluded.
+
+    SCALE: exact interpolated percentiles (oracle mode — swap
+    percentile_approx at extreme scale). Pass 1: ONE rollup aggregate
+    gives every slice median AND the global median in a single
+    shuffle; pass 2 re-scans only |v − med| for the global MAD (an
+    exact MAD is inherently two-pass). Both extra frames are
+    group-count-sized and broadcast."""
+    g, v = qcol(group_col), qcol(value_col).cast("double")
+    base = (df.where(g.isNotNull() & v.isNotNull())
+              .select(g.cast("string").alias("group"), v.alias("__v")))
+    med = (base.rollup("group")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.percentile("__v", F.lit(0.5)).alias("__med")))
+    gmed = (med.where(F.col("group").isNull())
+               .select(F.col("__med").alias("__gmed")))
+    mad = (base.crossJoin(F.broadcast(gmed))
+               .agg(F.percentile(F.abs(F.col("__v") - F.col("__gmed")),
+                                 F.lit(0.5)).alias("__mad"),
+                    F.max("__gmed").alias("__gmed")))
+    scale = F.lit(1.4826) * F.col("__mad")
+    z = F.when(F.col("__mad") > 0,
+               F.round((F.col("__med") - F.col("__gmed")) / scale, 6))
+    return (med.where(F.col("group").isNotNull())
+               .crossJoin(F.broadcast(mad))
+               .select("group", "n",
+                       F.round(F.col("__med"), 6).alias("median"),
+                       F.round(F.col("__gmed"), 6).alias("global_median"),
+                       F.round(F.col("__mad"), 6).alias("global_mad"),
+                       z.alias("robust_z"),
+                       F.coalesce(F.abs(z) >= F.lit(float(z_threshold)),
+                                  F.lit(False)).alias("flagged")))
