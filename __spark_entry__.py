@@ -2539,6 +2539,28 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_dup_trend(spark, sf_dir):
+    """Within-day duplicate pressure on (user_id, event_type)
+    (uniqueness.dup_trend): the double-ingest detector — one
+    (bucket, key) hash agg + a bucket rollup of the key-counts
+    frame."""
+    from schema_validata_spark.operators.uniqueness import dup_trend
+    return (dup_trend(_t(spark, sf_dir, "events"),
+                      ["user_id", "event_type"], "ts")
+            .orderBy("bucket"))
+
+
+def q_concentration_stats(spark, sf_dir):
+    """HHI / effective-n / top-k mass per categorical column
+    (statqa.concentration_stats) over documents lang+source — the
+    market-concentration view next to column_entropy; vocabulary-sized
+    shuffle only."""
+    from schema_validata_spark.operators.statqa import concentration_stats
+    return (concentration_stats(_t(spark, sf_dir, "documents"),
+                                ["lang", "source"])
+            .orderBy("column_name"))
+
+
 def q_welch_t(spark, sf_dir):
     """Per-event-type Welch's t vs the rest of the corpus
     (statqa.welch_t): mean-shift screen with exact quantized
@@ -2849,6 +2871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t": q_welch_t,
         "mad_location": q_mad_location,
         "user_mix": q_user_mix,
+        "dup_trend": q_dup_trend,
+        "concentration_stats": q_concentration_stats,
     }
 
 
@@ -6898,5 +6922,53 @@ def oracle_sql() -> dict[str, str]:
                (n_active - n_new)::bigint AS n_returning,
                round(n_new::double / n_active::double, 6) AS share_new
         FROM mix ORDER BY bucket"""
+
+    sql["dup_trend"] = """
+        WITH pk AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+                 user_id, event_type, count(*)::bigint AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3)
+        SELECT bucket, sum(c)::bigint AS n_rows,
+               count(*)::bigint AS n_keys,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::bigint
+                 AS dup_keys,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END)::bigint
+                 AS dup_rows,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::double
+                     / sum(c)::double, 6) AS dup_rate
+        FROM pk GROUP BY bucket ORDER BY bucket"""
+
+    sql["concentration_stats"] = """
+        WITH pairs AS (
+          SELECT 'lang' AS column_name,
+                 coalesce(CAST(lang AS VARCHAR), '__null__') AS value
+          FROM documents
+          UNION ALL
+          SELECT 'source',
+                 coalesce(CAST(source AS VARCHAR), '__null__')
+          FROM documents),
+        counts AS (SELECT column_name, value, count(*)::bigint AS n
+                   FROM pairs GROUP BY 1, 2),
+        ranked AS (SELECT *,
+                     row_number() OVER (PARTITION BY column_name
+                       ORDER BY n DESC, value ASC) AS r
+                   FROM counts),
+        agg AS (SELECT column_name, sum(n)::bigint AS n_rows,
+                  count(*)::bigint AS n_distinct,
+                  max(CASE WHEN r = 1 THEN n END)::bigint AS top_,
+                  sum(CASE WHEN r <= 5 THEN n ELSE 0 END)::bigint
+                    AS topk,
+                  sum(CAST(n AS DECIMAL(38,0))
+                      * CAST(n AS DECIMAL(38,0))) AS ss
+                FROM ranked GROUP BY column_name),
+        h AS (SELECT *,
+                ss::double / (n_rows::double * n_rows::double) AS hhi
+              FROM agg)
+        SELECT column_name, n_rows, n_distinct,
+               round(top_::double / n_rows::double, 6) AS top_share,
+               round(topk::double / n_rows::double, 6) AS topk_share,
+               round(hhi, 6) AS hhi,
+               round(1.0 / hhi, 6) AS effective_n
+        FROM h ORDER BY column_name"""
 
     return sql

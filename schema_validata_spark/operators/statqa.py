@@ -1686,3 +1686,64 @@ def mad_location(df: DataFrame, value_col: str, group_col: str,
                        z.alias("robust_z"),
                        F.coalesce(F.abs(z) >= F.lit(float(z_threshold)),
                                   F.lit(False)).alias("flagged")))
+
+
+def concentration_stats(df: DataFrame, cols: list[str],
+                        top_k: int = 5,
+                        null_token: str = "__null__") -> DataFrame:
+    """Value-concentration profile per categorical column: the
+    Herfindahl–Hirschman index (Σ share²), its reciprocal (the
+    EFFECTIVE number of values — "this source column is nominally
+    200 domains but behaves like 3"), and the top-k mass. The
+    market-concentration view ``column_entropy`` (bits) and
+    ``majority_share`` (modal value only) don't give: HHI weighs the
+    whole head, effective_n is directly comparable to n_distinct, and
+    a top-5 share of 0.99 over a 10^6-value column is the classic
+    scraped-corpus imbalance. NULL counts as its own category
+    (``null_token``), same contract as column_entropy.
+
+    Output per column: column_name, n_rows, n_distinct, top_share,
+    topk_share, hhi, effective_n (= 1/HHI; 6dp). Counts are exact
+    BIGINT; Σn² accumulates as DECIMAL(38,0) (exact to n_rows ≈ 10¹⁹);
+    tie-break for the top-k window is (count DESC, value ASC) —
+    deterministic under shuffle retries.
+
+    SCALE: same melt shape as column_entropy — ONE (column, value)
+    hash aggregate (vocabulary-sized shuffle, rows never shuffle),
+    then a rank window + ONE rollup over the counts frame."""
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.coalesce(qcol(c).cast("string"), F.lit(null_token))
+                  .alias("value"))
+        for c in cols])).alias("p")
+    counts = (df.select(pairs)
+                .select("p.column_name", "p.value")
+                .groupBy("column_name", "value")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("n").desc(), F.col("value").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    agg = ranked.groupBy("column_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max(F.when(F.col("__r") == 1, F.col("n"))).alias("__top"),
+        F.sum(F.when(F.col("__r") <= int(top_k), F.col("n"))
+               .otherwise(0)).cast("bigint").alias("__topk"),
+        F.sum(F.col("n").cast("decimal(38,0)")
+              * F.col("n").cast("decimal(38,0)")).alias("__ss"))
+    nd = F.col("n_rows").cast("double")
+    hhi = F.col("__ss").cast("double") / (nd * nd)
+    return agg.select(
+        "column_name", "n_rows", "n_distinct",
+        F.round(F.col("__top").cast("double") / nd, 6)
+         .alias("top_share"),
+        F.round(F.col("__topk").cast("double") / nd, 6)
+         .alias("topk_share"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 6).alias("effective_n"))

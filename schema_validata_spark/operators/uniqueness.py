@@ -237,3 +237,44 @@ def l_diversity(df: DataFrame, quasi_cols: list[str],
                        / F.sum("__rows"), 6)).alias("violating_row_share"),
         F.min("__div").alias("min_diversity"),
         F.lit(int(l)).cast("bigint").alias("l"))
+
+
+def dup_trend(df: DataFrame, key_cols: list[str], ts_col: str,
+              granularity: str = "day") -> DataFrame:
+    """Duplicate pressure over TIME: per arrival bucket, how many rows
+    belong to a composite key that appears more than once WITHIN that
+    bucket — the double-ingest / replayed-batch detector
+    (``duplicate_stats`` says the corpus has dups; this says they all
+    arrived on March 3rd, which is a pipeline incident, not a data
+    property). Keys are scoped per bucket deliberately: a key that
+    legitimately recurs across days is not a replay.
+
+    Per bucket: n_rows, n_keys (distinct), dup_keys, dup_rows
+    (keep=False count), dup_rate = dup_rows/n_rows (6dp). NULL-ts rows
+    are excluded; NULL key parts group like values (SQL GROUP BY).
+
+    SCALE: one (bucket, *key) salted-style hash aggregate — the
+    map-side combine collapses within-partition repeats, so the
+    shuffle carries (bucket, key, count) partials; the bucket rollup
+    runs on the key-counts frame. Same two-phase shape as
+    duplicate_stats, keyed one level wider."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH"}.get(granularity)
+    if fmt is None:
+        raise ValueError("dup_trend supports day/hour granularity")
+    t = qcol(ts_col)
+    bucket = F.date_format(F.date_trunc(granularity, t), fmt)
+    per_key = (df.where(t.isNotNull())
+                 .groupBy(bucket.alias("bucket"),
+                          *[qcol(c) for c in key_cols])
+                 .agg(F.count(F.lit(1)).alias("__c")))
+    per_bucket = per_key.groupBy("bucket").agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).cast("bigint")
+         .alias("dup_keys"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+         .cast("bigint").alias("dup_rows"))
+    return per_bucket.select(
+        "bucket", "n_rows", "n_keys", "dup_keys", "dup_rows",
+        F.round(F.col("dup_rows").cast("double")
+                / F.col("n_rows").cast("double"), 6).alias("dup_rate"))

@@ -493,3 +493,48 @@ def stream_quantile_summaries(stream_df: DataFrame, cols: list[str],
                            F.col("__p.qs").alias("qs"),
                            F.col("__p.n_vals").alias("n_vals"))
                    .where(F.col("n_vals") > 0))
+
+
+def stream_completeness(stream_df: DataFrame, cols: list[str],
+                        ts_col: str = "ts",
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming per-window column completeness: the null rate of each
+    watched column per tumbling event-time window — the continuous
+    twin of batch ``expectations.completeness_trend`` (a producer that
+    stops sending a field alarms in the window it breaks, not at the
+    next batch audit).
+
+    One WIDE windowed aggregate (a count + one conditional null
+    counter per column — the single stateful agg Structured Streaming
+    allows), exploded to long form AFTER aggregation exactly like the
+    batch op. No baseline needed: the emitted (window, column,
+    null_rate) frame is what the batch z-screen or an alert rule
+    consumes downstream.
+
+    Output per (window, column): window_start, window_end,
+    column_name, n, n_null, null_rate (6dp). Late rows handled by the
+    watermark; complete windows emit once in append mode."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                     .cast("bigint").alias(f"__null_{i}"))
+    wdf = (stream_df
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*aggs))
+    arr = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"__null_{i}").alias("n_null"))
+        for i, c in enumerate(cols)])
+    return (wdf.select(F.col("w.start").alias("window_start"),
+                       F.col("w.end").alias("window_end"),
+                       F.col("__n").alias("n"),
+                       F.explode(arr).alias("e"))
+               .select("window_start", "window_end", "e.column_name",
+                       "n", "e.n_null",
+                       F.round(F.col("e.n_null").cast("double")
+                               / F.col("n").cast("double"), 6)
+                        .alias("null_rate")))
