@@ -2539,6 +2539,30 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_key_volume_outliers(spark, sf_dir):
+    """Runaway-key list (uniqueness.key_volume_outliers): users whose
+    event volume is a median/MAD outlier (fixture threshold 2.0 so
+    the flag path is exercised); one count-per-key shuffle + two
+    exact-percentile aggregates on the key-counts frame."""
+    from schema_validata_spark.operators.uniqueness import \
+        key_volume_outliers
+    return (key_volume_outliers(_t(spark, sf_dir, "events"),
+                                ["user_id"], z_threshold=2.0)
+            .orderBy("user_id"))
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Pre-flight join size/skew estimate (uniqueness.
+    join_size_estimate) for orders⋈customer on custkey: exact heavy
+    head via TakeOrderedAndProject, containment tail; run BEFORE the
+    shuffle to pick salting/AQE hints."""
+    from schema_validata_spark.operators.uniqueness import \
+        join_size_estimate
+    return join_size_estimate(_t(spark, sf_dir, "orders"), "o_custkey",
+                              _t(spark, sf_dir, "customer"),
+                              "c_custkey", k=50)
+
+
 def q_dup_trend(spark, sf_dir):
     """Within-day duplicate pressure on (user_id, event_type)
     (uniqueness.dup_trend): the double-ingest detector — one
@@ -2873,6 +2897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_mix": q_user_mix,
         "dup_trend": q_dup_trend,
         "concentration_stats": q_concentration_stats,
+        "key_volume_outliers": q_key_volume_outliers,
+        "join_size_estimate": q_join_size_estimate,
     }
 
 
@@ -6970,5 +6996,72 @@ def oracle_sql() -> dict[str, str]:
                round(hhi, 6) AS hhi,
                round(1.0 / hhi, 6) AS effective_n
         FROM h ORDER BY column_name"""
+
+    # NULL keys form their own group on BOTH engines (GROUP BY
+    # semantics); the flag filter uses the 6dp-ROUNDED z, as Spark does.
+    sql["key_volume_outliers"] = """
+        WITH c AS (SELECT user_id AS k, count(*)::bigint AS n_rows
+                   FROM events GROUP BY 1),
+        m AS (SELECT quantile_cont(n_rows::double, 0.5) AS med FROM c),
+        d AS (SELECT quantile_cont(abs(c.n_rows::double - m.med), 0.5)
+                AS mad FROM c, m)
+        SELECT c.k AS user_id, c.n_rows,
+               round(m.med, 6) AS median_rows,
+               round(d.mad, 6) AS mad_rows,
+               round((c.n_rows::double - m.med) / (1.4826 * d.mad), 6)
+                 AS robust_z
+        FROM c, m, d
+        WHERE d.mad > 0
+          AND abs(round((c.n_rows::double - m.med)
+                        / (1.4826 * d.mad), 6)) >= 2.0
+        ORDER BY user_id"""
+
+    sql["join_size_estimate"] = """
+        WITH cl AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+                           count(*)::bigint AS c
+                    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        cr AS (SELECT CAST(c_custkey AS VARCHAR) AS key,
+                      count(*)::bigint AS c
+               FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        hl AS (SELECT key FROM cl ORDER BY c DESC, key ASC LIMIT 50),
+        hr AS (SELECT key FROM cr ORDER BY c DESC, key ASC LIMIT 50),
+        heads AS (SELECT DISTINCT key FROM
+                    (SELECT key FROM hl UNION ALL SELECT key FROM hr)),
+        heavy AS (SELECT coalesce(count(*), 0)::bigint AS n_heavy_keys,
+                    coalesce(sum(CAST(cl.c AS DECIMAL(38,0))
+                                 * CAST(cr.c AS DECIMAL(38,0))),
+                             0) AS heavy_pairs
+                  FROM heads JOIN cl USING (key) JOIN cr USING (key)),
+        hlt AS (SELECT coalesce(sum(c), 0)::bigint AS l_head_rows,
+                       coalesce(count(*), 0)::bigint AS l_head_keys
+                FROM heads JOIN cl USING (key)),
+        hrt AS (SELECT coalesce(sum(c), 0)::bigint AS r_head_rows,
+                       coalesce(count(*), 0)::bigint AS r_head_keys
+                FROM heads JOIN cr USING (key)),
+        lt AS (SELECT coalesce(sum(c), 0)::bigint AS left_rows,
+                      coalesce(count(*), 0)::bigint AS left_keys
+               FROM cl),
+        rt AS (SELECT coalesce(sum(c), 0)::bigint AS right_rows,
+                      coalesce(count(*), 0)::bigint AS right_keys
+               FROM cr),
+        x AS (SELECT *,
+                (left_rows - l_head_rows)::double AS tl,
+                (right_rows - r_head_rows)::double AS tr,
+                greatest((left_keys - l_head_keys)::double,
+                         (right_keys - r_head_keys)::double) AS tk
+              FROM lt, rt, heavy, hlt, hrt),
+        y AS (SELECT *,
+                CASE WHEN tk > 0 THEN tl * tr / tk ELSE 0.0 END
+                  AS tail_est
+              FROM x)
+        SELECT left_rows, right_rows, left_keys, right_keys,
+               n_heavy_keys, heavy_pairs::double AS heavy_pairs,
+               round(tail_est, 2) AS tail_pairs_est,
+               round(heavy_pairs::double + tail_est, 2) AS est_rows,
+               CASE WHEN (heavy_pairs::double + tail_est) > 0
+                 THEN round(heavy_pairs::double
+                            / (heavy_pairs::double + tail_est), 6)
+                 END AS heavy_share
+        FROM y"""
 
     return sql

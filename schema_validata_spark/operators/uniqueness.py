@@ -278,3 +278,137 @@ def dup_trend(df: DataFrame, key_cols: list[str], ts_col: str,
         "bucket", "n_rows", "n_keys", "dup_keys", "dup_rows",
         F.round(F.col("dup_rows").cast("double")
                 / F.col("n_rows").cast("double"), 6).alias("dup_rate"))
+
+
+def key_volume_outliers(df: DataFrame, key_cols: list[str],
+                        z_threshold: float = 3.5) -> DataFrame:
+    """Keys whose ROW VOLUME is a robust outlier among keys — the
+    runaway-conversation / scraper-account / stuck-producer list
+    (``key_skew_stats`` summarizes the distribution; this names the
+    offenders). Scoring is median/MAD (Iglewicz–Hoaglin |z| >=
+    ``z_threshold``, default 3.5) over the per-key counts, so a
+    handful of mega-keys can't inflate the yardstick they're measured
+    against.
+
+    Output (flagged keys only): *key_cols, n_rows, median_rows,
+    mad_rows, robust_z (6dp). When the counts MAD is 0 (e.g. almost
+    every key appears once) the z is undefined and NO key flags —
+    documented contract; use dup/skew screens for that regime.
+
+    SCALE: one map-side-combined count per key (the only row-data
+    shuffle); median and MAD are two exact-percentile aggregates over
+    the key-counts frame (percentile_approx is the swap at extreme
+    key cardinality), broadcast back onto it."""
+    counts = (df.groupBy(*[qcol(c) for c in key_cols])
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    med = counts.agg(F.percentile(F.col("n_rows").cast("double"),
+                                  F.lit(0.5)).alias("__med"))
+    mad = (counts.crossJoin(F.broadcast(med))
+                 .agg(F.percentile(
+                          F.abs(F.col("n_rows").cast("double")
+                                - F.col("__med")), F.lit(0.5))
+                       .alias("__mad"),
+                      F.max("__med").alias("__med")))
+    z = F.round((F.col("n_rows").cast("double") - F.col("__med"))
+                / (F.lit(1.4826) * F.col("__mad")), 6)
+    return (counts.crossJoin(F.broadcast(mad))
+                  .where((F.col("__mad") > 0)
+                         & (F.abs(z) >= F.lit(float(z_threshold))))
+                  .select(*key_cols, "n_rows",
+                          F.round(F.col("__med"), 6)
+                           .alias("median_rows"),
+                          F.round(F.col("__mad"), 6).alias("mad_rows"),
+                          z.alias("robust_z")))
+
+
+def join_size_estimate(left: DataFrame, left_key: str,
+                       right: DataFrame, right_key: str,
+                       k: int = 100) -> DataFrame:
+    """Pre-flight JOIN SIZE + skew estimate — run this BEFORE a
+    fact×fact equi-join at scale to know whether the output explodes
+    and whether a handful of keys dominate it (→ salt or AQE skew
+    hints). The heavy head is EXACT: the top-``k`` keys per side (by
+    count, key tiebreak) contribute Σ c_l·c_r over the union of both
+    heads; the tail uses the textbook containment estimate
+    |A⋈B| ≈ rows_A·rows_B / max(keys_A, keys_B) on what's left.
+
+    Output (one row): left_rows, right_rows, left_keys, right_keys
+    (exact BIGINT), n_heavy_keys (|head_L ∪ head_R| with both-side
+    presence), heavy_pairs (exact, DECIMAL-safe), tail_pairs_est,
+    est_rows (heavy + tail, 2dp), heavy_share (heavy/est, 6dp; NULL
+    when est is 0).
+
+    SCALE: one count-per-key aggregate per side (the only row-data
+    shuffles); heads are TakeOrderedAndProject over the key-counts
+    frames (per-task heaps, no global sort of row data); the ≤2k-key
+    head frame broadcasts onto both counts frames. NULL keys never
+    join and are excluded."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _counts(df, key):
+        return (df.where(qcol(key).isNotNull())
+                  .groupBy(qcol(key).cast("string").alias("key"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+    cl, cr = _counts(left, left_key), _counts(right, right_key)
+    hl = (cl.orderBy(F.col("c").desc(), F.col("key").asc()).limit(int(k))
+            .select("key"))
+    hr = (cr.orderBy(F.col("c").desc(), F.col("key").asc()).limit(int(k))
+            .select("key"))
+    heads = hl.union(hr).distinct()
+    heavy = (heads.join(cl, "key", "inner")
+                  .join(cr.withColumnRenamed("c", "cr"), "key", "inner")
+                  .agg(F.coalesce(F.count(F.lit(1)), F.lit(0))
+                        .cast("bigint").alias("n_heavy_keys"),
+                       F.coalesce(
+                           F.sum(F.col("c").cast("decimal(38,0)")
+                                 * F.col("cr").cast("decimal(38,0)")),
+                           F.lit(0).cast("decimal(38,0)"))
+                        .alias("heavy_pairs"),
+                       F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                        .alias("__hl_rows"),
+                       F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint")
+                        .alias("__hr_rows")))
+    # heavy-key totals per side (rows under head∪head keys present on
+    # that side, matched or not) for the tail subtraction
+    hl_tot = (heads.join(cl, "key")
+                   .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                         .alias("__l_head_rows"),
+                        F.coalesce(F.count(F.lit(1)), F.lit(0))
+                         .cast("bigint").alias("__l_head_keys")))
+    hr_tot = (heads.join(cr, "key")
+                   .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                         .alias("__r_head_rows"),
+                        F.coalesce(F.count(F.lit(1)), F.lit(0))
+                         .cast("bigint").alias("__r_head_keys")))
+    lt = cl.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                 .alias("left_rows"),
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint")
+                 .alias("left_keys"))
+    rt = cr.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                 .alias("right_rows"),
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint")
+                 .alias("right_keys"))
+    row = (lt.crossJoin(rt).crossJoin(heavy)
+             .crossJoin(hl_tot).crossJoin(hr_tot))
+    tail_l_rows = (F.col("left_rows") - F.col("__l_head_rows")) \
+        .cast("double")
+    tail_r_rows = (F.col("right_rows") - F.col("__r_head_rows")) \
+        .cast("double")
+    tail_keys = F.greatest(
+        (F.col("left_keys") - F.col("__l_head_keys")).cast("double"),
+        (F.col("right_keys") - F.col("__r_head_keys")).cast("double"))
+    tail_est = F.when(tail_keys > 0,
+                      tail_l_rows * tail_r_rows / tail_keys) \
+                .otherwise(F.lit(0.0))
+    est = F.col("heavy_pairs").cast("double") + tail_est
+    return row.select(
+        "left_rows", "right_rows", "left_keys", "right_keys",
+        "n_heavy_keys", F.col("heavy_pairs").cast("double")
+         .alias("heavy_pairs"),
+        F.round(tail_est, 2).alias("tail_pairs_est"),
+        F.round(est, 2).alias("est_rows"),
+        F.when(est > 0,
+               F.round(F.col("heavy_pairs").cast("double") / est, 6))
+         .alias("heavy_share"))
