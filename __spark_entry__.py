@@ -2539,6 +2539,31 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_transition_latency(spark, sf_dir):
+    """Latency per role transition (sequence.transition_latency) over
+    the derived-role transcript: WHICH hop is slow (tool-result
+    processing vs user think-time); one lag window + one (role, role)
+    hash agg, exact BIGINT micro sums, exact percentiles. (ts is
+    unique per user in the fixture, so ts alone is a total order.)"""
+    from schema_validata_spark.operators.sequence import \
+        transition_latency
+    return (transition_latency(_event_transcript(spark, sf_dir),
+                               "user_id", ["ts"], "role", "ts")
+            .orderBy("from_role", "to_role"))
+
+
+def q_turn_count_histogram(spark, sf_dir):
+    """Conversation-size histogram on power-of-two bands
+    (sequence.turn_count_histogram): the packing planner's input and
+    the skew summary at a glance; one count-per-key shuffle + a log2
+    rollup of the key-counts frame."""
+    from schema_validata_spark.operators.sequence import \
+        turn_count_histogram
+    return (turn_count_histogram(_t(spark, sf_dir, "events"),
+                                 "user_id")
+            .orderBy("bucket"))
+
+
 def q_key_volume_outliers(spark, sf_dir):
     """Runaway-key list (uniqueness.key_volume_outliers): users whose
     event volume is a median/MAD outlier (fixture threshold 2.0 so
@@ -2899,6 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_stats": q_concentration_stats,
         "key_volume_outliers": q_key_volume_outliers,
         "join_size_estimate": q_join_size_estimate,
+        "transition_latency": q_transition_latency,
+        "turn_count_histogram": q_turn_count_histogram,
     }
 
 
@@ -7063,5 +7090,50 @@ def oracle_sql() -> dict[str, str]:
                             / (heavy_pairs::double + tail_est), 6)
                  END AS heavy_share
         FROM y"""
+
+    sql["transition_latency"] = """
+        WITH base AS (
+          SELECT user_id AS g, ts,
+                 CASE WHEN event_id % 97 = 0 THEN NULL
+                      WHEN event_type = 'signup' THEN 'system'
+                      WHEN event_type IN ('click', 'view')
+                        THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 epoch_us(ts) AS m
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        lat AS (SELECT lag(role) OVER w AS from_role,
+                       role AS to_role,
+                       m - lag(m) OVER w AS gap
+                FROM base
+                WINDOW w AS (PARTITION BY g ORDER BY ts))
+        SELECT from_role, to_role, count(*)::bigint AS n,
+               round(sum(gap)::double / count(*)::double
+                     / 1000000.0, 6) AS mean_s,
+               round(quantile_cont(gap, 0.5) / 1000000.0, 6) AS p50_s,
+               round(quantile_cont(gap, 0.95) / 1000000.0, 6)
+                 AS p95_s,
+               round(max(gap)::double / 1000000.0, 6) AS max_s
+        FROM lat WHERE gap IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    sql["turn_count_histogram"] = """
+        WITH c AS (SELECT user_id, count(*)::bigint AS n FROM events
+                   WHERE user_id IS NOT NULL GROUP BY 1),
+        bands AS (SELECT CAST(floor(log2(n::double)) AS INT)
+                    AS bucket,
+                    count(*)::bigint AS n_groups,
+                    sum(n)::bigint AS n_rows
+                  FROM c GROUP BY 1),
+        tot AS (SELECT sum(n_groups)::bigint AS tg,
+                       sum(n_rows)::bigint AS tr FROM bands)
+        SELECT bucket,
+               CAST(pow(2.0, bucket) AS BIGINT) AS min_turns,
+               CAST(pow(2.0, bucket + 1) AS BIGINT) - 1 AS max_turns,
+               n_groups, n_rows,
+               round(n_groups::double / tg::double, 6)
+                 AS share_groups,
+               round(n_rows::double / tr::double, 6) AS share_rows
+        FROM bands, tot ORDER BY bucket"""
 
     return sql

@@ -965,3 +965,96 @@ def user_mix(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
         F.round(F.col("n_new").cast("double")
                 / F.col("n_active").cast("double"), 6)
          .alias("share_new"))
+
+
+def transition_latency(df: DataFrame, part_col: str,
+                       order_cols: list[str], role_col: str,
+                       ts_col: str) -> DataFrame:
+    """Latency per ROLE TRANSITION: the time between consecutive turns
+    of a conversation, grouped by (from_role → to_role) — which hop is
+    slow (``turn_latency_stats`` says conversation X is slow; this
+    says tool→assistant is the stall everywhere, i.e. the tool-result
+    processing path, not the user). Output per transition: from_role,
+    to_role, n, mean_s, p50_s, p95_s, max_s (6dp).
+
+    Turns order by ``order_cols`` (the caller's total order, same
+    contract as the other window ops); the latency is the ts delta to
+    the PREVIOUS turn. Rows with NULL ts or NULL partition are
+    excluded up front (a gap to/from an untimed turn is undefined);
+    NULL roles group as NULL (they surface as their own transition
+    rows — a visibility feature, not an accident). First turns have no
+    predecessor and contribute nothing.
+
+    SCALE: ONE keyed lag window (the sessionize shuffle shape), then
+    ONE hash aggregate keyed by the role pair (#roles² groups). Gap
+    sums are exact BIGINT microseconds; percentiles exact
+    interpolation (oracle mode; percentile_approx at extreme scale)."""
+    p, t = F.col(part_col), F.col(ts_col)
+    base = (df.where(p.isNotNull() & t.isNotNull())
+              .select(part_col, *order_cols,
+                      F.col(role_col).alias("__role"),
+                      F.unix_micros(t.cast("timestamp_ltz"))
+                       .alias("__m")))
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    lat = (base.withColumn("__prev_role", F.lag("__role").over(w))
+               .withColumn("__gap",
+                           F.col("__m") - F.lag("__m").over(w))
+               .where(F.col("__gap").isNotNull()))
+    micro = F.lit(1000000.0)
+    n = F.count(F.lit(1)).cast("bigint")
+    return (lat.groupBy(F.col("__prev_role").alias("from_role"),
+                        F.col("__role").alias("to_role"))
+               .agg(n.alias("n"),
+                    F.round(F.sum("__gap").cast("double")
+                            / n.cast("double") / micro, 6)
+                     .alias("mean_s"),
+                    F.round(F.percentile("__gap", F.lit(0.5)) / micro,
+                            6).alias("p50_s"),
+                    F.round(F.percentile("__gap", F.lit(0.95)) / micro,
+                            6).alias("p95_s"),
+                    F.round(F.max("__gap").cast("double") / micro, 6)
+                     .alias("max_s")))
+
+
+def turn_count_histogram(df: DataFrame, part_col: str) -> DataFrame:
+    """Conversation-size histogram on power-of-two buckets: how many
+    conversations have 1, 2–3, 4–7, … turns, and what share of the
+    ROW mass each band carries — the packing/padding planner's input
+    (``padding_waste`` scores a chosen max_len; this says what the
+    length distribution IS), and the mega-conversation skew summary
+    at a glance.
+
+    Output per band: bucket (=⌊log2 n⌋), min_turns, max_turns,
+    n_groups, n_rows, share_groups, share_rows (6dp). NULL partition
+    keys are excluded (they are not a conversation).
+
+    SCALE: one count-per-key aggregate (the only row-data shuffle),
+    then a ⌊log2⌋ rollup of the key-counts frame; the totals re-read
+    the band frame through a single-row cross-broadcast."""
+    p = F.col(part_col)
+    counts = (df.where(p.isNotNull())
+                .groupBy(part_col)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__n")))
+    b = F.floor(F.log2(F.col("__n").cast("double"))).cast("int")
+    bands = (counts.groupBy(b.alias("bucket"))
+                   .agg(F.count(F.lit(1)).cast("bigint")
+                         .alias("n_groups"),
+                        F.sum("__n").cast("bigint").alias("n_rows")))
+    tot = bands.groupBy().agg(F.sum("n_groups").cast("bigint")
+                               .alias("__tg"),
+                              F.sum("n_rows").cast("bigint")
+                               .alias("__tr"))
+    return (bands.crossJoin(F.broadcast(tot))
+                 .select("bucket",
+                         F.pow(F.lit(2.0), F.col("bucket"))
+                          .cast("bigint").alias("min_turns"),
+                         (F.pow(F.lit(2.0), F.col("bucket") + 1)
+                          .cast("bigint") - 1).alias("max_turns"),
+                         "n_groups", "n_rows",
+                         F.round(F.col("n_groups").cast("double")
+                                 / F.col("__tg").cast("double"), 6)
+                          .alias("share_groups"),
+                         F.round(F.col("n_rows").cast("double")
+                                 / F.col("__tr").cast("double"), 6)
+                          .alias("share_rows")))
