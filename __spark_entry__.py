@@ -2539,6 +2539,39 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_shingle_containment(spark, sf_dir):
+    """Directional quote-inclusion pairs (decontam.shingle_containment,
+    k=5, either-direction >= 0.8): the near-superset detector Jaccard
+    misses; exact baseline — 8-byte shingle-hash join, text never
+    shuffles."""
+    from schema_validata_spark.operators.decontam import \
+        shingle_containment
+    return (shingle_containment(_t(spark, sf_dir, "documents"),
+                                "text", "doc_id", shingle_k=5,
+                                threshold=0.8)
+            .orderBy("id_a", "id_b"))
+
+
+def q_value_grid_stats(spark, sf_dir):
+    """Grid-snap profile of events.value (statqa.value_grid_stats):
+    the quantized/binned-data detector — one wide global aggregate,
+    exploded after."""
+    from schema_validata_spark.operators.statqa import value_grid_stats
+    return (value_grid_stats(_t(spark, sf_dir, "events"), "value")
+            .orderBy("step"))
+
+
+def q_embedding_spectrum(spark, sf_dir):
+    """Covariance spectrum + effective rank of the embedding cloud
+    (similarity.embedding_spectrum): collapsed-encoder detector;
+    streaming numpy-gram partials, driver eigendecomposition —
+    rows-only (no SQL eigensolver)."""
+    from schema_validata_spark.operators.similarity import \
+        embedding_spectrum
+    return embedding_spectrum(_t(spark, sf_dir, "embeddings"),
+                              "embedding", top_k=8)
+
+
 def q_transition_latency(spark, sf_dir):
     """Latency per role transition (sequence.transition_latency) over
     the derived-role transcript: WHICH hop is slow (tool-result
@@ -2926,6 +2959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "transition_latency": q_transition_latency,
         "turn_count_histogram": q_turn_count_histogram,
+        "shingle_containment": q_shingle_containment,
+        "value_grid_stats": q_value_grid_stats,
+        "embedding_spectrum": q_embedding_spectrum,
     }
 
 
@@ -7135,5 +7171,54 @@ def oracle_sql() -> dict[str, str]:
                  AS share_groups,
                round(n_rows::double / tr::double, 6) AS share_rows
         FROM bands, tot ORDER BY bucket"""
+
+    # same string-shingle replay as contamination (Spark joins on
+    # xxhash64 of the same strings — collision-free here)
+    sql["shingle_containment"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE text IS NOT NULL),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct(list_transform(
+                      range(1, len(w) - 3),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ',
+                                  w[i+3], ' ', w[i+4])))
+                 END AS s
+          FROM toks),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s))::bigint AS n_common,
+                 len(a.s)::bigint AS size_a, len(b.s)::bigint AS size_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) >= 1)
+        SELECT id_a, id_b, n_common, size_a, size_b,
+               round(n_common::double / size_a::double, 6)
+                 AS containment_a,
+               round(n_common::double / size_b::double, 6)
+                 AS containment_b
+        FROM pairs
+        WHERE n_common::double / size_a::double >= 0.8
+           OR n_common::double / size_b::double >= 0.8
+        ORDER BY id_a, id_b"""
+
+    _grid_steps = (0.01, 0.25, 0.5, 1.0, 5.0, 10.0, 100.0)
+    _grid_rows = " UNION ALL ".join(
+        f"SELECT CAST({s} AS DOUBLE) AS step, n, g{i} AS n_on_grid, "
+        f"CASE WHEN n > 0 THEN round(g{i}::double / n::double, 6) END "
+        f"AS share FROM w"
+        for i, s in enumerate(_grid_steps))
+    sql["value_grid_stats"] = f"""
+        WITH w AS (
+          SELECT count(value)::bigint AS n,
+                 {', '.join(
+                     f"sum(CASE WHEN value IS NOT NULL AND "
+                     f"abs(value / {s} - round(value / {s})) < 1e-9 "
+                     f"THEN 1 ELSE 0 END)::bigint AS g{i}"
+                     for i, s in enumerate(_grid_steps))}
+          FROM events)
+        {_grid_rows} ORDER BY step"""
 
     return sql

@@ -194,3 +194,51 @@ def contamination_pairs_bloom(train: DataFrame, eval_set: DataFrame,
                   .groupBy("train_id", "eval_id")
                   .agg(F.count(F.lit(1)).alias("n_shared"))
                   .where(F.col("n_shared") >= min_overlap))
+
+
+def shingle_containment(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """Directional shingle CONTAINMENT within one corpus: pairs where
+    one document's k-gram set is largely inside the other's — the
+    quote-inclusion / near-superset detector Jaccard structurally
+    misses (a long page quoting a short doc whole has Jaccard
+    |B|/|A| ≈ 0 but containment of the short side 1.0). The dedup
+    complement of cross-corpus ``contamination_pairs``.
+
+    Output (id_a < id_b): id_a, id_b, n_common, size_a, size_b
+    (distinct-shingle counts), containment_a (n_common/size_a — how
+    much of A is inside B), containment_b (6dp); pairs kept when
+    EITHER direction >= ``threshold``. NULL-text docs carry no
+    shingles (same contract as minhash/contamination).
+
+    SCALE: documented EXACT BASELINE, like ``ngram_jaccard`` — the
+    8-byte shingle-hash equi-join is quadratic in docs-per-shared-
+    shingle (boilerplate blows it up); MinHash/winnowing are the scale
+    path, this is the ground truth they're measured against. Text
+    never shuffles — only (id, hash) rows and the docs-sized size
+    frame."""
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = _shingle_hashes(df, text_col, id_col, "__id", shingle_k)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "sh")
+    b = sh.select(F.col("__id").alias("id_b"), "sh")
+    common = (a.join(b, "sh")
+               .where(F.col("id_a") < F.col("id_b"))
+               .groupBy("id_a", "id_b")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    sa = sizes.select(F.col("__id").alias("id_a"),
+                      F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"),
+                      F.col("sz").alias("size_b"))
+    ca = F.col("n_common").cast("double") / F.col("size_a").cast("double")
+    cb = F.col("n_common").cast("double") / F.col("size_b").cast("double")
+    return (common.join(sa, "id_a").join(sb, "id_b")
+                  .where((ca >= F.lit(float(threshold)))
+                         | (cb >= F.lit(float(threshold))))
+                  .select("id_a", "id_b", "n_common", "size_a",
+                          "size_b",
+                          F.round(ca, 6).alias("containment_a"),
+                          F.round(cb, 6).alias("containment_b")))

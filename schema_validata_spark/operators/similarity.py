@@ -851,3 +851,85 @@ def centroid_similarity_matrix(df: DataFrame, group_col: str,
                         F.col("gb").alias("group_b"),
                         F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
                          .alias("cos")))
+
+
+def embedding_spectrum(df: DataFrame, vec_col: str = "embedding",
+                       top_k: int = 8) -> DataFrame:
+    """Covariance SPECTRUM of the embedding cloud: top-k explained-
+    variance shares + effective rank (exp of the eigenvalue-
+    distribution entropy, Roy & Vetterli 2007) — the collapsed /
+    anisotropic-encoder detector the other embedding QA can't see
+    (norms unit, dims consistent, yet every vector lies on a line:
+    top-1 share ≈ 1, effective rank ≈ 1; a healthy encoder spreads
+    mass across many directions).
+
+    Output: one row per component 1..min(top_k, d) — component,
+    eigenvalue, var_share, cum_share (6dp) — plus the scalar
+    effective_rank repeated per row for a flat, joinable schema.
+
+    SCALE: one streaming pass — ``mapInPandas`` emits per-batch
+    partials (n, Σv, Σvvᵀ flattened) via numpy matmul (a sanctioned
+    Arrow-vectorized island, same class as the LSH hyperplane codes);
+    the collected frame is #batches × d² floats (manifest-scale for
+    d ≤ ~2k), combined and eigendecomposed driver-side. Vectors
+    never concentrate on one executor and text/ids never move.
+    NULL / empty embeddings are skipped; mixed dims raise (run
+    embedding_dim_qa first)."""
+    import numpy as np
+    import pandas as pd
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def _partials(batches):
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col]
+                    if v is not None and len(v) > 0]
+            if not vecs:
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in vecs])
+            yield pd.DataFrame({
+                "n": [int(m.shape[0])],
+                "d": [int(m.shape[1])],
+                "s": [m.sum(axis=0).tobytes()],
+                "g": [(m.T @ m).ravel().tobytes()]})
+
+    parts = (df.select(vec_col)
+               .mapInPandas(_partials, schema="n long, d int, s binary,"
+                                              " g binary")
+               .collect())
+    if not parts:
+        raise ValueError("embedding_spectrum: no non-empty vectors")
+    dims = {p["d"] for p in parts}
+    if len(dims) != 1:
+        raise ValueError(f"mixed embedding dims {sorted(dims)}; run "
+                         "embedding_dim_qa and fix the corpus first")
+    d = dims.pop()
+    n = sum(p["n"] for p in parts)
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for p in parts:
+        s += np.frombuffer(p["s"], dtype=np.float64)
+        g += np.frombuffer(p["g"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    evals = np.clip(evals, 0.0, None)
+    total = float(evals.sum())
+    if total <= 0:
+        raise ValueError("embedding_spectrum: zero-variance cloud")
+    p_ = evals / total
+    nz = p_[p_ > 0]
+    eff_rank = float(np.exp(-(nz * np.log(nz)).sum()))
+    k = min(int(top_k), d)
+    rows = []
+    cum = 0.0
+    for i in range(k):
+        share = float(p_[i])
+        cum += share
+        rows.append((i + 1, round(float(evals[i]), 6), round(share, 6),
+                     round(cum, 6), round(eff_rank, 6)))
+    return df.sparkSession.createDataFrame(
+        rows, "component int, eigenvalue double, var_share double, "
+              "cum_share double, effective_rank double")

@@ -1747,3 +1747,51 @@ def concentration_stats(df: DataFrame, cols: list[str],
          .alias("topk_share"),
         F.round(hhi, 6).alias("hhi"),
         F.round(F.lit(1.0) / hhi, 6).alias("effective_n"))
+
+
+_GRID_EPS = 1e-9
+
+
+def value_grid_stats(df: DataFrame, value_col: str,
+                     steps: tuple = (0.01, 0.25, 0.5, 1.0, 5.0, 10.0,
+                                     100.0)) -> DataFrame:
+    """Grid-snap profile of a numeric column: for each candidate step,
+    the share of values that are integer multiples of it — the
+    quantized / binned / hand-rounded data detector (sensor data
+    that's suddenly 100% on a 0.5 grid changed its ADC or got rounded
+    in transit; prices 99% on a 0.01 grid are normal, on a 1.0 grid
+    they were truncated). Complements ``last_digit_uniformity``
+    (integer tails) and ``moment_stats`` (shape): the grid share sees
+    sub-integer quantization both of those miss.
+
+    Output per step: step, n (non-null values), n_on_grid, share
+    (6dp). A value sits on the grid when |v/step − round(v/step)| <
+    1e-9 — the same pinned double predicate in both engines.
+
+    SCALE: ONE global aggregate with one conditional counter per step
+    (map-side combined), exploded to rows AFTER aggregation. Steps are
+    literals; nothing shuffles but a single partial row per task."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if any(s <= 0 for s in steps):
+        raise ValueError("steps must be positive")
+    v = qcol(value_col).cast("double")
+    aggs = [F.count(v).cast("bigint").alias("__n")]
+    for i, s in enumerate(steps):
+        r = v / F.lit(float(s))
+        on = F.abs(r - F.round(r, 0)) < F.lit(_GRID_EPS)
+        aggs.append(F.sum(F.when(v.isNotNull() & on, 1).otherwise(0))
+                     .cast("bigint").alias(f"__g{i}"))
+    wide = df.agg(*aggs)
+    arr = F.array(*[
+        F.struct(F.lit(float(s)).alias("step"),
+                 F.col(f"__g{i}").alias("n_on_grid"))
+        for i, s in enumerate(steps)])
+    return (wide.select(F.col("__n").alias("n"),
+                        F.explode(arr).alias("e"))
+                .select("e.step", "n", "e.n_on_grid",
+                        F.when(F.col("n") > 0,
+                               F.round(F.col("e.n_on_grid")
+                                       .cast("double")
+                                       / F.col("n").cast("double"), 6))
+                         .alias("share")))
