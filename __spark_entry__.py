@@ -2539,6 +2539,31 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Two-scan exact heavy hitters over user_id
+    (sketches.heavy_hitters, share > 0.008): per-partition pandas
+    value_counts candidates (zero shuffle), isin-filtered exact
+    recount — output is partition-layout independent by the final
+    strict threshold."""
+    from schema_validata_spark.operators.sketches import heavy_hitters
+    return (heavy_hitters(_t(spark, sf_dir, "events"), "user_id",
+                          threshold_share=0.008)
+            .orderBy("value"))
+
+
+def q_numeric_histogram2d(spark, sf_dir):
+    """Joint (value × hour-of-day) histogram (drift.
+    numeric_histogram2d): the dependence-structure drift input
+    marginal histograms can't give; one (n_x+2)·(n_y+2)-key hash
+    aggregate."""
+    from schema_validata_spark.operators.drift import numeric_histogram2d
+    df = (_t(spark, sf_dir, "events")
+          .select("value", F.hour("ts").cast("double").alias("hh")))
+    return (numeric_histogram2d(df, "value", "hh", 0.0, 500.0,
+                                0.0, 24.0, 10, 12)
+            .orderBy("x_bucket", "y_bucket"))
+
+
 def q_shingle_containment(spark, sf_dir):
     """Directional quote-inclusion pairs (decontam.shingle_containment,
     k=5, either-direction >= 0.8): the near-superset detector Jaccard
@@ -2962,6 +2987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_containment": q_shingle_containment,
         "value_grid_stats": q_value_grid_stats,
         "embedding_spectrum": q_embedding_spectrum,
+        "heavy_hitters": q_heavy_hitters,
+        "numeric_histogram2d": q_numeric_histogram2d,
     }
 
 
@@ -7220,5 +7247,33 @@ def oracle_sql() -> dict[str, str]:
                      for i, s in enumerate(_grid_steps))}
           FROM events)
         {_grid_rows} ORDER BY step"""
+
+    sql["heavy_hitters"] = """
+        WITH t AS (SELECT count(user_id)::bigint AS n FROM events)
+        SELECT CAST(user_id AS VARCHAR) AS value,
+               count(*)::bigint AS count,
+               round(count(*)::double / (SELECT n FROM t), 6) AS share
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+        HAVING count(*) > 0.008 * (SELECT n FROM t)
+        ORDER BY value"""
+
+    # width_bucket mirrored manually (same emulation as the 1-D
+    # histogram oracles): 0 below lo, n+1 at/above hi.
+    sql["numeric_histogram2d"] = """
+        WITH base AS (
+          SELECT value AS x, CAST(hour(ts) AS DOUBLE) AS y FROM events
+          WHERE value IS NOT NULL AND ts IS NOT NULL),
+        cells AS (
+          SELECT CAST(CASE WHEN x < 0 THEN 0 WHEN x >= 500 THEN 11
+                   ELSE floor(x / 50.0) + 1 END AS INT) AS x_bucket,
+                 CAST(CASE WHEN y < 0 THEN 0 WHEN y >= 24 THEN 13
+                   ELSE floor(y / 2.0) + 1 END AS INT) AS y_bucket,
+                 count(*)::bigint AS count
+          FROM base GROUP BY 1, 2),
+        t AS (SELECT sum(count)::bigint AS n FROM cells)
+        SELECT x_bucket, y_bucket, count,
+               round(count::double / (SELECT n FROM t), 6) AS share
+        FROM cells ORDER BY x_bucket, y_bucket"""
 
     return sql

@@ -378,3 +378,43 @@ def jsd_drift(observed_hist: DataFrame, baseline_hist: DataFrame,
              .agg(F.round(F.sum(term), 6).alias("jsd"),
                   F.max("to").alias("n_obs"),
                   F.max("tb").alias("n_base")))
+
+
+def numeric_histogram2d(df: DataFrame, x_col: str, y_col: str,
+                        x_lo: float, x_hi: float,
+                        y_lo: float, y_hi: float,
+                        n_x: int = 10, n_y: int = 10) -> DataFrame:
+    """Joint 2-D histogram of two numeric columns via a pair of
+    width_buckets — the dependence-structure drift input the marginal
+    histograms can't give (two snapshots with identical per-column
+    histograms can still have swapped which hours carry which values;
+    chi²/PSI over the JOINT cells sees it, and cramers_v/correlations
+    compress it to one number while this keeps the where).
+
+    Output: (x_bucket, y_bucket, count, share 6dp) — bucket 0 and
+    n+1 are the standard width_bucket under/overflow cells. Rows with
+    NULL in either column are excluded (they carry no joint
+    information; the completeness screens own them).
+
+    SCALE: ONE hash aggregate on the (n_x+2)·(n_y+2)-key space —
+    map-side combine collapses every partition to ≤ that many
+    partials. Feed two snapshots' outputs to ``jsd_drift``/
+    ``drift_scores`` with bucket = concat(x, ':', y)."""
+    if n_x < 1 or n_y < 1:
+        raise ValueError("n_x and n_y must be >= 1")
+    x, y = qcol(x_col).cast("double"), qcol(y_col).cast("double")
+    bx = F.width_bucket(x, F.lit(float(x_lo)), F.lit(float(x_hi)),
+                        F.lit(int(n_x)))
+    by = F.width_bucket(y, F.lit(float(y_lo)), F.lit(float(y_hi)),
+                        F.lit(int(n_y)))
+    cells = (df.where(x.isNotNull() & y.isNotNull())
+               .groupBy(bx.cast("int").alias("x_bucket"),
+                        by.cast("int").alias("y_bucket"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("count")))
+    tot = cells.groupBy().agg(F.sum("count").cast("bigint")
+                               .alias("__t"))
+    return (cells.crossJoin(F.broadcast(tot))
+                 .select("x_bucket", "y_bucket", "count",
+                         F.round(F.col("count").cast("double")
+                                 / F.col("__t").cast("double"), 6)
+                          .alias("share")))

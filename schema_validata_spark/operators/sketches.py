@@ -389,3 +389,74 @@ def summary_drift(summaries_a: DataFrame, summaries_b: DataFrame,
                    F.max("w1_est").alias("w1_est"),
                    F.max("max_q_gap").alias("max_q_gap"))
               .orderBy("column_name"))
+
+
+def heavy_hitters(df: DataFrame, col: str,
+                  threshold_share: float = 0.001) -> DataFrame:
+    """EXACT heavy hitters above ``threshold_share`` in two scans and
+    NO full-value shuffle — the top_tokens / value-counts pattern at
+    cardinalities where shuffling every (value, 1) pair is the
+    bottleneck (URL, user-agent, free-text key columns at 10¹² rows).
+
+    Phase 1 finds a CANDIDATE superset per partition with a vectorized
+    pandas ``value_counts`` (Arrow island, zero shuffle): any value
+    with global share > t must exceed share t inside at least one
+    partition (Σc_p > tN = Σ tN_p ⟹ ∃p: c_p > tN_p), and fewer than
+    1/t values can exceed share t locally, so each partition emits
+    ≤ ⌈1/t⌉ candidates. Phase 2 rescans with an ``isin`` literal
+    filter (pushed to the scan) and exactly counts ONLY candidates —
+    the one shuffle carries ≤ partitions/t tiny rows. The final
+    ``count > t·N`` filter makes the output PARTITION-LAYOUT
+    INDEPENDENT (the candidate superset varies with layout; the
+    survivors never do): value, count (exact), share (6dp), sorted
+    deterministically by (count DESC, value ASC) semantics via exact
+    values. NULLs are excluded (profile counts them already).
+
+    A 10⁻³ threshold means ≤1,000 survivors regardless of data size —
+    driver-safe by construction."""
+    if not 0 < threshold_share < 1:
+        raise ValueError("threshold_share must be in (0, 1)")
+    import math
+
+    import pandas as pd  # noqa: F401 — vectorized value_counts below
+
+    m = int(math.ceil(1.0 / threshold_share))
+
+    def _local_tops(batches):
+        import pandas as pd
+        acc = None
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if acc is None or acc.empty:
+            return
+        n_local = int(acc.sum())
+        # fewer than m values can exceed share 1/m locally
+        tops = acc[acc > n_local * float(threshold_share)]
+        if len(tops) > m:
+            tops = tops.iloc[:m]
+        # one NULL-value row carries the partition's non-null total,
+        # so ONE pass yields both the candidates and N
+        yield pd.DataFrame({
+            "value": list(tops.index.astype(str)) + [None],
+            "n_part": [0] * len(tops) + [n_local]})
+
+    part = (df.select(col)
+              .mapInPandas(_local_tops,
+                           schema="value string, n_part long")
+              .collect())
+    cands = sorted({r["value"] for r in part if r["value"] is not None})
+    total = sum(r["n_part"] for r in part)
+    if not cands or total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "value string, count bigint, share double")
+    v = qcol(col).cast("string")
+    exact = (df.where(v.isin(cands))
+               .groupBy(v.alias("value"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("count")))
+    return (exact.where(F.col("count")
+                        > F.lit(float(threshold_share) * total))
+                 .select("value", "count",
+                         F.round(F.col("count").cast("double")
+                                 / F.lit(float(total)), 6)
+                          .alias("share")))
