@@ -2539,6 +2539,18 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_json_flatten(spark, sf_dir):
+    """Typed JSON flatten of events.props (semistructured.
+    json_flatten): k as bigint + a deliberately-missing key — map-only
+    scan-stage extraction, NULL-on-mismatch, json_ok channel."""
+    from schema_validata_spark.operators.semistructured import \
+        json_flatten
+    return (json_flatten(_t(spark, sf_dir, "events"), "props",
+                         {"k": ("$.k", "bigint"),
+                          "missing": ("$.missing", "string")})
+            .orderBy("event_id"))
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Two-scan exact heavy hitters over user_id
     (sketches.heavy_hitters, share > 0.008): per-partition pandas
@@ -2989,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_spectrum": q_embedding_spectrum,
         "heavy_hitters": q_heavy_hitters,
         "numeric_histogram2d": q_numeric_histogram2d,
+        "json_flatten": q_json_flatten,
     }
 
 
@@ -7275,5 +7288,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT x_bucket, y_bucket, count,
                round(count::double / (SELECT n FROM t), 6) AS share
         FROM cells ORDER BY x_bucket, y_bucket"""
+
+    sql["json_flatten"] = """
+        SELECT event_id, ts, user_id, event_type, value, props,
+               CASE WHEN props IS NOT NULL
+                 THEN json_valid(props) END AS json_ok,
+               TRY_CAST(CASE WHEN json_valid(props)
+                   THEN json_extract_string(props, '$.k') END
+                 AS BIGINT) AS k,
+               CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.missing') END
+                 AS missing
+        FROM events ORDER BY event_id"""
 
     return sql

@@ -189,3 +189,65 @@ def tool_arg_conformance(df: DataFrame, tool_col: str, json_col: str,
                       F.round(F.col("n_missing") / F.col("n_calls"), 6)
                        .alias("missing_share"))
               .orderBy("tool"))
+
+
+_FLATTEN_TYPES = {"string", "bigint", "int", "double", "boolean"}
+
+
+def json_flatten(df: DataFrame, json_col: str,
+                 fields: dict[str, tuple[str, str]],
+                 drop_payload: bool = False) -> DataFrame:
+    """Materialize JSON payload keys as TYPED COLUMNS — the extraction
+    step that closes the semistructured loop (json_key_profile
+    discovers, json_payload_stats/violations audit, this one makes the
+    keys first-class so every flat-column operator in the engine —
+    profile, drift, expectations — applies to them).
+
+    ``fields`` maps output column name → (JSONPath, type); extraction
+    is ``get_json_object`` + ``try_cast``, so a missing key, a
+    non-object payload, or a type mismatch yields NULL in that column
+    (never an error — route rows through ``json_payload_violations``
+    for the audit trail). A ``json_ok`` boolean marks payloads that
+    parse at all; NULL payloads get NULL everywhere.
+
+    SCALE: pure scan-stage Column expressions (SimpleJson path walk +
+    cast inside whole-stage codegen) — map-only, no shuffle, no
+    Python. k fields cost k passes over each payload string; for hot
+    fixed-schema extraction switch to one ``from_json`` (this is the
+    schemaless audit path, same contract as the module header)."""
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    for name, (path, typ) in fields.items():
+        if typ not in _FLATTEN_TYPES:
+            raise ValueError(f"unsupported type {typ!r} for {name!r} "
+                             f"(use one of {sorted(_FLATTEN_TYPES)})")
+    p = F.col(json_col)
+    cols = list(df.columns)
+    if drop_payload:
+        cols.remove(json_col)
+    out = [F.col(c) for c in cols]
+    out.append(F.when(p.isNotNull(), json_is_valid(p)).alias("json_ok"))
+    for name, (path, typ) in fields.items():
+        raw = F.get_json_object(p, path)
+        out.append(raw.try_cast(typ).alias(name))
+    return df.select(*out)
+
+
+def json_flatten_auto(df: DataFrame, json_col: str,
+                      top_k: int = 16,
+                      min_share: float = 0.01) -> DataFrame:
+    """Discovery-driven flatten: profile the payload's top-level keys
+    (``json_key_profile``), keep the ``top_k`` most frequent with
+    share >= ``min_share``, and flatten them AS STRINGS (the caller
+    casts once real types are known). The key-profile collect is
+    key-vocabulary-sized (manifest-scale); the flatten itself is the
+    same map-only scan as ``json_flatten``. Column names are the keys
+    prefixed with ``j_`` to avoid colliding with table columns."""
+    prof = (json_key_profile(df, json_col)
+            .where(F.col("share") >= F.lit(float(min_share)))
+            .limit(int(top_k)).collect())
+    if not prof:
+        raise ValueError("json_flatten_auto: no keys at that share")
+    fields = {f"j_{r['key']}": (f"$.{r['key']}", "string")
+              for r in prof}
+    return json_flatten(df, json_col, fields)
