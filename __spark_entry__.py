@@ -2539,6 +2539,65 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_crosstab_residuals(spark, sf_dir):
+    """Contingency-cell drill-down for lang × source
+    (statqa.crosstab_residuals): adjusted standardized residuals name
+    WHICH cells drive the association cramers_v compresses; one (a,b)
+    hash agg + marginal windows over the cell frame."""
+    from schema_validata_spark.operators.statqa import crosstab_residuals
+    return (crosstab_residuals(_t(spark, sf_dir, "documents"), "lang",
+                               "source")
+            .orderBy("value_a", "value_b"))
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day
+    (sequence.rolling_active_users): exact sliding distinct via the
+    offset-expanded (user, day) frame — the churn-cliff screen daily
+    actives can't see."""
+    from schema_validata_spark.operators.sequence import \
+        rolling_active_users
+    return (rolling_active_users(_t(spark, sf_dir, "events"),
+                                 "user_id", "ts", window_days=7)
+            .orderBy("bucket"))
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 validity intervals from the event log
+    (selection.scd2_history): per-user event_type state history —
+    NULL-safe change detection, one keyed window pair sharing a single
+    exchange; pairs with asof_join for state-at-time enrichment."""
+    from schema_validata_spark.operators.selection import scd2_history
+    return (scd2_history(_t(spark, sf_dir, "events"), ["user_id"],
+                         "ts", ["event_type"])
+            .orderBy("user_id", "valid_from"))
+
+
+def q_monotone_trend(spark, sf_dir):
+    """Counter-regression screen (expectations.monotone_trend_check):
+    daily high-water mark of event_id flagged wherever a day falls
+    below its predecessor — resets/backfills/clock skew; one bucket
+    aggregate + a metadata-frame lag."""
+    from schema_validata_spark.operators.expectations import \
+        monotone_trend_check
+    return (monotone_trend_check(_t(spark, sf_dir, "events"), "ts",
+                                 "event_id")
+            .orderBy("bucket"))
+
+
+def q_value_novelty_trend(spark, sf_dir):
+    """New-enum-value arrival trend (expectations.value_novelty_trend)
+    over the JSON payload key k: WHEN unheard-of values first appear,
+    with a sorted ≤10-value audit sample; distinct (value, day)
+    reduction first."""
+    from schema_validata_spark.operators.expectations import \
+        value_novelty_trend
+    df = (_t(spark, sf_dir, "events")
+          .select("ts", F.get_json_object("props", "$.k").alias("kv")))
+    return (value_novelty_trend(df, "kv", "ts")
+            .orderBy("bucket"))
+
+
 def q_json_flatten(spark, sf_dir):
     """Typed JSON flatten of events.props (semistructured.
     json_flatten): k as bigint + a deliberately-missing key — map-only
@@ -3002,6 +3061,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "numeric_histogram2d": q_numeric_histogram2d,
         "json_flatten": q_json_flatten,
+        "monotone_trend": q_monotone_trend,
+        "value_novelty_trend": q_value_novelty_trend,
+        "scd2_history": q_scd2_history,
+        "crosstab_residuals": q_crosstab_residuals,
+        "rolling_active_users": q_rolling_active_users,
     }
 
 
@@ -7300,5 +7364,108 @@ def oracle_sql() -> dict[str, str]:
                  THEN json_extract_string(props, '$.missing') END
                  AS missing
         FROM events ORDER BY event_id"""
+
+    sql["monotone_trend"] = """
+        WITH per AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+                 round(max(CAST(event_id AS DOUBLE)), 6) AS value
+          FROM events
+          WHERE ts IS NOT NULL AND event_id IS NOT NULL
+          GROUP BY 1),
+        w AS (SELECT *, lag(value) OVER (ORDER BY bucket)
+                AS prev_value FROM per)
+        SELECT bucket, value, prev_value,
+               round(value - prev_value, 6) AS delta,
+               coalesce(value < prev_value, FALSE) AS regressed
+        FROM w ORDER BY bucket"""
+
+    # collect_set-of-new-values replay: DuckDB list() FILTER yields
+    # NULL on empty, Spark collect_set yields [] — coalesce closes it.
+    sql["value_novelty_trend"] = """
+        WITH act AS (
+          SELECT DISTINCT
+            CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS v,
+            strftime(date_trunc('day', ts), '%Y-%m-%d') AS b
+          FROM events
+          WHERE ts IS NOT NULL AND props IS NOT NULL
+            AND (CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END)
+                IS NOT NULL),
+        f AS (SELECT v, min(b) AS fb FROM act GROUP BY v),
+        mix AS (
+          SELECT act.b, count(*)::bigint AS n_values,
+                 sum(CASE WHEN act.b = f.fb THEN 1 ELSE 0 END)::bigint
+                   AS n_new,
+                 coalesce(list_slice(list_sort(
+                     list(act.v) FILTER (act.b = f.fb)), 1, 10),
+                   []) AS first_values
+          FROM act JOIN f ON act.v = f.v GROUP BY act.b)
+        SELECT b AS bucket, n_values, n_new,
+               round(n_new::double / n_values::double, 6) AS share_new,
+               first_values
+        FROM mix ORDER BY bucket"""
+
+    # first-row detection via lag(ts) (a prev event_type can be a
+    # legitimate NULL value); change = IS DISTINCT FROM (null-safe).
+    sql["scd2_history"] = """
+        WITH base AS (
+          SELECT user_id AS k, ts, event_type FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        m AS (SELECT *, lag(event_type) OVER w AS prev,
+                     lag(ts) OVER w AS prev_ts
+              FROM base WINDOW w AS (PARTITION BY k ORDER BY ts)),
+        chg AS (SELECT k, ts, event_type FROM m
+                WHERE prev_ts IS NULL
+                   OR event_type IS DISTINCT FROM prev),
+        out AS (SELECT k, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY k ORDER BY ts)
+                    AS valid_to,
+                  event_type
+                FROM chg)
+        SELECT k AS user_id, valid_from, valid_to, event_type
+        FROM out ORDER BY user_id, valid_from"""
+
+    sql["crosstab_residuals"] = """
+        WITH cells AS (
+          SELECT CAST(lang AS VARCHAR) AS value_a,
+                 CAST(source AS VARCHAR) AS value_b,
+                 count(*)::bigint AS n
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1, 2),
+        m AS (SELECT *,
+                sum(n) OVER (PARTITION BY value_a) AS ra_,
+                sum(n) OVER (PARTITION BY value_b) AS cb_,
+                sum(n) OVER () AS t_
+              FROM cells),
+        d AS (SELECT *,
+                ra_::double * cb_::double / t_::double AS e
+              FROM m),
+        d2 AS (SELECT *,
+                 sqrt(e * (1.0 - ra_::double / t_::double)
+                        * (1.0 - cb_::double / t_::double)) AS den
+               FROM d)
+        SELECT value_a, value_b, n, round(e, 6) AS expected,
+               CASE WHEN den > 0
+                 THEN round((n::double - e) / den, 6) END AS residual,
+               coalesce(abs(CASE WHEN den > 0
+                   THEN round((n::double - e) / den, 6) END) >= 2.0,
+                 FALSE) AS flagged
+        FROM d2 ORDER BY value_a, value_b"""
+
+    sql["rolling_active_users"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        day_ AS (SELECT d, count(*)::bigint AS n_active_day
+                 FROM act GROUP BY d),
+        win AS (SELECT w, count(*)::bigint AS n_active_window FROM (
+                  SELECT DISTINCT u, d + CAST(o.o AS INT) AS w
+                  FROM act, (SELECT unnest(range(0, 7)) AS o) o)
+                GROUP BY w)
+        SELECT strftime(day_.d, '%Y-%m-%d') AS bucket,
+               n_active_day, n_active_window
+        FROM day_ JOIN win ON day_.d = win.w ORDER BY bucket"""
 
     return sql

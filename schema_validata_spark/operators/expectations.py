@@ -744,3 +744,89 @@ def completeness_trend(df: DataFrame, ts_col: str, cols: list[str],
         z.alias("z"),
         F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False))
          .alias("flagged"))
+
+
+def monotone_trend_check(df: DataFrame, ts_col: str, value_col: str,
+                         granularity: str = "day",
+                         agg: str = "max") -> DataFrame:
+    """Counter-regression screen: per arrival bucket, the aggregated
+    value of a SHOULD-BE-MONOTONE metric (lifetime totals, cumulative
+    counters, high-water marks), flagged wherever a bucket falls below
+    its predecessor — a counter that moves backwards means a reset,
+    a partial backfill, or clock skew, none of which range/null checks
+    can see.
+
+    ``agg``: 'max' (high-water-mark semantics, default) or 'sum'
+    (per-bucket volume of an always-positive delta column). Output per
+    bucket: bucket, value, prev_value (NULL on the first bucket),
+    delta, regressed (value < prev_value). NULL ts/value rows are
+    excluded.
+
+    SCALE: ONE bucket-keyed hash aggregate over row data; the lag
+    window runs on the bucket-count-sized frame (single partition of
+    metadata — same class as the other bucket screens)."""
+    if agg not in ("max", "sum"):
+        raise ValueError("agg must be 'max' or 'sum'")
+    from pyspark.sql import Window
+
+    t, v = qcol(ts_col), qcol(value_col).cast("double")
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH"}.get(granularity)
+    if fmt is None:
+        raise ValueError("monotone_trend_check supports day/hour buckets")
+    bucket = F.date_format(F.date_trunc(granularity, t), fmt)
+    fn = F.max if agg == "max" else F.sum
+    per = (df.where(t.isNotNull() & v.isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.round(fn(v), 6).alias("value")))
+    w = Window.orderBy("bucket")
+    out = per.withColumn("prev_value", F.lag("value").over(w))
+    return out.select(
+        "bucket", "value", "prev_value",
+        F.round(F.col("value") - F.col("prev_value"), 6).alias("delta"),
+        F.coalesce(F.col("value") < F.col("prev_value"), F.lit(False))
+         .alias("regressed"))
+
+
+def value_novelty_trend(df: DataFrame, value_col: str, ts_col: str,
+                        granularity: str = "day") -> DataFrame:
+    """NEW-VALUE arrival trend for a categorical column: per bucket,
+    how many distinct values were active and how many had NEVER been
+    seen before — the new-enum-value / upstream-schema-change alarm
+    (allowed-value rules reject what a dictionary forbids; this
+    surfaces what a dictionary hasn't HEARD OF yet, with the day it
+    appeared). The generic-column twin of ``sequence.user_mix``.
+
+    Per bucket: bucket, n_values (distinct active), n_new
+    (first-seen), share_new (6dp), first_values (≤10 of the new
+    values, sorted — the audit sample a human acts on). NULL
+    value/ts rows are excluded.
+
+    SCALE: DISTINCT (value, bucket) reduction FIRST (the only
+    full-data shuffle), value-keyed first-bucket aggregate on the
+    reduced frame, bucket-sized rollup; the sample is a sorted
+    slice(collect_set) capped at 10 per bucket."""
+    fmt = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH"}.get(granularity)
+    if fmt is None:
+        raise ValueError("value_novelty_trend supports day/hour buckets")
+    v, t = qcol(value_col), qcol(ts_col)
+    act = (df.where(v.isNotNull() & t.isNotNull())
+             .select(v.cast("string").alias("__v"),
+                     F.date_format(F.date_trunc(granularity, t), fmt)
+                      .alias("__b"))
+             .distinct())
+    first = act.groupBy("__v").agg(F.min("__b").alias("__f"))
+    is_new = F.col("__b") == F.col("__f")
+    mix = (act.join(first, "__v")
+              .groupBy("__b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                   F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint")
+                    .alias("n_new"),
+                   F.slice(F.array_sort(F.collect_set(
+                       F.when(is_new, F.col("__v")))), 1, 10)
+                    .alias("first_values")))
+    return mix.select(
+        F.col("__b").alias("bucket"), "n_values", "n_new",
+        F.round(F.col("n_new").cast("double")
+                / F.col("n_values").cast("double"), 6)
+         .alias("share_new"),
+        "first_values")

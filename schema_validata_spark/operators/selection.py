@@ -137,3 +137,48 @@ def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
     out = df.groupBy(*key_cols).agg(packed.alias("__top"))
     return out.select(*key_cols,
                       *[F.col(f"__top.{c}").alias(c) for c in ordered])
+
+
+def scd2_history(df: DataFrame, key_cols: list[str], ts_col: str,
+                 tracked_cols: list[str]) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event log:
+    collapse consecutive events whose ``tracked_cols`` are unchanged
+    and emit validity INTERVALS — `(key, valid_from, valid_to,
+    *tracked)` with ``valid_to`` NULL on the current row. The
+    warehouse-standard "what was this entity's state at time T" table
+    that ``latest_per_key`` (current snapshot only) can't answer;
+    pairs with ``asof_join`` to enrich facts with the state in force
+    at their timestamp.
+
+    Change detection is NULL-safe (``<=>`` per tracked column): a
+    NULL→value or value→NULL transition IS a change, NULL→NULL is
+    not. Rows with NULL key or ts are excluded (they order nowhere).
+    The caller's ``ts_col`` must totally order each key's events
+    (same contract as the other window ops); equal-ts duplicates make
+    the boundary choice tie-order dependent — dedup first.
+
+    SCALE: ONE keyed sort window computes lag (change flags) AND
+    lead (interval close) over the same partitioning — a single
+    Exchange; the change-row filter drops unchanged events BEFORE the
+    lead... (order: flag via lag → filter → lead within the same key
+    partitioning, second window reuses the exchange)."""
+    if not key_cols or not tracked_cols:
+        raise ValueError("key_cols and tracked_cols must be non-empty")
+    keys = [F.col(c) for c in key_cols]
+    t = F.col(ts_col)
+    base = df.where(t.isNotNull())
+    for c in key_cols:
+        base = base.where(F.col(c).isNotNull())
+    w = Window.partitionBy(*key_cols).orderBy(t)
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    marked = (base.select(*key_cols, ts_col, *tracked_cols)
+                  .withColumn("__chg", first | changed)
+                  .where(F.col("__chg")))
+    w2 = Window.partitionBy(*key_cols).orderBy(t)
+    return (marked
+            .withColumn("valid_to", F.lead(ts_col).over(w2))
+            .select(*key_cols, t.alias("valid_from"), "valid_to",
+                    *tracked_cols))

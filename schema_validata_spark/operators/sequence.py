@@ -1058,3 +1058,52 @@ def turn_count_histogram(df: DataFrame, part_col: str) -> DataFrame:
                          F.round(F.col("n_rows").cast("double")
                                  / F.col("__tr").cast("double"), 6)
                           .alias("share_rows")))
+
+
+def rolling_active_users(df: DataFrame, user_col: str, ts_col: str,
+                         window_days: int = 7) -> DataFrame:
+    """Rolling N-day distinct active users per day (WAU/MAU family) —
+    THE engagement headline metric, and a volume screen that sees what
+    daily actives can't (a churn cliff where dau holds flat because a
+    shrinking cohort logs in daily). Sliding distinct counts don't
+    decompose over days, so the op expands the DISTINCT (user, day)
+    frame by the window offsets and re-distincts — exact, not a
+    sketch.
+
+    Per day: bucket (yyyy-MM-dd), n_active_day (that day's distinct
+    users), n_active_window (distinct users over the trailing
+    ``window_days`` INCLUDING the day). Days with no events simply
+    don't appear (join against completeness_gaps to see holes);
+    trailing windows near the start cover fewer days by construction.
+    NULL user/ts rows are excluded.
+
+    SCALE: the raw-row shuffle is the same DISTINCT (user, day)
+    reduction as cohort/user-mix; the offset explode multiplies the
+    REDUCED frame by window_days (7× |user,day| rows, still tiny next
+    to raw events) and re-aggregates. For 90-day windows at extreme
+    user counts switch to the HLL sketch layer (union over day
+    sketches — operators/sketches.py)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    u, t = F.col(user_col), F.col(ts_col)
+    act = (df.where(u.isNotNull() & t.isNotNull())
+             .select(u.alias("__u"), F.to_date(t).alias("__d"))
+             .distinct())
+    day = (act.groupBy("__d")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_active_day")))
+    off = F.explode(F.sequence(F.lit(0),
+                               F.lit(int(window_days) - 1))).alias("__o")
+    win = (act.select("__u", "__d", off)
+              .select("__u", F.date_add(F.col("__d"), F.col("__o"))
+                              .alias("__w"))
+              .distinct()
+              .groupBy("__w")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_active_window")))
+    # windows that extend past the last observed day are artifacts of
+    # the offset expansion, not real days — inner join trims them
+    return (day.join(win, day["__d"] == win["__w"])
+               .select(F.date_format("__d", "yyyy-MM-dd")
+                        .alias("bucket"),
+                       "n_active_day", "n_active_window"))

@@ -1795,3 +1795,50 @@ def value_grid_stats(df: DataFrame, value_col: str,
                                        .cast("double")
                                        / F.col("n").cast("double"), 6))
                          .alias("share")))
+
+
+def crosstab_residuals(df: DataFrame, col_a: str, col_b: str,
+                       resid_threshold: float = 2.0) -> DataFrame:
+    """WHICH cells drive a categorical association: the observed ×
+    expected contingency table with adjusted standardized residuals
+    (Agresti) — ``cramers_v`` compresses dependence to one number;
+    this names the (a, b) combinations that are over/under-represented
+    (lang×source skew, tool×error-type hotspots), the drill-down an
+    investigation actually needs.
+
+    Per cell: value_a, value_b, n (observed, exact BIGINT), expected
+    (row·col/N, 6dp), residual (adjusted standardized, 6dp — ~N(0,1)
+    under independence, |r| > 2 noteworthy), flagged (|residual| >=
+    ``resid_threshold``, on the 6dp-rounded value). NULLs in either
+    column are excluded (pairs carry no joint information).
+
+    SCALE: ONE (a, b) hash aggregate (the only row-data shuffle);
+    marginals via two unbounded windows over the cell frame
+    (vocab²-sized metadata). Formula pinned: e = ra·cb/N,
+    r = (n−e)/sqrt(e·(1−ra/N)·(1−cb/N))."""
+    a, b = qcol(col_a), qcol(col_b)
+    from pyspark.sql import Window
+
+    cells = (df.where(a.isNotNull() & b.isNotNull())
+               .groupBy(a.cast("string").alias("value_a"),
+                        b.cast("string").alias("value_b"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    wa = Window.partitionBy("value_a")
+    wb = Window.partitionBy("value_b")
+    wt = Window.partitionBy()
+    m = (cells.withColumn("__ra", F.sum("n").over(wa))
+              .withColumn("__cb", F.sum("n").over(wb))
+              .withColumn("__t", F.sum("n").over(wt)))
+    ra = F.col("__ra").cast("double")
+    cb = F.col("__cb").cast("double")
+    t = F.col("__t").cast("double")
+    e = ra * cb / t
+    den = F.sqrt(e * (F.lit(1.0) - ra / t) * (F.lit(1.0) - cb / t))
+    r = F.when(den > 0,
+               F.round((F.col("n").cast("double") - e) / den, 6))
+    return m.select(
+        "value_a", "value_b", "n",
+        F.round(e, 6).alias("expected"),
+        r.alias("residual"),
+        F.coalesce(F.abs(r) >= F.lit(float(resid_threshold)),
+                   F.lit(False)).alias("flagged"))

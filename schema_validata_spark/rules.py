@@ -345,3 +345,88 @@ class Rules:
             out.append(FieldRule(field_name=fname,
                                  **{k: v for k, v in d.items() if k in known}))
         return cls(name=name, fields=out)
+
+
+def _rule_change_direction(attr: str, old, new):
+    """'tightened' / 'loosened' / 'changed' for one rule attribute.
+
+    Monotone attributes have an obvious order (allow_null False is
+    stricter, a higher range_min is stricter, a shorter max length is
+    stricter, unique_value True is stricter, required True is
+    stricter); allowed_value_list compares by set containment; anything
+    else (data_type, regex_pattern, incomparable lists) is 'changed'.
+    A rule appearing (None -> value) tightens; disappearing loosens."""
+    if old is None:
+        return "tightened"
+    if new is None:
+        return "loosened"
+    stricter_true = {"required", "unique_value"}
+    if attr in stricter_true:
+        return "tightened" if new and not old else \
+            "loosened" if old and not new else "changed"
+    if attr == "allow_null":
+        return "tightened" if old and not new else \
+            "loosened" if new and not old else "changed"
+    if attr in ("range_min",):
+        return "tightened" if new > old else "loosened"
+    if attr in ("range_max", "length"):
+        return "tightened" if new < old else "loosened"
+    if attr == "allowed_value_list":
+        o, n = set(map(str, old)), set(map(str, new))
+        if n < o:
+            return "tightened"
+        if n > o:
+            return "loosened"
+        return "changed"
+    return "changed"
+
+
+def rules_diff(old: Rules, new: Rules) -> dict:
+    """Dictionary-governance diff between two rule-table versions: what
+    a reviewer must sign off before the new dictionary ships. The
+    rules twin of ``operators.profile.profile_diff`` (which diffs
+    OBSERVED schemas) — this diffs the CONTRACTS, and labels every
+    attribute change as tightened (may newly fail existing data),
+    loosened (may newly admit bad data), or changed (semantics moved
+    sideways: type/regex swaps).
+
+    Returns::
+
+        {"added_fields": [...], "removed_fields": [...],
+         "changed": {field: {attr: {"old": v, "new": v,
+                                    "direction": ...}}},
+         "composite_unique": {"added": [...], "removed": [...]},
+         "foreign_keys": {"added": [...], "removed": [...]},
+         "tightened": [...], "loosened": [...]}   # field:attr flags
+
+    Pure metadata — nothing touches a DataFrame."""
+    o = {f.field_name: f for f in old.fields}
+    n = {f.field_name: f for f in new.fields}
+    out = {
+        "added_fields": sorted(set(n) - set(o)),
+        "removed_fields": sorted(set(o) - set(n)),
+        "changed": {},
+        "composite_unique": {
+            "added": sorted(map(list, set(new.composite_unique)
+                                 - set(old.composite_unique))),
+            "removed": sorted(map(list, set(old.composite_unique)
+                                   - set(new.composite_unique)))},
+        "foreign_keys": {
+            "added": sorted(map(list, set(new.foreign_keys)
+                                 - set(old.foreign_keys))),
+            "removed": sorted(map(list, set(old.foreign_keys)
+                                   - set(new.foreign_keys)))},
+        "tightened": [], "loosened": [],
+    }
+    for name in sorted(set(o) & set(n)):
+        fo, fn = o[name], n[name]
+        for attr in _RULE_ATTRS:
+            vo, vn = getattr(fo, attr), getattr(fn, attr)
+            if vo == vn:
+                continue
+            d = _rule_change_direction(attr, vo, vn)
+            out["changed"].setdefault(name, {})[attr] = {
+                "old": vo, "new": vn, "direction": d}
+            if d in ("tightened", "loosened"):
+                out[d].append(f"{name}:{attr}")
+    return out

@@ -538,3 +538,27 @@ def stream_completeness(stream_df: DataFrame, cols: list[str],
                        F.round(F.col("e.n_null").cast("double")
                                / F.col("n").cast("double"), 6)
                         .alias("null_rate")))
+
+
+def stream_ri_violations(stream_df: DataFrame, dim_df: DataFrame,
+                         fk_col: str, dim_col: str) -> DataFrame:
+    """Streaming referential integrity: stream rows whose foreign key
+    has no match in a STATIC dimension table — the continuous twin of
+    the batch RI anti-join (integrity.referential_violations), closing
+    the north rule's uniqueness/RI/drift triad on the streaming side
+    (uniqueness → stream_dedup, drift → stream_drift_scores, RI →
+    here).
+
+    Implemented as a stream-static LEFT ANTI join — one of the
+    stateless stream joins Structured Streaming supports natively, so
+    there is NO state store and no watermark requirement: each
+    micro-batch anti-joins against the (broadcastable) dimension
+    snapshot. NULL foreign keys are violations by the same contract as
+    the batch op (they reference nothing). The dimension is read fresh
+    per micro-batch under the default parquet source, so slowly-
+    changing dims are picked up on file refresh."""
+    dim_keys = dim_df.select(F.col(dim_col).alias("__dim_key")) \
+                     .where(F.col("__dim_key").isNotNull()).distinct()
+    return stream_df.join(
+        dim_keys, stream_df[fk_col] == dim_keys["__dim_key"],
+        "left_anti")

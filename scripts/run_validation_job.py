@@ -58,6 +58,16 @@ def main(argv=None):
                          "job exit gate becomes the budgeted verdicts "
                          "(all pass -> 0) instead of the strict "
                          "any-violation fail.")
+    ap.add_argument("--trend-screens", action="store_true",
+                    help="also write the time-bucketed incident screens "
+                         "over the event-time column ('ts'): "
+                         "<name>_completeness_trend.parquet (per-day "
+                         "per-column null-rate z), "
+                         "<name>_dup_trend.parquet (within-day "
+                         "key-duplicate pressure on the key columns), "
+                         "<name>_monotone_trend.parquet (daily "
+                         "high-water mark of turn_idx). Diagnostic "
+                         "artifacts only — the exit gate is unchanged.")
     ap.add_argument("--name", default="transcripts")
     args = ap.parse_args(argv)
 
@@ -136,6 +146,25 @@ def main(argv=None):
         ms = mask_stability(df, mcols, args.partition_col)
         ms.write.mode("overwrite").parquet(
             f"{args.out}/{args.name}_mask_stability.parquet")
+
+    if args.trend_screens:
+        if "ts" not in df.columns:
+            raise SystemExit("--trend-screens requires a 'ts' column")
+        from schema_validata_spark.operators.expectations import (
+            completeness_trend, monotone_trend_check)
+        from schema_validata_spark.operators.uniqueness import dup_trend
+        watch = [c for c in ("role", "text", "tool") if c in df.columns]
+        if watch:
+            completeness_trend(df, "ts", watch).write.mode(
+                "overwrite").parquet(
+                f"{args.out}/{args.name}_completeness_trend.parquet")
+        dup_trend(df, ["conv_id", "turn_idx"], "ts").write.mode(
+            "overwrite").parquet(
+            f"{args.out}/{args.name}_dup_trend.parquet")
+        if "turn_idx" in df.columns:
+            monotone_trend_check(df, "ts", "turn_idx").write.mode(
+                "overwrite").parquet(
+                f"{args.out}/{args.name}_monotone_trend.parquet")
 
     budget_gate = None
     if args.budgets:

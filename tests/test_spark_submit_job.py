@@ -55,6 +55,7 @@ def test_spark_submit_py_files_job(spark, tmp_path):
          "--partition-col", "ts_date", "--manifest", mdir,
          "--sketch-cols", "conv_id,role",
          "--mask-cols", "conv_id,role",
+         "--trend-screens",
          # budgets: tolerate ALL text-length violations, stay strict on
          # everything else -> the budget gate still fails (exit 3)
          "--budgets", '{"text:length": 1.0}'],
@@ -83,6 +84,17 @@ def test_spark_submit_py_files_job(spark, tmp_path):
         out, "transcripts_mask_stability.parquet")).collect()
     assert {r["column_name"] for r in ms} == {"conv_id", "role"}
     assert all(r["n_partitions"] > 0 for r in ms)
+    # the time-bucketed incident screens ran
+    ct = spark.read.parquet(os.path.join(
+        out, "transcripts_completeness_trend.parquet"))
+    assert {r["column_name"] for r in ct.collect()} \
+        >= {"role", "text", "tool"}
+    dt = spark.read.parquet(os.path.join(
+        out, "transcripts_dup_trend.parquet"))
+    assert dt.count() > 0
+    mt = spark.read.parquet(os.path.join(
+        out, "transcripts_monotone_trend.parquet"))
+    assert mt.count() > 0
     # the budgeted gate ran: rate-verdict artifact written, the
     # budgeted check passes everywhere while stricter ones still fail
     assert report["budget_gate"] is False
