@@ -2539,6 +2539,29 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_weighted_k_per_lang(spark, sf_dir):
+    """Exact-20-per-language weighted sample (sampling.
+    weighted_k_sample_per_group): per-slice token-budget slicing,
+    deterministic A-ES draw, WindowGroupLimit map-side heaps."""
+    from schema_validata_spark.functions.sampling import \
+        weighted_k_sample_per_group
+    return (weighted_k_sample_per_group(
+                _t(spark, sf_dir, "documents"), "lang", "doc_id",
+                "n_chars", 20)
+            .orderBy("doc_id"))
+
+
+def q_script_mix_stats(spark, sf_dir):
+    """Unicode script composition per language slice
+    (functions/text.py:script_mix_stats): the mislabeled-language /
+    mojibake screen — per-class regex counting in the scan, one wide
+    group aggregate."""
+    from schema_validata_spark.functions.text import script_mix_stats
+    return (script_mix_stats(_t(spark, sf_dir, "documents"), "text",
+                             "lang")
+            .orderBy("group", "script"))
+
+
 def q_crosstab_residuals(spark, sf_dir):
     """Contingency-cell drill-down for lang × source
     (statqa.crosstab_residuals): adjusted standardized residuals name
@@ -3066,6 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "crosstab_residuals": q_crosstab_residuals,
         "rolling_active_users": q_rolling_active_users,
+        "weighted_k_per_lang": q_weighted_k_per_lang,
+        "script_mix_stats": q_script_mix_stats,
     }
 
 
@@ -7467,5 +7492,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(day_.d, '%Y-%m-%d') AS bucket,
                n_active_day, n_active_window
         FROM day_ JOIN win ON day_.d = win.w ORDER BY bucket"""
+
+    sql["weighted_k_per_lang"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT d.*,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY round(1000000000.0 * ln(
+                       ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                         ::BIGINT)::DOUBLE + 0.5) / 4294967296.0)
+                     / n_chars::DOUBLE) / 1000000000.0 DESC,
+                     doc_id ASC) AS rk
+          FROM documents d
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            AND n_chars > 0)
+        WHERE rk <= 20 ORDER BY doc_id"""
+
+    # RE2 script spellings (\\p{Latin}) — same character sets as the
+    # Java \\p{IsLatin} classes the Spark side counts with.
+    sql["script_mix_stats"] = """
+        WITH per AS (
+          SELECT CAST(lang AS VARCHAR) AS grp,
+                 sum(length(text))::bigint AS total,
+                 sum(length(text) - length(regexp_replace(
+                     text, '\\p{Latin}', '', 'g')))::bigint AS latin,
+                 sum(length(text) - length(regexp_replace(
+                     text, '\\p{Cyrillic}', '', 'g')))::bigint
+                   AS cyrillic,
+                 sum(length(text) - length(regexp_replace(
+                     text, '\\p{Han}', '', 'g')))::bigint AS han,
+                 sum(length(text) - length(regexp_replace(
+                     text, '\\p{Arabic}', '', 'g')))::bigint AS arabic,
+                 sum(length(text) - length(regexp_replace(
+                     text, '[0-9]', '', 'g')))::bigint AS digit,
+                 sum(length(text) - length(regexp_replace(
+                     text, '\\s', '', 'g')))::bigint AS space
+          FROM documents
+          WHERE lang IS NOT NULL AND text IS NOT NULL
+          GROUP BY 1),
+        lng AS (
+          SELECT grp, 'latin' AS script, latin AS n_chars, total
+          FROM per
+          UNION ALL SELECT grp, 'cyrillic', cyrillic, total FROM per
+          UNION ALL SELECT grp, 'han', han, total FROM per
+          UNION ALL SELECT grp, 'arabic', arabic, total FROM per
+          UNION ALL SELECT grp, 'digit', digit, total FROM per
+          UNION ALL SELECT grp, 'space', space, total FROM per
+          UNION ALL SELECT grp, 'other',
+            (total - latin - cyrillic - han - arabic - digit - space),
+            total FROM per)
+        SELECT grp AS "group", script, n_chars,
+               CASE WHEN total > 0
+                 THEN round(n_chars::double / total::double, 6) END
+                 AS share
+        FROM lng ORDER BY "group", script"""
 
     return sql

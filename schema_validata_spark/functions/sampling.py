@@ -356,3 +356,41 @@ def weighted_k_sample(df: DataFrame, key_col: str, weight_col: str,
     return (df.where(w.isNotNull() & (w > 0))
               .orderBy(score.desc(), F.col(key_col).asc())
               .limit(int(k)))
+
+
+def weighted_k_sample_per_group(df: DataFrame, group_col: str,
+                                key_col: str, weight_col: str,
+                                k: int, salt: str = "") -> DataFrame:
+    """``weighted_k_sample`` PER GROUP: exactly ``k`` rows (fewer when
+    the group is smaller) from EACH group, weight-proportional without
+    replacement, deterministic — the per-language / per-source token-
+    budget slicer ("10k docs per lang, long ones proportionally more
+    often, same set every run") that the global variant can't express
+    and exact-n ``per_group_sample`` (unweighted) can't either.
+
+    Same A-ES construction as the global op: u from the md5 key draw
+    (engine- and partitioning-independent), score ln(u)/w quantized to
+    9dp, (score DESC, key ASC) tiebreak; NULL/non-positive weights and
+    NULL groups never sample.
+
+    SCALE: ``row_number() OVER (PARTITION BY group ORDER BY score)`` +
+    ``rank <= k`` — Catalyst's InferWindowGroupLimit rewrites it into
+    a WindowGroupLimit node (per-task partial top-k per group BEFORE
+    the shuffle, the same map-side-heap contract as top_k_per_group;
+    plan-guard tested). One shuffle on the group key, carrying ≤
+    k·groups·tasks rows."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = ((F.conv(stable_hash_hex(key_col, salt), 16, 10).cast("bigint")
+          .cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.lit(1e9) * F.log(u) / w, 0) / F.lit(1e9)
+    g = F.col(group_col)
+    win = Window.partitionBy(group_col).orderBy(
+        score.desc(), F.col(key_col).asc())
+    return (df.where(g.isNotNull() & w.isNotNull() & (w > 0))
+              .withColumn("__rk", F.row_number().over(win))
+              .where(F.col("__rk") <= int(k))
+              .drop("__rk"))

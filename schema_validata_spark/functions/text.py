@@ -842,3 +842,71 @@ def whitespace_stats(df, cols: list[str]) -> "DataFrame":
     out = (one.select(F.explode(rows).alias("__r"))
               .select("__r.*"))
     return out
+
+
+# Unicode SCRIPT classes, Java-regex dialect (Spark side). The DuckDB
+# oracle uses the RE2 spellings (\p{Latin}, ...) — different pattern
+# text, same character sets, so counts agree. Mutually disjoint by
+# construction (scripts are disjoint; digits/whitespace are not
+# letters), so 'other' = total − Σ classified is well-defined.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("digit", r"[0-9]"),
+    ("space", r"\s"),
+]
+
+
+def script_mix_stats(df: DataFrame, text_col: str,
+                     group_col: str) -> DataFrame:
+    """Unicode-script composition per corpus slice: what share of a
+    slice's characters are Latin / Cyrillic / Han / Arabic / digits /
+    whitespace / other — the mislabeled-language and mojibake screen
+    at the character level (a slice labeled 'en' that is 30% Cyrillic
+    is mislabeled or encoding-corrupted; lang-ID scores the winner,
+    this shows the MIX, and 'other' spiking means replacement chars or
+    markup sludge).
+
+    Output per (group, script): group, script (the classes above +
+    'other'), n_chars (exact BIGINT), share (of the slice's total
+    chars, 6dp). NULL text/group rows are excluded; empty-text docs
+    contribute nothing.
+
+    SCALE: per-class counting is length(text) −
+    length(regexp_replace(text, class, '')) — JVM regex inside the
+    scan projection, no explode of characters; ONE wide hash aggregate
+    per group, unpivoted AFTER aggregation. len(SCRIPT_CLASSES)
+    multiplies map-side regex work, not shuffle width."""
+    from .colref import qcol
+    t, g = qcol(text_col), qcol(group_col)
+    total = F.length(t)
+
+    def _cnt(pat):
+        return total - F.length(F.regexp_replace(t, pat, ""))
+
+    aggs = [F.sum(total).cast("bigint").alias("__total")]
+    for name, pat in SCRIPT_CLASSES:
+        aggs.append(F.sum(_cnt(pat)).cast("bigint").alias(f"__{name}"))
+    per = (df.where(g.isNotNull() & t.isNotNull())
+             .groupBy(g.cast("string").alias("group")).agg(*aggs))
+    classified = None
+    for name, _ in SCRIPT_CLASSES:
+        c = F.col(f"__{name}")
+        classified = c if classified is None else classified + c
+    rows = [F.struct(F.lit(name).alias("script"),
+                     F.col(f"__{name}").alias("n_chars"))
+            for name, _ in SCRIPT_CLASSES]
+    rows.append(F.struct(F.lit("other").alias("script"),
+                         (F.col("__total") - classified)
+                         .cast("bigint").alias("n_chars")))
+    long = (per.select("group", F.col("__total").alias("__t"),
+                       F.explode(F.array(*rows)).alias("e"))
+               .select("group", "e.script", "e.n_chars", "__t"))
+    return long.select(
+        "group", "script", "n_chars",
+        F.when(F.col("__t") > 0,
+               F.round(F.col("n_chars").cast("double")
+                       / F.col("__t").cast("double"), 6))
+         .alias("share"))
