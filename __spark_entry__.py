@@ -2539,6 +2539,25 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_coercion_failures(spark, sf_dir):
+    """What the casting lattice will eat (functions/typing.py:
+    coercion_failures): per ruled string column, non-null values that
+    fail to parse into the ruled type — derived fixture poisons every
+    13th JSON k with a letter; one wide aggregate, unpivoted after."""
+    from schema_validata_spark.functions.typing import coercion_failures
+    from schema_validata_spark.rules import Rules
+    ev = _t(spark, sf_dir, "events")
+    kv = F.get_json_object("props", "$.k")
+    df = ev.select(
+        F.when(F.col("event_id") % 13 == 0, F.concat(F.lit("x"), kv))
+         .otherwise(kv).alias("kv"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"))
+    rules = Rules.from_nested_dict("co", {
+        "kv": {"data_type": "Integer"},
+        "day_str": {"data_type": "Datetime"}})
+    return coercion_failures(df, rules).orderBy("column_name")
+
+
 def q_weighted_k_per_lang(spark, sf_dir):
     """Exact-20-per-language weighted sample (sampling.
     weighted_k_sample_per_group): per-slice token-budget slicing,
@@ -3091,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "weighted_k_per_lang": q_weighted_k_per_lang,
         "script_mix_stats": q_script_mix_stats,
+        "coercion_failures": q_coercion_failures,
     }
 
 
@@ -7546,5 +7566,33 @@ def oracle_sql() -> dict[str, str]:
                  THEN round(n_chars::double / total::double, 6) END
                  AS share
         FROM lng ORDER BY "group", script"""
+
+    sql["coercion_failures"] = """
+        WITH src AS (
+          SELECT CASE WHEN event_id % 13 = 0
+                   THEN 'x' || json_extract_string(props, '$.k')
+                   ELSE json_extract_string(props, '$.k') END AS kv,
+                 strftime(ts, '%Y-%m-%d') AS day_str
+          FROM events)
+        SELECT 'day_str' AS column_name, 'Datetime' AS data_type,
+               count(day_str)::bigint AS n_values,
+               (count(day_str)
+                - count(try_strptime(day_str, '%Y-%m-%d')))::bigint
+                 AS n_failed,
+               CASE WHEN count(day_str) > 0 THEN round(
+                 (count(day_str)
+                  - count(try_strptime(day_str, '%Y-%m-%d')))::double
+                 / count(day_str)::double, 6) END AS fail_rate
+        FROM src
+        UNION ALL
+        SELECT 'kv', 'Integer', count(kv)::bigint,
+               (count(kv) - count(CASE WHEN regexp_matches(
+                   kv, '^\\s*[+-]?\\d+\\s*$') THEN 1 END))::bigint,
+               CASE WHEN count(kv) > 0 THEN round(
+                 (count(kv) - count(CASE WHEN regexp_matches(
+                     kv, '^\\s*[+-]?\\d+\\s*$') THEN 1 END))::double
+                 / count(kv)::double, 6) END
+        FROM src
+        ORDER BY column_name"""
 
     return sql

@@ -120,3 +120,95 @@ def spark_type_to_logical(dt: T.DataType) -> str:
     if isinstance(dt, T.StringType):
         return "String"
     return "Other"
+
+
+_TRUE_TOKENS = ("true", "t", "yes", "y", "1")
+_FALSE_TOKENS = ("false", "f", "no", "n", "0")
+
+
+def coerce_expr(col: Column, logical: str) -> Column:
+    """String → engine-typed value for one LOGICAL_TYPES entry, NULL on
+    anything that doesn't parse (exception-free: the same gated
+    try_cast / format-battery expressions the profiler probes with).
+    String/Other/Null-Unknown pass through unchanged."""
+    if logical == "Integer":
+        return safe_bigint(col)
+    if logical == "Float":
+        return safe_double(col)
+    if logical == "Boolean":
+        t = F.lower(F.trim(col))
+        return (F.when(t.isin(*_TRUE_TOKENS), F.lit(True))
+                 .when(t.isin(*_FALSE_TOKENS), F.lit(False)))
+    if logical == "Datetime":
+        from .datetimes import parse_datetime_multi
+        return parse_datetime_multi(col)
+    return col
+
+
+def coerce_frame(df, rules):
+    """The coerced table: every STRING column with a data_type rule is
+    cast to its logical type's engine type (Integer→bigint,
+    Float→double, Boolean→boolean, Datetime→timestamp) with NULL on
+    parse failure — the reference applies its casting lattice at CSV
+    read time (read_df_with_optimal_dtypes, src/schema_validata.py:
+    1045-1118); this applies the SAME lattice to any already-loaded
+    frame so downstream math runs on real types instead of strings.
+    Run ``coercion_failures`` first (or alongside) to see what NULL-on-
+    failure will eat; the violations layer still owns the row-level
+    audit trail.
+
+    Map-only — pure scan-stage expressions, no shuffle, column names
+    and order preserved. Non-string columns and un-ruled columns pass
+    through untouched."""
+    from ..rules import Rules  # noqa: F401 — type documented only
+    by_name = {f.field_name: f for f in rules.fields}
+    out = []
+    for field in df.schema.fields:
+        r = by_name.get(field.name)
+        if (r is None or r.data_type is None
+                or not isinstance(field.dataType, T.StringType)):
+            out.append(F.col(field.name))
+            continue
+        out.append(coerce_expr(F.col(field.name), r.data_type)
+                   .alias(field.name))
+    return df.select(*out)
+
+
+def coercion_failures(df, rules):
+    """What ``coerce_frame`` will eat: per coercible column, how many
+    non-null source values fail to parse into the ruled type. Output:
+    (column_name, data_type, n_values, n_failed, fail_rate 6dp) —
+    one WIDE aggregate over a single scan (source count + coerced
+    count per column), unpivoted after. A fail_rate of 1.0 usually
+    means the rule's type is wrong, not the data."""
+    by_name = {f.field_name: f for f in rules.fields}
+    targets = []
+    for field in df.schema.fields:
+        r = by_name.get(field.name)
+        if (r is not None and r.data_type is not None
+                and r.data_type not in ("String", "Other",
+                                        "Null-Unknown")
+                and isinstance(field.dataType, T.StringType)):
+            targets.append((field.name, r.data_type))
+    if not targets:
+        raise ValueError("no coercible (string + typed-rule) columns")
+    aggs = []
+    for i, (name, logical) in enumerate(targets):
+        c = F.col(name)
+        aggs.append(F.count(c).cast("bigint").alias(f"__n{i}"))
+        aggs.append(F.count(coerce_expr(c, logical)).cast("bigint")
+                     .alias(f"__ok{i}"))
+    wide = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(name).alias("column_name"),
+                 F.lit(logical).alias("data_type"),
+                 F.col(f"__n{i}").alias("n_values"),
+                 (F.col(f"__n{i}") - F.col(f"__ok{i}")).cast("bigint")
+                  .alias("n_failed"))
+        for i, (name, logical) in enumerate(targets)])
+    long = wide.select(F.explode(rows).alias("e")).select("e.*")
+    return long.withColumn(
+        "fail_rate",
+        F.when(F.col("n_values") > 0,
+               F.round(F.col("n_failed").cast("double")
+                       / F.col("n_values").cast("double"), 6)))
