@@ -2539,6 +2539,20 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_partition_profiles(spark, sf_dir):
+    """Mergeable per-partition basic profile (operators/profile.py:
+    partition_profile_stats) keyed by event_type: the partition-
+    decomposable counts/extrema/lengths that make the column profile
+    incremental next to the HLL + quantile-summary frames; one wide
+    keyed aggregate."""
+    from schema_validata_spark.operators.profile import \
+        partition_profile_stats
+    return (partition_profile_stats(_t(spark, sf_dir, "events"),
+                                    "event_type",
+                                    cols=["user_id", "value", "props"])
+            .orderBy("partition_key", "column_name"))
+
+
 def q_coercion_failures(spark, sf_dir):
     """What the casting lattice will eat (functions/typing.py:
     coercion_failures): per ruled string column, non-null values that
@@ -3111,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_k_per_lang": q_weighted_k_per_lang,
         "script_mix_stats": q_script_mix_stats,
         "coercion_failures": q_coercion_failures,
+        "partition_profiles": q_partition_profiles,
     }
 
 
@@ -7594,5 +7609,34 @@ def oracle_sql() -> dict[str, str]:
                  / count(kv)::double, 6) END
         FROM src
         ORDER BY column_name"""
+
+    sql["partition_profiles"] = """
+        WITH per AS (
+          SELECT CAST(event_type AS VARCHAR) AS partition_key,
+                 count(*)::bigint AS n_rows,
+                 (count(*) - count(user_id))::bigint AS n0,
+                 min(TRY_CAST(user_id AS DOUBLE)) AS mn0,
+                 max(TRY_CAST(user_id AS DOUBLE)) AS mx0,
+                 max(length(CAST(user_id AS VARCHAR)))::int AS ln0,
+                 (count(*) - count(value))::bigint AS n1,
+                 min(TRY_CAST(value AS DOUBLE)) AS mn1,
+                 max(TRY_CAST(value AS DOUBLE)) AS mx1,
+                 max(length(CAST(value AS VARCHAR)))::int AS ln1,
+                 (count(*) - count(props))::bigint AS n2,
+                 min(TRY_CAST(props AS DOUBLE)) AS mn2,
+                 max(TRY_CAST(props AS DOUBLE)) AS mx2,
+                 max(length(props))::int AS ln2
+          FROM events GROUP BY 1)
+        SELECT partition_key, 'user_id' AS column_name, n_rows,
+               n0 AS n_null, mn0 AS min_value, mx0 AS max_value,
+               ln0 AS max_length
+        FROM per
+        UNION ALL
+        SELECT partition_key, 'value', n_rows, n1, mn1, mx1, ln1
+        FROM per
+        UNION ALL
+        SELECT partition_key, 'props', n_rows, n2, mn2, mx2, ln2
+        FROM per
+        ORDER BY partition_key, column_name"""
 
     return sql

@@ -802,3 +802,66 @@ def profile_stats_df(spark, df: DataFrame, round_to: int = 4) -> DataFrame:
         T.StructField("unique_value", T.StringType()),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+def partition_profile_stats(df: DataFrame, part_col: str,
+                            cols: list[str] | None = None) -> DataFrame:
+    """MERGEABLE per-partition basic profile: (partition_key,
+    column_name, n_rows, n_null, min_value, max_value, max_length) —
+    the partition-decomposable subset of the profile (counts, extrema,
+    lengths all merge by re-aggregation; distincts need the HLL
+    sketch layer, percentiles the quantile summaries — together the
+    three frames make the whole column profile incremental: persist
+    beside the resume manifest, re-profile ONLY changed partitions,
+    merge).
+
+    min/max are computed on the double try_cast (numeric semantics,
+    NULL for non-numeric values even under ANSI mode — same contract
+    as the profile's range_min/max); max_length on the string cast. NULL partition keys
+    group under NULL (they are data too).
+
+    SCALE: ONE wide hash aggregate keyed by the partition column,
+    unpivoted AFTER aggregation — shuffle rows are (partition,
+    3·len(cols) partials)."""
+    cols = cols or [c for c in df.columns if c != part_col]
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, c in enumerate(cols):
+        col = qcol(c)
+        aggs.append((F.count(F.lit(1)) - F.count(col)).cast("bigint")
+                    .alias(f"__null_{i}"))
+        aggs.append(F.min(col.try_cast("double")).alias(f"__min_{i}"))
+        aggs.append(F.max(col.try_cast("double")).alias(f"__max_{i}"))
+        aggs.append(F.max(F.length(col.cast("string"))).cast("int")
+                    .alias(f"__len_{i}"))
+    per = (df.groupBy(qcol(part_col).cast("string")
+                      .alias("partition_key"))
+             .agg(*aggs))
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"__null_{i}").alias("n_null"),
+                 F.col(f"__min_{i}").alias("min_value"),
+                 F.col(f"__max_{i}").alias("max_value"),
+                 F.col(f"__len_{i}").alias("max_length"))
+        for i, c in enumerate(cols)])
+    return (per.select("partition_key", F.col("__n").alias("n_rows"),
+                       F.explode(rows).alias("e"))
+               .select("partition_key", "e.column_name", "n_rows",
+                       "e.n_null", "e.min_value", "e.max_value",
+                       "e.max_length"))
+
+
+def merge_partition_profiles(frames: DataFrame) -> DataFrame:
+    """Table-level stats from (a union of) ``partition_profile_stats``
+    frames — re-aggregation IS the merge, so incremental results equal
+    a full recompute by construction (merge-invariance pytested).
+    Output per column: n_rows, n_null, min_value, max_value,
+    max_length."""
+    return (frames.groupBy("column_name")
+                  .agg(F.sum("n_rows").cast("bigint").alias("n_rows"),
+                       F.sum("n_null").cast("bigint").alias("n_null"),
+                       F.min("min_value").alias("min_value"),
+                       F.max("max_value").alias("max_value"),
+                       F.max("max_length").cast("int")
+                        .alias("max_length")))

@@ -430,3 +430,34 @@ def rules_diff(old: Rules, new: Rules) -> dict:
             if d in ("tightened", "loosened"):
                 out[d].append(f"{name}:{attr}")
     return out
+
+
+def rules_coverage(columns: list[str], rules: Rules) -> dict:
+    """Governance coverage report: how much of a table the dictionary
+    actually governs. Per column: the list of active rule attributes;
+    summary: covered/uncovered columns, rules with no matching column
+    (dictionary rot), total active checks, coverage share. Pure
+    metadata — pair with ``rules_diff`` for the review workflow.
+
+    ``columns`` is the table's column list (``df.columns``); the
+    function deliberately does not take a DataFrame so reports can run
+    against stored schemas without a session."""
+    by_name = {f.field_name: f for f in rules.fields}
+    per: dict[str, list[str]] = {}
+    n_checks = 0
+    for c in columns:
+        fr = by_name.get(c)
+        active = sorted(fr.attrs()) if fr is not None else []
+        per[c] = active
+        n_checks += len(active)
+    covered = [c for c, a in per.items() if a]
+    orphans = sorted(set(by_name) - set(columns))
+    return {
+        "per_column": per,
+        "covered": sorted(covered),
+        "uncovered": sorted(set(columns) - set(covered)),
+        "orphan_rules": orphans,
+        "n_checks": n_checks,
+        "coverage_share": (round(len(covered) / len(columns), 6)
+                           if columns else 0.0),
+    }
