@@ -2539,6 +2539,33 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_key_lifecycle(spark, sf_dir):
+    """Per-user lifecycle compaction (sequence.key_lifecycle):
+    first/last activity, lifespan, active days, inactivity vs corpus
+    max, churn flag at 3 days — one keyed aggregate + 1-row
+    broadcast."""
+    from schema_validata_spark.operators.sequence import key_lifecycle
+    return (key_lifecycle(_t(spark, sf_dir, "events"), "user_id",
+                          "ts", churn_days=3)
+            .orderBy("user_id"))
+
+
+def q_null_runs(spark, sf_dir):
+    """NULL-island runs (sequence.null_runs): longest consecutive-NULL
+    run per (event_type, derived column) along event_id order — the
+    producer-died-mid-stream signature completeness_trend's rates
+    can't separate from scattered optionals."""
+    from schema_validata_spark.operators.sequence import null_runs
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select("event_type", "event_id",
+                   F.when(F.col("event_id") % 50 < 10,
+                          F.lit(None).cast("long"))
+                    .otherwise(F.col("user_id")).alias("uv"))
+    return (null_runs(df, "event_type", ["event_id"], ["uv"],
+                      min_run=2)
+            .orderBy("partition", "column_name"))
+
+
 def q_partition_profiles(spark, sf_dir):
     """Mergeable per-partition basic profile (operators/profile.py:
     partition_profile_stats) keyed by event_type: the partition-
@@ -3126,6 +3153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix_stats": q_script_mix_stats,
         "coercion_failures": q_coercion_failures,
         "partition_profiles": q_partition_profiles,
+        "key_lifecycle": q_key_lifecycle,
+        "null_runs": q_null_runs,
     }
 
 
@@ -7638,5 +7667,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT partition_key, 'props', n_rows, n2, mn2, mx2, ln2
         FROM per
         ORDER BY partition_key, column_name"""
+
+    sql["key_lifecycle"] = """
+        WITH per AS (
+          SELECT user_id AS u, min(ts) AS first_ts, max(ts) AS last_ts,
+                 count(*)::bigint AS n_events,
+                 count(DISTINCT CAST(ts AS DATE))::bigint
+                   AS n_active_days
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        g AS (SELECT max(last_ts) AS gm FROM per)
+        SELECT u AS user_id, first_ts, last_ts,
+               date_diff('day', CAST(first_ts AS DATE),
+                         CAST(last_ts AS DATE))::int AS lifespan_days,
+               n_events, n_active_days,
+               date_diff('day', CAST(last_ts AS DATE),
+                         CAST(gm AS DATE))::int AS days_inactive,
+               date_diff('day', CAST(last_ts AS DATE),
+                         CAST(gm AS DATE)) > 3 AS churned
+        FROM per, g ORDER BY user_id"""
+
+    sql["null_runs"] = """
+        WITH base AS (
+          SELECT event_type AS p, event_id AS i,
+                 CASE WHEN event_id % 50 < 10 THEN NULL
+                   ELSE user_id END AS uv
+          FROM events WHERE event_type IS NOT NULL),
+        f1 AS (SELECT *, CASE WHEN uv IS NULL THEN 1 ELSE 0 END AS f
+               FROM base),
+        f2 AS (SELECT *, lag(f) OVER (PARTITION BY p ORDER BY i)
+                 AS pf FROM f1),
+        f3 AS (SELECT *,
+                 sum(CASE WHEN pf IS NULL OR f <> pf THEN 1 ELSE 0
+                     END) OVER (PARTITION BY p ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS run_id
+               FROM f2),
+        runs AS (SELECT p, run_id, count(*)::bigint AS len
+                 FROM f3 WHERE f = 1 GROUP BY p, run_id)
+        SELECT p AS partition, 'uv' AS column_name,
+               sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END)::bigint
+                 AS n_runs,
+               max(len) AS max_run,
+               sum(len)::bigint AS n_null_total
+        FROM runs GROUP BY p
+        HAVING sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) > 0
+        ORDER BY partition, column_name"""
 
     return sql

@@ -1107,3 +1107,101 @@ def rolling_active_users(df: DataFrame, user_col: str, ts_col: str,
                .select(F.date_format("__d", "yyyy-MM-dd")
                         .alias("bucket"),
                        "n_active_day", "n_active_window"))
+
+
+def key_lifecycle(df: DataFrame, key_col: str, ts_col: str,
+                  churn_days: int = 30) -> DataFrame:
+    """Per-key lifecycle compaction: first/last activity, lifespan,
+    volume, active-day count, days inactive relative to the CORPUS
+    max event time, and a churn flag — the entity-level summary table
+    every retention/churn analysis joins against (cohort_retention
+    aggregates it away; this keeps the per-key row).
+
+    Per key: first_ts, last_ts, lifespan_days (date diff), n_events,
+    n_active_days (distinct days), days_inactive (corpus max day −
+    last day), churned (days_inactive > ``churn_days``). NULL key/ts
+    rows are excluded.
+
+    SCALE: ONE hash aggregate keyed by the key (count_distinct on the
+    day is a per-key exact distinct over a tiny domain); the corpus
+    max is a 1-row re-aggregate of the key frame broadcast back. No
+    windows, no second scan of row data."""
+    if churn_days < 0:
+        raise ValueError("churn_days must be >= 0")
+    u, t = F.col(key_col), F.col(ts_col)
+    per = (df.where(u.isNotNull() & t.isNotNull())
+             .groupBy(key_col)
+             .agg(F.min(t).alias("first_ts"),
+                  F.max(t).alias("last_ts"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                  F.countDistinct(F.to_date(t)).cast("bigint")
+                   .alias("n_active_days")))
+    gmax = per.groupBy().agg(F.max("last_ts").alias("__gmax"))
+    inactive = F.datediff(F.to_date("__gmax"), F.to_date("last_ts")) \
+        .cast("int")
+    return (per.crossJoin(F.broadcast(gmax))
+               .select(key_col, "first_ts", "last_ts",
+                       F.datediff(F.to_date("last_ts"),
+                                  F.to_date("first_ts")).cast("int")
+                        .alias("lifespan_days"),
+                       "n_events", "n_active_days",
+                       inactive.alias("days_inactive"),
+                       (inactive > F.lit(int(churn_days)))
+                        .alias("churned")))
+
+
+def null_runs(df: DataFrame, part_col: str, order_cols: list[str],
+              cols: list[str], min_run: int = 2) -> DataFrame:
+    """NULL-island detector: per (partition, column), the longest run
+    of CONSECUTIVE NULLs along the partition's order, and how many
+    runs reached ``min_run`` — the row-granularity outage signature
+    (``completeness_trend`` sees a day's null RATE move; this sees
+    that the nulls were 400 in a row starting mid-stream, i.e. a
+    producer died, vs 400 sprinkled at random, i.e. optional field).
+
+    Output (only partitions/columns that HAVE a qualifying run):
+    partition, column_name, n_runs, max_run, n_null_total. The caller
+    supplies a total order (same contract as the other window ops).
+
+    SCALE: ONE keyed sort window computes every column's run ids in a
+    single Window node (shared spec); the explode emits only NULL
+    rows as (partition, column, run_id) triples — second shuffle is
+    null-volume-sized, not corpus-sized. len(cols) multiplies the
+    explode width, not the sort."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if min_run < 1:
+        raise ValueError("min_run must be >= 1")
+    p = F.col(part_col)
+    w = (Window.partitionBy(part_col)
+               .orderBy(*[F.col(c) for c in order_cols])
+               .rowsBetween(Window.unboundedPreceding, 0))
+    base = df.where(p.isNotNull())
+    lag_w = Window.partitionBy(part_col).orderBy(
+        *[F.col(cc) for cc in order_cols])
+    # window exprs must resolve at the top level (they cannot live
+    # inside the explode array), so run ids materialize as columns
+    # first — still ONE Window node, shared spec
+    for i, c in enumerate(cols):
+        flag = F.col(c).isNull()
+        prev = F.lag(flag).over(lag_w)
+        chg = F.when(prev.isNull() | (flag != prev), 1).otherwise(0)
+        base = base.withColumn(f"__run_{i}", F.sum(chg).over(w))
+    runs = [F.when(F.col(c).isNull(), F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__run_{i}").alias("run_id")))
+            for i, c in enumerate(cols)]
+    arr = F.filter(F.array(*runs), lambda x: x.isNotNull())
+    long = (base.select(p.alias("partition"),
+                        F.explode(arr).alias("e"))
+                .select("partition", "e.column_name", "e.run_id"))
+    per_run = (long.groupBy("partition", "column_name", "run_id")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("__len")))
+    agg = (per_run.groupBy("partition", "column_name")
+                  .agg(F.sum(F.when(F.col("__len") >= int(min_run), 1)
+                              .otherwise(0)).cast("bigint")
+                        .alias("n_runs"),
+                       F.max("__len").alias("max_run"),
+                       F.sum("__len").cast("bigint")
+                        .alias("n_null_total")))
+    return agg.where(F.col("n_runs") > 0)
