@@ -2539,6 +2539,17 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_pairwise_psi(spark, sf_dir):
+    """Slice-vs-slice PSI matrix (drift.pairwise_psi) over the
+    per-event-type value histograms: which slices differ from EACH
+    OTHER, not from one baseline — all frames histogram-sized."""
+    from schema_validata_spark.operators.drift import pairwise_psi
+    h = numeric_histogram(_t(spark, sf_dir, "events"), "value",
+                          "event_type", 0.0, 500.0, 10)
+    return (pairwise_psi(h)
+            .orderBy("column_name", "part_a", "part_b"))
+
+
 def q_key_lifecycle(spark, sf_dir):
     """Per-user lifecycle compaction (sequence.key_lifecycle):
     first/last activity, lifespan, active days, inactivity vs corpus
@@ -3155,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_profiles": q_partition_profiles,
         "key_lifecycle": q_key_lifecycle,
         "null_runs": q_null_runs,
+        "pairwise_psi": q_pairwise_psi,
     }
 
 
@@ -7713,5 +7725,40 @@ def oracle_sql() -> dict[str, str]:
         FROM runs GROUP BY p
         HAVING sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) > 0
         ORDER BY partition, column_name"""
+
+    sql["pairwise_psi"] = """
+        WITH hist AS (
+          SELECT CAST(event_type AS VARCHAR) AS pk,
+                 'value' AS column_name,
+                 CAST(CAST(CASE WHEN value < 0 THEN 0
+                      WHEN value >= 500 THEN 11
+                      ELSE floor(value / 50.0) + 1 END AS INT)
+                   AS VARCHAR) AS bucket,
+                 count(*)::bigint AS cnt
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 3),
+        parts AS (SELECT DISTINCT column_name, pk FROM hist),
+        buckets AS (SELECT DISTINCT column_name, bucket FROM hist),
+        totals AS (SELECT column_name, pk, sum(cnt)::bigint AS t
+                   FROM hist GROUP BY 1, 2),
+        dense AS (
+          SELECT p.column_name, p.pk, bu.bucket,
+                 coalesce(h.cnt, 0)::double / t.t::double AS prob,
+                 t.t
+          FROM parts p
+          JOIN buckets bu USING (column_name)
+          LEFT JOIN hist h ON h.column_name = p.column_name
+                          AND h.pk = p.pk AND h.bucket = bu.bucket
+          JOIN totals t ON t.column_name = p.column_name
+                       AND t.pk = p.pk)
+        SELECT a.column_name, a.pk AS part_a, b.pk AS part_b,
+               round(sum((a.prob - b.prob)
+                         * ln((a.prob + 1e-6) / (b.prob + 1e-6))), 6)
+                 AS psi,
+               max(a.t)::bigint AS n_a, max(b.t)::bigint AS n_b
+        FROM dense a
+        JOIN dense b ON a.column_name = b.column_name
+                    AND a.bucket = b.bucket AND a.pk < b.pk
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
     return sql

@@ -418,3 +418,54 @@ def numeric_histogram2d(df: DataFrame, x_col: str, y_col: str,
                          F.round(F.col("count").cast("double")
                                  / F.col("__t").cast("double"), 6)
                           .alias("share")))
+
+
+def pairwise_psi(hist: DataFrame) -> DataFrame:
+    """Slice-vs-slice PSI MATRIX from one histogram frame
+    (``numeric_histogram``/``categorical_histogram`` output): which
+    sources/languages/shards actually differ from each other — the
+    baseline-relative ops (drift_scores, jsd_drift) score every slice
+    against ONE reference; this scores every unordered pair, the
+    clustering/triage view ("de and fr agree; the new crawl disagrees
+    with everything").
+
+    PSI over the DENSE bucket union per column (a bucket either side
+    never observed contributes with probability 0 + EPS — unlike the
+    baseline join this is symmetric by construction):
+    Σ (p_a − p_b)·ln((p_a+EPS)/(p_b+EPS)), 6dp. Output per
+    (column_name, part_a < part_b): psi, n_a, n_b.
+
+    SCALE: everything runs on the HISTOGRAM frame (|partitions| ×
+    |buckets| rows — metadata, not row data): densify via a
+    (partitions × buckets) cross of two tiny distinct frames, then one
+    equi-join on (column, bucket) with the a < b filter and one
+    (column, pair) hash aggregate."""
+    parts = hist.select("column_name", "partition_key").distinct()
+    buckets = hist.select("column_name", "bucket").distinct()
+    totals = (hist.groupBy("column_name", "partition_key")
+                  .agg(F.sum("count").cast("bigint").alias("__t")))
+    dense = (parts.join(buckets, "column_name")
+                  .join(hist.select("column_name", "partition_key",
+                                    "bucket", "count"),
+                        ["column_name", "partition_key", "bucket"],
+                        "left")
+                  .join(totals, ["column_name", "partition_key"])
+                  .select("column_name", "partition_key", "bucket",
+                          (F.coalesce(F.col("count"), F.lit(0))
+                           .cast("double")
+                           / F.col("__t").cast("double")).alias("p"),
+                          "__t"))
+    a = dense.select("column_name", "bucket",
+                     F.col("partition_key").alias("part_a"),
+                     F.col("p").alias("pa"), F.col("__t").alias("ta"))
+    b = dense.select("column_name", "bucket",
+                     F.col("partition_key").alias("part_b"),
+                     F.col("p").alias("pb"), F.col("__t").alias("tb"))
+    term = (F.col("pa") - F.col("pb")) * F.log(
+        (F.col("pa") + F.lit(EPS)) / (F.col("pb") + F.lit(EPS)))
+    return (a.join(b, ["column_name", "bucket"])
+             .where(F.col("part_a") < F.col("part_b"))
+             .groupBy("column_name", "part_a", "part_b")
+             .agg(F.round(F.sum(term), 6).alias("psi"),
+                  F.max("ta").cast("bigint").alias("n_a"),
+                  F.max("tb").cast("bigint").alias("n_b")))
