@@ -2539,6 +2539,25 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_record_linkage(spark, sf_dir):
+    """Blocking-based record linkage (dedup.record_linkage_pairs):
+    customers blocked by nation, scored on (segment, balance band) —
+    pairs agreeing on every comparable field; per-block quadratic by
+    contract, only ids+fields shuffle."""
+    from schema_validata_spark.operators.dedup import \
+        record_linkage_pairs
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("cid"),
+                 F.col("c_nationkey").cast("string").alias("blk"),
+                 F.col("c_mktsegment").alias("seg"),
+                 F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+                  .cast("string").alias("band")))
+    return (record_linkage_pairs(c, "cid", "blk",
+                                 {"seg": 1.0, "band": 1.0},
+                                 threshold=1.0)
+            .orderBy("id_a", "id_b"))
+
+
 def q_pairwise_psi(spark, sf_dir):
     """Slice-vs-slice PSI matrix (drift.pairwise_psi) over the
     per-event-type value histograms: which slices differ from EACH
@@ -3167,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_lifecycle": q_key_lifecycle,
         "null_runs": q_null_runs,
         "pairwise_psi": q_pairwise_psi,
+        "record_linkage": q_record_linkage,
     }
 
 
@@ -7760,5 +7780,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN dense b ON a.column_name = b.column_name
                     AND a.bucket = b.bucket AND a.pk < b.pk
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+    sql["record_linkage"] = """
+        WITH side AS (
+          SELECT c_custkey AS cid,
+                 CAST(c_nationkey AS VARCHAR) AS blk,
+                 c_mktsegment AS seg,
+                 CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
+                   AS VARCHAR) AS band
+          FROM customer WHERE c_nationkey IS NOT NULL),
+        pairs AS (
+          SELECT a.cid AS id_a, b.cid AS id_b,
+                 (CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                   THEN 1 ELSE 0 END
+                  + CASE WHEN a.band IS NOT NULL
+                      AND b.band IS NOT NULL THEN 1 ELSE 0 END)::int
+                   AS n_compared,
+                 (CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                   AND a.seg = b.seg THEN 1 ELSE 0 END
+                  + CASE WHEN a.band IS NOT NULL
+                      AND b.band IS NOT NULL AND a.band = b.band
+                    THEN 1 ELSE 0 END)::int AS n_matched,
+                 (CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                   THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN a.band IS NOT NULL
+                      AND b.band IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                   AS cw,
+                 (CASE WHEN a.seg IS NOT NULL AND b.seg IS NOT NULL
+                   AND a.seg = b.seg THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN a.band IS NOT NULL
+                      AND b.band IS NOT NULL AND a.band = b.band
+                    THEN 1.0 ELSE 0.0 END) AS mw
+          FROM side a JOIN side b
+            ON a.blk = b.blk AND a.cid < b.cid)
+        SELECT id_a, id_b, n_compared, n_matched,
+               round(mw / cw, 6) AS score
+        FROM pairs
+        WHERE cw > 0 AND round(mw / cw, 6) >= 1.0
+        ORDER BY id_a, id_b"""
 
     return sql

@@ -995,3 +995,65 @@ def fuzzy_duplicate_values(df: DataFrame, value_col: str,
              .select("value_a", "value_b", "n_rows_a", "n_rows_b",
                      d.alias("dist"))
              .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+
+
+def record_linkage_pairs(df: DataFrame, id_col: str, block_col: str,
+                         fields: dict[str, float],
+                         threshold: float = 0.8) -> DataFrame:
+    """Deterministic record linkage (Fellegi–Sunter-lite): candidate
+    pairs from equi-join BLOCKING, scored by weighted per-field
+    agreement — the multi-field entity-resolution step between exact
+    dedup (whole row) and ``fuzzy_duplicate_values`` (one column):
+    "same nation block, same segment, same balance band → probably the
+    same customer entered twice".
+
+    Scoring: a field contributes its weight when BOTH sides are
+    non-null and equal; the denominator is the weight of fields where
+    both sides are non-null (so a NULL field neither helps nor hurts);
+    score = matched/comparable, pairs kept at score >= ``threshold``
+    with at least one comparable field. Output (id_a < id_b): id_a,
+    id_b, n_compared, n_matched, score (6dp).
+
+    SCALE: the self-join is per-BLOCK quadratic — the standard ER
+    contract: pick a block key whose largest block is bounded (run
+    ``key_volume_outliers``/``key_skew_stats`` on it first), or
+    pre-split mega-blocks with a salt on a second field. Only ids,
+    the block key, and the compared fields shuffle — never whole
+    rows. NULL blocks are excluded (they would cross-pair
+    everything)."""
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    names = list(fields)
+    side = df.select(F.col(id_col).alias("__id"),
+                     F.col(block_col).alias("__blk"),
+                     *[F.col(c) for c in names]) \
+             .where(F.col(block_col).isNotNull())
+    a = side.select(F.col("__id").alias("id_a"), "__blk",
+                    *[F.col(c).alias(f"__a_{i}")
+                      for i, c in enumerate(names)])
+    b = side.select(F.col("__id").alias("id_b"), "__blk",
+                    *[F.col(c).alias(f"__b_{i}")
+                      for i, c in enumerate(names)])
+    j = a.join(b, "__blk").where(F.col("id_a") < F.col("id_b"))
+    matched = F.lit(0.0)
+    comparable = F.lit(0.0)
+    n_matched = F.lit(0)
+    n_compared = F.lit(0)
+    for i, c in enumerate(names):
+        w = float(fields[c])
+        fa, fb = F.col(f"__a_{i}"), F.col(f"__b_{i}")
+        both = fa.isNotNull() & fb.isNotNull()
+        eq = both & (fa == fb)
+        comparable = comparable + F.when(both, F.lit(w)).otherwise(0.0)
+        matched = matched + F.when(eq, F.lit(w)).otherwise(0.0)
+        n_compared = n_compared + F.when(both, 1).otherwise(0)
+        n_matched = n_matched + F.when(eq, 1).otherwise(0)
+    score = F.when(comparable > 0, F.round(matched / comparable, 6))
+    return (j.select("id_a", "id_b",
+                     n_compared.cast("int").alias("n_compared"),
+                     n_matched.cast("int").alias("n_matched"),
+                     score.alias("score"))
+             .where(F.col("score").isNotNull()
+                    & (F.col("score") >= F.lit(float(threshold)))))
