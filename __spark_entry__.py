@@ -2539,6 +2539,18 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_normalized_embeddings(spark, sf_dir):
+    """L2 normalization (similarity.normalize_embeddings): unit
+    vectors with zero/NULL guarded to NULL, 6dp-rounded elements —
+    map-only JVM aggregate+transform, byte-stable across engines."""
+    from schema_validata_spark.operators.similarity import \
+        normalize_embeddings
+    df = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (normalize_embeddings(df, "embedding", out_col="unit")
+            .select("vec_id", "unit")
+            .orderBy("vec_id"))
+
+
 def q_record_linkage(spark, sf_dir):
     """Blocking-based record linkage (dedup.record_linkage_pairs):
     customers blocked by nation, scored on (segment, balance band) —
@@ -3187,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_runs": q_null_runs,
         "pairwise_psi": q_pairwise_psi,
         "record_linkage": q_record_linkage,
+        "normalized_embeddings": q_normalized_embeddings,
     }
 
 
@@ -7818,5 +7831,21 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         WHERE cw > 0 AND round(mw / cw, 6) >= 1.0
         ORDER BY id_a, id_b"""
+
+    # list_reduce is a SEQUENTIAL fold like Spark's aggregate(), so the
+    # double accumulation of Σx² is bit-identical on both engines.
+    sql["normalized_embeddings"] = """
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN embedding IS NOT NULL
+                   AND len(embedding) > 0
+                   THEN sqrt(list_reduce(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b)) END AS nrm
+          FROM embeddings)
+        SELECT vec_id,
+               CASE WHEN nrm > 0 THEN list_transform(embedding,
+                 x -> round(CAST(x AS DOUBLE) / nrm, 6)) END AS unit
+        FROM n ORDER BY vec_id"""
 
     return sql

@@ -933,3 +933,32 @@ def embedding_spectrum(df: DataFrame, vec_col: str = "embedding",
     return df.sparkSession.createDataFrame(
         rows, "component int, eigenvalue double, var_share double, "
               "cum_share double, effective_rank double")
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                         out_col: str | None = None) -> DataFrame:
+    """L2-normalize an embedding column — the preprocessing step the
+    cosine family assumes (brute-force/LSH/IVF top-k all divide by
+    norms per pair; normalizing ONCE up front turns every cosine into
+    a plain dot product and makes norm-QA thresholds meaningful).
+    Zero/empty/NULL vectors yield NULL (a zero vector has no
+    direction — surface it, don't fabricate one); elements round to
+    6dp so the result is byte-stable across engines.
+
+    Map-only: one JVM ``aggregate`` for the norm + one ``transform``
+    per row inside the scan projection — no UDF, no shuffle."""
+    out = out_col or vec_col
+    v = F.col(vec_col)
+    ss = F.aggregate(v, F.lit(0.0),
+                     lambda acc, x: acc + x.cast("double")
+                     * x.cast("double"))
+    norm = F.sqrt(ss)
+    unit = F.transform(v, lambda x: F.round(x.cast("double") / norm, 6))
+    cols = [F.when(v.isNotNull() & (F.size(v) > 0) & (norm > 0), unit)
+             .alias(out) if c == vec_col else F.col(c)
+            for c in df.columns]
+    if out != vec_col and out not in df.columns:
+        cols = [F.col(c) for c in df.columns] + [
+            F.when(v.isNotNull() & (F.size(v) > 0) & (norm > 0), unit)
+             .alias(out)]
+    return df.select(*cols)
