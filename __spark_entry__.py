@@ -2539,6 +2539,31 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_sample_bias_check(spark, sf_dir):
+    """Selection-bias audit (sampling.sample_bias_check): the 20%
+    deterministic doc sample's lang composition vs the corpus — a
+    hash sampler should pass; a flagged slice means upstream bias;
+    two group-sized aggregates + a join."""
+    from schema_validata_spark.functions.sampling import \
+        sample_bias_check
+    docs = _t(spark, sf_dir, "documents")
+    samp = deterministic_sample(docs, "doc_id", 0.2)
+    return (sample_bias_check(samp, docs, "lang")
+            .orderBy("group"))
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted value average per user
+    (sequence.time_weighted_avg): holding-interval-weighted mean for
+    irregular gauges vs the chatty-period-biased plain avg; one lead
+    window + one aggregate, exact DECIMAL Σv·dt."""
+    from schema_validata_spark.operators.sequence import \
+        time_weighted_avg
+    return (time_weighted_avg(_t(spark, sf_dir, "events"), "user_id",
+                              "ts", "value")
+            .orderBy("user_id"))
+
+
 def q_normalized_embeddings(spark, sf_dir):
     """L2 normalization (similarity.normalize_embeddings): unit
     vectors with zero/NULL guarded to NULL, 6dp-rounded elements —
@@ -3200,6 +3225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_psi": q_pairwise_psi,
         "record_linkage": q_record_linkage,
         "normalized_embeddings": q_normalized_embeddings,
+        "sample_bias_check": q_sample_bias_check,
+        "time_weighted_avg": q_time_weighted_avg,
     }
 
 
@@ -7847,5 +7874,65 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN nrm > 0 THEN list_transform(embedding,
                  x -> round(CAST(x AS DOUBLE) / nrm, 6)) END AS unit
         FROM n ORDER BY vec_id"""
+
+    c20 = _hex_threshold(0.2)
+    sql["sample_bias_check"] = f"""
+        WITH corpus AS (
+          SELECT CAST(lang AS VARCHAR) AS g FROM documents
+          WHERE lang IS NOT NULL),
+        samp AS (
+          SELECT CAST(lang AS VARCHAR) AS g FROM documents
+          WHERE lang IS NOT NULL
+            AND substr(md5(cast(doc_id as varchar)), 1, 8) < '{c20}'),
+        cs AS (SELECT g, count(*)::bigint AS n_corpus FROM corpus
+               GROUP BY g),
+        ss AS (SELECT g, count(*)::bigint AS n_sample FROM samp
+               GROUP BY g),
+        j AS (SELECT cs.g,
+                coalesce(ss.n_sample, 0)::bigint AS n_sample,
+                cs.n_corpus
+              FROM cs LEFT JOIN ss ON cs.g = ss.g),
+        t AS (SELECT sum(n_sample)::bigint AS ts_,
+                     sum(n_corpus)::bigint AS tc_ FROM j),
+        d AS (SELECT *, n_sample::double / ts_::double AS ps,
+                n_corpus::double / tc_::double AS pc
+              FROM j, t),
+        e AS (SELECT *,
+                sqrt(pc * (1.0 - pc) / ts_::double) AS den FROM d)
+        SELECT g AS "group", n_sample, n_corpus,
+               CASE WHEN ts_ > 0 THEN round(ps, 6) END
+                 AS share_sample,
+               round(pc, 6) AS share_corpus,
+               CASE WHEN den > 0 AND ts_ > 0
+                 THEN round((ps - pc) / den, 6) END AS z,
+               coalesce(abs(CASE WHEN den > 0 AND ts_ > 0
+                   THEN round((ps - pc) / den, 6) END) >= 3.0,
+                 FALSE) AS flagged
+        FROM e ORDER BY "group" """
+
+    sql["time_weighted_avg"] = """
+        WITH base AS (
+          SELECT user_id AS k, epoch_us(ts) AS m,
+                 CAST(round(value * 1000000.0) AS HUGEINT) AS q,
+                 value AS v
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND value IS NOT NULL),
+        w AS (SELECT *,
+                lead(m) OVER (PARTITION BY k ORDER BY m) - m AS dt
+              FROM base),
+        g AS (SELECT k, count(*)::bigint AS n_obs,
+                (max(m) - min(m))::bigint AS span,
+                sum(CAST(q * CAST(dt AS HUGEINT) AS DECIMAL(38,0)))
+                  AS vdt,
+                round(avg(v), 6) AS plain_avg
+              FROM w GROUP BY k)
+        SELECT k AS user_id, n_obs,
+               round(span::double / 1000000.0, 6) AS span_s,
+               CASE WHEN n_obs >= 2 AND span > 0
+                 THEN round(vdt::double / span::double
+                            / 1000000.0, 6) END AS twa,
+               plain_avg
+        FROM g ORDER BY user_id"""
 
     return sql

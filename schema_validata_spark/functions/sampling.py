@@ -394,3 +394,55 @@ def weighted_k_sample_per_group(df: DataFrame, group_col: str,
               .withColumn("__rk", F.row_number().over(win))
               .where(F.col("__rk") <= int(k))
               .drop("__rk"))
+
+
+def sample_bias_check(sample: DataFrame, corpus: DataFrame,
+                      group_col: str,
+                      z_threshold: float = 3.0) -> DataFrame:
+    """Selection-bias audit for ANY sampling step: per slice, the
+    sample's composition share vs the corpus share, scored with a
+    one-proportion z against the corpus share — run it after
+    deterministic/weighted/top-k/mixture sampling to prove (or catch)
+    composition drift the sampler introduced (a weighted sampler
+    SHOULD shift shares; a uniform one that did has a bug upstream).
+
+    Per group: n_sample, n_corpus, share_sample, share_corpus (6dp),
+    z ((p̂−p₀)/√(p₀(1−p₀)/n) over total sample size; NULL when the
+    corpus share is degenerate 0/1), flagged (|z| >= threshold on the
+    6dp-rounded z). Groups present in the corpus but absent from the
+    sample still get a row (share_sample 0 — absence IS the bias);
+    NULL groups are excluded on both sides.
+
+    SCALE: one hash aggregate per side (group-keyed), a left join of
+    the two group-sized frames, pinned-order double z."""
+    from .colref import qcol
+    g = qcol(group_col)
+
+    def _counts(df, out):
+        return (df.where(g.isNotNull())
+                  .groupBy(g.cast("string").alias("group"))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias(out)))
+
+    cs = _counts(corpus, "n_corpus")
+    ss = _counts(sample, "n_sample")
+    j = (cs.join(ss, "group", "left")
+           .withColumn("n_sample",
+                       F.coalesce(F.col("n_sample"), F.lit(0))
+                        .cast("bigint")))
+    from pyspark.sql import Window
+    w = Window.partitionBy()
+    j = (j.withColumn("__ts", F.sum("n_sample").over(w))
+          .withColumn("__tc", F.sum("n_corpus").over(w)))
+    ps = F.col("n_sample").cast("double") / F.col("__ts").cast("double")
+    pc = F.col("n_corpus").cast("double") / F.col("__tc").cast("double")
+    den = F.sqrt(pc * (F.lit(1.0) - pc)
+                 / F.col("__ts").cast("double"))
+    z = F.when((den > 0) & (F.col("__ts") > 0),
+               F.round((ps - pc) / den, 6))
+    return j.select(
+        "group", "n_sample", "n_corpus",
+        F.when(F.col("__ts") > 0, F.round(ps, 6)).alias("share_sample"),
+        F.round(pc, 6).alias("share_corpus"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False))
+         .alias("flagged"))

@@ -1205,3 +1205,50 @@ def null_runs(df: DataFrame, part_col: str, order_cols: list[str],
                        F.sum("__len").cast("bigint")
                         .alias("n_null_total")))
     return agg.where(F.col("n_runs") > 0)
+
+
+def time_weighted_avg(df: DataFrame, part_col: str, ts_col: str,
+                      value_col: str) -> DataFrame:
+    """Time-weighted average per key for IRREGULARLY sampled state
+    metrics (gauge readings, queue depths, account balances): each
+    reading holds until the next one, so the honest mean weights each
+    value by how long it was in force — the plain ``avg`` over-weights
+    chatty periods exactly when they're least representative.
+
+    TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t₀) over consecutive readings (the
+    last reading has no holding interval and contributes only as the
+    endpoint — standard left-continuous step-function convention).
+    Per key: n_obs, span_s, twa, plain_avg (6dp, for the divergence
+    read); keys with a single reading or zero span report NULL twa.
+    NULL key/ts/value rows are excluded.
+
+    SCALE: ONE keyed sort window (lead) — the sessionize shuffle
+    shape — then one hash aggregate; holding times are exact BIGINT
+    microseconds, Σv·dt accumulates exact via micro-quantized
+    DECIMAL(38,0) (value at 1e-6 units — same overflow contract
+    family as moment_stats), doubles only at the end."""
+    p, t = F.col(part_col), F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    base = (df.where(p.isNotNull() & t.isNotNull() & v.isNotNull())
+              .select(part_col,
+                      F.unix_micros(t.cast("timestamp_ltz"))
+                       .alias("__m"),
+                      F.round(v * 1e6, 0).cast("decimal(38,0)")
+                       .alias("__q"), v.alias("__v")))
+    w = Window.partitionBy(part_col).orderBy("__m")
+    dt = F.lead("__m").over(w) - F.col("__m")
+    g = (base.withColumn("__dt", dt)
+             .groupBy(part_col)
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+                  (F.max("__m") - F.min("__m")).alias("__span"),
+                  F.sum(F.col("__q") * F.col("__dt")
+                        .cast("decimal(38,0)")).alias("__vdt"),
+                  F.round(F.avg("__v"), 6).alias("plain_avg")))
+    span = F.col("__span").cast("double")
+    twa = F.col("__vdt").cast("double") / span / F.lit(1e6)
+    return g.select(
+        part_col, "n_obs",
+        F.round(span / F.lit(1e6), 6).alias("span_s"),
+        F.when((F.col("n_obs") >= 2) & (F.col("__span") > 0),
+               F.round(twa, 6)).alias("twa"),
+        "plain_avg")
