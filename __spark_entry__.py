@@ -2539,6 +2539,26 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_extrema_exemplars(spark, sf_dir):
+    """The rows behind the range stats (statqa.extrema_exemplars):
+    top/bottom-5 order totals with their keys — two
+    TakeOrderedAndProject heaps, no global sort."""
+    from schema_validata_spark.operators.statqa import extrema_exemplars
+    return (extrema_exemplars(_t(spark, sf_dir, "orders"),
+                              "o_totalprice", ["o_orderkey"], k=5)
+            .orderBy("end", "rank"))
+
+
+def q_hourly_profile(spark, sf_dir):
+    """Hour-of-day activity profile per event type
+    (statqa.hourly_profile): intra-day seasonality + deterministic
+    peak hour; one ≤24·|groups| hash aggregate."""
+    from schema_validata_spark.operators.statqa import hourly_profile
+    return (hourly_profile(_t(spark, sf_dir, "events"), "ts",
+                           "event_type")
+            .orderBy("group", "hour"))
+
+
 def q_sample_bias_check(spark, sf_dir):
     """Selection-bias audit (sampling.sample_bias_check): the 20%
     deterministic doc sample's lang composition vs the corpus — a
@@ -3227,6 +3247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_embeddings": q_normalized_embeddings,
         "sample_bias_check": q_sample_bias_check,
         "time_weighted_avg": q_time_weighted_avg,
+        "extrema_exemplars": q_extrema_exemplars,
+        "hourly_profile": q_hourly_profile,
     }
 
 
@@ -7934,5 +7956,39 @@ def oracle_sql() -> dict[str, str]:
                             / 1000000.0, 6) END AS twa,
                plain_avg
         FROM g ORDER BY user_id"""
+
+    sql["extrema_exemplars"] = """
+        WITH base AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS value
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        mx AS (SELECT o_orderkey, value, 'max' AS "end",
+                 row_number() OVER (
+                   ORDER BY value DESC, o_orderkey ASC)::int AS rank
+               FROM base
+               ORDER BY value DESC, o_orderkey ASC LIMIT 5),
+        mn AS (SELECT o_orderkey, value, 'min' AS "end",
+                 row_number() OVER (
+                   ORDER BY value ASC, o_orderkey ASC)::int AS rank
+               FROM base
+               ORDER BY value ASC, o_orderkey ASC LIMIT 5)
+        SELECT * FROM mx UNION ALL SELECT * FROM mn
+        ORDER BY "end", rank"""
+
+    sql["hourly_profile"] = """
+        WITH per AS (
+          SELECT CAST(event_type AS VARCHAR) AS grp,
+                 CAST(hour(ts) AS INT) AS hour,
+                 count(*)::bigint AS n
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        w AS (SELECT *, sum(n) OVER (PARTITION BY grp) AS t,
+                row_number() OVER (PARTITION BY grp
+                  ORDER BY n DESC, hour ASC) AS r
+              FROM per)
+        SELECT grp AS "group", hour, n,
+               round(n::double / t::double, 6) AS share,
+               r = 1 AS is_peak
+        FROM w ORDER BY "group", hour"""
 
     return sql

@@ -1842,3 +1842,74 @@ def crosstab_residuals(df: DataFrame, col_a: str, col_b: str,
         r.alias("residual"),
         F.coalesce(F.abs(r) >= F.lit(float(resid_threshold)),
                    F.lit(False)).alias("flagged"))
+
+
+def extrema_exemplars(df: DataFrame, value_col: str,
+                      key_cols: list[str], k: int = 5) -> DataFrame:
+    """The ROWS behind the range stats: the k largest and k smallest
+    values of a column with their identifying keys — the audit sample
+    a human opens after ``profile`` says max = 9999 or ``moment_stats``
+    says the tail exploded ("WHICH row is the weird max"). Range stats
+    compress; this names.
+
+    Output: *key_cols, value (double), end ('min'|'max'), rank
+    (1-based within its end, 1 = most extreme). Deterministic ties:
+    (value, *key_cols) ordering. NULL values are excluded (the null
+    profile owns them).
+
+    SCALE: two TakeOrderedAndProject scans (per-task k-row heaps, no
+    global sort, no full shuffle) unioned — the same plan contract as
+    topk_sample, ±k rows total."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    v = qcol(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *[qcol(c) for c in key_cols], v.alias("value"))
+    keys_asc = [F.col(c).asc() for c in key_cols]
+
+    def _rank(side):
+        from pyspark.sql import Window
+        order = ([F.col("value").desc()] if side == "max"
+                 else [F.col("value").asc()]) + keys_asc
+        w = Window.orderBy(*order)
+        return (base.orderBy(*order).limit(int(k))
+                    .withColumn("end", F.lit(side))
+                    .withColumn("rank",
+                                F.row_number().over(w).cast("int")))
+
+    return _rank("max").unionByName(_rank("min"))
+
+
+def hourly_profile(df: DataFrame, ts_col: str,
+                   group_col: str) -> DataFrame:
+    """Hour-of-day activity profile per slice: each hour's share of
+    the slice's events plus the slice's peak hour — the intra-day
+    twin of the weekday seasonality screen (a 'user traffic' slice
+    peaking at 03:00 is a bot or a mislabeled timezone; a flat
+    profile on an interactive product is synthetic traffic).
+
+    Per (group, hour 0–23, only observed hours): n, share (6dp),
+    is_peak (ties broken toward the EARLIEST hour — deterministic).
+    NULL ts/group rows are excluded.
+
+    SCALE: ONE (group, hour) hash aggregate — ≤ 24·|groups| shuffle
+    rows — then windows over that tiny frame for totals and peak."""
+    from pyspark.sql import Window
+
+    t, g = qcol(ts_col), qcol(group_col)
+    per = (df.where(t.isNotNull() & g.isNotNull())
+             .groupBy(g.cast("string").alias("group"),
+                      F.hour(t).cast("int").alias("hour"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    wg = Window.partitionBy("group")
+    wp = Window.partitionBy("group").orderBy(F.col("n").desc(),
+                                             F.col("hour").asc())
+    out = (per.withColumn("__t", F.sum("n").over(wg))
+              .withColumn("__r", F.row_number().over(wp)))
+    return out.select(
+        "group", "hour", "n",
+        F.round(F.col("n").cast("double")
+                / F.col("__t").cast("double"), 6).alias("share"),
+        (F.col("__r") == 1).alias("is_peak"))
