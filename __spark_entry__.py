@@ -2539,6 +2539,20 @@ def q_volume_autocorrelation(spark, sf_dir):
             .orderBy("lag"))
 
 
+def q_histogram_movers(spark, sf_dir):
+    """WHICH buckets drove the drift (drift.histogram_movers): top-3
+    share movers per event type between the month's first and second
+    half — the where behind chi²/PSI; all frames histogram-sized."""
+    from schema_validata_spark.operators.drift import histogram_movers
+    ev = _t(spark, sf_dir, "events")
+    obs = numeric_histogram(ev.where(F.dayofmonth("ts") <= 15),
+                            "value", "event_type", 0.0, 500.0, 10)
+    base = numeric_histogram(ev.where(F.dayofmonth("ts") > 15),
+                             "value", "event_type", 0.0, 500.0, 10)
+    return (histogram_movers(obs, base, top_k=3)
+            .orderBy("partition_key", "column_name", "rank"))
+
+
 def q_extrema_exemplars(spark, sf_dir):
     """The rows behind the range stats (statqa.extrema_exemplars):
     top/bottom-5 order totals with their keys — two
@@ -3249,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "extrema_exemplars": q_extrema_exemplars,
         "hourly_profile": q_hourly_profile,
+        "histogram_movers": q_histogram_movers,
     }
 
 
@@ -7990,5 +8005,53 @@ def oracle_sql() -> dict[str, str]:
                round(n::double / t::double, 6) AS share,
                r = 1 AS is_peak
         FROM w ORDER BY "group", hour"""
+
+    sql["histogram_movers"] = """
+        WITH o AS (
+          SELECT CAST(event_type AS VARCHAR) AS pk, 'value' AS cn,
+                 CAST(CAST(CASE WHEN value < 0 THEN 0
+                      WHEN value >= 500 THEN 11
+                      ELSE floor(value / 50.0) + 1 END AS INT)
+                   AS VARCHAR) AS bucket,
+                 count(*)::bigint AS oc
+          FROM events WHERE value IS NOT NULL AND day(ts) <= 15
+          GROUP BY 1, 3),
+        b AS (
+          SELECT CAST(event_type AS VARCHAR) AS pk, 'value' AS cn,
+                 CAST(CAST(CASE WHEN value < 0 THEN 0
+                      WHEN value >= 500 THEN 11
+                      ELSE floor(value / 50.0) + 1 END AS INT)
+                   AS VARCHAR) AS bucket,
+                 count(*)::bigint AS bc
+          FROM events WHERE value IS NOT NULL AND day(ts) > 15
+          GROUP BY 1, 3),
+        j AS (SELECT coalesce(o.pk, b.pk) AS pk,
+                     coalesce(o.cn, b.cn) AS cn,
+                     coalesce(o.bucket, b.bucket) AS bucket,
+                     coalesce(oc, 0)::bigint AS oc,
+                     coalesce(bc, 0)::bigint AS bc
+              FROM o FULL OUTER JOIN b
+                ON o.pk = b.pk AND o.cn = b.cn
+               AND o.bucket = b.bucket),
+        t AS (SELECT *, sum(oc) OVER (PARTITION BY pk, cn) AS to_,
+                     sum(bc) OVER (PARTITION BY pk, cn) AS tb_
+              FROM j),
+        d AS (SELECT *,
+                CASE WHEN to_ > 0 THEN oc::double / to_::double
+                  ELSE 0.0 END AS so,
+                CASE WHEN tb_ > 0 THEN bc::double / tb_::double
+                  ELSE 0.0 END AS sb
+              FROM t),
+        r AS (SELECT pk, cn, bucket,
+                round(so, 6) AS share_obs, round(sb, 6) AS share_base,
+                round(so - sb, 6) AS delta,
+                row_number() OVER (PARTITION BY pk, cn
+                  ORDER BY abs(round(so - sb, 6)) DESC, bucket ASC)
+                  ::int AS rank
+              FROM d)
+        SELECT pk AS partition_key, cn AS column_name, bucket,
+               share_obs, share_base, delta, rank
+        FROM r WHERE rank <= 3
+        ORDER BY partition_key, column_name, rank"""
 
     return sql

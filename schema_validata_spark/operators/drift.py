@@ -469,3 +469,58 @@ def pairwise_psi(hist: DataFrame) -> DataFrame:
              .agg(F.round(F.sum(term), 6).alias("psi"),
                   F.max("ta").cast("bigint").alias("n_a"),
                   F.max("tb").cast("bigint").alias("n_b")))
+
+
+def histogram_movers(observed_hist: DataFrame,
+                     baseline_hist: DataFrame,
+                     top_k: int = 5) -> DataFrame:
+    """WHICH buckets drove a drift score: per (partition, column), the
+    ``top_k`` buckets by absolute share movement between baseline and
+    observed histograms — chi²/PSI/JSD say HOW MUCH a distribution
+    moved; the triage needs WHERE ("the 0-length bucket tripled" reads
+    differently from "the whole curve shifted right").
+
+    Full-outer bucket union (a bucket only one side observed moved by
+    its whole mass); shares against each side's own total. Output:
+    partition_key, column_name, bucket, share_obs, share_base (6dp),
+    delta (obs − base, 6dp), rank (1 = biggest |delta|, ties by
+    bucket ASC — deterministic).
+
+    SCALE: all frames histogram-sized; one full-outer join + marginal
+    windows + a rank window over the joined frame."""
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def _side(h, cname):
+        return (h.groupBy("partition_key", "column_name", "bucket")
+                 .agg(F.sum("count").cast("bigint").alias(cname)))
+
+    o = _side(observed_hist, "o")
+    b = _side(baseline_hist, "b")
+    j = (o.join(b, ["partition_key", "column_name", "bucket"],
+                "full_outer")
+          .select("partition_key", "column_name", "bucket",
+                  F.coalesce(F.col("o"), F.lit(0)).cast("bigint")
+                   .alias("o"),
+                  F.coalesce(F.col("b"), F.lit(0)).cast("bigint")
+                   .alias("b")))
+    wg = Window.partitionBy("partition_key", "column_name")
+    j = (j.withColumn("__to", F.sum("o").over(wg))
+          .withColumn("__tb", F.sum("b").over(wg)))
+    so = F.when(F.col("__to") > 0,
+                F.col("o").cast("double") / F.col("__to").cast("double")) \
+          .otherwise(F.lit(0.0))
+    sb = F.when(F.col("__tb") > 0,
+                F.col("b").cast("double") / F.col("__tb").cast("double")) \
+          .otherwise(F.lit(0.0))
+    j = (j.withColumn("share_obs", F.round(so, 6))
+          .withColumn("share_base", F.round(sb, 6))
+          .withColumn("delta", F.round(so - sb, 6)))
+    wr = Window.partitionBy("partition_key", "column_name").orderBy(
+        F.abs(F.col("delta")).desc(), F.col("bucket").asc())
+    return (j.withColumn("rank", F.row_number().over(wr).cast("int"))
+             .where(F.col("rank") <= int(top_k))
+             .select("partition_key", "column_name", "bucket",
+                     "share_obs", "share_base", "delta", "rank"))
