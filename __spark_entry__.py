@@ -3037,6 +3037,82 @@ def q_zipf_fit(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_readability(spark, sf_dir):
+    """Corpus readability profile per language (text.readability_stats):
+    Flesch / FK-grade from three regexp_count sums inside one map-side
+    combined aggregate — register-shift detector for a source mix."""
+    from schema_validata_spark.functions.text import readability_stats
+    return (readability_stats(_t(spark, sf_dir, "documents"), "text",
+                              "lang")
+            .orderBy("group"))
+
+
+def q_degree_profile(spark, sf_dir):
+    """Per-tool degree/strength of the transition graph
+    (graphs.degree_profile): one lag window + one aggregate reduce the
+    corpus to an |alphabet|2 edge frame; everything after is tiny."""
+    from schema_validata_spark.operators.graphs import (degree_profile,
+                                                        transition_edges)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return degree_profile(e).orderBy("node")
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Edge reciprocity + traffic imbalance per unordered tool pair
+    (graphs.graph_reciprocity): missing reverse edges on
+    request/response pairs are protocol smells."""
+    from schema_validata_spark.operators.graphs import (graph_reciprocity,
+                                                        transition_edges)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return graph_reciprocity(e).orderBy("node_a", "node_b")
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle participation per node of the undirected transition
+    graph (graphs.graph_triangles): the a<b<c triangle join, safe
+    because it runs on the post-aggregation label graph."""
+    from schema_validata_spark.operators.graphs import (graph_triangles,
+                                                        transition_edges)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return graph_triangles(e).orderBy("node")
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust daily-volume trend per event type
+    (statqa.theil_sen_trend): median of pairwise slopes on the
+    #days-sized frame — outage-day-proof drift direction."""
+    from schema_validata_spark.operators.statqa import theil_sen_trend
+    return (theil_sen_trend(_t(spark, sf_dir, "events"), "ts",
+                            "event_type")
+            .orderBy("group"))
+
+
+def q_ewma_volume(spark, sf_dir):
+    """EWMA volume-anomaly screen (statqa.ewma_anomalies): each day
+    vs the debiased exponential average of prior days, closed-form
+    cumsum window on the #days frame — drift-tolerant spike/outage
+    detector."""
+    from schema_validata_spark.operators.statqa import ewma_anomalies
+    return (ewma_anomalies(_t(spark, sf_dir, "events"), "ts",
+                           alpha=0.3, threshold=0.5)
+            .orderBy("day"))
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Cross-source score calibration (statqa.quality_calibration):
+    per-source KS distance between within-source and global quality
+    percentiles — the is-0.8-the-same-everywhere audit behind global
+    curation thresholds."""
+    from schema_validata_spark.operators.statqa import quality_calibration
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("source", quality_score("text").alias("q"))
+    return (quality_calibration(scored, "q", "source")
+            .orderBy("group"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3264,6 +3340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extrema_exemplars": q_extrema_exemplars,
         "hourly_profile": q_hourly_profile,
         "histogram_movers": q_histogram_movers,
+        "readability": q_readability,
+        "degree_profile": q_degree_profile,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_triangles": q_graph_triangles,
+        "theil_sen": q_theil_sen,
+        "ewma_volume": q_ewma_volume,
+        "quality_calibration": q_quality_calibration,
     }
 
 
@@ -8053,5 +8136,190 @@ def oracle_sql() -> dict[str, str]:
                share_obs, share_base, delta, rank
         FROM r WHERE rank <= 3
         ORDER BY partition_key, column_name, rank"""
+
+    sql["readability"] = r"""
+        WITH per AS (
+          SELECT lang AS g, count(*)::bigint AS n_docs,
+                 sum(len(regexp_extract_all(text, '\S+')))::bigint
+                   AS words,
+                 sum(len(regexp_extract_all(text, '[.!?]+')))::bigint
+                   AS sentences,
+                 sum(len(regexp_extract_all(text,
+                     '[aeiouyAEIOUY]+')))::bigint AS syllables
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1)
+        SELECT g AS "group", n_docs, words, sentences, syllables,
+               round(greatest(words, 1)::double
+                     / greatest(sentences, 1)::double, 6)
+                 AS words_per_sentence,
+               round(syllables::double
+                     / greatest(words, 1)::double, 6)
+                 AS syllables_per_word,
+               round(206.835
+                     - 1.015 * (greatest(words, 1)::double
+                                / greatest(sentences, 1)::double)
+                     - 84.6 * (syllables::double
+                               / greatest(words, 1)::double), 6)
+                 AS flesch,
+               round(0.39 * (greatest(words, 1)::double
+                             / greatest(sentences, 1)::double)
+                     + 11.8 * (syllables::double
+                               / greatest(words, 1)::double)
+                     - 15.59, 6) AS fk_grade
+        FROM per ORDER BY "group" """
+
+    _edges_cte = """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        edges AS (
+          SELECT prev AS src, event_type AS dst, count(*)::bigint AS n
+          FROM seq
+          WHERE prev IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2)"""
+
+    sql["degree_profile"] = _edges_cte + """,
+        outs AS (
+          SELECT src AS node, count(DISTINCT dst)::bigint AS out_degree,
+                 sum(n)::bigint AS out_strength,
+                 sum(CASE WHEN dst = src THEN n ELSE 0 END)::bigint
+                   AS self_loops
+          FROM edges GROUP BY 1),
+        ins AS (
+          SELECT dst AS node, count(DISTINCT src)::bigint AS in_degree,
+                 sum(n)::bigint AS in_strength
+          FROM edges GROUP BY 1)
+        SELECT coalesce(outs.node, ins.node) AS node,
+               coalesce(out_degree, 0)::bigint AS out_degree,
+               coalesce(in_degree, 0)::bigint AS in_degree,
+               coalesce(out_strength, 0)::bigint AS out_strength,
+               coalesce(in_strength, 0)::bigint AS in_strength,
+               coalesce(self_loops, 0)::bigint AS self_loops
+        FROM outs FULL OUTER JOIN ins ON outs.node = ins.node
+        ORDER BY node"""
+
+    sql["graph_reciprocity"] = _edges_cte + """,
+        fwd AS (
+          SELECT src AS node_a, dst AS node_b, n AS n_ab
+          FROM edges WHERE src < dst),
+        rev AS (
+          SELECT dst AS node_a, src AS node_b, n AS n_ba
+          FROM edges WHERE src > dst)
+        SELECT coalesce(fwd.node_a, rev.node_a) AS node_a,
+               coalesce(fwd.node_b, rev.node_b) AS node_b,
+               coalesce(n_ab, 0)::bigint AS n_ab,
+               coalesce(n_ba, 0)::bigint AS n_ba,
+               (coalesce(n_ab, 0) > 0 AND coalesce(n_ba, 0) > 0)
+                 AS reciprocal,
+               round(abs(coalesce(n_ab, 0) - coalesce(n_ba, 0))::double
+                     / (coalesce(n_ab, 0) + coalesce(n_ba, 0))::double,
+                     6) AS imbalance
+        FROM fwd FULL OUTER JOIN rev
+          ON fwd.node_a = rev.node_a AND fwd.node_b = rev.node_b
+        ORDER BY node_a, node_b"""
+
+    sql["graph_triangles"] = _edges_cte + """,
+        und AS (
+          SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+          FROM edges WHERE src <> dst),
+        tri AS (
+          SELECT ab.lo AS x, ab.hi AS y, bc.hi AS z
+          FROM und ab
+          JOIN und bc ON bc.lo = ab.hi
+          JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+        nodes AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT node, count(*)::bigint AS triangles
+        FROM nodes GROUP BY 1 ORDER BY node"""
+
+    sql["theil_sen"] = """
+        WITH daily AS (
+          SELECT event_type AS g,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(ts AS DATE))::bigint AS d,
+                 count(*)::double AS y
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.g AS g, (b.y - a.y) / (b.d - a.d)::double AS slope
+          FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
+        med AS (
+          SELECT g, quantile_cont(slope, 0.5) AS s,
+                 count(*)::bigint AS n_pairs
+          FROM pairs GROUP BY 1)
+        SELECT daily.g AS "group", count(*)::bigint AS n_days,
+               any_value(n_pairs) AS n_pairs,
+               round(any_value(s), 6) AS slope,
+               round(quantile_cont(y - s * d, 0.5), 6) AS intercept
+        FROM daily JOIN med ON daily.g = med.g
+        GROUP BY 1 ORDER BY "group" """
+
+    sql["ewma_volume"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*)::bigint AS n
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        idx AS (
+          SELECT day, n,
+                 (row_number() OVER (ORDER BY day) - 1)::bigint AS t
+          FROM daily),
+        c AS (
+          SELECT day, n, t,
+                 sum(n::double * pow(0.7, -t)) OVER (
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS cum
+          FROM idx),
+        sp AS (
+          SELECT day, n, t,
+                 pow(0.7, t - 1) * cum
+                   / ((1.0 - pow(0.7, t)) / 0.3) AS s
+          FROM c)
+        SELECT day, n, round(s, 6) AS smoothed_prev,
+               round(abs(n - s) / greatest(s, 1.0), 6) AS deviation,
+               coalesce(abs(n - s) / greatest(s, 1.0) > 0.5, false)
+                 AS flag
+        FROM sp ORDER BY day"""
+
+    sql["quality_calibration"] = f"""
+        WITH m AS (
+          SELECT source, text,
+                 cast(length(text) as double) AS n_chars,
+                 cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END as double) AS n_tokens,
+                 cast(length(text) - length(regexp_replace(text,
+                      '[^\\w\\s]', '', 'g')) as double) AS n_punct,
+                 cast(len(list_intersect(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      [{stop}])) as double) AS n_stop
+          FROM documents),
+        scored AS (
+          SELECT source,
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN 0.0
+                 ELSE round((least(n_chars / 500.0, 1.0)
+                   + (1.0 - least(n_punct / greatest(n_chars, 1.0)
+                                  * 5.0, 1.0))
+                   + least(n_stop / greatest(n_tokens, 1.0) * 10.0,
+                           1.0)) / 3.0, 6) END AS q
+          FROM m WHERE source IS NOT NULL),
+        ranked AS (
+          SELECT source, q,
+                 percent_rank() OVER (PARTITION BY source ORDER BY q)
+                   AS sp,
+                 percent_rank() OVER (ORDER BY q) AS gp
+          FROM scored)
+        SELECT source AS "group", count(*)::bigint AS n,
+               round(avg(q), 6) AS mean_score,
+               round(avg(gp), 6) AS mean_global_pctl,
+               round(avg(gp) - 0.5, 6) AS calibration_gap,
+               round(max(abs(sp - gp)), 6) AS ks_stat
+        FROM ranked GROUP BY 1 ORDER BY "group" """
 
     return sql

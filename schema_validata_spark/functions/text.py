@@ -910,3 +910,54 @@ def script_mix_stats(df: DataFrame, text_col: str,
                F.round(F.col("n_chars").cast("double")
                        / F.col("__t").cast("double"), 6))
          .alias("share"))
+
+
+def readability_stats(df, text_col: str, group_col: str) -> "DataFrame":
+    """Corpus readability profile per group: Flesch reading ease and
+    Flesch-Kincaid grade level from three cheap regex counts — words
+    (``\\S+`` runs), sentences (``[.!?]+`` runs), and an approximate
+    syllable count (``[aeiouyAEIOUY]+`` vowel groups, the standard
+    cheap proxy). Readability is a corpus-mix signal the per-column
+    profile can't see: a source whose grade level jumps between
+    snapshots changed register (boilerplate injection, OCR noise,
+    template text), even if lengths and token counts look stable.
+
+    The reference profiles only counts/lengths (src/schema_validata.py
+    :955-1147); this is a north-rule text-QA addition.
+
+    Formulas (corpus-level, from group sums, not per-doc averages):
+      flesch   = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+      fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    with S and W floored at 1 (punctuation-free corpora would divide
+    by zero; a floor of one sentence per corpus is the conventional
+    fallback). NULL-text and NULL-group rows are excluded.
+
+    Output per group: group, n_docs, words, sentences, syllables,
+    words_per_sentence, syllables_per_word, flesch, fk_grade (6dp).
+
+    SCALE: three ``regexp_count`` column expressions inside ONE
+    map-side-combined hash aggregate — the shuffle carries one partial
+    row per (task, group). No UDFs, no second scan."""
+    t, g = F.col(text_col), F.col(group_col)
+    per = (df.where(g.isNotNull() & t.isNotNull())
+             .groupBy(g.cast("string").alias("group"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum(F.regexp_count(t, F.lit(r"\S+")))
+                   .cast("bigint").alias("words"),
+                  F.sum(F.regexp_count(t, F.lit(r"[.!?]+")))
+                   .cast("bigint").alias("sentences"),
+                  F.sum(F.regexp_count(t, F.lit(r"[aeiouyAEIOUY]+")))
+                   .cast("bigint").alias("syllables")))
+    w = F.greatest(F.col("words"), F.lit(1)).cast("double")
+    s = F.greatest(F.col("sentences"), F.lit(1)).cast("double")
+    y = F.col("syllables").cast("double")
+    wps = w / s
+    ypw = y / w
+    return per.select(
+        "group", "n_docs", "words", "sentences", "syllables",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(ypw, 6).alias("syllables_per_word"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps
+                - F.lit(84.6) * ypw, 6).alias("flesch"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * ypw
+                - F.lit(15.59), 6).alias("fk_grade"))

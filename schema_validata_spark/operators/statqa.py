@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.colref import qcol
 
@@ -1913,3 +1913,160 @@ def hourly_profile(df: DataFrame, ts_col: str,
         F.round(F.col("n").cast("double")
                 / F.col("__t").cast("double"), 6).alias("share"),
         (F.col("__r") == 1).alias("is_peak"))
+
+
+def theil_sen_trend(df: DataFrame, ts_col: str,
+                    group_col: str | None = None) -> DataFrame:
+    """Theil–Sen robust trend of daily volume: the MEDIAN of all
+    pairwise slopes between daily-count points (and the median-residual
+    intercept), optionally per group. The OLS volume trend
+    (``quality_trend``-style regression) is yanked around by a single
+    outage day or backfill spike; the median-of-slopes estimator has a
+    29% breakdown point and tells you the real drift direction of a
+    feed. No reference counterpart (north-rule volume QA).
+
+    Output one row (per group): [group,] n_days, n_pairs, slope (Δrows
+    per day), intercept (rows at epoch day 0 — with slope, a
+    deterministic forecast line), 6dp. Fewer than 2 days → no row
+    (no pair to take a slope from).
+
+    SCALE: ONE map-side-combined date hash aggregate reduces the
+    corpus to #days rows; the O(days²) pairwise self-join and exact
+    median run on that tiny frame — never on corpus rows. At 10^12
+    turns over 3 years the daily frame is ~1,100 rows → ~600k pairs,
+    trivially driver-adjacent work expressed declaratively."""
+    g = [group_col] if group_col else []
+    daily = (df.where(F.col(ts_col).isNotNull()
+                      & (F.lit(group_col is None)
+                         | F.col(group_col or ts_col).isNotNull()))
+             .groupBy(*g, F.datediff(F.to_date(F.col(ts_col)),
+                                     F.lit("1970-01-01")).alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    a = daily.select(*g, F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(*[F.col(c).alias(f"__{c}") for c in g],
+                     F.col("d").alias("d2"), F.col("y").alias("y2"))
+    cond = F.col("d1") < F.col("d2")
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__{c}"))
+    pairs = (a.join(b, cond)
+             .select(*g, ((F.col("y2") - F.col("y1"))
+                          / (F.col("d2") - F.col("d1")).cast("double"))
+                     .alias("slope")))
+    med = (pairs.groupBy(*g)
+           .agg(F.expr("percentile(slope, 0.5)").alias("__slope"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    if group_col:
+        j = daily.join(med.withColumnRenamed(group_col, "__g"),
+                       F.col(group_col).eqNullSafe(F.col("__g"))) \
+                 .drop("__g")
+        gb = j.groupBy(group_col)
+    else:
+        j = daily.crossJoin(F.broadcast(med))
+        gb = j.groupBy()
+    out = gb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.round(F.first("__slope"), 6).alias("slope"),
+        F.round(F.expr("percentile(y - __slope * d, 0.5)"), 6)
+         .alias("intercept"))
+    if group_col:
+        out = out.withColumnRenamed(group_col, "group") \
+                 .withColumn("group", F.col("group").cast("string"))
+    # the ungrouped med frame is a global aggregate, which emits a row
+    # even over an empty pairs frame; the contract is "no pair to take
+    # a slope from -> no row"
+    return out.where(F.col("n_pairs") > 0)
+
+
+def ewma_anomalies(df: DataFrame, ts_col: str, alpha: float = 0.3,
+                   threshold: float = 0.5) -> DataFrame:
+    """EWMA volume-anomaly screen: each day's event count versus the
+    debiased exponentially-weighted moving average of all PRIOR days —
+    the classic drift-tolerant change detector (a slow seasonal ramp
+    moves the EWMA with it; a one-day spike or outage does not).
+    Complements ``volume_changepoint`` (level shifts) and
+    ``volume_anomalies`` (global z): EWMA localizes "recent normal".
+
+    The recursion is expressed closed-form so it stays declarative:
+    with r = 1−α and day index t (0-based over observed days),
+    raw_t = Σ_{i≤t} x_i·r^(t−i) = r^t · Σ_{i≤t} x_i·r^(−i) — a
+    cumulative-sum window — and the debiased mean divides by
+    Σ r^(t−i) = (1−r^(t+1))/(1−r). Numerics: r^(−i) grows as the
+    series lengthens; doubles overflow past ~2,900 days at α=0.3
+    (documented bound — chunk by year beyond that). Early-day terms
+    underflow out of the cumsum exactly when their EWMA weight is
+    genuinely negligible (< 1e-16 relative), so precision loss tracks
+    the estimator's own decay.
+
+    Output per observed day: day (date), n (bigint), smoothed_prev
+    (debiased EWMA of prior days; NULL on the first day), deviation
+    (|n − smoothed_prev| / max(smoothed_prev, 1), 6dp), flag
+    (deviation > threshold; false on day 0).
+
+    SCALE: ONE map-side-combined date hash aggregate to #days rows,
+    then one window over that tiny frame (single ordered partition of
+    ~1k rows — explicitly NOT a corpus-sized window). Missing calendar
+    days are skipped, not zero-filled (use volume screens for gap
+    detection); day indices are positional."""
+    r = 1.0 - alpha
+    daily = (df.where(F.col(ts_col).isNotNull())
+             .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    w = Window.orderBy("day")
+    t = F.row_number().over(w) - F.lit(1)
+    daily = daily.withColumn("__t", t)
+    cum = F.sum(F.col("n").cast("double")
+                * F.pow(F.lit(r), -F.col("__t"))).over(
+        Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1))
+    raw_prev = F.pow(F.lit(r), F.col("__t") - 1) * cum
+    wsum_prev = (F.lit(1.0) - F.pow(F.lit(r), F.col("__t"))) \
+        / F.lit(1.0 - r)
+    smoothed_prev = raw_prev / wsum_prev
+    dev = F.abs(F.col("n") - smoothed_prev) \
+        / F.greatest(smoothed_prev, F.lit(1.0))
+    return (daily.select(
+        "day", "n",
+        F.round(smoothed_prev, 6).alias("smoothed_prev"),
+        F.round(dev, 6).alias("deviation"),
+        F.coalesce(dev > F.lit(threshold), F.lit(False)).alias("flag")))
+
+
+def quality_calibration(df: DataFrame, score_col: str,
+                        group_col: str) -> DataFrame:
+    """Cross-source score-calibration audit: is a "0.8" from source A
+    the same thing as a "0.8" from source B? For every row, compute its
+    percentile WITHIN its source and its percentile in the GLOBAL score
+    distribution; per source, report the mean global percentile (a
+    well-calibrated source centers at 0.5) and the Kolmogorov–Smirnov
+    distance between the two percentile columns (max |Δ|) — the
+    canonical measure of how far the source's score distribution sits
+    from the corpus's. Feeds threshold-based curation: a global
+    quality cutoff silently over-prunes sources whose scores run low.
+    No reference counterpart (north-rule corpus-mix QA).
+
+    Output per source: group, n (bigint), mean_score, mean_global_pctl,
+    calibration_gap (mean_global_pctl − 0.5), ks_stat — all 6dp.
+    Percentiles are ``percent_rank`` (ties share a value; single-row
+    groups get 0.0). NULL scores and NULL groups are excluded.
+
+    SCALE: two rank windows (one keyed by source, one global) + one
+    hash aggregate. The global percent_rank is a total sort at corpus
+    scale — at 10^12 rows swap it for a two-pass equi-depth histogram
+    lookup (the ``equidepth_histogram`` frame as the quantile map);
+    this exact form is the oracle-checkable contract."""
+    s, g = F.col(score_col), F.col(group_col)
+    base = (df.where(s.isNotNull() & g.isNotNull())
+            .select(g.cast("string").alias("group"), s.alias("__s")))
+    src_p = F.percent_rank().over(
+        Window.partitionBy("group").orderBy("__s"))
+    glob_p = F.percent_rank().over(Window.orderBy("__s"))
+    ranked = base.select("group", "__s",
+                         src_p.alias("__sp"), glob_p.alias("__gp"))
+    return (ranked.groupBy("group")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg("__s"), 6).alias("mean_score"),
+                 F.round(F.avg("__gp"), 6).alias("mean_global_pctl"),
+                 F.round(F.avg("__gp") - F.lit(0.5), 6)
+                  .alias("calibration_gap"),
+                 F.round(F.max(F.abs(F.col("__sp") - F.col("__gp"))), 6)
+                  .alias("ks_stat")))
