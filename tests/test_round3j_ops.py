@@ -1,223 +1,185 @@
-"""Round-3 continuation batch: transition-graph metrics (degree /
-reciprocity / triangles), Theil-Sen robust volume trend, EWMA anomaly
-screen, corpus readability, cross-source score calibration."""
+"""Round-3j operators: sliding-window burst stats, Wilson-interval
+rates, quantized shape moments (skewness/kurtosis)."""
 
-import datetime as dt
+from __future__ import annotations
+
+import datetime
+import math
 
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import functions as F
+
+from schema_validata_spark.operators.sequence import burst_stats
+from schema_validata_spark.operators.statqa import (moment_stats,
+                                                    wilson_rates)
 
 
-# ------------------------------------------------------------ graph metrics
-
-def _edges(spark, triples):
-    return spark.createDataFrame(
-        [Row(src=a, dst=b, n=n) for a, b, n in triples],
-        "src string, dst string, n bigint")
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
 
 
-def test_degree_profile_directions_and_self_loops(spark):
-    from schema_validata_spark.operators.graphs import degree_profile
-    e = _edges(spark, [("a", "b", 3), ("a", "c", 2), ("b", "a", 1),
-                       ("a", "a", 5)])
-    rows = {r["node"]: r for r in degree_profile(e).collect()}
-    assert rows["a"]["out_degree"] == 3          # b, c, a(self)
-    assert rows["a"]["in_degree"] == 2           # b, a(self)
-    assert rows["a"]["out_strength"] == 10       # 3+2+5
-    assert rows["a"]["in_strength"] == 6         # 1+5
-    assert rows["a"]["self_loops"] == 5
-    # c is sink-only: out side all zero via the full-outer coalesce
-    assert rows["c"]["out_degree"] == 0 and rows["c"]["in_degree"] == 1
-    assert rows["c"]["self_loops"] == 0
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "u string, ts timestamp")
 
 
-def test_reciprocity_missing_reverse_edge(spark):
-    from schema_validata_spark.operators.graphs import graph_reciprocity
-    e = _edges(spark, [("a", "b", 4), ("b", "a", 4), ("a", "c", 7),
-                       ("a", "a", 9)])  # loop must be ignored
-    rows = {(r["node_a"], r["node_b"]): r
-            for r in graph_reciprocity(e).collect()}
-    assert set(rows) == {("a", "b"), ("a", "c")}
-    ab = rows[("a", "b")]
-    assert ab["reciprocal"] and ab["n_ab"] == 4 and ab["n_ba"] == 4
-    assert ab["imbalance"] == 0.0
-    ac = rows[("a", "c")]
-    assert not ac["reciprocal"] and ac["n_ba"] == 0
-    assert ac["imbalance"] == 1.0
+# --------------------------------------------------------- burst_stats
+
+def test_burst_hand_case(spark):
+    base = _ts("2024-01-01T00:00:00")
+    rows = ([("u1", base + datetime.timedelta(seconds=s))
+             for s in (0, 1, 2, 100, 101)]          # burst of 3, then 2
+            + [("u2", base), ("u2", base + datetime.timedelta(hours=1))])
+    got = {r["u"]: r for r in burst_stats(
+        _ev(spark, rows), "u", "ts", window_s=10, threshold=3).collect()}
+    u1 = got["u1"]
+    assert (u1["n_events"], u1["peak_window_count"]) == (5, 3)
+    assert (u1["n_over"], u1["over_limit"]) == (1, True)
+    u2 = got["u2"]
+    assert (u2["peak_window_count"], u2["over_limit"]) == (1, False)
 
 
-def test_triangles_four_clique(spark):
-    from schema_validata_spark.operators.graphs import graph_triangles
-    # K4 (directions/weights/loops must not matter): C(3,2)=3 per node
-    nodes = ["a", "b", "c", "d"]
-    e = _edges(spark, [(x, y, 1) for x in nodes for y in nodes if x != y]
-               + [("a", "a", 2)])
-    rows = {r["node"]: r["triangles"]
-            for r in graph_triangles(e).collect()}
-    assert rows == {"a": 3, "b": 3, "c": 3, "d": 3}
+def test_burst_window_inclusive_and_ties(spark):
+    base = _ts("2024-01-01T00:00:00")
+    rows = [("u1", base), ("u1", base),                       # tie
+            ("u1", base + datetime.timedelta(seconds=10))]    # exactly W
+    r = burst_stats(_ev(spark, rows), "u", "ts",
+                    window_s=10, threshold=3).collect()[0]
+    # the t=10 event sees both t=0 ties (inclusive bound) -> window of 3
+    assert r["peak_window_count"] == 3 and r["n_over"] == 1
 
 
-def test_triangles_none_on_a_path(spark):
-    from schema_validata_spark.operators.graphs import graph_triangles
-    e = _edges(spark, [("a", "b", 1), ("b", "c", 1)])
-    assert graph_triangles(e).count() == 0
+def test_burst_nulls_excluded_and_validation(spark):
+    rows = [(None, _ts("2024-01-01T00:00")), ("u1", None),
+            ("u1", _ts("2024-01-01T00:00"))]
+    got = burst_stats(_ev(spark, rows), "u", "ts", 60, 2).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 1
+    with pytest.raises(ValueError):
+        burst_stats(_ev(spark, []), "u", "ts", 0, 2)
+    with pytest.raises(ValueError):
+        burst_stats(_ev(spark, []), "u", "ts", 60, 0)
 
 
-def test_transition_edges_from_events(spark):
-    from schema_validata_spark.operators.graphs import transition_edges
-    df = spark.createDataFrame(
-        [Row(u=1, i=1, v="x"), Row(u=1, i=2, v="y"), Row(u=1, i=3, v="x"),
-         Row(u=2, i=1, v="y"), Row(u=2, i=2, v=None), Row(u=2, i=3, v="y")],
-        "u int, i int, v string")
-    rows = {(r["src"], r["dst"]): r["n"]
-            for r in transition_edges(df, "u", ["i"], "v").collect()}
-    # openers and NULL endpoints excluded; NULL-adjacent pairs dropped
-    assert rows == {("x", "y"): 1, ("y", "x"): 1}
+def test_burst_single_exchange_plan(spark):
+    """Window + per-key agg share ONE hashpartitioning exchange."""
+    import io
+    import contextlib
+    rows = [("u%d" % (i % 3), _ts("2024-01-01T00:00")
+             + datetime.timedelta(seconds=i)) for i in range(30)]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        burst_stats(_ev(spark, rows), "u", "ts", 10, 3) \
+            .explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
 
 
-# ------------------------------------------------------------ theil-sen
+# -------------------------------------------------------- wilson_rates
 
-def test_theil_sen_recovers_exact_line(spark):
-    from schema_validata_spark.operators.statqa import theil_sen_trend
-    # day d has exactly 2*k + 3 events for k = 0..4 (d0 = 2024-01-01)
-    rows = []
-    eid = 0
-    for k in range(5):
-        day = dt.datetime(2024, 1, 1 + k, 12, 0, 0)
-        for _ in range(2 * k + 3):
-            rows.append(Row(ts=day, event_id=eid))
-            eid += 1
-    df = spark.createDataFrame(rows, "ts timestamp, event_id int")
-    out = theil_sen_trend(df, "ts").collect()
-    assert len(out) == 1
-    r = out[0]
-    d0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
-    assert r["n_days"] == 5 and r["n_pairs"] == 10
-    assert r["slope"] == pytest.approx(2.0)
-    assert r["intercept"] == pytest.approx(3.0 - 2.0 * d0)
+def _flags(spark, rows):
+    return spark.createDataFrame(rows, "g string, hit boolean")
 
 
-def test_theil_sen_outlier_day_resistant(spark):
-    from schema_validata_spark.operators.statqa import theil_sen_trend
-    # flat series of 5/day with one 50-event backfill spike: OLS slope
-    # would move; the median pairwise slope stays 0
-    rows = []
-    eid = 0
-    for k in range(9):
-        n = 50 if k == 4 else 5
-        day = dt.datetime(2024, 2, 1 + k)
-        for _ in range(n):
-            rows.append(Row(ts=day, event_id=eid))
-            eid += 1
-    df = spark.createDataFrame(rows, "ts timestamp, event_id int")
-    r = theil_sen_trend(df, "ts").collect()[0]
-    assert r["slope"] == pytest.approx(0.0)
+def _wilson(n, k, z=1.959964):
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (z * math.sqrt(p * (1.0 - p) / n
+                          + z * z / (4.0 * n * n))) / denom
+    return round(center - half, 6), round(center + half, 6)
 
 
-def test_theil_sen_single_day_yields_no_row(spark):
-    from schema_validata_spark.operators.statqa import theil_sen_trend
-    df = spark.createDataFrame([Row(ts=dt.datetime(2024, 3, 1))],
-                               "ts timestamp")
-    assert theil_sen_trend(df, "ts").count() == 0
+def test_wilson_hand_case(spark):
+    rows = ([("tool_a", True)] * 3 + [("tool_a", False)] * 7
+            + [("tool_b", True)])
+    got = {r["group"]: r for r in wilson_rates(
+        _flags(spark, rows), F.col("hit"), "g").collect()}
+    a = got["tool_a"]
+    assert (a["n"], a["k"], a["rate"]) == (10, 3, 0.3)
+    lo, hi = _wilson(10, 3)
+    assert abs(a["wilson_lo"] - lo) < 1e-9
+    assert abs(a["wilson_hi"] - hi) < 1e-9
+    b = got["tool_b"]                       # n=1, k=1: inside [0, 1]
+    assert 0.0 <= b["wilson_lo"] <= b["wilson_hi"] <= 1.0
+    assert b["rate"] == 1.0
 
 
-# ------------------------------------------------------------ ewma
-
-def _daily_events(spark, counts, start=dt.date(2024, 5, 1)):
-    rows = []
-    for k, n in enumerate(counts):
-        day = dt.datetime.combine(start + dt.timedelta(days=k),
-                                  dt.time(9, 0))
-        rows.extend(Row(ts=day) for _ in range(n))
-    return spark.createDataFrame(rows, "ts timestamp")
+def test_wilson_interval_narrows_with_n(spark):
+    rows = ([("small", True)] * 2 + [("small", False)] * 2
+            + [("big", True)] * 200 + [("big", False)] * 200)
+    got = {r["group"]: r["wilson_hi"] - r["wilson_lo"]
+           for r in wilson_rates(_flags(spark, rows),
+                                 F.col("hit"), "g").collect()}
+    assert got["big"] < got["small"] / 3
 
 
-def test_ewma_constant_series_never_flags(spark):
-    from schema_validata_spark.operators.statqa import ewma_anomalies
-    out = ewma_anomalies(_daily_events(spark, [20] * 6), "ts").collect()
-    out.sort(key=lambda r: r["day"])
-    assert out[0]["smoothed_prev"] is None and not out[0]["flag"]
-    for r in out[1:]:
-        # debiased EWMA of a constant IS the constant
-        assert r["smoothed_prev"] == pytest.approx(20.0)
-        assert r["deviation"] == pytest.approx(0.0)
-        assert not r["flag"]
+def test_wilson_null_exclusions(spark):
+    rows = [("g1", True), ("g1", None), (None, True)]
+    got = wilson_rates(_flags(spark, rows), F.col("hit"), "g").collect()
+    assert len(got) == 1
+    assert (got[0]["n"], got[0]["k"]) == (1, 1)
 
 
-def test_ewma_spike_flags_and_recovers(spark):
-    from schema_validata_spark.operators.statqa import ewma_anomalies
-    out = ewma_anomalies(_daily_events(spark, [20, 20, 20, 60, 20]),
-                         "ts", alpha=0.3, threshold=0.5).collect()
-    out.sort(key=lambda r: r["day"])
-    # spike day: prior EWMA is 20, |60-20|/20 = 2.0 > 0.5
-    assert out[3]["deviation"] == pytest.approx(2.0)
-    assert out[3]["flag"]
-    # next day: EWMA has absorbed part of the spike but the return to
-    # 20 is within threshold
-    assert not out[4]["flag"]
-    assert sum(1 for r in out if r["flag"]) == 1
+# -------------------------------------------------------- moment_stats
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
 
 
-def test_ewma_first_day_unflagged(spark):
-    from schema_validata_spark.operators.statqa import ewma_anomalies
-    out = ewma_anomalies(_daily_events(spark, [1000]), "ts").collect()
-    assert len(out) == 1
-    assert out[0]["smoothed_prev"] is None and not out[0]["flag"]
+def _expected_moments(vals, unit=0.001):
+    qs = [round(v / unit) for v in vals]
+    n = float(len(qs))
+    s1, s2 = float(sum(qs)), float(sum(q * q for q in qs))
+    s3 = float(sum(q ** 3 for q in qs))
+    s4 = float(sum(q ** 4 for q in qs))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3.0 * m * s2 / n + 2.0 * m ** 3
+    m4 = s4 / n - 4.0 * m * s3 / n + 6.0 * m * m * s2 / n - 3.0 * m ** 4
+    return (round(m * unit, 6), round(math.sqrt(max(m2, 0.0)) * unit, 6),
+            round(m3 / m2 ** 1.5, 6), round(m4 / (m2 * m2) - 3.0, 6))
 
 
-# ------------------------------------------------------------ readability
-
-def test_readability_known_counts(spark):
-    from schema_validata_spark.functions.text import readability_stats
-    df = spark.createDataFrame(
-        [Row(text="The cat sat. The dog ran!", g="en"),
-         Row(text=None, g="en")],
-        "text string, g string")
-    r = readability_stats(df, "text", "g").collect()[0]
-    assert r["n_docs"] == 1
-    assert r["words"] == 6 and r["sentences"] == 2
-    # vowel groups: The(1) cat(1) sat(1) The(1) dog(1) ran(1) = 6
-    assert r["syllables"] == 6
-    assert r["words_per_sentence"] == pytest.approx(3.0)
-    assert r["syllables_per_word"] == pytest.approx(1.0)
-    assert r["flesch"] == pytest.approx(206.835 - 1.015 * 3 - 84.6,
-                                        abs=1e-5)
+def test_moment_hand_case(spark):
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0]          # right-skewed
+    r = moment_stats(_vals(spark, [("g", v) for v in vals]),
+                     "v", "g").collect()[0]
+    mean, std, skew, kurt = _expected_moments(vals)
+    assert r["n"] == 5
+    assert abs(r["mean"] - mean) < 1e-9
+    assert abs(r["std"] - std) < 1e-9
+    assert abs(r["skewness"] - skew) < 1e-9
+    assert abs(r["ex_kurtosis"] - kurt) < 1e-9
+    assert r["skewness"] > 1.0                  # the outlier skews right
 
 
-def test_readability_no_punctuation_floors_sentences(spark):
-    from schema_validata_spark.functions.text import readability_stats
-    df = spark.createDataFrame([Row(text="one two three", g="x")],
-                               "text string, g string")
-    r = readability_stats(df, "text", "g").collect()[0]
-    assert r["sentences"] == 0
-    assert r["words_per_sentence"] == pytest.approx(3.0)  # floor S at 1
+def test_moment_symmetric_and_constant(spark):
+    rows = ([("sym", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0)]
+            + [("const", 7.0)] * 4 + [("single", 1.0)])
+    got = {r["group"]: r for r in moment_stats(
+        _vals(spark, rows), "v", "g").collect()}
+    assert got["sym"]["skewness"] == 0.0
+    # uniform-ish 5-point grid: platykurtic (negative excess kurtosis)
+    assert got["sym"]["ex_kurtosis"] < 0
+    c = got["const"]
+    assert (c["std"], c["skewness"], c["ex_kurtosis"]) == (0.0, None, None)
+    s = got["single"]
+    assert (s["n"], s["skewness"]) == (1, None)
 
 
-# ------------------------------------------------------------ calibration
-
-def test_quality_calibration_shifted_source(spark):
-    from schema_validata_spark.operators.statqa import quality_calibration
-    rows = ([Row(src="low", q=float(i)) for i in range(10)]
-            + [Row(src="high", q=float(i + 100)) for i in range(10)])
-    df = spark.createDataFrame(rows, "src string, q double")
-    out = {r["group"]: r for r in
-           quality_calibration(df, "q", "src").collect()}
-    # disjoint ranges: low sits entirely in the bottom global half
-    assert out["low"]["mean_global_pctl"] < 0.3
-    assert out["high"]["mean_global_pctl"] > 0.7
-    assert out["low"]["calibration_gap"] == pytest.approx(
-        out["low"]["mean_global_pctl"] - 0.5, abs=1e-6)
-    # within-source pctl spans [0,1] but global tops out at ~0.47
-    assert out["low"]["ks_stat"] > 0.4
-    assert out["low"]["n"] == 10
+def test_moment_nulls_unit_validation(spark):
+    rows = [("g", 1.0), ("g", None), (None, 5.0), ("g", 2.0)]
+    r = moment_stats(_vals(spark, rows), "v", "g").collect()
+    assert len(r) == 1 and r[0]["n"] == 2
+    with pytest.raises(ValueError):
+        moment_stats(_vals(spark, rows), "v", "g", unit=0)
 
 
-def test_quality_calibration_identical_sources_balanced(spark):
-    from schema_validata_spark.operators.statqa import quality_calibration
-    rows = ([Row(src="a", q=float(i)) for i in range(20)]
-            + [Row(src="b", q=float(i)) for i in range(20)])
-    df = spark.createDataFrame(rows, "src string, q double")
-    out = {r["group"]: r for r in
-           quality_calibration(df, "q", "src").collect()}
-    for s in ("a", "b"):
-        assert abs(out[s]["calibration_gap"]) < 0.03
+def test_moment_single_exchange_plan(spark):
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        moment_stats(_vals(spark, [("g", 1.0)]), "v", "g") \
+            .explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
