@@ -3113,6 +3113,51 @@ def q_quality_calibration(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration weighted PageRank of the tool-transition graph
+    (graphs.pagerank): 5 power-method rounds with dangling
+    redistribution on the label graph; the oracle unrolls the same 5
+    rounds as chained CTEs."""
+    from schema_validata_spark.operators.graphs import (pagerank,
+                                                        transition_edges)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return pagerank(e, damping=0.85, iterations=5).orderBy("node")
+
+
+def q_k_core(spark, sf_dir):
+    """2-core of the undirected transition graph after 10 fixed peel
+    rounds (graphs.k_core) — the load-bearing skeleton; DuckDB twin is
+    a recursive-CTE peel."""
+    from schema_validata_spark.operators.graphs import (k_core,
+                                                        transition_edges)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return k_core(e, k=2, peels=10).orderBy("node")
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the transition graph
+    (graphs.assortativity): Pearson over edge-endpoint degrees from
+    explicit moment sums (NULL on regular graphs, matching SQL corr
+    semantics)."""
+    from schema_validata_spark.operators.graphs import (assortativity,
+                                                        transition_edges)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return assortativity(e)
+
+
+def q_file_skew(spark, sf_dir):
+    """Rows-per-file layout audit (sources/layout.file_skew_profile)
+    over the lineitem scan — the small-file-problem detector. Rows-only
+    by design: the oracle's pre-registered views cannot observe
+    Spark's input_file_name()."""
+    from schema_validata_spark.sources.layout import file_skew_profile
+    return file_skew_profile(_t(spark, sf_dir, "lineitem"),
+                             small_file_rows=10_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3347,6 +3392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "ewma_volume": q_ewma_volume,
         "quality_calibration": q_quality_calibration,
+        "pagerank": q_pagerank,
+        "k_core": q_k_core,
+        "assortativity": q_assortativity,
+        "file_skew": q_file_skew,
     }
 
 
@@ -8321,5 +8370,151 @@ def oracle_sql() -> dict[str, str]:
                round(avg(gp) - 0.5, 6) AS calibration_gap,
                round(max(abs(sp - gp)), 6) AS ks_stat
         FROM ranked GROUP BY 1 ORDER BY "group" """
+
+    sql["pagerank"] = """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        edges AS (
+          SELECT prev AS src, event_type AS dst, count(*)::bigint AS n
+          FROM seq
+          WHERE prev IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        nodes AS (
+          SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+        wout AS (
+          SELECT src, sum(n::double) AS w FROM edges GROUP BY 1),
+        share AS (
+          SELECT edges.src, edges.dst, edges.n::double / wout.w AS share
+          FROM edges JOIN wout ON wout.src = edges.src),
+        p0 AS (
+          SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS pr
+          FROM nodes),
+        p1 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT count(*) FROM nodes)
+                 + 0.85 * (coalesce(c.contrib, 0.0)
+                     + (SELECT coalesce(sum(pr), 0.0) FROM p0
+                        WHERE node NOT IN (SELECT src FROM wout))
+                       / (SELECT count(*) FROM nodes)) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT sh.dst AS node, sum(p.pr * sh.share) AS contrib
+            FROM share sh JOIN p0 p ON p.node = sh.src
+            GROUP BY 1) c ON c.node = nd.node),
+        p2 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT count(*) FROM nodes)
+                 + 0.85 * (coalesce(c.contrib, 0.0)
+                     + (SELECT coalesce(sum(pr), 0.0) FROM p1
+                        WHERE node NOT IN (SELECT src FROM wout))
+                       / (SELECT count(*) FROM nodes)) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT sh.dst AS node, sum(p.pr * sh.share) AS contrib
+            FROM share sh JOIN p1 p ON p.node = sh.src
+            GROUP BY 1) c ON c.node = nd.node),
+        p3 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT count(*) FROM nodes)
+                 + 0.85 * (coalesce(c.contrib, 0.0)
+                     + (SELECT coalesce(sum(pr), 0.0) FROM p2
+                        WHERE node NOT IN (SELECT src FROM wout))
+                       / (SELECT count(*) FROM nodes)) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT sh.dst AS node, sum(p.pr * sh.share) AS contrib
+            FROM share sh JOIN p2 p ON p.node = sh.src
+            GROUP BY 1) c ON c.node = nd.node),
+        p4 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT count(*) FROM nodes)
+                 + 0.85 * (coalesce(c.contrib, 0.0)
+                     + (SELECT coalesce(sum(pr), 0.0) FROM p3
+                        WHERE node NOT IN (SELECT src FROM wout))
+                       / (SELECT count(*) FROM nodes)) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT sh.dst AS node, sum(p.pr * sh.share) AS contrib
+            FROM share sh JOIN p3 p ON p.node = sh.src
+            GROUP BY 1) c ON c.node = nd.node),
+        p5 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT count(*) FROM nodes)
+                 + 0.85 * (coalesce(c.contrib, 0.0)
+                     + (SELECT coalesce(sum(pr), 0.0) FROM p4
+                        WHERE node NOT IN (SELECT src FROM wout))
+                       / (SELECT count(*) FROM nodes)) AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT sh.dst AS node, sum(p.pr * sh.share) AS contrib
+            FROM share sh JOIN p4 p ON p.node = sh.src
+            GROUP BY 1) c ON c.node = nd.node)
+        SELECT node, round(pr, 6) AS pagerank FROM p5 ORDER BY node"""
+
+    sql["k_core"] = """
+        WITH RECURSIVE seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        edges AS (
+          SELECT prev AS src, event_type AS dst, count(*)::bigint AS n
+          FROM seq
+          WHERE prev IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        und AS (
+          SELECT src AS x, dst AS y FROM edges WHERE src <> dst
+          UNION
+          SELECT dst, src FROM edges WHERE src <> dst),
+        s AS (
+          SELECT 0 AS it, x AS node FROM und
+          UNION
+          SELECT it + 1, node FROM (
+            SELECT s1.it, s1.node, count(*) AS deg
+            FROM s s1 JOIN und ON und.x = s1.node
+            WHERE s1.it < 10
+              AND und.y IN (SELECT node FROM s s2 WHERE s2.it = s1.it)
+            GROUP BY s1.it, s1.node) WHERE deg >= 2)
+        SELECT node FROM s WHERE it = 10 ORDER BY node"""
+
+    # file_skew: rows-only by design - the DuckDB views cannot
+    # observe input_file_name(); the pytest covers the math.
+
+    sql["assortativity"] = """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        edges AS (
+          SELECT prev AS src, event_type AS dst, count(*)::bigint AS n
+          FROM seq
+          WHERE prev IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        und AS (
+          SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+          FROM edges WHERE src <> dst),
+        sym AS (
+          SELECT lo, hi FROM und UNION ALL SELECT hi, lo FROM und),
+        deg AS (
+          SELECT lo AS node, count(*)::double AS deg FROM sym GROUP BY 1),
+        j AS (
+          SELECT sym.lo, dx.deg AS dx, dy.deg AS dy
+          FROM sym JOIN deg dx ON dx.node = sym.lo
+                   JOIN deg dy ON dy.node = sym.hi),
+        a AS (
+          SELECT count(DISTINCT lo)::bigint AS n_nodes,
+                 (count(*) / 2)::bigint AS n_edges,
+                 count(*)::double AS n,
+                 sum(dx) AS sx, sum(dy) AS sy,
+                 sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+                 sum(dx * dy) AS sxy
+          FROM j)
+        SELECT n_nodes, n_edges,
+               round(CASE WHEN (n * sxx - sx * sx) > 0
+                           AND (n * syy - sy * sy) > 0
+                     THEN (n * sxy - sx * sy)
+                          / sqrt((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy)) END, 6) AS r
+        FROM a"""
 
     return sql

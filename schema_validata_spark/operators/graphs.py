@@ -141,3 +141,142 @@ def graph_triangles(edges: DataFrame) -> DataFrame:
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("triangles")))
     return per_node
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             iterations: int = 5) -> DataFrame:
+    """Weighted PageRank of the transition graph, FIXED-iteration power
+    method (deterministic, oracle-checkable — the iteration count is
+    part of the contract, not a convergence heuristic): which labels
+    are the traffic sinks of the corpus once indirect flow is counted?
+    A tool whose PageRank rises while its raw in_strength is flat is
+    being reached through longer chains — a behavior shift
+    ``degree_profile`` can't see.
+
+    Update rule (standard, with dangling redistribution): pr'(v) =
+    (1−d)/N + d·(Σ_in pr(u)·w(u,v)/wout(u) + dangling_mass/N), where
+    dangling_mass = Σ pr(u) over nodes with no out-edges. pr(0) = 1/N.
+    Σpr stays 1 every iteration.
+
+    Output per node: node, pagerank (6dp).
+
+    SCALE: the iteration LOOP runs on the |alphabet|²-bounded edge
+    frame; each iterate is ``localCheckpoint``-ed so the logical plan
+    stays O(1) per round instead of doubling (the classic iterative-
+    DataFrame lineage blowup). For billion-node graphs you'd switch to
+    Pregel-style partitioned iteration, out of scope for label
+    alphabets."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct()
+             .localCheckpoint())
+    n_total = nodes.count()  # tiny frame; the count also materializes it
+    if n_total == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank"))
+    wout = edges.groupBy("src").agg(
+        F.sum(F.col("n").cast("double")).alias("__wout"))
+    # per-edge share of the source's outflow — fixed across iterations
+    share = (edges.join(wout, "src")
+             .select("src", "dst",
+                     (F.col("n").cast("double") / F.col("__wout"))
+                     .alias("__share")).localCheckpoint())
+    d = float(damping)
+    pr = nodes.select("node", F.lit(1.0 / n_total).alias("pr"))
+    for _ in range(iterations):
+        contrib = (share.join(pr.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("pr") * F.col("__share"))
+                        .alias("__in")))
+        dangling = (pr.join(wout.withColumnRenamed("src", "node"),
+                            "node", "left_anti")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
+                         .alias("__dm")))
+        pr = (nodes.join(contrib, "node", "left")
+              .crossJoin(F.broadcast(dangling))
+              .select("node",
+                      (F.lit((1.0 - d) / n_total)
+                       + F.lit(d) * (F.coalesce("__in", F.lit(0.0))
+                                     + F.col("__dm") / F.lit(n_total)))
+                      .alias("pr")).localCheckpoint())
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def k_core(edges: DataFrame, k: int = 2, peels: int = 10) -> DataFrame:
+    """Nodes surviving ``peels`` rounds of k-core peeling on the
+    UNDIRECTED simple graph underlying the edge frame: repeatedly drop
+    every node with fewer than k distinct neighbors among survivors.
+    The k-core is the load-bearing skeleton of the tool graph —
+    peripheral one-neighbor tools peel away, and a core that shrinks
+    between snapshots means chained-tool behavior is disappearing.
+
+    FIXED peel count (like ``pagerank``'s fixed iterations): after the
+    core stabilizes further peels are no-ops, and |alphabet| peels
+    always suffice, so ``peels`` >= the label-alphabet size gives the
+    true k-core; the fixed count is what makes the operator
+    deterministic and oracle-checkable.
+
+    Output: node (nodes in the k-core after ``peels`` rounds).
+
+    SCALE: every round is a semi-join + degree aggregate on the
+    |alphabet|²-bounded undirected edge frame, with each survivor set
+    ``localCheckpoint``-ed so the plan does not double per round."""
+    if k < 1 or peels < 0:
+        raise ValueError("k >= 1 and peels >= 0 required")
+    und = (edges.where(F.col("src") != F.col("dst"))
+           .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+           .union(edges.where(F.col("src") != F.col("dst"))
+                  .select("dst", "src"))
+           .distinct().localCheckpoint())
+    alive = und.select(F.col("x").alias("node")).distinct() \
+               .localCheckpoint()
+    for _ in range(peels):
+        deg = (und.join(alive.withColumnRenamed("node", "x"), "x")
+               .join(alive.withColumnRenamed("node", "y"), "y")
+               .groupBy(F.col("x").alias("node"))
+               .agg(F.count(F.lit(1)).alias("__deg")))
+        alive = deg.where(F.col("__deg") >= k).select("node") \
+                   .localCheckpoint()
+    return alive
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected simple graph: the Pearson
+    correlation between the degrees at the two ends of every edge
+    (each undirected edge counted in both directions, the standard
+    convention). Positive = hubs talk to hubs (mesh-like tool usage);
+    negative = hub-and-spoke. A sign flip between corpus snapshots is
+    a topology change invisible to any per-node stat.
+
+    Output one row: n_nodes, n_edges (undirected), r (6dp; NULL when
+    degrees are constant — correlation undefined).
+
+    SCALE: degree aggregate + one join of the |alphabet|²-bounded
+    symmetrized edge frame; the correlation is corr() over that tiny
+    frame."""
+    und = (edges.where(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("lo"),
+                   F.greatest("src", "dst").alias("hi"))
+           .distinct().cache())
+    sym = und.union(und.select(F.col("hi"), F.col("lo")))
+    deg = sym.groupBy(F.col("lo").alias("node")) \
+             .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    j = (sym.join(deg.select(F.col("node").alias("lo"),
+                             F.col("deg").alias("dx")), "lo")
+         .join(deg.select(F.col("node").alias("hi"),
+                          F.col("deg").alias("dy")), "hi"))
+    # corr() raises DIVIDE_BY_ZERO under ANSI when a degree is constant
+    # (e.g. any regular graph); build Pearson from moment sums with an
+    # explicit zero-variance guard -> NULL, matching DuckDB's corr()
+    agg = j.agg(F.countDistinct("lo").cast("bigint").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+                F.count(F.lit(1)).cast("double").alias("__n"),
+                F.sum("dx").alias("__sx"), F.sum("dy").alias("__sy"),
+                F.sum(F.col("dx") * F.col("dx")).alias("__sxx"),
+                F.sum(F.col("dy") * F.col("dy")).alias("__syy"),
+                F.sum(F.col("dx") * F.col("dy")).alias("__sxy"))
+    vx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select("n_nodes", "n_edges", F.round(r, 6).alias("r"))
