@@ -3158,6 +3158,37 @@ def q_file_skew(spark, sf_dir):
                              small_file_rows=10_000)
 
 
+def q_transition_entropy(spark, sf_dir):
+    """Per-tool outgoing-transition entropy + corpus entropy-rate
+    contribution (graphs.transition_entropy): the how-predictable-is-
+    the-next-step screen; two aggregates on the label-graph frame."""
+    from schema_validata_spark.operators.graphs import (transition_edges,
+                                                        transition_entropy)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return transition_entropy(e).orderBy("node")
+
+
+def q_sampling_table(spark, sf_dir):
+    """word2vec-style negative-sampling table over the vocab head
+    (text.unigram_sampling_table): count^0.75-smoothed distribution +
+    CDF, truncated to 30 tokens — the embedding-training artifact."""
+    from schema_validata_spark.functions.text import unigram_sampling_table
+    return (unigram_sampling_table(_t(spark, sf_dir, "documents"),
+                                   "text", vocab_size=30)
+            .orderBy("rank"))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled source-mixing weights
+    (sampling.mixture_weights): size^0.3-smoothed sampling weights per
+    source with the implied up/down-sampling factor; one aggregate."""
+    from schema_validata_spark.functions.sampling import mixture_weights
+    return (mixture_weights(_t(spark, sf_dir, "documents"), "source",
+                            F.length("text"), alpha=0.3)
+            .orderBy("group"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3396,6 +3427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "assortativity": q_assortativity,
         "file_skew": q_file_skew,
+        "transition_entropy": q_transition_entropy,
+        "sampling_table": q_sampling_table,
+        "mixture_weights": q_mixture_weights,
     }
 
 
@@ -8516,5 +8550,65 @@ def oracle_sql() -> dict[str, str]:
                           / sqrt((n * sxx - sx * sx)
                                  * (n * syy - sy * sy)) END, 6) AS r
         FROM a"""
+
+    sql["transition_entropy"] = """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        edges AS (
+          SELECT prev AS src, event_type AS dst, count(*)::bigint AS n
+          FROM seq
+          WHERE prev IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        outs AS (
+          SELECT src, sum(n::double) AS w FROM edges GROUP BY 1),
+        tot AS (SELECT sum(w) AS t FROM outs),
+        per AS (
+          SELECT edges.src AS node, sum(edges.n)::bigint AS out_strength,
+                 sum(-(edges.n::double / outs.w)
+                     * log2(edges.n::double / outs.w)) AS h
+          FROM edges JOIN outs ON outs.src = edges.src
+          GROUP BY 1)
+        SELECT node, out_strength, round(h, 6) AS h_out,
+               round(out_strength::double / t, 6) AS traffic_share,
+               round((out_strength::double / t) * h, 6)
+                 AS rate_contribution
+        FROM per, tot ORDER BY node"""
+
+    sql["sampling_table"] = r"""
+        WITH counts AS (
+          SELECT token, count(*)::bigint AS n
+          FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+')) AS token
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0)
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 30),
+        v AS (SELECT token, n, pow(n::double, 0.75) AS s FROM counts),
+        t AS (SELECT sum(s) AS ts FROM v)
+        SELECT row_number() OVER (ORDER BY n DESC, token ASC)::bigint
+                 AS rank,
+               token, n, round(s / ts, 6) AS p,
+               round(sum(s / ts) OVER (ORDER BY n DESC, token ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS cum_p
+        FROM v, t ORDER BY rank"""
+
+    sql["mixture_weights"] = """
+        WITH per AS (
+          SELECT source AS g, count(*)::bigint AS n_rows,
+                 sum(coalesce(length(text), 0))::bigint AS size
+          FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        b AS (SELECT g, n_rows, size,
+                     pow(size::double, 0.3) AS w FROM per),
+        t AS (SELECT sum(size::double) AS ts, sum(w) AS tw FROM b)
+        SELECT g AS "group", n_rows, size,
+               round(size::double / ts, 6) AS raw_share,
+               round(w / tw, 6) AS weight,
+               round(CASE WHEN size::double / ts > 0
+                     THEN (w / tw) / (size::double / ts) END, 6)
+                 AS sampling_factor
+        FROM b, t ORDER BY "group" """
 
     return sql

@@ -446,3 +446,46 @@ def sample_bias_check(sample: DataFrame, corpus: DataFrame,
         z.alias("z"),
         F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False))
          .alias("flagged"))
+
+
+def mixture_weights(df, group_col: str, size_col,
+                    alpha: float = 0.3) -> "DataFrame":
+    """Temperature-scaled source-mixing weights: given per-row sizes
+    (token counts, bytes), compute each source's raw share and the
+    exponent-smoothed sampling weight w_i = s_i^alpha / Σ s_j^alpha —
+    the standard multilingual/multi-source LLM recipe (alpha→1 is
+    proportional sampling, alpha→0 uniform; 0.2–0.5 typical) that
+    up-samples small sources without letting any source's raw share
+    dominate. The companion number every data-mixing design doc wants
+    is the implied up/down-sampling factor, reported per source.
+
+    ``size_col`` is a Column expression (e.g. a token-count column or
+    ``F.length("text")``). NULL groups are excluded; NULL sizes count
+    as 0.
+
+    Output per source: group, n_rows (bigint), size (bigint),
+    raw_share, weight, sampling_factor (= weight / raw_share) — 6dp.
+    Sources with zero total size get weight 0 (0^alpha = 0) and a NULL
+    sampling_factor.
+
+    SCALE: ONE map-side-combined hash aggregate to the #sources frame,
+    then a broadcast single-row total — the whole operator is one scan
+    regardless of corpus size."""
+    g = F.col(group_col)
+    per = (df.where(g.isNotNull())
+           .groupBy(g.cast("string").alias("group"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.coalesce(size_col.cast("double"), F.lit(0.0)))
+                 .cast("bigint").alias("size")))
+    sm = F.pow(F.col("size").cast("double"), F.lit(float(alpha)))
+    base = per.select("group", "n_rows", "size", sm.alias("__w"))
+    tot = base.agg(F.sum(F.col("size").cast("double")).alias("__ts"),
+                   F.sum("__w").alias("__tw"))
+    j = base.crossJoin(F.broadcast(tot))
+    raw = F.col("size").cast("double") / F.col("__ts")
+    wgt = F.col("__w") / F.col("__tw")
+    return j.select(
+        "group", "n_rows", "size",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(wgt, 6).alias("weight"),
+        F.round(F.when(raw > 0, wgt / raw), 6).alias("sampling_factor"))

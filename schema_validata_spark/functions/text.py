@@ -961,3 +961,45 @@ def readability_stats(df, text_col: str, group_col: str) -> "DataFrame":
                 - F.lit(84.6) * ypw, 6).alias("flesch"),
         F.round(F.lit(0.39) * wps + F.lit(11.8) * ypw
                 - F.lit(15.59), 6).alias("fk_grade"))
+
+
+def unigram_sampling_table(df, text_col: str, vocab_size: int = 1000,
+                           power: float = 0.75) -> "DataFrame":
+    """Negative-sampling table over the corpus vocabulary head: the
+    word2vec-style smoothed unigram distribution p_i = c_i^power /
+    Σ c_j^power (power 0.75 flattens the head so frequent tokens are
+    not sampled in proportion to raw count) with its cumulative
+    distribution — the lookup artifact an embedding-training pipeline
+    materializes once per corpus snapshot. Tokenization matches
+    ``top_tokens`` (case-folded whitespace split); normalization and
+    the CDF run over the top ``vocab_size`` tokens (count desc, token
+    asc tiebreak), the standard truncated-vocab contract.
+
+    Output per token: rank (1-based), token, n (bigint), p (6dp),
+    cum_p (6dp, reaches 1.0 at the last rank).
+
+    SCALE: the wordcount two-stage aggregate (map-side combined), a
+    TakeOrderedAndProject top-k, then window math on the vocab-sized
+    frame — the single ordered window runs over ``vocab_size`` rows,
+    never the corpus."""
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+              .orderBy(F.col("n").desc(), F.col("token").asc())
+              .limit(vocab_size))
+    smoothed = F.pow(F.col("n").cast("double"), F.lit(power))
+    vocab = counts.select("token", "n", smoothed.alias("__s"))
+    tot = vocab.agg(F.sum("__s").alias("__t"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    j = vocab.crossJoin(F.broadcast(tot))
+    return (j.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "token", "n",
+        F.round(F.col("__s") / F.col("__t"), 6).alias("p"),
+        F.round(F.sum(F.col("__s") / F.col("__t")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+         .alias("cum_p")))

@@ -280,3 +280,37 @@ def assortativity(edges: DataFrame) -> DataFrame:
     cov = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
     return agg.select("n_nodes", "n_edges", F.round(r, 6).alias("r"))
+
+
+def transition_entropy(edges: DataFrame) -> DataFrame:
+    """Per-node outgoing-transition entropy and its contribution to the
+    corpus entropy RATE: how predictable is what follows each label?
+    H_out(i) = −Σ_j p_ij·log2(p_ij) with p_ij = n_ij / out_strength(i);
+    the rate contribution weights it by the node's share of total
+    transition traffic (the empirical analog of Σ π_i H_i for a Markov
+    chain). A collapsing entropy rate between snapshots means behavior
+    is templating (scripted loops); a rising one means chains are
+    diversifying. Complements ``pagerank`` (where traffic settles) with
+    how UNCERTAIN each step is.
+
+    Output per node with outgoing edges: node, out_strength (bigint),
+    h_out (bits, 6dp), traffic_share (6dp), rate_contribution
+    (traffic_share·h_out, 6dp — sum over nodes = corpus entropy rate).
+
+    SCALE: two aggregates on the |alphabet|²-bounded edge frame plus a
+    broadcast single-row total. Self-loops count like any transition."""
+    outs = edges.groupBy("src").agg(
+        F.sum(F.col("n").cast("double")).alias("__w"))
+    total = outs.agg(F.sum("__w").alias("__t"))
+    p = F.col("n").cast("double") / F.col("__w")
+    per_node = (edges.join(outs, "src")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("n").cast("bigint").alias("out_strength"),
+                     F.sum(-p * F.log2(p)).alias("__h")))
+    j = per_node.crossJoin(F.broadcast(total))
+    share = F.col("out_strength").cast("double") / F.col("__t")
+    return j.select(
+        "node", "out_strength",
+        F.round("__h", 6).alias("h_out"),
+        F.round(share, 6).alias("traffic_share"),
+        F.round(share * F.col("__h"), 6).alias("rate_contribution"))

@@ -120,3 +120,66 @@ def test_file_skew_profile_empty_input(spark, tmp_path):
     r = file_skew_profile(spark.read.parquet(d)).collect()[0]
     # zero data rows: no per-file groups at all
     assert r["n_files"] == 0 and r["total_rows"] is None
+
+
+# --------------------------------------------------- transition entropy
+
+def test_transition_entropy_hand_case(spark):
+    from schema_validata_spark.operators.graphs import transition_entropy
+    e = _edges(spark, [("a", "b", 1), ("a", "c", 1), ("b", "b", 4)])
+    rows = {r["node"]: r for r in transition_entropy(e).collect()}
+    assert set(rows) == {"a", "b"}          # c has no out-edges
+    assert rows["a"]["h_out"] == pytest.approx(1.0)      # fair coin
+    assert rows["b"]["h_out"] == pytest.approx(0.0)      # deterministic
+    assert rows["a"]["traffic_share"] == pytest.approx(2 / 6, abs=1e-6)
+    total_rate = sum(r["rate_contribution"] for r in rows.values())
+    assert total_rate == pytest.approx(1.0 / 3, abs=1e-5)
+
+
+# ------------------------------------------------------- sampling table
+
+def test_unigram_sampling_table_smoothing_and_cdf(spark):
+    from schema_validata_spark.functions.text import unigram_sampling_table
+    df = spark.createDataFrame(
+        [Row(text="x x x x x x x x y"), Row(text="x x x x x x x y z"),
+         Row(text=None), Row(text="   ")], "text string")
+    out = unigram_sampling_table(df, "text", vocab_size=2).collect()
+    out.sort(key=lambda r: r["rank"])
+    assert [r["token"] for r in out] == ["x", "y"]       # z truncated
+    assert [r["n"] for r in out] == [15, 2]
+    sx, sy = 15 ** 0.75, 2 ** 0.75
+    assert out[0]["p"] == pytest.approx(sx / (sx + sy), abs=1e-6)
+    assert out[1]["cum_p"] == pytest.approx(1.0, abs=1e-6)
+    # smoothing flattens: head share drops below the raw 15/17
+    assert out[0]["p"] < 15 / 17
+
+
+# ------------------------------------------------------ mixture weights
+
+def test_mixture_weights_upsamples_small_sources(spark):
+    from schema_validata_spark.functions.sampling import mixture_weights
+    df = spark.createDataFrame(
+        [Row(src="big", text="a" * 100)] + [Row(src="small", text="b" * 10)]
+        + [Row(src=None, text="zz")], "src string, text string")
+    out = {r["group"]: r for r in
+           mixture_weights(df, "src", F.length("text"),
+                           alpha=0.5).collect()}
+    assert set(out) == {"big", "small"}
+    w_big, w_small = 100 ** 0.5, 10 ** 0.5
+    assert out["big"]["weight"] == pytest.approx(
+        w_big / (w_big + w_small), abs=1e-6)
+    assert out["small"]["sampling_factor"] > 1.0   # small gets upsampled
+    assert out["big"]["sampling_factor"] < 1.0
+    assert out["big"]["raw_share"] == pytest.approx(100 / 110, abs=1e-6)
+
+
+def test_mixture_weights_alpha_one_is_proportional(spark):
+    from schema_validata_spark.functions.sampling import mixture_weights
+    df = spark.createDataFrame(
+        [Row(src="a", n=30), Row(src="b", n=70)], "src string, n int")
+    out = {r["group"]: r for r in
+           mixture_weights(df, "src", F.col("n"), alpha=1.0).collect()}
+    for g in ("a", "b"):
+        assert out[g]["weight"] == pytest.approx(out[g]["raw_share"],
+                                                 abs=1e-6)
+        assert out[g]["sampling_factor"] == pytest.approx(1.0, abs=1e-5)
