@@ -3189,6 +3189,28 @@ def q_mixture_weights(spark, sf_dir):
             .orderBy("group"))
 
 
+def q_reliability_bins(spark, sf_dir):
+    """Calibration curve of value vs error-rate per fixed bin
+    (statqa.reliability_bins): the reliability-diagram table behind
+    threshold decisions; one <=n_bins hash aggregate."""
+    from schema_validata_spark.operators.statqa import reliability_bins
+    return (reliability_bins(_t(spark, sf_dir, "events"), "value",
+                             F.col("event_type") == "error",
+                             lo=0.0, hi=500.0, n_bins=10)
+            .orderBy("bin"))
+
+
+def q_template_distance(spark, sf_dir):
+    """Per-user edit distance to the corpus modal event sequence
+    (sequence.template_distance): whole-trajectory conformance via
+    Levenshtein on the capped '>'-joined label string."""
+    from schema_validata_spark.operators.sequence import template_distance
+    return (template_distance(_t(spark, sf_dir, "events"), "user_id",
+                              ["ts", "event_id"], "event_type",
+                              max_len=10)
+            .orderBy("part"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3430,6 +3452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy": q_transition_entropy,
         "sampling_table": q_sampling_table,
         "mixture_weights": q_mixture_weights,
+        "reliability_bins": q_reliability_bins,
+        "template_distance": q_template_distance,
     }
 
 
@@ -8610,5 +8634,39 @@ def oracle_sql() -> dict[str, str]:
                      THEN (w / tw) / (size::double / ts) END, 6)
                  AS sampling_factor
         FROM b, t ORDER BY "group" """
+
+    sql["reliability_bins"] = """
+        WITH b AS (
+          SELECT least(greatest(floor(value / 50.0)::int, 0), 9) AS bin,
+                 value, (event_type = 'error') AS fl
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL)
+        SELECT bin, round(bin * 50.0::double, 6) AS bin_lo,
+               round((bin + 1) * 50.0::double, 6) AS bin_hi,
+               count(*)::bigint AS n,
+               round(avg(value), 6) AS mean_score,
+               round(avg(CASE WHEN fl THEN 1.0 ELSE 0.0 END), 6)
+                 AS positive_rate,
+               round(avg(CASE WHEN fl THEN 1.0 ELSE 0.0 END)
+                     - avg(value), 6) AS calibration_gap
+        FROM b GROUP BY bin ORDER BY bin"""
+
+    sql["template_distance"] = """
+        WITH base AS (
+          SELECT user_id::varchar AS part, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE user_id IS NOT NULL),
+        seqs AS (
+          SELECT part, count(*)::bigint AS seq_len,
+                 string_agg(coalesce(event_type, ''), '>' ORDER BY rn)
+                   AS seq
+          FROM base WHERE rn <= 10 GROUP BY part),
+        modal AS (
+          SELECT seq AS template FROM seqs GROUP BY seq
+          ORDER BY count(*) DESC, seq ASC LIMIT 1)
+        SELECT part, seq_len, levenshtein(seq, template)::bigint
+                 AS distance
+        FROM seqs, modal ORDER BY part"""
 
     return sql

@@ -1252,3 +1252,58 @@ def time_weighted_avg(df: DataFrame, part_col: str, ts_col: str,
         F.when((F.col("n_obs") >= 2) & (F.col("__span") > 0),
                F.round(twa, 6)).alias("twa"),
         "plain_avg")
+
+
+def template_distance(df: DataFrame, part_col: str,
+                      order_cols: list[str], value_col: str,
+                      max_len: int = 20) -> DataFrame:
+    """Edit distance of every partition's label sequence to the CORPUS
+    MODAL sequence: how far does each conversation / user journey sit
+    from the dominant template? ``sequence_ngrams`` says which local
+    patterns are common; this scores whole trajectories — a fleet of
+    scripted sessions shows a spike at distance 0, a protocol change
+    shows the old cohort marching away from the new template.
+
+    The sequence is the first ``max_len`` labels (caller's total
+    order) joined with '>'; distance is character-level Levenshtein on
+    that rendering (multi-char labels weigh roughly their length —
+    documented contract, cheap and engine-portable). The template is
+    the most frequent sequence, ties broken lexicographically. NULL
+    partitions are excluded; NULL labels render as empty strings.
+
+    Output per partition: part (string), seq_len (labels kept,
+    bigint), distance (bigint; 0 = exactly the template).
+
+    SCALE: one keyed row_number window (the sessionize shuffle) over
+    rows capped at ``max_len`` per partition, one hash aggregate to
+    partition-sized sequences, a ≤|distinct-seq| aggregate for the
+    modal row, then a broadcast of that single row into the
+    levenshtein projection. Levenshtein cost is O(max_len² · label)
+    per partition — bounded by the cap, independent of corpus size."""
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    p = F.col(part_col)
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    base = (df.where(p.isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_len)
+            .select(p.cast("string").alias("part"), "__rn",
+                    F.coalesce(F.col(value_col).cast("string"),
+                               F.lit("")).alias("__v")))
+    seqs = (base.groupBy("part")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("seq_len"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("__rn", "__v"))),
+                         lambda s: s["__v"]), ">").alias("__seq")))
+    modal = (seqs.groupBy("__seq")
+             .agg(F.count(F.lit(1)).alias("__n"))
+             .orderBy(F.col("__n").desc(), F.col("__seq").asc())
+             .limit(1)
+             .select(F.col("__seq").alias("__template")))
+    return (seqs.crossJoin(F.broadcast(modal))
+            .select("part", "seq_len",
+                    F.levenshtein("__seq", "__template").cast("bigint")
+                     .alias("distance")))

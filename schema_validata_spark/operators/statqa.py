@@ -2070,3 +2070,48 @@ def quality_calibration(df: DataFrame, score_col: str,
                   .alias("calibration_gap"),
                  F.round(F.max(F.abs(F.col("__sp") - F.col("__gp"))), 6)
                   .alias("ks_stat")))
+
+
+def reliability_bins(df: DataFrame, score_col: str, flag,
+                     lo: float = 0.0, hi: float = 1.0,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability diagram (calibration curve) as a table: scores
+    bucketed on a fixed [lo, hi) grid, each bin reporting its mean
+    score versus the observed positive rate. The standard audit for
+    any probability-like score a pipeline thresholds on (quality
+    classifiers, dedup confidences, toxicity filters): a bin whose
+    observed rate sits far from its mean score means the threshold is
+    lying about that region. ``calibration_gap`` = rate − mean_score.
+
+    ``flag`` is a boolean Column; NULL scores and NULL flags are
+    excluded. Scores below ``lo`` clamp into bin 0, at/above ``hi``
+    into bin n_bins−1 (edge semantics match ``numeric_histogram``'s
+    open top). Wilson bounds are deliberately not repeated here — join
+    ``wilson_rates`` on the bin if uncertainty is needed.
+
+    Output per non-empty bin: bin (int), bin_lo, bin_hi (6dp), n
+    (bigint), mean_score, positive_rate, calibration_gap (6dp).
+
+    SCALE: ONE map-side-combined hash aggregate keyed by the bin int
+    — the shuffle is ≤ n_bins rows per task."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    s = F.col(score_col).cast("double")
+    width = (hi - lo) / n_bins
+    raw = F.floor((s - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (df.where(s.isNotNull() & flag.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.avg(s).alias("__ms"),
+                 F.avg(flag.cast("double")).alias("__pr"))
+            .select("bin",
+                    F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6)
+                     .alias("bin_lo"),
+                    F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width),
+                            6).alias("bin_hi"),
+                    "n",
+                    F.round("__ms", 6).alias("mean_score"),
+                    F.round("__pr", 6).alias("positive_rate"),
+                    F.round(F.col("__pr") - F.col("__ms"), 6)
+                     .alias("calibration_gap")))

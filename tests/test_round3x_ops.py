@@ -183,3 +183,65 @@ def test_mixture_weights_alpha_one_is_proportional(spark):
         assert out[g]["weight"] == pytest.approx(out[g]["raw_share"],
                                                  abs=1e-6)
         assert out[g]["sampling_factor"] == pytest.approx(1.0, abs=1e-5)
+
+
+# ----------------------------------------------------- reliability bins
+
+def test_reliability_bins_perfectly_calibrated(spark):
+    from schema_validata_spark.operators.statqa import reliability_bins
+    # score 0.25 with 1-of-4 positives, score 0.75 with 3-of-4: gap ~ 0
+    rows = ([Row(s=0.25, f=True)] + [Row(s=0.25, f=False)] * 3
+            + [Row(s=0.75, f=True)] * 3 + [Row(s=0.75, f=False)])
+    df = spark.createDataFrame(rows, "s double, f boolean")
+    out = {r["bin"]: r for r in
+           reliability_bins(df, "s", F.col("f"), 0.0, 1.0, 4).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["positive_rate"] == pytest.approx(0.25)
+    assert out[1]["calibration_gap"] == pytest.approx(0.0)
+    assert out[3]["calibration_gap"] == pytest.approx(0.0)
+    assert (out[1]["bin_lo"], out[1]["bin_hi"]) == (0.25, 0.5)
+
+
+def test_reliability_bins_clamps_and_excludes_nulls(spark):
+    from schema_validata_spark.operators.statqa import reliability_bins
+    rows = [Row(s=-5.0, f=True), Row(s=99.0, f=False),
+            Row(s=None, f=True), Row(s=0.5, f=None)]
+    df = spark.createDataFrame(rows, "s double, f boolean")
+    out = {r["bin"]: r for r in
+           reliability_bins(df, "s", F.col("f"), 0.0, 1.0, 10).collect()}
+    assert set(out) == {0, 9}                  # clamped; NULLs dropped
+    assert out[0]["n"] == 1 and out[9]["n"] == 1
+    with pytest.raises(ValueError):
+        reliability_bins(df, "s", F.col("f"), 1.0, 1.0, 10)
+
+
+# ---------------------------------------------------- template distance
+
+def test_template_distance_modal_is_zero(spark):
+    from schema_validata_spark.operators.sequence import template_distance
+    rows = []
+    for u, seq in [("u1", "abc"), ("u2", "abc"), ("u3", "abd")]:
+        rows += [Row(u=u, i=i, v=ch) for i, ch in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u string, i int, v string")
+    out = {r["part"]: r for r in
+           template_distance(df, "u", ["i"], "v").collect()}
+    assert out["u1"]["distance"] == 0 and out["u2"]["distance"] == 0
+    assert out["u3"]["distance"] == 1          # c -> d, one substitution
+    assert out["u3"]["seq_len"] == 3
+
+
+def test_template_distance_caps_sequence_and_breaks_ties(spark):
+    from schema_validata_spark.operators.sequence import template_distance
+    # two sequences tie at 1 occurrence each: lexicographically smaller
+    # ("x>y") must win over "y>z"
+    rows = [Row(u="a", i=0, v="x"), Row(u="a", i=1, v="y"),
+            Row(u="b", i=0, v="y"), Row(u="b", i=1, v="z"),
+            Row(u="b", i=2, v="q")]            # capped away at max_len=2
+    df = spark.createDataFrame(rows, "u string, i int, v string")
+    out = {r["part"]: r for r in
+           template_distance(df, "u", ["i"], "v", max_len=2).collect()}
+    assert out["a"]["distance"] == 0
+    assert out["b"]["seq_len"] == 2            # the cap held
+    assert out["b"]["distance"] == 2           # "x>y" vs "y>z"
+    with pytest.raises(ValueError):
+        template_distance(df, "u", ["i"], "v", max_len=0)
