@@ -3211,6 +3211,16 @@ def q_template_distance(spark, sf_dir):
             .orderBy("part"))
 
 
+def q_rule_suggestions(spark, sf_dir):
+    """Auto-drafted data dictionary from observed data
+    (rules.suggest_rules): one wide aggregate pass emits per-column
+    type/null/range/length/allowed-value/uniqueness suggestions — the
+    authoring aid for the reference's hand-written xlsx dictionary."""
+    from schema_validata_spark.rules import suggest_rules
+    return (suggest_rules(_t(spark, sf_dir, "events"), allowed_max=10)
+            .orderBy("column_name"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3454,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "reliability_bins": q_reliability_bins,
         "template_distance": q_template_distance,
+        "rule_suggestions": q_rule_suggestions,
     }
 
 
@@ -8668,5 +8679,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT part, seq_len, levenshtein(seq, template)::bigint
                  AS distance
         FROM seqs, modal ORDER BY part"""
+
+    sql["rule_suggestions"] = """
+        SELECT 'event_id' AS column_name, 'Integer' AS suggested_type,
+               (count(*) - count(event_id)) > 0 AS allow_null,
+               round(min(event_id)::double, 6) AS range_min, round(max(event_id)::double, 6) AS range_max,
+               NULL::bigint AS length_max,
+               count(DISTINCT event_id)::bigint AS n_distinct,
+               NULL::varchar AS allowed_values,
+               (count(DISTINCT event_id) = count(event_id)
+                AND count(event_id) > 0) AS suggest_unique
+        FROM events
+        UNION ALL
+        SELECT 'ts' AS column_name, 'Datetime' AS suggested_type,
+               (count(*) - count(ts)) > 0 AS allow_null,
+               NULL::double AS range_min, NULL::double AS range_max,
+               NULL::bigint AS length_max,
+               count(DISTINCT ts)::bigint AS n_distinct,
+               NULL::varchar AS allowed_values,
+               (count(DISTINCT ts) = count(ts)
+                AND count(ts) > 0) AS suggest_unique
+        FROM events
+        UNION ALL
+        SELECT 'user_id' AS column_name, 'Integer' AS suggested_type,
+               (count(*) - count(user_id)) > 0 AS allow_null,
+               round(min(user_id)::double, 6) AS range_min, round(max(user_id)::double, 6) AS range_max,
+               NULL::bigint AS length_max,
+               count(DISTINCT user_id)::bigint AS n_distinct,
+               NULL::varchar AS allowed_values,
+               (count(DISTINCT user_id) = count(user_id)
+                AND count(user_id) > 0) AS suggest_unique
+        FROM events
+        UNION ALL
+        SELECT 'event_type' AS column_name, 'String' AS suggested_type,
+               (count(*) - count(event_type)) > 0 AS allow_null,
+               NULL::double AS range_min, NULL::double AS range_max,
+               max(length(event_type))::bigint AS length_max,
+               count(DISTINCT event_type)::bigint AS n_distinct,
+               CASE WHEN count(DISTINCT event_type) <= 10 THEN string_agg(DISTINCT event_type, ',' ORDER BY event_type) END AS allowed_values,
+               (count(DISTINCT event_type) = count(event_type)
+                AND count(event_type) > 0) AS suggest_unique
+        FROM events
+        UNION ALL
+        SELECT 'value' AS column_name, 'Numeric' AS suggested_type,
+               (count(*) - count(value)) > 0 AS allow_null,
+               round(min(value)::double, 6) AS range_min, round(max(value)::double, 6) AS range_max,
+               NULL::bigint AS length_max,
+               count(DISTINCT value)::bigint AS n_distinct,
+               NULL::varchar AS allowed_values,
+               (count(DISTINCT value) = count(value)
+                AND count(value) > 0) AS suggest_unique
+        FROM events
+        UNION ALL
+        SELECT 'props' AS column_name, 'String' AS suggested_type,
+               (count(*) - count(props)) > 0 AS allow_null,
+               NULL::double AS range_min, NULL::double AS range_max,
+               max(length(props))::bigint AS length_max,
+               count(DISTINCT props)::bigint AS n_distinct,
+               CASE WHEN count(DISTINCT props) <= 10 THEN string_agg(DISTINCT props, ',' ORDER BY props) END AS allowed_values,
+               (count(DISTINCT props) = count(props)
+                AND count(props) > 0) AS suggest_unique
+        FROM events
+        ORDER BY column_name"""
 
     return sql

@@ -461,3 +461,94 @@ def rules_coverage(columns: list[str], rules: Rules) -> dict:
         "coverage_share": (round(len(covered) / len(columns), 6)
                            if columns else 0.0),
     }
+
+
+def suggest_rules(df, allowed_max: int = 10):
+    """Draft a data dictionary FROM the data: one suggestion row per
+    column, derived in a single wide aggregate pass — the authoring
+    aid for the reference's biggest onboarding cost (hand-writing the
+    xlsx data dictionary; reference consumes but never helps author
+    one, src/schema_validata.py:650-860). The output is a REVIEW
+    ARTIFACT: a human promotes suggestions into a ``Rules`` object;
+    nothing here feeds validation unreviewed.
+
+    Heuristics (deliberately transparent, all visible in the output):
+    suggested_type maps the physical Spark type (int->Integer,
+    fractional->Numeric, timestamp->Datetime, else String);
+    allow_null = any NULL observed; range_min/max only for numerics
+    (6dp); length_max only for strings; allowed_values only for
+    STRING columns with <= ``allowed_max`` distinct values (sorted,
+    comma-joined); suggest_unique when every non-null value is
+    distinct and the column is non-empty.
+
+    Output per column: column_name, suggested_type, allow_null,
+    range_min, range_max, length_max, n_distinct (bigint),
+    allowed_values, suggest_unique.
+
+    SCALE: ONE aggregate scan; the exact per-column distincts expand
+    the plan (Spark rewrites multi-distinct aggregates), and
+    ``collect_set`` holds a column's distinct set in executor memory —
+    acceptable for authoring runs on samples/partitions; for full
+    10^12-row tables, draft from ``profile_stats_df`` (HLL-screened)
+    instead and treat this as the small-sample authoring path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    aggs = []
+    cols = df.schema.fields
+    for f in cols:
+        c = F.col(f.name)
+        name = f.name
+        is_num = isinstance(f.dataType, T.NumericType)
+        is_str = isinstance(f.dataType, T.StringType)
+        aggs.append(F.count(c).alias(f"__n_{name}"))
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__z_{name}"))
+        aggs.append(F.countDistinct(c).alias(f"__d_{name}"))
+        if is_num:
+            aggs.append(F.round(F.min(c).cast("double"), 6)
+                         .alias(f"__mn_{name}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6)
+                         .alias(f"__mx_{name}"))
+        if is_str:
+            aggs.append(F.max(F.length(c)).cast("bigint")
+                         .alias(f"__len_{name}"))
+            aggs.append(F.array_join(F.slice(
+                F.sort_array(F.collect_set(c)), 1, allowed_max + 1), ",")
+                .alias(f"__av_{name}"))
+    wide = df.agg(*aggs)
+
+    rows = []
+    for f in cols:
+        name = f.name
+        if isinstance(f.dataType, (T.IntegerType, T.LongType,
+                                   T.ShortType, T.ByteType)):
+            stype = "Integer"
+        elif isinstance(f.dataType, T.NumericType):
+            stype = "Numeric"
+        elif isinstance(f.dataType, (T.TimestampType,
+                                     getattr(T, "TimestampNTZType",
+                                             T.TimestampType),
+                                     T.DateType)):
+            stype = "Datetime"
+        else:
+            stype = "String"
+        is_num = isinstance(f.dataType, T.NumericType)
+        is_str = isinstance(f.dataType, T.StringType)
+        n = F.col(f"__n_{name}")
+        d = F.col(f"__d_{name}")
+        rows.append(F.struct(
+            F.lit(name).alias("column_name"),
+            F.lit(stype).alias("suggested_type"),
+            (F.col(f"__z_{name}") > 0).alias("allow_null"),
+            (F.col(f"__mn_{name}") if is_num
+             else F.lit(None).cast("double")).alias("range_min"),
+            (F.col(f"__mx_{name}") if is_num
+             else F.lit(None).cast("double")).alias("range_max"),
+            (F.col(f"__len_{name}") if is_str
+             else F.lit(None).cast("bigint")).alias("length_max"),
+            d.cast("bigint").alias("n_distinct"),
+            (F.when(d <= allowed_max, F.col(f"__av_{name}")) if is_str
+             else F.lit(None).cast("string")).alias("allowed_values"),
+            ((d == n) & (n > 0)).alias("suggest_unique")))
+    return (wide.select(F.explode(F.array(*rows)).alias("s"))
+            .select("s.*"))

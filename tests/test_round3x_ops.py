@@ -245,3 +245,43 @@ def test_template_distance_caps_sequence_and_breaks_ties(spark):
     assert out["b"]["distance"] == 2           # "x>y" vs "y>z"
     with pytest.raises(ValueError):
         template_distance(df, "u", ["i"], "v", max_len=0)
+
+
+# ------------------------------------------------------ rule suggestions
+
+def test_suggest_rules_hand_frame(spark):
+    from schema_validata_spark.rules import suggest_rules
+    df = spark.createDataFrame(
+        [Row(uid=1, cat="a", score=1.5), Row(uid=2, cat="b", score=None),
+         Row(uid=3, cat="a", score=9.25)],
+        "uid int, cat string, score double")
+    out = {r["column_name"]: r for r in suggest_rules(df).collect()}
+    uid = out["uid"]
+    assert uid["suggested_type"] == "Integer" and uid["suggest_unique"]
+    assert not uid["allow_null"]
+    assert (uid["range_min"], uid["range_max"]) == (1.0, 3.0)
+    cat = out["cat"]
+    assert cat["suggested_type"] == "String"
+    assert cat["allowed_values"] == "a,b" and cat["length_max"] == 1
+    assert not cat["suggest_unique"]
+    sc = out["score"]
+    assert sc["suggested_type"] == "Numeric" and sc["allow_null"]
+    assert sc["range_max"] == pytest.approx(9.25)
+    assert sc["allowed_values"] is None        # non-string: never listed
+
+
+def test_suggest_rules_allowed_cap_and_datetime(spark):
+    import datetime as dt
+    from schema_validata_spark.rules import suggest_rules
+    rows = [Row(tag=f"t{i:02d}", ts=dt.datetime(2024, 1, 1 + i))
+            for i in range(11)]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp")
+    out = {r["column_name"]: r for r in
+           suggest_rules(df, allowed_max=10).collect()}
+    assert out["tag"]["n_distinct"] == 11
+    assert out["tag"]["allowed_values"] is None     # over the cap
+    assert out["ts"]["suggested_type"] == "Datetime"
+    # smaller cap honored the other way
+    out5 = {r["column_name"]: r for r in
+            suggest_rules(df.limit(5), allowed_max=10).collect()}
+    assert out5["tag"]["allowed_values"] is not None
