@@ -1285,19 +1285,24 @@ def template_distance(df: DataFrame, part_col: str,
     p = F.col(part_col)
     w = Window.partitionBy(part_col).orderBy(
         *[F.col(c) for c in order_cols])
+    # group on the UNCAST key so the aggregate reuses the window's
+    # hashpartitioning (a cast on the key would force a second
+    # row-level shuffle); render to string only in the output
     base = (df.where(p.isNotNull())
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= max_len)
-            .select(p.cast("string").alias("part"), "__rn",
+            .select(p.alias("__p"), "__rn",
                     F.coalesce(F.col(value_col).cast("string"),
                                F.lit("")).alias("__v")))
-    seqs = (base.groupBy("part")
+    seqs = (base.groupBy("__p")
             .agg(F.count(F.lit(1)).cast("bigint").alias("seq_len"),
                  F.array_join(
                      F.transform(
                          F.array_sort(F.collect_list(
                              F.struct("__rn", "__v"))),
-                         lambda s: s["__v"]), ">").alias("__seq")))
+                         lambda s: s["__v"]), ">").alias("__seq"))
+            .select(F.col("__p").cast("string").alias("part"),
+                    "seq_len", "__seq"))
     modal = (seqs.groupBy("__seq")
              .agg(F.count(F.lit(1)).alias("__n"))
              .orderBy(F.col("__n").desc(), F.col("__seq").asc())

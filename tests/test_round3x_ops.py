@@ -285,3 +285,44 @@ def test_suggest_rules_allowed_cap_and_datetime(spark):
     out5 = {r["column_name"]: r for r in
             suggest_rules(df.limit(5), allowed_max=10).collect()}
     assert out5["tag"]["allowed_values"] is not None
+
+
+# ---------------------------------------------------------- plan guards
+
+def _plan(df):
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_reliability_bins_single_exchange_plan(spark):
+    from schema_validata_spark.operators.statqa import reliability_bins
+    df = spark.createDataFrame([Row(s=0.5, f=True)], "s double, f boolean")
+    p = _plan(reliability_bins(df, "s", F.col("f")))
+    # one bin-keyed hash aggregate; no second row-level shuffle
+    assert p.count("Arguments: hashpartitioning") == 1, p
+
+
+def test_ewma_single_rowlevel_exchange_plan(spark):
+    import datetime as dt
+    from schema_validata_spark.operators.statqa import ewma_anomalies
+    df = spark.createDataFrame([Row(ts=dt.datetime(2024, 1, 1))],
+                               "ts timestamp")
+    p = _plan(ewma_anomalies(df, "ts"))
+    # the day aggregate is the only hashpartitioning; the later window
+    # runs on the single-partition #days frame
+    assert p.count("Arguments: hashpartitioning") == 1, p
+
+
+def test_template_distance_one_rowlevel_shuffle(spark):
+    from schema_validata_spark.operators.sequence import template_distance
+    df = spark.createDataFrame([Row(u=1, i=1, v="x")],
+                               "u int, i int, v string")
+    p = _plan(template_distance(df, "u", ["i"], "v"))
+    # window + per-key agg share ONE row-level hashpartitioning; the
+    # remaining exchanges run on sequence-sized frames (modal pick)
+    assert p.count("Arguments: hashpartitioning") <= 3, p
+    assert "Arguments: hashpartitioning(u#" in p.replace("cast", ""), p
