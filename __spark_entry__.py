@@ -3221,6 +3221,20 @@ def q_rule_suggestions(spark, sf_dir):
             .orderBy("column_name"))
 
 
+def q_golden_records(spark, sf_dir):
+    """Field-level survivorship merge per near-dup cluster
+    (dedup.golden_records): linkage pairs -> transitive clusters ->
+    one golden row, each field from the highest-precedence member
+    holding it non-NULL (longest text first, doc_id tiebreak)."""
+    from schema_validata_spark.operators.dedup import golden_records
+    docs = _t(spark, sf_dir, "documents")
+    return (golden_records(docs, _ngram_pairs(spark, sf_dir), "doc_id",
+                           [F.col("n_chars").desc_nulls_last(),
+                            F.col("doc_id").asc()],
+                           ["lang", "source", "n_chars"])
+            .orderBy("cluster_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3465,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_bins": q_reliability_bins,
         "template_distance": q_template_distance,
         "rule_suggestions": q_rule_suggestions,
+        "golden_records": q_golden_records,
     }
 
 
@@ -8741,5 +8756,24 @@ def oracle_sql() -> dict[str, str]:
                 AND count(props) > 0) AS suggest_unique
         FROM events
         ORDER BY column_name"""
+
+    sql["golden_records"] = f"""
+        WITH RECURSIVE {_cc_ctes},
+        m AS (
+          SELECT cl.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+          FROM cl JOIN documents d ON d.doc_id = cl.id),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+          FROM m)
+        SELECT cluster_id, count(*)::bigint AS n_members,
+               arg_min(lang, rn) FILTER (WHERE lang IS NOT NULL)
+                 AS lang,
+               arg_min(source, rn) FILTER (WHERE source IS NOT NULL)
+                 AS source,
+               arg_min(n_chars, rn) FILTER (WHERE n_chars IS NOT NULL)
+                 AS n_chars
+        FROM r GROUP BY cluster_id ORDER BY cluster_id"""
 
     return sql

@@ -1057,3 +1057,41 @@ def record_linkage_pairs(df: DataFrame, id_col: str, block_col: str,
                      score.alias("score"))
              .where(F.col("score").isNotNull()
                     & (F.col("score") >= F.lit(float(threshold)))))
+
+
+def golden_records(df: DataFrame, pairs: DataFrame, id_col: str,
+                   precedence, field_cols: list[str],
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Survivorship merge: ONE golden row per duplicate cluster, each
+    field taken from the highest-precedence member that has it
+    NON-NULL. The stage after ``record_linkage``/``near_dup_clusters``
+    in an entity-resolution pipeline: linkage finds the pairs,
+    clustering closes them transitively, and this materializes the
+    merged record — so a cluster whose best row lacks an email still
+    inherits the email of its second-best row (classic field-level
+    survivorship, not row-level keep-best like ``dedup_keep_best``).
+
+    ``precedence`` is a list of ordering Columns (best first, e.g.
+    ``[F.col("ts").desc_nulls_last(), F.col("id").asc()]``); make it a
+    total order or survivorship is nondeterministic under retries.
+    Only ids that appear in ``pairs`` produce output rows — singletons
+    need no merging and pass through a plain anti-join in the caller.
+
+    Output per cluster: cluster_id, n_members (bigint), and one column
+    per entry of ``field_cols`` carrying the survived value.
+
+    SCALE: the (id,label)-only CC shuffles, one hash join of clusters
+    back to ``df`` on the id, one row_number window keyed by cluster,
+    one aggregate. Fields are resolved with ``min_by(f, rn) FILTER
+    (WHERE f IS NOT NULL)`` — no per-field extra pass."""
+    cl = near_dup_clusters(pairs, id_a=id_a, id_b=id_b) \
+        .withColumnRenamed("id", "__cid")
+    m = df.join(cl, F.col(id_col) == F.col("__cid")).drop("__cid")
+    w = Window.partitionBy("cluster_id").orderBy(*precedence)
+    r = m.withColumn("__rn", F.row_number().over(w))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_members")]
+    for f in field_cols:
+        aggs.append(F.expr(
+            f"min_by({f}, __rn) FILTER (WHERE {f} IS NOT NULL)")
+            .alias(f))
+    return r.groupBy("cluster_id").agg(*aggs)

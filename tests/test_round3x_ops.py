@@ -326,3 +326,38 @@ def test_template_distance_one_rowlevel_shuffle(spark):
     # remaining exchanges run on sequence-sized frames (modal pick)
     assert p.count("Arguments: hashpartitioning") <= 3, p
     assert "Arguments: hashpartitioning(u#" in p.replace("cast", ""), p
+
+
+# ------------------------------------------------------- golden records
+
+def test_golden_records_field_level_survivorship(spark):
+    from schema_validata_spark.operators.dedup import golden_records
+    df = spark.createDataFrame(
+        [Row(id=1, ts=3, email=None, name="Ann"),
+         Row(id=2, ts=2, email="a@x.com", name=None),
+         Row(id=3, ts=1, email="old@x.com", name="Anne"),
+         Row(id=9, ts=9, email="z@x.com", name="Zed")],
+        "id int, ts int, email string, name string")
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)])
+    out = golden_records(df, pairs, "id",
+                         [F.col("ts").desc_nulls_last(),
+                          F.col("id").asc()],
+                         ["email", "name"]).collect()
+    assert len(out) == 1                       # singleton 9 not merged
+    r = out[0]
+    assert r["cluster_id"] == 1 and r["n_members"] == 3
+    # best row (ts=3) lacks email -> inherits from second-best (ts=2)
+    assert r["email"] == "a@x.com"
+    assert r["name"] == "Ann"
+
+
+def test_golden_records_all_null_field_stays_null(spark):
+    from schema_validata_spark.operators.dedup import golden_records
+    df = spark.createDataFrame(
+        [Row(id=1, ts=2, email=None), Row(id=2, ts=1, email=None)],
+        "id int, ts int, email string")
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    r = golden_records(df, pairs, "id",
+                       [F.col("ts").desc_nulls_last(),
+                        F.col("id").asc()], ["email"]).collect()[0]
+    assert r["email"] is None and r["n_members"] == 2
