@@ -3235,6 +3235,17 @@ def q_golden_records(spark, sf_dir):
             .orderBy("cluster_id"))
 
 
+def q_calibration_error(spark, sf_dir):
+    """ECE/MCE roll-up of the reliability diagram
+    (statqa.expected_calibration_error): the one-line calibration
+    go/no-go over the value-vs-error-rate bins."""
+    from schema_validata_spark.operators.statqa import \
+        expected_calibration_error
+    return expected_calibration_error(
+        _t(spark, sf_dir, "events"), "value",
+        F.col("event_type") == "error", lo=0.0, hi=500.0, n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3480,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_distance": q_template_distance,
         "rule_suggestions": q_rule_suggestions,
         "golden_records": q_golden_records,
+        "calibration_error": q_calibration_error,
     }
 
 
@@ -8775,5 +8787,25 @@ def oracle_sql() -> dict[str, str]:
                arg_min(n_chars, rn) FILTER (WHERE n_chars IS NOT NULL)
                  AS n_chars
         FROM r GROUP BY cluster_id ORDER BY cluster_id"""
+
+    sql["calibration_error"] = """
+        WITH b AS (
+          SELECT least(greatest(floor(value / 50.0)::int, 0), 9) AS bin,
+                 value, (event_type = 'error') AS fl
+          FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        r AS (
+          SELECT bin, count(*)::bigint AS n,
+                 round(avg(value), 6) AS ms,
+                 round(avg(CASE WHEN fl THEN 1.0 ELSE 0.0 END), 6)
+                   AS pr
+          FROM b GROUP BY bin)
+        SELECT sum(n)::bigint AS n,
+               count(*)::bigint AS n_bins_used,
+               round(sum(abs(pr - ms) * n) / sum(n), 6) AS ece,
+               round(max(abs(pr - ms)), 6) AS mce,
+               round(sum(CASE WHEN abs(pr - ms) > 0.1 THEN n
+                         ELSE 0 END) / sum(n), 6) AS share_in_bad_bins
+        FROM r"""
 
     return sql

@@ -2115,3 +2115,30 @@ def reliability_bins(df: DataFrame, score_col: str, flag,
                     F.round("__pr", 6).alias("positive_rate"),
                     F.round(F.col("__pr") - F.col("__ms"), 6)
                      .alias("calibration_gap")))
+
+
+def expected_calibration_error(df: DataFrame, score_col: str, flag,
+                               lo: float = 0.0, hi: float = 1.0,
+                               n_bins: int = 10) -> DataFrame:
+    """Scalar roll-up of ``reliability_bins``: Expected Calibration
+    Error (Σ n_b/N · |rate_b − mean_score_b|), Maximum Calibration
+    Error (max |gap|), and the share of rows sitting in bins whose gap
+    exceeds 0.1 — the one-line go/no-go a pipeline gate wants, with
+    the full bin table one call away for the drill-down.
+
+    Output one row: n (bigint), n_bins_used, ece, mce,
+    share_in_bad_bins (6dp each). Empty input → no row.
+
+    SCALE: the ``reliability_bins`` aggregate plus one roll-up of the
+    ≤ n_bins frame."""
+    bins = reliability_bins(df, score_col, flag, lo=lo, hi=hi,
+                            n_bins=n_bins)
+    gap = F.abs(F.col("positive_rate") - F.col("mean_score"))
+    return (bins.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.round(F.sum(gap * F.col("n")) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+        F.round(F.sum(F.when(gap > 0.1, F.col("n")).otherwise(0))
+                / F.sum("n"), 6).alias("share_in_bad_bins"))
+        .where(F.col("n").isNotNull()))

@@ -361,3 +361,19 @@ def test_golden_records_all_null_field_stays_null(spark):
                        [F.col("ts").desc_nulls_last(),
                         F.col("id").asc()], ["email"]).collect()[0]
     assert r["email"] is None and r["n_members"] == 2
+
+
+def test_expected_calibration_error_rollup(spark):
+    from schema_validata_spark.operators.statqa import \
+        expected_calibration_error
+    rows = ([Row(s=0.25, f=True)] + [Row(s=0.25, f=False)] * 3
+            + [Row(s=0.9, f=False)] * 4)      # second bin is way off
+    df = spark.createDataFrame(rows, "s double, f boolean")
+    r = expected_calibration_error(df, "s", F.col("f"),
+                                   0.0, 1.0, 4).collect()[0]
+    assert (r["n"], r["n_bins_used"]) == (8, 2)
+    assert r["ece"] == pytest.approx(0.45)
+    assert r["mce"] == pytest.approx(0.9)
+    assert r["share_in_bad_bins"] == pytest.approx(0.5)
+    assert expected_calibration_error(
+        df.limit(0), "s", F.col("f")).count() == 0
