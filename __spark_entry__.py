@@ -3246,6 +3246,22 @@ def q_calibration_error(spark, sf_dir):
         F.col("event_type") == "error", lo=0.0, hi=500.0, n_bins=10)
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-salted equi-join (plans/salting.salted_join): events joined
+    to a per-type dim with an 8-way content-derived salt; the oracle is
+    the PLAIN join — row-identical results, only the shuffle layout
+    differs (the invariant that makes salting safe to deploy)."""
+    from schema_validata_spark.plans.salting import salted_join
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    j = salted_join(ev, dim, "event_type", salts=8)
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg("value"), 6).alias("mean_val"),
+                 F.round(F.avg("type_avg"), 6).alias("type_avg"))
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3492,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_suggestions": q_rule_suggestions,
         "golden_records": q_golden_records,
         "calibration_error": q_calibration_error,
+        "salted_join": q_salted_join,
     }
 
 
@@ -8807,5 +8824,15 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CASE WHEN abs(pr - ms) > 0.1 THEN n
                          ELSE 0 END) / sum(n), 6) AS share_in_bad_bins
         FROM r"""
+
+    sql["salted_join"] = """
+        WITH dim AS (
+          SELECT event_type, avg(value) AS type_avg
+          FROM events GROUP BY 1)
+        SELECT e.event_type, count(*)::bigint AS n,
+               round(avg(e.value), 6) AS mean_val,
+               round(avg(d.type_avg), 6) AS type_avg
+        FROM events e JOIN dim d ON d.event_type = e.event_type
+        GROUP BY 1 ORDER BY 1"""
 
     return sql
