@@ -3262,6 +3262,18 @@ def q_salted_join(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_zorder_preview(spark, sf_dir):
+    """Z-order layout dry-run over (value, user_id)
+    (sources/layout.zorder_preview): per-Morton-bucket counts +
+    bounding boxes — the locality evidence before a ZORDER rewrite;
+    pure bit-arithmetic projection, one <=16-key aggregate."""
+    from schema_validata_spark.sources.layout import zorder_preview
+    return (zorder_preview(_t(spark, sf_dir, "events"), "value",
+                           "user_id", 0.0, 500.0, 0.0, 15.0,
+                           bits=8, buckets_log2=4)
+            .orderBy("zbucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3509,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "calibration_error": q_calibration_error,
         "salted_join": q_salted_join,
+        "zorder_preview": q_zorder_preview,
     }
 
 
@@ -8834,5 +8847,38 @@ def oracle_sql() -> dict[str, str]:
                round(avg(d.type_avg), 6) AS type_avg
         FROM events e JOIN dim d ON d.event_type = e.event_type
         GROUP BY 1 ORDER BY 1"""
+
+    sql["zorder_preview"] = """
+        WITH q AS (
+          SELECT least(greatest(floor(((value - 0.0) / 500.0) * 256)
+                       ::bigint, 0), 255) AS xq,
+                 least(greatest(floor(((user_id - 0.0) / 15.0) * 256)
+                       ::bigint, 0), 255) AS yq,
+                 value::double AS x, user_id::double AS y
+          FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        z AS (
+          SELECT x, y,
+                 ((((xq >> 0) % 2) << 0)
+               | (((yq >> 0) % 2) << 1)
+               | (((xq >> 1) % 2) << 2)
+               | (((yq >> 1) % 2) << 3)
+               | (((xq >> 2) % 2) << 4)
+               | (((yq >> 2) % 2) << 5)
+               | (((xq >> 3) % 2) << 6)
+               | (((yq >> 3) % 2) << 7)
+               | (((xq >> 4) % 2) << 8)
+               | (((yq >> 4) % 2) << 9)
+               | (((xq >> 5) % 2) << 10)
+               | (((yq >> 5) % 2) << 11)
+               | (((xq >> 6) % 2) << 12)
+               | (((yq >> 6) % 2) << 13)
+               | (((xq >> 7) % 2) << 14)
+               | (((yq >> 7) % 2) << 15)) AS zv
+          FROM q)
+        SELECT (zv >> 12)::int AS zbucket, count(*)::bigint AS n,
+               round(min(x), 6) AS x_min, round(max(x), 6) AS x_max,
+               round(min(y), 6) AS y_min, round(max(y), 6) AS y_max
+        FROM z GROUP BY 1 ORDER BY 1"""
 
     return sql

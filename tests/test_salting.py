@@ -59,3 +59,46 @@ def test_salted_join_validation_and_degenerate(spark):
         salted_join(big, small, "k", salts=0)
     with pytest.raises(ValueError):
         salted_join(big, small, "k", salts=4, how="full")
+
+
+# ------------------------------------------------------- zorder preview
+
+def _py_z(xq, yq, bits=8):
+    z = 0
+    for i in range(bits):
+        z |= ((xq >> i) & 1) << (2 * i)
+        z |= ((yq >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_python_interleave(spark):
+    from schema_validata_spark.sources.layout import zorder_preview
+    rows = [Row(x=float(x), y=float(y))
+            for x in (0.0, 3.9, 8.0, 15.9) for y in (0.0, 7.9, 15.9)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {r["zbucket"]: r["n"] for r in
+           zorder_preview(df, "x", "y", 0.0, 16.0, 0.0, 16.0,
+                          bits=4, buckets_log2=8).collect()}
+    # with buckets_log2 == 2*bits the bucket IS the full z-value
+    want = {}
+    for r in rows:
+        xq = min(max(int(r["x"] / 16.0 * 16), 0), 15)
+        yq = min(max(int(r["y"] / 16.0 * 16), 0), 15)
+        z = _py_z(xq, yq, 4)
+        want[z] = want.get(z, 0) + 1
+    assert out == want
+
+
+def test_zorder_clamps_and_validates(spark):
+    from schema_validata_spark.sources.layout import zorder_preview
+    df = spark.createDataFrame(
+        [Row(x=-99.0, y=999.0), Row(x=None, y=1.0)],
+        "x double, y double")
+    out = zorder_preview(df, "x", "y", 0.0, 10.0, 0.0, 10.0,
+                         bits=4, buckets_log2=8).collect()
+    assert len(out) == 1 and out[0]["n"] == 1          # NULL dropped
+    assert out[0]["zbucket"] == _py_z(0, 15, 4)        # clamped corners
+    with pytest.raises(ValueError):
+        zorder_preview(df, "x", "y", 1.0, 1.0, 0.0, 1.0)
+    with pytest.raises(ValueError):
+        zorder_preview(df, "x", "y", 0.0, 1.0, 0.0, 1.0, bits=0)
