@@ -3274,6 +3274,39 @@ def q_zorder_preview(spark, sf_dir):
             .orderBy("zbucket"))
 
 
+def q_transition_lift(spark, sf_dir):
+    """Markov lift per transition (graphs.transition_lift):
+    P(dst|src)/P(dst) — the error-cascade / broken-protocol screen on
+    the label graph; two tiny totals joined onto the edge frame."""
+    from schema_validata_spark.operators.graphs import (transition_edges,
+                                                        transition_lift)
+    e = transition_edges(_t(spark, sf_dir, "events"), "user_id",
+                         ["ts", "event_id"], "event_type")
+    return transition_lift(e).orderBy("src", "dst")
+
+
+def q_daily_percentiles(spark, sf_dir):
+    """Per-day exact p50/p95/p99 of value
+    (statqa.daily_value_percentiles): the tail-degradation trend view;
+    one date-keyed aggregate."""
+    from schema_validata_spark.operators.statqa import \
+        daily_value_percentiles
+    return (daily_value_percentiles(_t(spark, sf_dir, "events"), "ts",
+                                    "value")
+            .orderBy("day"))
+
+
+def q_rolling_psi(spark, sf_dir):
+    """Self-baselining drift monitor (drift.rolling_psi): per-day PSI
+    of the trailing 7-day value distribution vs the 7 days before it,
+    dense-grid zero-filled, Laplace-smoothed — flags WHEN the
+    distribution moved without choosing a baseline snapshot."""
+    from schema_validata_spark.operators.drift import rolling_psi
+    return (rolling_psi(_t(spark, sf_dir, "events"), "ts", "value",
+                        0.0, 500.0, n_buckets=10, window_days=7)
+            .orderBy("day"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3522,6 +3555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_error": q_calibration_error,
         "salted_join": q_salted_join,
         "zorder_preview": q_zorder_preview,
+        "transition_lift": q_transition_lift,
+        "daily_percentiles": q_daily_percentiles,
+        "rolling_psi": q_rolling_psi,
     }
 
 
@@ -8880,5 +8916,80 @@ def oracle_sql() -> dict[str, str]:
                round(min(x), 6) AS x_min, round(max(x), 6) AS x_max,
                round(min(y), 6) AS y_min, round(max(y), 6) AS y_max
         FROM z GROUP BY 1 ORDER BY 1"""
+
+    sql["transition_lift"] = """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        edges AS (
+          SELECT prev AS src, event_type AS dst, count(*)::bigint AS n
+          FROM seq
+          WHERE prev IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2),
+        outs AS (SELECT src, sum(n::double) AS st FROM edges GROUP BY 1),
+        ins AS (SELECT dst, sum(n::double) AS dt FROM edges GROUP BY 1),
+        tot AS (SELECT sum(n::double) AS t FROM edges)
+        SELECT e.src, e.dst, e.n,
+               round(e.n::double / outs.st, 6) AS p_cond,
+               round(ins.dt / tot.t, 6) AS p_dst,
+               round((e.n::double / outs.st) / (ins.dt / tot.t), 6)
+                 AS lift
+        FROM edges e
+        JOIN outs ON outs.src = e.src
+        JOIN ins ON ins.dst = e.dst
+        CROSS JOIN tot
+        ORDER BY e.src, e.dst"""
+
+    sql["daily_percentiles"] = """
+        SELECT CAST(ts AS DATE) AS day, count(*)::bigint AS n,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1 ORDER BY day"""
+
+    sql["rolling_psi"] = """
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1970-01-01',
+                           CAST(ts AS DATE))::bigint AS d,
+                 CASE WHEN value < 0 THEN 0
+                      WHEN value >= 500 THEN 11
+                      ELSE floor(value / 50.0)::int + 1 END AS bucket,
+                 count(*)::bigint AS c
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT dd.d, bb.bucket, coalesce(daily.c, 0)::bigint AS c
+          FROM (SELECT DISTINCT d FROM daily) dd
+          CROSS JOIN (SELECT DISTINCT bucket FROM daily) bb
+          LEFT JOIN daily ON daily.d = dd.d
+                         AND daily.bucket = bb.bucket),
+        g AS (
+          SELECT d, bucket,
+                 sum(c) OVER (PARTITION BY bucket ORDER BY d
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS o,
+                 coalesce(sum(c) OVER (PARTITION BY bucket ORDER BY d
+                   RANGE BETWEEN 13 PRECEDING AND 7 PRECEDING), 0)
+                   AS b
+          FROM grid),
+        tot AS (
+          SELECT d, sum(o)::bigint AS t_o, sum(b)::bigint AS t_b,
+                 count(*)::bigint AS k
+          FROM g GROUP BY 1),
+        terms AS (
+          SELECT g.d, tot.t_o, tot.t_b,
+                 (g.o::double + 0.5)
+                   / (tot.t_o::double + 0.5 * tot.k::double) AS po,
+                 (g.b::double + 0.5)
+                   / (tot.t_b::double + 0.5 * tot.k::double) AS pb
+          FROM g JOIN tot ON tot.d = g.d)
+        SELECT DATE '1970-01-01' + d::int AS day,
+               any_value(t_o) AS n_obs, any_value(t_b) AS n_base,
+               CASE WHEN any_value(t_b) > 0
+                    THEN round(sum((po - pb) * ln(po / pb)), 6) END
+                 AS psi
+        FROM terms GROUP BY d ORDER BY day"""
 
     return sql

@@ -22,7 +22,7 @@ PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window, DataFrame, functions as F
 
 from ..functions.colref import qcol
 
@@ -524,3 +524,79 @@ def histogram_movers(observed_hist: DataFrame,
              .where(F.col("rank") <= int(top_k))
              .select("partition_key", "column_name", "bucket",
                      "share_obs", "share_base", "delta", "rank"))
+
+
+def rolling_psi(df: DataFrame, ts_col: str, value_col: str,
+                lo: float, hi: float, n_buckets: int = 10,
+                window_days: int = 7,
+                smoothing: float = 0.5) -> DataFrame:
+    """Rolling drift monitor: per day, the PSI of the value
+    distribution over the trailing ``window_days`` window versus the
+    window immediately before it — the continuous-monitoring
+    counterpart of the snapshot-vs-baseline ``drift_scores`` (which
+    needs someone to choose a baseline; this self-baselines and flags
+    WHEN the distribution moved, not just that it did).
+
+    Mechanics: width_bucket daily counts are zero-filled onto the
+    dense (day × bucket) grid (≤ #days·(n_buckets+2) rows — without
+    densification a bucket absent on one day silently drops its term),
+    then two RANGE windows per bucket (trailing [d−w+1, d], prior
+    [d−2w+1, d−w]) with calendar-day offsets so date gaps count as
+    zero volume, then one per-day roll-up of Σ (po−pb)·ln(po/pb) over
+    ``smoothing``-Laplace-smoothed shares (zeros never hit the log).
+    Days whose prior window is empty (the first ``window_days`` days)
+    emit NULL psi rather than a fabricated 0.
+
+    Output per day: day (date), n_obs, n_base (window row totals,
+    bigint), psi (6dp, NULL while warming up).
+
+    SCALE: ONE corpus-scan hash aggregate keyed by (day, bucket);
+    everything after runs on the dense grid frame. PSI interpretation
+    rule of thumb: <0.1 stable, 0.1–0.25 shifting, >0.25 act."""
+    if window_days < 1 or n_buckets < 1 or not hi > lo:
+        raise ValueError("need window_days >= 1, n_buckets >= 1, "
+                         "hi > lo")
+    t, v = F.col(ts_col), F.col(value_col)
+    day_idx = F.datediff(F.to_date(t), F.lit("1970-01-01"))
+    b = F.width_bucket(v.cast("double"), F.lit(lo), F.lit(hi),
+                       F.lit(n_buckets))
+    daily = (df.where(t.isNotNull() & v.isNotNull())
+             .groupBy(day_idx.alias("d"), b.alias("bucket"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    days = daily.select("d").distinct()
+    buckets = daily.select("bucket").distinct()
+    grid = (days.crossJoin(buckets)
+            .join(daily, ["d", "bucket"], "left")
+            .select("d", "bucket",
+                    F.coalesce("c", F.lit(0).cast("bigint")).alias("c")))
+    w_obs = (Window.partitionBy("bucket").orderBy("d")
+             .rangeBetween(-(window_days - 1), 0))
+    w_base = (Window.partitionBy("bucket").orderBy("d")
+              .rangeBetween(-(2 * window_days - 1), -window_days))
+    g = grid.select(
+        "d", "bucket",
+        F.sum("c").over(w_obs).alias("__o"),
+        F.coalesce(F.sum("c").over(w_base), F.lit(0).cast("bigint"))
+         .alias("__b"))
+    per_day = (g.groupBy("d")
+               .agg(F.sum("__o").alias("__to"),
+                    F.sum("__b").alias("__tb"),
+                    F.count(F.lit(1)).alias("__k"),
+                    F.collect_list(F.struct("__o", "__b")).alias("__x")))
+    # smoothed shares: (cnt + s) / (total + s*k); computed per bucket
+    # via a higher-order function on the per-day bucket list (stays
+    # JVM-side, no UDF)
+    s = float(smoothing)
+    po = lambda e: (e["__o"] + F.lit(s)) \
+        / (F.col("__to") + F.lit(s) * F.col("__k"))  # noqa: E731
+    pb = lambda e: (e["__b"] + F.lit(s)) \
+        / (F.col("__tb") + F.lit(s) * F.col("__k"))  # noqa: E731
+    term = lambda e: (po(e) - pb(e)) * F.log(po(e) / pb(e))  # noqa: E731
+    psi = F.aggregate("__x", F.lit(0.0),
+                      lambda acc, e: acc + term(e))
+    return (per_day.select(
+        F.date_add(F.lit("1970-01-01"), F.col("d")).alias("day"),
+        F.col("__to").cast("bigint").alias("n_obs"),
+        F.col("__tb").cast("bigint").alias("n_base"),
+        F.when(F.col("__tb") > 0, F.round(psi, 6)).alias("psi"))
+        .orderBy("day"))

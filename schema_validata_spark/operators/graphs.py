@@ -314,3 +314,34 @@ def transition_entropy(edges: DataFrame) -> DataFrame:
         F.round("__h", 6).alias("h_out"),
         F.round(share, 6).alias("traffic_share"),
         F.round(share * F.col("__h"), 6).alias("rate_contribution"))
+
+
+def transition_lift(edges: DataFrame, min_count: int = 1) -> DataFrame:
+    """Markov lift of each transition: P(dst | src) / P(dst) — how much
+    more (or less) likely does ``dst`` become GIVEN the previous label
+    was ``src``, versus its base rate as a destination? ``lift > 1`` on
+    (error → error) is the cascade smell; ``lift ≪ 1`` on a documented
+    follow-up hop means the protocol isn't being followed. This is the
+    sequence-order counterpart of ``pairwise_lift`` (which ignores
+    order and adjacency).
+
+    Output per edge with n >= min_count: src, dst, n (bigint), p_cond
+    (P(dst|src)), p_dst (destination base rate), lift (6dp).
+
+    SCALE: two tiny aggregates (per-src totals, per-dst totals) joined
+    back onto the |alphabet|²-bounded edge frame; the row-level work
+    happened in ``transition_edges``."""
+    outs = edges.groupBy("src").agg(
+        F.sum(F.col("n").cast("double")).alias("__srctot"))
+    ins = edges.groupBy("dst").agg(
+        F.sum(F.col("n").cast("double")).alias("__dsttot"))
+    total = edges.agg(F.sum(F.col("n").cast("double")).alias("__t"))
+    p_cond = F.col("n").cast("double") / F.col("__srctot")
+    p_dst = F.col("__dsttot") / F.col("__t")
+    return (edges.where(F.col("n") >= min_count)
+            .join(outs, "src").join(ins, "dst")
+            .crossJoin(F.broadcast(total))
+            .select("src", "dst", F.col("n").cast("bigint").alias("n"),
+                    F.round(p_cond, 6).alias("p_cond"),
+                    F.round(p_dst, 6).alias("p_dst"),
+                    F.round(p_cond / p_dst, 6).alias("lift")))

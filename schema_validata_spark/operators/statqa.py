@@ -2142,3 +2142,30 @@ def expected_calibration_error(df: DataFrame, score_col: str, flag,
         F.round(F.sum(F.when(gap > 0.1, F.col("n")).otherwise(0))
                 / F.sum("n"), 6).alias("share_in_bad_bins"))
         .where(F.col("n").isNotNull()))
+
+
+def daily_value_percentiles(df: DataFrame, ts_col: str,
+                            value_col: str) -> DataFrame:
+    """Per-day exact value percentiles (p50/p95/p99) with counts: the
+    latency-dashboard trend view — a p95 that creeps while p50 holds is
+    tail degradation no daily mean can show. Exact interpolated
+    percentiles are the oracle-checkable contract; swap in
+    ``percentile_approx`` at extreme scale (documented trade, same as
+    the other percentile ops).
+
+    NULL timestamps and NULL values are excluded. Output per day: day
+    (date), n (bigint), p50, p95, p99 (6dp).
+
+    SCALE: ONE hash aggregate keyed by date; the exact percentile
+    keeps per-day value buffers — bounded by rows-per-day, which is
+    the quantity the volume screens already monitor."""
+    t, v = F.col(ts_col), F.col(value_col)
+    return (df.where(t.isNotNull() & v.isNotNull())
+            .groupBy(F.to_date(t).alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.expr(f"percentile({value_col}, 0.5)"), 6)
+                  .alias("p50"),
+                 F.round(F.expr(f"percentile({value_col}, 0.95)"), 6)
+                  .alias("p95"),
+                 F.round(F.expr(f"percentile({value_col}, 0.99)"), 6)
+                  .alias("p99")))

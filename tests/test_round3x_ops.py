@@ -377,3 +377,60 @@ def test_expected_calibration_error_rollup(spark):
     assert r["share_in_bad_bins"] == pytest.approx(0.5)
     assert expected_calibration_error(
         df.limit(0), "s", F.col("f")).count() == 0
+
+
+# ------------------------------------------------------ transition lift
+
+def test_transition_lift_cascade_detection(spark):
+    from schema_validata_spark.operators.graphs import transition_lift
+    # errors follow errors 3x their base destination rate
+    e = _edges(spark, [("err", "err", 6), ("err", "ok", 2),
+                       ("ok", "ok", 10), ("ok", "err", 2)])
+    out = {(r["src"], r["dst"]): r for r in
+           transition_lift(e).collect()}
+    ee = out[("err", "err")]
+    assert ee["p_cond"] == pytest.approx(0.75)
+    assert ee["p_dst"] == pytest.approx(0.4)
+    assert ee["lift"] == pytest.approx(0.75 / 0.4)
+    # min_count filter
+    from schema_validata_spark.operators.graphs import transition_lift as tl
+    assert len(tl(e, min_count=5).collect()) == 2
+
+
+# ------------------------------------------------- daily percentiles
+
+def test_daily_value_percentiles_exact(spark):
+    import datetime as dt
+    from schema_validata_spark.operators.statqa import \
+        daily_value_percentiles
+    rows = [Row(ts=dt.datetime(2024, 6, 1, 10), v=float(i))
+            for i in range(101)]          # 0..100: p50=50, p95=95
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = daily_value_percentiles(df, "ts", "v").collect()[0]
+    assert r["n"] == 101
+    assert r["p50"] == pytest.approx(50.0)
+    assert r["p95"] == pytest.approx(95.0)
+    assert r["p99"] == pytest.approx(99.0)
+
+
+# ------------------------------------------------------- rolling psi
+
+def test_rolling_psi_flags_distribution_shift(spark):
+    import datetime as dt
+    from schema_validata_spark.operators.drift import rolling_psi
+    rows = []
+    for k in range(28):
+        day = dt.datetime(2024, 3, 1) + dt.timedelta(days=k)
+        # first 21 days low values, then a hard shift to high values
+        v = 10.0 if k < 21 else 90.0
+        rows += [Row(ts=day, v=v)] * 20
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {str(r["day"]): r for r in
+           rolling_psi(df, "ts", "v", 0.0, 100.0, n_buckets=10,
+                       window_days=7).collect()}
+    assert out["2024-03-01"]["psi"] is None            # warm-up
+    assert out["2024-03-14"]["psi"] == pytest.approx(0.0, abs=1e-6)
+    assert out["2024-03-22"]["psi"] > 0.25             # shift flagged
+    assert out["2024-03-22"]["n_obs"] == 140
+    with pytest.raises(ValueError):
+        rolling_psi(df, "ts", "v", 0.0, 100.0, window_days=0)
