@@ -3307,6 +3307,28 @@ def q_rolling_psi(spark, sf_dir):
             .orderBy("day"))
 
 
+def q_concurrency_profile(spark, sf_dir):
+    """Peak simultaneous sessions per day
+    (sequence.concurrency_profile): sessionized intervals swept with
+    the +1/-1 line sweep, end-exclusive ties — the capacity-planning
+    number."""
+    from schema_validata_spark.operators.sequence import \
+        concurrency_profile
+    return (concurrency_profile(_t(spark, sf_dir, "events"), "user_id",
+                                "ts", gap_minutes=60.0)
+            .orderBy("day"))
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (text.vocab_coverage): occurrence
+    share covered by the top-k token types at k=10/25/1000 — the
+    tokenizer-budget read-off; one vocab-sized window."""
+    from schema_validata_spark.functions.text import vocab_coverage
+    return (vocab_coverage(_t(spark, sf_dir, "documents"), "text",
+                           ranks=(10, 25, 1000))
+            .orderBy("rank_k"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3558,6 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_lift": q_transition_lift,
         "daily_percentiles": q_daily_percentiles,
         "rolling_psi": q_rolling_psi,
+        "concurrency_profile": q_concurrency_profile,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -8991,5 +9015,68 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(sum((po - pb) * ln(po / pb)), 6) END
                  AS psi
         FROM terms GROUP BY d ORDER BY day"""
+
+    sql["concurrency_profile"] = """
+        WITH s AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 3600.0
+                      THEN 1 ELSE 0 END AS b
+          FROM events WHERE ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s2 AS (
+          SELECT user_id, ts,
+                 sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s),
+        iv AS (
+          SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+          FROM s2 GROUP BY 1, 2),
+        pts AS (
+          SELECT st AS ts, 1 AS delta FROM iv
+          UNION ALL SELECT en, -1 FROM iv),
+        r AS (
+          SELECT ts, delta,
+                 sum(delta) OVER (ORDER BY ts, delta
+                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM pts)
+        SELECT CAST(ts AS DATE) AS day,
+               max(run)::int AS max_concurrency,
+               count(*)::bigint AS n_boundaries
+        FROM r GROUP BY 1 ORDER BY day"""
+
+    sql["vocab_coverage"] = r"""
+        WITH counts AS (
+          SELECT token, count(*)::bigint AS n
+          FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+')) AS token
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0)
+          GROUP BY token),
+        ranked AS (
+          SELECT n,
+                 row_number() OVER (ORDER BY n DESC, token ASC) AS r,
+                 sum(n) OVER (ORDER BY n DESC, token ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM counts),
+        wide AS (
+          SELECT sum(n)::bigint AS t, count(*)::bigint AS types,
+                 coalesce(max(CASE WHEN r <= 10 THEN cum END), 0)
+                   ::bigint AS c10,
+                 coalesce(max(CASE WHEN r <= 25 THEN cum END), 0)
+                   ::bigint AS c25,
+                 coalesce(max(CASE WHEN r <= 1000 THEN cum END), 0)
+                   ::bigint AS c1000
+          FROM ranked)
+        SELECT 10::bigint AS rank_k, c10 AS covered, t AS total,
+               round(c10::double / t::double, 6) AS coverage,
+               types AS n_types FROM wide
+        UNION ALL
+        SELECT 25, c25, t, round(c25::double / t::double, 6), types
+        FROM wide
+        UNION ALL
+        SELECT 1000, c1000, t, round(c1000::double / t::double, 6),
+               types FROM wide
+        ORDER BY rank_k"""
 
     return sql

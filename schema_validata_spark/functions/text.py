@@ -1003,3 +1003,56 @@ def unigram_sampling_table(df, text_col: str, vocab_size: int = 1000,
         F.round(F.sum(F.col("__s") / F.col("__t")).over(
             w.rowsBetween(Window.unboundedPreceding, 0)), 6)
          .alias("cum_p")))
+
+
+def vocab_coverage(df, text_col: str,
+                   ranks=(10, 100, 1000, 10000)) -> "DataFrame":
+    """Vocabulary coverage curve: what share of all token OCCURRENCES
+    do the top-k distinct tokens cover, for each k in ``ranks``? The
+    tokenizer-budget question in one table — if the top 10k types
+    cover 98% of the corpus, a 32k vocab is mostly allocating tail;
+    if coverage is still 80%, the corpus is type-rich (code, names,
+    multilingual) and fertility will suffer. Complements ``zipf_fit``
+    (a slope) and ``concentration_stats`` (HHI) with the actual
+    curve points a vocab decision reads off.
+
+    Tokenization matches ``top_tokens`` (case-folded whitespace).
+    Output per rank cutoff: rank_k (bigint), covered (occurrences in
+    the top-k types, bigint), total (bigint), coverage (6dp), plus
+    n_types (distinct tokens overall, same every row) for context.
+
+    SCALE: the wordcount two-stage aggregate, then ONE ordered window
+    over the distinct-vocabulary frame (vocab-sized, not corpus-sized)
+    and a ≤|ranks| aggregate."""
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .select(F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                       .alias("token")))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = counts.select(
+        "n", F.row_number().over(w).cast("bigint").alias("__r"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("__cum"))
+    # one conditional aggregate per cutoff — no join, no second pass
+    aggs = [F.sum("n").alias("__t"),
+            F.count(F.lit(1)).cast("bigint").alias("__types")]
+    for k in ranks:
+        aggs.append(F.coalesce(
+            F.max(F.when(F.col("__r") <= int(k), F.col("__cum"))),
+            F.lit(0).cast("bigint")).alias(f"__cov_{int(k)}"))
+    wide = ranked.agg(*aggs)
+    rows = [F.struct(F.lit(int(k)).cast("bigint").alias("rank_k"),
+                     F.col(f"__cov_{int(k)}").alias("covered"))
+            for k in ranks]
+    return (wide.select(F.col("__t").cast("bigint").alias("total"),
+                        "__types",
+                        F.explode(F.array(*rows)).alias("e"))
+            .select(F.col("e.rank_k").alias("rank_k"),
+                    F.col("e.covered").alias("covered"), "total",
+                    F.round(F.col("e.covered")
+                            / F.col("total").cast("double"), 6)
+                     .alias("coverage"),
+                    F.col("__types").alias("n_types")))

@@ -1312,3 +1312,41 @@ def template_distance(df: DataFrame, part_col: str,
             .select("part", "seq_len",
                     F.levenshtein("__seq", "__template").cast("bigint")
                      .alias("distance")))
+
+
+def concurrency_profile(df: DataFrame, part_col: str, ts_col: str,
+                        gap_minutes: float = 30.0) -> DataFrame:
+    """Peak simultaneous sessions per day — the capacity-planning
+    number behind executor/endpoint sizing: sessionized (part, start,
+    end) intervals swept with the classic +1/−1 line sweep. End is
+    EXCLUSIVE: a session ending exactly when another starts does not
+    overlap it (the −1 sorts before the +1 at equal timestamps, a
+    deterministic tie rule both engines share).
+
+    Output per day (days on which any session starts or ends): day
+    (date), max_concurrency (int), n_boundaries (bigint — sweep events
+    that day).
+
+    SCALE: sessionize's one keyed window + one aggregate to the
+    #sessions frame, then the sweep: ONE globally-ordered running-sum
+    window over 2·#sessions boundary rows. The global order is the
+    honest cost of exact concurrency — at 10^12 turns, partition the
+    sweep by calendar window and seed each with the carried-in open
+    count (documented contract; this exact form is the oracle shape).
+    """
+    s = sessionize(df, part_col, ts_col, gap_minutes=gap_minutes)
+    iv = (s.groupBy(part_col, "session_idx")
+          .agg(F.min(ts_col).alias("__start"),
+               F.max(ts_col).alias("__end")))
+    pts = (iv.select(F.col("__start").alias("ts"),
+                     F.lit(1).alias("delta"))
+           .union(iv.select(F.col("__end"), F.lit(-1))))
+    w = Window.orderBy(F.col("ts"), F.col("delta"))
+    run = F.sum("delta").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (pts.select(F.to_date("ts").alias("day"),
+                       run.alias("__run"))
+            .groupBy("day")
+            .agg(F.max("__run").cast("int").alias("max_concurrency"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_boundaries"))
+            )
