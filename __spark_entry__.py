@@ -3329,6 +3329,30 @@ def q_vocab_coverage(spark, sf_dir):
             .orderBy("rank_k"))
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source score calibration transform
+    (selection.quantile_normalize): each doc's quality score mapped to
+    the global distribution value at its within-source percentile —
+    the fix for the bias quality_calibration measures."""
+    from schema_validata_spark.operators.selection import \
+        quantile_normalize
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source",
+                         quality_score("text").alias("q"))
+    return (quantile_normalize(scored, "q", "source", "doc_id")
+            .orderBy("id"))
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (text.doc_keywords): the
+    per-doc labeling pass next to distinctive_terms' per-slice one;
+    wordcount-shaped aggregates + a WindowGroupLimit top-k."""
+    from schema_validata_spark.functions.text import doc_keywords
+    return (doc_keywords(_t(spark, sf_dir, "documents"), "text",
+                         "doc_id", k=3)
+            .orderBy("id", "rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3582,6 +3606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_psi": q_rolling_psi,
         "concurrency_profile": q_concurrency_profile,
         "vocab_coverage": q_vocab_coverage,
+        "quantile_normalize": q_quantile_normalize,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -9078,5 +9104,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1000, c1000, t, round(c1000::double / t::double, 6),
                types FROM wide
         ORDER BY rank_k"""
+
+    sql["quantile_normalize"] = f"""
+        WITH m AS (
+          SELECT doc_id, source, text,
+                 cast(length(text) as double) AS n_chars,
+                 cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END as double) AS n_tokens,
+                 cast(length(text) - length(regexp_replace(text,
+                      '[^\\w\\s]', '', 'g')) as double) AS n_punct,
+                 cast(len(list_intersect(
+                      regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      [{stop}])) as double) AS n_stop
+          FROM documents),
+        scored AS (
+          SELECT doc_id, source,
+                 CASE WHEN text IS NULL OR length(trim(text)) = 0
+                 THEN 0.0
+                 ELSE round((least(n_chars / 500.0, 1.0)
+                   + (1.0 - least(n_punct / greatest(n_chars, 1.0)
+                                  * 5.0, 1.0))
+                   + least(n_stop / greatest(n_tokens, 1.0) * 10.0,
+                           1.0)) / 3.0, 6) END AS q
+          FROM m),
+        base AS (
+          SELECT doc_id AS id, source AS grp, q AS score
+          FROM scored
+          WHERE source IS NOT NULL AND doc_id IS NOT NULL
+            AND q IS NOT NULL),
+        nt AS (SELECT count(*)::bigint AS n FROM base),
+        gq AS (
+          SELECT score AS v,
+                 (row_number() OVER (ORDER BY score) - 1)::bigint AS rn
+          FROM base),
+        r AS (
+          SELECT id, grp, score,
+                 percent_rank() OVER (PARTITION BY grp ORDER BY score)
+                   AS sp
+          FROM base),
+        idx AS (
+          SELECT id, grp, score, sp,
+                 floor(sp * (nt.n - 1)::double)::bigint AS lo,
+                 least(floor(sp * (nt.n - 1)::double)::bigint + 1,
+                       nt.n - 1) AS hi,
+                 sp * (nt.n - 1)::double
+                   - floor(sp * (nt.n - 1)::double) AS f
+          FROM r, nt)
+        SELECT idx.id, idx.grp AS "group", idx.score,
+               round(idx.sp, 6) AS src_pctl,
+               round(vlo.v * (1.0 - idx.f) + vhi.v * idx.f, 6)
+                 AS normalized
+        FROM idx JOIN gq vlo ON vlo.rn = idx.lo
+                 JOIN gq vhi ON vhi.rn = idx.hi
+        ORDER BY idx.id"""
+
+    sql["doc_keywords"] = r"""
+        WITH base AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        toks AS (
+          SELECT doc_id AS id,
+                 unnest(regexp_split_to_array(t, '\s+')) AS token
+          FROM base),
+        tf AS (
+          SELECT id, token, count(*)::double AS tf
+          FROM toks GROUP BY 1, 2),
+        nd AS (SELECT count(*)::double AS n FROM base),
+        dfq AS (SELECT token, count(*)::double AS df FROM tf
+                GROUP BY 1),
+        scored AS (
+          SELECT tf.id, tf.token, tf.tf * ln(nd.n / dfq.df) AS s
+          FROM tf JOIN dfq ON dfq.token = tf.token, nd),
+        r AS (
+          SELECT id, token, s,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY s DESC, token ASC) AS rank
+          FROM scored)
+        SELECT id, rank::bigint AS rank, token, round(s, 6) AS score
+        FROM r WHERE rank <= 3 ORDER BY id, rank"""
 
     return sql

@@ -1056,3 +1056,45 @@ def vocab_coverage(df, text_col: str,
                             / F.col("total").cast("double"), 6)
                      .alias("coverage"),
                     F.col("__types").alias("n_types")))
+
+
+def doc_keywords(df, text_col: str, id_col: str,
+                 k: int = 3) -> "DataFrame":
+    """Top-k TF-IDF keywords per document: the per-document counterpart
+    of ``distinctive_terms`` (which works per slice) — the cheap
+    summary/labeling pass a curation UI shows next to each doc, and a
+    near-dup explanation aid (shared keywords ≈ shared topic).
+
+    tf = in-doc occurrences; idf = ln(N / df) over distinct-doc
+    frequency (tokens in every doc score exactly 0 and never rank);
+    score = tf·idf, top-k per doc by (score desc, token asc). Output:
+    id, rank (1..k), token, score (6dp). Tokenization matches
+    ``top_tokens``.
+
+    SCALE: wordcount-shaped two-stage aggregates — (doc, token) tf
+    partials collapse map-side, the df frame is vocab-sized, and the
+    per-doc top-k is a WindowGroupLimit (per-task k-row heaps), no
+    global sort."""
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    toks = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.split(F.lower(F.trim(c)), r"\s+"))
+                     .alias("token")))
+    tf = toks.groupBy("id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf"))
+    n_docs = (df.where(c.isNotNull() & (F.length(F.trim(c)) > 0))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+              .select("id", "token",
+                      (F.col("__tf")
+                       * F.log(F.col("__n") / F.col("__df")))
+                      .alias("__score")))
+    w = Window.partitionBy("id").orderBy(F.col("__score").desc(),
+                                         F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("id", F.col("rank").cast("bigint").alias("rank"),
+                    "token", F.round("__score", 6).alias("score")))

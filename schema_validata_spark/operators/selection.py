@@ -182,3 +182,60 @@ def scd2_history(df: DataFrame, key_cols: list[str], ts_col: str,
             .withColumn("valid_to", F.lead(ts_col).over(w2))
             .select(*key_cols, t.alias("valid_from"), "valid_to",
                     *tracked_cols))
+
+
+def quantile_normalize(df: DataFrame, score_col: str,
+                       group_col: str, id_col: str) -> DataFrame:
+    """Cross-source score calibration TRANSFORM (the fix for what
+    ``quality_calibration`` measures): each row's score is replaced by
+    the GLOBAL score-distribution value at the row's WITHIN-SOURCE
+    percentile — after this, "0.8" means the same thing regardless of
+    which source's scorer produced it, so one global threshold prunes
+    every source fairly. Classic quantile normalization (microarray
+    lineage), applied per group against the pooled distribution.
+
+    Mechanics (exact, interpolated): within-source percent_rank p;
+    position pos = p·(N−1) in the globally value-sorted frame; output
+    v[floor(pos)]·(1−frac) + v[floor(pos)+1]·frac — the same linear
+    interpolation as ``percentile``/``quantile_cont``. Ties share p
+    (and equal values make the tiebreak irrelevant to the result).
+    NULL scores/groups/ids are excluded.
+
+    Output per row: id, group, score, src_pctl, normalized (6dp).
+
+    SCALE: two rank windows (per-source, global) + two joins against
+    the rank-indexed global value frame. The global window is a total
+    sort — at 10^12 rows swap the exact global frame for the
+    equi-depth-histogram quantile map; this exact form is the
+    oracle-checkable contract (same note as quality_calibration)."""
+    s, g, i = F.col(score_col), F.col(group_col), F.col(id_col)
+    base = (df.where(s.isNotNull() & g.isNotNull() & i.isNotNull())
+            .select(i.alias("id"), g.cast("string").alias("group"),
+                    s.cast("double").alias("score")))
+    n_tot = base.select(F.count(F.lit(1)).alias("__n"))
+    glob = base.select(
+        F.col("score").alias("__v"),
+        (F.row_number().over(Window.orderBy("score")) - 1)
+        .cast("bigint").alias("__rn"))
+    p = F.percent_rank().over(
+        Window.partitionBy("group").orderBy("score"))
+    ranked = (base.select("id", "group", "score", p.alias("src_pctl"))
+              .crossJoin(F.broadcast(n_tot)))
+    pos = F.col("src_pctl") * (F.col("__n") - 1).cast("double")
+    lo = F.floor(pos).cast("bigint")
+    frac = pos - lo.cast("double")
+    r = ranked.select("id", "group", "score", "src_pctl",
+                      lo.alias("__lo"),
+                      F.least(lo + 1, F.col("__n") - 1).alias("__hi"),
+                      frac.alias("__f"))
+    vlo = glob.select(F.col("__rn").alias("__lo"),
+                      F.col("__v").alias("__vlo"))
+    vhi = glob.select(F.col("__rn").alias("__hi"),
+                      F.col("__v").alias("__vhi"))
+    out = (r.join(vlo, "__lo").join(vhi, "__hi")
+           .select("id", "group", "score",
+                   F.round("src_pctl", 6).alias("src_pctl"),
+                   F.round(F.col("__vlo") * (1.0 - F.col("__f"))
+                           + F.col("__vhi") * F.col("__f"), 6)
+                    .alias("normalized")))
+    return out

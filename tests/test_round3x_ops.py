@@ -488,3 +488,56 @@ def test_vocab_coverage_curve(spark):
     assert out[2]["covered"] == 6
     assert out[10]["coverage"] == pytest.approx(1.0)
     assert out[10]["n_types"] == 3
+
+
+# --------------------------------------------------- quantile normalize
+
+def test_quantile_normalize_aligns_shifted_source(spark):
+    from schema_validata_spark.operators.selection import \
+        quantile_normalize
+    # source "low" scores 0..9, source "high" scores 100..109: after
+    # normalization, same within-source rank -> same normalized value
+    rows = ([Row(id=i, g="low", s=float(i)) for i in range(10)]
+            + [Row(id=100 + i, g="high", s=100.0 + i)
+               for i in range(10)])
+    df = spark.createDataFrame(rows, "id int, g string, s double")
+    out = {r["id"]: r for r in
+           quantile_normalize(df, "s", "g", "id").collect()}
+    for i in range(10):
+        assert out[i]["normalized"] == pytest.approx(
+            out[100 + i]["normalized"], abs=1e-6)
+    # the min of each source maps to the global min, max to global max
+    assert out[0]["normalized"] == pytest.approx(0.0)
+    assert out[109]["normalized"] == pytest.approx(109.0)
+    assert out[0]["src_pctl"] == 0.0 and out[109]["src_pctl"] == 1.0
+
+
+def test_quantile_normalize_single_row_group(spark):
+    from schema_validata_spark.operators.selection import \
+        quantile_normalize
+    df = spark.createDataFrame(
+        [Row(id=1, g="a", s=5.0), Row(id=2, g="b", s=1.0),
+         Row(id=3, g="b", s=9.0)], "id int, g string, s double")
+    out = {r["id"]: r for r in
+           quantile_normalize(df, "s", "g", "id").collect()}
+    # singleton group: percent_rank 0 -> global minimum
+    assert out[1]["normalized"] == pytest.approx(1.0)
+
+
+# -------------------------------------------------------- doc keywords
+
+def test_doc_keywords_idf_zeroes_ubiquitous_terms(spark):
+    from schema_validata_spark.functions.text import doc_keywords
+    df = spark.createDataFrame(
+        [Row(id=1, text="common alpha alpha"),
+         Row(id=2, text="common beta"),
+         Row(id=3, text="common gamma gamma gamma")],
+        "id int, text string")
+    out = {(r["id"], r["rank"]): r for r in
+           doc_keywords(df, "text", "id", k=2).collect()}
+    # 'common' appears in every doc: idf = ln(1) = 0 -> never rank 1
+    assert out[(1, 1)]["token"] == "alpha"
+    assert out[(3, 1)]["token"] == "gamma"
+    assert out[(1, 1)]["score"] == pytest.approx(
+        2 * __import__("math").log(3 / 1), abs=1e-6)
+    assert out[(1, 2)]["score"] == pytest.approx(0.0)   # 'common'
