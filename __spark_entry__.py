@@ -3353,6 +3353,28 @@ def q_doc_keywords(spark, sf_dir):
             .orderBy("id", "rank"))
 
 
+def q_jaccard_sweep(spark, sf_dir):
+    """Near-dup threshold sweep (dedup.jaccard_threshold_sweep):
+    surviving pair counts at each Jaccard cutoff over the exact
+    all-pairs frame — the knob-picking table before committing a
+    dedup threshold; one conditional-count aggregate."""
+    from schema_validata_spark.operators.dedup import (
+        jaccard_threshold_sweep, ngram_jaccard_pairs)
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text",
+                                "doc_id", threshold=0.0,
+                                group_col="lang")
+    return jaccard_threshold_sweep(pairs).orderBy("threshold")
+
+
+def q_hash_uniformity(spark, sf_dir):
+    """Sampler-fairness audit (sampling.hash_uniformity): chi-square
+    of md5-prefix bucket counts vs uniform over all 256 buckets —
+    guards every deterministic hash-cut sampler in the repo."""
+    from schema_validata_spark.functions.sampling import hash_uniformity
+    return hash_uniformity(_t(spark, sf_dir, "events"), "event_id",
+                           prefix_len=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3608,6 +3630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "quantile_normalize": q_quantile_normalize,
         "doc_keywords": q_doc_keywords,
+        "jaccard_sweep": q_jaccard_sweep,
+        "hash_uniformity": q_hash_uniformity,
     }
 
 
@@ -9183,5 +9207,75 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT id, rank::bigint AS rank, token, round(s, 6) AS score
         FROM r WHERE rank <= 3 ORDER BY id, rank"""
+
+    sql["jaccard_sweep"] = """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct(list_transform(
+                      range(1, len(w) - 1),
+                      i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+                 END AS s
+          FROM toks),
+        pairs AS (
+          SELECT cast(len(list_intersect(a.s, b.s)) as double) AS i,
+                 cast(len(list_distinct(list_concat(a.s, b.s)))
+                      as double) AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        j AS (SELECT round(i / greatest(u, 1.0), 6) AS jac FROM pairs),
+        wide AS (
+          SELECT count(*)::bigint AS tot,
+                 count(*) FILTER (jac >= 0.05::double)::bigint AS c50,
+                 count(*) FILTER (jac >= 0.1::double)::bigint AS c100,
+                 count(*) FILTER (jac >= 0.15::double)::bigint AS c150,
+                 count(*) FILTER (jac >= 0.2::double)::bigint AS c200,
+                 count(*) FILTER (jac >= 0.3::double)::bigint AS c300,
+                 count(*) FILTER (jac >= 0.5::double)::bigint AS c500
+          FROM j)
+        SELECT 0.05::double AS threshold, c50 AS n_pairs,
+               round(c50::double / greatest(tot, 1)::double, 6)
+                 AS share FROM wide
+        UNION ALL
+        SELECT 0.1::double AS threshold, c100 AS n_pairs,
+               round(c100::double / greatest(tot, 1)::double, 6)
+                 AS share FROM wide
+        UNION ALL
+        SELECT 0.15::double AS threshold, c150 AS n_pairs,
+               round(c150::double / greatest(tot, 1)::double, 6)
+                 AS share FROM wide
+        UNION ALL
+        SELECT 0.2::double AS threshold, c200 AS n_pairs,
+               round(c200::double / greatest(tot, 1)::double, 6)
+                 AS share FROM wide
+        UNION ALL
+        SELECT 0.3::double AS threshold, c300 AS n_pairs,
+               round(c300::double / greatest(tot, 1)::double, 6)
+                 AS share FROM wide
+        UNION ALL
+        SELECT 0.5::double AS threshold, c500 AS n_pairs,
+               round(c500::double / greatest(tot, 1)::double, 6)
+                 AS share FROM wide
+        ORDER BY threshold"""
+
+    sql["hash_uniformity"] = """
+        WITH c AS (
+          SELECT substring(md5(event_id::varchar), 1, 2) AS b,
+                 count(*)::double AS c
+          FROM events WHERE event_id IS NOT NULL GROUP BY 1),
+        t AS (SELECT sum(c) AS t, count(*)::double AS hit FROM c)
+        SELECT t.t::bigint AS n, 256::bigint AS k,
+               t.hit::bigint AS buckets_hit,
+               round(sum(pow(c.c - t.t / cast(256 as double), 2)
+                         / (t.t / cast(256 as double)))
+                     + (cast(256 as double) - t.hit)
+                       * t.t / cast(256 as double), 6) AS chi2,
+               255::bigint AS dof,
+               round(max(c.c) / t.t, 6) AS max_share
+        FROM c, t GROUP BY t.t, t.hit"""
 
     return sql

@@ -489,3 +489,46 @@ def mixture_weights(df, group_col: str, size_col,
         F.round(raw, 6).alias("raw_share"),
         F.round(wgt, 6).alias("weight"),
         F.round(F.when(raw > 0, wgt / raw), 6).alias("sampling_factor"))
+
+
+def hash_uniformity(df, id_col: str, prefix_len: int = 2) -> "DataFrame":
+    """Fairness audit of the hash-bucket machinery every deterministic
+    sampler here rides on (``deterministic_sample``,
+    ``stratified_sample``, ``group_split`` all cut on md5-prefix
+    order): bucket rows by the first ``prefix_len`` hex chars of
+    md5(id) and report the chi-square statistic against the uniform
+    distribution over ALL 16^prefix_len buckets (empty buckets
+    included — each contributes its full expected count). A healthy
+    hash reads chi2 ~ dof; a structured id set that defeats md5 (it
+    practically cannot) or a broken bucketing edit shows up as
+    chi2 >> dof long before a biased sample ships.
+
+    Output one row: n (bigint), k (buckets, bigint), buckets_hit
+    (bigint), chi2 (6dp), dof (bigint), max_share (heaviest bucket's
+    row share, 6dp). NULL ids are excluded.
+
+    SCALE: one hash aggregate keyed by the ≤16^prefix_len bucket
+    prefix, then a single roll-up of that tiny frame."""
+    if prefix_len < 1 or prefix_len > 8:
+        raise ValueError("prefix_len must be in 1..8")
+    k = 16 ** prefix_len
+    i = F.col(id_col)
+    b = F.substring(F.md5(i.cast("string")), 1, prefix_len)
+    counts = (df.where(i.isNotNull())
+              .groupBy(b.alias("__b"))
+              .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+    tot = counts.agg(F.sum("__c").alias("__t"),
+                     F.count(F.lit(1)).cast("double").alias("__hit"))
+    j = counts.crossJoin(F.broadcast(tot))
+    e = F.col("__t") / F.lit(float(k))
+    # observed buckets contribute (o-e)^2/e; the (k - hit) empty
+    # buckets contribute e each
+    return (j.agg(
+        F.first("__t").cast("bigint").alias("n"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.first("__hit").cast("bigint").alias("buckets_hit"),
+        F.round(F.sum(F.pow(F.col("__c") - e, 2) / e)
+                + (F.lit(float(k)) - F.first("__hit"))
+                * F.first("__t") / F.lit(float(k)), 6).alias("chi2"),
+        F.lit(k - 1).cast("bigint").alias("dof"),
+        F.round(F.max("__c") / F.first("__t"), 6).alias("max_share")))

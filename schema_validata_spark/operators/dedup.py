@@ -1095,3 +1095,36 @@ def golden_records(df: DataFrame, pairs: DataFrame, id_col: str,
             f"min_by({f}, __rn) FILTER (WHERE {f} IS NOT NULL)")
             .alias(f))
     return r.groupBy("cluster_id").agg(*aggs)
+
+
+def jaccard_threshold_sweep(pairs: DataFrame,
+                            thresholds=(0.05, 0.1, 0.15, 0.2, 0.3,
+                                        0.5)) -> DataFrame:
+    """Threshold-sweep over an exact similarity pair frame: how many
+    candidate pairs survive at each Jaccard cutoff? THE knob-picking
+    table for near-dup curation — dedup aggressiveness is a cliff
+    function of the threshold, and this shows the cliff before you
+    commit a full dedup run to one number. Feed it
+    ``ngram_jaccard_pairs(threshold=0.0)`` output (or any frame with a
+    ``jaccard`` column).
+
+    Output per cutoff: threshold, n_pairs (pairs with jaccard >=
+    threshold, bigint), share (of all pairs in the frame, 6dp).
+
+    SCALE: ONE aggregate with a conditional count per cutoff over the
+    pair frame — no re-scan per threshold, no join."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__tot")]
+    for t in thresholds:
+        aggs.append(F.count(F.when(F.col("jaccard") >= float(t), 1))
+                    .cast("bigint").alias(f"__c_{int(t * 1000)}"))
+    wide = pairs.agg(*aggs)
+    rows = [F.struct(F.lit(float(t)).alias("threshold"),
+                     F.col(f"__c_{int(t * 1000)}").alias("n_pairs"))
+            for t in thresholds]
+    return (wide.select(F.col("__tot"),
+                        F.explode(F.array(*rows)).alias("e"))
+            .select(F.col("e.threshold").alias("threshold"),
+                    F.col("e.n_pairs").alias("n_pairs"),
+                    F.round(F.col("e.n_pairs")
+                            / F.greatest(F.col("__tot"), F.lit(1))
+                            .cast("double"), 6).alias("share")))

@@ -541,3 +541,45 @@ def test_doc_keywords_idf_zeroes_ubiquitous_terms(spark):
     assert out[(1, 1)]["score"] == pytest.approx(
         2 * __import__("math").log(3 / 1), abs=1e-6)
     assert out[(1, 2)]["score"] == pytest.approx(0.0)   # 'common'
+
+
+# ------------------------------------------------------- jaccard sweep
+
+def test_jaccard_sweep_counts_cutoffs(spark):
+    from schema_validata_spark.operators.dedup import \
+        jaccard_threshold_sweep
+    pairs = spark.createDataFrame(
+        [Row(jaccard=j) for j in (0.01, 0.07, 0.12, 0.5, 0.95)],
+        "jaccard double")
+    out = {r["threshold"]: r for r in
+           jaccard_threshold_sweep(
+               pairs, thresholds=(0.05, 0.1, 0.9)).collect()}
+    assert out[0.05]["n_pairs"] == 4
+    assert out[0.1]["n_pairs"] == 3
+    assert out[0.9]["n_pairs"] == 1
+    assert out[0.9]["share"] == pytest.approx(0.2)
+
+
+# ----------------------------------------------------- hash uniformity
+
+def test_hash_uniformity_healthy_and_excludes_nulls(spark):
+    from schema_validata_spark.functions.sampling import hash_uniformity
+    df = spark.range(4096).withColumnRenamed("id", "k") \
+        .union(spark.createDataFrame([(None,)], "k bigint"))
+    r = hash_uniformity(df, "k", prefix_len=2).collect()[0]
+    assert r["n"] == 4096 and r["k"] == 256 and r["dof"] == 255
+    # healthy hash: chi2 within a loose band around dof
+    assert 150 < r["chi2"] < 400
+    assert r["buckets_hit"] == 256
+    with pytest.raises(ValueError):
+        hash_uniformity(df, "k", prefix_len=0)
+
+
+def test_hash_uniformity_degenerate_ids_flagged(spark):
+    from schema_validata_spark.functions.sampling import hash_uniformity
+    from pyspark.sql import functions as FF
+    # constant id: everything lands in one bucket -> chi2 explodes
+    df = spark.range(1000).select(FF.lit(7).alias("k"))
+    r = hash_uniformity(df, "k", prefix_len=2).collect()[0]
+    assert r["buckets_hit"] == 1 and r["max_share"] == 1.0
+    assert r["chi2"] > 100_000
