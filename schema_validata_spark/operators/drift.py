@@ -598,5 +598,4 @@ def rolling_psi(df: DataFrame, ts_col: str, value_col: str,
         F.date_add(F.lit("1970-01-01"), F.col("d")).alias("day"),
         F.col("__to").cast("bigint").alias("n_obs"),
         F.col("__tb").cast("bigint").alias("n_base"),
-        F.when(F.col("__tb") > 0, F.round(psi, 6)).alias("psi"))
-        .orderBy("day"))
+        F.when(F.col("__tb") > 0, F.round(psi, 6)).alias("psi")))
