@@ -3375,6 +3375,18 @@ def q_hash_uniformity(spark, sf_dir):
                            prefix_len=2)
 
 
+def q_quantile_map_accuracy(spark, sf_dir):
+    """Sketch-accuracy audit (statqa.quantile_map_accuracy): exact
+    percentiles vs the 8-bucket equi-depth-map estimates at
+    p50/p90/p99 — validates (or prices) the documented at-scale
+    swap of exact quantiles for the histogram quantile map."""
+    from schema_validata_spark.operators.statqa import \
+        quantile_map_accuracy
+    return (quantile_map_accuracy(_t(spark, sf_dir, "events"), "value",
+                                  bins=8, probes=(0.5, 0.9, 0.99))
+            .orderBy("p"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3632,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "jaccard_sweep": q_jaccard_sweep,
         "hash_uniformity": q_hash_uniformity,
+        "quantile_map_accuracy": q_quantile_map_accuracy,
     }
 
 
@@ -9277,5 +9290,58 @@ def oracle_sql() -> dict[str, str]:
                255::bigint AS dof,
                round(max(c.c) / t.t, 6) AS max_share
         FROM c, t GROUP BY t.t, t.hit"""
+
+    sql["quantile_map_accuracy"] = """
+        WITH e AS (
+          SELECT list_transform(quantile_cont(value,
+                   [0.0, 0.125, 0.25, 0.375, 0.5,
+                    0.625, 0.75, 0.875, 1.0]),
+                 t -> round(t, 6)) AS edges
+          FROM events),
+        b AS (
+          SELECT greatest(least(
+                   len(list_filter(e.edges[1:8], t -> t < value)),
+                   8), 1) AS bin
+          FROM events, e WHERE value IS NOT NULL),
+        c AS (SELECT bin, count(*)::bigint AS n FROM b GROUP BY 1),
+        t AS (SELECT sum(n)::double AS tt FROM c),
+        h AS (
+          SELECT bin::int AS bin,
+                 round(e.edges[bin], 6) AS lo,
+                 round(e.edges[bin + 1], 6) AS hi,
+                 round(n / tt, 6) AS share
+          FROM c, e, t),
+        hc AS (
+          SELECT bin, lo, hi, share,
+                 sum(share) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(share) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) - share AS before
+          FROM h),
+        pr AS (SELECT unnest([0.5, 0.9, 0.99]::double[]) AS p),
+        cand AS (
+          SELECT pr.p, hc.bin, hc.lo, hc.hi, hc.share, hc.before,
+                 row_number() OVER (PARTITION BY pr.p
+                   ORDER BY hc.bin) AS rn
+          FROM pr JOIN hc
+            ON hc.cum >= pr.p - 1e-12 AND hc.share > 0),
+        est AS (
+          SELECT p,
+                 least(greatest(
+                   lo + (hi - lo) * (p - before) / share, lo), hi)
+                   AS est
+          FROM cand WHERE rn = 1),
+        ex AS (
+          SELECT unnest([0.5, 0.9, 0.99]::double[]) AS p,
+                 unnest(quantile_cont(value,
+                        [0.5, 0.9, 0.99]::double[])) AS exv
+          FROM events)
+        SELECT est.p, round(ex.exv, 6) AS exact,
+               round(est.est, 6) AS estimated,
+               round(abs(est.est - ex.exv), 6) AS abs_err,
+               round(CASE WHEN ex.exv <> 0
+                     THEN abs(est.est - ex.exv) / abs(ex.exv) END, 6)
+                 AS rel_err
+        FROM est JOIN ex ON ex.p = est.p ORDER BY est.p"""
 
     return sql

@@ -2169,3 +2169,67 @@ def daily_value_percentiles(df: DataFrame, ts_col: str,
                   .alias("p95"),
                  F.round(F.expr(f"percentile({value_col}, 0.99)"), 6)
                   .alias("p99")))
+
+
+def quantile_map_accuracy(df: DataFrame, value_col: str, bins: int = 8,
+                          probes=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Accuracy audit of the equi-depth-histogram quantile map — the
+    structure this repo documents as the at-scale replacement for
+    exact global percentiles (quality_calibration, quantile_normalize,
+    daily_value_percentiles all carry that swap note). For each probe
+    p: the EXACT interpolated percentile next to the ESTIMATE read off
+    the ``bins``-bucket equi-depth histogram (linear interpolation
+    within the bucket whose cumulative share crosses p), with absolute
+    and relative error. Run it once per table profile: if the 8-bucket
+    map already lands within tolerance, the swap is free; if not, it
+    says how many buckets to buy.
+
+    Estimation rule: first bucket (by bin) with share > 0 and
+    cum_share >= p − 1e-12 (pinned epsilon, identical in the oracle);
+    est = lo + (hi − lo)·(p − cum_before)/share, clamped to [lo, hi].
+
+    Output per probe: p, exact, estimated, abs_err, rel_err (6dp;
+    rel_err NULL when exact = 0). Empty input → no rows.
+
+    SCALE: the equi-depth aggregate (one exact-percentile pass — at
+    true scale, feed ``percentile_approx`` edges in) plus windows and
+    joins on the ≤bins frame; the exact side is one more aggregate,
+    present precisely because this is the audit of its replacement."""
+    probes = [float(p) for p in probes]
+    if not probes or any(not 0.0 <= p <= 1.0 for p in probes):
+        raise ValueError("probes must be in [0, 1]")
+    hist = equidepth_histogram(df, value_col, bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "bin", "lo", "hi", "share",
+        F.sum("share").over(w).alias("__cum"),
+        (F.sum("share").over(w) - F.col("share")).alias("__before"))
+    spark = df.sparkSession
+    pr = spark.createDataFrame([(p,) for p in probes], "p double")
+    j = pr.join(h, (F.col("__cum") >= F.col("p") - F.lit(1e-12))
+                & (F.col("share") > 0))
+    wp = Window.partitionBy("p").orderBy("bin")
+    first = (j.withColumn("__rn", F.row_number().over(wp))
+             .where(F.col("__rn") == 1))
+    est = F.col("lo") + (F.col("hi") - F.col("lo")) \
+        * (F.col("p") - F.col("__before")) / F.col("share")
+    est = F.least(F.greatest(est, F.col("lo")), F.col("hi"))
+    v = qcol(value_col).cast("double")
+    exact = df.agg(F.percentile(
+        v, F.array(*[F.lit(p) for p in probes])).alias("__ex"))
+    ex_map = exact.select(F.explode(F.arrays_zip(
+        F.array(*[F.lit(p) for p in probes]).alias("p"),
+        F.col("__ex").alias("ex"))).alias("z")) \
+        .select(F.col("z.p").alias("__p"), F.col("z.ex").alias("__exv"))
+    out = (first.join(F.broadcast(ex_map),
+                      F.col("p") == F.col("__p"))
+           .select("p",
+                   F.round("__exv", 6).alias("exact"),
+                   F.round(est, 6).alias("estimated"),
+                   F.round(F.abs(est - F.col("__exv")), 6)
+                    .alias("abs_err"),
+                   F.round(F.when(F.col("__exv") != 0,
+                                  F.abs(est - F.col("__exv"))
+                                  / F.abs(F.col("__exv"))), 6)
+                    .alias("rel_err")))
+    return out

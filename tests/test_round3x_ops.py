@@ -583,3 +583,40 @@ def test_hash_uniformity_degenerate_ids_flagged(spark):
     r = hash_uniformity(df, "k", prefix_len=2).collect()[0]
     assert r["buckets_hit"] == 1 and r["max_share"] == 1.0
     assert r["chi2"] > 100_000
+
+
+# ---------------------------------------------- quantile map accuracy
+
+def test_quantile_map_accuracy_exact_on_edges(spark):
+    from schema_validata_spark.operators.statqa import \
+        quantile_map_accuracy
+    # uniform 0..999: every probe that lands ON an equi-depth edge is
+    # recovered exactly; interior probes interpolate within one bucket
+    df = spark.range(1000).selectExpr("cast(id as double) AS v")
+    out = {r["p"]: r for r in
+           quantile_map_accuracy(df, "v", bins=4,
+                                 probes=(0.25, 0.5, 0.6)).collect()}
+    assert out[0.25]["abs_err"] == pytest.approx(0.0, abs=1e-5)
+    assert out[0.5]["abs_err"] == pytest.approx(0.0, abs=1e-5)
+    # 0.6 interpolates inside the (0.5, 0.75] bucket of a uniform
+    # distribution -> still near-exact
+    assert out[0.6]["abs_err"] < 2.0
+    assert out[0.6]["rel_err"] < 0.005
+
+
+def test_quantile_map_accuracy_flags_coarse_map_on_skew(spark):
+    from pyspark.sql import functions as FF
+    from schema_validata_spark.operators.statqa import \
+        quantile_map_accuracy
+    # heavy-tailed: v = exp(id/100) — a 2-bucket map cannot place p99
+    df = spark.range(1000).select(
+        FF.exp(FF.col("id").cast("double") / 100.0).alias("v"))
+    r = {x["p"]: x for x in
+         quantile_map_accuracy(df, "v", bins=2,
+                               probes=(0.99,)).collect()}[0.99]
+    # even equi-depth pays a visible price at p99 with 2 buckets (the
+    # top bucket spans half the mass of an exponential); the audit
+    # surfaces a non-trivial relative error where uniform data shows ~0
+    assert r["rel_err"] > 0.05
+    with pytest.raises(ValueError):
+        quantile_map_accuracy(df, "v", probes=(1.5,))
