@@ -3387,6 +3387,21 @@ def q_quantile_map_accuracy(spark, sf_dir):
             .orderBy("p"))
 
 
+def q_dedup_impact(spark, sf_dir):
+    """Dedup dry-run per source (dedup.dedup_impact): docs/tokens
+    before vs after min-id exact dedup with duplicated shares — read
+    BEFORE deduping, since dedup shifts the source mixture. Fixture
+    seeds duplicates by re-adding every 9th doc under an offset id
+    (the dup_share_by_source convention)."""
+    from schema_validata_spark.operators.dedup import dedup_impact
+    docs = _t(spark, sf_dir, "documents")
+    dups = (docs.where(F.col("doc_id") % 9 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    corpus = docs.unionByName(dups)
+    return dedup_impact(corpus, "text", "doc_id", "source") \
+        .orderBy("group")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3645,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_sweep": q_jaccard_sweep,
         "hash_uniformity": q_hash_uniformity,
         "quantile_map_accuracy": q_quantile_map_accuracy,
+        "dedup_impact": q_dedup_impact,
     }
 
 
@@ -9343,5 +9359,34 @@ def oracle_sql() -> dict[str, str]:
                      THEN abs(est.est - ex.exv) / abs(ex.exv) END, 6)
                  AS rel_err
         FROM est JOIN ex ON ex.p = est.p ORDER BY est.p"""
+
+    sql["dedup_impact"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text, source FROM documents
+          WHERE doc_id % 9 = 0),
+        r AS (
+          SELECT source, doc_id,
+                 CASE WHEN text IS NULL THEN NULL
+                      WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))
+                 END AS tok,
+                 row_number() OVER (
+                   PARTITION BY {_NORM_TEXT} ORDER BY doc_id) AS rn
+          FROM corpus)
+        SELECT source AS "group", count(*)::bigint AS n_docs,
+               count(*) FILTER (rn = 1)::bigint AS n_docs_kept,
+               round(1.0 - count(*) FILTER (rn = 1)::double
+                     / count(*)::double, 6) AS doc_dup_share,
+               coalesce(sum(tok), 0)::bigint AS tokens,
+               coalesce(sum(tok) FILTER (rn = 1), 0)::bigint
+                 AS tokens_kept,
+               round(CASE WHEN coalesce(sum(tok), 0) > 0
+                     THEN 1.0 - coalesce(sum(tok) FILTER (rn = 1), 0)
+                          ::double / sum(tok)::double END, 6)
+                 AS token_dup_share
+        FROM r GROUP BY source ORDER BY "group" """
 
     return sql

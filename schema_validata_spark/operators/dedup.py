@@ -1128,3 +1128,54 @@ def jaccard_threshold_sweep(pairs: DataFrame,
                     F.round(F.col("e.n_pairs")
                             / F.greatest(F.col("__tot"), F.lit(1))
                             .cast("double"), 6).alias("share")))
+
+
+def dedup_impact(df: DataFrame, text_col: str, id_col: str,
+                 group_col: str) -> DataFrame:
+    """What WOULD exact dedup do to the corpus mixture? Per source:
+    docs and tokens before vs after min-id exact dedup, with the
+    duplicated shares — the dry-run to read BEFORE running
+    ``dedup_exact``, because dedup shifts the source mix exactly when
+    sources differ in duplication rate (a mirror-heavy crawl loses
+    half its token mass; a clean source loses none), and
+    ``mixture_weights`` computed pre-dedup would then be wrong.
+    Keeper attribution: a cross-source duplicate's surviving copy
+    counts for the KEEPER's source (min id), same as the real dedup.
+
+    Output per group: group, n_docs, n_docs_kept, doc_dup_share,
+    tokens, tokens_kept, token_dup_share (shares 6dp; token counts
+    bigint, NULL-text docs carry no tokens).
+
+    SCALE: ONE shuffle keyed by the 64-bit content fingerprint (the
+    dedup_exact shape — 8-byte keys, documents never shuffle as
+    values beyond the token-count int), then one group-sized
+    aggregate."""
+    base = df.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(id_col).alias("__id"),
+        fingerprint(text_col).alias("__fp"),
+        F.col(text_col).alias("__t"))
+    from ..functions.text import token_count
+    base = base.withColumn("__tok", token_count("__t")).drop("__t")
+    w = Window.partitionBy("__fp").orderBy("__id")
+    r = base.withColumn("__rn", F.row_number().over(w))
+    kept = F.col("__rn") == 1
+    z = F.lit(0).cast("bigint")
+    return (r.groupBy("group")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count(F.when(kept, 1)).cast("bigint")
+                  .alias("n_docs_kept"),
+                 F.coalesce(F.sum("__tok"), z).cast("bigint")
+                  .alias("tokens"),
+                 F.coalesce(F.sum(F.when(kept, F.col("__tok"))), z)
+                  .cast("bigint").alias("tokens_kept"))
+            .select("group", "n_docs", "n_docs_kept",
+                    F.round(F.lit(1.0) - F.col("n_docs_kept")
+                            / F.col("n_docs").cast("double"), 6)
+                     .alias("doc_dup_share"),
+                    "tokens", "tokens_kept",
+                    F.round(F.when(
+                        F.col("tokens") > 0,
+                        F.lit(1.0) - F.col("tokens_kept")
+                        / F.col("tokens").cast("double")), 6)
+                     .alias("token_dup_share")))

@@ -620,3 +620,27 @@ def test_quantile_map_accuracy_flags_coarse_map_on_skew(spark):
     assert r["rel_err"] > 0.05
     with pytest.raises(ValueError):
         quantile_map_accuracy(df, "v", probes=(1.5,))
+
+
+# -------------------------------------------------------- dedup impact
+
+def test_dedup_impact_cross_source_keeper_attribution(spark):
+    from schema_validata_spark.operators.dedup import dedup_impact
+    rows = [Row(id=1, text="same text here", src="clean"),
+            Row(id=2, text="same  TEXT here ", src="mirror"),  # dup
+            Row(id=3, text="unique alpha beta", src="mirror"),
+            Row(id=4, text=None, src="clean")]
+    df = spark.createDataFrame(rows, "id int, text string, src string")
+    out = {r["group"]: r for r in
+           dedup_impact(df, "text", "id", "src").collect()}
+    clean, mirror = out["clean"], out["mirror"]
+    # keeper (id=1) is in 'clean': clean loses nothing
+    assert clean["n_docs"] == 2 and clean["n_docs_kept"] == 2
+    assert clean["doc_dup_share"] == 0.0
+    # mirror's copy (id=2) is the duplicate
+    assert mirror["n_docs"] == 2 and mirror["n_docs_kept"] == 1
+    assert mirror["doc_dup_share"] == pytest.approx(0.5)
+    assert mirror["tokens"] == 6 and mirror["tokens_kept"] == 3
+    assert mirror["token_dup_share"] == pytest.approx(0.5)
+    # NULL text carries no tokens but counts as a (kept) doc
+    assert clean["tokens"] == 3
