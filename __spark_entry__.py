@@ -3402,6 +3402,22 @@ def q_dedup_impact(spark, sf_dir):
         .orderBy("group")
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of the LSH ANN path vs exact brute force per query
+    (similarity.ann_recall_audit) — rows-only by design (the LSH side
+    is hash-based like the other approximate ops). On this fixture's
+    RANDOM embedding cloud recall is legitimately near zero (best
+    neighbors sit at cos~0.35, below hyperplane-collision range) —
+    exactly the data-dependence the audit exists to surface; the tight-
+    cluster pytest proves the 1.0 end."""
+    from schema_validata_spark.operators.similarity import \
+        ann_recall_audit
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    return (ann_recall_audit(emb, qs, k=10)
+            .orderBy("query_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3661,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_uniformity": q_hash_uniformity,
         "quantile_map_accuracy": q_quantile_map_accuracy,
         "dedup_impact": q_dedup_impact,
+        "ann_recall": q_ann_recall,
     }
 
 

@@ -962,3 +962,48 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
             F.when(v.isNotNull() & (F.size(v) > 0) & (norm > 0), unit)
              .alias(out)]
     return df.select(*cols)
+
+
+def ann_recall_audit(corpus: DataFrame, queries: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "vec_id", k: int = 10,
+                     n_planes: int = 10, n_tables: int = 4) -> DataFrame:
+    """Recall@k of the LSH ANN path against the exact brute-force
+    ground truth, PER QUERY — the honesty number behind shipping
+    ``lsh_ann_topk`` at scale: pytest asserts a floor once, but
+    recall is data-dependent (it collapses on anisotropic embedding
+    clouds — see ``embedding_spectrum``), so the audit reruns on the
+    corpus you actually serve. Per query: |approx∩exact| / |exact|,
+    plus the mean exact cosine the approximate set left behind.
+
+    Run it on a SAMPLE of queries (a few hundred) against the full
+    corpus — the exact side is the cost, which is the point: pay it
+    on the sample, trust the ANN on the rest.
+
+    Output per query: query_id, n_exact, n_hit (bigint), recall (6dp),
+    missed_best_cos (max exact cosine among missed neighbors, 6dp;
+    NULL at recall 1.0).
+
+    SCALE: brute_force_topk's broadcast-query scan for the sample +
+    the ANN bucket join, then joins on the (query, k)-sized result
+    frames only."""
+    exact = brute_force_topk(corpus, queries, id_col, vec_col,
+                             qid_col, k)
+    approx = lsh_ann_topk(corpus, queries, id_col, vec_col, qid_col,
+                          k, n_planes=n_planes, n_tables=n_tables)
+    a = approx.select("query_id",
+                      F.col("neighbor_id").alias("__an"),
+                      F.lit(1).alias("__hit"))
+    j = exact.join(a, (exact["query_id"] == a["query_id"])
+                   & (exact["neighbor_id"] == F.col("__an")), "left") \
+             .select(exact["query_id"].alias("query_id"),
+                     "neighbor_id", "cos", "__hit")
+    return (j.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                 F.count("__hit").cast("bigint").alias("n_hit"),
+                 F.round(F.count("__hit")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("recall"),
+                 F.round(F.max(F.when(F.col("__hit").isNull(),
+                                      F.col("cos"))), 6)
+                  .alias("missed_best_cos")))
