@@ -3418,6 +3418,28 @@ def q_ann_recall(spark, sf_dir):
             .orderBy("query_id"))
 
 
+def q_label_entropy(spark, sf_dir):
+    """Per-user behavior-mix entropy (sequence.label_entropy_per_key):
+    the scripted-bot screen — low-entropy keys in a diverse corpus;
+    two-stage (key,label) aggregate."""
+    from schema_validata_spark.operators.sequence import \
+        label_entropy_per_key
+    return (label_entropy_per_key(_t(spark, sf_dir, "events"),
+                                  "user_id", "event_type")
+            .orderBy("part"))
+
+
+def q_gap_histogram(spark, sf_dir):
+    """Log2-banded inter-event gap distribution
+    (sequence.gap_histogram): the corpus timing SHAPE behind the
+    per-key interarrival moments; one lag window + a <=40-key
+    aggregate."""
+    from schema_validata_spark.operators.sequence import gap_histogram
+    return (gap_histogram(_t(spark, sf_dir, "events"), "user_id",
+                          "ts", ["event_id"])
+            .orderBy("band"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3678,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_map_accuracy": q_quantile_map_accuracy,
         "dedup_impact": q_dedup_impact,
         "ann_recall": q_ann_recall,
+        "label_entropy": q_label_entropy,
+        "gap_histogram": q_gap_histogram,
     }
 
 
@@ -9405,5 +9429,37 @@ def oracle_sql() -> dict[str, str]:
                           ::double / sum(tok)::double END, 6)
                  AS token_dup_share
         FROM r GROUP BY source ORDER BY "group" """
+
+    sql["label_entropy"] = """
+        WITH c AS (
+          SELECT user_id::varchar AS part, event_type AS v,
+                 count(*)::double AS c
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        t AS (
+          SELECT part, v, c, c / sum(c) OVER (PARTITION BY part) AS p
+          FROM c)
+        SELECT part, sum(c)::bigint AS n,
+               count(*)::bigint AS n_labels,
+               round(sum(-p * log2(p)), 6) AS entropy
+        FROM t GROUP BY part ORDER BY part"""
+
+    sql["gap_histogram"] = """
+        WITH g AS (
+          SELECT (epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+                   ::double AS gap
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        b AS (
+          SELECT CASE WHEN gap < 1.0 THEN 0
+                 ELSE floor(log2(gap))::int END AS band
+          FROM g WHERE gap IS NOT NULL),
+        c AS (SELECT band, count(*)::bigint AS n FROM b GROUP BY 1),
+        t AS (SELECT sum(n)::double AS tt FROM c)
+        SELECT band,
+               (CASE WHEN band = 0 THEN 0
+                ELSE pow(2.0::double, band) END)::bigint AS lo_s,
+               pow(2.0::double, band + 1)::bigint AS hi_s,
+               n, round(n / tt, 6) AS share
+        FROM c, t ORDER BY band"""
 
     return sql

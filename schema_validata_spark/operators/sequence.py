@@ -1350,3 +1350,77 @@ def concurrency_profile(df: DataFrame, part_col: str, ts_col: str,
             .agg(F.max("__run").cast("int").alias("max_concurrency"),
                  F.count(F.lit(1)).cast("bigint").alias("n_boundaries"))
             )
+
+
+def label_entropy_per_key(df: DataFrame, part_col: str,
+                          value_col: str) -> DataFrame:
+    """Per-entity label entropy: how varied is each user's /
+    conversation's behavior MIX (bits over its own label
+    distribution)? The per-key complement of the corpus-level
+    ``transition_entropy``: a scripted bot is low-entropy even when
+    the corpus is diverse, and a key whose entropy jumps between
+    snapshots changed behavior class. NULL keys are excluded; NULL
+    labels count as a label (SQL grouping).
+
+    Output per key: part (string), n (bigint), n_labels (bigint),
+    entropy (bits, 6dp; 0.0 for single-label keys).
+
+    SCALE: TWO-stage hash aggregate — (key, label) partials collapse
+    map-side, then a per-key rollup of the label-count frame; raw
+    rows shuffle once, keyed by (key, label)."""
+    p = F.col(part_col)
+    counts = (df.where(p.isNotNull())
+              .groupBy(p.cast("string").alias("part"),
+                       F.col(value_col).alias("__v"))
+              .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+    tot = Window.partitionBy("part")
+    share = F.col("__c") / F.sum("__c").over(tot)
+    per = counts.select("part", "__c", share.alias("__p"))
+    return (per.groupBy("part")
+            .agg(F.sum("__c").cast("bigint").alias("n"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+                 F.round(F.sum(-F.col("__p") * F.log2("__p")), 6)
+                  .alias("entropy")))
+
+
+def gap_histogram(df: DataFrame, part_col: str, ts_col: str,
+                  order_cols: list[str] | None = None) -> DataFrame:
+    """Log2-bucketed inter-event gap distribution: one row per
+    power-of-two band of seconds (plus a ``<1s`` band 0), counting
+    consecutive-event gaps within partitions. ``interarrival_stats``
+    gives per-key moments; this gives the corpus SHAPE — bimodal
+    human-plus-cron traffic shows as two humps, and a retry storm
+    grows the sub-second band. Ordering is (ts, *order_cols); NULL
+    keys/timestamps are excluded; zero/negative gaps (ties, clock
+    skew) land in band 0 with the sub-second gaps.
+
+    Output per non-empty band: band (int, gap in [2^band, 2^(band+1))
+    seconds; 0 also holds <1s), lo_s, hi_s (bigint), n (bigint),
+    share (6dp).
+
+    SCALE: ONE keyed lag window + ONE ≤~40-key hash aggregate (2^40 s
+    ≈ 35k years caps the band space); totals via 1-row broadcast."""
+    p, t = F.col(part_col), F.col(ts_col)
+    order = [t] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(part_col).orderBy(*order)
+    gap = (F.unix_micros(t.cast("timestamp_ltz"))
+           - F.unix_micros(F.lag(t.cast("timestamp_ltz")).over(w))) \
+        / F.lit(1_000_000.0)
+    base = (df.where(p.isNotNull() & t.isNotNull())
+            .select(gap.alias("__g"))
+            .where(F.col("__g").isNotNull()))
+    band = F.when(F.col("__g") < 1.0, F.lit(0)) \
+        .otherwise(F.floor(F.log2("__g")).cast("int"))
+    counts = (base.groupBy(band.alias("band"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("band",
+                    F.when(F.col("band") == 0, F.lit(0))
+                     .otherwise(F.pow(F.lit(2.0), F.col("band")))
+                     .cast("bigint").alias("lo_s"),
+                    F.pow(F.lit(2.0), F.col("band") + 1).cast("bigint")
+                     .alias("hi_s"),
+                    "n",
+                    F.round(F.col("n") / F.col("__t").cast("double"), 6)
+                     .alias("share")))

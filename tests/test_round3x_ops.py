@@ -670,3 +670,42 @@ def test_ann_recall_audit_tight_clusters_and_misses(spark):
         # tight clusters: the ANN recovers the full exact top-5
         assert r["recall"] == 1.0 and r["n_exact"] == 5
         assert r["missed_best_cos"] is None
+
+
+# ---------------------------------------------------- label entropy
+
+def test_label_entropy_per_key_hand_case(spark):
+    from schema_validata_spark.operators.sequence import \
+        label_entropy_per_key
+    rows = ([Row(u="bot", v="ping")] * 8
+            + [Row(u="human", v=x) for x in "abcdabcd"]
+            + [Row(u=None, v="x")])
+    df = spark.createDataFrame(rows, "u string, v string")
+    out = {r["part"]: r for r in
+           label_entropy_per_key(df, "u", "v").collect()}
+    assert set(out) == {"bot", "human"}
+    assert out["bot"]["entropy"] == pytest.approx(0.0)
+    assert out["bot"]["n_labels"] == 1
+    assert out["human"]["entropy"] == pytest.approx(2.0)   # 4 uniform
+
+
+# ----------------------------------------------------- gap histogram
+
+def test_gap_histogram_bands(spark):
+    import datetime as dt
+    from schema_validata_spark.operators.sequence import gap_histogram
+    t0 = dt.datetime(2024, 8, 1)
+    # gaps: 0.5s (band 0), 3s (band 1), 100s (band 6)
+    rows = [Row(u=1, ts=t0),
+            Row(u=1, ts=t0 + dt.timedelta(seconds=0.5)),
+            Row(u=1, ts=t0 + dt.timedelta(seconds=3.5)),
+            Row(u=1, ts=t0 + dt.timedelta(seconds=103.5))]
+    df = spark.createDataFrame(rows, "u int, ts timestamp")
+    out = {r["band"]: r for r in
+           gap_histogram(df, "u", "ts").collect()}
+    assert set(out) == {0, 1, 6}
+    assert out[0]["n"] == 1 and out[0]["lo_s"] == 0
+    assert out[1]["lo_s"] == 2 and out[1]["hi_s"] == 4
+    assert out[6]["lo_s"] == 64 and out[6]["n"] == 1
+    assert sum(r["share"] for r in out.values()) \
+        == pytest.approx(1.0, abs=1e-5)
