@@ -3440,6 +3440,17 @@ def q_gap_histogram(spark, sf_dir):
             .orderBy("band"))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix
+    (text.lang_confusion): the metadata-label QA view — off-diagonal
+    mass is mislabeled or code-switched data; one map-only detector
+    projection + a |langs|^2 aggregate."""
+    from schema_validata_spark.functions.text import lang_confusion
+    return (lang_confusion(_t(spark, sf_dir, "documents"), "text",
+                           "lang")
+            .orderBy("declared", "detected"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3702,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "label_entropy": q_label_entropy,
         "gap_histogram": q_gap_histogram,
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -9461,5 +9473,21 @@ def oracle_sql() -> dict[str, str]:
                pow(2.0::double, band + 1)::bigint AS hi_s,
                n, round(n / tt, 6) AS share
         FROM c, t ORDER BY band"""
+
+    sql["lang_confusion"] = (
+        "WITH pred AS (" + _lang_case() + """),
+        j AS (
+          SELECT d.lang AS declared, p.lang_pred AS detected
+          FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+          WHERE d.lang IS NOT NULL),
+        c AS (
+          SELECT declared, detected, count(*)::bigint AS n
+          FROM j GROUP BY 1, 2)
+        SELECT declared, detected, n,
+               round(n::double
+                     / sum(n) OVER (PARTITION BY declared), 6)
+                 AS share_of_declared,
+               (declared <> detected) AS mismatch
+        FROM c ORDER BY declared, detected""")
 
     return sql

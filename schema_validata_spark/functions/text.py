@@ -1098,3 +1098,36 @@ def doc_keywords(df, text_col: str, id_col: str,
             .where(F.col("rank") <= k)
             .select("id", F.col("rank").cast("bigint").alias("rank"),
                     "token", F.round("__score", 6).alias("score")))
+
+
+def lang_confusion(df, text_col: str, declared_col: str) -> "DataFrame":
+    """Declared-vs-detected language confusion matrix: the label-QA
+    view for a corpus whose ``lang`` column came from upstream metadata
+    — how often does the content (marker-word ``lang_id``) disagree
+    with the label, and with WHAT? Off-diagonal mass per declared
+    language is mislabeled or code-switched data that a per-language
+    pipeline (fertility, distinctive terms, per-lang sampling) silently
+    mis-buckets. The detector's own limits apply ('und' = no marker
+    hit, common for short texts — a large und column means the detector
+    abstains, not that labels are wrong).
+
+    Output per (declared, detected) pair: declared, detected, n
+    (bigint), share_of_declared (6dp), mismatch (boolean,
+    declared != detected). NULL declared labels are excluded.
+
+    SCALE: one map-only lang_id projection inside the scan + ONE
+    ≤|langs|² hash aggregate; the share window runs on that tiny
+    frame."""
+    from pyspark.sql import Window
+    d = F.col(declared_col)
+    base = (df.where(d.isNotNull())
+            .select(d.cast("string").alias("declared"),
+                    lang_id(text_col).alias("detected")))
+    counts = base.groupBy("declared", "detected").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("declared")
+    return counts.select(
+        "declared", "detected", "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6)
+         .alias("share_of_declared"),
+        (F.col("declared") != F.col("detected")).alias("mismatch"))

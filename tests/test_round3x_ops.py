@@ -709,3 +709,27 @@ def test_gap_histogram_bands(spark):
     assert out[6]["lo_s"] == 64 and out[6]["n"] == 1
     assert sum(r["share"] for r in out.values()) \
         == pytest.approx(1.0, abs=1e-5)
+
+
+# ----------------------------------------------------- lang confusion
+
+def test_lang_confusion_matrix(spark):
+    from schema_validata_spark.functions.text import lang_confusion
+    rows = [
+        Row(lang="en", text="the cat and the dog is that for"),
+        Row(lang="en", text="the quick fox is in that house for fun"),
+        Row(lang="en", text="der hund ist nicht ein der die und"),  # DE!
+        Row(lang="de", text="der hund und die katze ist nicht ein"),
+        Row(lang=None, text="the dropped row"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {(r["declared"], r["detected"]): r for r in
+           lang_confusion(df, "text", "lang").collect()}
+    assert out[("en", "en")]["n"] == 2
+    assert not out[("en", "en")]["mismatch"]
+    # the mislabeled German doc shows as en->de off-diagonal mass
+    assert out[("en", "de")]["n"] == 1 and out[("en", "de")]["mismatch"]
+    assert out[("en", "de")]["share_of_declared"] \
+        == pytest.approx(1 / 3, abs=1e-6)
+    assert out[("de", "de")]["share_of_declared"] == pytest.approx(1.0)
+    assert ("None", "en") not in out          # NULL declared excluded
