@@ -3451,6 +3451,16 @@ def q_lang_confusion(spark, sf_dir):
             .orderBy("declared", "detected"))
 
 
+def q_pii_by_source(spark, sf_dir):
+    """Per-source PII exposure (text.pii_by_group): the
+    which-slice-to-quarantine table behind the corpus pii_summary;
+    one wide scan-stage aggregate keyed by source, zeros kept."""
+    from schema_validata_spark.functions.text import pii_by_group
+    return (pii_by_group(_t(spark, sf_dir, "documents"), "text",
+                         "source")
+            .orderBy("group", "pii_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_stats": q_profile_stats,
@@ -3714,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_entropy": q_label_entropy,
         "gap_histogram": q_gap_histogram,
         "lang_confusion": q_lang_confusion,
+        "pii_by_source": q_pii_by_source,
     }
 
 
@@ -9489,5 +9500,20 @@ def oracle_sql() -> dict[str, str]:
                  AS share_of_declared,
                (declared <> detected) AS mismatch
         FROM c ORDER BY declared, detected""")
+
+    pii_grp_parts = []
+    for name, pat in PII_PATTERNS.items():
+        pii_grp_parts.append(f"""
+        SELECT source AS "group", '{name}' AS pii_type,
+               coalesce(sum(len(regexp_extract_all(text, '{pat}'))),
+                        0)::bigint AS total_matches,
+               count(CASE WHEN len(regexp_extract_all(text, '{pat}'))
+                          > 0 THEN 1 END)::bigint AS docs_affected,
+               round(count(CASE WHEN len(regexp_extract_all(text,
+                            '{pat}')) > 0 THEN 1 END)::double
+                     / count(*)::double, 6) AS doc_rate
+        FROM documents WHERE source IS NOT NULL GROUP BY source""")
+    sql["pii_by_source"] = (" UNION ALL ".join(pii_grp_parts)
+                            + ' ORDER BY "group", pii_type')
 
     return sql

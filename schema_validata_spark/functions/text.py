@@ -1131,3 +1131,42 @@ def lang_confusion(df, text_col: str, declared_col: str) -> "DataFrame":
         F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6)
          .alias("share_of_declared"),
         (F.col("declared") != F.col("detected")).alias("mismatch"))
+
+
+def pii_by_group(df, text_col: str, group_col: str) -> "DataFrame":
+    """Per-slice PII exposure: the ``pii_summary`` corpus roll-up,
+    keyed by source/language/snapshot — because PII is never uniform
+    (one scraped forum dominates the email count) and remediation is
+    per-SOURCE work: this table names which slice to quarantine or
+    re-scrub, with the doc-rate that a corpus-level total hides.
+
+    Output per (group, pii_type): group, pii_type, total_matches,
+    docs_affected (bigint), doc_rate (docs_affected / slice docs,
+    6dp). Every group emits a row for every PII type (zeros included
+    — absence of a row would read as 'not checked'). NULL groups are
+    excluded; NULL texts count as unaffected docs.
+
+    SCALE: one regexp_count per pattern inside ONE wide
+    map-side-combined group aggregate (single text scan), unpivoted
+    after — the ``pii_summary`` plan shape, keyed by the slice."""
+    g = F.col(group_col)
+    counts = pii_counts(text_col)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__docs")]
+    for name in counts:
+        aggs.append(F.sum(counts[name]).cast("bigint")
+                    .alias(f"__t_{name}"))
+        aggs.append(F.count(F.when(counts[name] > 0, 1))
+                    .cast("bigint").alias(f"__d_{name}"))
+    wide = (df.where(g.isNotNull())
+            .groupBy(g.cast("string").alias("group")).agg(*aggs))
+    rows = [F.struct(F.lit(name).alias("pii_type"),
+                     F.col(f"__t_{name}").alias("total_matches"),
+                     F.col(f"__d_{name}").alias("docs_affected"))
+            for name in counts]
+    return (wide.select("group", "__docs",
+                        F.explode(F.array(*rows)).alias("e"))
+            .select("group", "e.pii_type", "e.total_matches",
+                    "e.docs_affected",
+                    F.round(F.col("e.docs_affected")
+                            / F.col("__docs").cast("double"), 6)
+                     .alias("doc_rate")))

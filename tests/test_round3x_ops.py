@@ -733,3 +733,25 @@ def test_lang_confusion_matrix(spark):
         == pytest.approx(1 / 3, abs=1e-6)
     assert out[("de", "de")]["share_of_declared"] == pytest.approx(1.0)
     assert ("None", "en") not in out          # NULL declared excluded
+
+
+# ------------------------------------------------------- pii by group
+
+def test_pii_by_group_rates_and_zero_rows(spark):
+    from schema_validata_spark.functions.text import pii_by_group
+    rows = [Row(src="dirty", text="mail me at a@b.com or c@d.org"),
+            Row(src="dirty", text="nothing here"),
+            Row(src="clean", text="totally fine"),
+            Row(src=None, text="x@y.com dropped")]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {(r["group"], r["pii_type"]): r for r in
+           pii_by_group(df, "text", "src").collect()}
+    em = out[("dirty", "email")]
+    assert em["total_matches"] == 2 and em["docs_affected"] == 1
+    assert em["doc_rate"] == pytest.approx(0.5)
+    # zero rows are present, not missing
+    assert out[("clean", "email")]["total_matches"] == 0
+    assert out[("clean", "ssn")]["doc_rate"] == 0.0
+    assert ("None", "email") not in out
+    # every group emits one row per pattern
+    assert len([k for k in out if k[0] == "dirty"]) == 4
