@@ -48,7 +48,8 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+                       num_hashes: int = 32, shingle_k: int = 3,
+                       hasher: str = "xxhash64") -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signatures via explode +
     one hash-aggregate: each distinct shingle row contributes
     ``num_hashes`` seeded hashes, ``min`` per seed per document.
@@ -58,6 +59,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     JIT-unfriendly; the exploded form is H simple min-aggregates with
     map-side partial aggregation, and scales to long documents.)
 
+    ``hasher``: ``"xxhash64"`` (default — 8-byte signature components,
+    the SCALE path) or ``"md5"`` — seed-prefixed
+    ``substr(md5(concat(i, ':', s)), 1, 16)`` 16-hex-char string
+    components, lexicographic min. The md5 mode exists because md5 is
+    the one hash both this engine and a DuckDB oracle compute
+    byte-identically (same pattern as ``deterministic_sample`` /
+    ``winnow_fingerprints``), so the full MinHash→banding→verify
+    pipeline becomes replayable in ANSI SQL for correctness checks;
+    signatures are 2× wider, so keep xxhash64 for production corpora.
+
     CONTRACT: documents with NULL text carry no shingles and are
     EXCLUDED from signature output (and hence from near-dup candidacy) —
     the explicit filter below makes the row-drop deliberate rather than
@@ -66,8 +77,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
            .select(F.col(id_col),
                    F.explode(F.array_distinct(shingles(text_col, shingle_k)))
                     .alias("s"))
-    aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    if hasher == "md5":
+        aggs = [F.min(F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 16))
+                 .alias(f"h{i}")
+                for i in range(num_hashes)]
+    elif hasher == "xxhash64":
+        aggs = [F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)]
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'md5', "
+                         f"got {hasher!r}")
     g = sh.groupBy(id_col).agg(*aggs)
     return g.select(F.col(id_col),
                     F.array(*[F.col(f"h{i}")
@@ -130,18 +150,31 @@ def _cap_buckets(buckets: DataFrame, bucket_col: str,
 
 
 def _band_buckets(sigs: DataFrame, id_col: str, num_hashes: int,
-                  bands: int) -> DataFrame:
+                  bands: int, hasher: str = "xxhash64") -> DataFrame:
     """(id, bucket): one LSH bucket hash per band per signature —
-    band b's bucket is xxhash64 of its signature slice, seeded by b so
+    band b's bucket is a hash of its signature slice, seeded by b so
     identical slices in different bands never collide. Shared by the
-    self-join (within-corpus) and cross-snapshot candidate paths."""
+    self-join (within-corpus) and cross-snapshot candidate paths.
+    ``hasher="md5"`` buckets are ``md5('b{b}:' || slice)`` strings —
+    SQL-replayable (see ``minhash_signatures``); xxhash64 buckets are
+    8-byte ints, the scale default."""
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.xxhash64(F.concat_ws(
-            ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                   for r in range(rows_per_band)]), F.lit(b)).alias("bh")
-        for b in range(bands)
-    ]
+    if hasher == "md5":
+        band_cols = [
+            F.md5(F.concat(F.lit(f"b{b}:"), F.concat_ws(
+                ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                        .cast("string")
+                       for r in range(rows_per_band)]))).alias("bh")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("sig",
+                                    b * rows_per_band + r + 1).cast("string")
+                       for r in range(rows_per_band)]), F.lit(b)).alias("bh")
+            for b in range(bands)
+        ]
     return sigs.select(F.col(id_col),
                        F.explode(F.array(*band_cols)).alias("bucket"))
 
@@ -150,14 +183,18 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_k: int = 3,
                            max_bucket: int | None = 2000,
-                           telemetry_out: dict | None = None) -> DataFrame:
+                           telemetry_out: dict | None = None,
+                           hasher: str = "xxhash64") -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH:
     explode signatures into (band, band_hash) buckets → self-join within
     buckets → distinct pairs (a < b). Shuffle keys are band hashes;
     documents never move. ``max_bucket`` bounds degenerate buckets;
-    ``telemetry_out`` audits what the cap dropped (see ``_cap_buckets``)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    buckets = _band_buckets(sigs, id_col, num_hashes, bands)
+    ``telemetry_out`` audits what the cap dropped (see ``_cap_buckets``);
+    ``hasher="md5"`` makes every stage SQL-replayable (see
+    ``minhash_signatures``)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              hasher)
+    buckets = _band_buckets(sigs, id_col, num_hashes, bands, hasher)
     buckets = _cap_buckets(buckets, "bucket", max_bucket, telemetry_out)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -173,15 +210,17 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             threshold: float = 0.7, num_hashes: int = 32,
                             bands: int = 8, shingle_k: int = 3,
                             max_bucket: int | None = 2000,
-                            telemetry_out: dict | None = None) -> DataFrame:
+                            telemetry_out: dict | None = None,
+                            hasher: str = "xxhash64") -> DataFrame:
     """LSH candidates verified by exact Jaccard over shingle sets —
     verification joins the (small) candidate set back to the shingle
     arrays, so the expensive set math runs on candidates only.
     Output: (id_a, id_b, jaccard). ``telemetry_out`` audits buckets the
-    cap dropped (see ``_cap_buckets``)."""
+    cap dropped (see ``_cap_buckets``); ``hasher="md5"`` makes the
+    whole pipeline DuckDB-replayable (``minhash_signatures``)."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes,
                                    bands, shingle_k, max_bucket,
-                                   telemetry_out)
+                                   telemetry_out, hasher)
     sh = df.select(F.col(id_col),
                    F.array_distinct(shingles(text_col, shingle_k)).alias("sh"))
     j = (cands
@@ -227,8 +266,9 @@ def embedding_near_duplicates_lsh(df: DataFrame, vec_col: str = "embedding",
                                   threshold: float = 0.9,
                                   n_planes: int = 8, n_tables: int = 8,
                                   max_bucket: int | None = 10_000,
-                                  telemetry_out: dict | None = None
-                                  ) -> DataFrame:
+                                  telemetry_out: dict | None = None,
+                                  plane_mode: str = "numpy",
+                                  dim: int | None = None) -> DataFrame:
     """Corpus-wide embedding near-dup pairs — the SCALE path (VERDICT r1
     #7): random-hyperplane bucket codes (similarity.bucketize — one
     numpy matmul per Arrow batch, deterministic fixed-seed planes, no
@@ -242,11 +282,15 @@ def embedding_near_duplicates_lsh(df: DataFrame, vec_col: str = "embedding",
     n_tables. Defaults (8 planes × 8 tables) give ≥0.95 recall at
     cos ≥ 0.9; lower thresholds want fewer planes / more tables. Output
     (id_a, id_b, cos) — a subset of ``embedding_near_duplicates`` with
-    identical cos values (verification is exact)."""
+    identical cos values (verification is exact).
+
+    ``plane_mode="expr"`` (requires ``dim``) computes codes with the
+    SQL-replayable expression fold instead of the Arrow matmul —
+    verification runs only (``similarity.hyperplane_codes_expr``)."""
     from .similarity import bucketize, cosine_expr
     e = df.select(F.col(id_col),
                   F.col(vec_col).cast("array<double>").alias("v"))
-    buckets = bucketize(e, id_col, n_tables, n_planes)
+    buckets = bucketize(e, id_col, n_tables, n_planes, plane_mode, dim)
     buckets = _cap_buckets(buckets, "tc", max_bucket, telemetry_out)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (a.join(b, (F.col("a.tc") == F.col("b.tc"))
@@ -282,25 +326,43 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str = "embedding",
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
-            shingle_k: int = 2, bits: int = 64) -> DataFrame:
+            shingle_k: int = 2, bits: int = 64,
+            hasher: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document as (id, simhash: bigint). Per-bit
     weighted majority over shingle hashes — explode + one aggregate of
     ``bits`` simple sums (the nested per-bit fold over an array column
     built a 64-lambda expression tree; this form codegens small and
     scales to long documents).
 
+    ``hasher="md5"``: bit ``b`` of a shingle's 64-bit hash is bit
+    ``b % 4`` of hex nibble ``b // 4`` of ``md5(s)`` — a fixed
+    convention both engines can compute (Spark ``conv``/DuckDB
+    ``strpos`` over the hex digit), making the signature and the
+    downstream chunk-bucketing SQL-replayable. xxhash64 stays the
+    scale default (one hash call vs a 32-char digest per shingle).
+
     CONTRACT: NULL-text documents are excluded from signature output
     (explicit filter, same contract as minhash_signatures)."""
-    sh = df.where(F.col(text_col).isNotNull()) \
-           .select(F.col(id_col),
-                   F.explode(shingles(text_col, shingle_k)).alias("s")) \
-           .select(F.col(id_col), F.xxhash64("s").alias("h"))
+    base = df.where(F.col(text_col).isNotNull()) \
+             .select(F.col(id_col),
+                     F.explode(shingles(text_col, shingle_k)).alias("s"))
     masks = [(1 << b) if b < 63 else -(2 ** 63) for b in range(bits)]
-    aggs = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(masks[b])) != 0,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
-        for b in range(bits)
-    ]
+    if hasher == "md5":
+        sh = base.select(F.col(id_col), F.md5("s").alias("h"))
+        aggs = [
+            F.sum(F.when(
+                F.conv(F.substring("h", b // 4 + 1, 1), 16, 10)
+                 .cast("int").bitwiseAND(F.lit(1 << (b % 4))) != 0,
+                F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    else:
+        sh = base.select(F.col(id_col), F.xxhash64("s").alias("h"))
+        aggs = [
+            F.sum(F.when(F.col("h").bitwiseAND(F.lit(masks[b])) != 0,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+            for b in range(bits)
+        ]
     g = sh.groupBy(id_col).agg(*aggs)
     sig = F.when(F.col("v0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
     for b in range(1, bits):
@@ -312,7 +374,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             max_hamming: int = 3, shingle_k: int = 2,
                             max_bucket: int | None = 2000,
-                            telemetry_out: dict | None = None) -> DataFrame:
+                            telemetry_out: dict | None = None,
+                            hasher: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: split the 64-bit signature into
     max_hamming+1 chunks; pairs within Hamming distance share ≥1 chunk
     exactly → groupBy(chunk) buckets candidates, then exact Hamming
@@ -326,7 +389,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     cannot be kept with wider chunks, so large-d runs lean on
     ``max_bucket`` to bound cost (recall trade documented in
     ``_cap_buckets``; run ``dedup_exact`` first)."""
-    sigs = simhash(df, text_col, id_col, shingle_k).cache()
+    sigs = simhash(df, text_col, id_col, shingle_k, hasher=hasher).cache()
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
     chunk_cols = [
@@ -728,7 +791,8 @@ def conversation_forks(df: DataFrame, conv_col: str,
 
 def snapshot_minhash_signatures(df: DataFrame, text_col: str,
                                 id_col: str, num_hashes: int = 32,
-                                shingle_k: int = 3) -> DataFrame:
+                                shingle_k: int = 3,
+                                hasher: str = "xxhash64") -> DataFrame:
     """The compact near-dup artifact a pipeline persists per snapshot:
     (id, sig) MinHash signatures — num_hashes × 8 bytes per doc, so the
     NEXT ingest batch can be screened for near-duplicates of content
@@ -736,7 +800,7 @@ def snapshot_minhash_signatures(df: DataFrame, text_col: str,
     ``minhash_signatures`` named for the persist-then-reuse contract
     (store with the SAME num_hashes/shingle_k you screen with)."""
     return minhash_signatures(df, text_col, id_col, num_hashes,
-                              shingle_k)
+                              shingle_k, hasher)
 
 
 def incremental_near_dedup(new_df: DataFrame, seen_sigs: DataFrame,
@@ -744,8 +808,8 @@ def incremental_near_dedup(new_df: DataFrame, seen_sigs: DataFrame,
                            threshold: float = 0.7, num_hashes: int = 32,
                            bands: int = 8, shingle_k: int = 3,
                            max_bucket: int | None = 2000,
-                           telemetry_out: dict | None = None
-                           ) -> DataFrame:
+                           telemetry_out: dict | None = None,
+                           hasher: str = "xxhash64") -> DataFrame:
     """Rows of ``new_df`` that are NOT near-duplicates of a prior
     snapshot, screening against the snapshot's persisted MinHash
     signatures only (``snapshot_minhash_signatures`` — the prior text
@@ -769,11 +833,11 @@ def incremental_near_dedup(new_df: DataFrame, seen_sigs: DataFrame,
     never rescans. ``max_bucket``/``telemetry_out`` bound and audit
     degenerate buckets exactly as in ``minhash_lsh_candidates``."""
     new_sigs = minhash_signatures(new_df, text_col, id_col,
-                                  num_hashes, shingle_k)
-    nb = _band_buckets(new_sigs, id_col, num_hashes, bands) \
+                                  num_hashes, shingle_k, hasher)
+    nb = _band_buckets(new_sigs, id_col, num_hashes, bands, hasher) \
         .withColumnRenamed(id_col, "__new_id")
     sb = _band_buckets(seen_sigs.select(F.col(id_col), "sig"),
-                       id_col, num_hashes, bands) \
+                       id_col, num_hashes, bands, hasher) \
         .withColumnRenamed(id_col, "__seen_id")
     sb = _cap_buckets(sb, "bucket", max_bucket, telemetry_out)
     cands = (nb.join(sb, on="bucket")
