@@ -1172,6 +1172,20 @@ def q_ivf_ann_topk(spark, sf_dir):
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
+def q_ann_auto_topk(spark, sf_dir):
+    """Auto-routing ANN façade (operators/similarity.py:ann_topk,
+    VERDICT r3 #3): corpus-size routing picks the index — at fixture
+    scale the small-corpus route (exact brute force) fires, so the
+    façade's routing + scoring is hash-checkable against the
+    cross-join SQL oracle; the ivf/ivf_pq routes and the audited LSH
+    gate are pytest-covered (tests/test_round4c_ann_facade.py)."""
+    from schema_validata_spark.operators.similarity import ann_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id >= 20 AND vec_id < 27")
+    return ann_topk(emb, queries, k=4).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py: PQ codebooks
     → byte codes → ADC scan via mapInPandas per-batch beam → exact
@@ -1520,17 +1534,39 @@ def q_json_payload_stats(spark, sf_dir):
     """Semi-structured payload health (operators/semistructured.py):
     per event_type, JSON parseability + key presence + numeric-typed
     share + mean of $.k — one aggregate, all get_json_object exprs
-    inside the scan stage. Poison payloads are SEEDED (every 97th
-    event's props becomes the malformed '{broken') so the invalid-JSON
-    counting path is oracle-verified, not just the happy path
-    (ADVICE r2)."""
+    inside the scan stage. Poison payloads are SEEDED (every 7th
+    event's props becomes the malformed '{broken' — ~14% of rows) so
+    the invalid-JSON counting path is oracle-verified at material
+    volume, not just the happy path (ADVICE r2 / VERDICT r3 #2)."""
     from schema_validata_spark.operators.semistructured import \
         json_payload_stats
     ev = _t(spark, sf_dir, "events").withColumn(
         "props",
-        F.when(F.pmod(F.col("event_id"), F.lit(97)) == 0, F.lit("{broken"))
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit("{broken"))
          .otherwise(F.col("props")))
     return json_payload_stats(ev, "props", "event_type", "k")
+
+
+def q_json_payload_violations(spark, sf_dir):
+    """Row-level JSON payload violations (operators/semistructured.py:
+    json_payload_violations): (event_id, reason) rows for unparseable
+    payloads, missing $.k, and non-numeric $.k — the three poison
+    classes are SEEDED identically in both engines (every 7th event
+    '{broken', every 11th '{"j": 1}', every 13th '{"k": "oops"}',
+    when-chain priority in that order) so ALL reason paths are
+    oracle-exercised, ~30% of rows dirty."""
+    from schema_validata_spark.operators.semistructured import \
+        json_payload_violations
+    eid = F.col("event_id")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.pmod(eid, F.lit(7)) == 0, F.lit("{broken"))
+         .when(F.pmod(eid, F.lit(11)) == 0, F.lit('{"j": 1}'))
+         .when(F.pmod(eid, F.lit(13)) == 0, F.lit('{"k": "oops"}'))
+         .otherwise(F.col("props")))
+    return json_payload_violations(ev, "props", "event_id",
+                                   required_keys=["k"],
+                                   numeric_keys=["k"])
 
 
 def q_asof_state(spark, sf_dir):
@@ -3594,11 +3630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_volume": q_seasonal_volume,
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
+        "json_payload_violations": q_json_payload_violations,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ivf_route": q_ivf_route,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ann_auto_topk": q_ann_auto_topk,
         "pq_ann_topk": q_pq_ann_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -5284,6 +5322,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, round(cos6, 4) AS cos
         FROM ranked WHERE rn <= 5"""
 
+    # ann_topk façade at fixture scale routes to brute force — the
+    # oracle is the same cross-join ranking on its query slice.
+    sql["ann_auto_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          cast(embedding as double[]) AS qv
+                   FROM embeddings WHERE vec_id >= 20 AND vec_id < 27),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.qv, cast(c.embedding as double[]))
+                 / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(cast(c.embedding as double[]),
+                                                  cast(c.embedding as double[]))),
+                            1e-12), 6) AS cos6
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id != q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos6, row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY cos6 DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos6, 4) AS cos
+        FROM ranked WHERE rn <= 4"""
+
     # Exact-mode IVF (all clusters probed) ≡ brute-force top-k: the
     # oracle is the plain cross-join ranking — hash equality proves the
     # train/assign/route plumbing loses no candidate.
@@ -6157,7 +6218,7 @@ def oracle_sql() -> dict[str, str]:
     sql["json_payload_stats"] = """
         WITH ev AS (
           SELECT event_type,
-                 CASE WHEN event_id % 97 = 0 THEN '{broken' ELSE props END
+                 CASE WHEN event_id % 7 = 0 THEN '{broken' ELSE props END
                    AS props
           FROM events),
         vals AS (
@@ -6176,6 +6237,28 @@ def oracle_sql() -> dict[str, str]:
                count(TRY_CAST(v AS DOUBLE))::bigint AS n_numeric,
                round(avg(TRY_CAST(v AS DOUBLE)), 6) AS avg_value
         FROM vals GROUP BY event_type ORDER BY event_type"""
+
+    sql["json_payload_violations"] = """
+        WITH ev AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 7 = 0 THEN '{broken'
+                      WHEN event_id % 11 = 0 THEN '{"j": 1}'
+                      WHEN event_id % 13 = 0 THEN '{"k": "oops"}'
+                      ELSE props END AS props
+          FROM events),
+        vals AS (
+          SELECT event_id, props,
+                 CASE WHEN json_valid(props)
+                      THEN json_extract_string(props, '$.k') END AS v
+          FROM ev)
+        SELECT event_id, 'invalid_json' AS reason FROM vals
+        WHERE props IS NOT NULL AND NOT json_valid(props)
+        UNION ALL
+        SELECT event_id, 'missing:k' AS reason FROM vals
+        WHERE v IS NULL
+        UNION ALL
+        SELECT event_id, 'non_numeric:k' AS reason FROM vals
+        WHERE v IS NOT NULL AND TRY_CAST(v AS DOUBLE) IS NULL"""
 
     sql["asof_state"] = """
         WITH snap AS (

@@ -702,7 +702,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                 n_clusters: int = 8, n_probe: int = 2,
                 m: int = 8, pq_k: int = 16, n_iters: int = 3,
                 batch_k: int | None = None,
-                centroids=None, codebooks=None) -> DataFrame:
+                centroids=None, codebooks=None,
+                query_mode: str = "join") -> DataFrame:
     """The composed index — IVF coarse routing × PQ compressed scan
     (the FAISS IVF-PQ shape): corpus rows carry (cluster, byte codes);
     each query ADC-scans ONLY rows whose cluster is among its
@@ -712,9 +713,24 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     At 10^12 vectors this is the only shape that works: the scan reads
     m bytes per row (PQ) and touches n_probe/n_clusters of the corpus
     (IVF); raw vectors surface only for the ≤ queries×beam×batches
-    rerank join. Per-query cluster masks travel in the mapInPandas
-    closure (n_probe ints per query); a row outside every query's
-    probe set costs one numpy mask test, no scoring.
+    rerank join.
+
+    ``query_mode`` (VERDICT r3 #4):
+
+    * ``"join"`` (default) — queries stay a DATAFRAME end to end:
+      each query's ``n_probe`` cluster ids come from the shared
+      argmin UDF, the exploded (query_id, qv, __bkt) frame joins the
+      encoded corpus on ``__bkt`` (AQE broadcasts a small query side;
+      a million-query batch shuffle-joins on the cluster key), and
+      ADC runs per joined Arrow batch with LUTs built per distinct
+      query IN the batch. Task closures carry only the model constants
+      (codebooks/centroids) — never the query set — so query batches
+      scale past driver memory.
+    * ``"closure"`` — the original driver-collected form: per-query
+      LUTs + probe masks ship in the mapInPandas closure. Cheapest
+      for interactive few-hundred-query lookups (no join, no qv
+      duplication); closure size grows with #queries × m×k doubles,
+      so large batches belong to ``"join"``.
 
     Output (query_id, neighbor_id, cos) — exact cosine on surviving
     candidates, PQ/IVF error is recall-only."""
@@ -741,52 +757,99 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         .where(F.col("pq_codes").isNotNull() & F.col("__bkt").isNotNull()) \
         .select("neighbor_id", "__bkt", "pq_codes")
 
-    qrows = (queries.select(F.col(qid_col).alias("q"),
-                            F.col(vec_col).cast("array<double>")
-                             .alias("v"))
-                    .where(F.col("v").isNotNull()).collect())
-    qids, luts, probes = [], [], []
-    c_sq = (cent * cent).sum(axis=1)
-    for r in qrows:
-        qv = np.asarray(r["v"], dtype=np.float64)
-        if len(qv) != mm * dsub:
-            continue
-        qids.append(r["q"])
-        sub = qv.reshape(mm, 1, dsub)
-        luts.append(((barr - sub) ** 2).sum(axis=2))
-        d = c_sq - 2.0 * (cent @ qv)
-        probes.append(np.argsort(d, kind="stable")[:n_probe])
-    qarr = np.asarray(qids)
-    luts = np.stack(luts) if luts else np.zeros((0, mm, kk))
     rng_m = np.arange(mm)
 
-    def _scan(batches):
-        for pdf in batches:
-            if not len(pdf) or not len(qarr):
-                continue
-            codes = np.stack(pdf["pq_codes"].to_numpy())
-            bkts = pdf["__bkt"].to_numpy()
-            ids = pdf["neighbor_id"].to_numpy()
-            for qi in range(len(qarr)):
-                mask = np.isin(bkts, probes[qi])
-                if not mask.any():
-                    continue
-                d = luts[qi][rng_m, codes[mask]].sum(axis=1)
-                n = min(batch_k + 1, len(d))
-                top = np.argpartition(d, n - 1)[:n]
-                sel = ids[mask][top]
-                yield _pd.DataFrame({
-                    "query_id": np.repeat(qarr[qi], len(sel)),
-                    "neighbor_id": sel})
+    if query_mode == "join":
+        probe_udf = _argmin_cluster_udf(cent, n_out=n_probe)
+        probes_col = probe_udf(F.col("qv"))
+        if n_probe == 1:
+            probes_col = F.array(probes_col)
+        qx = (queries.select(F.col(qid_col).alias("query_id"),
+                             F.col(vec_col).cast("array<double>")
+                              .alias("qv"))
+                     .where(F.col("qv").isNotNull()
+                            & (F.size("qv") == mm * dsub))
+                     .withColumn("__probes", probes_col)
+                     .where(F.col("__probes").isNotNull())
+                     .select("query_id", "qv",
+                             F.explode("__probes").alias("__bkt")))
+        joined = enc.join(qx, "__bkt") \
+                    .select("query_id", "qv", "neighbor_id", "pq_codes")
 
-    cand = enc.mapInPandas(_scan, "query_id long, neighbor_id long") \
-              .where(F.col("neighbor_id") != F.col("query_id"))
+        def _scan_joined(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for qid, grp in pdf.groupby("query_id", sort=False):
+                    qv = np.asarray(grp["qv"].iloc[0], dtype=np.float64)
+                    lut = ((barr - qv.reshape(mm, 1, dsub)) ** 2) \
+                        .sum(axis=2)
+                    codes = np.stack(grp["pq_codes"].to_numpy())
+                    d = lut[rng_m, codes].sum(axis=1)
+                    n = min(batch_k + 1, len(d))
+                    top = np.argpartition(d, n - 1)[:n]
+                    sel = grp["neighbor_id"].to_numpy()[top]
+                    yield _pd.DataFrame({
+                        "query_id": np.repeat(qid, len(sel)),
+                        "neighbor_id": sel})
+
+        cand = joined.mapInPandas(
+            _scan_joined, "query_id long, neighbor_id long") \
+            .where(F.col("neighbor_id") != F.col("query_id"))
+        broadcast_rerank = False
+    elif query_mode == "closure":
+        qrows = (queries.select(F.col(qid_col).alias("q"),
+                                F.col(vec_col).cast("array<double>")
+                                 .alias("v"))
+                        .where(F.col("v").isNotNull()).collect())
+        qids, luts, probes = [], [], []
+        c_sq = (cent * cent).sum(axis=1)
+        for r in qrows:
+            qv = np.asarray(r["v"], dtype=np.float64)
+            if len(qv) != mm * dsub:
+                continue
+            qids.append(r["q"])
+            sub = qv.reshape(mm, 1, dsub)
+            luts.append(((barr - sub) ** 2).sum(axis=2))
+            d = c_sq - 2.0 * (cent @ qv)
+            probes.append(np.argsort(d, kind="stable")[:n_probe])
+        qarr = np.asarray(qids)
+        luts = np.stack(luts) if luts else np.zeros((0, mm, kk))
+
+        def _scan(batches):
+            for pdf in batches:
+                if not len(pdf) or not len(qarr):
+                    continue
+                codes = np.stack(pdf["pq_codes"].to_numpy())
+                bkts = pdf["__bkt"].to_numpy()
+                ids = pdf["neighbor_id"].to_numpy()
+                for qi in range(len(qarr)):
+                    mask = np.isin(bkts, probes[qi])
+                    if not mask.any():
+                        continue
+                    d = luts[qi][rng_m, codes[mask]].sum(axis=1)
+                    n = min(batch_k + 1, len(d))
+                    top = np.argpartition(d, n - 1)[:n]
+                    sel = ids[mask][top]
+                    yield _pd.DataFrame({
+                        "query_id": np.repeat(qarr[qi], len(sel)),
+                        "neighbor_id": sel})
+
+        cand = enc.mapInPandas(_scan, "query_id long, neighbor_id long") \
+                  .where(F.col("neighbor_id") != F.col("query_id"))
+        broadcast_rerank = True
+    else:
+        raise ValueError(f"query_mode must be 'join' or 'closure', "
+                         f"got {query_mode!r}")
+
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
+    if broadcast_rerank:      # closure contract: queries ≪ corpus
+        q = F.broadcast(q)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cv"))
     scored = (cand.distinct()
-                  .join(F.broadcast(q), "query_id")
+                  .join(q, "query_id")
                   .join(c, "neighbor_id")
                   .select("query_id", "neighbor_id",
                           F.round(cosine_expr(F.col("qv"), F.col("cv")),
@@ -1027,6 +1090,92 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
             F.when(v.isNotNull() & (F.size(v) > 0) & (norm > 0), unit)
              .alias(out)]
     return df.select(*cols)
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", k: int = 10, *,
+             method: str = "auto", corpus_count: int | None = None,
+             small_corpus: int = 100_000, huge_corpus: int = 50_000_000,
+             recall_floor: float = 0.5, audit_sample: int = 32,
+             force_lsh: bool = False,
+             centroids=None, codebooks=None, **index_kw) -> DataFrame:
+    """Auto-routing ANN façade (VERDICT r3 #3) — ONE entry point that
+    picks the right index for the corpus size, so nobody reaches the
+    data-dependent raw-hyperplane path by accident.
+
+    Routing table (``method="auto"``, thresholds on corpus rows):
+
+    ========================  =====================================
+    corpus size               route
+    ========================  =====================================
+    ≤ ``small_corpus``        ``brute_force_topk`` — exact; one
+                              broadcast-query scan is cheaper than
+                              training any index
+    ≤ ``huge_corpus``         ``ivf_topk`` — trained k-means
+                              routing, raw-vector scan of probed
+                              clusters only, exact cosine
+    >  ``huge_corpus``        ``ivf_pq_topk`` — compressed m-byte
+                              ADC scan × IVF routing, distributed
+                              query join (``query_mode="join"``),
+                              exact rerank
+    ========================  =====================================
+
+    ``corpus_count`` skips the counting job when the caller already
+    knows it (snapshot metadata); otherwise ONE count over the id
+    column decides the route. Explicit ``method=`` overrides:
+    ``"brute" | "ivf" | "ivf_pq" | "lsh"``.
+
+    THE LSH FOOTGUN IS GATED: ``method="lsh"`` (the only way to reach
+    ``lsh_ann_topk`` here) first runs ``ann_recall_audit`` on
+    ``audit_sample`` queries; mean recall < ``recall_floor`` RAISES
+    with the measured number (hyperplane recall collapses on
+    anisotropic clouds — see ``embedding_spectrum``) unless
+    ``force_lsh=True`` downgrades it to a logged warning. Trained IVF
+    adapts to the corpus's density and is the default scale route.
+
+    ``index_kw`` forwards to the routed implementation (n_clusters,
+    n_probe, n_planes, ...); pre-trained ``centroids``/``codebooks``
+    are forwarded where they apply. Output (query_id, neighbor_id,
+    cos) on every route."""
+    common = dict(id_col=id_col, vec_col=vec_col, qid_col=qid_col, k=k)
+    if method == "auto":
+        n = (corpus_count if corpus_count is not None
+             else corpus.select(id_col).count())
+        if n <= small_corpus:
+            method = "brute"
+        elif n <= huge_corpus:
+            method = "ivf"
+        else:
+            method = "ivf_pq"
+    if method == "brute":
+        return brute_force_topk(corpus, queries, **common)
+    if method == "ivf":
+        return ivf_topk(corpus, queries, centroids=centroids,
+                        **common, **index_kw)
+    if method == "ivf_pq":
+        return ivf_pq_topk(corpus, queries, centroids=centroids,
+                           codebooks=codebooks, query_mode="join",
+                           **common, **index_kw)
+    if method == "lsh":
+        qs = queries.limit(audit_sample)
+        audit = ann_recall_audit(corpus, qs, **common, **index_kw)
+        row = audit.agg(F.avg("recall").alias("r")).first()
+        mean_recall = float(row["r"]) if row["r"] is not None else 0.0
+        if mean_recall < recall_floor:
+            msg = (f"lsh_ann_topk audited at mean recall@{k} "
+                   f"{mean_recall:.3f} < floor {recall_floor} on "
+                   f"{audit_sample} sample queries — the hyperplane "
+                   f"path is data-dependent; use method='ivf' "
+                   f"(trained routing) or pass force_lsh=True to "
+                   f"proceed anyway")
+            if not force_lsh:
+                raise ValueError(msg)
+            import logging
+            logging.getLogger(__name__).warning(msg)
+        return lsh_ann_topk(corpus, queries, **common, **index_kw)
+    raise ValueError(f"method must be auto|brute|ivf|ivf_pq|lsh, "
+                     f"got {method!r}")
 
 
 def ann_recall_audit(corpus: DataFrame, queries: DataFrame,
