@@ -29,6 +29,7 @@ from .functions.sampling import split_expr
 from .functions.text import fingerprint, quality_score
 from .operators.decontam import contamination_pairs
 from .operators.dedup import dedup_exact
+from .validate import PLAN_BUDGET_DEFAULT
 
 
 _DEFAULT_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -39,14 +40,23 @@ def curate(df: DataFrame, eval_set: DataFrame | None = None,
            min_quality: float = 0.0, shingle_k: int = 8,
            min_overlap: int = 1,
            splits: dict[str, float] | None = _DEFAULT_SPLITS,
-           split_salt: str = "") -> DataFrame:
+           split_salt: str = "",
+           plan_budget: dict | None = PLAN_BUDGET_DEFAULT) -> DataFrame:
     """The curated corpus: input minus duplicates (min-id
     representative kept), minus docs under ``min_quality``, minus docs
     sharing ``shingle_k``-grams with ``eval_set`` (skipped when None),
     with a deterministic ``split`` column appended (skipped when
     ``splits`` is None). Stage order is fixed — dedup first so quality
     and contamination run once per distinct content, splits last so
-    fractions apply to the surviving corpus."""
+    fractions apply to the surviving corpus.
+
+    ``plan_budget`` (VERDICT r3 #6, DEFAULT-ON): the composed plan is
+    audited with ``plans.audit.assert_scalable(**budget)`` before it
+    is returned — any global sort, nested-loop join, or row-Python
+    path a caller's inputs smuggled in raises ``ValueError`` with the
+    audit numbers before the first action runs. The default ``{}``
+    applies the assert_scalable defaults; pass ``None`` to opt out,
+    or a dict to add ``max_exchanges``/``max_scan_width`` caps."""
     out = dedup_exact(df, text_col, id_col)
     if min_quality > 0.0:
         out = out.where(quality_score(text_col) >= min_quality)
@@ -57,6 +67,9 @@ def curate(df: DataFrame, eval_set: DataFrame | None = None,
     if splits:
         out = out.withColumn("split",
                              split_expr(id_col, splits, split_salt))
+    if plan_budget is not None:
+        from .plans.audit import assert_scalable
+        assert_scalable(out, **plan_budget)
     return out
 
 

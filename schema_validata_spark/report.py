@@ -48,6 +48,76 @@ def errors_overview(report: dict[str, Any]) -> list[dict[str, Any]]:
     return rows
 
 
+def append_run_log(result: ValidationResult, log_dir: str, spark=None,
+                   extra: dict[str, Any] | None = None) -> dict[str, str]:
+    """Cross-run rolling error + metadata log — the reference example's
+    accumulating log tables ("schema_validata example (reports).py":
+    395-400 error log with uuid/file/column/error_type/error_message
+    upserted on uuid; :459-465 one metadata row per run uid) as two
+    parquet tables under ``log_dir``:
+
+    * ``error_log/``: one row per (column, error_type) schema
+      violation of this run — (run_uid, dataset, column, error_type,
+      error_message, ts).
+    * ``run_log/``: ONE row per run — (run_uid, dataset, error_count,
+      has_schema_errors, passed, extra, ts); ``extra`` carries
+      caller context (the reference's state/file/review fields) as a
+      JSON string.
+
+    IDEMPOTENT BY RUN UID, the reference's upsert semantics done the
+    Spark-native way: both tables are PARTITIONED on run_uid and
+    written with dynamic partition overwrite — re-logging the same run
+    replaces exactly that uid's partition and never rewrites other
+    runs. The uid is content-derived (data × rules), so identical
+    re-runs converge to identical log rows. At fleet scale this is an
+    ordinary partition-pruned parquet table: per-run writes touch one
+    partition, dashboard reads filter on run_uid/ts, and there is no
+    read-modify-write of history (the reference's pandas upsert
+    rewrites the whole CSV every run).
+
+    Returns ``{"error_log": path, "run_log": path}``."""
+    from datetime import datetime, timezone
+
+    if spark is None:
+        if result.violations is None:
+            raise ValueError("pass spark= when the result carries no "
+                             "violations DataFrame")
+        spark = result.violations.sparkSession
+    ts = datetime.now(timezone.utc).replace(tzinfo=None)
+
+    err_rows = []
+    for col, info in (result.schema_violations or {}).items():
+        for attr, err in info.items():
+            if attr in ("status", "required"):
+                continue
+            msg = err.get("errors") if isinstance(err, dict) else err
+            if msg:
+                err_rows.append((result.uid, result.dataset_name, col,
+                                 attr, str(msg), ts))
+    err_schema = ("run_uid string, dataset string, column string, "
+                  "error_type string, error_message string, ts timestamp")
+    meta_rows = [(result.uid, result.dataset_name, len(err_rows),
+                  bool(err_rows), result.passed(),
+                  json.dumps(extra or {}, sort_keys=True), ts)]
+    meta_schema = ("run_uid string, dataset string, error_count int, "
+                   "has_schema_errors boolean, passed boolean, "
+                   "extra string, ts timestamp")
+
+    paths = {"error_log": os.path.join(log_dir, "error_log"),
+             "run_log": os.path.join(log_dir, "run_log")}
+    for rows, schema, path in ((err_rows, err_schema,
+                                paths["error_log"]),
+                               (meta_rows, meta_schema,
+                                paths["run_log"])):
+        if rows:
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1)
+                  .write.partitionBy("run_uid")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .mode("overwrite").parquet(path))
+    return paths
+
+
 def write_report(result: ValidationResult, out_dir: str,
                  out_name: str = "validation",
                  max_value_errors: int | None = 100_000) -> dict[str, str]:

@@ -14,14 +14,19 @@ BIFF8 subset that covers data-dictionary workbooks:
   LABELSST, LABEL, NUMBER, RK, MULRK, BOOLERR, FORMULA cached results
   (+STRING), BLANK/MULBLANK.
 
+* XF + FORMAT records (round 4): cells whose XF carries a built-in
+  date ifmt (14-22/27-36/45-47/50-58) or a custom format string with
+  date tokens come back as ``datetime.datetime`` (pure sub-day
+  fractions as ``datetime.time``) — the reference's pandas/xlrd
+  behavior (src/schema_validata.py:862-953); see ``_xl_serial_to_dt``
+  for the 1900-leap-bug handling.
+
 Deliberate scope limits (documented, not silent):
 
 * BIFF5/BIFF7 (pre-Excel-97) substreams raise a clear error.
-* Date cells come back as Excel serial *numbers* — XF/format-record
-  date detection is out of scope for a data-dictionary reader; the
-  downstream type inference treats them as numerics exactly like a
-  CSV export would.
 * Encrypted (FILEPASS) workbooks raise a clear error.
+* The 1904 date system (DATEMODE record, classic-Mac workbooks) is
+  honored: serials convert from the 1904-01-01 base, no leap bug.
 
 Return contract matches ``read_xlsx``: ``{sheet_name: rows}`` in
 workbook order, rows padded with None, trailing all-None rows dropped,
@@ -169,6 +174,73 @@ _STRING = 0x0207
 _BLANK = 0x0201
 _MULBLANK = 0x00BE
 _FILEPASS = 0x002F
+_XF = 0x00E0
+_FORMAT = 0x041E
+_DATEMODE = 0x0022
+
+# Built-in number-format ids Excel renders as dates/times (the same
+# ranges xlrd's is_date_format_string/builtin tables use): 14-22
+# date+time, 27-36 East-Asian dates, 45-47 elapsed/time, 50-58 more
+# East-Asian date variants.
+_BUILTIN_DATE_IFMTS = frozenset(
+    list(range(14, 23)) + list(range(27, 37))
+    + list(range(45, 48)) + list(range(50, 59)))
+
+
+def _is_date_format_string(fmt: str) -> bool:
+    """Heuristic shared with xlrd/openpyxl: after dropping quoted
+    literals, [bracketed] sections, backslash escapes and the color/
+    condition codes, any remaining y/m/d/h/s token means the format
+    renders a date or time."""
+    out = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == '"':                      # quoted literal
+            j = fmt.find('"', i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "[":                    # [h]/[Red]/[$-409] section:
+            j = fmt.find("]", i + 1)       # elapsed-time [h] IS a time
+            body = fmt[i + 1:j] if j > 0 else ""
+            if body[:1].lower() in ("h", "m", "s"):
+                out.append(body[:1])
+            i = n if j < 0 else j + 1
+        elif ch == "\\":
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return any(c in "ymdhsYMDHS" for c in out)
+
+
+def _xl_serial_to_dt(value, date1904: bool = False):
+    """Excel date serial → datetime (or time for pure sub-day
+    fractions). 1900 system: serial 60 is the phantom 1900-02-29 of
+    the Lotus leap bug — clamped to 1900-02-28 (xlrd's datemode-0
+    tuple is not a real datetime either); serials ≥ 61 use the
+    standard 1899-12-30 base so modern dates are exact. 1904 system
+    (DATEMODE 1): plain 1904-01-01 base, no leap bug. Sub-day
+    fractions round to the nearest second (Excel stores a float;
+    xlrd does the same)."""
+    import datetime as _dt
+    f = float(value)
+    if f < 0:
+        return value                       # nonsense serial: keep number
+    days = int(f)
+    secs = round((f - days) * 86400)
+    if secs >= 86400:
+        days, secs = days + 1, secs - 86400
+    if days == 0:
+        return _dt.time(secs // 3600, (secs % 3600) // 60, secs % 60)
+    if date1904:
+        base = _dt.datetime(1904, 1, 1)
+    elif days == 60:
+        base, days = _dt.datetime(1899, 12, 31), 59
+    elif days < 60:
+        base = _dt.datetime(1899, 12, 31)
+    else:
+        base = _dt.datetime(1899, 12, 30)
+    return base + _dt.timedelta(days=days, seconds=secs)
 
 
 def _records(stream: bytes, pos: int = 0):
@@ -302,12 +374,18 @@ def read_xls(path_or_bytes) -> dict[str, list[list]]:
             data = f.read()
     stream = ole2_stream(data, ("Workbook", "Book"))
 
-    # --- globals substream: BOF version, BOUNDSHEET list, SST
+    # --- globals substream: BOF version, BOUNDSHEET list, SST,
+    # FORMAT/XF records (date-cell detection — reference analog:
+    # pandas/xlrd returns datetimes for date-formatted cells,
+    # src/schema_validata.py:862-953)
     sheets: list[tuple[str, int]] = []   # (name, stream offset)
     sst: list[str] = []
     sst_chunks: list[bytes] = []
     in_sst = False
     n_sst = 0
+    fmt_strings: dict[int, str] = {}     # custom number formats
+    xf_ifmts: list[int] = []             # XF index → ifmt
+    date1904 = False
     for rid, payload, off in _records(stream):
         if rid == _BOF and off == 0:
             vers = struct.unpack_from("<H", payload, 0)[0]
@@ -328,6 +406,19 @@ def read_xls(path_or_bytes) -> dict[str, list[list]]:
             else:
                 name = payload[8:8 + cch].decode("latin-1")
             sheets.append((name, pos))
+        elif rid == _FORMAT and len(payload) >= 5:
+            ifmt = struct.unpack_from("<H", payload, 0)[0]
+            cch = struct.unpack_from("<H", payload, 2)[0]
+            grbit = payload[4]
+            if grbit & 0x01:
+                s = payload[5:5 + 2 * cch].decode("utf-16-le", "replace")
+            else:
+                s = payload[5:5 + cch].decode("latin-1")
+            fmt_strings[ifmt] = s
+        elif rid == _XF and len(payload) >= 4:
+            xf_ifmts.append(struct.unpack_from("<H", payload, 2)[0])
+        elif rid == _DATEMODE and len(payload) >= 2:
+            date1904 = bool(struct.unpack_from("<H", payload, 0)[0])
         elif rid == _SST:
             in_sst = True
             n_sst = struct.unpack_from("<I", payload, 4)[0]
@@ -341,6 +432,18 @@ def read_xls(path_or_bytes) -> dict[str, list[list]]:
         for _ in range(n_sst):
             sst.append(_read_xl_string(rd))
 
+    date_xfs = {
+        i for i, ifmt in enumerate(xf_ifmts)
+        if ifmt in _BUILTIN_DATE_IFMTS
+        or (ifmt in fmt_strings
+            and _is_date_format_string(fmt_strings[ifmt]))}
+
+    def _maybe_dt(ixfe: int, value):
+        if ixfe in date_xfs and isinstance(value, (int, float)) \
+                and not isinstance(value, bool):
+            return _xl_serial_to_dt(value, date1904)
+        return value
+
     out: dict[str, list[list]] = {}
     for name, pos in sheets:
         cells: dict[tuple[int, int], object] = {}
@@ -351,20 +454,22 @@ def read_xls(path_or_bytes) -> dict[str, list[list]]:
                 idx = struct.unpack_from("<I", payload, 6)[0]
                 cells[(rw, col)] = sst[idx] if idx < len(sst) else None
             elif rid == _NUMBER:
-                rw, col = struct.unpack_from("<HH", payload, 0)
-                cells[(rw, col)] = _num(
-                    struct.unpack_from("<d", payload, 6)[0])
+                rw, col, ixfe = struct.unpack_from("<HHH", payload, 0)
+                cells[(rw, col)] = _maybe_dt(ixfe, _num(
+                    struct.unpack_from("<d", payload, 6)[0]))
             elif rid == _RK:
-                rw, col = struct.unpack_from("<HH", payload, 0)
-                cells[(rw, col)] = _num(_rk_value(
-                    struct.unpack_from("<I", payload, 6)[0]))
+                rw, col, ixfe = struct.unpack_from("<HHH", payload, 0)
+                cells[(rw, col)] = _maybe_dt(ixfe, _num(_rk_value(
+                    struct.unpack_from("<I", payload, 6)[0])))
             elif rid == _MULRK:
                 rw, col_first = struct.unpack_from("<HH", payload, 0)
                 col_last = struct.unpack_from(
                     "<H", payload, len(payload) - 2)[0]
                 for i in range(col_last - col_first + 1):
+                    ixfe = struct.unpack_from("<H", payload, 4 + 6 * i)[0]
                     rk = struct.unpack_from("<I", payload, 4 + 6 * i + 2)[0]
-                    cells[(rw, col_first + i)] = _num(_rk_value(rk))
+                    cells[(rw, col_first + i)] = _maybe_dt(
+                        ixfe, _num(_rk_value(rk)))
             elif rid == _LABEL:
                 rw, col = struct.unpack_from("<HH", payload, 0)
                 cells[(rw, col)] = _read_short_string(payload, 6)[0]
@@ -373,7 +478,7 @@ def read_xls(path_or_bytes) -> dict[str, list[list]]:
                 val, is_err = payload[6], payload[7]
                 cells[(rw, col)] = None if is_err else bool(val)
             elif rid == _FORMULA:
-                rw, col = struct.unpack_from("<HH", payload, 0)
+                rw, col, ixfe = struct.unpack_from("<HHH", payload, 0)
                 result = payload[6:14]
                 if result[6:8] == b"\xff\xff":
                     kind = result[0]
@@ -385,8 +490,8 @@ def read_xls(path_or_bytes) -> dict[str, list[list]]:
                         cells[(rw, col)] = ""
                     # kind == 2: error → None (unset)
                 else:
-                    cells[(rw, col)] = _num(
-                        struct.unpack("<d", result)[0])
+                    cells[(rw, col)] = _maybe_dt(ixfe, _num(
+                        struct.unpack("<d", result)[0]))
             elif rid == _STRING and pending_formula is not None:
                 cells[pending_formula] = _read_short_string(payload, 0)[0]
                 pending_formula = None

@@ -47,6 +47,11 @@ from .operators.violations import (CheckSpec, get_best_uid_column,
                                    value_errors_df, violation_plan_for)
 from .rules import Rules
 
+# Default-on scale gate for composed entry points: {} means "the
+# assert_scalable defaults" (forbid global sorts, nested-loop joins,
+# row-at-a-time Python); None opts out entirely.
+PLAN_BUDGET_DEFAULT: dict = {}
+
 
 def _speculative_specs(df: DataFrame, rules: Rules,
                        ignore_errors: list[str]) -> list[CheckSpec]:
@@ -226,9 +231,22 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
              partition_col: str | None = None,
              manifest_path: str | None = None,
              snapshot_id: str | None = None,
-             persist_violations: bool = True) -> ValidationResult:
+             persist_violations: bool = True,
+             plan_budget: dict | None = PLAN_BUDGET_DEFAULT
+             ) -> ValidationResult:
     """Validate ``df`` against ``rules``; see module docstring for the
     job plan. ``dims`` supplies dimension tables for rules.foreign_keys.
+
+    ``plan_budget`` (VERDICT r3 #6, DEFAULT-ON): before returning, the
+    composed row-level plans (violations; partition verdicts when
+    built) are audited with ``plans.audit.assert_scalable(**budget)``
+    — so a user-composed pipeline inherits the CI-grade scale gates
+    (no global sorts, no nested-loop joins, no row-Python; plus any
+    ``max_exchanges``/``max_scan_width`` caps in the dict) BEFORE the
+    caller's first action executes the scan. A budget violation raises
+    ``ValueError`` with the audit numbers. Pass ``None`` to opt out,
+    or a dict of ``assert_scalable`` kwargs to tighten/relax. The
+    audit is static (plan strings — no job runs).
 
     ``persist_violations`` caches the speculative violations scan
     (MEMORY_AND_DISK) so every consuming action — count, report,
@@ -400,6 +418,11 @@ def validate(spark: SparkSession, df: DataFrame, rules: Rules,
         result.partition_verdicts = partition_verdicts(
             df, rules, partition_col, dims=dims)
     _ = manifest_path  # partitioned/resumable runs: validate_partitioned
+    if plan_budget is not None:
+        from .plans.audit import assert_scalable
+        for frame in (result.violations, result.partition_verdicts):
+            if frame is not None:
+                assert_scalable(frame, **plan_budget)
     return result
 
 

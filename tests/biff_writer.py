@@ -83,12 +83,25 @@ def _rk_int(v: int, x100: bool = False) -> int:
     return rk & 0xFFFFFFFF
 
 
+# XF indexes the writer assigns for date-format tests: 16 built-in
+# date (ifmt 14 m/d/yy), 17 custom datetime, 18 custom time-only.
+_XF_DATE, _XF_DATETIME, _XF_TIME = 16, 17, 18
+_CUSTOM_DT_IFMT, _CUSTOM_TIME_IFMT = 164, 165
+
+
 def build_workbook_stream(sheets: dict[str, list[list]],
                           sst_split_at: int | None = None,
-                          pad_to: int = 0) -> bytes:
-    """BIFF8 Workbook stream: globals (BOF, BOUNDSHEETs, SST, EOF) then
-    one substream per sheet.  Strings become SST/LABELSST except those
-    tagged ``("label", s)`` which use inline LABEL records."""
+                          pad_to: int = 0,
+                          date1904: bool = False) -> bytes:
+    """BIFF8 Workbook stream: globals (BOF, DATEMODE, FORMAT/XF table,
+    BOUNDSHEETs, SST, EOF) then one substream per sheet.  Strings
+    become SST/LABELSST except those tagged ``("label", s)`` which use
+    inline LABEL records.  Date cells: ``("date", serial)`` NUMBER with
+    the built-in m/d/yy XF, ``("datetime", serial)`` NUMBER with a
+    custom yyyy-mm-dd hh:mm:ss format, ``("time", serial)`` NUMBER
+    with a custom hh:mm format, ``("date_rk", int_serial)`` RK with
+    the date XF — exercising every numeric record kind the reader
+    date-tags."""
     strings: list[str] = []
     str_idx: dict[str, int] = {}
     refs = 0
@@ -120,6 +133,17 @@ def build_workbook_stream(sheets: dict[str, list[list]],
                     body += _rec(0x0204, struct.pack(
                         "<HHHHB", r, c, 15, len(s),
                         0x00 if compress else 0x01) + enc)
+                    c += 1
+                elif isinstance(v, tuple) and v[0] in ("date", "datetime",
+                                                       "time"):
+                    xf = {"date": _XF_DATE, "datetime": _XF_DATETIME,
+                          "time": _XF_TIME}[v[0]]
+                    body += _rec(0x0203, struct.pack(
+                        "<HHH", r, c, xf) + struct.pack("<d", float(v[1])))
+                    c += 1
+                elif isinstance(v, tuple) and v[0] == "date_rk":
+                    body += _rec(0x027E, struct.pack(
+                        "<HHHI", r, c, _XF_DATE, _rk_int(int(v[1]))))
                     c += 1
                 elif isinstance(v, tuple) and v[0] == "formula_num":
                     body += _rec(0x0006, struct.pack(
@@ -177,6 +201,16 @@ def build_workbook_stream(sheets: dict[str, list[list]],
     def globals_blob(offsets: list[int]) -> bytes:
         g = bytearray(_rec(0x0809, struct.pack(
             "<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0x0600)))
+        g += _rec(0x0022, struct.pack("<H", 1 if date1904 else 0))
+        for ifmt, fmt in ((_CUSTOM_DT_IFMT, "yyyy-mm-dd hh:mm:ss"),
+                          (_CUSTOM_TIME_IFMT, 'hh:mm"h"')):
+            enc = fmt.encode("latin-1")
+            g += _rec(0x041E, struct.pack("<HHB", ifmt, len(fmt), 0) + enc)
+        # 16 default XFs (ifmt 0 General) so cell ixfe 15 stays
+        # non-date, then the three date XFs at indexes 16/17/18
+        for ifmt in [0] * 16 + [14, _CUSTOM_DT_IFMT, _CUSTOM_TIME_IFMT]:
+            g += _rec(0x00E0, struct.pack("<HHH", 0, ifmt, 0x0001)
+                      + b"\x00" * 14)
         for name, off in zip(sheets, offsets):
             enc = name.encode("latin-1")
             g += _rec(0x0085, struct.pack(
@@ -294,9 +328,10 @@ def build_ole2(stream_name: str, stream: bytes) -> bytes:
 
 def write_xls(path: str, sheets: dict[str, list[list]],
               sst_split_at: int | None = None,
-              force_big: bool = False) -> None:
+              force_big: bool = False, date1904: bool = False) -> None:
     stream = build_workbook_stream(
         sheets, sst_split_at=sst_split_at,
-        pad_to=_MINI_CUTOFF + 512 if force_big else 0)
+        pad_to=_MINI_CUTOFF + 512 if force_big else 0,
+        date1904=date1904)
     with open(path, "wb") as f:
         f.write(build_ole2("Workbook", stream))
