@@ -110,38 +110,65 @@ _BOMS = [(codecs.BOM_UTF32_LE, "UTF-32"), (codecs.BOM_UTF32_BE, "UTF-32"),
          (codecs.BOM_UTF16_BE, "UTF-16")]
 
 
-def detect_file_encoding(file_path: str, sample_bytes: int = 1 << 20) -> str:
-    """Charset sniff for text files — the reference's
-    ``detect_file_encoding`` (src/schema_validata.py:583-626) minus the
-    chardet dependency (absent in this environment): BOM match, then a
-    NUL-interleave probe for BOM-less UTF-16, then strict-UTF-8
-    try-decode with ISO-8859-1 as the low-confidence fallback —
-    mirroring the reference's <50%-confidence default. ISO-8859-1 (not
-    windows-1252) because Spark 4 validates CSV charsets against a
-    fixed list (UTF-8/16/32, ISO-8859-1, US-ASCII) and it decodes every
-    byte (the read can't fail); cp1252's extra glyphs in 0x80-0x9F
-    (curly quotes, em-dash) come through as C1 controls — the shared
-    accented-letter range is identical. Reads at most ``sample_bytes``;
-    scale note: this is a driver-side ingest helper for spreadsheet
-    files — Parquet/Iceberg are self-describing and never touch it."""
+# cp1252 maps these 0x80-0x9F bytes to real glyphs (curly quotes,
+# em-dash, €, ™...); only 81/8D/8F/90/9D are unassigned. Used by the
+# confidence score so cp1252 text is not punished for its smart quotes
+# even though the RETURNED charset is ISO-8859-1 (Spark's CSV list).
+_CP1252_PRINTABLE_C1 = frozenset(range(0x80, 0xA0)) - {0x81, 0x8D,
+                                                       0x8F, 0x90, 0x9D}
+
+
+def detect_file_encoding_confidence(
+        file_path: str, sample_bytes: int = 1 << 20) -> tuple[str, float]:
+    """Charset sniff with a chardet-shaped ``(encoding, confidence)``
+    result — the reference's detect_file_encoding contract
+    (src/schema_validata.py:583-626: ``chardet.detect`` → encoding +
+    confidence, <50% falls back to the pandas default) rebuilt on
+    stdlib evidence, scored:
+
+    * BOM match — 1.0 (explicit declaration).
+    * NUL-interleave UTF-16 — the odd/even NUL lopsidedness itself
+      (≈1.0 for ASCII-heavy text, degrading exactly as the evidence
+      does).
+    * Strict UTF-8 decode — 1.0 for pure ASCII (every superset
+      agrees); 0.99 with multi-byte sequences present (a non-UTF-8
+      file forming only valid sequences is vanishingly rare).
+    * BOM-less UTF-16 without NULs (CJK) — 0.8: strict decode plus a
+      real newline is strong but indirect.
+    * Single-byte fallback — ISO-8859-1 scored by the PRINTABLE RATIO
+      of the decoded sample (cp1252's smart-quote bytes count as
+      printable, see ``_CP1252_PRINTABLE_C1``), capped at 0.73:
+      single-byte charset identification is genuinely uncertain —
+      mirroring chardet's sub-certainty scores there. Mostly-binary
+      bytes score below 0.5 and the caller falls back.
+
+    Spark can read every name this returns (its CSV charset list);
+    driver-side ingest helper — Parquet/Iceberg never touch it."""
     with open(file_path, "rb") as f:
         raw = f.read(sample_bytes)
     for bom, enc in _BOMS:
         if raw.startswith(bom):
-            return enc
+            return enc, 1.0
     if not raw:
-        return "UTF-8"
+        return "UTF-8", 1.0
     # BOM-less UTF-16: ASCII-dominated text decodes to alternating NULs
     if raw.count(b"\x00") * 3 > len(raw):
-        return ("UTF-16LE" if raw[1::2].count(0) > raw[::2].count(0)
-                else "UTF-16BE")
-    try:
-        raw.decode("utf-8")
-        return "UTF-8"
-    except UnicodeDecodeError as e:
-        # a multi-byte char truncated by the sample window is not evidence
-        if len(raw) == sample_bytes and e.start >= len(raw) - 4:
-            return "UTF-8"
+        odd, even = raw[1::2].count(0), raw[::2].count(0)
+        conf = max(odd, even) / max(1, odd + even)
+        return (("UTF-16LE" if odd > even else "UTF-16BE"),
+                round(conf, 3))
+    # NUL bytes are valid UTF-8 code units but never appear in real
+    # text files — their presence means UTF-16 (sparse-NUL CJK text,
+    # probed strictly below) or binary, not UTF-8.
+    if b"\x00" not in raw:
+        try:
+            raw.decode("utf-8")
+            return "UTF-8", (1.0 if raw.isascii() else 0.99)
+        except UnicodeDecodeError as e:
+            # a multi-byte char truncated by the sample window is not
+            # evidence against UTF-8
+            if len(raw) == sample_bytes and e.start >= len(raw) - 4:
+                return "UTF-8", 0.99
     # BOM-less UTF-16 of NON-Latin text (CJK code units carry no NUL
     # bytes, so the interleave probe above misses it). Discriminator:
     # a real UTF-16 CSV decodes strictly AND contains '\n' (0A 00 /
@@ -155,8 +182,28 @@ def detect_file_encoding(file_path: str, sample_bytes: int = 1 << 20) -> str:
         except UnicodeDecodeError:
             continue
         if "\n" in t and not any(c < " " and c not in "\t\r\n" for c in t):
-            return name
-    return "ISO-8859-1"
+            return name, 0.8
+    printable = sum(
+        1 for b in raw
+        if b >= 0xA0 or b in _CP1252_PRINTABLE_C1
+        or 0x20 <= b < 0x7F or b in (0x09, 0x0A, 0x0D))
+    return "ISO-8859-1", round(0.73 * printable / len(raw), 3)
+
+
+def detect_file_encoding(file_path: str, sample_bytes: int = 1 << 20) -> str:
+    """Charset for reading ``file_path`` — the reference's semantics
+    exactly (src/schema_validata.py:583-626): take the detected
+    encoding when confidence exceeds 50%, otherwise warn and fall back
+    to the default (UTF-8, what pandas' ``encoding=None`` reads).
+    ``detect_file_encoding_confidence`` exposes the raw pair."""
+    enc, conf = detect_file_encoding_confidence(file_path, sample_bytes)
+    if conf <= 0.5:
+        import logging
+        logging.getLogger(__name__).warning(
+            "Encoding confidence for '%s' is low (%.0f%% <= 50%%). "
+            "Using the UTF-8 default.", file_path, conf * 100)
+        return "UTF-8"
+    return enc
 
 
 def _detect_dir_encoding(path: str) -> str:
