@@ -1149,10 +1149,15 @@ def q_ivf_route(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-k."""
+    """Hyperplane-LSH bucketed approximate top-k — expr plane mode
+    (similarity.hyperplane_codes_expr) so the oracle replays bucket
+    codes, the candidate join, cosine scoring, and the top-k window
+    exactly; the numpy matmul stays the scale default (recall
+    pytests cover it)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where("vec_id < 10")
-    return lsh_ann_topk(emb, queries, k=5, n_planes=8, n_tables=4).select(
+    return lsh_ann_topk(emb, queries, k=5, n_planes=8, n_tables=4,
+                        plane_mode="expr", dim=64).select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
@@ -3457,17 +3462,19 @@ def q_dedup_impact(spark, sf_dir):
 
 def q_ann_recall(spark, sf_dir):
     """Recall@k of the LSH ANN path vs exact brute force per query
-    (similarity.ann_recall_audit) — rows-only by design (the LSH side
-    is hash-based like the other approximate ops). On this fixture's
-    RANDOM embedding cloud recall is legitimately near zero (best
-    neighbors sit at cos~0.35, below hyperplane-collision range) —
-    exactly the data-dependence the audit exists to surface; the tight-
-    cluster pytest proves the 1.0 end."""
+    (similarity.ann_recall_audit) — expr plane mode, so BOTH sides
+    (the brute-force ground truth AND the hyperplane approximate set)
+    replay in the DuckDB oracle and the recall numbers themselves are
+    hash-checked. On this fixture's RANDOM embedding cloud recall is
+    legitimately near zero (best neighbors sit at cos~0.35, below
+    hyperplane-collision range) — exactly the data-dependence the
+    audit exists to surface; the tight-cluster pytest proves the 1.0
+    end."""
     from schema_validata_spark.operators.similarity import \
         ann_recall_audit
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") % 25 == 0)
-    return (ann_recall_audit(emb, qs, k=10)
+    return (ann_recall_audit(emb, qs, k=10, plane_mode="expr", dim=64)
             .orderBy("query_id"))
 
 
@@ -3976,16 +3983,20 @@ def _simhash_near_dup_oracle() -> str:
         SELECT id_a, id_b, hamming FROM prs WHERE hamming <= 3"""
 
 
-def _embedding_lsh_oracle() -> str:
+def _lsh_bucket_list(n_tables: int, n_planes: int, dim: int,
+                     vcol: str = "v") -> str:
+    """The expr-mode hyperplane bucket keys (one int per table:
+    table*2^n_planes + sign-bit code) as generated DuckDB expressions
+    over a double[] column — the EXACT constants and sequential fold
+    `similarity.hyperplane_codes_expr` evaluates Spark-side."""
     from schema_validata_spark.operators.similarity import lsh_planes
-    n_tables, n_planes, dim = 16, 4, 64
     planes = lsh_planes(n_tables, n_planes, dim)
 
     def dot(plane):
         consts = ", ".join(f"{c:.17e}" for c in plane)
         return (f"list_reduce(list_concat([0.0e0], "
                 f"list_transform(range(1, {dim + 1}), "
-                f"i -> v[i] * ([{consts}])[i])), (a, x) -> a + x)")
+                f"i -> {vcol}[i] * ([{consts}])[i])), (a, x) -> a + x)")
 
     buckets = []
     for t in range(n_tables):
@@ -3993,8 +4004,12 @@ def _embedding_lsh_oracle() -> str:
             f"(CASE WHEN {dot(planes[t * n_planes + p])} >= 0 "
             f"THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
             for p in range(n_planes))
-        buckets.append(f"{t} * 16 + ({bits})")
-    blist = ",\n                 ".join(buckets)
+        buckets.append(f"{t} * {1 << n_planes} + ({bits})")
+    return ",\n                 ".join(buckets)
+
+
+def _embedding_lsh_oracle() -> str:
+    blist = _lsh_bucket_list(16, 4, 64)
     return f"""
         WITH e AS (
           SELECT vec_id, cast(embedding as double[]) AS v
@@ -4058,6 +4073,86 @@ def _incremental_near_dedup_oracle() -> str:
         SELECT doc_id, source FROM newb
         WHERE doc_id NOT IN (SELECT new_id FROM dup)
         ORDER BY doc_id"""
+
+
+_COS6 = ("round(list_dot_product({a}, {b})"
+         " / greatest(sqrt(list_dot_product({a}, {a}))"
+         " * sqrt(list_dot_product({b}, {b})), 1e-12), 6)")
+
+
+def _lsh_ann_topk_oracle() -> str:
+    blist = _lsh_bucket_list(4, 8, 64)
+    cos = _COS6.format(a="eq.v", b="en.v")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, cast(embedding as double[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        cb AS (
+          SELECT vec_id, unnest([{blist}]) AS bk
+          FROM e),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM cb c JOIN cb q ON c.bk = q.bk
+          WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 {cos} AS cos6
+          FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                    JOIN e en ON en.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos6, row_number() OVER
+                 (PARTITION BY query_id
+                  ORDER BY cos6 DESC, neighbor_id ASC) AS rn
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos6, 4) AS cos
+        FROM ranked WHERE rn <= 5"""
+
+
+def _ann_recall_oracle() -> str:
+    blist = _lsh_bucket_list(4, 10, 64)
+    cosb = _COS6.format(a="q.v", b="c.v")
+    cosa = _COS6.format(a="eq.v", b="en.v")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, cast(embedding as double[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        exact0 AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cosb} AS cos6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cosb} DESC, c.vec_id ASC) AS rn
+          FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id % 25 = 0) q
+          WHERE c.vec_id != q.vec_id),
+        ex AS (SELECT query_id, neighbor_id, cos6 FROM exact0
+               WHERE rn <= 10),
+        cb AS (
+          SELECT vec_id, unnest([{blist}]) AS bk
+          FROM e),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM cb c JOIN cb q ON c.bk = q.bk
+          WHERE q.vec_id % 25 = 0 AND c.vec_id != q.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 {cosa} AS cos6
+          FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                    JOIN e en ON en.vec_id = cand.neighbor_id),
+        ap AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER
+                   (PARTITION BY query_id
+                    ORDER BY cos6 DESC, neighbor_id ASC) AS rn
+            FROM scored) WHERE rn <= 10)
+        SELECT ex.query_id,
+               count(*)::bigint AS n_exact,
+               count(ap.neighbor_id)::bigint AS n_hit,
+               round(count(ap.neighbor_id)::double / count(*), 6)
+                 AS recall,
+               round(max(CASE WHEN ap.neighbor_id IS NULL
+                              THEN ex.cos6 END), 6) AS missed_best_cos
+        FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+                            AND ex.neighbor_id = ap.neighbor_id
+        GROUP BY ex.query_id ORDER BY ex.query_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9833,5 +9928,7 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash_near_duplicates"] = _simhash_near_dup_oracle()
     sql["embedding_near_dup_lsh"] = _embedding_lsh_oracle()
     sql["incremental_near_dedup"] = _incremental_near_dedup_oracle()
+    sql["lsh_ann_topk"] = _lsh_ann_topk_oracle()
+    sql["ann_recall"] = _ann_recall_oracle()
 
     return sql

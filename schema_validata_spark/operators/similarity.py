@@ -203,17 +203,22 @@ def bucketize(df: DataFrame, id_alias: str, n_tables: int,
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "vec_id", k: int = 10,
-                 n_planes: int = 10, n_tables: int = 4) -> DataFrame:
+                 n_planes: int = 10, n_tables: int = 4,
+                 plane_mode: str = "numpy",
+                 dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share a bucket code in ≥1 of
     n_tables independent hyperplane tables; exact cosine + top-k runs
     on candidates only. Bucket join replaces the cross join — the
-    shuffle keys are (table, code) ints. Output like brute_force_topk."""
+    shuffle keys are (table, code) ints. Output like brute_force_topk.
+    ``plane_mode="expr"`` (requires ``dim``) uses the SQL-replayable
+    expression fold for bucket codes — verification runs only
+    (``hyperplane_codes_expr``)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
-    cb = bucketize(c, "neighbor_id", n_tables, n_planes)
-    qb = bucketize(q, "query_id", n_tables, n_planes) \
+    cb = bucketize(c, "neighbor_id", n_tables, n_planes, plane_mode, dim)
+    qb = bucketize(q, "query_id", n_tables, n_planes, plane_mode, dim) \
         .withColumnRenamed("v", "qv")
     cands = (cb.join(qb, "tc")
                .where(F.col("neighbor_id") != F.col("query_id"))
@@ -1181,7 +1186,9 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
 def ann_recall_audit(corpus: DataFrame, queries: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "vec_id", k: int = 10,
-                     n_planes: int = 10, n_tables: int = 4) -> DataFrame:
+                     n_planes: int = 10, n_tables: int = 4,
+                     plane_mode: str = "numpy",
+                     dim: int | None = None) -> DataFrame:
     """Recall@k of the LSH ANN path against the exact brute-force
     ground truth, PER QUERY — the honesty number behind shipping
     ``lsh_ann_topk`` at scale: pytest asserts a floor once, but
@@ -1204,7 +1211,8 @@ def ann_recall_audit(corpus: DataFrame, queries: DataFrame,
     exact = brute_force_topk(corpus, queries, id_col, vec_col,
                              qid_col, k)
     approx = lsh_ann_topk(corpus, queries, id_col, vec_col, qid_col,
-                          k, n_planes=n_planes, n_tables=n_tables)
+                          k, n_planes=n_planes, n_tables=n_tables,
+                          plane_mode=plane_mode, dim=dim)
     a = approx.select("query_id",
                       F.col("neighbor_id").alias("__an"),
                       F.lit(1).alias("__hit"))

@@ -47,14 +47,23 @@ class PlanAudit:
         return self.n_range_exchanges > 0
 
 
-def plan_audit(df: DataFrame) -> PlanAudit:
+def plan_audit(df: DataFrame, need_formatted: bool = True) -> PlanAudit:
     """Inspect a DataFrame's EXECUTED physical plan and count the
-    structures that decide scale behavior. Cheap (no job runs)."""
+    structures that decide scale behavior. Cheap (no job runs).
+
+    ``need_formatted=False`` skips the ``explain("formatted")`` pass —
+    a SECOND full planning of the query, needed only for
+    ``scan_widths`` (ReadSchema lines) and the AQE-hidden-leaf scan
+    fallback. The default-on entry-point budgets don't gate on scan
+    width, so they take the cheap path (``scan_widths`` stays empty)."""
     tree = df._jdf.queryExecution().executedPlan().toString()
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    formatted = buf.getvalue()
+    if need_formatted:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        formatted = buf.getvalue()
+    else:
+        formatted = ""
 
     a = PlanAudit()
     a.n_exchanges = len(re.findall(r"\bExchange ", tree))
@@ -103,7 +112,7 @@ def assert_scalable(df: DataFrame, *, max_exchanges: int | None = None,
     when that is the documented shape), and a final orderBy of an
     aggregate-sized frame for deterministic output is a global sort
     of metadata, not of data (pass allow_global_sort)."""
-    a = plan_audit(df)
+    a = plan_audit(df, need_formatted=max_scan_width is not None)
     problems = []
     if max_exchanges is not None and a.n_exchanges > max_exchanges:
         problems.append(f"{a.n_exchanges} exchanges > budget "
