@@ -1552,6 +1552,42 @@ def q_json_payload_stats(spark, sf_dir):
     return json_payload_stats(ev, "props", "event_type", "k")
 
 
+def q_run_log_regressions(spark, sf_dir):
+    """Cross-run regression diff over append_run_log's tables
+    (report.py:run_log_regressions): three synthetic validation runs
+    are constructed from events deterministically in BOTH engines —
+    run rX's error rows are events in a value window, error kind =
+    (event_type, value-decade bucket) — and the operator reports
+    per-run error-count delta plus newly-appearing / resolved kinds
+    vs the previous run (the reference example's accumulating-log
+    monitoring question)."""
+    from schema_validata_spark.report import run_log_regressions
+    ev = _t(spark, sf_dir, "events")
+    kind = F.concat(F.lit("b"),
+                    F.floor(F.col("value") / 10).cast("int")
+                     .cast("string"))
+    runs = [("r1", "2024-01-01", F.col("value") < 30),
+            ("r2", "2024-01-02",
+             (F.col("value") >= 15) & (F.col("value") < 45)),
+            ("r3", "2024-01-03",
+             (F.col("value") >= 40) & (F.col("value") < 120))]
+    els, rls = [], []
+    for uid, day, pred in runs:
+        sel = ev.where(pred)
+        els.append(sel.select(
+            F.lit(uid).alias("run_uid"), F.lit("events").alias("dataset"),
+            F.col("event_type").alias("column"),
+            kind.alias("error_type")))
+        rls.append(sel.agg(
+            F.lit(uid).alias("run_uid"), F.lit("events").alias("dataset"),
+            F.count(F.lit(1)).cast("bigint").alias("error_count"),
+            F.lit(day).cast("timestamp").alias("ts")))
+    el = els[0].unionByName(els[1]).unionByName(els[2])
+    rl = rls[0].unionByName(rls[1]).unionByName(rls[2])
+    return (run_log_regressions(el, rl)
+            .orderBy("dataset", "run_uid"))
+
+
 def q_json_payload_violations(spark, sf_dir):
     """Row-level JSON payload violations (operators/semistructured.py:
     json_payload_violations): (event_id, reason) rows for unparseable
@@ -3638,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "json_payload_stats": q_json_payload_stats,
         "json_payload_violations": q_json_payload_violations,
+        "run_log_regressions": q_run_log_regressions,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -9930,5 +9967,69 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dedup"] = _incremental_near_dedup_oracle()
     sql["lsh_ann_topk"] = _lsh_ann_topk_oracle()
     sql["ann_recall"] = _ann_recall_oracle()
+
+    sql["run_log_regressions"] = """
+        WITH el AS (
+          SELECT 'r1' AS run_uid, event_type AS "column",
+                 'b' || (floor(value / 10)::int)::varchar AS error_type
+          FROM events WHERE value < 30
+          UNION ALL
+          SELECT 'r2', event_type,
+                 'b' || (floor(value / 10)::int)::varchar
+          FROM events WHERE value >= 15 AND value < 45
+          UNION ALL
+          SELECT 'r3', event_type,
+                 'b' || (floor(value / 10)::int)::varchar
+          FROM events WHERE value >= 40 AND value < 120),
+        rl AS (
+          SELECT 'r1' AS run_uid, count(*)::bigint AS error_count,
+                 TIMESTAMP '2024-01-01' AS ts
+          FROM events WHERE value < 30
+          UNION ALL
+          SELECT 'r2', count(*)::bigint, TIMESTAMP '2024-01-02'
+          FROM events WHERE value >= 15 AND value < 45
+          UNION ALL
+          SELECT 'r3', count(*)::bigint, TIMESTAMP '2024-01-03'
+          FROM events WHERE value >= 40 AND value < 120),
+        runs AS (
+          SELECT 'events' AS dataset, run_uid, ts, error_count,
+                 lag(run_uid) OVER
+                   (ORDER BY ts ASC NULLS FIRST, run_uid ASC)
+                   AS prev_uid,
+                 lag(error_count) OVER
+                   (ORDER BY ts ASC NULLS FIRST, run_uid ASC)
+                   AS prev_error_count
+          FROM rl),
+        kinds AS (SELECT DISTINCT run_uid, "column", error_type FROM el),
+        newk AS (
+          SELECT r.run_uid, count(*)::bigint AS n_new_kinds
+          FROM runs r JOIN kinds c ON c.run_uid = r.run_uid
+          WHERE NOT EXISTS (
+            SELECT 1 FROM kinds p
+            WHERE p.run_uid = r.prev_uid
+              AND p."column" = c."column"
+              AND p.error_type = c.error_type)
+          GROUP BY r.run_uid),
+        resk AS (
+          SELECT r.run_uid, count(*)::bigint AS n_resolved_kinds
+          FROM runs r JOIN kinds p ON p.run_uid = r.prev_uid
+          WHERE r.prev_uid IS NOT NULL
+            AND NOT EXISTS (
+              SELECT 1 FROM kinds c
+              WHERE c.run_uid = r.run_uid
+                AND c."column" = p."column"
+                AND c.error_type = p.error_type)
+          GROUP BY r.run_uid)
+        SELECT runs.dataset, runs.run_uid, runs.ts,
+               runs.error_count,
+               runs.prev_error_count::bigint AS prev_error_count,
+               (runs.error_count - runs.prev_error_count)::bigint
+                 AS delta,
+               coalesce(newk.n_new_kinds, 0)::bigint AS n_new_kinds,
+               coalesce(resk.n_resolved_kinds, 0)::bigint
+                 AS n_resolved_kinds
+        FROM runs LEFT JOIN newk USING (run_uid)
+                  LEFT JOIN resk USING (run_uid)
+        ORDER BY dataset, run_uid"""
 
     return sql

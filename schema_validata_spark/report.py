@@ -118,6 +118,83 @@ def append_run_log(result: ValidationResult, log_dir: str, spark=None,
     return paths
 
 
+def run_log_regressions(error_log, run_log) -> "Any":
+    """Cross-run regression diff over the ``append_run_log`` tables —
+    the monitoring question the reference example's accumulating logs
+    exist to answer ('did this refresh introduce NEW error kinds?'):
+    per (dataset, run), the error-count delta vs the PREVIOUS run of
+    that dataset and how many distinct (column, error_type) kinds
+    appeared / resolved.
+
+    Inputs are the two DataFrames ``append_run_log`` writes (read them
+    back with ``spark.read.parquet``): ``error_log`` (run_uid, dataset,
+    column, error_type, ...), ``run_log`` (run_uid, dataset,
+    error_count, ..., ts). Runs order by (ts, run_uid) per dataset;
+    the FIRST run of a dataset reports NULL prev/delta and its kinds
+    as new.
+
+    Output per run: (dataset, run_uid, ts, error_count,
+    prev_error_count, delta, n_new_kinds, n_resolved_kinds).
+
+    SCALE: the run_log frame is one row per run — tiny; kinds are
+    distinct (run, column, error_type) triples — bounded by columns ×
+    check types per run. One window over runs + two aggregated
+    anti-joins on the kind frames; nothing row-scale moves."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("dataset").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("run_uid").asc())
+    runs = (run_log.select("dataset", "run_uid", "ts", "error_count")
+                   .withColumn("__prev_uid", F.lag("run_uid").over(w))
+                   .withColumn("prev_error_count",
+                               F.lag("error_count").over(w)))
+    kinds = (error_log.select("dataset", "run_uid", "column",
+                              "error_type").distinct())
+    cur = kinds.select("dataset", F.col("run_uid").alias("__u"),
+                       "column", "error_type")
+    prv = kinds.select("dataset", F.col("run_uid").alias("__p"),
+                       F.col("column").alias("__pc"),
+                       F.col("error_type").alias("__pe"))
+    base = runs.select("dataset", "run_uid", "__prev_uid")
+    new_k = (base.join(cur, (base["run_uid"] == cur["__u"])
+                       & (base["dataset"] == cur["dataset"]))
+                 .drop(cur["dataset"])
+                 .join(prv, (base["__prev_uid"] == prv["__p"])
+                       & (F.col("column") == prv["__pc"])
+                       & (F.col("error_type") == prv["__pe"])
+                       & (base["dataset"] == prv["dataset"]),
+                       "left_anti")
+                 .groupBy("dataset", "run_uid")
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_new_kinds")))
+    res_k = (base.where(F.col("__prev_uid").isNotNull())
+                 .join(prv, (base["__prev_uid"] == prv["__p"])
+                       & (base["dataset"] == prv["dataset"]))
+                 .drop(prv["dataset"])
+                 .join(cur, (base["run_uid"] == cur["__u"])
+                       & (prv["__pc"] == cur["column"])
+                       & (prv["__pe"] == cur["error_type"])
+                       & (base["dataset"] == cur["dataset"]),
+                       "left_anti")
+                 .groupBy("dataset", "run_uid")
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_resolved_kinds")))
+    return (runs
+            .join(new_k, ["dataset", "run_uid"], "left")
+            .join(res_k, ["dataset", "run_uid"], "left")
+            .select("dataset", "run_uid", "ts",
+                    F.col("error_count").cast("bigint")
+                     .alias("error_count"),
+                    F.col("prev_error_count").cast("bigint")
+                     .alias("prev_error_count"),
+                    (F.col("error_count") - F.col("prev_error_count"))
+                    .cast("bigint").alias("delta"),
+                    F.coalesce("n_new_kinds", F.lit(0)).cast("bigint")
+                     .alias("n_new_kinds"),
+                    F.coalesce("n_resolved_kinds", F.lit(0))
+                     .cast("bigint").alias("n_resolved_kinds")))
+
+
 def write_report(result: ValidationResult, out_dir: str,
                  out_name: str = "validation",
                  max_value_errors: int | None = 100_000) -> dict[str, str]:

@@ -6,6 +6,7 @@ run_uid-partitioned parquet with dynamic-partition-overwrite upserts."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from schema_validata_spark.report import append_run_log
 from schema_validata_spark.validate import ValidationResult
@@ -75,3 +76,33 @@ def test_clean_run_logs_metadata_only(spark, tmp_path):
 def test_requires_spark_when_no_violations_frame(tmp_path):
     with pytest.raises(ValueError, match="spark"):
         append_run_log(_result("x"), str(tmp_path / "log4"))
+
+
+def test_run_log_regressions_hand_computed(spark):
+    """Two datasets interleaved; hand-checked new/resolved kind counts
+    and NULL prev/delta on each dataset's first run."""
+    from schema_validata_spark.report import run_log_regressions
+    el = spark.createDataFrame(
+        [("a1", "A", "c1", "nulls", "m", None),
+         ("a1", "A", "c2", "range", "m", None),
+         ("a2", "A", "c2", "range", "m", None),     # c1:nulls resolved
+         ("a2", "A", "c3", "regex", "m", None),     # new
+         ("b1", "B", "c9", "length", "m", None)],
+        "run_uid string, dataset string, column string, "
+        "error_type string, error_message string, ts timestamp")
+    rl = spark.createDataFrame(
+        [("a1", "A", 5, "2024-01-01 00:00:00"),
+         ("a2", "A", 3, "2024-01-02 00:00:00"),
+         ("b1", "B", 1, "2024-01-01 12:00:00")],
+        "run_uid string, dataset string, error_count int, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.dataset, r.run_uid): r
+           for r in run_log_regressions(el, rl).collect()}
+    a1 = out[("A", "a1")]
+    assert a1.prev_error_count is None and a1.delta is None
+    assert a1.n_new_kinds == 2 and a1.n_resolved_kinds == 0
+    a2 = out[("A", "a2")]
+    assert a2.prev_error_count == 5 and a2.delta == -2
+    assert a2.n_new_kinds == 1 and a2.n_resolved_kinds == 1
+    b1 = out[("B", "b1")]
+    assert b1.n_new_kinds == 1 and b1.prev_error_count is None
