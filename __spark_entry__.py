@@ -1194,38 +1194,36 @@ def q_ann_auto_topk(spark, sf_dir):
 def q_pq_ann_topk(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py: PQ codebooks
     → byte codes → ADC scan via mapInPandas per-batch beam → exact
-    cosine rerank). Rows-only BY DESIGN: PQ is lossy (recall-only
-    error, never score error after rerank) so no SQL oracle can
-    reproduce the candidate set; the recall floor vs brute force is
-    pytest-enforced (tests/test_dedup_similarity.py, deterministic
-    0.92 at beam=100 on this fixture)."""
+    cosine rerank). EXACT MODE for the oracle (the ivf_ann_topk
+    precedent): beam ≥ corpus keeps every candidate, so the full
+    train→encode→ADC→rerank pipeline must reproduce brute-force top-k
+    byte-identically — hash equality proves the plumbing loses no
+    candidate. The LOSSY beam (the production trade) keeps its
+    deterministic recall-floor pytests
+    (tests/test_dedup_similarity.py, 0.92 at beam=100)."""
     from schema_validata_spark.operators.similarity import (pq_topk,
                                                             train_pq_codebooks)
     emb = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    nemb = emb.select("vec_id",
-                      F.transform(v, lambda x: x / n).alias("embedding"))
-    books = train_pq_codebooks(nemb, m=8, k=16, n_iters=3)
-    q = nemb.where("vec_id < 10")
-    return pq_topk(nemb, q, books, k=5, batch_k=100).select(
+    books = train_pq_codebooks(emb, m=8, k=16, n_iters=3)
+    q = emb.where("vec_id < 10")
+    return pq_topk(emb, q, books, k=5, batch_k=1000).select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
 def q_ivf_pq_topk(spark, sf_dir):
     """Composed IVF×PQ ANN (operators/similarity.py: ivf_pq_topk) —
     coarse routing over PQ byte codes, ADC beam per probed cluster,
-    exact rerank. Rows-only BY DESIGN (lossy index; recall floor
-    pytest-enforced, 0.88 full-probe on this fixture)."""
+    exact rerank, distributed query join (query_mode='join' default).
+    EXACT MODE for the oracle: every cluster probed + beam ≥ corpus →
+    output must equal brute-force top-k byte-identically (routing +
+    encoding + the bucket join lose no candidate). The lossy
+    configuration (n_probe < k_clusters, small beam) keeps its
+    recall-floor pytests (0.88 full-probe on this fixture)."""
     from schema_validata_spark.operators.similarity import ivf_pq_topk
     emb = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    nemb = emb.select("vec_id",
-                      F.transform(v, lambda x: x / n).alias("embedding"))
-    q = nemb.where("vec_id < 10")
-    return ivf_pq_topk(nemb, q, k=5, n_clusters=5, n_probe=3, m=8,
-                       pq_k=16, batch_k=80).select(
+    q = emb.where("vec_id < 10")
+    return ivf_pq_topk(emb, q, k=5, n_clusters=5, n_probe=5, m=8,
+                       pq_k=16, batch_k=1000).select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
@@ -2295,16 +2293,21 @@ def q_unigram_scores(spark, sf_dir):
 
 def q_semantic_near_dup(spark, sf_dir):
     """SemDeDup-style semantic near-dup pairs (operators/dedup.py:
-    semantic_near_duplicates): trained-k-means clusters as candidate
-    buckets + exact cosine verify. k-means is not SQL-expressible →
-    rows-only check; no-false-positives + recall >= 0.5 vs the
-    oracle-checked exact baseline are pytest-asserted
-    (tests/test_semantic_dedup.py)."""
+    semantic_near_duplicates): cluster buckets as candidates + exact
+    cosine verify. Run with FIXED one-hot centroids (0.25·e_j, j<4) so
+    assignment is argmax over the first 4 components with exact
+    single-term dot products — no float-summation ambiguity — making
+    the cluster→pair→verify pipeline hash-checkable in DuckDB; the
+    trained-k-means path (the production route) keeps its
+    no-false-positives + recall pytests (tests/test_semantic_dedup.py)
+    and the training machinery is oracle-covered via ivf_ann_topk."""
     from schema_validata_spark.operators.dedup import \
         semantic_near_duplicates
     emb = _t(spark, sf_dir, "embeddings")
+    cents = [[0.25 if i == j else 0.0 for i in range(64)]
+             for j in range(4)]
     pairs = semantic_near_duplicates(emb, threshold=0.45,
-                                     n_clusters=4, n_iters=4)
+                                     n_clusters=4, centroids=cents)
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
@@ -9967,6 +9970,39 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dedup"] = _incremental_near_dedup_oracle()
     sql["lsh_ann_topk"] = _lsh_ann_topk_oracle()
     sql["ann_recall"] = _ann_recall_oracle()
+
+    # PQ exact modes (beam >= corpus, all clusters probed) reproduce
+    # brute-force top-k on the same query slice — the similarity_topk
+    # cross-join oracle IS their oracle (ivf_ann_topk precedent).
+    sql["pq_ann_topk"] = sql["similarity_topk"]
+    sql["ivf_pq_topk"] = sql["similarity_topk"]
+
+    sql["semantic_near_dup"] = """
+        WITH e AS (
+          SELECT vec_id, cast(embedding as double[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        a AS (
+          SELECT vec_id, v,
+                 CASE WHEN v[1] >= v[2] AND v[1] >= v[3]
+                           AND v[1] >= v[4] THEN 0
+                      WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+                      WHEN v[3] >= v[4] THEN 2
+                      ELSE 3 END AS c
+          FROM e),
+        cap AS (
+          SELECT vec_id, v, c FROM (
+            SELECT vec_id, v, c, count(*) OVER (PARTITION BY c) AS bsz
+            FROM a) WHERE bsz <= 50000),
+        p AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 round(list_dot_product(x.v, y.v)
+                 / greatest(sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v)), 1e-12), 6)
+                   AS cos6
+          FROM cap x JOIN cap y
+            ON x.c = y.c AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, round(cos6, 4) AS cos
+        FROM p WHERE cos6 >= 0.45"""
 
     sql["run_log_regressions"] = """
         WITH el AS (
