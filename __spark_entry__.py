@@ -1550,6 +1550,30 @@ def q_json_payload_stats(spark, sf_dir):
     return json_payload_stats(ev, "props", "event_type", "k")
 
 
+def q_tool_call_pairing(spark, sf_dir):
+    """Tool-call pairing integrity (operators/sequence.py:
+    tool_call_pairing): orphan tool results and unanswered tool calls
+    over a transcript-shaped frame derived from events identically in
+    both engines (conv = user_id, order = (ts, event_id), role mapped
+    from event_type, every 3rd assistant turn invokes a tool). One
+    keyed lag+lead window; output is violating turns only."""
+    from schema_validata_spark.operators.sequence import \
+        tool_call_pairing
+    ev = _t(spark, sf_dir, "events")
+    role = (F.when(F.col("event_type") == "click", "user")
+             .when(F.col("event_type") == "view", "assistant")
+             .when(F.col("event_type") == "purchase", "tool")
+             .when(F.col("event_type") == "signup", "system")
+             .otherwise("assistant"))
+    t = ev.select("user_id", "ts", "event_id", role.alias("role"),
+                  F.when((role == "assistant")
+                         & (F.col("event_id") % 3 == 0),
+                         F.lit("api")).alias("tool"))
+    return (tool_call_pairing(t, "user_id", ["ts", "event_id"],
+                              "role", "tool")
+            .orderBy("user_id", "ts", "event_id", "issue"))
+
+
 def q_run_log_regressions(spark, sf_dir):
     """Cross-run regression diff over append_run_log's tables
     (report.py:run_log_regressions): three synthetic validation runs
@@ -3678,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_payload_stats": q_json_payload_stats,
         "json_payload_violations": q_json_payload_violations,
         "run_log_regressions": q_run_log_regressions,
+        "tool_call_pairing": q_tool_call_pairing,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -10003,6 +10028,44 @@ def oracle_sql() -> dict[str, str]:
             ON x.c = y.c AND x.vec_id < y.vec_id)
         SELECT id_a, id_b, round(cos6, 4) AS cos
         FROM p WHERE cos6 >= 0.45"""
+
+    sql["tool_call_pairing"] = """
+        WITH t AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type WHEN 'click' THEN 'user'
+                      WHEN 'view' THEN 'assistant'
+                      WHEN 'purchase' THEN 'tool'
+                      WHEN 'signup' THEN 'system'
+                      ELSE 'assistant' END AS role,
+                 CASE WHEN (CASE event_type WHEN 'click' THEN 'user'
+                                 WHEN 'view' THEN 'assistant'
+                                 WHEN 'purchase' THEN 'tool'
+                                 WHEN 'signup' THEN 'system'
+                                 ELSE 'assistant' END) = 'assistant'
+                           AND event_id % 3 = 0
+                      THEN 'api' END AS tool
+          FROM events),
+        wnd AS (
+          SELECT user_id, ts, event_id, role, tool,
+                 lag(role) OVER w AS prev_role,
+                 lag(tool) OVER w AS prev_tool,
+                 lead(role) OVER w AS next_role
+          FROM t
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST))
+        SELECT user_id, ts, event_id,
+               'tool_result_without_call' AS issue
+        FROM wnd
+        WHERE role = 'tool'
+          AND NOT (prev_role IS NOT DISTINCT FROM 'assistant'
+                   AND prev_tool IS NOT NULL)
+        UNION ALL
+        SELECT user_id, ts, event_id, 'unanswered_tool_call' AS issue
+        FROM wnd
+        WHERE role = 'assistant' AND tool IS NOT NULL
+          AND next_role IS DISTINCT FROM 'tool'
+        ORDER BY user_id, ts, event_id, issue"""
 
     sql["run_log_regressions"] = """
         WITH el AS (

@@ -140,6 +140,57 @@ def role_conformance(df: DataFrame, part_col: str,
                      | (F.col("n_bad_transitions") > 0))
 
 
+def tool_call_pairing(df: DataFrame, part_col: str,
+                      order_cols: list[str], role_col: str,
+                      tool_col: str, *,
+                      assistant_role: str = "assistant",
+                      tool_role: str = "tool") -> DataFrame:
+    """Row-level tool-call PAIRING violations — the agent-transcript
+    integrity rule the role automaton can't express (it sees roles,
+    not the ``tool`` field):
+
+    * ``tool_result_without_call`` — a ``tool_role`` turn whose
+      previous turn is not an ``assistant_role`` turn carrying a
+      non-NULL ``tool_col`` (orphan result: nothing invoked it; also
+      fires when the tool turn opens the conversation);
+    * ``unanswered_tool_call`` — an ``assistant_role`` turn with
+      ``tool_col`` set whose NEXT turn is not a ``tool_role`` turn
+      (the invocation's result never arrived; also fires at
+      end-of-conversation).
+
+    Output (violating turns only): part, order_cols..., issue —
+    the same row-address shape as the value-errors listing, so the
+    rows union into a violations sink.
+
+    SCALE: ONE keyed window (lag + lead over the caller's total
+    order — the shared contract here); only (part, order, role, tool)
+    move, text never shuffles; output is violations-sized."""
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols])
+    role = F.col(role_col)
+    prev_role, prev_tool = F.lag(role).over(w), \
+        F.lag(F.col(tool_col)).over(w)
+    next_role = F.lead(role).over(w)
+    # NULL-safe comparisons: the first turn has NULL prev (an opening
+    # tool turn IS an orphan) and the last has NULL next (a trailing
+    # call IS unanswered) — plain =/!= would swallow both in NULL.
+    orphan = (role == tool_role) & ~(
+        prev_role.eqNullSafe(F.lit(assistant_role))
+        & prev_tool.isNotNull())
+    unanswered = ((role == assistant_role)
+                  & F.col(tool_col).isNotNull()
+                  & ~next_role.eqNullSafe(F.lit(tool_role)))
+    issues = F.filter(F.array(
+        F.when(orphan, F.lit("tool_result_without_call")),
+        F.when(unanswered, F.lit("unanswered_tool_call"))),
+        lambda x: x.isNotNull())
+    return (df.select(F.col(part_col), *[F.col(c) for c in order_cols],
+                      issues.alias("__i"))
+              .where(F.size("__i") > 0)
+              .select(part_col, *order_cols,
+                      F.explode("__i").alias("issue")))
+
+
 def turn_latency_stats(df: DataFrame, part_col: str,
                        ts_col: str) -> DataFrame:
     """Per-conversation inter-turn latency profile: the time deltas
