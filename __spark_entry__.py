@@ -893,6 +893,22 @@ def q_dedup_near(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_near_dup_safe_split(spark, sf_dir):
+    """Leakage-safe splits under CONTENT similarity
+    (operators/dedup.py:near_dup_safe_split): every member of a
+    near-dup cluster (exact n-gram pairs, the dedup_near family's
+    generator) receives the same split — paraphrased copies cannot
+    straddle train/test. Split key = cluster canonical min-id (own id
+    when unclustered) through the engine-portable md5 interval rule;
+    the oracle replays the recursive-CC clustering AND the hash
+    assignment."""
+    from schema_validata_spark.operators.dedup import near_dup_safe_split
+    df = _t(spark, sf_dir, "documents")
+    return (near_dup_safe_split(df, _ngram_pairs(spark, sf_dir),
+                                "doc_id")
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware near-dup resolution (operators/dedup.py:
     dedup_keep_best): keep the LONGEST member (n_chars, doc_id
@@ -1572,6 +1588,21 @@ def q_tool_call_pairing(spark, sf_dir):
     return (tool_call_pairing(t, "user_id", ["ts", "event_id"],
                               "role", "tool")
             .orderBy("user_id", "ts", "event_id", "issue"))
+
+
+def q_repair_cut_points(spark, sf_dir):
+    """Per-conversation repair plan (operators/sequence.py:
+    repair_cut_points) over the tool-pairing issue frame: earliest
+    offending turn + issue census per conversation — the
+    keep-the-valid-prefix salvage. One aggregate over the
+    violations-sized frame; the oracle replays the pairing issues AND
+    the min-struct first-issue rule."""
+    from schema_validata_spark.operators.sequence import \
+        repair_cut_points
+    issues = q_tool_call_pairing(spark, sf_dir) \
+        .select("user_id", "ts", "issue")
+    return (repair_cut_points(issues, "user_id", "ts")
+            .orderBy("user_id"))
 
 
 def q_run_log_regressions(spark, sf_dir):
@@ -3652,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_near": q_dedup_near,
+        "near_dup_safe_split": q_near_dup_safe_split,
         "dedup_keep_best": q_dedup_keep_best,
         "per_group_sample": q_per_group_sample,
         "embedding_dispersion": q_embedding_dispersion,
@@ -3703,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_payload_violations": q_json_payload_violations,
         "run_log_regressions": q_run_log_regressions,
         "tool_call_pairing": q_tool_call_pairing,
+        "repair_cut_points": q_repair_cut_points,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -5618,6 +5651,19 @@ def oracle_sql() -> dict[str, str]:
           FROM cl JOIN documents d ON d.doc_id = cl.id)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)"""
+
+    sql["near_dup_safe_split"] = f"""
+        WITH RECURSIVE {_cc_ctes},
+        ks AS (
+          SELECT d.doc_id,
+                 substr(md5(cast(coalesce(cl.cluster_id, d.doc_id)
+                                 as varchar)), 1, 8) AS h
+          FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+        SELECT doc_id,
+               CASE WHEN h < 'cccccccd' THEN 'train'
+                    WHEN h < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ks ORDER BY doc_id"""
 
     sql["per_group_sample"] = """
         SELECT doc_id, source FROM (
@@ -10066,6 +10112,49 @@ def oracle_sql() -> dict[str, str]:
         WHERE role = 'assistant' AND tool IS NOT NULL
           AND next_role IS DISTINCT FROM 'tool'
         ORDER BY user_id, ts, event_id, issue"""
+
+    sql["repair_cut_points"] = """
+        WITH t AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type WHEN 'click' THEN 'user'
+                      WHEN 'view' THEN 'assistant'
+                      WHEN 'purchase' THEN 'tool'
+                      WHEN 'signup' THEN 'system'
+                      ELSE 'assistant' END AS role,
+                 CASE WHEN (CASE event_type WHEN 'click' THEN 'user'
+                                 WHEN 'view' THEN 'assistant'
+                                 WHEN 'purchase' THEN 'tool'
+                                 WHEN 'signup' THEN 'system'
+                                 ELSE 'assistant' END) = 'assistant'
+                           AND event_id % 3 = 0
+                      THEN 'api' END AS tool
+          FROM events),
+        wnd AS (
+          SELECT user_id, ts, role, tool,
+                 lag(role) OVER w AS prev_role,
+                 lag(tool) OVER w AS prev_tool,
+                 lead(role) OVER w AS next_role
+          FROM t
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts ASC NULLS FIRST,
+                                event_id ASC NULLS FIRST)),
+        iss AS (
+          SELECT user_id, ts, 'tool_result_without_call' AS issue
+          FROM wnd
+          WHERE role = 'tool'
+            AND NOT (prev_role IS NOT DISTINCT FROM 'assistant'
+                     AND prev_tool IS NOT NULL)
+          UNION ALL
+          SELECT user_id, ts, 'unanswered_tool_call' AS issue
+          FROM wnd
+          WHERE role = 'assistant' AND tool IS NOT NULL
+            AND next_role IS DISTINCT FROM 'tool')
+        SELECT user_id,
+               count(*)::bigint AS n_issues,
+               count(DISTINCT issue)::bigint AS n_issue_kinds,
+               min(ts) AS cut_at,
+               first(issue ORDER BY ts ASC, issue ASC) AS first_issue
+        FROM iss GROUP BY user_id ORDER BY user_id"""
 
     sql["run_log_regressions"] = """
         WITH el AS (

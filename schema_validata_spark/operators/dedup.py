@@ -499,6 +499,40 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str,
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def near_dup_safe_split(df: DataFrame, pairs: DataFrame, id_col: str,
+                        fractions: dict[str, float] | None = None,
+                        salt: str = "",
+                        split_col: str = "split") -> DataFrame:
+    """Train/val/test assignment where every member of a NEAR-DUP
+    cluster lands in the SAME split — the leakage guard ``group_split``
+    can't give you when the leak is content similarity rather than a
+    shared key: a paraphrased copy of a training document sitting in
+    the test split inflates eval exactly like a shared user id would.
+
+    Composition: ``near_dup_clusters`` resolves ``pairs`` (any
+    candidate generator's output — MinHash, SimHash, embedding LSH,
+    exact n-gram) into components; each row's split key is its
+    cluster's canonical min-id (its OWN id when unclustered), hashed
+    through the same engine-portable md5 interval rule as every other
+    sampler here — so the assignment is reproducible across runs,
+    partitionings, and engines, and the whole thing is
+    oracle-checkable.
+
+    SCALE: the clusters frame holds only CLUSTERED ids (≪ corpus);
+    one left join on the id column attaches cluster ids (AQE
+    broadcasts when small), and the split decision is a map-side hash
+    — document text never shuffles."""
+    from ..functions.sampling import split_expr
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    clusters = near_dup_clusters(pairs) \
+        .withColumnRenamed("id", id_col)
+    keyed = df.join(clusters, on=id_col, how="left")
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
+    return (keyed.withColumn(split_col,
+                             split_expr(key, fractions, salt))
+                 .drop("cluster_id"))
+
+
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
                     score_col: str, id_a: str = "id_a",
                     id_b: str = "id_b") -> DataFrame:

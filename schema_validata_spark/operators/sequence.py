@@ -191,6 +191,37 @@ def tool_call_pairing(df: DataFrame, part_col: str,
                       F.explode("__i").alias("issue")))
 
 
+def repair_cut_points(issues: DataFrame, part_col: str,
+                      order_col: str,
+                      issue_col: str = "issue") -> DataFrame:
+    """Turn row-level structural issues into a per-conversation REPAIR
+    PLAN: the earliest offending turn is where a truncation pass cuts
+    (everything before it is structurally sound), which is the
+    standard salvage for agent transcripts — keep the valid prefix
+    rather than dropping the conversation.
+
+    ``issues`` is any union of (part, order, issue) frames —
+    ``tool_call_pairing`` output, an exploded ``role_conformance``
+    violation list, timestamp-order issues — the shapes already share
+    the row-address convention. Output per conversation: part,
+    n_issues, n_issue_kinds, cut_at (min order), first_issue (the
+    issue at cut_at; ties break on issue name for determinism).
+
+    SCALE: ONE hash aggregate over the (violations-sized, ≪ corpus)
+    issue frame; composing N issue sources is a unionByName of
+    already-filtered frames, not extra scans of the corpus."""
+    first = F.min(F.struct(F.col(order_col), F.col(issue_col)))
+    return (issues.groupBy(F.col(part_col))
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_issues"),
+                       F.count_distinct(F.col(issue_col)).cast("bigint")
+                        .alias("n_issue_kinds"),
+                       first.alias("__f"))
+                  .select(part_col,
+                          "n_issues", "n_issue_kinds",
+                          F.col(f"__f.{order_col}").alias("cut_at"),
+                          F.col(f"__f.{issue_col}").alias("first_issue")))
+
+
 def turn_latency_stats(df: DataFrame, part_col: str,
                        ts_col: str) -> DataFrame:
     """Per-conversation inter-turn latency profile: the time deltas

@@ -55,3 +55,35 @@ def test_custom_role_names(spark):
     assert tool_call_pairing(df, "conv_id", ["turn_idx"], "role",
                              "tool", assistant_role="bot",
                              tool_role="fn").count() == 0
+
+
+def test_repair_cut_points_hand_computed(spark):
+    from schema_validata_spark.operators.sequence import repair_cut_points
+    issues = spark.createDataFrame(
+        [("c1", 5, "b_issue"), ("c1", 5, "a_issue"), ("c1", 9, "z"),
+         ("c2", 1, "only")],
+        "conv_id string, turn_idx int, issue string")
+    out = {r.conv_id: r
+           for r in repair_cut_points(issues, "conv_id",
+                                      "turn_idx").collect()}
+    c1 = out["c1"]
+    assert c1.n_issues == 3 and c1.n_issue_kinds == 3
+    assert c1.cut_at == 5 and c1.first_issue == "a_issue"  # tie: name
+    assert out["c2"].cut_at == 1 and out["c2"].first_issue == "only"
+
+
+def test_near_dup_safe_split_keeps_clusters_together(spark):
+    from schema_validata_spark.operators.dedup import near_dup_safe_split
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)],
+        "id_a long, id_b long")
+    out = {r.doc_id: r.split
+           for r in near_dup_safe_split(df, pairs, "doc_id").collect()}
+    assert len(out) == 40
+    assert out[0] == out[1] == out[2]        # one component, one split
+    assert out[10] == out[11]
+    assert out[20] == out[21]
+    assert set(out.values()) <= {"train", "val", "test"}
