@@ -4114,7 +4114,7 @@ def _embedding_lsh_oracle() -> str:
           FROM embeddings WHERE embedding IS NOT NULL),
         bkt AS (
           SELECT vec_id, unnest([{blist}]) AS bk
-          FROM e),
+          FROM e WHERE len(v) = 64),
         cap AS (
           SELECT vec_id, bk FROM (
             SELECT vec_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
@@ -4187,7 +4187,7 @@ def _lsh_ann_topk_oracle() -> str:
           FROM embeddings WHERE embedding IS NOT NULL),
         cb AS (
           SELECT vec_id, unnest([{blist}]) AS bk
-          FROM e),
+          FROM e WHERE len(v) = 64),
         cand AS (
           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
           FROM cb c JOIN cb q ON c.bk = q.bk
@@ -4225,7 +4225,7 @@ def _ann_recall_oracle() -> str:
                WHERE rn <= 10),
         cb AS (
           SELECT vec_id, unnest([{blist}]) AS bk
-          FROM e),
+          FROM e WHERE len(v) = 64),
         cand AS (
           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
           FROM cb c JOIN cb q ON c.bk = q.bk

@@ -154,7 +154,13 @@ def hyperplane_codes_expr(n_tables: int, n_planes: int, dim: int,
     Gaussian dots concentrate away from 0).
 
     Returns fn: Column(array<numeric>) → Column(array<long>) of
-    ``n_tables`` codes, NULL input → NULL (same contract)."""
+    ``n_tables`` codes; NULL input → NULL, and a vector whose length
+    differs from ``dim`` → NULL too (EXCLUDED from candidacy — the
+    numpy twin instead hashes each dimension group with its own plane
+    set; a verification mode pinned to one ``dim`` cannot replay
+    that, and silently folding short vectors into code 0 would
+    fabricate candidate pairs, so exclusion is the honest contract
+    and is documented here as the one divergence)."""
     planes = lsh_planes(n_tables, n_planes, dim, seed)
     weights = [1 << (n_planes - 1 - p) for p in range(n_planes)]
 
@@ -175,7 +181,8 @@ def hyperplane_codes_expr(n_tables: int, n_planes: int, dim: int,
                              F.lit(weights[p])).otherwise(F.lit(0))
                 code = code + bit.cast("long")
             table_codes.append(code)
-        return F.when(v.isNotNull(), F.array(*table_codes))
+        return F.when(v.isNotNull() & (F.size(v) == dim),
+                      F.array(*table_codes))
 
     return codes
 
@@ -1106,7 +1113,9 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "vec_id", k: int = 10, *,
              method: str = "auto", corpus_count: int | None = None,
+             query_count: int | None = None,
              small_corpus: int = 100_000, huge_corpus: int = 50_000_000,
+             max_brute_queries: int = 100_000,
              recall_floor: float = 0.5, audit_sample: int = 32,
              force_lsh: bool = False,
              centroids=None, codebooks=None, **index_kw) -> DataFrame:
@@ -1114,27 +1123,36 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
     picks the right index for the corpus size, so nobody reaches the
     data-dependent raw-hyperplane path by accident.
 
-    Routing table (``method="auto"``, thresholds on corpus rows):
+    Routing table (``method="auto"``; the brute and ivf routes
+    broadcast the query side, so both also require
+    |queries| ≤ ``max_brute_queries``):
 
-    ========================  =====================================
-    corpus size               route
-    ========================  =====================================
-    ≤ ``small_corpus``        ``brute_force_topk`` — exact; one
-                              broadcast-query scan is cheaper than
-                              training any index
-    ≤ ``huge_corpus``         ``ivf_topk`` — trained k-means
-                              routing, raw-vector scan of probed
-                              clusters only, exact cosine
-    >  ``huge_corpus``        ``ivf_pq_topk`` — compressed m-byte
-                              ADC scan × IVF routing, distributed
-                              query join (``query_mode="join"``),
-                              exact rerank
-    ========================  =====================================
+    ===========================  ==================================
+    corpus / query size          route
+    ===========================  ==================================
+    corpus ≤ ``small_corpus``,   ``brute_force_topk`` — exact; one
+    small query batch            broadcast-query scan is cheaper
+                                 than training any index
+    corpus ≤ ``huge_corpus``,    ``ivf_topk`` — trained k-means
+    small query batch            routing, raw-vector scan of probed
+                                 clusters only, exact cosine
+    huge corpus OR big query     ``ivf_pq_topk`` — compressed
+    batch                        m-byte ADC scan × IVF routing,
+                                 distributed query join
+                                 (``query_mode="join"``: neither
+                                 side collects or broadcasts),
+                                 exact rerank
+    ===========================  ==================================
 
-    ``corpus_count`` skips the counting job when the caller already
-    knows it (snapshot metadata); otherwise ONE count over the id
-    column decides the route. Explicit ``method=`` overrides:
-    ``"brute" | "ivf" | "ivf_pq" | "lsh"``.
+    ``corpus_count`` / ``query_count`` skip the counting jobs when the
+    caller already knows them (snapshot metadata); otherwise ONE count
+    per unknown side decides the route. The brute route BROADCASTS the
+    query frame (its documented queries ≪ corpus contract), so auto
+    mode takes it only when the query side is small too
+    (≤ ``max_brute_queries``); a big query batch against a small
+    corpus routes to trained IVF instead — the index trains on the
+    small side and the query side stays distributed. Explicit
+    ``method=`` overrides: ``"brute" | "ivf" | "ivf_pq" | "lsh"``.
 
     THE LSH FOOTGUN IS GATED: ``method="lsh"`` (the only way to reach
     ``lsh_ann_topk`` here) first runs ``ann_recall_audit`` on
@@ -1152,12 +1170,14 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
     if method == "auto":
         n = (corpus_count if corpus_count is not None
              else corpus.select(id_col).count())
-        if n <= small_corpus:
+        nq = (query_count if query_count is not None
+              else queries.select(qid_col).count())
+        if n <= small_corpus and nq <= max_brute_queries:
             method = "brute"
-        elif n <= huge_corpus:
-            method = "ivf"
+        elif n <= huge_corpus and nq <= max_brute_queries:
+            method = "ivf"          # also broadcasts (query × probe)
         else:
-            method = "ivf_pq"
+            method = "ivf_pq"       # join mode: query side distributed
     if method == "brute":
         return brute_force_topk(corpus, queries, **common)
     if method == "ivf":

@@ -55,7 +55,13 @@ def plan_audit(df: DataFrame, need_formatted: bool = True) -> PlanAudit:
     a SECOND full planning of the query, needed only for
     ``scan_widths`` (ReadSchema lines) and the AQE-hidden-leaf scan
     fallback. The default-on entry-point budgets don't gate on scan
-    width, so they take the cheap path (``scan_widths`` stays empty)."""
+    width, so they take the cheap path. CAVEAT on that path:
+    ``scan_widths`` stays empty AND ``n_scans`` can read 0 for an AQE
+    plan whose tree string hides its FileScan leaves — the fields the
+    gated budgets actually use (exchanges, sorts, joins, Python
+    evals) come from the tree and are unaffected; pass
+    ``need_formatted=True`` (or a ``max_scan_width`` budget) when a
+    caller consumes the scan counters."""
     tree = df._jdf.queryExecution().executedPlan().toString()
     if need_formatted:
         buf = io.StringIO()

@@ -157,10 +157,14 @@ def detect_file_encoding_confidence(
         conf = max(odd, even) / max(1, odd + even)
         return (("UTF-16LE" if odd > even else "UTF-16BE"),
                 round(conf, 3))
-    # NUL bytes are valid UTF-8 code units but never appear in real
-    # text files — their presence means UTF-16 (sparse-NUL CJK text,
-    # probed strictly below) or binary, not UTF-8.
-    if b"\x00" not in raw:
+    has_nul = b"\x00" in raw
+    # NUL bytes steer the probe ORDER, not the verdict: they usually
+    # mean UTF-16 (CJK text carries sparse NULs the interleave check
+    # misses — strict probe below), but a UTF-8 dump with a stray
+    # \x00 from a C/DB exporter is still UTF-8 (NUL is a valid code
+    # unit), so UTF-8 remains the fallback with slightly lower
+    # confidence rather than mojibake-ing into ISO-8859-1.
+    if not has_nul:
         try:
             raw.decode("utf-8")
             return "UTF-8", (1.0 if raw.isascii() else 0.99)
@@ -183,6 +187,12 @@ def detect_file_encoding_confidence(
             continue
         if "\n" in t and not any(c < " " and c not in "\t\r\n" for c in t):
             return name, 0.8
+    if has_nul:
+        try:
+            raw.decode("utf-8")
+            return "UTF-8", 0.9            # valid UTF-8, stray NUL(s)
+        except UnicodeDecodeError:
+            pass
     printable = sum(
         1 for b in raw
         if b >= 0xA0 or b in _CP1252_PRINTABLE_C1

@@ -200,10 +200,14 @@ def _is_date_format_string(fmt: str) -> bool:
             j = fmt.find('"', i + 1)
             i = n if j < 0 else j + 1
         elif ch == "[":                    # [h]/[Red]/[$-409] section:
-            j = fmt.find("]", i + 1)       # elapsed-time [h] IS a time
+            j = fmt.find("]", i + 1)       # elapsed-time [h]/[mm]/[ss]
             body = fmt[i + 1:j] if j > 0 else ""
-            if body[:1].lower() in ("h", "m", "s"):
-                out.append(body[:1])
+            # elapsed tokens are RUNS of one time letter ([h], [hh],
+            # [mm], [ss]); color names ([Magenta], [Red]) and locale
+            # codes ([$-409]) merely CONTAIN time letters and must not
+            # date-tag the format (xlrd/openpyxl make the same cut)
+            if body and set(body.lower()) <= set("hms"):
+                out.append(body[0].lower())
             i = n if j < 0 else j + 1
         elif ch == "\\":
             i += 2
@@ -224,8 +228,12 @@ def _xl_serial_to_dt(value, date1904: bool = False):
     xlrd does the same)."""
     import datetime as _dt
     f = float(value)
-    if f < 0:
-        return value                       # nonsense serial: keep number
+    # Out-of-range serials (negative, or past year 9999 — e.g. a
+    # yyyymmdd integer like 20250815 sitting in a date-formatted
+    # column) stay NUMBERS: degrade per-cell like xlrd/pandas instead
+    # of throwing OverflowError and killing the whole workbook read.
+    if f < 0 or f > 2_958_465:             # 2958465 = 9999-12-31
+        return value
     days = int(f)
     secs = round((f - days) * 86400)
     if secs >= 86400:

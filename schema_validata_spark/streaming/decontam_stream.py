@@ -82,16 +82,29 @@ def stream_decontaminate(stream_df: DataFrame, bloom_words: np.ndarray,
         for pdf in batches:
             if not len(pdf):
                 continue
+            p1, p2 = pdf["__p1"].to_numpy(), pdf["__p2"].to_numpy()
+            # flatten the whole batch's positions into ONE pair of
+            # int64 arrays + per-row offsets: the bit test and the
+            # per-row hit totals are then two vectorized gathers and
+            # one reduceat — no Python-level per-row loop (the
+            # advertised cost model: a numpy gather per micro-batch)
+            lens = np.fromiter(
+                (0 if a is None else len(a) for a in p1),
+                dtype=np.int64, count=len(p1))
             keep = np.ones(len(pdf), dtype=bool)
-            for i in range(len(pdf)):
-                a, b = pdf["__p1"].iloc[i], pdf["__p2"].iloc[i]
-                if a is None or len(a) == 0:    # NULL text passes
-                    continue
-                a = np.asarray(a, dtype=np.int64)
-                b = np.asarray(b, dtype=np.int64)
-                hit = (((words[a >> 6] >> (a & 63)) & 1)
-                       & ((words[b >> 6] >> (b & 63)) & 1))
-                keep[i] = int(hit.sum()) < min_overlap
+            nz = lens > 0                      # NULL/empty text passes
+            if nz.any():
+                flat1 = np.concatenate(
+                    [np.asarray(a, dtype=np.int64)
+                     for a in p1[nz]])
+                flat2 = np.concatenate(
+                    [np.asarray(b, dtype=np.int64)
+                     for b in p2[nz]])
+                hit = (((words[flat1 >> 6] >> (flat1 & 63)) & 1)
+                       & ((words[flat2 >> 6] >> (flat2 & 63)) & 1))
+                offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+                hits_per_row = np.add.reduceat(hit, offs)
+                keep[nz] = hits_per_row < min_overlap
             yield pdf.loc[keep, out_cols]
 
     return proj.mapInPandas(_screen, stream_df.schema)

@@ -67,3 +67,13 @@ def test_lsh_gate_passes_at_zero_floor(emb):
 def test_bad_method_rejected(emb):
     with pytest.raises(ValueError, match="method"):
         ann_topk(emb, emb.limit(1), method="faiss")
+
+
+def test_auto_big_query_batch_avoids_broadcast_routes(emb):
+    """A query batch over max_brute_queries must route to the
+    join-mode IVF×PQ even on a small corpus — brute and ivf both
+    broadcast the query side."""
+    q = emb.where("vec_id < 5")
+    got = ann_topk(emb, q, k=3, query_count=10_000_000,
+                   n_clusters=4, n_probe=4, batch_k=1000).collect()
+    assert {r.query_id for r in got} == set(range(5))

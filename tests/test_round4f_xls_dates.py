@@ -85,3 +85,21 @@ def test_profile_roundtrip_to_datetime(spark, tmp_path):
     assert row["started"] == dt.datetime(2024, 1, 1, 6, 0, 0)
     logical = spark_type_to_logical(df.schema["started"].dataType)
     assert logical == "Datetime"
+
+
+def test_out_of_range_serial_degrades_per_cell(tmp_path):
+    """A yyyymmdd integer in a date-formatted cell must come back as
+    the raw NUMBER (per-cell degrade like xlrd/pandas), not kill the
+    whole workbook read with OverflowError."""
+    p = str(tmp_path / "o.xls")
+    write_xls(p, {"S": [[("date", 20250815.0), ("date", 45292.0)]]})
+    rows = read_xls(p)["S"]
+    assert rows[0][0] == 20250815.0
+    assert rows[0][1] == dt.datetime(2024, 1, 1)
+
+
+def test_color_codes_are_not_time_tokens():
+    assert not _is_date_format_string("[Magenta]0.00")
+    assert not _is_date_format_string("[Red]#,##0;[Blue](#,##0)")
+    assert _is_date_format_string("[h]:mm")
+    assert _is_date_format_string("[mm]:ss")

@@ -71,3 +71,13 @@ def test_binary_junk_falls_back_to_default(tmp_path, caplog):
 def test_empty_file_defaults_utf8(tmp_path):
     p = _w(tmp_path, "e.csv", b"")
     assert detect_file_encoding_confidence(p) == ("UTF-8", 1.0)
+
+
+def test_utf8_with_stray_nul_stays_utf8(tmp_path):
+    """A valid UTF-8 dump with one stray NUL (C/DB exporters) must not
+    mojibake into ISO-8859-1 — UTF-8 at slightly lower confidence."""
+    data = "naïve,café\n1,2\n".encode("utf-8") * 10 + b"\x00"
+    p = _w(tmp_path, "nul.csv", data)
+    enc, conf = detect_file_encoding_confidence(p)
+    assert enc == "UTF-8" and conf == 0.9
+    assert detect_file_encoding(p) == "UTF-8"
