@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from schema_validata_spark.functions.text import (LANG_MARKERS, STOPWORDS_EN,
                                                   bpe_ish_token_count,
@@ -1603,6 +1603,43 @@ def q_repair_cut_points(spark, sf_dir):
         .select("user_id", "ts", "issue")
     return (repair_cut_points(issues, "user_id", "ts")
             .orderBy("user_id"))
+
+
+def q_curate_transcripts(spark, sf_dir):
+    """End-to-end transcript curation (curation.py:curate_transcripts):
+    structural screen (role automaton + tool pairing) → whole-
+    conversation dedup (md5 fingerprint mode) → leakage-safe split.
+    The transcript frame derives from events identically in both
+    engines: strict user/assistant alternation by per-conversation
+    row_number, corrupted to 'tool' on every event_id % 4999 == 0
+    (so ~a tenth of conversations get structurally flagged), and
+    conversations of users < 10 cloned under user_id+10000 with
+    PRE-COMPUTED roles/texts so each clone survives iff its original
+    does and dedups back to it. Output: surviving turns + split."""
+    from schema_validata_spark.curation import curate_transcripts
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    base = (ev.select("user_id", "event_id",
+                      F.row_number().over(w).alias("rn"),
+                      F.col("event_type").alias("text"))
+              .withColumn("role",
+                          F.when(F.col("event_id") % 4999 == 0, "tool")
+                           .when(F.col("rn") % 2 == 1, "user")
+                           .otherwise("assistant"))
+              .withColumn("tool", F.lit(None).cast("string"))
+              .drop("rn"))
+    clones = (base.where(F.col("user_id") < 10)
+                  .withColumn("user_id", F.col("user_id") + 10000)
+                  .withColumn("event_id",
+                              F.col("event_id") + 1000000000))
+    t = base.unionByName(clones)
+    out = curate_transcripts(
+        t, part_col="user_id", order_col="event_id",
+        role_col="role", text_col="text", tool_col="tool",
+        transitions={("user", "assistant"), ("assistant", "user")},
+        first_roles={"user"}, hasher="md5")
+    return (out.select("user_id", "event_id", "role", "split")
+               .orderBy("user_id", "event_id"))
 
 
 def q_run_log_regressions(spark, sf_dir):
@@ -3736,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_log_regressions": q_run_log_regressions,
         "tool_call_pairing": q_tool_call_pairing,
         "repair_cut_points": q_repair_cut_points,
+        "curate_transcripts": q_curate_transcripts,
         "minhash_near_duplicates": q_minhash_near_duplicates,
         "simhash_near_duplicates": q_simhash_near_duplicates,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -10112,6 +10150,59 @@ def oracle_sql() -> dict[str, str]:
         WHERE role = 'assistant' AND tool IS NOT NULL
           AND next_role IS DISTINCT FROM 'tool'
         ORDER BY user_id, ts, event_id, issue"""
+
+    sql["curate_transcripts"] = """
+        WITH base AS (
+          SELECT user_id, event_id, event_type AS text,
+                 CASE WHEN event_id % 4999 = 0 THEN 'tool'
+                      WHEN (row_number() OVER (
+                              PARTITION BY user_id
+                              ORDER BY event_id)) % 2 = 1 THEN 'user'
+                      ELSE 'assistant' END AS role,
+                 CAST(NULL AS VARCHAR) AS tool
+          FROM events),
+        allr AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT user_id + 10000, event_id + 1000000000, text, role,
+                 tool
+          FROM base WHERE user_id < 10),
+        wnd AS (
+          SELECT user_id, event_id, role, tool,
+                 lag(role) OVER w AS prev_role,
+                 lag(tool) OVER w AS prev_tool,
+                 lead(role) OVER w AS next_role
+          FROM allr
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY event_id ASC NULLS FIRST)),
+        badconv AS (
+          SELECT DISTINCT user_id FROM wnd
+          WHERE (prev_role IS NULL AND role != 'user')
+             OR (prev_role IS NOT NULL AND NOT (
+                   (prev_role = 'user' AND role = 'assistant')
+                   OR (prev_role = 'assistant' AND role = 'user')))
+             OR (role = 'tool'
+                 AND NOT (prev_role IS NOT DISTINCT FROM 'assistant'
+                          AND prev_tool IS NOT NULL))
+             OR (role = 'assistant' AND tool IS NOT NULL
+                 AND next_role IS DISTINCT FROM 'tool')),
+        clean AS (
+          SELECT * FROM allr
+          WHERE user_id NOT IN (SELECT user_id FROM badconv)),
+        fps AS (
+          SELECT user_id,
+                 md5(string_agg(md5(coalesce(text, '__NULL__')),
+                                ',' ORDER BY event_id)) AS fp
+          FROM clean GROUP BY user_id),
+        keep AS (SELECT min(user_id) AS user_id FROM fps GROUP BY fp)
+        SELECT c.user_id, c.event_id, c.role,
+               CASE WHEN substr(md5(cast(c.user_id as varchar)), 1, 8)
+                         < 'cccccccd' THEN 'train'
+                    WHEN substr(md5(cast(c.user_id as varchar)), 1, 8)
+                         < 'e6666666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean c JOIN keep k ON c.user_id = k.user_id
+        ORDER BY c.user_id, c.event_id"""
 
     sql["repair_cut_points"] = """
         WITH t AS (

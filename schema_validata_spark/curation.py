@@ -73,6 +73,73 @@ def curate(df: DataFrame, eval_set: DataFrame | None = None,
     return out
 
 
+def curate_transcripts(df: DataFrame, part_col: str = "conv_id",
+                       order_col: str = "turn_idx",
+                       role_col: str = "role", text_col: str = "text",
+                       tool_col: str = "tool", *,
+                       transitions: set[tuple[str, str]],
+                       first_roles: set[str],
+                       fractions: dict[str, float] | None = None,
+                       split_salt: str = "",
+                       hasher: str = "xxhash64",
+                       plan_budget: dict | None = PLAN_BUDGET_DEFAULT
+                       ) -> DataFrame:
+    """The TRANSCRIPT twin of ``curate`` — the SFT-prep pipeline over
+    multi-turn conversations, as one composition of tested operators:
+
+    1. **Structural screen** — DROP conversations flagged by the
+       role-transition automaton (``sequence.role_conformance``) or
+       by tool-call pairing (``sequence.tool_call_pairing``): a
+       structurally broken dialogue poisons instruction tuning
+       regardless of its text quality. (Prefix salvage is the
+       ``repair_cut_points`` path; this composition takes the strict
+       drop, the right default for abundant data.)
+    2. **Whole-conversation dedup** — keep the minimum-id
+       conversation per ordered-turn-content fingerprint
+       (``dedup.conversation_fingerprints``): re-based exports of the
+       same dialogue collapse to one.
+    3. **Leakage-safe split** — every turn of a conversation gets the
+       same split label via the engine-portable md5 interval rule
+       (``functions.sampling.split_expr`` on the conversation id).
+
+    Output: the surviving TURNS (all input columns) + ``split``.
+    ``hasher="md5"`` makes the fingerprint stage SQL-replayable so
+    the whole composition is oracle-checkable.
+
+    SCALE: two violations-sized anti-join keys (flagged conversation
+    ids), the fingerprint aggregate's (conv, order, hash) shuffle —
+    text never shuffles — and a map-side split hash. ``plan_budget``
+    audits the composed plan before return (default on, the
+    ``curate`` contract)."""
+    from .functions.sampling import split_expr
+    from .operators.dedup import conversation_fingerprints
+    from .operators.sequence import role_conformance, tool_call_pairing
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bad_auto = (role_conformance(df, part_col, [order_col], role_col,
+                                 transitions=transitions,
+                                 first_roles=first_roles)
+                .select(F.col(part_col)))
+    bad_tool = (tool_call_pairing(df, part_col, [order_col], role_col,
+                                  tool_col)
+                .select(F.col(part_col)))
+    bad = bad_auto.unionByName(bad_tool).distinct()
+    clean = df.join(bad, on=part_col, how="left_anti")
+    fps = conversation_fingerprints(clean, part_col, order_col,
+                                    text_col, hasher=hasher)
+    keep = (fps.groupBy("conv_fp")
+               .agg(F.min(F.col(part_col)).alias(part_col))
+               .select(part_col))
+    out = (clean.join(keep, on=part_col, how="left_semi")
+                .withColumn("split",
+                            split_expr(F.col(part_col).cast("string"),
+                                       fractions, split_salt)))
+    if plan_budget is not None:
+        from .plans.audit import assert_scalable
+        assert_scalable(out, **plan_budget)
+    return out
+
+
 def curation_report(df: DataFrame, eval_set: DataFrame | None = None,
                     text_col: str = "text", id_col: str = "doc_id",
                     min_quality: float = 0.0, shingle_k: int = 8,

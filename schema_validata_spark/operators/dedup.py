@@ -728,7 +728,8 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
 
 def conversation_fingerprints(df: DataFrame, conv_col: str,
                               order_col: str, text_col: str,
-                              fp_col: str = "conv_fp") -> DataFrame:
+                              fp_col: str = "conv_fp",
+                              hasher: str = "xxhash64") -> DataFrame:
     """One (conv, fingerprint, n_turns) row per conversation, where the
     fingerprint hashes the SEQUENCE of turn contents in turn order —
     two conversations match iff their ordered turn texts match, even if
@@ -743,13 +744,28 @@ def conversation_fingerprints(df: DataFrame, conv_col: str,
     only ~2.4 MB of struct), sorted in-memory per group and hashed to
     one 8-byte value. NULL-text turns hash to the engine's stable
     NULL-input value, so they participate in identity rather than
-    silently dropping out of the sequence."""
-    turn = F.struct(F.col(order_col).alias("o"),
-                    F.xxhash64(F.col(text_col)).alias("h"))
+    silently dropping out of the sequence.
+
+    ``hasher="md5"`` (engine-portable verification mode, same family
+    as minhash's): turn hash = md5 of the text with NULL mapped to a
+    documented sentinel ('__NULL__' — collides only with that literal
+    text), fp = md5 of the comma-joined ordered turn hashes — exactly
+    replayable as ``md5(string_agg(md5(...), ',' ORDER BY o))``.
+    Signatures are 32 chars instead of 8 bytes; xxhash64 stays the
+    scale default."""
+    if hasher == "md5":
+        turn = F.struct(F.col(order_col).alias("o"),
+                        F.md5(F.coalesce(F.col(text_col),
+                                         F.lit("__NULL__"))).alias("h"))
+        seq_hash = lambda hs: F.md5(F.concat_ws(",", hs))  # noqa: E731
+    else:
+        turn = F.struct(F.col(order_col).alias("o"),
+                        F.xxhash64(F.col(text_col)).alias("h"))
+        seq_hash = F.xxhash64
     ordered = F.array_sort(F.collect_list(turn))
     hseq = F.transform(ordered, lambda s: s["h"])
     return (df.groupBy(F.col(conv_col))
-              .agg(F.xxhash64(hseq).alias(fp_col),
+              .agg(seq_hash(hseq).alias(fp_col),
                    F.count(F.lit(1)).cast("bigint").alias("n_turns")))
 
 
