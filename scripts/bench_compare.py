@@ -11,8 +11,15 @@ same session, then compares each query's PROBE-NORMALIZED time
 prior normalized time in the history file.
 
 Usage:  python scripts/bench_compare.py [--history BENCH/bench_history.jsonl]
+                                        [--laps N]
 Env:    the same knobs bench.py reads (SPARK_GRAFT_CPUS, BENCH_TURNS,
         BENCH_ONLY, SPARK_GRAFT_SF_DIR).
+
+``--laps`` (default 2) runs the whole bench.py process N times and
+keeps each query's MINIMUM — the flagship does its own in-process
+best-of-laps, but the small (<5 s) headline queries run once per
+process and a single GC pause reads as a fake 50-80% regression;
+process-level best-of-N is what this tracker compares and stores.
 
 Writes:
   * appends one {"ts", "cpus", "probe_wall_s", "lap": <bench json>}
@@ -85,9 +92,17 @@ def main():
     hist_path = os.path.join(REPO, "BENCH", "bench_history.jsonl")
     if "--history" in sys.argv:
         hist_path = sys.argv[sys.argv.index("--history") + 1]
+    n_laps = (int(sys.argv[sys.argv.index("--laps") + 1])
+              if "--laps" in sys.argv else 2)
 
     p = probe(CPUS)
     lap = run_bench()
+    for _ in range(n_laps - 1):
+        nxt = run_bench()
+        for q, s in nxt.get("queries", {}).items():
+            if s < lap["queries"].get(q, float("inf")):
+                lap["queries"][q] = s
+        lap["value"] = round(sum(lap["queries"].values()), 3)
     record = {"ts": datetime.now(timezone.utc).isoformat(
                   timespec="seconds"),
               "cpus": CPUS, "probe_wall_s": p, "lap": lap}
