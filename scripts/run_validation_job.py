@@ -68,6 +68,15 @@ def main(argv=None):
                          "<name>_monotone_trend.parquet (daily "
                          "high-water mark of turn_idx). Diagnostic "
                          "artifacts only — the exit gate is unchanged.")
+    ap.add_argument("--run-log-dir",
+                    help="append this run to the ROLLING error/metadata "
+                         "log tables (report.append_run_log): "
+                         "<dir>/error_log and <dir>/run_log parquet, "
+                         "run_uid-partitioned with dynamic-partition-"
+                         "overwrite upserts — re-running the same "
+                         "content replaces exactly its own rows. The "
+                         "reference example's accumulating log "
+                         "workflow, production-wired.")
     ap.add_argument("--name", default="transcripts")
     args = ap.parse_args(argv)
 
@@ -126,6 +135,11 @@ def main(argv=None):
                       dims=dims, key_cols=["conv_id", "turn_idx"],
                       ignore_errors=[])
     paths = write_report(result, args.out, out_name=args.name)
+    if args.run_log_dir:
+        from schema_validata_spark.report import append_run_log
+        paths.update(append_run_log(result, args.run_log_dir,
+                                    spark=spark,
+                                    extra={"job_name": args.name}))
 
     if args.partition_col and args.manifest:
         sketch_cols = ([c.strip() for c in args.sketch_cols.split(",")

@@ -56,6 +56,7 @@ def test_spark_submit_py_files_job(spark, tmp_path):
          "--sketch-cols", "conv_id,role",
          "--mask-cols", "conv_id,role",
          "--trend-screens",
+         "--run-log-dir", str(tmp_path / "runlog"),
          # budgets: tolerate ALL text-length violations, stay strict on
          # everything else -> the budget gate still fails (exit 3)
          "--budgets", '{"text:length": 1.0}'],
@@ -84,6 +85,11 @@ def test_spark_submit_py_files_job(spark, tmp_path):
         out, "transcripts_mask_stability.parquet")).collect()
     assert {r["column_name"] for r in ms} == {"conv_id", "role"}
     assert all(r["n_partitions"] > 0 for r in ms)
+    # the rolling run log accumulated this run (idempotent upsert)
+    rl = spark.read.parquet(str(tmp_path / "runlog" / "run_log"))
+    assert rl.count() == 1 and rl.first()["dataset"] == "transcripts"
+    assert spark.read.parquet(
+        str(tmp_path / "runlog" / "error_log")).count() > 0
     # the time-bucketed incident screens ran
     ct = spark.read.parquet(os.path.join(
         out, "transcripts_completeness_trend.parquet"))
