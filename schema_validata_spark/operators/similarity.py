@@ -1149,9 +1149,12 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
     per unknown side decides the route. The brute route BROADCASTS the
     query frame (its documented queries ≪ corpus contract), so auto
     mode takes it only when the query side is small too
-    (≤ ``max_brute_queries``); a big query batch against a small
-    corpus routes to trained IVF instead — the index trains on the
-    small side and the query side stays distributed. Explicit
+    (≤ ``max_brute_queries``); a big query batch — even against a
+    small corpus — routes to ``ivf_pq_topk`` (the routing table's
+    last row), whose ``query_mode="join"`` keeps the query side
+    distributed; the trained-IVF route also broadcasts query×probe
+    pairs and is therefore only taken when the query batch is small.
+    Explicit
     ``method=`` overrides: ``"brute" | "ivf" | "ivf_pq" | "lsh"``.
 
     THE LSH FOOTGUN IS GATED: ``method="lsh"`` (the only way to reach

@@ -36,6 +36,8 @@ class PlanAudit:
     n_broadcast_hash_joins: int = 0
     n_shuffle_joins: int = 0            # SortMergeJoin / ShuffledHashJoin
     n_nested_loop_joins: int = 0        # BroadcastNestedLoop + Cartesian
+    n_broadcast_nested_loop_joins: int = 0  # one side broadcast-bounded
+    n_cartesian_products: int = 0       # unbounded both sides — the killer
     n_python_evals: int = 0             # row-at-a-time Python (slow path)
     n_arrow_evals: int = 0              # pandas UDF islands (sanctioned)
     n_scans: int = 0
@@ -79,8 +81,10 @@ def plan_audit(df: DataFrame, need_formatted: bool = True) -> PlanAudit:
     a.n_broadcast_hash_joins = tree.count("BroadcastHashJoin")
     a.n_shuffle_joins = (tree.count("SortMergeJoin")
                          + tree.count("ShuffledHashJoin"))
-    a.n_nested_loop_joins = (tree.count("BroadcastNestedLoopJoin")
-                             + tree.count("CartesianProduct"))
+    a.n_broadcast_nested_loop_joins = tree.count("BroadcastNestedLoopJoin")
+    a.n_cartesian_products = tree.count("CartesianProduct")
+    a.n_nested_loop_joins = (a.n_broadcast_nested_loop_joins
+                             + a.n_cartesian_products)
     a.n_python_evals = tree.count("BatchEvalPython")
     a.n_arrow_evals = (tree.count("ArrowEvalPython")
                        + tree.count("MapInPandas")
@@ -102,6 +106,7 @@ def plan_audit(df: DataFrame, need_formatted: bool = True) -> PlanAudit:
 def assert_scalable(df: DataFrame, *, max_exchanges: int | None = None,
                     allow_global_sort: bool = False,
                     allow_nested_loop: bool = False,
+                    allow_broadcast_nested_loop: bool = False,
                     allow_python_rowpath: bool = False,
                     max_scan_width: int | None = None) -> PlanAudit:
     """Gate a composed query on its plan shape; raises ``ValueError``
@@ -114,10 +119,17 @@ def assert_scalable(df: DataFrame, *, max_exchanges: int | None = None,
 
     Two deliberate patterns need their flag relaxed: a crossJoin of a
     broadcast 1-row stats frame PRINTS as BroadcastNestedLoopJoin
-    (cardinality is invisible statically — pass allow_nested_loop
-    when that is the documented shape), and a final orderBy of an
-    aggregate-sized frame for deterministic output is a global sort
-    of metadata, not of data (pass allow_global_sort)."""
+    (cardinality is invisible statically — pass
+    allow_broadcast_nested_loop when that is the documented shape;
+    allow_nested_loop additionally tolerates CartesianProduct), and a
+    final orderBy of an aggregate-sized frame for deterministic output
+    is a global sort of metadata, not of data (pass
+    allow_global_sort). allow_broadcast_nested_loop only admits joins
+    whose one side already fit under the broadcast threshold — output
+    cardinality is bounded by |big side| x |broadcast rows|, which the
+    sanctioned 1-row scorer crossJoins keep at |big side|; a
+    CartesianProduct (both sides distributed) stays forbidden under
+    it."""
     a = plan_audit(df, need_formatted=max_scan_width is not None)
     problems = []
     if max_exchanges is not None and a.n_exchanges > max_exchanges:
@@ -126,9 +138,18 @@ def assert_scalable(df: DataFrame, *, max_exchanges: int | None = None,
     if not allow_global_sort and a.has_global_sort:
         problems.append(f"{a.n_range_exchanges} global-sort "
                         "range exchange(s)")
-    if not allow_nested_loop and a.n_nested_loop_joins:
-        problems.append(f"{a.n_nested_loop_joins} nested-loop/cartesian "
-                        "join(s)")
+    if not allow_nested_loop:
+        if a.n_cartesian_products:
+            problems.append(f"{a.n_cartesian_products} nested-loop/"
+                            "cartesian join(s) (CartesianProduct — "
+                            "both sides distributed)")
+        if a.n_broadcast_nested_loop_joins \
+                and not allow_broadcast_nested_loop:
+            problems.append(f"{a.n_broadcast_nested_loop_joins} "
+                            "nested-loop/cartesian join(s) "
+                            "(BroadcastNestedLoopJoin — pass "
+                            "allow_broadcast_nested_loop if this is a "
+                            "sanctioned bounded-broadcast crossJoin)")
     if not allow_python_rowpath and a.n_python_evals:
         problems.append(f"{a.n_python_evals} row-at-a-time Python "
                         "eval(s)")

@@ -69,7 +69,14 @@ def append_run_log(result: ValidationResult, log_dir: str, spark=None,
     written with dynamic partition overwrite — re-logging the same run
     replaces exactly that uid's partition and never rewrites other
     runs. The uid is content-derived (data × rules), so identical
-    re-runs converge to identical log rows. At fleet scale this is an
+    re-runs converge to identical KEYS and error/metadata content;
+    the ``ts`` column is deliberately NOT part of run identity — it
+    records the LAST wall-clock time the run was logged (each
+    re-log rewrites the partition with a fresh stamp). Consequence
+    for ``run_log_regressions``: its (ts, run_uid) ordering reflects
+    logging order, so re-logging old runs out of order moves them in
+    the comparison sequence — re-log in run order, or treat ts as
+    "last seen", not "first run". At fleet scale this is an
     ordinary partition-pruned parquet table: per-run writes touch one
     partition, dashboard reads filter on run_uid/ts, and there is no
     read-modify-write of history (the reference's pandas upsert

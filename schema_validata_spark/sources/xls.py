@@ -232,7 +232,10 @@ def _xl_serial_to_dt(value, date1904: bool = False):
     # yyyymmdd integer like 20250815 sitting in a date-formatted
     # column) stay NUMBERS: degrade per-cell like xlrd/pandas instead
     # of throwing OverflowError and killing the whole workbook read.
-    if f < 0 or f > 2_958_465:             # 2958465 = 9999-12-31
+    # The 9999-12-31 serial is epoch-specific: the 1904 base sits
+    # 1,462 days later, so its bound is 2,957,003 — using the 1900
+    # bound there would let serials 2,957,004–2,958,465 overflow.
+    if f < 0 or f > (2_957_003 if date1904 else 2_958_465):
         return value
     days = int(f)
     secs = round((f - days) * 86400)

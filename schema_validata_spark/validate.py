@@ -47,10 +47,17 @@ from .operators.violations import (CheckSpec, get_best_uid_column,
                                    value_errors_df, violation_plan_for)
 from .rules import Rules
 
-# Default-on scale gate for composed entry points: {} means "the
-# assert_scalable defaults" (forbid global sorts, nested-loop joins,
-# row-at-a-time Python); None opts out entirely.
-PLAN_BUDGET_DEFAULT: dict = {}
+# Default-on scale gate for composed entry points: forbid global
+# sorts, CartesianProducts, and row-at-a-time Python, but tolerate
+# BroadcastNestedLoopJoin — the library's own sanctioned 1-row
+# broadcast crossJoin scorers (functions/text.py OOV/TF-IDF totals,
+# functions/sampling.py share caps) plan as BNLJ, and their output
+# cardinality is bounded by the broadcast threshold, so a caller
+# feeding an already-scored frame into validate()/curate() must not
+# be rejected for the library's own pattern. Pass a stricter dict
+# (e.g. {"allow_broadcast_nested_loop": False}) to tighten, or None
+# to opt out entirely.
+PLAN_BUDGET_DEFAULT: dict = {"allow_broadcast_nested_loop": True}
 
 
 def _speculative_specs(df: DataFrame, rules: Rules,

@@ -75,7 +75,29 @@ def run_bench() -> dict:
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit("bench.py failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return parse_lap_stdout(out.stdout)
+
+
+def parse_lap_stdout(stdout: str) -> dict:
+    """Extract the bench lap dict from bench.py stdout. Spark/JVM
+    chatter can land on stdout after the JSON line — scan from the end
+    for the first parseable lap instead of assuming the last line is
+    it, and fail with the offending tail, not a bare
+    JSONDecodeError/KeyError."""
+    lines = [ln for ln in stdout.strip().splitlines() if ln.strip()]
+    for ln in reversed(lines):
+        try:
+            lap = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(lap, dict) and isinstance(lap.get("queries"), dict):
+            return lap
+        got = (sorted(lap)[:10] if isinstance(lap, dict)
+               else type(lap).__name__)
+        raise SystemExit("bench.py emitted JSON without a 'queries' "
+                         f"dict — got {got}")
+    raise SystemExit("no JSON lap line found in bench.py stdout; tail:\n"
+                     + "\n".join(lines[-5:]))
 
 
 def verdict(ratio: float) -> str:
