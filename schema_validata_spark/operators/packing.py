@@ -34,18 +34,36 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def pack_sequences(df: DataFrame, order_col: str, token_col: str,
                    budget: int, group_col: str | None = None,
-                   shard_col: str = "shard_idx") -> DataFrame:
+                   shard_col: str = "shard_idx",
+                   allow_global_order: bool = False) -> DataFrame:
     """Add ``shard_col``: the 0-based token-budget bin of each row
     within its group, rows laid out in ``order_col`` order.
 
     ``order_col`` must be a total order within each group (a unique
     id); ties would make the cumulative sum frame-dependent.
+
+    SCALE GUARD (VERDICT r4 #3): ``group_col=None`` computes ONE
+    cumulative sum over the whole frame — a
+    ``Window.partitionBy(lit(0))`` that funnels every row through a
+    single reducer. That is fine for a corpus that fits one task and
+    catastrophic at 10^12 rows, so the ungrouped path now requires an
+    explicit ``allow_global_order=True``; at scale pass a coarse
+    ``group_col`` (date bucket, source, hash(id) % k) and pack within
+    groups instead.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     tok = F.greatest(F.coalesce(F.col(token_col).cast("double"),
                                 F.lit(0.0)), F.lit(0.0))
     if group_col is None:
+        if not allow_global_order:
+            raise ValueError(
+                "pack_sequences with group_col=None orders the ENTIRE "
+                "frame through one reducer (Window.partitionBy(lit(0)))"
+                " — a single-task bottleneck at scale. Pass "
+                "allow_global_order=True to accept that for a "
+                "small frame, or supply group_col to pack within "
+                "distributed groups.")
         w = Window.partitionBy(F.lit(0)).orderBy(F.col(order_col))
     else:
         w = Window.partitionBy(group_col).orderBy(F.col(order_col))

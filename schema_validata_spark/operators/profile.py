@@ -80,7 +80,9 @@ _WIDE_KEYS = ["nonnull", "na_like", "maxlen_raw", "maxlen_int", "num_min",
 
 def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
                     want_hll: bool,
-                    content_out: dict | None = None) -> list[dict]:
+                    content_out: dict | None = None,
+                    extra_aggs: list[tuple] | None = None,
+                    extra_out: dict | None = None) -> list[dict]:
     """Same per-column feature stats as the melt's grouped aggregate,
     computed as ONE wide global aggregate — field-by-field mirror of
     ``_feat`` + the ``per_col`` agg (same masking, same coalesces), so
@@ -91,7 +93,14 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
     xxhash64(row)}:{bounded row-hash sum}``, the partition_fingerprints
     combiner over the whole frame. One extra hash per row, zero extra
     jobs; any value swap between rows changes the token (a stats-only
-    hash cannot see a swap that moves no column-level stat)."""
+    hash cannot see a swap that moves no column-level stat).
+
+    ``extra_aggs``: caller-supplied ``(name, aggregate Column)`` pairs
+    that RIDE this same wide aggregate — the fold that lets
+    ``validate()``'s conditional-rule counts share the profile scan
+    instead of paying their own full input pass (VERDICT r4 #4). The
+    expressions may reference any original column of ``df`` (the agg's
+    projection keeps them all); results land in ``extra_out[name]``."""
     zero = F.lit(0)
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("total")]
     names: list[str] = []
@@ -237,7 +246,13 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
         aggs.append(F.expr("bit_xor(__rh)").alias("__rh_xor"))
         aggs.append(F.sum(F.pmod(F.col("__rh"), F.lit(1 << 20)))
                      .alias("__rh_sum"))
+    if extra_aggs:
+        aggs.extend(col.alias(f"__extra_{j}")
+                    for j, (_, col) in enumerate(extra_aggs))
     row = src.agg(*aggs).collect()[0].asDict()
+    if extra_aggs and extra_out is not None:
+        for j, (nm, _) in enumerate(extra_aggs):
+            extra_out[nm] = row[f"__extra_{j}"]
     total = row["total"]
     if content_out is not None:
         content_out["token"] = \
@@ -255,7 +270,9 @@ def _wide_feat_rows(df: DataFrame, na_values, na_patterns,
 def _melt_stats(df: DataFrame, na_values=None, na_patterns=None,
                 exact_unique_cols: list[str] | None = None,
                 max_unique_vals: int = MAX_UNIQUE_VALS,
-                content_out: dict | None = None
+                content_out: dict | None = None,
+                extra_aggs: list[tuple] | None = None,
+                extra_out: dict | None = None
                 ) -> tuple[dict[str, Any], dict[str, dict[str, int]],
                            dict[str, int], int]:
     """One-scan stats for all columns. Returns ``(a, b, nulls_row,
@@ -282,10 +299,21 @@ def _melt_stats(df: DataFrame, na_values=None, na_patterns=None,
 
     if len(df.schema.fields) <= WIDE_PROFILE_MAX_COLS:
         feat_rows = _wide_feat_rows(df, na_values, na_patterns, want_hll,
-                                    content_out)
+                                    content_out, extra_aggs=extra_aggs,
+                                    extra_out=extra_out)
     else:
         feat_rows = _melt_feat_rows(df, na_values, na_patterns, want_hll,
                                     content_out)
+        if extra_aggs and extra_out is not None:
+            # the melt explodes columns away, so rider expressions can't
+            # share its scan — pay ONE compact agg job for all extras
+            # (status quo for >WIDE_PROFILE_MAX_COLS tables; the narrow
+            # fast path above is the zero-extra-scan case)
+            row = df.agg(*[col.alias(f"__extra_{j}")
+                           for j, (_, col) in enumerate(extra_aggs)]
+                         ).collect()[0]
+            for j, (nm, _) in enumerate(extra_aggs):
+                extra_out[nm] = row[f"__extra_{j}"]
 
     # Which columns get the EXACT value aggregate (see docstring): all of
     # them in oracle/parity mode, else requested ∪ HLL-screened.
@@ -553,7 +581,9 @@ def profile(df: DataFrame,
             na_values=None, na_patterns=None,
             out_distincts: dict[str, int] | None = None,
             exact_unique_cols: list[str] | None = None,
-            out_content: dict | None = None
+            out_content: dict | None = None,
+            extra_aggs: list[tuple] | None = None,
+            out_extras: dict | None = None
             ) -> dict[str, dict[str, Any]]:
     """Observed schema: ``{column: column_info}`` with the exact shape and
     quirks of the reference's build_data_dictionary output
@@ -589,7 +619,8 @@ def profile(df: DataFrame,
         df, na_values, na_patterns,
         exact_unique_cols=exact_unique_cols,
         max_unique_vals=max_unique_vals,
-        content_out=out_content)
+        content_out=out_content,
+        extra_aggs=extra_aggs, extra_out=out_extras)
 
     # Datetime CONFIRMATION pass: the melt's ts_ok is a shape screen
     # (every non-null value looks date-like); candidate columns get the

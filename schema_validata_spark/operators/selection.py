@@ -185,7 +185,9 @@ def scd2_history(df: DataFrame, key_cols: list[str], ts_col: str,
 
 
 def quantile_normalize(df: DataFrame, score_col: str,
-                       group_col: str, id_col: str) -> DataFrame:
+                       group_col: str, id_col: str,
+                       method: str = "exact",
+                       bins: int = 1000) -> DataFrame:
     """Cross-source score calibration TRANSFORM (the fix for what
     ``quality_calibration`` measures): each row's score is replaced by
     the GLOBAL score-distribution value at the row's WITHIN-SOURCE
@@ -203,15 +205,54 @@ def quantile_normalize(df: DataFrame, score_col: str,
 
     Output per row: id, group, score, src_pctl, normalized (6dp).
 
-    SCALE: two rank windows (per-source, global) + two joins against
-    the rank-indexed global value frame. The global window is a total
-    sort — at 10^12 rows swap the exact global frame for the
-    equi-depth-histogram quantile map; this exact form is the
-    oracle-checkable contract (same note as quality_calibration)."""
+    ``method`` (VERDICT r4 #3 — the documented at-scale swap, now a
+    kwarg):
+
+    * ``"exact"`` (default): interpolated against the rank-indexed
+      global value frame — a GLOBAL row_number window (total sort of
+      the corpus). The oracle-checkable contract; fine to ~10^8 rows.
+    * ``"equidepth"``: the global frame is replaced by a
+      ``bins``-point approximate inverse-CDF (one
+      ``percentile_approx`` aggregate — a mergeable sketch, no global
+      sort, no rank joins); each row interpolates linearly inside its
+      percentile bin of that edge vector, broadcast as one row. Error
+      is bounded by the within-bin value range (priced by
+      ``quantile_map_accuracy``); the within-source percent_rank
+      window remains — it partitions by source, not globally.
+
+    SCALE: exact = two rank windows (per-source, global) + two joins
+    against the rank-indexed global value frame; equidepth = one
+    per-source rank window + one sketch aggregate + a broadcast
+    crossJoin, raw rows never globally sorted and never joined."""
+    if method not in ("exact", "equidepth"):
+        raise ValueError(f"method must be 'exact' or 'equidepth', "
+                         f"got {method!r}")
     s, g, i = F.col(score_col), F.col(group_col), F.col(id_col)
     base = (df.where(s.isNotNull() & g.isNotNull() & i.isNotNull())
             .select(i.alias("id"), g.cast("string").alias("group"),
                     s.cast("double").alias("score")))
+    if method == "equidepth":
+        if bins < 1:
+            raise ValueError("bins must be >= 1")
+        qs = [j / bins for j in range(bins + 1)]
+        edges = base.agg(F.percentile_approx(
+            "score", F.array(*[F.lit(q) for q in qs]),
+            F.lit(10_000)).alias("__e"))
+        p = F.percent_rank().over(
+            Window.partitionBy("group").orderBy("score"))
+        ranked = (base.select("id", "group", "score",
+                              p.alias("src_pctl"))
+                  .crossJoin(F.broadcast(edges)))
+        pos = F.col("src_pctl") * float(bins)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        vlo = F.element_at("__e", lo + 1)
+        vhi = F.element_at("__e", F.least(lo + 2, F.lit(bins + 1)))
+        return ranked.select(
+            "id", "group", "score",
+            F.round("src_pctl", 6).alias("src_pctl"),
+            F.round(vlo * (1.0 - frac) + vhi * frac, 6)
+             .alias("normalized"))
     n_tot = base.select(F.count(F.lit(1)).alias("__n"))
     glob = base.select(
         F.col("score").alias("__v"),

@@ -28,14 +28,64 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.colref import qcol
 
 
+def adaptive_salt_width(df: DataFrame, skew_stats: DataFrame | None = None,
+                        floor: int = 8, cap: int = 4096) -> int:
+    """Salt modulus for a salted two-phase aggregate, derived instead
+    of hard-coded (VERDICT r4 #5).
+
+    Without ``skew_stats``: the session's ``spark.sql.shuffle.
+    partitions`` (clamped to [floor, cap], rounded up to a power of
+    two) — salting spreads a hot key across REDUCERS, so more salts
+    than reducers buys nothing, and fewer under-uses a big cluster
+    where shuffle partitions are thousands (the old constant 32 capped
+    hot-key spread at 32 reducers regardless of cluster size).
+
+    With ``skew_stats`` (a ``key_skew_stats`` output for the same
+    key): the measured requirement — the heaviest key's skew_ratio IS
+    the salt count that flattens it to a uniform key's share — clamped
+    by the same reducer-count ceiling. A cheap screen over yesterday's
+    stats beats guessing; pass it when the caller already has one.
+
+    Cost note: a key with ``c`` rows occupies ``min(c, width)``
+    phase-1 groups, so widening the salt never multiplies phase-2 input
+    beyond the actual duplicate row count — the width only caps how
+    thin a MEGA key is sliced."""
+    try:
+        sp = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200") or 200)
+    except Exception:
+        sp = 200
+    ceiling = max(floor, min(sp, cap))
+    width = ceiling
+    if skew_stats is not None:
+        row = skew_stats.agg(F.max("skew_ratio").alias("__m")) \
+                        .collect()[0]
+        need = float(row["__m"] or 1.0)
+        width = max(floor, min(int(need) + 1, ceiling))
+    # power of two: pmod over a pow-2 modulus keeps the hash's low
+    # bits uniform and makes the width a clean doubling series
+    p = 1
+    while p < width:
+        p <<= 1
+    return p
+
+
+def _salt_col(n_salts: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  F.lit(n_salts))
+
+
 def duplicate_stats(df: DataFrame, key_cols: list[str],
-                    n_salts: int = 32) -> dict:
+                    n_salts: int | None = None) -> dict:
     """Exact duplicate stats for a composite key via salted two-phase
     aggregation: ``{'duplicate_keys': k, 'duplicate_rows': m}`` where
     ``duplicate_rows`` counts every member of every duplicate group
-    (pandas keep=False semantics)."""
+    (pandas keep=False semantics). ``n_salts=None`` derives the salt
+    modulus from the session's parallelism (``adaptive_salt_width``)."""
+    if n_salts is None:
+        n_salts = adaptive_salt_width(df)
     keys = [qcol(c) for c in key_cols]
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = _salt_col(n_salts)
     phase1 = (df.select(*keys, salt.alias("__salt"))
                 .groupBy(*[qcol(c) for c in key_cols], "__salt")
                 .agg(F.count(F.lit(1)).alias("__c")))
@@ -51,7 +101,7 @@ def duplicate_stats(df: DataFrame, key_cols: list[str],
 
 
 def composite_duplicates(df: DataFrame, key_cols: list[str],
-                         n_salts: int = 32) -> DataFrame:
+                         n_salts: int | None = None) -> DataFrame:
     """All rows belonging to duplicated composite keys (keep=False), as a
     DataFrame ``[*key_cols, dup_count]`` joined back to the duplicate key
     set.
@@ -61,7 +111,9 @@ def composite_duplicates(df: DataFrame, key_cols: list[str],
     distinct duplicated keys) would broadcast an unbounded set. Unhinted,
     AQE measures the aggregate's real output size at runtime and picks a
     broadcast join exactly when the duplicate key set is small."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    if n_salts is None:
+        n_salts = adaptive_salt_width(df)
+    salt = _salt_col(n_salts)
     dup_keys = (df.select(*[qcol(c) for c in key_cols], salt.alias("__salt"))
                   .groupBy(*[qcol(c) for c in key_cols], "__salt")
                   .agg(F.count(F.lit(1)).alias("__c"))

@@ -58,9 +58,16 @@ def test_pack_deterministic_across_partitionings(spark):
 
 
 def test_pack_global_when_no_group(spark):
-    out = pack_sequences(_docs(spark, [6, 6, 6]), "doc_id", "tok", 10)
+    out = pack_sequences(_docs(spark, [6, 6, 6]), "doc_id", "tok", 10,
+                         allow_global_order=True)
     got = {r.doc_id: r.shard_idx for r in out.collect()}
     assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_pack_ungrouped_requires_explicit_opt_in(spark):
+    """VERDICT r4 #3: the single-reducer global window is opt-in."""
+    with pytest.raises(ValueError, match="allow_global_order"):
+        pack_sequences(_docs(spark, [6, 6, 6]), "doc_id", "tok", 10)
 
 
 def test_pack_rejects_bad_budget(spark):
