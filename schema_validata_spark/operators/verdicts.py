@@ -75,7 +75,14 @@ def get_dict_diffs(expected: dict, observed: dict) -> dict:
             # bool-typed. Booleans are compared by parsed value instead.
             obs = observed[key]
             if isinstance(obs, str):
-                obs = obs == "True"
+                # the reference's observed dict arrives with its
+                # 'True'/'False' strings already revived to bools by
+                # the dataset_schema_to_json literal round-trip
+                # (eval_nested_string_literals, :330-370) — mirror
+                # that here so the recorded observed value matches the
+                # reference's report byte-for-byte, not just the
+                # verdict
+                obs = observed[key] = obs == "True"
             if bool(obs) != value:
                 mismatches[key] = {"expected": value, "observed": observed[key]}
         else:

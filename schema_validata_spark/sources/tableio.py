@@ -26,6 +26,75 @@ def get_byte_units(size_bytes: int) -> str:
     return f"{s} : {size_name[i]}"
 
 
+def get_md5_hash(file_path: str) -> str:
+    """MD5 of a file's bytes — the reference's run-identity component
+    (src/schema_validata.py:190-213, same 8 KiB chunking)."""
+    import hashlib
+    with open(file_path, "rb") as fh:
+        h = hashlib.md5()
+        while True:
+            chunk = fh.read(8192)
+            if not chunk:
+                break
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def get_spreadsheet_metadata(file_path: str) -> dict:
+    """FILE-level metadata twin of the reference's
+    ``get_spreadsheet_metadata`` (src/schema_validata.py:223-277): one
+    entry per sheet (CSV key = file base name, :774) with the same keys
+    and string formatting — file path/name/type, thousands-separated
+    sizes and counts, byte-unit string, content MD5, created/modified
+    ISO stamps. The reference report's ``uid`` is
+    ``{dataset file_md5_hash}_{data dict file_md5_hash}`` (:2680);
+    this twin lets the engine reproduce that identity exactly.
+
+    Driver-side stdlib I/O (csv module / sources.xlsx OOXML reader) —
+    these are config-sized authoring files, never the 100-TB table
+    (which goes through TableIO.metadata instead)."""
+    import csv
+    import os
+    from datetime import datetime
+
+    filename = os.path.basename(file_path)
+    base_name, ext = os.path.splitext(filename)
+    statinfo = os.stat(file_path)
+    create_date = datetime.fromtimestamp(statinfo.st_ctime).isoformat()
+    modified_date = datetime.fromtimestamp(statinfo.st_mtime).isoformat()
+
+    sheets: dict[str, tuple[int, int]] = {}   # name -> (rows, cols)
+    if ext.lower() == ".csv":
+        from .readers import detect_file_encoding
+        enc = detect_file_encoding(file_path)
+        with open(file_path, newline="", encoding=enc) as fh:
+            rows = list(csv.reader(fh))
+        n_cols = len(rows[0]) if rows else 0
+        sheets[base_name] = (max(0, len(rows) - 1), n_cols)
+    else:
+        from .xlsx import read_xlsx
+        for name, rows in read_xlsx(file_path).items():
+            n_cols = len(rows[0]) if rows else 0
+            sheets[name] = (max(0, len(rows) - 1), n_cols)
+
+    file_hash = get_md5_hash(file_path)
+    out = {}
+    for name, (n_rows, n_cols) in sheets.items():
+        out[name] = {
+            "file_path": file_path,
+            "file_name": filename,
+            "file_type": ext,
+            "file_size_bytes": f"{statinfo.st_size:,}",
+            "file_size_memory_unit": get_byte_units(int(statinfo.st_size)),
+            "record_qty": f"{n_rows:,}",
+            "column_qty": f"{n_cols:,}",
+            "file_md5_hash": file_hash,
+            "created": create_date,
+            "modified": modified_date,
+        }
+    return out
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(

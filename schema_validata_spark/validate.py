@@ -550,6 +550,161 @@ def validate_datasets(spark: SparkSession,
         schema_mapping=active, dropped_mappings=dropped)
 
 
+_REF_META_KEYS = {"created", "file_md5_hash", "file_name", "file_path",
+                  "file_type", "modified"}
+
+
+def validate_files(spark: SparkSession, dataset_path: str,
+                   data_dict_path: str,
+                   schema_mapping: list[dict[str, str]],
+                   list_errors: bool = True,
+                   out_dir: str | None = None,
+                   out_name: str | None = None,
+                   ignore_errors: list[str] | None = None,
+                   max_value_errors: int | None = 100_000) -> dict:
+    """DROP-IN file-path twin of the reference's ``validate_dataset``
+    (src/schema_validata.py:2607-2712): same signature shape, same
+    returned dict — ``{uid: {run_metadata, dataset_metadata,
+    data_dict_metadata, results: {sheet: {schema_violations,
+    value_errors}}}}`` with
+
+    * ``uid = f"{dataset file_md5}_{data dict file_md5}"`` (:2680),
+      reproduced byte-identically via the file-metadata twin;
+    * dataset/data-dict metadata dicts with the reference's exact keys
+      and string formatting (:253-266, filtered :2655-2659);
+    * ``value_errors`` in the reference's columnar ``to_json`` shape
+      (:2595-2602) with its exact column names — 'Sheet Row'
+      (1-based + header, :2186), 'Error Type', 'Column Name',
+      'Error Value' (native-typed per the source column), 'Lookup
+      Column'/'Lookup Value' (best-uid, :2530-2532);
+    * ``ignore_errors`` defaults to ``['allow_null']`` (:2615).
+
+    DOCUMENTED DIVERGENCES (each deliberate): (1) value-error rows are
+    emitted in deterministic (Sheet Row, Column Name, Error Type)
+    order — the reference's order is its per-check append order;
+    compare as multisets. (2) the two reference bugs fixed in
+    ``operators/verdicts.py`` (bool-cast diff, zero-count KeyError)
+    apply here too. (3) ``max_value_errors`` caps the driver collect
+    (the reference has no cap).
+
+    This is the authoring-scale entry (a CSV/workbook + an XLSX data
+    dictionary); the 100-TB table path is :func:`validate` /
+    ``validate_datasets`` over DataFrames."""
+    import os
+    from datetime import datetime, timezone
+    from pyspark.sql import Window
+
+    from .sources.readers import read_spreadsheet
+    from .sources.tableio import get_spreadsheet_metadata
+
+    ignore_errors = DEFAULT_IGNORE_ERRORS if ignore_errors is None \
+        else ignore_errors
+    cur_ts = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+    ds_meta = get_spreadsheet_metadata(dataset_path)
+    dd_meta_all = get_spreadsheet_metadata(data_dict_path)
+    dd_meta = {k: v for k, v in
+               dd_meta_all[next(iter(dd_meta_all))].items()
+               if k in _REF_META_KEYS}
+
+    rules_all = Rules.from_xlsx(data_dict_path)
+
+    # reference sheet keying: csv key = file base name (:774)
+    datasets: dict[str, DataFrame] = {}
+    types_by_ds: dict[str, dict[str, str]] = {}
+    ext = os.path.splitext(dataset_path)[1].lower()
+    for sheet in ds_meta:
+        df = read_spreadsheet(spark, dataset_path,
+                              sheet_name=None if ext == ".csv" else sheet)
+        # 'Sheet Row' = data row ordinal + 2 (pandas idx+2, :2186).
+        # File order: both the multiLine CSV read (one task) and the
+        # workbook reader (driver rows) preserve it, so the partition-
+        # ordered monotonic id ranks rows in file order. Authoring-
+        # scale files only — the single-partition window is fine here.
+        w = Window.orderBy(F.monotonically_increasing_id())
+        datasets[sheet] = df.withColumn(
+            "__sheet_row", F.row_number().over(w) + 1)
+        types_by_ds[sheet] = {f.name: f.dataType.simpleString()
+                              for f in df.schema.fields}
+
+    multi = validate_datasets(
+        spark, datasets, rules_all, schema_mapping,
+        list_errors=list_errors, ignore_errors=ignore_errors,
+        key_cols={name: ["__sheet_row"] for name in datasets})
+
+    uid = (f"{ds_meta[next(iter(ds_meta))]['file_md5_hash']}"
+           f"_{dd_meta['file_md5_hash']}")
+    results: dict[str, dict] = {}
+    for name, res in multi.results.items():
+        section: dict = {"schema_violations": res.schema_violations}
+        if list_errors and res.violations is not None:
+            rows = (res.violations.limit(max_value_errors)
+                    if max_value_errors is not None
+                    else res.violations).collect()
+            recs = []
+            for r in rows:
+                d = r.asDict()
+                col = d.get("column_name")
+                recs.append({
+                    "Sheet Row": d.get("__sheet_row"),
+                    "Error Type": d.get("error_type"),
+                    "Column Name": col,
+                    "Error Value": _native_value(
+                        d.get("error_value"),
+                        types_by_ds[name].get(col)),
+                    "Lookup Column": d.get("lookup_column"),
+                    "Lookup Value": _native_value(
+                        d.get("lookup_value"),
+                        types_by_ds[name].get(d.get("lookup_column"))),
+                })
+            recs.sort(key=lambda x: (x["Sheet Row"] is None,
+                                     x["Sheet Row"],
+                                     str(x["Column Name"]),
+                                     str(x["Error Type"]),
+                                     str(x["Error Value"])))
+            cols = ["Sheet Row", "Error Type", "Column Name",
+                    "Error Value", "Lookup Column", "Lookup Value"]
+            section["value_errors"] = (
+                {c: {str(i): rec[c] for i, rec in enumerate(recs)}
+                 for c in cols} if recs else [])
+        elif list_errors:
+            section["value_errors"] = []
+        results[name] = section
+        res.unpersist()
+
+    out = {uid: {
+        "run_metadata": {"start_time": cur_ts,
+                         "schema_mapping": schema_mapping},
+        "dataset_metadata": ds_meta[next(iter(ds_meta))],
+        "data_dict_metadata": dd_meta,
+        "results": results,
+    }}
+    if bool(out_dir) and bool(out_name):
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{out_name}_({uid}).json")
+        with open(path, "w") as fh:
+            fh.write(json.dumps(out, indent=4, sort_keys=True,
+                                default=str))
+    return out
+
+
+def _native_value(v, dtype: str | None):
+    """Reference value errors carry NATIVE cell values (row[col],
+    src/schema_validata.py:2189); the engine's columnar union frame
+    carries display strings. Restore by source-column dtype."""
+    if v is None or dtype is None:
+        return v
+    try:
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return int(v)
+        if dtype in ("float", "double") or dtype.startswith("decimal"):
+            return float(v)
+        if dtype == "boolean":
+            return v if isinstance(v, bool) else v == "True"
+    except (TypeError, ValueError):
+        return v
+    return v
+
+
 def partition_verdicts(df: DataFrame, rules: Rules, partition_col: str,
                        dims: dict[str, DataFrame] | None = None) -> DataFrame:
     """Per-partition pass/fail verdicts: ONE ``groupBy(partition)``

@@ -12,15 +12,19 @@ new engine on the same rows via Spark, then compares:
 * ``value_errors_*`` — row-level violations as sets.
 
 Documented divergences (deliberate, reference file:line cited):
-1. bool-cast bug: ``get_dict_diffs`` casts observed 'False' via
-   ``bool('False') is True`` (src/schema_validata.py:1738), so the
-   reference can NEVER flag a unique_value violation from profiled
-   stats, and wrongly diffs allow_null=False columns with zero nulls.
-   We compare parsed booleans instead.
+1. bool-cast hazard: ``get_dict_diffs`` casts an observed 'False'
+   STRING via ``bool('False') is True`` (src/schema_validata.py:1738).
+   In the real validate_dataset flow the observed dict is revived to
+   bools first (eval_nested_string_literals, :1522-1523), so end-to-end
+   both engines agree byte-for-byte; fed RAW build_data_dictionary
+   output the reference misses unique_value/allow_null mismatches
+   while our get_dict_diffs parses string-booleans itself and still
+   flags them (see test_verdict_divergence_unique_value_bug).
 2. zero-count crash: the reference only sets the ``{count}`` template
    value when truthy (:2121-2128) and raises KeyError formatting the
-   allow_null message for a column with allow_null=False and zero
-   nulls. We default the count to 0.
+   allow_null message when a flagged column reports a zero count
+   (reachable via the raw-string flow above). We default the count
+   to 0.
 """
 
 from __future__ import annotations
@@ -103,7 +107,14 @@ MAPPING = [{"dataset": "movies", "data_dict": "MOVIES_SCHEMA"}]
 
 
 def test_verdict_parity_byte_identical(spark, spark_movies):
-    obs_ref = {"movies": ref.build_data_dictionary(MOVIES.copy())}
+    # the reference's REAL pipeline revives 'True'/'False' strings to
+    # bools between profiling and verdicts (dataset_schema_to_json →
+    # eval_nested_string_literals, src/schema_validata.py:1522-1523)
+    # before validate_schema ever sees them — mirror that step here so
+    # the component test matches the validate_dataset end-to-end flow
+    # (our get_dict_diffs performs the same revival internally)
+    obs_ref = ref.eval_nested_string_literals(
+        {"movies": ref.build_data_dictionary(MOVIES.copy())})
     theirs = ref.validate_schema(copy.deepcopy(obs_ref),
                                  copy.deepcopy(RULES),
                                  copy.deepcopy(MAPPING))
@@ -118,25 +129,40 @@ def test_verdict_parity_byte_identical(spark, spark_movies):
 
 
 def test_verdict_divergence_unique_value_bug(spark, spark_movies):
-    """The reference's bool-cast bug (:1738) silently drops unique_value
-    violations; we flag them. Everything else stays byte-identical."""
+    """The reference's bool-cast hazard (:1738 — bool('False') is True)
+    only bites when validate_schema is fed RAW build_data_dictionary
+    output, whose booleans are still 'True'/'False' STRINGS; the real
+    validate_dataset pipeline revives them to bools first
+    (eval_nested_string_literals, :1522-1523), after which the
+    reference flags unique_value violations correctly. Our engine flags
+    them byte-identically in BOTH cases — get_dict_diffs parses
+    string-booleans itself, so it cannot be derailed by a caller
+    skipping the revival step."""
     rules = copy.deepcopy(RULES)
     rules["MOVIES_SCHEMA"]["title"]["unique_value"] = True
-    obs_ref = {"movies": ref.build_data_dictionary(MOVIES.copy())}
-    theirs = ref.validate_schema(copy.deepcopy(obs_ref), copy.deepcopy(rules),
+    raw_obs = {"movies": ref.build_data_dictionary(MOVIES.copy())}
+    revived = ref.eval_nested_string_literals(copy.deepcopy(raw_obs))
+    theirs = ref.validate_schema(copy.deepcopy(revived),
+                                 copy.deepcopy(rules),
                                  copy.deepcopy(MAPPING))
     ours = validate_schema({"movies": profile(spark_movies)},
                            copy.deepcopy(rules), copy.deepcopy(MAPPING))
     t = _norm(theirs["movies"]["schema_violations"])
     o = _norm(ours["movies"]["schema_violations"])
-    # we flag the duplicate titles; the reference misses them
-    assert "unique_value" in o["title"] and "unique_value" not in t["title"]
+    # end-to-end (revived) flow: both engines flag, byte-identically
+    assert o["title"]["unique_value"] == t["title"]["unique_value"]
     assert o["title"]["unique_value"]["errors"] == (
         "Column 'title' values must be unique. Found  2 duplicate values "
         "in dataset column .")
-    o["title"].pop("unique_value")
     for col in t:
         assert o[col] == t[col]
+    # component-level (raw string) flow: the reference MISSES the
+    # violation — bool('False') is True — while ours above still flags
+    theirs_raw = ref.validate_schema(copy.deepcopy(raw_obs),
+                                     copy.deepcopy(rules),
+                                     copy.deepcopy(MAPPING))
+    assert "unique_value" not in \
+        _norm(theirs_raw["movies"]["schema_violations"]).get("title", {})
 
 
 def _disp(v) -> str:
