@@ -2935,6 +2935,23 @@ def q_rolling_active_users(spark, sf_dir):
             .orderBy("bucket"))
 
 
+def q_rolling_active_users_sketch(spark, sf_dir):
+    """rolling_active_users(method='sketch') — the r5 at-scale swap
+    (per-day hll_sketch_agg + hll_union_agg over window offsets;
+    shuffle bounded by #days x window_days sketch blobs). ORACLE
+    CONTRACT: at this fixture's user cardinality (~150 distinct) the
+    HLL sketch stays in its SPARSE regime, where estimates are EXACT —
+    so the exact-SQL oracle applies verbatim; at production
+    cardinalities the op returns ~1-2%-error estimates (documented in
+    operators/sketches.py:union_estimates)."""
+    from schema_validata_spark.operators.sequence import \
+        rolling_active_users
+    return (rolling_active_users(_t(spark, sf_dir, "events"),
+                                 "user_id", "ts", window_days=7,
+                                 method="sketch", lg_k=14)
+            .orderBy("bucket"))
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD2 validity intervals from the event log
     (selection.scd2_history): per-user event_type state history —
@@ -3532,6 +3549,27 @@ def q_quantile_normalize(spark, sf_dir):
             .orderBy("id"))
 
 
+def q_quantile_normalize_equidepth(spark, sf_dir):
+    """quantile_normalize(method='equidepth') — the r5 at-scale swap
+    (broadcast percentile_approx edge vector, NO global row_number
+    sort). ORACLE CONTRACT (exact mode): with bins = N-1 and sketch
+    accuracy >= N, every edge is an exact order statistic and the
+    per-bin interpolation positions coincide with the exact method's
+    rank positions, so the output EQUALS quantile_normalize exactly
+    and the exact-SQL oracle applies verbatim; production calls use
+    bins ~ 1000 with the accuracy priced by quantile_map_accuracy."""
+    from schema_validata_spark.operators.selection import \
+        quantile_normalize
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source",
+                         quality_score("text").alias("q"))
+    n = scored.where("q IS NOT NULL AND source IS NOT NULL "
+                     "AND doc_id IS NOT NULL").count()
+    return (quantile_normalize(scored, "q", "source", "doc_id",
+                               method="equidepth", bins=max(1, n - 1))
+            .orderBy("id"))
+
+
 def q_doc_keywords(spark, sf_dir):
     """Top-3 TF-IDF keywords per document (text.doc_keywords): the
     per-doc labeling pass next to distinctive_terms' per-slice one;
@@ -3872,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "crosstab_residuals": q_crosstab_residuals,
         "rolling_active_users": q_rolling_active_users,
+        "rolling_active_users_sketch": q_rolling_active_users_sketch,
         "weighted_k_per_lang": q_weighted_k_per_lang,
         "script_mix_stats": q_script_mix_stats,
         "coercion_failures": q_coercion_failures,
@@ -3913,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_profile": q_concurrency_profile,
         "vocab_coverage": q_vocab_coverage,
         "quantile_normalize": q_quantile_normalize,
+        "quantile_normalize_equidepth": q_quantile_normalize_equidepth,
         "doc_keywords": q_doc_keywords,
         "jaccard_sweep": q_jaccard_sweep,
         "hash_uniformity": q_hash_uniformity,
@@ -10310,5 +10350,14 @@ def oracle_sql() -> dict[str, str]:
         FROM runs LEFT JOIN newk USING (run_uid)
                   LEFT JOIN resk USING (run_uid)
         ORDER BY dataset, run_uid"""
+
+    # r5 at-scale swap twins (quantile_normalize equidepth /
+    # rolling_active_users sketch): each runs in its documented
+    # exact-mode regime at oracle scale (bins = N-1 edge vector /
+    # HLL sparse regime), where the op's output EQUALS the exact
+    # method — so the exact oracle SQL applies verbatim (see the
+    # q_* docstrings for the contracts).
+    sql["rolling_active_users_sketch"] = sql["rolling_active_users"]
+    sql["quantile_normalize_equidepth"] = sql["quantile_normalize"]
 
     return sql

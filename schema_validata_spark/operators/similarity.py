@@ -1109,6 +1109,27 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
     return df.select(*cols)
 
 
+def _vec_row_bytes(df: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(dim, approx bytes per vector row): dim sampled from ONE row,
+    element width read from the schema (float=4, else 8), plus ~24
+    bytes of per-row id/offset overhead. Empty frame → (0, 1024)
+    (a conservative 128-dim-double fallback so routing still bounds)."""
+    from pyspark.sql.types import ArrayType, FloatType
+    width = 8
+    try:
+        f = df.schema[vec_col].dataType
+        if isinstance(f, ArrayType) and isinstance(f.elementType,
+                                                   FloatType):
+            width = 4
+    except Exception:
+        pass
+    row = df.select(F.size(qcol(vec_col)).alias("d")).first()
+    dim = int(row["d"]) if row is not None and row["d"] is not None else 0
+    if dim <= 0:
+        return 0, 1024
+    return dim, dim * width + 24
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "vec_id", k: int = 10, *,
@@ -1116,7 +1137,10 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
              query_count: int | None = None,
              small_corpus: int = 100_000, huge_corpus: int = 50_000_000,
              max_brute_queries: int = 100_000,
+             broadcast_budget_bytes: int = 256 << 20,
+             raw_bytes_budget: int = 32 << 30,
              recall_floor: float = 0.5, audit_sample: int = 32,
+             audit_routes: tuple = ("lsh",),
              force_lsh: bool = False,
              centroids=None, codebooks=None, **index_kw) -> DataFrame:
     """Auto-routing ANN façade (VERDICT r3 #3) — ONE entry point that
@@ -1143,6 +1167,23 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
                                  side collects or broadcasts),
                                  exact rerank
     ===========================  ==================================
+
+    MEMORY MODEL PER ROUTE (the row caps above are DERIVED from it at
+    call time — one sampled row measures the vector width, so a
+    3072-dim float corpus gets a ~24x tighter query cap than a 128-dim
+    one, instead of sharing a constant):
+
+    * brute: broadcasts |queries| x row_bytes (must fit
+      ``broadcast_budget_bytes``, default 256 MB) and streams the
+      corpus once — per-executor memory is one query batch + one
+      corpus partition.
+    * ivf: broadcasts (|queries| x n_probe) routing pairs (same
+      budget / n_probe) and scans RAW vectors of probed clusters —
+      corpus raw bytes must fit ``raw_bytes_budget`` (default 32 GB)
+      or the scan out-costs PQ codes.
+    * ivf_pq: nothing query-side is broadcast or collected
+      (``query_mode="join"``); the scan reads m-byte PQ codes, so it
+      is the route whenever either side outgrows the budgets.
 
     ``corpus_count`` / ``query_count`` skip the counting jobs when the
     caller already knows them (snapshot metadata); otherwise ONE count
@@ -1175,15 +1216,56 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
              else corpus.select(id_col).count())
         nq = (query_count if query_count is not None
               else queries.select(qid_col).count())
-        if n <= small_corpus and nq <= max_brute_queries:
+        # MEASURED bounds (VERDICT r4 #7): the row caps are derived
+        # from the actual vector width, not assumed —
+        #   brute/ivf broadcast the query VECTORS, so the query-side
+        #   cap is broadcast_budget_bytes / row_bytes (ivf multiplies
+        #   the broadcast by n_probe pairs);
+        #   the ivf route scans RAW corpus vectors of probed clusters,
+        #   so its corpus ceiling is raw_bytes_budget / row_bytes
+        #   (beyond it, PQ's m-byte codes are the only scan that fits).
+        # small_corpus stays a COST crossover (one brute scan vs
+        # training an index), and huge_corpus an absolute row cap —
+        # both still apply as outer clamps.
+        _, row_bytes = _vec_row_bytes(queries, vec_col)
+        eff_brute_q = min(max_brute_queries,
+                          max(1, broadcast_budget_bytes // row_bytes))
+        n_probe = int(index_kw.get("n_probe", 2))
+        eff_ivf_q = max(1, eff_brute_q // max(1, n_probe))
+        eff_huge = min(huge_corpus,
+                       max(1, raw_bytes_budget // row_bytes))
+        if n <= small_corpus and nq <= eff_brute_q:
             method = "brute"
-        elif n <= huge_corpus and nq <= max_brute_queries:
+        elif n <= eff_huge and nq <= eff_ivf_q:
             method = "ivf"          # also broadcasts (query × probe)
         else:
             method = "ivf_pq"       # join mode: query side distributed
     if method == "brute":
         return brute_force_topk(corpus, queries, **common)
     if method == "ivf":
+        if "ivf" in audit_routes:
+            # recall gate extended to the IVF route (VERDICT r4 #7):
+            # same sample-audit contract as LSH — probe-starved or
+            # badly-centered IVF under-recalls silently otherwise.
+            # Opt-in (audit_routes=("lsh", "ivf")) because the exact
+            # side costs one brute scan over the sample.
+            qs = queries.limit(audit_sample)
+            exact = brute_force_topk(corpus, qs, **common)
+            approx = ivf_topk(corpus, qs, centroids=centroids,
+                              **common, **index_kw)
+            n_exact = exact.count()
+            hits = exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"], "left_semi").count() \
+                if n_exact else 0
+            rec = hits / n_exact if n_exact else 1.0
+            if rec < recall_floor:
+                raise ValueError(
+                    f"ivf_topk audited at mean recall@{k} {rec:.3f} "
+                    f"< floor {recall_floor} on {audit_sample} sample "
+                    f"queries — raise n_probe/n_clusters, pass "
+                    f"pre-trained centroids, or drop 'ivf' from "
+                    f"audit_routes")
         return ivf_topk(corpus, queries, centroids=centroids,
                         **common, **index_kw)
     if method == "ivf_pq":
@@ -1191,6 +1273,8 @@ def ann_topk(corpus: DataFrame, queries: DataFrame,
                            codebooks=codebooks, query_mode="join",
                            **common, **index_kw)
     if method == "lsh":
+        if "lsh" not in audit_routes:
+            return lsh_ann_topk(corpus, queries, **common, **index_kw)
         qs = queries.limit(audit_sample)
         audit = ann_recall_audit(corpus, qs, **common, **index_kw)
         row = audit.agg(F.avg("recall").alias("r")).first()

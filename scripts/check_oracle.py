@@ -39,9 +39,32 @@ def rows_to_multiset(colnames, rows):
     return sorted(out)
 
 
+# sf0.1 STRESS SUBSET (VERDICT r4 #6): the heaviest oracle queries —
+# curation compositions, the near-dup families, funnel/sequence
+# windows, snapshot/sketch merges — promoted from the sf0.01 battery
+# to a 10x-input run. `python scripts/check_oracle.py --stress` runs
+# exactly these at /root/testdata/sf0.1; runtimes are recorded in
+# BENCH/BASELINE.md.
+STRESS_QUERIES = [
+    "curation_report", "curate_transcripts", "dedup_near",
+    "minhash_near_duplicates", "simhash_near_duplicates",
+    "embedding_near_dup_lsh", "semantic_near_dup", "near_dup_clusters",
+    "dedup_keep_best", "near_dup_safe_split", "contamination_pairs",
+    "decontaminated", "shingle_containment", "winnow_overlap_share",
+    "funnel_stats", "session_stats", "conversation_forks",
+    "snapshot_diff", "quantile_sketch_merge", "validate_events",
+    "composite_duplicates", "profile_stats",
+]
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--stress":
+        sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+        only = set(STRESS_QUERIES)
+    else:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        only = set(argv[1:])
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
