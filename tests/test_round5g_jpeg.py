@@ -1,0 +1,143 @@
+"""Round-5 (VERDICT r4 #1): REAL baseline JPEG decode in the
+multimodal path. Fixtures come from tests/jpeg_writer.py — a minimal
+T.81 baseline encoder (Annex K tables) — so round-trips exercise the
+decoder (operators/jpegcodec.py) end-to-end with no image library.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jpeg_writer import encode_jpeg
+from schema_validata_spark.operators.jpegcodec import (
+    decode_jpeg, decode_jpeg_feature)
+from schema_validata_spark.operators.multimodal import (
+    MEDIA_SCHEMA, decode_image_batch, extract_features)
+
+
+def _gray(h=40, w=56):
+    return np.clip(np.add.outer(np.arange(h) * 3, np.arange(w) * 2),
+                   0, 255).astype(np.uint8)
+
+
+def _color(h=32, w=48):
+    c = np.zeros((h, w, 3), np.uint8)
+    c[..., 0] = np.add.outer(np.arange(h) * 4,
+                             np.zeros(w, int)).clip(0, 255)
+    c[..., 1] = 100
+    c[..., 2] = np.tile(np.arange(w) * 5 % 256, (h, 1))
+    return c
+
+
+def test_grayscale_roundtrip_near_lossless():
+    g = _gray()
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (40, 56, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_color_444_roundtrip():
+    c = _color()
+    dec = decode_jpeg(encode_jpeg(c, quality=92))
+    assert dec.shape == (32, 48, 3)
+    assert np.abs(dec.astype(int) - c.astype(int)).mean() < 3.0
+
+
+def test_color_420_with_restart_intervals():
+    """4:2:0 exercises MCU interleave (4 luma + 2 chroma blocks per
+    MCU) and chroma upsampling; restart_interval=2 exercises segment
+    splits + DC predictor resets."""
+    c = _color()
+    dec = decode_jpeg(encode_jpeg(c, quality=90, subsampling="420",
+                                  restart_interval=2))
+    assert dec.shape == (32, 48, 3)
+    assert np.abs(dec.astype(int) - c.astype(int)).mean() < 6.0
+
+
+def test_non_multiple_of_mcu_dimensions():
+    """17x13 shapes force partial edge MCUs — decoded size must crop
+    back exactly."""
+    g = _gray(17, 13)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (17, 13, 1)
+    c = _color(19, 21)
+    dec = decode_jpeg(encode_jpeg(c, quality=90, subsampling="420"))
+    assert dec.shape == (19, 21, 3)
+
+
+def test_feature_contract_matches_png_shape():
+    g = _gray()
+    feat = decode_jpeg_feature(encode_jpeg(g, quality=95))
+    assert len(feat) == 8
+    w, h, depth, channels = feat[:4]
+    assert (w, h, depth, channels) == (56.0, 40.0, 8.0, 1.0)
+    assert abs(feat[4] - g.mean() / 255.0) < 0.01
+    assert feat[5:] == [0.0, 0.0, 0.0]
+
+
+def test_truncated_jpeg_routes_to_poison():
+    blob = encode_jpeg(_gray(), quality=90)
+    (feat, err), = decode_image_batch([blob[:40]], fake=False)
+    assert feat is None and "JPEG" in err
+    (feat2, err2), = decode_image_batch([b"\xff\xd8\xff\xd9"],
+                                        fake=False)
+    assert feat2 is None and err2 is not None
+
+
+def test_progressive_marker_rejected_with_reason():
+    """A crafted SOF2 header must fail fast naming 'progressive' —
+    never silently mis-decode."""
+    blob = bytearray(encode_jpeg(_gray(), quality=90))
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    (feat, err), = decode_image_batch([bytes(blob)], fake=False)
+    assert feat is None and "progressive" in err
+
+
+def test_arithmetic_marker_rejected():
+    blob = bytearray(encode_jpeg(_gray(), quality=90))
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(bytes(blob))
+
+
+def test_corrupt_entropy_data_is_an_error_not_garbage():
+    blob = bytearray(encode_jpeg(_gray(), quality=90))
+    sos = bytes(blob).find(b"\xff\xda")
+    (ln,) = struct.unpack(">H", blob[sos + 2:sos + 4])
+    start = sos + 2 + ln
+    for j in range(start + 4, min(start + 40, len(blob) - 2)):
+        blob[j] = 0x55
+    feat, err = decode_image_batch([bytes(blob)], fake=False)[0]
+    # either the huffman stream breaks (error) or the image decodes
+    # to wrong-but-bounded pixels; both are acceptable, a crash is not
+    assert (feat is None) == (err is not None)
+
+
+def test_extract_features_real_jpeg_rows_not_poison(spark):
+    """The VERDICT r4 'done' bar: real JPEG fixtures produce stats
+    rows (not poison) through the Arrow mapInPandas path, corrupt
+    JPEGs route to poison, suite green."""
+    rows = [
+        (0, "image", "image/jpeg", 56, 40, None,
+         bytearray(encode_jpeg(_gray(), quality=95))),
+        (1, "image", "image/jpeg", 48, 32, None,
+         bytearray(encode_jpeg(_color(), quality=90,
+                               subsampling="420"))),
+        (2, "image", "image/jpeg", None, None, None,
+         bytearray(encode_jpeg(_gray(), quality=90)[:60])),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           extract_features(df, fake_decode=False).collect()}
+    ok0 = got[0]
+    assert ok0["error"] is None
+    assert ok0["feature"][:4] == [56.0, 40.0, 8.0, 1.0]
+    ok1 = got[1]
+    assert ok1["error"] is None
+    assert ok1["feature"][:4] == [48.0, 32.0, 8.0, 3.0]
+    bad = got[2]
+    assert bad["feature"] is None and "JPEG" in bad["error"]
