@@ -2952,6 +2952,74 @@ def q_rolling_active_users_sketch(spark, sf_dir):
             .orderBy("bucket"))
 
 
+def q_media_features(spark, sf_dir):
+    """REAL multimodal decode over deterministic synthetic media (no
+    external data, BASELINE.json input contract): PNG / baseline-JPEG
+    (4:4:4 + 4:2:0) / PCM-WAV payloads built by the engine's OWN
+    encoders (multimodal.encode_png/encode_wav, jpegcodec.encode_jpeg),
+    decoded for real through the Arrow mapInPandas path
+    (fake_decode=False), plus seeded poison blobs that must land in
+    the error channel. Rows-only: huffman/IDCT/zlib decoding is not
+    SQL-expressible; the output frame is fully deterministic."""
+    import numpy as np
+    from schema_validata_spark.operators.jpegcodec import encode_jpeg
+    from schema_validata_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_png, encode_wav, extract_features)
+    rows = []
+    for i in range(24):
+        g = ((np.add.outer(np.arange(16 + i % 3),
+                           np.arange(20 + i % 5) * 2) * (i + 3))
+             % 256).astype(np.uint8)
+        rgb = np.stack([g, 255 - g, g // 2], axis=-1)
+        if i % 4 == 0:
+            payload = encode_png(g)
+        elif i % 4 == 1:
+            payload = encode_png(rgb)
+        elif i % 4 == 2:
+            payload = encode_jpeg(g, quality=85)
+        else:
+            payload = encode_jpeg(rgb, quality=85, subsampling="420")
+        rows.append((i, "image", None, None, None, None,
+                     bytearray(payload)))
+    for i in range(24, 30):
+        t = np.sin(np.linspace(0, (i - 20) * np.pi, 800))
+        rows.append((i, "audio", None, None, None, None,
+                     bytearray(encode_wav(t))))
+    rows.append((30, "image", None, None, None, None,
+                 bytearray(b"\xff\xd8truncated")))
+    rows.append((31, "image", None, None, None, None,
+                 bytearray(b"not media at all")))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (extract_features(df, fake_decode=False)
+            .select("media_id", "kind", "n_bytes",
+                    F.col("error").isNull().alias("ok"),
+                    F.element_at("feature", 1).alias("width"),
+                    F.element_at("feature", 2).alias("height"),
+                    F.element_at("feature", 4).alias("channels"))
+            .orderBy("media_id"))
+
+
+def q_media_frame_plan(spark, sf_dir):
+    """Video frame-sampling PLAN (multimodal.frame_sample_plan): one
+    row per planned frame timestamp per video — the decode-free half
+    of the video pipeline (sequence explode, map-only), over a
+    deterministic synthetic media-metadata frame."""
+    from schema_validata_spark.operators.multimodal import \
+        frame_sample_plan
+    media = spark.range(40).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 3 == 0, "video")
+         .when(F.col("id") % 3 == 1, "image")
+         .otherwise("audio").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+        F.lit(None).cast("binary").alias("payload"))
+    return (frame_sample_plan(media, every_ms=400)
+            .orderBy("media_id", "frame_ts_ms"))
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD2 validity intervals from the event log
     (selection.scd2_history): per-user event_type state history —
@@ -3911,6 +3979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosstab_residuals": q_crosstab_residuals,
         "rolling_active_users": q_rolling_active_users,
         "rolling_active_users_sketch": q_rolling_active_users_sketch,
+        "media_features": q_media_features,
+        "media_frame_plan": q_media_frame_plan,
         "weighted_k_per_lang": q_weighted_k_per_lang,
         "script_mix_stats": q_script_mix_stats,
         "coercion_failures": q_coercion_failures,
@@ -10357,6 +10427,14 @@ def oracle_sql() -> dict[str, str]:
     # HLL sparse regime), where the op's output EQUALS the exact
     # method — so the exact oracle SQL applies verbatim (see the
     # q_* docstrings for the contracts).
+    sql["media_frame_plan"] = """
+        WITH m AS (SELECT range AS media_id,
+                          ((range % 5) + 1) * 1000 AS dur
+                   FROM range(40) WHERE range % 3 = 0)
+        SELECT media_id,
+               unnest(generate_series(0, dur, 400))::int AS frame_ts_ms
+        FROM m ORDER BY media_id, frame_ts_ms"""
+
     sql["rolling_active_users_sketch"] = sql["rolling_active_users"]
     sql["quantile_normalize_equidepth"] = sql["quantile_normalize"]
 

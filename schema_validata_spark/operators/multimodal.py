@@ -71,6 +71,46 @@ def gen_media(spark, n: int, seed: int = 42) -> DataFrame:
         payload.alias("payload"))
 
 
+def encode_png(arr) -> bytes:
+    """Minimal PNG writer (filter 0, 8-bit) — the symmetric half of
+    ``decode_png`` for deterministic fixtures and re-encode pipelines;
+    stdlib only. Accepts uint8 (h, w) or (h, w, c) with c in 1..4."""
+    import struct
+    import zlib
+
+    import numpy as np
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    return (_PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM mono WAV writer — the symmetric half of
+    ``decode_wav``; stdlib only. ``samples`` float in [-1, 1]."""
+    import struct
+
+    import numpy as np
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2").tobytes()
+    hdr = (b"WAVE" + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                           rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return b"RIFF" + struct.pack("<I", len(hdr) + len(pcm)) + hdr + pcm
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel (palette indices count as one sample)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}

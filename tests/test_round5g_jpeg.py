@@ -1,7 +1,7 @@
 """Round-5 (VERDICT r4 #1): REAL baseline JPEG decode in the
-multimodal path. Fixtures come from tests/jpeg_writer.py — a minimal
-T.81 baseline encoder (Annex K tables) — so round-trips exercise the
-decoder (operators/jpegcodec.py) end-to-end with no image library.
+multimodal path. Fixtures come from the codec's own encoder half
+(operators/jpegcodec.py encode_jpeg — Annex K tables), so round-trips
+exercise the decoder end-to-end with no image library.
 """
 
 import struct
@@ -10,9 +10,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from jpeg_writer import encode_jpeg
 from schema_validata_spark.operators.jpegcodec import (
-    decode_jpeg, decode_jpeg_feature)
+    decode_jpeg, decode_jpeg_feature, encode_jpeg)
 from schema_validata_spark.operators.multimodal import (
     MEDIA_SCHEMA, decode_image_batch, extract_features)
 
