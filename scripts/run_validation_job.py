@@ -26,7 +26,9 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--transcripts", required=True)
+    ap.add_argument("--transcripts",
+                    help="transcripts parquet path (table mode; "
+                         "required unless --dataset-file)")
     ap.add_argument("--conversations")
     ap.add_argument("--out", required=True)
     ap.add_argument("--rules", help="rules as nested-dict JSON")
@@ -78,10 +80,55 @@ def main(argv=None):
                          "reference example's accumulating log "
                          "workflow, production-wired.")
     ap.add_argument("--name", default="transcripts")
+    ap.add_argument("--dataset-file",
+                    help="FILE MODE (the reference user's CLI shape): "
+                         "validate a CSV/XLSX dataset file against an "
+                         "XLSX data dictionary via validate_files — "
+                         "writes the reference-shaped "
+                         "<name>_({uid}).json report to --out and "
+                         "exits 1 on any schema violation. Requires "
+                         "--data-dict; --transcripts is ignored.")
+    ap.add_argument("--data-dict",
+                    help="XLSX data dictionary path (file mode)")
+    ap.add_argument("--schema-mapping",
+                    help='file mode mapping as JSON, e.g. '
+                         '[{"dataset": "movies", "data_dict": '
+                         '"MOVIES_SCHEMA"}]; default maps the dataset '
+                         "file's base name to the dictionary's first "
+                         "qualifying sheet")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("schema-validata-job").getOrCreate()
+
+    if args.dataset_file:
+        if not args.data_dict:
+            raise SystemExit("--dataset-file requires --data-dict")
+    elif not args.transcripts:
+        raise SystemExit("--transcripts is required (table mode), or "
+                         "pass --dataset-file/--data-dict (file mode)")
+    if args.dataset_file:
+        from schema_validata_spark.rules import Rules
+        from schema_validata_spark.validate import validate_files
+        if args.schema_mapping:
+            mapping = json.loads(args.schema_mapping)
+        else:
+            base = os.path.splitext(
+                os.path.basename(args.dataset_file))[0]
+            sheets = Rules.from_xlsx(args.data_dict)
+            mapping = [{"dataset": base,
+                        "data_dict": next(iter(sheets))}]
+        report = validate_files(spark, args.dataset_file,
+                                args.data_dict, mapping,
+                                out_dir=args.out, out_name=args.name)
+        uid = next(iter(report))
+        failed = any(
+            bool(sec.get("schema_violations"))
+            for sec in report[uid]["results"].values())
+        print(f"file-mode report written for uid {uid}; "
+              f"{'FAIL' if failed else 'PASS'}")
+        spark.stop()
+        sys.exit(1 if failed else 0)
 
     from schema_validata_spark.datagen import transcript_rules
     from schema_validata_spark.report import write_report
