@@ -2958,9 +2958,10 @@ def q_media_features(spark, sf_dir):
     (4:4:4 + 4:2:0) / PCM-WAV payloads built by the engine's OWN
     encoders (multimodal.encode_png/encode_wav, jpegcodec.encode_jpeg),
     decoded for real through the Arrow mapInPandas path
-    (fake_decode=False), plus seeded poison blobs that must land in
-    the error channel. Rows-only: huffman/IDCT/zlib decoding is not
-    SQL-expressible; the output frame is fully deterministic."""
+    (fake_decode=False), plus progressive (SOF2) JPEGs and seeded
+    poison blobs that must land in the error channel. Rows-only:
+    huffman/IDCT/zlib decoding is not SQL-expressible; the output
+    frame is fully deterministic."""
     import numpy as np
     from schema_validata_spark.operators.jpegcodec import encode_jpeg
     from schema_validata_spark.operators.multimodal import (
@@ -2985,9 +2986,20 @@ def q_media_features(spark, sf_dir):
         t = np.sin(np.linspace(0, (i - 20) * np.pi, 800))
         rows.append((i, "audio", None, None, None, None,
                      bytearray(encode_wav(t))))
+    # progressive (SOF2) JPEGs — decoded for real since r5
+    g = (np.add.outer(np.arange(24), np.arange(28) * 3)
+         % 256).astype(np.uint8)
     rows.append((30, "image", None, None, None, None,
-                 bytearray(b"\xff\xd8truncated")))
+                 bytearray(encode_jpeg(g, quality=85,
+                                       progressive=True))))
     rows.append((31, "image", None, None, None, None,
+                 bytearray(encode_jpeg(
+                     np.stack([g, 255 - g, g // 2], axis=-1),
+                     quality=85, subsampling="420",
+                     progressive=True))))
+    rows.append((32, "image", None, None, None, None,
+                 bytearray(b"\xff\xd8truncated")))
+    rows.append((33, "image", None, None, None, None,
                  bytearray(b"not media at all")))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return (extract_features(df, fake_decode=False)

@@ -3,21 +3,25 @@
 The one multimodal family VERDICT r4 called partial: JPEG is the
 dominant image format of any web-scale corpus, and until round 5 every
 JPEG blob landed in the poison channel. This module implements the
-ITU-T T.81 BASELINE SEQUENTIAL process (SOF0, plus SOF1 extended
-sequential — identical decode path at 8-bit precision):
+ITU-T T.81 BASELINE SEQUENTIAL (SOF0, plus SOF1 extended sequential —
+identical decode path at 8-bit precision) and PROGRESSIVE (SOF2,
+huffman) processes:
 
 * marker parse (SOI/APPn/COM/DQT/SOF/DHT/SOS/DRI/RSTn/EOI),
 * canonical Huffman decode of the entropy-coded segments (byte
   de-stuffing, restart-interval handling with DC-predictor reset),
+* progressive scan accumulation: DC/AC spectral selection,
+  successive-approximation first + refinement passes, EOB runs,
+  non-interleaved single-component scans — baseline is decoded as the
+  degenerate single full-band scan of the same engine,
 * dequantization + vectorized 2-D IDCT (one einsum over all blocks of
   a component — the numpy island does the math; only the entropy
   decode is sequential, which is inherent to Huffman),
 * chroma upsampling (sample replication per JFIF) and YCbCr→RGB.
 
 Unsupported variants FAIL FAST with a precise reason and route to the
-poison channel, never mis-decode: progressive (SOF2) and arithmetic
-(SOF9+) scans, 12-bit precision, 4-component (Adobe CMYK) images,
-hierarchical processes.
+poison channel, never mis-decode: arithmetic coding (SOF9+), lossless,
+hierarchical, 12-bit precision, 4-component (Adobe CMYK) images.
 
 SCALE: one blob decodes in one task — parallelism comes from Spark
 partitioning of the blob table (operators/multimodal.py routes batches
@@ -45,7 +49,6 @@ ZIGZAG = [
 ]
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -160,9 +163,15 @@ def _split_scan(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes):
-    """Decode a baseline JPEG → numpy uint8 array (h, w, channels),
-    channels 1 (grayscale) or 3 (RGB). Raises ValueError with a
-    precise reason on anything unsupported or corrupt."""
+    """Decode a baseline OR progressive JPEG → numpy uint8 array
+    (h, w, channels), channels 1 (grayscale) or 3 (RGB). Baseline
+    (SOF0/SOF1) decodes its single interleaved scan; progressive
+    (SOF2, round-5) accumulates every scan — DC/AC spectral selection
+    and successive approximation, first and refinement passes, EOB
+    runs, restart intervals — into per-component coefficient grids and
+    reconstructs at EOI. Raises ValueError with a precise reason on
+    anything unsupported or corrupt (arithmetic coding, lossless,
+    hierarchical, 12-bit, CMYK)."""
     import numpy as np
     global _IDCT_C
     if _IDCT_C is None:
@@ -173,16 +182,24 @@ def decode_jpeg(data: bytes):
     qt: dict[int, "np.ndarray"] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
-    frame = None            # (h, w, [(cid, hi, vi, tq)])
+    frame = None            # (h, w, [(cid, hi, vi, tq)], progressive)
+    grids = None            # cid -> int32 (bh_pad*bw_pad, 64) zigzag
+    geom = None             # (mcux, mcuy, hmax, vmax, per-comp dims)
     restart_interval = 0
+    saw_scan = False
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
-        if marker == 0xD9:                 # EOI before SOS
-            raise ValueError("EOI before any scan")
+        if marker == 0xD9:                 # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:         # stray RSTn between scans
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -205,7 +222,7 @@ def decode_jpeg(data: bytes):
                 for z, v in enumerate(vals):
                     t[ZIGZAG[z]] = v
                 qt[tq] = t.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):       # SOF0/SOF1 baseline path
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported "
@@ -213,14 +230,32 @@ def decode_jpeg(data: bytes):
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component image unsupported "
                                  "(grayscale or YCbCr only)")
+            if h == 0 or w == 0:
+                raise ValueError("zero-dimension image")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+                raise ValueError("bad sampling factors")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            dims = {}
+            for cid, hi, vi, _tq in comps:
+                cw = (w * hi + hmax - 1) // hmax
+                chh = (h * vi + vmax - 1) // vmax
+                dims[cid] = ((chh + 7) // 8, (cw + 7) // 8,  # real grid
+                             mcuy * vi, mcux * hi)            # padded
+            geom = (mcux, mcuy, hmax, vmax, dims)
+            grids = {cid: np.zeros((dims[cid][2] * dims[cid][3], 64),
+                                   dtype=np.int32) for cid, *_ in comps}
+            frame = (h, w, comps, marker == 0xC2)
         elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"{_SOF_UNSUPPORTED[marker]} JPEG "
-                             "unsupported (baseline sequential only)")
+                             "unsupported (baseline sequential and "
+                             "progressive huffman only)")
         elif marker == 0xC4:               # DHT
             i = 0
             while i < len(body):
@@ -235,110 +270,216 @@ def decode_jpeg(data: bytes):
                 i += 17 + cnt
         elif marker == 0xDD:               # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:               # SOS — decode the scan
+        elif marker == 0xDA:               # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            h, w, comps = frame
-            if h == 0 or w == 0:
-                raise ValueError("zero-dimension image")
+            h, w, comps, progressive = frame
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError("non-interleaved multi-scan "
-                                 "unsupported (baseline interleaved "
-                                 "scan only)")
             sel = {}
+            scan_comps = []
+            by_id = {c[0]: c for c in comps}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in by_id:
+                    raise ValueError("scan names unknown component")
                 sel[cs] = (tt >> 4, tt & 0x0F)
-            scan_segs, _ = _split_scan(data, pos + 2 + seglen)
-            return _decode_scan(np, h, w, comps, sel, qt, dc_tabs,
-                                ac_tabs, restart_interval, scan_segs)
-        # APPn / COM / others: skip
+                scan_comps.append(by_id[cs])
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError("non-interleaved multi-scan "
+                                     "unsupported in baseline "
+                                     "(interleaved scan only)")
+                ss, se, ah, al = 0, 63, 0, 0
+            segs, endpos = _split_scan(data, pos + 2 + seglen)
+            _entropy_scan(np, grids, geom, scan_comps, sel, dc_tabs,
+                          ac_tabs, restart_interval, segs,
+                          interleaved=(ns > 1 or not progressive),
+                          ss=ss, se=se, ah=ah, al=al,
+                          progressive=progressive)
+            saw_scan = True
+            if not progressive:
+                return _reconstruct(np, frame, geom, grids, qt)
+            pos = endpos
+            continue
         pos += 2 + seglen
-    raise ValueError("no scan found (truncated JPEG)")
+    if frame is None or not saw_scan:
+        raise ValueError("no scan found (truncated JPEG)")
+    return _reconstruct(np, frame, geom, grids, qt)
 
 
-def _decode_scan(np, h, w, comps, sel, qt, dc_tabs, ac_tabs,
-                 ri, segs):
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("bad sampling factors")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    n_mcus = mcux * mcuy
+def _entropy_scan(np, grids, geom, scan_comps, sel, dc_tabs, ac_tabs,
+                  ri, segs, *, interleaved, ss, se, ah, al,
+                  progressive):
+    """Decode ONE entropy-coded scan into the coefficient grids.
+    Baseline is the progressive DC+AC first pass with ss=0, se=63,
+    ah=al=0 — one shared implementation. Restart intervals switch
+    segments and reset DC predictors and the EOB run."""
+    mcux, mcuy, hmax, vmax, dims = geom
+    dc_scan = ss == 0
+    ac_scan = se > 0
+    if progressive and dc_scan and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    for cid, *_ in scan_comps:
+        tdc, tac = sel[cid]
+        if (dc_scan and ah == 0 and tdc not in dc_tabs) or \
+                (ac_scan and tac not in ac_tabs) or \
+                (not progressive and (tdc not in dc_tabs
+                                      or tac not in ac_tabs)):
+            raise ValueError("scan references undefined huffman "
+                             "tables")
 
-    # per component: list of zigzag coefficient blocks in MCU order
-    blocks = {c[0]: [] for c in comps}
-    missing = [c for c in comps
-               if c[3] not in qt or c[0] not in sel
-               or sel[c[0]][0] not in dc_tabs
-               or sel[c[0]][1] not in ac_tabs]
-    if missing:
-        raise ValueError("scan references undefined quant/huffman "
-                         "tables")
+    # unit list: (cid, block_index_into_grid) in decode order
+    units = []
+    if interleaved:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, hi, vi, _tq in scan_comps:
+                    bw_pad = dims[cid][3]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            units.append(
+                                (cid, (my * vi + by) * bw_pad
+                                 + (mx * hi + bx)))
+        per_restart = (len(units) // (mcux * mcuy)) * ri if ri else 0
+    else:
+        cid = scan_comps[0][0]
+        bh, bw, _bhp, bw_pad = dims[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                units.append((cid, by * bw_pad + bx))
+        per_restart = ri
 
-    seg_idx = 0
     reader = _BitReader(segs[0])
-    pred = {c[0]: 0 for c in comps}
-    for m in range(n_mcus):
-        if ri and m and m % ri == 0:
+    seg_idx = 0
+    pred = {c[0]: 0 for c in scan_comps}
+    eobrun = 0
+    done_units = 0
+    for cid, bidx in units:
+        if per_restart and done_units and done_units % per_restart == 0:
             seg_idx += 1
             if seg_idx >= len(segs):
                 raise ValueError("missing restart marker segment")
             reader = _BitReader(segs[seg_idx])
-            pred = {c[0]: 0 for c in comps}
-        for cid, hi, vi, _tq in comps:
-            dct, act = dc_tabs[sel[cid][0]], ac_tabs[sel[cid][1]]
-            for _ in range(hi * vi):
-                coef = [0] * 64
-                t = reader.decode_huff(dct)
+            pred = {c[0]: 0 for c in scan_comps}
+            eobrun = 0
+        coef = grids[cid][bidx]
+        tdc, tac = sel[cid]
+        if dc_scan:
+            if ah == 0:
+                t = reader.decode_huff(dc_tabs[tdc])
                 if t > 11:
                     raise ValueError("bad DC category")
                 pred[cid] += _extend(reader.receive(t), t)
-                coef[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = reader.decode_huff(act)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:        # ZRL
-                            k += 16
-                            continue
-                        break              # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    coef[k] = _extend(reader.receive(s), s)
-                    k += 1
-                blocks[cid].append(coef)
+                coef[0] = pred[cid] << al
+            else:
+                if reader.receive(1):
+                    coef[0] = int(coef[0]) | (1 << al)
+        if ac_scan:
+            lo = max(ss, 1)
+            if ah == 0:
+                eobrun = _ac_first(reader, ac_tabs[tac], coef, lo, se,
+                                   al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, ac_tabs[tac], coef, lo, se,
+                                    al, eobrun)
+        done_units += 1
 
-    # vectorized dequant + IDCT per component, then plane assembly
+
+def _ac_first(reader, act, coef, ss, se, al, eobrun):
+    """AC first pass (T.81 G.1.2.2; baseline when ss=1, se=63, al=0)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                    # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break                          # EOB for this block
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, act, coef, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3): one
+    correction bit per already-nonzero coefficient passed over, new
+    ±1<<al coefficients placed after their zero-history run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.receive(1) else -p1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.receive(1) and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        if val:
+                            coef[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if reader.receive(1) and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(np, frame, geom, grids, qt):
+    """Coefficient grids → pixels: dequantize, de-zigzag, one
+    vectorized IDCT per component, grid → plane reshape, JFIF
+    sample-replication upsampling, YCbCr→RGB."""
+    h, w, comps, _prog = frame
+    mcux, mcuy, hmax, vmax, dims = geom
     planes = {}
     for cid, hi, vi, tq in comps:
-        arr = np.array(blocks[cid], dtype=np.float64)      # (nb, 64)
+        if tq not in qt:
+            raise ValueError("missing quantization table")
+        _bh, _bw, bh_pad, bw_pad = dims[cid]
+        arr = grids[cid].astype(np.float64)            # (nb, 64) zz
         nat = np.empty_like(arr)
-        nat[:, ZIGZAG] = arr                                # de-zigzag
+        nat[:, ZIGZAG] = arr
         nat = nat.reshape(-1, 8, 8) * qt[tq][None, :, :]
         spat = np.einsum("ux,nuv,vy->nxy", _IDCT_C, nat, _IDCT_C)
         spat = np.clip(np.rint(spat) + 128.0, 0, 255)
-        # blocks arrive in MCU raster order, hi*vi per MCU
-        cw, ch = mcux * hi * 8, mcuy * vi * 8
-        plane = np.zeros((ch, cw), dtype=np.float64)
-        bi = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(vi):
-                    for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        plane[y0:y0 + 8, x0:x0 + 8] = spat[bi]
-                        bi += 1
-        # JFIF sample-replication upsampling to full resolution
+        plane = (spat.reshape(bh_pad, bw_pad, 8, 8)
+                     .transpose(0, 2, 1, 3)
+                     .reshape(bh_pad * 8, bw_pad * 8))
         plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
                           hmax // hi, axis=1)
         planes[cid] = plane[:h, :w]
-
     if len(comps) == 1:
         return planes[comps[0][0]].astype(np.uint8)[:, :, None]
     y, cb, cr = (planes[c[0]] for c in comps)
@@ -534,26 +675,28 @@ def _component_blocks(plane, qtab, mcux, mcuy, hi, vi, hmax, vmax):
         p[plane.shape[0]:, :plane.shape[1]] = plane[-1:, :]
     if plane.shape[1] < cw:
         p[:, plane.shape[1]:] = p[:, plane.shape[1] - 1:plane.shape[1]]
-    blocks = []
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for by in range(vi):
-                for bx in range(hi):
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
-                    f = _C @ blk @ _C.T
-                    q = np.rint(f / qtab).astype(np.int64)
-                    blocks.append([int(q.reshape(64)[ZIGZAG[z]])
-                                   for z in range(64)])
+    blocks = {}
+    for gy in range(mcuy * vi):
+        for gx in range(mcux * hi):
+            blk = p[gy * 8:gy * 8 + 8, gx * 8:gx * 8 + 8] - 128.0
+            f = _C @ blk @ _C.T
+            q = np.rint(f / qtab).astype(np.int64)
+            blocks[(gy, gx)] = [int(q.reshape(64)[ZIGZAG[z]])
+                                for z in range(64)]
     return blocks
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 → baseline JFIF
-    bytes. ``subsampling``: '444' or '420' (color only)."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 → JFIF bytes.
+    ``subsampling``: '444' or '420' (color only). ``progressive=True``
+    emits an SOF2 file with the 4-scan successive-approximation
+    script (DC al=1 → per-comp AC 1-63 al=1 → DC refine → per-comp AC
+    refine), each scan with its own optimized Huffman table — the
+    shape real encoders produce; restart intervals are baseline-only
+    here."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -597,10 +740,20 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for tq, tab in ((0, ql),) + (() if gray else ((1, qc),)):
         zz = bytes(int(tab.reshape(64)[ZIGZAG[z]]) for z in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8,
-                                     h, w, len(comps))
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                      len(comps))
     for cid, hi, vi, tq in comps:
         out += bytes([cid, (hi << 4) | vi, tq])
+    if progressive:
+        dims = {}
+        for cid, hi, vi, _tq in comps:
+            cw = (w * hi + hmax - 1) // hmax
+            chh = (h * vi + vmax - 1) // vmax
+            dims[cid] = ((chh + 7) // 8, (cw + 7) // 8)
+        out += _encode_progressive(comps, blocks, mcux, mcuy, dims)
+        out += b"\xff\xd9"
+        return bytes(out)
     hts = [(0x00, DC_L), (0x10, AC_L)]
     if not gray:
         hts += [(0x01, DC_C), (0x11, AC_C)]
@@ -629,14 +782,330 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
             out += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
             pred = {c[0]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
         for cid, hi, vi, tq in comps:
             dcc = dc_l if tq == 0 else dc_c
             acc = ac_l if tq == 0 else ac_c
-            base = m * hi * vi
-            for j in range(hi * vi):
-                pred[cid] = _encode_block(bw, blocks[cid][base + j],
-                                          pred[cid], dcc, acc)
+            for by in range(vi):
+                for bx in range(hi):
+                    blk = blocks[cid][(my * vi + by, mx * hi + bx)]
+                    pred[cid] = _encode_block(bw, blk, pred[cid],
+                                              dcc, acc)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- progressive encoding -------------------------------------------------
+
+def _gen_optimal_table(freq256):
+    """T.81 Annex K.2 Huffman optimization (the jchuff algorithm):
+    frequencies → (bits[16], huffval) with ≤16-bit codes and the
+    all-ones code word reserved via the fake 257th symbol."""
+    freq = list(freq256) + [1]             # reserve all-ones
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = -1
+        v = None
+        for i, f in enumerate(freq):
+            if f and (v is None or f < v or (f == v and i > c1)):
+                v, c1 = f, i
+        c2 = -1
+        v = None
+        for i, f in enumerate(freq):
+            if f and i != c1 and (v is None or f < v
+                                  or (f == v and i > c2)):
+                v, c2 = f, i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for s in codesize:
+        if s:
+            bits[s] += 1
+    for i in range(32, 16, -1):            # cap code length at 16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    for i in range(16, 0, -1):             # drop the reserved symbol
+        if bits[i] > 0:
+            bits[i] -= 1
+            break
+    huffval = []
+    for size in range(1, 33):
+        for v in range(256):
+            if codesize[v] == size:
+                huffval.append(v)
+    return bits[1:17], huffval[:sum(bits[1:17])]
+
+
+class _CountEmitter:
+    """First pass: tally symbol frequencies; raw bits are ignored."""
+    def __init__(self):
+        self.freq = {}                     # table_key -> [256 counts]
+
+    def symbol(self, tkey, sym):
+        self.freq.setdefault(tkey, [0] * 256)[sym] += 1
+
+    def bits(self, value, n):
+        pass
+
+    def flush(self):
+        pass
+
+
+class _WriteEmitter:
+    """Second pass: real Huffman emission through a _BitWriter."""
+    def __init__(self, codes_by_key):
+        self.bw = _BitWriter()
+        self.codes = codes_by_key
+
+    def symbol(self, tkey, sym):
+        code, size = self.codes[tkey][sym]
+        self.bw.write(code, size)
+
+    def bits(self, value, n):
+        if n:
+            self.bw.write(value & ((1 << n) - 1), n)
+
+    def flush(self):
+        self.bw.flush()
+
+
+def _dc_first_scan(em, comps, blocks, mcux, mcuy, al):
+    pred = {c[0]: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, _tq in comps:
+                for by in range(vi):
+                    for bx in range(hi):
+                        c0 = blocks[cid][(my * vi + by,
+                                          mx * hi + bx)][0]
+                        v = c0 >> al       # arithmetic shift (T.81 DC)
+                        diff = v - pred[cid]
+                        pred[cid] = v
+                        t = _category(diff)
+                        em.symbol(("dc", cid), t)
+                        if t:
+                            em.bits(diff if diff >= 0
+                                    else diff + (1 << t) - 1, t)
+
+
+def _dc_refine_scan(em, comps, blocks, mcux, mcuy, al):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, _tq in comps:
+                for by in range(vi):
+                    for bx in range(hi):
+                        c0 = blocks[cid][(my * vi + by,
+                                          mx * hi + bx)][0]
+                        em.bits((c0 >> al) & 1, 1)
+
+
+def _pt(v, al):
+    """AC point transform: magnitude shift toward zero (T.81 G.1.2.1)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _EobState:
+    def __init__(self, em, tkey):
+        self.em, self.tkey = em, tkey
+        self.run = 0
+        self.be = []                       # buffered correction bits
+
+    def flush(self):
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            self.em.symbol(self.tkey, r << 4)
+            self.em.bits(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.be:
+            self.em.bits(b, 1)
+        self.be = []
+
+
+def _ac_first_scan(em, cid, blocks, bh, bw, ss, se, al, tkey):
+    st = _EobState(em, tkey)
+    for by in range(bh):
+        for bx in range(bw):
+            coef = blocks[cid][(by, bx)]
+            vals = [_pt(coef[k], al) for k in range(ss, se + 1)]
+            last = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last = i
+            if last < 0:
+                st.run += 1
+                if st.run == 0x7FFF:
+                    st.flush()
+                continue
+            st.flush()
+            r = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    em.symbol(tkey, 0xF0)
+                    r -= 16
+                s = _category(v)
+                em.symbol(tkey, (r << 4) | s)
+                em.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < len(vals) - 1:
+                st.run += 1
+                if st.run == 0x7FFF:
+                    st.flush()
+    st.flush()
+
+
+def _ac_refine_scan(em, cid, blocks, bh, bw, ss, se, al, tkey):
+    """jchuff/jcphuff encode_mcu_AC_refine: newly-significant coeffs
+    as (run, 1) codes with sign bits; already-significant coeffs as
+    buffered correction bits tied to the next emitted code/EOB run."""
+    st = _EobState(em, tkey)
+    for by in range(bh):
+        for bx in range(bw):
+            coef = blocks[cid][(by, bx)]
+            absv = [abs(_pt(coef[k], al)) for k in range(ss, se + 1)]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i                # last NEWLY-significant
+            r = 0
+            br = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    st.flush()
+                    em.symbol(tkey, 0xF0)
+                    r -= 16
+                    for b in br:
+                        em.bits(b, 1)
+                    br = []
+                if t > 1:                  # history coef: correction bit
+                    br.append(t & 1)
+                    continue
+                st.flush()
+                em.symbol(tkey, (r << 4) | 1)
+                em.bits(1 if coef[ss + i] >= 0 else 0, 1)
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                st.run += 1
+                st.be.extend(br)
+                if st.run == 0x7FFF:
+                    st.flush()
+    st.flush()
+
+
+def _emit_dht(tc_th, bits, vals):
+    return (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            + bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+
+def _sos_header(scan_comps, table_ids, ss, se, ah, al):
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps),
+                                    len(scan_comps))
+    for cid in scan_comps:
+        out += bytes([cid, table_ids[cid]])
+    out += bytes([ss, se, (ah << 4) | al])
+    return out
+
+
+def _encode_progressive(comps, blocks, mcux, mcuy, dims):
+    """Emit the scan script: DC first (al=1) → per-comp AC 1-63 first
+    (al=1) → DC refine → per-comp AC refine, each with a per-scan
+    OPTIMIZED Huffman table (EOBn symbols are not in the Annex K
+    typical tables). Returns the bytes from the first DHT onward."""
+    out = bytearray()
+    scans = [("dc_first", None), ]
+    for c in comps:
+        scans.append(("ac_first", c[0]))
+    scans.append(("dc_refine", None))
+    for c in comps:
+        scans.append(("ac_refine", c[0]))
+
+    for kind, cid in scans:
+        cnt = _CountEmitter()
+        _run_scan(cnt, kind, cid, comps, blocks, mcux, mcuy, dims)
+        codes_by_key = {}
+        dht = b""
+        table_ids = {}
+        if kind.startswith("dc"):
+            if kind == "dc_first":
+                for i, c in enumerate(comps):
+                    tkey = ("dc", c[0])
+                    freq = cnt.freq.get(tkey, [0] * 256)
+                    if not any(freq):
+                        freq = list(freq)
+                        freq[0] = 1
+                    bits, vals = _gen_optimal_table(freq)
+                    tno = min(i, 3)
+                    dht += _emit_dht(0x00 | tno, bits, vals)
+                    codes_by_key[tkey] = _codes(bits, vals)
+                    table_ids[c[0]] = tno << 4
+            else:                          # dc_refine: raw bits only
+                table_ids = {c[0]: 0 for c in comps}
+            scan_cids = [c[0] for c in comps]
+            ss, se, ah, al = 0, 0, (1 if kind == "dc_refine" else 0), \
+                (0 if kind == "dc_refine" else 1)
+            if kind == "dc_refine":
+                ss, se, ah, al = 0, 0, 1, 0
+        else:
+            tkey = ("ac", cid)
+            freq = cnt.freq.get(tkey, [0] * 256)
+            if not any(freq):
+                freq = list(freq)
+                freq[0] = 1
+            bits, vals = _gen_optimal_table(freq)
+            dht = _emit_dht(0x10, bits, vals)
+            codes_by_key[tkey] = _codes(bits, vals)
+            table_ids = {cid: 0x00}
+            scan_cids = [cid]
+            ss, se = 1, 63
+            ah, al = (1, 0) if kind == "ac_refine" else (0, 1)
+
+        out += dht
+        out += _sos_header(scan_cids, table_ids, ss, se, ah, al)
+        wr = _WriteEmitter(codes_by_key)
+        _run_scan(wr, kind, cid, comps, blocks, mcux, mcuy, dims)
+        wr.flush()
+        out += wr.bw.out
+    return bytes(out)
+
+
+def _run_scan(em, kind, cid, comps, blocks, mcux, mcuy, dims):
+    if kind == "dc_first":
+        _dc_first_scan(em, comps, blocks, mcux, mcuy, al=1)
+    elif kind == "dc_refine":
+        _dc_refine_scan(em, comps, blocks, mcux, mcuy, al=0)
+    else:
+        bh, bw = dims[cid]
+        tkey = ("ac", cid)
+        if kind == "ac_first":
+            _ac_first_scan(em, cid, blocks, bh, bw, 1, 63, 1, tkey)
+        else:
+            _ac_refine_scan(em, cid, blocks, bh, bw, 1, 63, 0, tkey)

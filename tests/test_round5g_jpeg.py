@@ -85,14 +85,41 @@ def test_truncated_jpeg_routes_to_poison():
     assert feat2 is None and err2 is not None
 
 
-def test_progressive_marker_rejected_with_reason():
-    """A crafted SOF2 header must fail fast naming 'progressive' —
-    never silently mis-decode."""
+def test_progressive_equals_baseline_bytewise():
+    """Progressive (SOF2) carries the SAME coefficients as baseline,
+    reorganized into scans — the decoder must reproduce the baseline
+    decode byte-for-byte across gray/color/4:2:0/odd sizes/noise."""
+    rng = np.random.default_rng(3)
+    cases = [
+        _gray(), _color(), _color(19, 21),
+        rng.integers(0, 256, (40, 40)).astype(np.uint8),
+        np.full((48, 64), 130, np.uint8),          # long EOB runs
+    ]
+    subs = ["444", "444", "420", "444", "444"]
+    for arr, sub in zip(cases, subs):
+        b = decode_jpeg(encode_jpeg(arr, quality=88, subsampling=sub))
+        p = decode_jpeg(encode_jpeg(arr, quality=88, subsampling=sub,
+                                    progressive=True))
+        assert np.array_equal(p, b), (arr.shape, sub)
+
+
+def test_progressive_through_decode_batch():
+    blob = encode_jpeg(_color(), quality=90, subsampling="420",
+                       progressive=True)
+    (feat, err), = decode_image_batch([blob], fake=False)
+    assert err is None
+    assert feat[:4] == [48.0, 32.0, 8.0, 3.0]
+
+
+def test_progressive_header_on_baseline_stream_is_clean_error():
+    """Flipping SOF0→SOF2 on a baseline stream makes the single
+    full-band interleaved scan illegal for progressive (mixed DC+AC
+    band) — a clean error, never garbage pixels."""
     blob = bytearray(encode_jpeg(_gray(), quality=90))
     i = bytes(blob).find(b"\xff\xc0")
     blob[i + 1] = 0xC2
     (feat, err), = decode_image_batch([bytes(blob)], fake=False)
-    assert feat is None and "progressive" in err
+    assert feat is None and "band" in err
 
 
 def test_arithmetic_marker_rejected():
