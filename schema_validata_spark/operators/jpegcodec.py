@@ -75,8 +75,10 @@ def _idct_matrix():
 _IDCT_C = None
 
 
-def _huff_table(bits: list[int], vals: bytes) -> dict:
-    """Canonical Huffman: {(size, code): value} per T.81 Annex C."""
+def _huff_table(bits: list[int], vals: bytes) -> "_HuffTable":
+    """Canonical Huffman per T.81 Annex C, compiled to an 8-bit
+    prefix lookup (one dict probe per symbol for the common short
+    codes) with a (size, code) map fallback for 9-16-bit codes."""
     table = {}
     code = 0
     k = 0
@@ -86,7 +88,20 @@ def _huff_table(bits: list[int], vals: bytes) -> dict:
             code += 1
             k += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
+
+
+class _HuffTable:
+    __slots__ = ("lut", "long")
+
+    def __init__(self, table: dict):
+        self.long = table
+        self.lut = [None] * 256
+        for (size, code), val in table.items():
+            if size <= 8:
+                base = code << (8 - size)
+                for i in range(1 << (8 - size)):
+                    self.lut[base + i] = (val, size)
 
 
 class _BitReader:
@@ -120,12 +135,20 @@ class _BitReader:
         self.bitbuf &= (1 << self.nbits) - 1
         return v
 
-    def decode_huff(self, table: dict) -> int:
-        code = 0
-        for size in range(1, 17):
-            code = (code << 1) | self.receive(1)
-            v = table.get((size, code))
+    def decode_huff(self, table: "_HuffTable") -> int:
+        self._fill(16)
+        peek = (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+        hit = table.lut[peek >> 8]
+        if hit is not None:
+            self.nbits -= hit[1]
+            self.bitbuf &= (1 << self.nbits) - 1
+            return hit[0]
+        longmap = table.long
+        for size in range(9, 17):
+            v = longmap.get((size, peek >> (16 - size)))
             if v is not None:
+                self.nbits -= size
+                self.bitbuf &= (1 << self.nbits) - 1
                 return v
         raise ValueError("invalid Huffman code in scan data")
 
