@@ -211,3 +211,40 @@ def test_whole_report_flags_every_seeded_violation(our_report):
             "Exceeds Maximum Allowed Value (5220)"} == types
     # Sheet Rows point at the seeded rows (1-based + header)
     assert set(ve["Sheet Row"].values()) == {6, 7, 8, 11}
+
+
+def test_validate_files_multi_sheet_workbook(spark, tmp_path):
+    """validate_files over an XLSX dataset WORKBOOK: each mapped sheet
+    validates against its own dictionary section and lands its own
+    results entry (reference loop over sheet keys, :2254-2257 /
+    :2679)."""
+    from schema_validata_spark.sources.xlsx import write_xlsx
+    from schema_validata_spark.validate import validate_files
+
+    ds = str(tmp_path / "catalog.xlsx")
+    write_xlsx(ds, {
+        "movies": [
+            ["id", "title", "release_year", "director", "genre",
+             "runtime_minutes", "synopsis", "available"],
+            [1, "Heat", 1995, "Mann", "Action", 170, "x", "True"],
+            [2, "Late", 2300, "Dir", "Drama", 90, "y", "True"],
+        ],
+        "theaters": [
+            ["tid", "name", "address", "city", "state"],
+            [1, "Rex", "1 Main St", "Springfield", "US"],
+            [2, "Lux", "2 Side St", "Shelbyville", "XX"],
+        ],
+    })
+    rep = validate_files(
+        spark, ds, TEMPLATE,
+        [{"dataset": "movies", "data_dict": "MOVIES_SCHEMA"},
+         {"dataset": "theaters", "data_dict": "THEATERS_SCHEMA"}])
+    uid = next(iter(rep))
+    res = rep[uid]["results"]
+    assert set(res) == {"movies", "theaters"}
+    assert "release_year" in res["movies"]["schema_violations"]
+    assert "state" in res["theaters"]["schema_violations"]
+    ve = res["theaters"]["value_errors"]
+    vals = set(ve["Error Value"].values())
+    assert "XX" in vals                      # unallowed state listed
+    assert set(ve["Lookup Column"].values()) == {"tid"}
