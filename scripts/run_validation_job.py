@@ -99,7 +99,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
+    # When invoked programmatically (tests, notebooks) an active
+    # session may already exist — getOrCreate() returns it, and
+    # stopping it on exit would tear down the CALLER's session. Only
+    # stop what this job itself created (the spark-submit case).
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("schema-validata-job").getOrCreate()
+
+    def _stop():
+        if owns_session:
+            spark.stop()
 
     if args.dataset_file:
         if not args.data_dict:
@@ -127,7 +136,7 @@ def main(argv=None):
             for sec in report[uid]["results"].values())
         print(f"file-mode report written for uid {uid}; "
               f"{'FAIL' if failed else 'PASS'}")
-        spark.stop()
+        _stop()
         sys.exit(1 if failed else 0)
 
     from schema_validata_spark.datagen import transcript_rules
@@ -257,7 +266,7 @@ def main(argv=None):
                       "strict_passed": result.passed(),
                       "budget_gate": budget_gate,
                       "artifacts": paths}))
-    spark.stop()
+    _stop()
     sys.exit(0 if ok else 3)
 
 
