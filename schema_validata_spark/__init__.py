@@ -57,7 +57,7 @@ from .sources.tableio import get_byte_units
 from .report import errors_overview, write_report
 from .validate import (MultiValidationResult, ValidationResult,
                        partition_verdicts, validate, validate_datasets,
-                       validate_partitioned)
+                       validate_files, validate_partitioned)
 
 __all__ = [
     "ALLOWED_CASTING", "DATA_DICT_SCHEMA", "NA_PATTERNS", "NA_VALUES",
@@ -91,5 +91,6 @@ __all__ = [
     "freshness_stats", "get_byte_units", "iqr_outlier_stats",
     "volume_anomalies",
     "MultiValidationResult", "ValidationResult", "validate",
-    "validate_datasets", "partition_verdicts", "validate_partitioned",
+    "validate_datasets", "validate_files", "partition_verdicts",
+    "validate_partitioned",
 ]
