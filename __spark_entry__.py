@@ -3633,7 +3633,7 @@ def q_quantile_normalize_equidepth(spark, sf_dir):
     """quantile_normalize(method='equidepth') — the r5 at-scale swap
     (broadcast percentile_approx edge vector, NO global row_number
     sort). ORACLE CONTRACT (exact mode): with bins = N-1 and sketch
-    accuracy >= N, every edge is an exact order statistic and the
+    accuracy >= 2N, every edge is an exact order statistic and the
     per-bin interpolation positions coincide with the exact method's
     rank positions, so the output EQUALS quantile_normalize exactly
     and the exact-SQL oracle applies verbatim; production calls use
@@ -3646,7 +3646,8 @@ def q_quantile_normalize_equidepth(spark, sf_dir):
     n = scored.where("q IS NOT NULL AND source IS NOT NULL "
                      "AND doc_id IS NOT NULL").count()
     return (quantile_normalize(scored, "q", "source", "doc_id",
-                               method="equidepth", bins=max(1, n - 1))
+                               method="equidepth", bins=max(1, n - 1),
+                               accuracy=max(10_000, 2 * n))
             .orderBy("id"))
 
 

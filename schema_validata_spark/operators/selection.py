@@ -187,7 +187,8 @@ def scd2_history(df: DataFrame, key_cols: list[str], ts_col: str,
 def quantile_normalize(df: DataFrame, score_col: str,
                        group_col: str, id_col: str,
                        method: str = "exact",
-                       bins: int = 1000) -> DataFrame:
+                       bins: int = 1000,
+                       accuracy: int = 10_000) -> DataFrame:
     """Cross-source score calibration TRANSFORM (the fix for what
     ``quality_calibration`` measures): each row's score is replaced by
     the GLOBAL score-distribution value at the row's WITHIN-SOURCE
@@ -235,9 +236,14 @@ def quantile_normalize(df: DataFrame, score_col: str,
         if bins < 1:
             raise ValueError("bins must be >= 1")
         qs = [j / bins for j in range(bins + 1)]
+        # the exact-mode contract (bins = N-1 reproduces the exact
+        # method) additionally requires accuracy >= 2N so the
+        # percentile sketch never compresses and every edge is a true
+        # order statistic (measured: accuracy = N+1 still compresses
+        # at N = 15k; 2N does not) — raise ``accuracy`` with bins
         edges = base.agg(F.percentile_approx(
             "score", F.array(*[F.lit(q) for q in qs]),
-            F.lit(10_000)).alias("__e"))
+            F.lit(int(accuracy))).alias("__e"))
         p = F.percent_rank().over(
             Window.partitionBy("group").orderBy("score"))
         ranked = (base.select("id", "group", "score",
