@@ -35,8 +35,14 @@ def run_level(cpus: int, n_turns: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600)
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit("bench.py failed")
+    # same robust lap extraction as bench_compare (JVM chatter can
+    # trail the JSON line on stdout)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_compare import parse_lap_stdout
+    return parse_lap_stdout(out.stdout)
 
 
 def calibration(n: int) -> float:
