@@ -2958,8 +2958,9 @@ def q_media_features(spark, sf_dir):
     (4:4:4 + 4:2:0) / PCM-WAV payloads built by the engine's OWN
     encoders (multimodal.encode_png/encode_wav, jpegcodec.encode_jpeg),
     decoded for real through the Arrow mapInPandas path
-    (fake_decode=False), plus progressive (SOF2) JPEGs and seeded
-    poison blobs that must land in the error channel. Rows-only:
+    (fake_decode=False), plus progressive (SOF2) JPEGs, an MJPEG-AVI
+    video (sampled frames fully decoded), and seeded poison blobs
+    that must land in the error channel. Rows-only:
     huffman/IDCT/zlib decoding is not SQL-expressible; the output
     frame is fully deterministic."""
     import numpy as np
@@ -2997,9 +2998,17 @@ def q_media_features(spark, sf_dir):
                      np.stack([g, 255 - g, g // 2], axis=-1),
                      quality=85, subsampling="420",
                      progressive=True))))
-    rows.append((32, "image", None, None, None, None,
-                 bytearray(b"\xff\xd8truncated")))
+    # MJPEG-AVI video — sampled frames fully JPEG-decoded (r5)
+    from schema_validata_spark.operators.multimodal import \
+        encode_avi_mjpeg
+    vid = [np.clip(np.add.outer(np.arange(16) * 4,
+                                np.arange(20) * 2) + t * 10, 0,
+                   255).astype(np.uint8) for t in range(12)]
+    rows.append((32, "video", None, None, None, None,
+                 bytearray(encode_avi_mjpeg(vid, fps=4))))
     rows.append((33, "image", None, None, None, None,
+                 bytearray(b"\xff\xd8truncated")))
+    rows.append((34, "image", None, None, None, None,
                  bytearray(b"not media at all")))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return (extract_features(df, fake_decode=False)

@@ -11,10 +11,14 @@ parse, canonical Huffman entropy decode with restart intervals,
 vectorized dequant+IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB) → the
 same 8-dim feature; WAV via struct over the RIFF chunk walk (fmt
 parse, 8/16-bit PCM stats) → ``[sample_rate, channels, bits,
-n_frames, duration_s, rms, peak, 0]``. Progressive/arithmetic JPEG
-and WebP/MP3 land a precise per-payload error in the ``error`` column
-— dropping in PIL/librosa later extends the same one-function seam.
-The deterministic fake decoder remains for pipeline-shape tests.
+n_frames, duration_s, rms, peak, 0]``; VIDEO via MJPEG-in-AVI
+(``decode_avi_mjpeg``, round 5 — RIFF container walk + per-sampled-
+frame JPEG decode on the ``frame_sample_plan`` grid) → ``[width,
+height, fps, n_frames, duration_s, mean_luma, n_sampled, 0]``.
+Arithmetic JPEG and WebP/MP3/H.264 land a precise per-payload error
+in the ``error`` column — dropping in PIL/librosa/PyAV later extends
+the same one-function seam. The deterministic fake decoder remains
+for pipeline-shape tests.
 
 Design for 100 TB of blobs:
 * blobs never pass through a shuffle — feature extraction is a
@@ -303,6 +307,11 @@ def decode_image_batch(payloads, fake: bool = False
                 out.append((decode_wav(b), None))
             except Exception as e:
                 out.append((None, f"corrupt WAV: {e}"))
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            try:
+                out.append((decode_avi_mjpeg(b), None))
+            except Exception as e:
+                out.append((None, f"AVI decode failed: {e}"))
         elif b[:2] == b"\xff\xd8":
             from .jpegcodec import decode_jpeg_feature
             try:
@@ -352,10 +361,119 @@ def extract_features(df: DataFrame, fake_decode: bool = True,
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per planned frame
-    timestamp (sequence expression; no decode). The decode of each frame
-    is the stubbed step."""
+    timestamp (sequence expression; no decode). ``decode_avi_mjpeg`` /
+    ``video_frame_features`` execute the plan for MJPEG-AVI payloads."""
     return (df.where(F.col("kind") == "video")
               .select("media_id",
                       F.explode(F.sequence(
                           F.lit(0), F.col("duration_ms"),
                           F.lit(every_ms))).alias("frame_ts_ms")))
+
+
+def _avi_walk(data: bytes):
+    """RIFF/AVI chunk walk → (micro_sec_per_frame, n_frames, width,
+    height, [frame JPEG bytes]). Minimal spec subset: 'avih' main
+    header + every '##dc'/'##db' chunk of the 'movi' LIST (MJPG
+    streams carry JPEG per frame). Raises on malformed containers."""
+    import struct as _st
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int):
+        nonlocal avih
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos:pos + 4]
+            (sz,) = _st.unpack_from("<I", data, pos + 4)
+            body_lo, body_hi = pos + 8, pos + 8 + sz
+            if body_hi > hi:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)     # skip the list type tag
+            elif cid == b"avih":
+                if sz < 40:
+                    raise ValueError("short avih header")
+                avih = _st.unpack_from("<10I", data, body_lo)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(data[body_lo:body_hi])
+            pos = body_hi + (sz & 1)           # word alignment
+
+    walk(12, len(data))
+    if avih is None:
+        raise ValueError("missing avih header")
+    if not frames:
+        raise ValueError("no video frames in movi list")
+    usec_pf, _, _, _, total, _, _, _, w, h = avih
+    if usec_pf == 0:
+        raise ValueError("zero frame duration")
+    return usec_pf, total or len(frames), w, h, frames
+
+
+def decode_avi_mjpeg(data: bytes, every_ms: int = 1000) -> list[float]:
+    """REAL video decode for MJPEG-in-AVI (RIFF container walk + the
+    engine's own JPEG codec per frame) → 8-dim feature
+    ``[width, height, fps, n_frames, duration_s, mean_luma,
+    n_sampled, 0.0]``: frames are SAMPLED on the ``frame_sample_plan``
+    grid (one per ``every_ms``, timestamp-matched), each sampled frame
+    fully JPEG-decoded, mean_luma averaged over the sampled frames'
+    channel-0 means (scaled to [0, 1]). Dimensions are verified
+    against the container header via the first sampled frame. Raises
+    (→ poison channel) on malformed containers, non-JPEG frame
+    payloads, or progressive/arithmetic frames the codec rejects."""
+    from .jpegcodec import decode_jpeg
+    usec_pf, n_frames, w, h, frames = _avi_walk(data)
+    fps = 1e6 / usec_pf
+    duration_s = len(frames) * usec_pf / 1e6
+    step = max(1, int(round(every_ms * 1000 / usec_pf)))
+    sampled = frames[::step]
+    lumas = []
+    fw = fh = None
+    for fb in sampled:
+        arr = decode_jpeg(fb)
+        if fw is None:
+            fh, fw = arr.shape[0], arr.shape[1]
+            if (w and fw != w) or (h and fh != h):
+                raise ValueError(
+                    f"frame size {fw}x{fh} != header {w}x{h}")
+        lumas.append(float(arr[:, :, 0].mean()) / 255.0)
+    return [float(fw), float(fh), round(fps, 6), float(len(frames)),
+            round(duration_s, 6), round(sum(lumas) / len(lumas), 6),
+            float(len(sampled)), 0.0]
+
+
+def encode_avi_mjpeg(frames_px, fps: int = 10,
+                     quality: int = 85) -> bytes:
+    """Minimal MJPEG-AVI writer — the symmetric fixture half: each
+    numpy frame is JPEG-encoded and wrapped in the RIFF structure
+    (avih + one 'vids'/'MJPG' stream + movi). stdlib + the engine's
+    JPEG encoder only."""
+    import struct as _st
+
+    from .jpegcodec import encode_jpeg
+    blobs = [encode_jpeg(f, quality=quality) for f in frames_px]
+    h, w = frames_px[0].shape[:2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + _st.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    usec_pf = int(1e6 / fps)
+    avih = _st.pack("<10I", usec_pf, 0, 0, 0, len(blobs), 0, 1, 0,
+                    w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + _st.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                         1, fps, 0, len(blobs), 0, 0,
+                                         0xFFFFFFFF, 0)
+            + _st.pack("<4H", 0, 0, w, h))
+    strf = _st.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                    w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + _st.pack("<I", len(riff_body)) + riff_body

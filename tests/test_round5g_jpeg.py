@@ -167,3 +167,56 @@ def test_extract_features_real_jpeg_rows_not_poison(spark):
     assert ok1["feature"][:4] == [48.0, 32.0, 8.0, 3.0]
     bad = got[2]
     assert bad["feature"] is None and "JPEG" in bad["error"]
+
+
+# --- MJPEG-AVI video decode (round-5: video is no longer plan-only) ---
+
+def _frames(n=25, h=32, w=48):
+    return [np.clip(np.add.outer(np.arange(h) * 4, np.arange(w) * 2)
+                    + t * 8, 0, 255).astype(np.uint8)
+            for t in range(n)]
+
+
+def test_avi_mjpeg_roundtrip_feature_contract():
+    from schema_validata_spark.operators.multimodal import (
+        decode_avi_mjpeg, encode_avi_mjpeg)
+    avi = encode_avi_mjpeg(_frames(), fps=10, quality=90)
+    w, h, fps, n, dur, luma, sampled, z = decode_avi_mjpeg(
+        avi, every_ms=1000)
+    assert (w, h, fps, n) == (48.0, 32.0, 10.0, 25.0)
+    assert dur == 2.5 and sampled == 3.0 and z == 0.0
+    assert 0.0 < luma < 1.0
+    # denser sampling grid decodes more frames
+    f2 = decode_avi_mjpeg(avi, every_ms=100)
+    assert f2[6] == 25.0                    # every frame sampled
+
+
+def test_avi_dispatch_and_poison(spark):
+    from schema_validata_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_avi_mjpeg, extract_features)
+    avi = encode_avi_mjpeg(_frames(), fps=10)
+    bad = bytearray(avi)
+    i = avi.find(b"00dc")
+    for j in range(i + 12, i + 40):
+        bad[j] = 0x12                       # corrupt first frame's JPEG
+    rows = [(0, "video", None, None, None, None, bytearray(avi)),
+            (1, "video", None, None, None, None, bytearray(avi[:150])),
+            (2, "video", None, None, None, None, bytearray(bytes(bad)))]
+    got = {r["media_id"]: r for r in extract_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA),
+        fake_decode=False).collect()}
+    assert got[0]["error"] is None
+    assert got[0]["feature"][:2] == [48.0, 32.0]
+    assert got[1]["feature"] is None and "AVI" in got[1]["error"]
+    assert got[2]["feature"] is None and "AVI" in got[2]["error"]
+
+
+def test_avi_header_frame_size_mismatch_is_error():
+    import struct
+    from schema_validata_spark.operators.multimodal import (
+        decode_avi_mjpeg, encode_avi_mjpeg)
+    avi = bytearray(encode_avi_mjpeg(_frames(), fps=10))
+    i = bytes(avi).find(b"avih") + 8 + 32   # dwWidth offset in avih
+    struct.pack_into("<I", avi, i, 999)
+    with pytest.raises(ValueError, match="header"):
+        decode_avi_mjpeg(bytes(avi))

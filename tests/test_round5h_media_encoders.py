@@ -43,13 +43,16 @@ def test_media_features_registry_deterministic(spark):
     import __spark_entry__ as entry
     rows = entry.queries()["media_features"](
         spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 34
+    assert len(rows) == 35
     ok = [r for r in rows if r["ok"]]
-    assert len(ok) == 32                        # 2 seeded poison blobs
-    # the progressive payloads decode for real (r5)
+    assert len(ok) == 33                        # 2 seeded poison blobs
     by_id = {r["media_id"]: r for r in rows}
+    # the progressive payloads decode for real (r5)
     assert by_id[30]["ok"] and by_id[30]["channels"] == 1.0
     assert by_id[31]["ok"] and by_id[31]["channels"] == 3.0
+    # the MJPEG-AVI video decodes for real (r5): feature[0:2] = WxH
+    assert by_id[32]["ok"] and by_id[32]["width"] == 20.0 \
+        and by_id[32]["height"] == 16.0
     # image rows carry real decoded dims; channels alternate 1/3 by
     # construction (gray, rgb, jpeg-gray, jpeg-420-rgb)
     assert [int(r["channels"]) for r in ok[:4]] == [1, 3, 1, 3]
