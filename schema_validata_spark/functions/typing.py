@@ -87,7 +87,14 @@ def decide_logical_type(probes: dict[str, int]) -> str:
     precedence (src/schema_validata.py:1150-1212): nulls-only →
     Null-Unknown; all boolean words → Boolean; leading zeros → String;
     all-int → Integer; all-float → Float; all-datetime → Datetime;
-    else String."""
+    else String.
+
+    DOCUMENTED DIVERGENCE: the reference's STRING path can never
+    reach Boolean (``is_bool_dtype`` is False for str values and
+    ``to_numeric('True')`` raises, :1175-1208), so a file column of
+    pure 'True'/'False' TEXT reports String there and Boolean here —
+    the deliberate improvement; asserted explicitly in
+    tests/test_round5e_whole_report_parity.py."""
     n = probes["nonnull"]
     if n == 0:
         return "Null-Unknown"

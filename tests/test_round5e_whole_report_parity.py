@@ -248,3 +248,107 @@ def test_validate_files_multi_sheet_workbook(spark, tmp_path):
     vals = set(ve["Error Value"].values())
     assert "XX" in vals                      # unallowed state listed
     assert set(ve["Lookup Column"].values()) == {"tid"}
+
+
+DUP_ROWS = [
+    # duplicate id=3 triggers unique_value → BOTH engines must list
+    # the duplicate rows and agree on every record
+    (1, "Heat", 1995, "Mann", "Action", 170, "a", "True"),
+    (2, "Alien", 1979, "Scott", "Sci-Fi", 117, "b", "False"),
+    (3, "Up", 2009, "Docter", "Comedy", 96, "c", "True"),
+    (3, "Up Again", 2010, "Docter", "Comedy", 97, "d", "True"),
+    # 'maybe' keeps available String-typed in BOTH engines — a pure
+    # True/False text column is a DOCUMENTED divergence (see
+    # test_boolean_text_inference_divergence)
+    (5, "Tron", 1982, "Lisberger", "Sci-Fi", 96, "e", "maybe"),
+]
+
+
+def test_whole_report_parity_with_duplicate_uid_listing(spark,
+                                                        tmp_path):
+    """unique_value violations: the dup id degrades id's distinctness,
+    both engines run their best-uid fallback, and the duplicate ROWS
+    must be listed identically (reference value_errors_duplicates
+    keep=False ↔ our agg+join-back)."""
+    import os
+    path = str(tmp_path / "movies.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(HEADER)
+        for r in DUP_ROWS:
+            w.writerow(["" if v is None else v for v in r])
+
+    import schema_validata as ref
+    orig_ef, orig_re = pd.ExcelFile, pd.read_excel
+    pd.ExcelFile, pd.read_excel = _ShimExcelFile, _shim_read_excel
+    try:
+        theirs = copy.deepcopy(ref.validate_dataset(
+            path, TEMPLATE,
+            schema_mapping=[{"dataset": "movies",
+                             "data_dict": "MOVIES_SCHEMA"}],
+            list_errors=True, ignore_errors=["allow_null"]))
+    finally:
+        pd.ExcelFile, pd.read_excel = orig_ef, orig_re
+
+    from schema_validata_spark.validate import validate_files
+    ours = validate_files(
+        spark, path, TEMPLATE,
+        schema_mapping=[{"dataset": "movies",
+                         "data_dict": "MOVIES_SCHEMA"}],
+        list_errors=True, ignore_errors=["allow_null"])
+
+    assert list(theirs) == list(ours)
+    uid = list(theirs)[0]
+    t = theirs[uid]["results"]["movies"]
+    o = ours[uid]["results"]["movies"]
+    assert t["schema_violations"] == o["schema_violations"]
+    assert "unique_value" in t["schema_violations"]["id"]
+    assert _records(t["value_errors"]) == _records(o["value_errors"])
+    # the duplicate id rows really are in the listing
+    dup_rows = [i for i, v in t["value_errors"]["Error Type"].items()
+                if v == "Duplicate Value"]
+    assert len(dup_rows) == 2
+
+
+def test_boolean_text_inference_divergence(spark, tmp_path):
+    """EXPLICIT DIVERGENCE: a CSV column of pure 'True'/'False' TEXT.
+    The reference's string path can never yield Boolean
+    (is_bool_dtype is False for str, to_numeric raises → 'String',
+    src/schema_validata.py:1175-1208), so it flags data_type
+    String != Boolean; this engine's bool-word probe infers Boolean
+    (functions/typing.py:decide_logical_type) and reports the column
+    clean — the deliberate improvement, asserted here so the
+    whole-report diff stays complete."""
+    path = str(tmp_path / "movies.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(HEADER)
+        w.writerow([1, "Heat", 1995, "Mann", "Action", 170, "x",
+                    "True"])
+        w.writerow([2, "Alien", 1979, "Scott", "Sci-Fi", 117, "y",
+                    "False"])
+
+    import schema_validata as ref
+    orig_ef, orig_re = pd.ExcelFile, pd.read_excel
+    pd.ExcelFile, pd.read_excel = _ShimExcelFile, _shim_read_excel
+    try:
+        theirs = copy.deepcopy(ref.validate_dataset(
+            path, TEMPLATE,
+            schema_mapping=[{"dataset": "movies",
+                             "data_dict": "MOVIES_SCHEMA"}],
+            list_errors=False, ignore_errors=["allow_null"]))
+    finally:
+        pd.ExcelFile, pd.read_excel = orig_ef, orig_re
+    from schema_validata_spark.validate import validate_files
+    ours = validate_files(
+        spark, path, TEMPLATE,
+        schema_mapping=[{"dataset": "movies",
+                         "data_dict": "MOVIES_SCHEMA"}],
+        list_errors=False, ignore_errors=["allow_null"])
+    uid = next(iter(theirs))
+    t = theirs[uid]["results"]["movies"]["schema_violations"]
+    o = ours[uid]["results"]["movies"]["schema_violations"]
+    assert t["available"]["data_type"]["observed"] == "String"
+    assert "available" not in o           # ours: clean Boolean column
+    # every OTHER column agrees byte-for-byte
+    assert {k: v for k, v in t.items() if k != "available"} == o
