@@ -246,6 +246,8 @@ def decode_jpeg(data: bytes):
                     t[ZIGZAG[z]] = v
                 qt[tq] = t.reshape(8, 8)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            if len(body) < 6:
+                raise ValueError("short SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported "
@@ -255,6 +257,8 @@ def decode_jpeg(data: bytes):
                                  "(grayscale or YCbCr only)")
             if h == 0 or w == 0:
                 raise ValueError("zero-dimension image")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("short SOF component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
@@ -292,11 +296,15 @@ def decode_jpeg(data: bytes):
                     _huff_table(bits, vals)
                 i += 17 + cnt
         elif marker == 0xDD:               # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:               # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             h, w, comps, progressive = frame
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("short SOS segment")
             ns = body[0]
             sel = {}
             scan_comps = []
